@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.mapping.{ColSpec, Mapping}
+
+/** Import modes (reference: ImportMode flags at importsource.py:15). */
+sealed trait ImportMode { def canCreate: Boolean; def canUpdate: Boolean }
+case object Create extends ImportMode {
+  val canCreate = true; val canUpdate = false
+}
+case object Update extends ImportMode {
+  val canCreate = false; val canUpdate = true
+}
+case object CreateAndUpdate extends ImportMode {
+  val canCreate = true; val canUpdate = true
+}
+
+/** Outputs of one upsert pass. All four DataFrames derive from the same
+  * single-join plan; materialize `merged` first (or persist the join) when
+  * you need several of them.
+  */
+final case class UpsertResult(
+    merged: DataFrame,
+    history: DataFrame,
+    notFound: DataFrame,
+    stats: DataFrame)
+
+/** Key-matched upsert — the Spark re-expression of the reference's import
+  * loop (importtask.py:197-344).
+  *
+  * Where the reference builds a driver-side `Dict[key, row]` and mutates
+  * ORM items row by row, this plans exactly ONE shuffle: a full-outer join
+  * of target and (key-deduplicated) source on the normalized key, with every
+  * per-column policy (`should_update`, `should_update_only_if_null`,
+  * create-vs-update, comparator-based change detection, non-nullable
+  * rejection) expressed as projection-level CASE logic. Catalyst broadcasts
+  * the small side automatically; at 100 TB both sides shuffle once on the
+  * key and everything downstream is narrow.
+  *
+  * Duplicate keys within a source: the reference processes rows in order, so
+  * later rows override earlier ones — and if a later duplicate restores the
+  * stored value, the pending update is cancelled (importtask.py:262-277).
+  * Both collapse to "last source row wins, then change-detect vs target",
+  * which is what the `_line`-ordered window dedup implements.
+  */
+object Upsert {
+
+  private val SrcPrefix = "_src_"
+
+  def apply(
+      target: DataFrame,
+      projectedSource: DataFrame, // model columns + Mapping.LineCol
+      mapping: Mapping,
+      mode: ImportMode = CreateAndUpdate,
+      nonNullable: Seq[String] = Nil): UpsertResult = {
+
+    val cols: Seq[(String, ColSpec)] = mapping.columns
+    val names = cols.map(_._1)
+    val specByName = cols.toMap
+    // Output schema is the TARGET's: columns the mapping doesn't provide
+    // pass through unchanged (and are NULL on created rows), matching the
+    // reference where unmapped model fields keep their stored value.
+    val outNames = target.schema.fieldNames.toSeq
+    val key = mapping.keyColumnName
+    val norm = mapping.keyComparator
+
+    // --- source side: drop missing ids, last-duplicate-wins ---------------
+    val srcKeyed = projectedSource
+      .withColumn("_k", norm(col(key)))
+    val withId = srcKeyed.filter(col("_k").isNotNull)
+    val w = Window.partitionBy(col("_k")).orderBy(col(Mapping.LineCol).desc)
+    val deduped = withId
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(
+        (col("_k") +: names.map(n => col(n).as(SrcPrefix + n))): _*)
+
+    // --- the one join ------------------------------------------------------
+    val tgtKeyed = target.withColumn("_tk", norm(col(key)))
+    val joined = tgtKeyed.join(deduped, col("_tk") <=> col("_k"), "full_outer")
+
+    val inTgt = col("_tk").isNotNull
+    val inSrc = col("_k").isNotNull
+    val matched = inTgt && inSrc
+
+    // Per-column updated value on the matched path (policy CASEs).
+    def updatedValue(name: String, spec: ColSpec): Column = {
+      val srcV = col(SrcPrefix + name)
+      val tgtV = col(name)
+      if (!mode.canUpdate || !spec.opts.shouldUpdate) tgtV
+      else if (spec.opts.shouldUpdateOnlyIfNull)
+        when(tgtV.isNull, srcV).otherwise(tgtV)
+      else srcV
+    }
+
+    // Change flags (comparator-aware) — drive `updated` stats and history.
+    def changed(name: String, spec: ColSpec): Column = {
+      val newV = updatedValue(name, spec)
+      matched && !spec.opts.equalTo(newV, col(name))
+    }
+    val anyChange = cols.map { case (n, s) => changed(n, s) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    // Non-nullable rejection (importtask.py:52-70): check the post-merge
+    // value; rejected updates revert to the stored row, rejected creates
+    // are dropped. Columns not provided by this mapping keep the stored
+    // value (reference get_updated_value_for fallback, importtask.py:136).
+    def mergedValueNoReject(name: String): Column = specByName.get(name) match {
+      case Some(spec) =>
+        when(matched, updatedValue(name, spec))
+          .when(inSrc, col(SrcPrefix + name)) // create path
+          .otherwise(col(name))
+      case None =>
+        when(inTgt, col(name)).otherwise(lit(null))
+    }
+    val rejected = nonNullable
+      .map(n => mergedValueNoReject(n).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    val flags = joined
+      .withColumn("_matched", matched)
+      .withColumn("_in_src", inSrc)
+      .withColumn("_in_tgt", inTgt)
+      .withColumn("_changed", anyChange)
+      .withColumn("_rejected", rejected)
+
+    // --- merged output -----------------------------------------------------
+    val keepRow =
+      col("_in_tgt") || (col("_in_src") && lit(mode.canCreate) && !col("_rejected"))
+    val mergedCols = outNames.map { name =>
+      specByName.get(name) match {
+        case Some(spec) =>
+          when(col("_matched"),
+            when(col("_rejected"), col(name))
+              .otherwise(updatedValue(name, spec)))
+            .when(col("_in_src"), col(SrcPrefix + name))
+            .otherwise(col(name))
+            .as(name)
+        case None => col(name)
+      }
+    }
+    val merged = flags.filter(keepRow).select(mergedCols: _*)
+
+    // --- history (importtask.py:313-344): one wide row per updated item
+    // with old_/new_ pairs for each keep_history column that changed. ------
+    val tracked = cols.filter(_._2.opts.keepHistory)
+    val history: DataFrame = {
+      if (tracked.isEmpty || !mode.canUpdate)
+        flags.sparkSession.emptyDataFrame
+      else {
+        val anyTrackedChange = tracked
+          .map { case (n, s) => changed(n, s) }
+          .reduce(_ || _)
+        val histCols = col(key).as(key) +: tracked.flatMap { case (n, s) =>
+          val c = changed(n, s)
+          Seq(
+            when(c, col(n)).as("old_" + n),
+            when(c, updatedValue(n, s)).as("new_" + n))
+        }
+        flags
+          .filter(col("_matched") && !col("_rejected") && anyTrackedChange)
+          .select(histCols: _*)
+      }
+    }
+
+    // --- on_data_not_found (importtask.py:299-301): target rows whose key
+    // never appeared in the source. ----------------------------------------
+    val notFound = flags
+      .filter(col("_in_tgt") && !col("_in_src"))
+      .select(outNames.map(col): _*)
+
+    // --- stats: single agg over the same joined plan ----------------------
+    val missingIds = srcKeyed.filter(col("_k").isNull)
+    val statsRow = flags.agg(
+      sum(when(col("_in_src"), 1L).otherwise(0L)).as("read_keys"),
+      sum(when(col("_in_src") && !col("_in_tgt") && lit(mode.canCreate)
+        && !col("_rejected"), 1L).otherwise(0L)).as("created"),
+      sum(when(col("_matched") && lit(mode.canUpdate) && col("_changed")
+        && !col("_rejected"), 1L).otherwise(0L)).as("updated"),
+      sum(when(col("_rejected") && col("_in_src"), 1L).otherwise(0L))
+        .as("rejected"),
+      sum(when(col("_in_src") && !col("_in_tgt") && lit(!mode.canCreate), 1L)
+        .otherwise(0L)).as("ignored_not_created"),
+      sum(when(col("_matched") && lit(!mode.canUpdate), 1L).otherwise(0L))
+        .as("ignored_not_updated"),
+      sum(when(col("_in_tgt") && !col("_in_src"), 1L).otherwise(0L))
+        .as("not_found"))
+    val stats = statsRow.crossJoin(
+      missingIds.agg(count(lit(1)).as("ignored_missing_id")))
+
+    UpsertResult(merged, history, notFound, stats)
+  }
+}
+
+/** Multi-source import (reference: ImportTask._read at importtask.py:346):
+  * sources apply IN ORDER — source N sees the target as amended by sources
+  * < N — so the pipeline folds upserts left to right.
+  */
+object ImportPipeline {
+
+  final case class SourceDef(
+      raw: DataFrame,
+      mapping: Mapping,
+      mode: ImportMode = CreateAndUpdate,
+      shouldImport: Option[Column] = None)
+
+  final case class PipelineResult(
+      merged: DataFrame,
+      histories: Seq[DataFrame],
+      notFound: Seq[DataFrame],
+      stats: Seq[DataFrame])
+
+  def run(
+      target: DataFrame,
+      sources: Seq[SourceDef],
+      nonNullable: Seq[String] = Nil,
+      preProcess: DataFrame => DataFrame = identity,
+      postProcess: DataFrame => DataFrame = identity): PipelineResult = {
+
+    val start = preProcess(target)
+    val init = PipelineResult(start, Nil, Nil, Nil)
+    val folded = sources.foldLeft(init) { (acc, s) =>
+      val filtered = s.shouldImport.map(s.raw.filter).getOrElse(s.raw)
+      val projected = s.mapping
+        .complete(target.schema)
+        .project(filtered)
+      val r = Upsert(acc.merged, projected, s.mapping, s.mode, nonNullable)
+      PipelineResult(
+        r.merged,
+        acc.histories :+ r.history,
+        acc.notFound :+ r.notFound,
+        acc.stats :+ r.stats)
+    }
+    folded.copy(merged = postProcess(folded.merged))
+  }
+}

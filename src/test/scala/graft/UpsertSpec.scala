@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mapping._
+import graft.operators._
+import graft.sources.Sources
+
+/** Mirrors reference tests/importtask_test.py `test_nominal` end-to-end:
+  * two ordered sources folded into one target, with history capture.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val targetSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("col1", StringType,
+      metadata = new MetadataBuilder().putLong("maxlength", 1).build()),
+    StructField("col2", StringType),
+    StructField("col3", StringType),
+    StructField("col4", StringType),
+    StructField("col5", LongType),
+    StructField("col6", LongType)))
+
+  private def target: DataFrame = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(1L, "", "", "C", "D", null, 1L),
+      Row(2L, "E", "F", "G", "H", 2L, 1L)),
+    targetSchema)
+
+  private def mappingA = {
+    val m = new Mapping()
+    m.auto("id")
+    m.auto("col1", opts = ColOpts(keepHistory = true))
+    m.auto("col2", opts = ColOpts(shouldUpdate = false))
+    m.auto("col3")
+    m.auto("col4")
+    m.auto("col5", opts = ColOpts(warnOnError = false))
+    m
+  }
+
+  private def mappingB = {
+    val m = new Mapping()
+    m.auto("id", opts = ColOpts(shouldUpdate = false))
+    m.auto("col6", opts = ColOpts(shouldUpdateOnlyIfNull = true))
+    m
+  }
+
+  private def source1 = Sources.rows(spark, Seq(
+    Seq("0", "0", "0", "0", "0", "0"), // header (skipped, headerLines=0)
+    Seq("1", "ABCDEFG", "B", "C", "D", "1"),
+    Seq("2", "E", "F", "G", "H", "2"),
+    Seq("3", "I", "J", "K", "L", "a"),
+    Seq("", "I", "J", "K", "L", "3")))
+
+  private def source2 = Sources.rows(spark, Seq(
+    Seq("1", "2"),
+    Seq("2", "2"),
+    Seq("3", "2"),
+    Seq("5", "")), headerLines = -1)
+
+  test("nominal two-source import (test_nominal)") {
+    val res = ImportPipeline.run(
+      target,
+      Seq(
+        ImportPipeline.SourceDef(source1, mappingA),
+        ImportPipeline.SourceDef(source2, mappingB, Update)),
+      nonNullable = Seq("col1"))
+
+    val merged = res.merged.orderBy("id").collect().toSeq
+    assert(merged == Seq(
+      // col1 truncated+updated, col2 frozen (should_update=false),
+      // col5 parsed+updated, col6 kept (non-null)
+      Row(1L, "A", "", "C", "D", 1L, 1L),
+      // untouched (all values identical)
+      Row(2L, "E", "F", "G", "H", 2L, 1L),
+      // created by source1 (col5 invalid → null), col6 filled by source2
+      Row(3L, "I", "J", "K", "L", null, 2L)))
+
+    // History: source1 tracked col1 change on id=1 (old "" → new "A").
+    val h1 = res.histories.head.collect().toSeq
+    assert(h1 == Seq(Row(1L, "", "A")))
+    assert(res.histories.head.columns.toSeq
+      == Seq("id", "old_col1", "new_col1"))
+    // Source2 has no keep_history columns.
+    assert(res.histories(1).isEmpty)
+
+    // Stats, source1: 3 read keys, 1 created (id=3), 1 updated (id=1),
+    // 1 missing id.
+    val s1 = res.stats.head.collect().head
+    assert(s1.getAs[Long]("read_keys") == 3L)
+    assert(s1.getAs[Long]("created") == 1L)
+    assert(s1.getAs[Long]("updated") == 1L)
+    assert(s1.getAs[Long]("ignored_missing_id") == 1L)
+    assert(s1.getAs[Long]("rejected") == 0L)
+    assert(s1.getAs[Long]("not_found") == 0L)
+
+    // Stats, source2 (UPDATE mode): id=5 not creatable; id=3 col6 filled.
+    val s2 = res.stats(1).collect().head
+    assert(s2.getAs[Long]("read_keys") == 4L)
+    assert(s2.getAs[Long]("created") == 0L)
+    assert(s2.getAs[Long]("updated") == 1L)
+    assert(s2.getAs[Long]("ignored_not_created") == 1L)
+  }
+
+  test("create-only mode ignores matched rows") {
+    val m = mappingA
+    val projected = m.complete(targetSchema).project(source1)
+    val res = Upsert(target, projected, m, Create)
+    val merged = res.merged.orderBy("id").collect().toSeq
+    // id=1 untouched (no update), id=3 created
+    assert(merged.head == Row(1L, "", "", "C", "D", null, 1L))
+    assert(merged(2) == Row(3L, "I", "J", "K", "L", null, null))
+    val s = res.stats.collect().head
+    assert(s.getAs[Long]("ignored_not_updated") == 2L)
+    assert(s.getAs[Long]("created") == 1L)
+  }
+
+  test("last duplicate wins within a source (importtask.py:262-277)") {
+    val m = mappingA
+    val dupSource = Sources.rows(spark, Seq(
+      Seq("1", "X", "B", "C", "D", "7"),
+      Seq("1", "Y", "B", "C", "D", "8")), headerLines = -1)
+    val projected = m.complete(targetSchema).project(dupSource)
+    val res = Upsert(target, projected, m)
+    val r = res.merged.filter($"id" === 1).head
+    assert(r.getString(1) == "Y" && r.getLong(5) == 8L)
+  }
+
+  test("duplicate restoring stored value cancels the update") {
+    val m = mappingA
+    // Second row restores col1/col5 to the stored values of id=2 → final
+    // state unchanged, updated count 0.
+    val dupSource = Sources.rows(spark, Seq(
+      Seq("2", "X", "F", "G", "H", "9"),
+      Seq("2", "E", "F", "G", "H", "2")), headerLines = -1)
+    val projected = m.complete(targetSchema).project(dupSource)
+    val res = Upsert(target, projected, m)
+    assert(res.merged.filter($"id" === 2).head
+      == Row(2L, "E", "F", "G", "H", 2L, 1L))
+    assert(res.stats.collect().head.getAs[Long]("updated") == 0L)
+  }
+
+  test("non-nullable rejection reverts updates and drops creates") {
+    val m = mappingA
+    // id=1: col1 blank → parsed null → would violate non-nullable col1 →
+    // whole row reverts. id=9: create with null col1 → dropped.
+    val src = Sources.rows(spark, Seq(
+      Seq("1", "", "B", "C", "D", "5"),
+      Seq("9", "", "J", "K", "L", "1")), headerLines = -1)
+    val projected = m.complete(targetSchema).project(src)
+    val res = Upsert(target, projected, m, nonNullable = Seq("col1"))
+    val merged = res.merged.orderBy("id").collect().toSeq
+    assert(merged == Seq(
+      Row(1L, "", "", "C", "D", null, 1L),
+      Row(2L, "E", "F", "G", "H", 2L, 1L)))
+    assert(res.stats.collect().head.getAs[Long]("rejected") == 2L)
+  }
+
+  test("on_data_not_found anti-join output") {
+    val m = mappingA
+    val src = Sources.rows(spark,
+      Seq(Seq("1", "A", "B", "C", "D", "5")), headerLines = -1)
+    val projected = m.complete(targetSchema).project(src)
+    val res = Upsert(target, projected, m)
+    val nf = res.notFound.collect().toSeq
+    assert(nf == Seq(Row(2L, "E", "F", "G", "H", 2L, 1L)))
+    assert(res.stats.collect().head.getAs[Long]("not_found") == 1L)
+  }
+
+  test("should_import row filter (importsource.py:98)") {
+    val m = mappingA
+    val res = ImportPipeline.run(
+      target,
+      Seq(ImportPipeline.SourceDef(
+        source1, m,
+        shouldImport = Some(try_element_at(col(Mapping.RawCol), lit(1)) =!= "3"))))
+    assert(res.merged.count() == 2) // id=3 filtered out, no create
+  }
+
+  test("custom comparator drives change detection (mapping.py:53)") {
+    // Case-insensitive comparator: 'e' vs stored 'E' counts as unchanged.
+    val m = new Mapping()
+    m.auto("id")
+    m.auto("col1",
+      opts = ColOpts(comparator = Some((a, b) => lower(a) <=> lower(b))))
+    val src = Sources.rows(spark,
+      Seq(Seq("2", "e")), headerLines = -1)
+    val projected = m.complete(targetSchema).project(src)
+    val res = Upsert(target.select("id", "col1"), projected, m)
+    assert(res.stats.collect().head.getAs[Long]("updated") == 0L)
+  }
+
+  test("key comparator normalizes join keys (mapping.py:522)") {
+    val m = new Mapping() {
+      override def keyComparator = c => trim(lower(c))
+    }
+    m.auto("id", c => c) // string key
+    m.auto("col1")
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("col1", StringType)))
+    val tgt = spark.createDataFrame(
+      java.util.Arrays.asList(Row("ABC", "x")), schema)
+    val src = Sources.rows(spark,
+      Seq(Seq("  abc ", "y")), headerLines = -1)
+    val res = Upsert(tgt, m.complete(schema).project(src), m)
+    assert(res.stats.collect().head.getAs[Long]("updated") == 1L)
+    assert(res.merged.head.getString(1) == "y")
+  }
+}
