@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for document corpora.
+  *
+  * Scale design: every near-dup variant generates candidate pairs through a
+  * BUCKETED equi-join (LSH bands / simhash bands) — the shuffle key is the
+  * band hash, candidates are only compared within buckets, and there is no
+  * all-pairs cross join anywhere. Exact verification (Jaccard / Hamming)
+  * runs on candidate pairs only.
+  */
+object Dedup {
+
+  /** Normalized word tokens used by the shingle-based methods. */
+  def normTokens(text: Column): Column = {
+    val cleaned = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    when(cleaned === "" || text.isNull, array().cast(ArrayType(StringType)))
+      .otherwise(split(cleaned, " "))
+  }
+
+  /** Word n-gram shingles (default 3-grams); short docs fall back to the
+    * whole token array as one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = normTokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact dedup via content hash: one hash-aggregate, no raw-text shuffle
+    * of value payloads beyond the md5 key. Returns one row per distinct
+    * content with the canonical (minimum) doc_id and the duplicate count. */
+  def exact(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.groupBy(md5(text).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+
+  /** MinHash signature entry h: min over shingles of xxhash64(h, shingle). */
+  private def minhashSig(sh: Column, h: Int): Column =
+    array_min(transform(sh, s => xxhash64(lit(h), s)))
+
+  /** MinHash + banded LSH near-duplicate candidate pairs with exact Jaccard
+    * verification (numHashes = bands * rowsPerBand).
+    *
+    * Pipeline: shingle → numHashes minhash signatures → band hashes →
+    * explode(bands) → self-equi-join on (band, hash) with id< id →
+    * distinct pairs → exact n-gram Jaccard on the pair → filter threshold.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      ngram: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
+      .withColumn("sig",
+        array((0 until numHashes).map(h => minhashSig(col("sh"), h)): _*))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col("sig").getItem(i)): _*).as("bh"))
+      }: _*)).as("bucket"))
+      .select(col("doc_id"), col("sh"),
+        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = size(array_union(a, b)).cast(DoubleType)
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash over normalized tokens (see [[SimHash64]]). */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHash64(org.apache.spark.sql.graft.Bridge.expression(
+        normTokens(text))))
+
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into four
+    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+    * chunk), bucket-join on any equal chunk, verify with bit_count(xor). */
+  def simhashDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
+    val banded = withSim.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Canonical assignment from verified duplicate pairs: every doc maps to
+    * min(own id, smallest duplicate partner). One-step union-find
+    * approximation — iterate to fixpoint offline for full components. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val partners = pairs.select(col("id_a").as("doc_id"), col("id_b").as("p"))
+      .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("p")))
+      .groupBy("doc_id").agg(min("p").as("min_partner"))
+    docs.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_partner"), col("doc_id")))
+          .as("canonical_id"))
+  }
+}

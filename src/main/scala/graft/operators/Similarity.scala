@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k with the QUERY side broadcast —
+  *    correct baseline; cost is |corpus| × |queries|, so only usable when
+  *    the query set is small (it is broadcast, never shuffled).
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are bucketed
+  *    by sign-bit fingerprints and joined per bucket, so candidate
+  *    generation is an equi-join shuffle on the bucket key, never a cross
+  *    join. The scale path for 100 TB corpora.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns (computed in
+    * double). Null/zero vectors → 0.0. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a,
+      lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val nb = sqrt(aggregate(b,
+      lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact brute-force top-k: for each query row, the k nearest corpus rows
+    * by cosine (excluding self-matches on vec_id). Deterministic tiebreak
+    * on vec_id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val c = corpus.select(
+      col("vec_id").as("vec_id"), col("embedding").as("emb"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("emb"), col("qemb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Sign-bit fingerprint: bit p = sign of <v, w_p> where hyperplane w_p
+    * has deterministic pseudo-random ±1 weights derived from
+    * xxhash64(p, dim). Pure array expressions — one narrow pass. */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x.cast(DoubleType) *
+            when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus rows in the same
+    * hyperplane bucket as the query; exact cosine ranks within bucket.
+    * Fewer planes → bigger buckets → better recall, more compute. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      planes: Int = 8): DataFrame = {
+    val c = corpus.select(
+      col("vec_id"), col("embedding").as("emb"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qemb"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("emb"), col("qemb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, generated via
+    * LSH buckets (no all-pairs). */
+  def cosineDups(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 8): DataFrame = {
+    val c = corpus.select(
+      col("vec_id"), col("embedding").as("emb"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b,
+      col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", cosine(col("a.emb"), col("b.emb")))
+      .filter(col("cosine") >= threshold)
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("cosine"))
+  }
+}

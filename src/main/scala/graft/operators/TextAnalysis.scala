@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines over a `documents`
+  * table (doc_id, text, ...). Everything here is built-in Catalyst
+  * expressions — codegen'd, no UDFs — so it vectorizes across a 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text (empty text → empty array). */
+  def tokens(text: Column): Column =
+    when(trim(text) === "" || text.isNull, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword proxy count: runs of letters, runs of digits, and
+    * single punctuation marks each count as one token — the same regex any
+    * byte-pair pre-tokenizer front-end uses. */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(BpeTokenRe)), lit(0)).cast(LongType)
+
+  /** Tiny per-language stopword inventories for the n-gram-free language-ID
+    * heuristic. Deterministic and SQL-portable (used verbatim by the DuckDB
+    * oracle). */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "a")
+  val StopwordsFr: Seq[String] =
+    Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans")
+  val StopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von")
+  val StopwordsEs: Seq[String] =
+    Seq("el", "los", "de", "y", "es", "un", "una", "en", "que", "por")
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+
+  /** Stopword-voting language ID: the language whose stopword inventory
+    * hits most tokens wins; ties/zero → "und". */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val en = stopwordHits(toks, StopwordsEn)
+    val fr = stopwordHits(toks, StopwordsFr)
+    val de = stopwordHits(toks, StopwordsDe)
+    val es = stopwordHits(toks, StopwordsEs)
+    val m = greatest(en, fr, de, es)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(fr === m, lit("fr"))
+      .when(de === m, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality signals + a Gopher-style rule score in [0,1]: the fraction of
+    * five structural checks the document passes. */
+  def quality(df: DataFrame, text: Column): DataFrame = {
+    val nChars = coalesce(length(text), lit(0)).cast(LongType)
+    val nToks = tokenCount(text)
+    val meanTokLen = when(nToks > 0,
+      (nChars - (nToks - 1)).cast(DoubleType) / nToks.cast(DoubleType))
+      .otherwise(lit(0.0))
+    val punct = coalesce(
+      regexp_count(text, lit("[\\p{Punct}]")), lit(0)).cast(LongType)
+    val punctRatio = when(nChars > 0,
+      punct.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val digits = coalesce(
+      regexp_count(text, lit("[0-9]")), lit(0)).cast(LongType)
+    val digitRatio = when(nChars > 0,
+      digits.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val toks = transform(tokens(text), lower _)
+    val stopRatio = when(nToks > 0,
+      stopwordHits(toks, StopwordsEn).cast(DoubleType) /
+        nToks.cast(DoubleType)).otherwise(lit(0.0))
+    val checks = Seq[Column](
+      (nToks >= 5) && (nToks <= 100000),
+      (meanTokLen >= 2.0) && (meanTokLen <= 12.0),
+      punctRatio <= 0.2,
+      digitRatio <= 0.3,
+      stopRatio >= 0.01)
+    val score = checks.map(c => when(c, 1).otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / checks.size
+    df.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      digitRatio.as("digit_ratio"),
+      stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Winnowing-style document fingerprint: hash every k-char shingle, take
+    * the minimum hash in each window of w consecutive shingles, and hash the
+    * distinct selected values. Robust to small local edits, computed with
+    * array expressions only (one narrow pass, no shuffle).
+    */
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val n = length(text)
+    val shingleHashes = when(n < k, array(xxhash64(text)))
+      .otherwise(transform(
+        sequence(lit(1), n - k + 1),
+        i => xxhash64(text.substr(i, lit(k)))))
+    val mins = when(size(shingleHashes) < w, array(array_min(shingleHashes)))
+      .otherwise(transform(
+        sequence(lit(0), size(shingleHashes) - w),
+        i => array_min(slice(shingleHashes, i + 1, lit(w)))))
+    xxhash64(concat_ws(",",
+      transform(array_sort(array_distinct(mins)), _.cast(StringType))))
+  }
+}

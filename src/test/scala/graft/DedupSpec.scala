@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimHash64}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content under min doc_id") {
+    val r = Dedup.exact(docs).filter($"n_dups" > 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("keep_id") == 1L)
+    assert(r.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("shingles produce word n-grams") {
+    val sh = docs.filter($"doc_id" === 3)
+      .select(Dedup.shingles($"text", 3)).head.getSeq[String](0)
+    assert(sh.head == "completely different text")
+    assert(sh.contains("spark query engines"))
+  }
+
+  test("minhash LSH finds near-duplicates, not distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, bands = 8, rowsPerBand = 2,
+      threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc
+  }
+
+  test("minhash LSH plan has no cartesian product") {
+    val plan = Dedup.minhashLsh(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"plan had cartesian:\n$plan")
+  }
+
+  test("simhash: identical token sets get identical fingerprints") {
+    val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(4L))
+    assert(sims(1L) != sims(3L))
+    // near-identical docs land within small hamming distance
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <= 8)
+  }
+
+  test("simhashDups pairs near-identical docs, verified by hamming") {
+    val pairs = Dedup.simhashDups(docs, maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard on candidate pair") {
+    val j = docs.filter($"doc_id".isin(1, 2))
+      .agg(collect_list($"text")).head.getSeq[String](0)
+    val df = Seq((j(0), j(1))).toDF("a", "b")
+    val sim = df.select(
+      Dedup.jaccard(Dedup.shingles($"a"), Dedup.shingles($"b"))).head
+      .getDouble(0)
+    assert(sim > 0.5 && sim < 1.0)
+  }
+
+  test("canonicalize maps dups to minimum partner") {
+    val pairs = Seq((1L, 4L, 1.0), (1L, 2L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val canon = Dedup.canonicalize(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L, 5L -> 5L))
+  }
+
+  test("fnv1a64 is stable") {
+    assert(SimHash64.fnv1a64("abc") == SimHash64.fnv1a64("abc"))
+    assert(SimHash64.fnv1a64("abc") != SimHash64.fnv1a64("abd"))
+  }
+}

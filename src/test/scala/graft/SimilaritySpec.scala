@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs: DataFrame = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(1.0f, 0.05f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine similarity basics") {
+    val df = Seq((Array(1.0f, 0f), Array(1.0f, 0f)),
+      (Array(1.0f, 0f), Array(0f, 1.0f)),
+      (Array(0f, 0f), Array(1.0f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(math.abs(got(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1)) < 1e-9)
+    assert(got(2) == 0.0) // zero vector guard
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self") {
+    val top = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(5L, 2L))
+    assert(top.forall(_.getAs[Long]("query_id") == 1L))
+  }
+
+  test("LSH top-k finds the near neighbors for clustered vectors") {
+    // 1, 2, 5 point in nearly the same direction → same bucket with high
+    // probability under any hyperplane set; assert the bucket join returns
+    // their mutual neighbors.
+    val got = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1),
+      k = 2, planes = 4).collect()
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.subsetOf(Set(2L, 5L)) && ids.nonEmpty)
+  }
+
+  test("LSH plan is a bucketed equi-join, not a cartesian product") {
+    val plan = Similarity.lshTopK(vecs, vecs, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"plan had cartesian:\n$plan")
+  }
+
+  test("cosineDups surfaces near-identical embedding pairs") {
+    val pairs = Similarity.cosineDups(vecs, threshold = 0.99, planes = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH recall on clustered vectors (where LSH is meant to work)") {
+    // 10 well-separated cluster directions in 16d, 20 members each with a
+    // small deterministic perturbation on a second axis.
+    val dim = 16
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v((c + 3) % dim) = 0.05f * ((c * 20 + m) % 5)
+      ((c * 20 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0) // one per cluster
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, planes = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
+  }
+
+  test("testdata embeddings: brute + LSH run end-to-end, no cartesian") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    assert(Similarity.bruteTopK(emb, queries, k = 3).count() > 0)
+    val lsh = Similarity.lshTopK(emb, queries, k = 3, planes = 4)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("Cartesian"))
+    lsh.count() // executes
+  }
+}

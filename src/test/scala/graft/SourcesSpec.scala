@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.mapping.Mapping
+import graft.sources.{CsvLine, Sources}
+
+class SourcesSpec extends SparkSpec {
+
+  test("CsvLine quote-aware split (csv.reader semantics)") {
+    assert(CsvLine.split("a,b,c") == Seq("a", "b", "c"))
+    assert(CsvLine.split("a,\"b,c\",d") == Seq("a", "b,c", "d"))
+    assert(CsvLine.split("\"say \"\"hi\"\"\",x") == Seq("say \"hi\"", "x"))
+    assert(CsvLine.split("a,,c") == Seq("a", "", "c"))
+    assert(CsvLine.split("") == Seq(""))
+    assert(CsvLine.split(",") == Seq("", ""))
+  }
+
+  test("csv source skips header lines per file (importsource.py:154)") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp")).toAbsolutePath
+    val f = dir.resolve("src.csv")
+    Files.writeString(f,
+      "id,name,region\n1,\"Alpha, Inc\",5\n2,Beta,7\n3,\"say \"\"hi\"\"\",9\n")
+
+    val df = Sources.csv(spark, f.toString, headerLines = 0)
+    val got = df.orderBy(Mapping.LineCol)
+      .select(col(Mapping.RawCol), col(Mapping.LineCol))
+      .collect().map(r => (r.getSeq[String](0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      (Seq("1", "Alpha, Inc", "5"), 1L),
+      (Seq("2", "Beta", "7"), 2L),
+      (Seq("3", "say \"hi\"", "9"), 3L)))
+
+    // headerLines = -1 keeps everything.
+    assert(Sources.csv(spark, f.toString, -1).count() == 4)
+    // headerLines = 1 skips two lines.
+    assert(Sources.csv(spark, f.toString, 1).count() == 2)
+  }
+
+  test("csv source + mapping + inference end-to-end") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp")).toAbsolutePath
+    val f = dir.resolve("typed.csv")
+    Files.writeString(f,
+      "id,name,when\n1,Alpha,02/01/2020\n2, Beta ,01.24.2020\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("when",
+        org.apache.spark.sql.types.DateType)))
+    val m = new Mapping()
+    m.auto("id"); m.auto("name"); m.auto("when")
+    val out = m.complete(schema).project(Sources.csv(spark, f.toString))
+      .orderBy("id").select("id", "name", "when").collect().toSeq
+    assert(out == Seq(
+      Row(1L, "Alpha", java.sql.Date.valueOf("2020-01-02")),
+      Row(2L, "Beta", java.sql.Date.valueOf("2020-01-24"))))
+  }
+}
