@@ -1,13 +1,611 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Parsers => P}
+import graft.mapping._
+import graft.operators._
+import graft.sources.Sources
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2,
+  * with a DuckDB oracle in `oracleSql` for everything SQL-expressible.
+  * Oracles compute the EXPECTED OUTPUT semantically (they never re-simulate
+  * Spark mechanics), so agreement is a real two-implementation check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads via the nanos-as-long legacy mode. ns epochs exceed
+    * double precision, so the µs conversion must be integral (`div`). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Pick a sample string per row from a literal vector, by key modulo —
+    * deterministic and reproducible in DuckDB via list_extract. */
+  private def sample(key: Column, vals: Seq[String]): Column =
+    try_element_at(
+      array(vals.map(lit): _*), (pmod(key, lit(vals.size)) + 1).cast(IntegerType))
+
+  private def sampleSqlList(vals: Seq[String]): String =
+    vals.map(v => "'" + v.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  private def sampleSql(keyExpr: String, vals: Seq[String]): String =
+    s"list_extract(${sampleSqlList(vals)}, CAST($keyExpr % ${vals.size} AS BIGINT) + 1)"
+
+  // ------------------------------------------------------------ parse inputs
+
+  private val BoolSamples = Seq("yes", "TRUE", "t", "1", "oui", "VRAI",
+    "no", "", "  ", "0", "false", "nope")
+  private val IntSamples = Seq("42", " 13 ", "-7", "+5", "42.56",
+    "foobar", "", "0012")
+  private val FloatSamples = Seq("42", "42.56", "-0.5", ".5", "1e3",
+    "foobar", "", " 2.5 ")
+  private val AmountEnSamples = Seq("(1,000.0)", "-1,000.0", "1 234.5", "",
+    "-", " ", "12,345,678.9", "42")
+  private val AmountFrSamples = Seq("1 000,5", "(2,5)", "", "7")
+  private val StrSamples = Seq(" foobar ", "", "  ", "abc", "x")
+  private val DateSamples = Seq("02/01/2020", "01.24.2020", "2020-01-24",
+    "10000-01-01", "", "24/01/2020", "13.13.2020", "03/04/2021")
+  // Note: the 10000-01-01 max-datetime sentinel is exercised in
+  // ParsersSpec only — year 9999 overflows pandas' ns timestamps in the
+  // driver's parquet compare, so it stays out of the oracle sample set.
+  private val DateTimeSamples = Seq("02/01/2020 03:04:05",
+    "01.24.2020 03:04:05", "2020-01-24 03:04:05", "31.12.1999 23:59:59",
+    "", "24/01/2020 13:59:01")
+  private val TimeSamples = Seq("01:02:03", "", "23:59:59", "07:08:09")
+  private val DumpStrSamples = Seq("x", "", " ", "ok")
+
+  // --------------------------------------------------------- upsert fixtures
+
+  /** Target state derived from `customer`: rows with custkey%3!=0 exist,
+    * acctbal drifted +100 when custkey%5==0, segment LEGACY, nation null
+    * when custkey%4==0 else 99. */
+  private def upsertTarget(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.filter(col("c_custkey") % 3 =!= 0).select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      (col("c_acctbal") +
+        when(col("c_custkey") % 5 === 0, 100.0).otherwise(0.0)).as("acctbal"),
+      lit("LEGACY").as("segment"),
+      when(col("c_custkey") % 4 === 0, lit(null).cast(LongType))
+        .otherwise(lit(99L)).as("nation"))
+  }
+
+  /** CSV-shaped source: all customers with custkey%7!=1 as raw strings.
+    * blankNames additionally blanks the name for custkey%11==0 (for the
+    * non-nullable rejection query). */
+  private def upsertSource(
+      s: SparkSession, dir: String, blankNames: Boolean = false): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 1)
+    val nameCol =
+      if (blankNames)
+        when(col("c_custkey") % 11 === 0, lit("")).otherwise(col("c_name"))
+      else col("c_name")
+    Sources.fromColumns(c,
+      Seq(col("c_custkey"), nameCol, col("c_acctbal"), lit("NEW"),
+        col("c_nationkey")),
+      order = col("c_custkey"))
+  }
+
+  private def upsertMapping: Mapping = {
+    val m = new Mapping()
+    m.auto("id")
+    m.auto("name")
+    m.auto("acctbal", opts = ColOpts(keepHistory = true))
+    m.auto("segment", opts = ColOpts(shouldUpdate = false))
+    m.auto("nation", opts = ColOpts(shouldUpdateOnlyIfNull = true))
+    m
+  }
+
+  private val upsertSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("acctbal", DoubleType),
+    StructField("segment", StringType),
+    StructField("nation", LongType)))
+
+  private def runUpsert(
+      s: SparkSession, dir: String, mode: ImportMode = CreateAndUpdate,
+      blankNames: Boolean = false,
+      nonNullable: Seq[String] = Nil): UpsertResult = {
+    val m = upsertMapping
+    val projected = m.complete(upsertSchema)
+      .project(upsertSource(s, dir, blankNames))
+    Upsert(upsertTarget(s, dir), projected, m, mode, nonNullable)
+  }
+
+  /** Flagship: the reference's whole purpose end-to-end on sf0.001 — raw
+    * CSV-shaped strings → typed mapping (parser inference) → key-matched
+    * upsert with per-column policies → merged state. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    runUpsert(spark, "/root/testdata/sf0.001").merged
+
+  // ----------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- parser / formatter library ---
+    "parse_bools" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), BoolSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.str2bool(raw).as("b"), P.str2boolnullable(raw).as("bn"))
+    }),
+    "parse_ints" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), IntSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.str2intnullable(raw).as("i"))
+    }),
+    "parse_floats" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), FloatSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.str2floatnullable(raw).as("f"))
+    }),
+    "parse_amounts" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val rawEn = sample(col("c_custkey"), AmountEnSamples)
+      val rawFr = sample(col("c_custkey"), AmountFrSamples)
+      c.select(col("c_custkey"), rawEn.as("raw_en"), rawFr.as("raw_fr"),
+        P.formatMontant(rawEn).as("montant_en"),
+        P.formatMontant(rawFr, "fr_FR").as("montant_fr"),
+        P.str2intamount(rawEn).as("amount_int"),
+        P.str2floatamount(rawEn).as("amount_float"),
+        P.str2floatamount(rawFr, "fr_FR").as("amount_float_fr"))
+    }),
+    "parse_strings" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), StrSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.str2strnullable(raw).as("s"),
+        P.str2strnullable(raw, Some(2)).as("s2"))
+    }),
+    "parse_dates" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), DateSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.parseShittyDateAsDate(raw).as("d_fr"),
+        P.parseShittyDateAsDate(raw, "en_US").as("d_en"))
+    }),
+    "parse_datetimes" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), DateTimeSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.parseShittyDateTime(raw).as("ts_en"),
+        P.parseShittyDateTime(raw, "fr_FR").as("ts_fr"))
+    }),
+    "parse_times" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = sample(col("c_custkey"), TimeSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        P.parseShittyTime(raw).as("seconds"))
+    }),
+    "dump_formats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"),
+        P.dumpDatetime(col("o_orderdate")).as("dt_json"),
+        P.dumpDatetime(col("o_orderdate"), "gs").as("dt_gs"),
+        P.dumpInt(col("o_totalprice")).as("di"),
+        P.dumpPercentage((col("o_orderkey") % 100).cast(DoubleType) / 100.0)
+          .as("dp"),
+        P.dumpStr(sample(col("o_orderkey"), DumpStrSamples)).as("ds"))
+    }),
+    "format_list" -> ((s, dir) => { // rows-only: no SQL-portable tokenizer
+      val c = t(s, dir, "customer")
+      val raw = concat_ws("; ", col("c_name"), col("c_mktsegment"),
+        lit("x et y"))
+      c.select(col("c_custkey"),
+        P.formatList(raw).as("items"),
+        P.toList(P.formatList(raw)).as("clean"))
+    }),
+
+    // --- mapping DSL + sources ---
+    "mapping_project" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val raw = Sources.fromColumns(o, Seq(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy"),
+        regexp_replace(col("o_totalprice").cast(StringType), "\\.", ","),
+        col("o_orderpriority"),
+        col("o_orderstatus")), col("o_orderkey"))
+      val m = new Mapping()
+      m.auto("id")
+      m.auto("odate", c => P.parseShittyDateAsDate(c))
+      m.auto("total", c => P.str2floatamount(c, "fr_FR"))
+      m.auto("prio")
+      m.auto("status")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("odate", DateType),
+        StructField("total", DoubleType),
+        StructField("prio", StringType,
+          metadata = new MetadataBuilder().putLong("maxlength", 5).build()),
+        StructField("status", StringType)))
+      m.complete(schema).project(raw).drop(Mapping.LineCol)
+    }),
+    "csv_source" -> ((s, dir) => {
+      // Materialize nation as a real CSV file (quoted names), then read it
+      // back through the header-skipping CSV source + typed mapping.
+      val rows = t(s, dir, "nation")
+        .orderBy("n_nationkey")
+        .collect()
+      val csv = "nationkey,name,regionkey\n" + rows.map { r =>
+        s"""${r.get(0)},"${r.get(1)}",${r.get(2)}"""
+      }.mkString("\n") + "\n"
+      val dirPath = java.nio.file.Paths.get("/root/repo/target/verify_tmp")
+      java.nio.file.Files.createDirectories(dirPath)
+      val f = dirPath.resolve("nation.csv")
+      java.nio.file.Files.writeString(f, csv)
+      val m = new Mapping()
+      m.auto("id"); m.auto("name"); m.auto("region")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("region", LongType)))
+      m.complete(schema)
+        .project(Sources.csv(s, f.toString, headerLines = 0))
+        .drop(Mapping.LineCol)
+    }),
+    "table_source" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val m = new Mapping()
+      m.field("id", path = "c_custkey")
+      m.field("name", path = "c_name", parser = upper _)
+      val fa = FieldCol(Some("c_acctbal"))
+      m.computedField("acct2", Seq(fa), cs => cs(0) * 2)
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("acct2", DoubleType)))
+      m.complete(schema).project(Sources.table(c, Some(col("c_custkey"))))
+        .drop(Mapping.LineCol)
+    }),
+
+    // --- upsert family ---
+    "upsert_basic" -> ((s, dir) => runUpsert(s, dir).merged),
+    "upsert_create_only" -> ((s, dir) => runUpsert(s, dir, Create).merged),
+    "upsert_update_only" -> ((s, dir) => runUpsert(s, dir, Update).merged),
+    "upsert_history" -> ((s, dir) => runUpsert(s, dir).history),
+    "upsert_not_found" -> ((s, dir) => runUpsert(s, dir).notFound),
+    "upsert_reject_nonnull" -> ((s, dir) =>
+      runUpsert(s, dir, blankNames = true,
+        nonNullable = Seq("name")).merged),
+    "upsert_stats" -> ((s, dir) => runUpsert(s, dir).stats),
+
+    // --- dedup ---
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_minhash" -> ((s, dir) => { // rows-only
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      // Guarantee near-dups exist: append perturbed copies (drop last word).
+      val copies = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      Dedup.minhashLsh(d.union(copies), bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+    }),
+    "dedup_simhash" -> ((s, dir) => { // rows-only
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      Dedup.simhashDups(d.union(copies), maxHamming = 6)
+    }),
+
+    // --- similarity ---
+    "ann_brute" -> ((s, dir) => { // rows-only
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+    }),
+    "ann_lsh" -> ((s, dir) => { // rows-only
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, planes = 6)
+    }),
+
+    // --- text analysis ---
+    "text_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    }),
+    "text_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), col("text"))),
+    "text_fingerprint" -> ((s, dir) => { // rows-only
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // --- events ---
+    "sessionize" -> ((s, dir) => {
+      val e = events(s, dir)
+      Sessionize.summarize(e, gapMinutes = 30).select(
+        col("user_id"), col("session_idx"), col("n_events"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("duration_s"))
+    }),
+    "events_extract" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.select(col("event_id"),
+        P.str2intnullable(
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)).as("k"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB oracles. Rows-only queries (format_list, dedup_minhash,
+    * dedup_simhash, ann_*, text_fingerprint) are intentionally omitted. */
+  def oracleSql: Map[String, String] = {
+    val boolList = sampleSql("c_custkey", BoolSamples)
+    val intList = sampleSql("c_custkey", IntSamples)
+    val floatList = sampleSql("c_custkey", FloatSamples)
+    val amtEn = sampleSql("c_custkey", AmountEnSamples)
+    val amtFr = sampleSql("c_custkey", AmountFrSamples)
+    val strList = sampleSql("c_custkey", StrSamples)
+    val dateList = sampleSql("c_custkey", DateSamples)
+    val dtList = sampleSql("c_custkey", DateTimeSamples)
+    val timeList = sampleSql("c_custkey", TimeSamples)
+    val dumpStrList = sampleSql("o_orderkey", DumpStrSamples)
+
+    val intRe = "^[+-]?\\d+$"
+    val floatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
+    // formatMontant as nested SQL over a raw expression r (en_US / fr_FR).
+    def montantSql(r: String, fr: Boolean): String = {
+      val decimalFix =
+        if (fr) s"replace(CASE WHEN contains(trim($r), '(') THEN '-' || replace(replace(trim($r), '(', ''), ')', '') ELSE trim($r) END, ',', '.')"
+        else s"replace(CASE WHEN contains(trim($r), '(') THEN '-' || replace(replace(trim($r), '(', ''), ')', '') ELSE trim($r) END, ',', '')"
+      val cleaned = s"replace(replace(replace($decimalFix, ' ', ''), chr(160), ''), chr(8239), '')"
+      s"CASE WHEN $r IS NULL OR trim($r) = '' OR $cleaned = '' OR $cleaned = '-' THEN '0' ELSE $cleaned END"
+    }
+
+    def shittyDateSql(r: String, fr: Boolean): String = {
+      val (slash1, slash2) =
+        if (fr) ("%d/%m/%Y", "%m/%d/%Y") else ("%m/%d/%Y", "%d/%m/%Y")
+      val (dot1, dot2) =
+        if (fr) ("%d.%m.%Y", "%m.%d.%Y") else ("%m.%d.%Y", "%d.%m.%Y")
+      s"""CASE WHEN trim($r) = '' THEN NULL
+         WHEN trim($r) IN ('10000-01-01', '10000-01-01 0:00:00') THEN DATE '9999-12-31'
+         WHEN contains(trim($r), '/') THEN CAST(coalesce(try_strptime(trim($r), '$slash1'), try_strptime(trim($r), '$slash2')) AS DATE)
+         WHEN contains(trim($r), '.') THEN CAST(coalesce(try_strptime(trim($r), '$dot1'), try_strptime(trim($r), '$dot2')) AS DATE)
+         ELSE CAST(try_strptime(trim($r), '%Y-%m-%d') AS DATE) END"""
+    }
+
+    def shittyDateTimeSql(r: String, us: Boolean): String = {
+      val (slash1, slash2) =
+        if (us) ("%m/%d/%Y %H:%M:%S", "%d/%m/%Y %H:%M:%S")
+        else ("%d/%m/%Y %H:%M:%S", "%m/%d/%Y %H:%M:%S")
+      val (dot1, dot2) =
+        if (us) ("%m.%d.%Y %H:%M:%S", "%d.%m.%Y %H:%M:%S")
+        else ("%d.%m.%Y %H:%M:%S", "%m.%d.%Y %H:%M:%S")
+      s"""CASE WHEN trim($r) = '' THEN NULL
+         WHEN trim($r) = '10000-01-01 0:00:00' THEN TIMESTAMP '9999-12-31 23:59:59.999999'
+         WHEN contains(trim($r), '/') THEN coalesce(try_strptime(trim($r), '$slash1'), try_strptime(trim($r), '$slash2'))
+         WHEN contains(trim($r), '.') THEN coalesce(try_strptime(trim($r), '$dot1'), try_strptime(trim($r), '$dot2'))
+         ELSE try_strptime(trim($r), '%Y-%m-%d %H:%M:%S') END"""
+    }
+
+    val stopEn = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")
+    val stopFr = TextAnalysis.StopwordsFr.map(w => s"'$w'").mkString(", ")
+    val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
+    val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString(", ")
+    val toksSql = "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) END"
+
+    // Shared CASE pieces for the upsert family.
+    val inTgt = "c_custkey % 3 <> 0"
+    val inSrc = "c_custkey % 7 <> 1"
+    val drifted = "c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END"
+    val tgtNation = "CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE CAST(99 AS BIGINT) END"
+
+    Map(
+      "parse_bools" ->
+        s"""SELECT c_custkey, $boolList AS raw,
+           CASE WHEN lower($boolList) IN ('yes','true','t','1','oui','vrai') THEN TRUE ELSE FALSE END AS b,
+           CASE WHEN $boolList = '' THEN NULL
+                WHEN lower($boolList) IN ('yes','true','t','1','oui','vrai') THEN TRUE ELSE FALSE END AS bn
+           FROM customer""",
+      "parse_ints" ->
+        s"""SELECT c_custkey, $intList AS raw,
+           CASE WHEN regexp_matches(trim($intList), '$intRe') THEN CAST(trim($intList) AS BIGINT) ELSE NULL END AS i
+           FROM customer""",
+      "parse_floats" ->
+        s"""SELECT c_custkey, $floatList AS raw,
+           CASE WHEN regexp_matches(trim($floatList), '$floatRe') THEN CAST(trim($floatList) AS DOUBLE) ELSE NULL END AS f
+           FROM customer""",
+      "parse_amounts" -> {
+        val mEn = montantSql(amtEn, fr = false)
+        val mFr = montantSql(amtFr, fr = true)
+        s"""SELECT c_custkey, $amtEn AS raw_en, $amtFr AS raw_fr,
+           $mEn AS montant_en,
+           $mFr AS montant_fr,
+           CASE WHEN regexp_matches($mEn, '$intRe') THEN CAST($mEn AS BIGINT) ELSE 0 END AS amount_int,
+           CASE WHEN regexp_matches($mEn, '$floatRe') THEN CAST($mEn AS DOUBLE) ELSE 0.0 END AS amount_float,
+           CASE WHEN regexp_matches($mFr, '$floatRe') THEN CAST($mFr AS DOUBLE) ELSE 0.0 END AS amount_float_fr
+           FROM customer"""
+      },
+      "parse_strings" ->
+        s"""SELECT c_custkey, $strList AS raw,
+           CASE WHEN $strList IS NULL OR trim($strList) = '' THEN NULL ELSE trim($strList) END AS s,
+           CASE WHEN $strList IS NULL OR trim($strList) = '' THEN NULL ELSE substring(trim($strList), 1, 2) END AS s2
+           FROM customer""",
+      "parse_dates" ->
+        s"""SELECT c_custkey, $dateList AS raw,
+           ${shittyDateSql(dateList, fr = true)} AS d_fr,
+           ${shittyDateSql(dateList, fr = false)} AS d_en
+           FROM customer""",
+      "parse_datetimes" ->
+        s"""SELECT c_custkey, $dtList AS raw,
+           ${shittyDateTimeSql(dtList, us = true)} AS ts_en,
+           ${shittyDateTimeSql(dtList, us = false)} AS ts_fr
+           FROM customer""",
+      "parse_times" ->
+        s"""SELECT c_custkey, $timeList AS raw,
+           CASE WHEN trim($timeList) = '' THEN NULL
+                ELSE CAST(split_part(trim($timeList), ':', 1) AS BIGINT) * 3600
+                   + CAST(split_part(trim($timeList), ':', 2) AS BIGINT) * 60
+                   + CAST(split_part(trim($timeList), ':', 3) AS BIGINT) END AS seconds
+           FROM customer""",
+      "dump_formats" ->
+        s"""SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS dt_json,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_gs,
+           printf('%.0f', o_totalprice) AS di,
+           printf('%.1f', CAST(o_orderkey % 100 AS DOUBLE) / 100.0 * 100) AS dp,
+           CASE WHEN $dumpStrList IS NULL OR trim($dumpStrList) = '' THEN '-' ELSE $dumpStrList END AS ds
+           FROM orders""",
+      "mapping_project" ->
+        s"""SELECT o_orderkey AS id,
+           CAST(o_orderdate AS DATE) AS odate,
+           o_totalprice AS total,
+           substring(o_orderpriority, 1, 5) AS prio,
+           o_orderstatus AS status
+           FROM orders""",
+      "csv_source" ->
+        s"""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region FROM nation""",
+      "table_source" ->
+        s"""SELECT c_custkey AS id, upper(c_name) AS name,
+           c_acctbal * 2 AS acct2 FROM customer""",
+      "upsert_basic" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "upsert_create_only" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inTgt THEN $drifted ELSE c_acctbal END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN $inTgt THEN $tgtNation ELSE CAST(c_nationkey AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "upsert_update_only" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           'LEGACY' AS segment,
+           CASE WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE $inTgt""",
+      "upsert_history" ->
+        s"""SELECT c_custkey AS id,
+           $drifted AS old_acctbal, c_acctbal AS new_acctbal
+           FROM customer
+           WHERE ($inTgt) AND ($inSrc) AND c_custkey % 5 = 0""",
+      "upsert_not_found" ->
+        s"""SELECT c_custkey AS id, c_name AS name, $drifted AS acctbal,
+           'LEGACY' AS segment, $tgtNation AS nation
+           FROM customer WHERE ($inTgt) AND NOT ($inSrc)""",
+      "upsert_reject_nonnull" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN ($inSrc) AND c_custkey % 11 <> 0 THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) AND c_custkey % 11 <> 0 THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer
+           WHERE ($inTgt) OR (($inSrc) AND c_custkey % 11 <> 0)""",
+      "upsert_stats" ->
+        s"""SELECT
+           CAST(sum(CASE WHEN $inSrc THEN 1 ELSE 0 END) AS BIGINT) AS read_keys,
+           CAST(sum(CASE WHEN ($inSrc) AND NOT ($inTgt) THEN 1 ELSE 0 END) AS BIGINT) AS created,
+           CAST(sum(CASE WHEN ($inSrc) AND ($inTgt) AND (c_custkey % 5 = 0 OR c_custkey % 4 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+           CAST(0 AS BIGINT) AS rejected,
+           CAST(0 AS BIGINT) AS ignored_not_created,
+           CAST(0 AS BIGINT) AS ignored_not_updated,
+           CAST(sum(CASE WHEN ($inTgt) AND NOT ($inSrc) THEN 1 ELSE 0 END) AS BIGINT) AS not_found,
+           CAST(0 AS BIGINT) AS ignored_missing_id
+           FROM customer""",
+      "dedup_exact" ->
+        s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups FROM documents GROUP BY 1""",
+      "text_tokens" ->
+        s"""SELECT doc_id,
+           CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+           FROM documents""",
+      "text_langid" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           cnt AS (SELECT doc_id,
+             len(list_filter(tk, x -> x IN ($stopEn))) AS en,
+             len(list_filter(tk, x -> x IN ($stopFr))) AS fr,
+             len(list_filter(tk, x -> x IN ($stopDe))) AS de,
+             len(list_filter(tk, x -> x IN ($stopEs))) AS es
+             FROM toks)
+           SELECT doc_id,
+             CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN de = greatest(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang_pred
+           FROM cnt""",
+      "text_quality" ->
+        s"""WITH base AS (SELECT doc_id, text,
+             CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+             len(list_filter($toksSql, x -> x IN ($stopEn))) AS n_stop
+             FROM documents),
+           m AS (SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+             CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+             FROM base)
+           SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+             digit_ratio, stopword_ratio,
+             CAST((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1 ELSE 0 END
+                 + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1 ELSE 0 END
+                 + CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END
+                 + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
+                 + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS quality_score
+           FROM m""",
+      "sessionize" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events),
+           flagged AS (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS brk
+             FROM ev
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           sess AS (
+             SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+             FROM flagged)
+           SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+             date_diff('second', min(ts), max(ts)) AS duration_s
+           FROM sess GROUP BY user_id, session_idx""",
+      "events_extract" ->
+        s"""SELECT event_id,
+           CASE WHEN regexp_matches(regexp_extract(props, '"k": (\\d+)', 1), '$intRe')
+                THEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) ELSE NULL END AS k
+           FROM events"""
+    )
+  }
 }
