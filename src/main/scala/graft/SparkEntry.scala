@@ -289,7 +289,10 @@ object SparkEntry {
       val copies = d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + 10000000L).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      Dedup.minhashLsh(d.union(copies), bands = 8, rowsPerBand = 2,
+      // r=8 rows/band: these synthetic docs share a tiny vocabulary, so
+      // base pairwise Jaccard is ~0.2-0.3 and short bands would flood the
+      // buckets (J^2 collisions); J^8 keeps candidates ~ true near-dups.
+      Dedup.minhashLsh(d.union(copies), bands = 8, rowsPerBand = 8,
         threshold = 0.5)
     }),
     "dedup_simhash" -> ((s, dir) => { // rows-only

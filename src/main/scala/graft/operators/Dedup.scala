@@ -21,15 +21,12 @@ object Dedup {
       .otherwise(split(cleaned, " "))
   }
 
-  /** Word n-gram shingles (default 3-grams); short docs fall back to the
-    * whole token array as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = normTokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - n + 1),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Word n-gram shingles (default 3-grams); single-pass custom
+    * expression — see [[Shingles]] for why the built-in composition is
+    * quadratic when interpreted. */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      Shingles(org.apache.spark.sql.graft.Bridge.expression(text), n))
 
   /** Exact dedup via content hash: one hash-aggregate, no raw-text shuffle
     * of value payloads beyond the md5 key. Returns one row per distinct
@@ -40,37 +37,38 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_dups"))
 
-  /** MinHash signature entry h: min over shingles of xxhash64(h, shingle). */
-  private def minhashSig(sh: Column, h: Int): Column =
-    array_min(transform(sh, s => xxhash64(lit(h), s)))
-
   /** MinHash + banded LSH near-duplicate candidate pairs with exact Jaccard
     * verification (numHashes = bands * rowsPerBand).
     *
-    * Pipeline: shingle → numHashes minhash signatures → band hashes →
-    * explode(bands) → self-equi-join on (band, hash) with id< id →
-    * distinct pairs → exact n-gram Jaccard on the pair → filter threshold.
+    * Pipeline: shingle → full minhash signature in one pass (see
+    * [[MinHashSig]]) → band hashes → explode(bands) over a SLIM
+    * (doc_id, band, bh) relation → self-equi-join → distinct pairs →
+    * re-join shingle sets → exact Jaccard → threshold. The heavy shingle
+    * arrays never travel through the exploded band shuffle.
     */
   def minhashLsh(
       docs: DataFrame,
       bands: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       ngram: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs
+    val withSh = docs
       .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
-      .withColumn("sig",
-        array((0 until numHashes).map(h => minhashSig(col("sh"), h)): _*))
+    val withSig = docs
+      .select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
+        MinHashSig(
+          org.apache.spark.sql.graft.Bridge.expression(col("text")),
+          ngram, numHashes)).as("sig"))
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
           xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
             .map(i => col("sig").getItem(i)): _*).as("bh"))
       }: _*)).as("bucket"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         col("bucket.band").as("band"), col("bucket.bh").as("bh"))
 
     val a = banded.alias("a")
@@ -78,12 +76,13 @@ object Dedup {
     val pairs = a.join(b,
       col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val shA = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     pairs
+      .join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -99,8 +98,7 @@ object Dedup {
   /** 64-bit SimHash over normalized tokens (see [[SimHash64]]). */
   def simhash(text: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
-      SimHash64(org.apache.spark.sql.graft.Bridge.expression(
-        normTokens(text))))
+      SimHash64(org.apache.spark.sql.graft.Bridge.expression(text)))
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical

@@ -2,10 +2,11 @@ package graft.operators
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** 64-bit SimHash over an array<string> of tokens.
+/** 64-bit SimHash over a document's normalized word tokens, computed from
+  * the raw text in one pass ([[TextNorm.tokenize]] — no interpreted regex
+  * child).
   *
   * Classic Charikar construction: each token contributes its 64-bit hash's
   * bits as ±1 votes per position; the fingerprint takes the sign of each
@@ -22,11 +23,11 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+    val toks = TextNorm.tokenize(v.toString)
     val acc = new Array[Int](64)
     var i = 0
-    while (i < arr.numElements()) {
-      val h = SimHash64.fnv1a64(arr.getUTF8String(i).toString)
+    while (i < toks.length) {
+      val h = SimHash64.fnv1a64(toks(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
