@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Event, StreamingOps}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark emit finalized windows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps
+      .windowedCounts(mem.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:02:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 10:12:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 10:10 windows
+      mem.addData(Event(4, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .selectExpr("window.start", "event_type", "n_events", "sum_value")
+        .collect().map(r =>
+          (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:10:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and timeout") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 2h gap
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts("2024-01-01 12:30:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      // the in-batch gap closes session 1 immediately
+      val afterGap = spark.table("sessions").as[graft.streaming.SessionOut]
+        .collect()
+      assert(afterGap.exists(s =>
+        s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0 &&
+          s.session_start == ts("2024-01-01 10:00:00") &&
+          s.session_end == ts("2024-01-01 10:05:00")))
+
+      // push the watermark beyond 12:30 + gap → timeout closes session 2
+      mem.addData(Event(9, ts("2024-01-01 15:00:00"), 2, "click", 0.5))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts("2024-01-01 16:00:00"), 2, "click", 0.5))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[graft.streaming.SessionOut]
+        .collect()
+      assert(all.exists(s => s.user_id == 1 && s.n_events == 1 &&
+        s.session_start == ts("2024-01-01 12:30:00")))
+    } finally q.stop()
+  }
+}
