@@ -270,6 +270,20 @@ object SparkEntry {
         .drop(Mapping.LineCol)
     }),
 
+    "mapping_diagnostics" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val raw = Sources.fromColumns(c,
+        Seq(sample(col("c_custkey"), IntSamples),
+          sample(col("c_custkey"), StrSamples)),
+        order = col("c_custkey"))
+      val m = new Mapping()
+      m.auto("id")
+      m.auto("s", opts = ColOpts(warnIfEmpty = true))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType)))
+      m.complete(schema).diagnostics(raw)
+    }),
+
     // --- upsert family ---
     "upsert_basic" -> ((s, dir) => runUpsert(s, dir).merged),
     "upsert_create_only" -> ((s, dir) => runUpsert(s, dir, Create).merged),
@@ -312,6 +326,19 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
         k = 5, planes = 6)
+    }),
+    "ann_ivf" -> ((s, dir) => { // rows-only
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, nlist = 16, nprobe = 4)
+    }),
+    "embed_dups" -> ((s, dir) => { // rows-only
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // Guarantee near-dups: scaled copies (cosine 1.0 with originals).
+      val copies = e.filter(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+      Similarity.cosineDups(e.union(copies), threshold = 0.999, planes = 6)
     }),
 
     // --- text analysis ---
@@ -479,6 +506,19 @@ object SparkEntry {
            substring(o_orderpriority, 1, 5) AS prio,
            o_orderstatus AS status
            FROM orders""",
+      "mapping_diagnostics" ->
+        s"""WITH rows AS (SELECT c_custkey,
+             ${sampleSql("c_custkey", IntSamples)} AS rawi,
+             ${sampleSql("c_custkey", StrSamples)} AS raws
+           FROM customer)
+           SELECT c_custkey AS line, 'id' AS "column", rawi AS raw_value,
+             'parse_error' AS warning
+           FROM rows
+           WHERE trim(rawi) <> '' AND NOT regexp_matches(trim(rawi), '$intRe')
+           UNION ALL
+           SELECT c_custkey AS line, 's' AS "column", raws AS raw_value,
+             'empty' AS warning
+           FROM rows WHERE trim(raws) = ''""",
       "csv_source" ->
         s"""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
            CAST(n_regionkey AS BIGINT) AS region FROM nation""",

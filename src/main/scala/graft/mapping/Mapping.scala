@@ -224,6 +224,46 @@ class Mapping(val keyColumnName: String = "id") {
     this
   }
 
+  /** Warning surface — the distributed analogue of the reference's
+    * `warn_on_error` / `warn_if_empty` logging (mapping.py:48-49,
+    * importtask.py:262-284). Instead of driver-side log lines, returns a
+    * DataFrame of (line, column, raw_value, warning) rows:
+    *  - `parse_error`: raw value non-empty but parser yielded NULL
+    *    (the reference's ValueError path), for columns with warnOnError;
+    *  - `empty`: parsed value NULL/empty for columns with warnIfEmpty.
+    */
+  def diagnostics(raw: DataFrame): DataFrame = {
+    val entries = registry.toSeq.flatMap { case (name, spec) =>
+      spec match {
+        case c: IndexedCol if c.opts.warnOnError || c.opts.warnIfEmpty =>
+          val rawV = c.raw
+          val parsed = c.expr
+          val parsedEmpty = parsed.isNull || parsed.cast(StringType) === ""
+          val parseError = lit(c.opts.warnOnError) &&
+            rawV.isNotNull && trim(rawV) =!= "" && parsed.isNull
+          val emptyWarn = lit(c.opts.warnIfEmpty) && parsedEmpty
+          Some(struct(
+            lit(name).as("column"),
+            rawV.cast(StringType).as("raw_value"),
+            when(parseError, "parse_error")
+              .when(emptyWarn, "empty")
+              .otherwise(lit(null).cast(StringType)).as("warning")))
+        case _ => None
+      }
+    }
+    if (entries.isEmpty)
+      return raw.sparkSession.emptyDataFrame
+    val fcol = org.apache.spark.sql.functions.col _
+    raw
+      .select(fcol(Mapping.LineCol), explode(array(entries: _*)).as("w"))
+      .filter(fcol("w.warning").isNotNull)
+      .select(
+        fcol(Mapping.LineCol).as("line"),
+        fcol("w.column").as("column"),
+        fcol("w.raw_value").as("raw_value"),
+        fcol("w.warning").as("warning"))
+  }
+
   /** Compiles the mapping to a single projection over the raw DataFrame.
     * Keeps [[Mapping.LineCol]] when present (needed for last-dup-wins). */
   def project(raw: DataFrame): DataFrame = {

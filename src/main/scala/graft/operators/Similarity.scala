@@ -91,6 +91,54 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic scale path.
+    *
+    * Coarse quantizer: the first `nlist` corpus vectors by vec_id stand in
+    * for k-means centroids (deterministic; swap in trained centroids for
+    * production). Corpus rows are assigned to their nearest centroid cell
+    * (a broadcast of the tiny centroid table — per-row cost is nlist
+    * cosines, never a data×data join); queries probe their `nprobe`
+    * nearest cells and rank candidates by exact cosine within those cells.
+    * The candidate join is an equi-join on the cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+
+    def assign(df: DataFrame, idCol: String, embCol: String, topCells: Int)
+        : DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_csim").desc, col("cid"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("_csim", cosine(col(embCol), col("cemb")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= topCells)
+        .drop("_csim", "_crn", "cemb")
+    }
+
+    val cells = assign(
+      corpus.select(col("vec_id"), col("embedding").as("emb")),
+      "vec_id", "emb", 1)
+    val qcells = assign(
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb")),
+      "query_id", "qemb", nprobe)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cells.join(qcells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("emb"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, generated via
     * LSH buckets (no all-pairs). */
   def cosineDups(

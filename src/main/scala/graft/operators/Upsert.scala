@@ -236,4 +236,19 @@ object ImportPipeline {
     }
     folded.copy(merged = postProcess(folded.merged))
   }
+
+  /** Commit step with hook points — the analogue of the reference's
+    * pre_commit / session.commit() / post_commit (importtask.py:97-111,
+    * :369-371). "Commit" in Spark terms is the atomic write of the merged
+    * state; hooks run on this driver around it.
+    */
+  def commit(
+      merged: DataFrame,
+      path: String,
+      preCommit: DataFrame => Unit = _ => (),
+      postCommit: DataFrame => Unit = _ => ()): Unit = {
+    preCommit(merged)
+    merged.write.mode("overwrite").parquet(path)
+    postCommit(merged)
+  }
 }

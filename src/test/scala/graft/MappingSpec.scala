@@ -134,6 +134,26 @@ class MappingSpec extends SparkSpec {
     assert(r.getDate(4).toString == "2020-01-02")
   }
 
+  test("diagnostics surface parse errors and empty warnings") {
+    val m = new Mapping()
+    m.auto("id")
+    m.auto("s", opts = ColOpts(warnIfEmpty = true))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val raw = Sources.rows(spark, Seq(
+      Seq("42", "ok"),      // clean
+      Seq("foobar", "x"),   // id parse error
+      Seq("7", "  "),       // s empty
+      Seq("", "y")), -1)    // id empty raw → not a parse error
+    val d = m.complete(schema).diagnostics(raw)
+      .orderBy("line", "column").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(d == Seq(
+      (1L, "id", "foobar", "parse_error"),
+      (2L, "s", "  ", "empty")))
+  }
+
   test("missing key column fails complete (mapping.py:631)") {
     val m = new Mapping()
     m.auto("col1")

@@ -78,6 +78,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
   }
 
+  test("IVF top-k recalls clustered neighbors") {
+    val dim = 16
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v((c + 3) % dim) = 0.05f * ((c * 20 + m) % 5)
+      ((c * 20 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 7)
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 12, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low on clustered data: $recall")
+  }
+
   test("testdata embeddings: brute + LSH run end-to-end, no cartesian") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -180,6 +180,19 @@ class UpsertSpec extends SparkSpec {
     assert(res.merged.count() == 2) // id=3 filtered out, no create
   }
 
+  test("commit hooks fire around the write (importtask.py:97-111)") {
+    val m = mappingA
+    val projected = m.complete(targetSchema).project(source1)
+    val res = Upsert(target, projected, m)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val path = "target/test-tmp/commit_out"
+    ImportPipeline.commit(res.merged, path,
+      preCommit = _ => seen += "pre",
+      postCommit = _ => seen += "post")
+    assert(seen.toSeq == Seq("pre", "post"))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("custom comparator drives change detection (mapping.py:53)") {
     // Case-insensitive comparator: 'e' vs stored 'E' counts as unchanged.
     val m = new Mapping()
