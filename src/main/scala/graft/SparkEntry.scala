@@ -360,7 +360,41 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // --- analytics over the star schema ---
+    "text_stats_by_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_ws_tokens"))
+        .withColumn("avg_chars",
+          col("total_chars").cast(DoubleType) / col("n_docs"))
+    }),
+    "orders_running_total" -> ((s, dir) => {
+      // Window running totals: double accumulation order differs between
+      // engines (DuckDB uses a segment tree), so sums go through exact
+      // decimal and only the final value casts back to double.
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      o.select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("running_total"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("order_seq"))
+    }),
+
     // --- events ---
+    "events_json" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+    }),
     "sessionize" -> ((s, dir) => {
       val e = events(s, dir)
       Sessionize.summarize(e, gapMinutes = 30).select(
@@ -623,6 +657,25 @@ object SparkEntry {
                  + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
                  + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS quality_score
            FROM m""",
+      "text_stats_by_lang" ->
+        s"""SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+           FROM documents GROUP BY lang""",
+      "orders_running_total" ->
+        s"""SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(row_number()
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS INT) AS order_seq
+           FROM orders""",
+      "events_json" ->
+        s"""SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+           FROM events""",
       "sessionize" ->
         s"""WITH ev AS (
              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
