@@ -388,6 +388,18 @@ object SparkEntry {
             .orderBy(col("o_orderdate"), col("o_orderkey"))).as("order_seq"))
     }),
 
+    "asof_join" -> ((s, dir) => {
+      // For each event, the latest order of the same customer at or before
+      // the event time. Right side pre-aggregated to one row per
+      // (custkey, orderdate) for determinism.
+      val e = events(s, dir).select("event_id", "user_id", "ts")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("asof_orderkey"))
+      AsOf.join(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("asof_orderkey"))
+    }),
+
     // --- events ---
     "events_json" -> ((s, dir) => {
       val e = events(s, dir)
@@ -672,6 +684,15 @@ object SparkEntry {
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              AS INT) AS order_seq
            FROM orders""",
+      "asof_join" ->
+        s"""WITH r AS (SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS asof_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate),
+           e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events)
+           SELECT e.event_id, e.user_id, e.ts, r.asof_orderkey
+           FROM e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
       "events_json" ->
         s"""SELECT event_id,
            CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
