@@ -18,17 +18,11 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns (computed in
-    * double). Null/zero vectors → 0.0. */
+  /** Cosine similarity between two float-array columns (single-pass
+    * custom expression — see [[CosineSim]]). Null/zero vectors → 0.0. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a,
-      lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    val nb = sqrt(aggregate(b,
-      lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(CosineSim(B.expression(a), B.expression(b)))
   }
 
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
@@ -51,19 +45,11 @@ object Similarity {
   }
 
   /** Sign-bit fingerprint: bit p = sign of <v, w_p> where hyperplane w_p
-    * has deterministic pseudo-random ±1 weights derived from
-    * xxhash64(p, dim). Pure array expressions — one narrow pass. */
+    * has deterministic pseudo-random ±1 weights (see [[HyperplaneBits]];
+    * one pass over the vector for all planes). */
   def hyperplaneBucket(v: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x.cast(DoubleType) *
-            when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(HyperplaneBits(B.expression(v), planes))
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus rows in the same
