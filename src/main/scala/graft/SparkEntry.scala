@@ -361,6 +361,31 @@ object SparkEntry {
     }),
 
     // --- analytics over the star schema ---
+    "pricing_summary" -> ((s, dir) => {
+      // TPC-H Q1-shaped rollup. Double sums are order-dependent across
+      // engines, so accumulation is exact DECIMAL, cast back at the edge.
+      val l = t(s, dir, "lineitem")
+      val qty = col("l_quantity").cast(DecimalType(18, 2))
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = col("l_discount").cast(DecimalType(18, 2))
+      l.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast(DoubleType).as("sum_qty"),
+          sum(price).cast(DoubleType).as("sum_base_price"),
+          sum(price * (lit(1).cast(DecimalType(18, 2)) - disc))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+    }),
+    "events_agg" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    }),
     "text_stats_by_lang" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.groupBy(col("lang")).agg(
@@ -669,6 +694,21 @@ object SparkEntry {
                  + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
                  + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS quality_score
            FROM m""",
+      "pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+      "events_agg" ->
+        s"""SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_value, max(value) AS max_value
+           FROM events GROUP BY event_type""",
       "text_stats_by_lang" ->
         s"""SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
