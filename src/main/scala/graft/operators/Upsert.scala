@@ -79,8 +79,13 @@ object Upsert {
         (col("_k") +: names.map(n => col(n).as(SrcPrefix + n))): _*)
 
     // --- the one join ------------------------------------------------------
+    // Plain equality, not <=>: source keys are non-null by construction
+    // (missing ids filtered above), and null-keyed target rows fall out as
+    // target-only rows either way. `===` lets Catalyst reuse the dedup
+    // window's hash partitioning on _k instead of re-exchanging for a
+    // null-safe key.
     val tgtKeyed = target.withColumn("_tk", norm(col(key)))
-    val joined = tgtKeyed.join(deduped, col("_tk") <=> col("_k"), "full_outer")
+    val joined = tgtKeyed.join(deduped, col("_tk") === col("_k"), "full_outer")
 
     val inTgt = col("_tk").isNotNull
     val inSrc = col("_k").isNotNull
