@@ -72,4 +72,36 @@ class StreamingSpec extends SparkSpec {
         s.session_start == ts("2024-01-01 12:30:00")))
     } finally q.stop()
   }
+
+  test("file-source event stream: parquet feed through windowed counts") {
+    val dir = "target/test-tmp/event_feed"
+    val ckpt = "target/test-tmp/event_ckpt"
+    // seed the feed directory with one batch of events
+    Seq(
+      Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:04:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 12:00:00"), 1, "view", 3.0)
+    ).toDF().write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingOps.readEventStream(spark, dir)
+    val q = StreamingOps.windowedCounts(stream, "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("file_win")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // append a later file to advance the watermark and close windows
+      Seq(Event(4, ts("2024-01-01 14:00:00"), 1, "click", 1.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("file_win")
+        .selectExpr("window.start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 12:00:00.0", "view", 1L)))
+    } finally {
+      q.stop()
+    }
+  }
 }
