@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FormatList
+import graft.operators.{CosineSim, HyperplaneBits, MinHashSig, Shingles, SimHash64}
+import graft.sources.CsvLine
+
+/** Exposes graft's custom Catalyst expressions to SQL.
+  *
+  * Two entry points:
+  *  - `GraftExtensions` for
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` or the
+  *    `spark.sql.extensions` conf (cluster deploys);
+  *  - [[GraftExtensions.register]] to add the functions to an already-built
+  *    session (tests, notebooks).
+  *
+  * After registration: `SELECT simhash64(text), format_list(tags) FROM docs`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
+
+  /** name → builder from SQL argument expressions. */
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "format_list" -> (es => FormatList(es.head)),
+    "csv_line" -> (es => CsvLine(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "shingles" -> (es => Shingles(es.head,
+      if (es.length > 1) intArg(es(1)) else 3)),
+    "minhash_sig" -> (es => MinHashSig(es.head,
+      if (es.length > 1) intArg(es(1)) else 3,
+      if (es.length > 2) intArg(es(2)) else 32)),
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "hyperplane_bits" -> (es => HyperplaneBits(es.head,
+      if (es.length > 1) intArg(es(1)) else 8)))
+
+  /** Registers all graft SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

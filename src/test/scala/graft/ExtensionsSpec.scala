@@ -1,0 +1,24 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq(("a; b et c", "the quick brown fox", "1,\"x,y\",3"))
+      .toDF("l", "t", "c").createOrReplaceTempView("ext_t")
+    val r = spark.sql(
+      """SELECT format_list(l) AS fl, simhash64(t) AS sh,
+         csv_line(c) AS cl, shingles(t, 2) AS sg,
+         size(minhash_sig(t, 2, 8)) AS ms,
+         cosine_sim(array(1.0f, 0f), array(1.0f, 0f)) AS cs,
+         hyperplane_bits(array(1.0f, 0f), 4) AS hb
+         FROM ext_t""").head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](2) == Seq("1", "x,y", "3"))
+    assert(r.getSeq[String](3).head == "the quick")
+    assert(r.getInt(4) == 8)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
+  }
+
+}

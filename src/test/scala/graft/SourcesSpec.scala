@@ -62,4 +62,15 @@ class SourcesSpec extends SparkSpec {
       Row(1L, "Alpha", java.sql.Date.valueOf("2020-01-02")),
       Row(2L, "Beta", java.sql.Date.valueOf("2020-01-24"))))
   }
+
+  test("multi-file csv source skips the header in EVERY file") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp/multicsv")).toAbsolutePath
+    Files.writeString(dir.resolve("part1.csv"), "id,name\n1,a\n2,b\n")
+    Files.writeString(dir.resolve("part2.csv"), "id,name\n3,c\n")
+    val df = Sources.csv(spark, dir.toString + "/*.csv", headerLines = 0)
+    val got = df.select(col(Mapping.RawCol)).collect()
+      .map(_.getSeq[String](0).head).sorted.toSeq
+    assert(got == Seq("1", "2", "3")) // no header row leaked through
+  }
 }
