@@ -76,6 +76,10 @@ class StreamingSpec extends SparkSpec {
   test("file-source event stream: parquet feed through windowed counts") {
     val dir = "target/test-tmp/event_feed"
     val ckpt = "target/test-tmp/event_ckpt"
+    // fresh dirs: a stale checkpoint would replay a previous run's files
+    Seq(dir, ckpt).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
     // seed the feed directory with one batch of events
     Seq(
       Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
