@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Light warmup so the first timed query doesn't absorb JVM/codegen
+    // startup: run one action through the parquet read + codegen path.
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("count(distinct c_custkey)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
