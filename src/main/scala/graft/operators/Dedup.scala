@@ -126,9 +126,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Transitive canonicalization: iterate pointer-jumping
+    * (canonical := canonical(canonical)) until fixpoint, so chains like
+    * a~b~c~d all map to the smallest member. Each round is one self-join
+    * plus one count action; rounds needed = O(log(longest chain)) after
+    * the first hop, bounded by maxIter.
+    */
+  def canonicalizeFixpoint(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    var canon = canonicalize(docs, pairs)
+      .select(col("doc_id"), col("canonical_id"))
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val jumped = canon.alias("c1")
+        .join(
+          canon.select(col("doc_id").as("j_id"),
+            col("canonical_id").as("j_canon")).alias("c2"),
+          col("c1.canonical_id") === col("j_id"))
+        .select(col("c1.doc_id").as("doc_id"),
+          least(col("c1.canonical_id"), col("j_canon")).as("canonical_id"))
+      val moved = jumped.alias("n")
+        .join(canon.select(col("doc_id"),
+          col("canonical_id").as("old_c")).alias("o"), "doc_id")
+        .filter(col("canonical_id") =!= col("old_c"))
+        .limit(1).count()
+      canon = jumped
+      converged = moved == 0
+      i += 1
+    }
+    canon
+  }
+
   /** Canonical assignment from verified duplicate pairs: every doc maps to
     * min(own id, smallest duplicate partner). One-step union-find
-    * approximation — iterate to fixpoint offline for full components. */
+    * approximation — see [[canonicalizeFixpoint]] for full components. */
   def canonicalize(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val partners = pairs.select(col("id_a").as("doc_id"), col("id_b").as("p"))
       .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("p")))

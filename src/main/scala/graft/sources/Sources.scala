@@ -105,6 +105,15 @@ object Sources {
       .filter(col(Mapping.LineCol) > headerLines)
   }
 
+  /** CSV source whose header-skip comes from the mapping (reference flow:
+    * ImportSource.get_header_line_number delegates to the Mapping,
+    * importsource.py:88-96). */
+  def csvFor(
+      spark: SparkSession,
+      path: String,
+      mapping: graft.mapping.Mapping): DataFrame =
+    csv(spark, path, mapping.headerLineNumber)
+
   /** In-memory rows as a CSV-shaped source (for specs / derived sources):
     * each row is a sequence of strings, `_line` is the sequence index. */
   def rows(spark: SparkSession, data: Seq[Seq[String]], headerLines: Int = 0)

@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     assert(sim > 0.5 && sim < 1.0)
   }
 
+  test("canonicalizeFixpoint collapses chains to one component") {
+    val chainDocs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (9L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val canon = Dedup.canonicalizeFixpoint(chainDocs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("canonicalize maps dups to minimum partner") {
     val pairs = Seq((1L, 4L, 1.0), (1L, 2L, 0.8))
       .toDF("id_a", "id_b", "jaccard")

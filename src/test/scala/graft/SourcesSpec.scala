@@ -63,6 +63,15 @@ class SourcesSpec extends SparkSpec {
       Row(2L, "Beta", java.sql.Date.valueOf("2020-01-24"))))
   }
 
+  test("csvFor honors the mapping's headerLineNumber") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp")).toAbsolutePath
+    val f = dir.resolve("two_header.csv")
+    Files.writeString(f, "junk\nid,name\n1,a\n")
+    val m = new Mapping() { override def headerLineNumber: Int = 1 }
+    assert(Sources.csvFor(spark, f.toString, m).count() == 1)
+  }
+
   test("multi-file csv source skips the header in EVERY file") {
     val dir = Files.createDirectories(
       Paths.get("target/test-tmp/multicsv")).toAbsolutePath
