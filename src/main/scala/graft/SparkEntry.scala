@@ -317,6 +317,22 @@ object SparkEntry {
       Dedup.simhashDups(d.union(copies), maxHamming = 6)
     }),
 
+    "dedup_canonical" -> ((s, dir) => {
+      // Exact-duplicate components: docs plus verbatim copies; pairs from
+      // the content-hash groups; transitive canonical assignment.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val all = d.union(copies)
+      val groups = all.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val pairs = all.join(groups, md5(col("text")) === col("h"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      Dedup.canonicalizeFixpoint(all, pairs)
+    }),
+
     // --- similarity ---
     "ann_brute" -> ((s, dir) => { // rows-only
       val e = t(s, dir, "embeddings")
@@ -649,6 +665,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN ($inTgt) AND NOT ($inSrc) THEN 1 ELSE 0 END) AS BIGINT) AS not_found,
            CAST(0 AS BIGINT) AS ignored_missing_id
            FROM customer""",
+      "dedup_canonical" ->
+        s"""WITH all_docs AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 10000000, text FROM documents
+             WHERE doc_id % 10 = 0)
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+           FROM all_docs""",
       "dedup_exact" ->
         s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups FROM documents GROUP BY 1""",
