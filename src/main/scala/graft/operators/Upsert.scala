@@ -50,12 +50,18 @@ object Upsert {
 
   private val SrcPrefix = "_src_"
 
+  /** `rejectWhen`: custom row-rejection predicate (the analogue of
+    * overriding validate_updates, importsource.py:109-123) evaluated over
+    * the merged row — reference target columns by name and incoming source
+    * values as `_src_<name>`. Rejected updates revert, rejected creates
+    * drop, same as the non-nullable path. */
   def apply(
       target: DataFrame,
       projectedSource: DataFrame, // model columns + Mapping.LineCol
       mapping: Mapping,
       mode: ImportMode = CreateAndUpdate,
-      nonNullable: Seq[String] = Nil): UpsertResult = {
+      nonNullable: Seq[String] = Nil,
+      rejectWhen: Option[Column] = None): UpsertResult = {
 
     val cols: Seq[(String, ColSpec)] = mapping.columns
     val names = cols.map(_._1)
@@ -121,8 +127,8 @@ object Upsert {
       case None =>
         when(inTgt, col(name)).otherwise(lit(null))
     }
-    val rejected = nonNullable
-      .map(n => mergedValueNoReject(n).isNull)
+    val rejected = (nonNullable.map(n => mergedValueNoReject(n).isNull) ++
+      rejectWhen.map(c => coalesce(c, lit(false))))
       .reduceOption(_ || _).getOrElse(lit(false))
 
     val flags = joined
@@ -210,7 +216,8 @@ object ImportPipeline {
       raw: DataFrame,
       mapping: Mapping,
       mode: ImportMode = CreateAndUpdate,
-      shouldImport: Option[Column] = None)
+      shouldImport: Option[Column] = None,
+      rejectWhen: Option[Column] = None)
 
   final case class PipelineResult(
       merged: DataFrame,
@@ -232,7 +239,8 @@ object ImportPipeline {
       val projected = s.mapping
         .complete(target.schema)
         .project(filtered)
-      val r = Upsert(acc.merged, projected, s.mapping, s.mode, nonNullable)
+      val r = Upsert(acc.merged, projected, s.mapping, s.mode, nonNullable,
+        s.rejectWhen)
       PipelineResult(
         r.merged,
         acc.histories :+ r.history,

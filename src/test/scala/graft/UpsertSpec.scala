@@ -180,6 +180,22 @@ class UpsertSpec extends SparkSpec {
     assert(res.merged.count() == 2) // id=3 filtered out, no create
   }
 
+  test("custom rejectWhen predicate (validate_updates override)") {
+    val m = mappingA
+    // Reject any row whose incoming col1 is lowercase.
+    val src = Sources.rows(spark, Seq(
+      Seq("1", "x", "B", "C", "D", "5"),   // rejected → reverts
+      Seq("3", "Q", "J", "K", "L", "2")),  // accepted → created
+      headerLines = -1)
+    val projected = m.complete(targetSchema).project(src)
+    val res = Upsert(target, projected, m,
+      rejectWhen = Some(col("_src_col1") === lower(col("_src_col1"))))
+    val merged = res.merged.orderBy("id").collect().toSeq
+    assert(merged.head == Row(1L, "", "", "C", "D", null, 1L)) // reverted
+    assert(merged.length == 3 && merged(2).getString(1) == "Q")
+    assert(res.stats.collect().head.getAs[Long]("rejected") == 1L)
+  }
+
   test("commit hooks fire around the write (importtask.py:97-111)") {
     val m = mappingA
     val projected = m.complete(targetSchema).project(source1)
