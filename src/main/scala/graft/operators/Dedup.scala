@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Normalized word tokens used by the shingle-based methods. */
+  /** Normalized word tokens as a Column (public helper; the hot-path
+    * dedup expressions tokenize internally via [[TextNorm]]). */
   def normTokens(text: Column): Column = {
     val cleaned = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
     when(cleaned === "" || text.isNull, array().cast(ArrayType(StringType)))

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+import graft.mapping.{ColOpts, Mapping}
+import graft.streaming.StreamingImport
+
+class StreamingImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", LongType)))
+
+  test("continuous upsert maintains target state across micro-batches") {
+    val root = "target/test-tmp/stream_import"
+    val ckpt = "target/test-tmp/stream_import_ckpt"
+    Seq(root, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+    def mapping = {
+      val m = new Mapping()
+      m.auto("id")
+      m.auto("name")
+      m.auto("score", opts = ColOpts(shouldUpdateOnlyIfNull = true))
+      m
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Seq[String], Long)]
+    val stream = mem.toDF().toDF("_raw", "_line")
+
+    // batch 1: two creates
+    mem.addData((Seq("1", "alpha", "10"), 0L), (Seq("2", "beta", ""), 1L))
+    val q1 = StreamingImport.start(stream, mapping, root, schema, ckpt)
+    q1.awaitTermination()
+
+    val v1 = StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    assert(v1 == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", null)))
+
+    // batch 2: update name of 1; fill score of 2 (only-if-null); create 3
+    mem.addData(
+      (Seq("1", "ALPHA", "99"), 2L),  // score 99 ignored? no: only-if-null
+      (Seq("2", "beta", "7"), 3L),
+      (Seq("3", "gamma", "5"), 4L))
+    val q2 = StreamingImport.start(stream, mapping, root, schema, ckpt)
+    q2.awaitTermination()
+
+    val v2 = StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    // score of id=1 was non-null (10) → only-if-null keeps 10
+    assert(v2 == Seq(
+      Row(1L, "ALPHA", 10L),
+      Row(2L, "beta", 7L),
+      Row(3L, "gamma", 5L)))
+  }
+}
