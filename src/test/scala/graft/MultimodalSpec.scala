@@ -53,4 +53,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("byte_offset")).toSeq == Seq(0L, 32L))
     assert(frames.forall(_.getAs[Long]("byte_len") == 16L))
   }
+
+  test("end-to-end: media payloads → features → ANN neighbors") {
+    val media = Multimodal.synthetic(spark, 60)
+    val feats = Multimodal.extractFeatures(media)
+      .withColumnRenamed("media_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    val queries = feats.filter(col("vec_id") % 20 === 0)
+    val top = graft.operators.Similarity.bruteTopK(feats, queries, k = 3)
+    assert(top.count() == queries.count() * 3)
+    // deterministic: same pipeline, same neighbors
+    val again = graft.operators.Similarity.bruteTopK(
+      Multimodal.extractFeatures(Multimodal.synthetic(spark, 60))
+        .withColumnRenamed("media_id", "vec_id")
+        .withColumnRenamed("features", "embedding"),
+      queries, k = 3)
+    assert(top.collect().map(_.toString).sorted.toSeq
+      == again.collect().map(_.toString).sorted.toSeq)
+  }
 }
