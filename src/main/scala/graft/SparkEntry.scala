@@ -172,9 +172,12 @@ object SparkEntry {
     "parse_dates" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val raw = sample(col("c_custkey"), DateSamples)
+      // dates exported as ISO strings: parquet DATE → pandas object vs
+      // DuckDB DATE → datetime64 would make strict dtype compares flaky
       c.select(col("c_custkey"), raw.as("raw"),
-        P.parseShittyDateAsDate(raw).as("d_fr"),
-        P.parseShittyDateAsDate(raw, "en_US").as("d_en"))
+        date_format(P.parseShittyDateAsDate(raw), "yyyy-MM-dd").as("d_fr"),
+        date_format(P.parseShittyDateAsDate(raw, "en_US"), "yyyy-MM-dd")
+          .as("d_en"))
     }),
     "parse_datetimes" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -231,6 +234,7 @@ object SparkEntry {
           metadata = new MetadataBuilder().putLong("maxlength", 5).build()),
         StructField("status", StringType)))
       m.complete(schema).project(raw).drop(Mapping.LineCol)
+        .withColumn("odate", date_format(col("odate"), "yyyy-MM-dd"))
     }),
     "csv_source" -> ((s, dir) => {
       // Materialize nation as a real CSV file (quoted names), then read it
@@ -563,8 +567,8 @@ object SparkEntry {
            FROM customer""",
       "parse_dates" ->
         s"""SELECT c_custkey, $dateList AS raw,
-           ${shittyDateSql(dateList, fr = true)} AS d_fr,
-           ${shittyDateSql(dateList, fr = false)} AS d_en
+           strftime(${shittyDateSql(dateList, fr = true)}, '%Y-%m-%d') AS d_fr,
+           strftime(${shittyDateSql(dateList, fr = false)}, '%Y-%m-%d') AS d_en
            FROM customer""",
       "parse_datetimes" ->
         s"""SELECT c_custkey, $dtList AS raw,
@@ -588,7 +592,7 @@ object SparkEntry {
            FROM orders""",
       "mapping_project" ->
         s"""SELECT o_orderkey AS id,
-           CAST(o_orderdate AS DATE) AS odate,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
            o_totalprice AS total,
            substring(o_orderpriority, 1, 5) AS prio,
            o_orderstatus AS status
