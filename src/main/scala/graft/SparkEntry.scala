@@ -374,6 +374,22 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), col("text"))),
+    "text_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // plant synthetic PII deterministically so redaction has work to do
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" contact bob@example.com or https://ex.ample/x or 12345678"))
+          .otherwise(lit("")))
+      d.select(col("doc_id"),
+        TextAnalysis.redact(planted).as("clean_text"))
+    }),
+    "text_pack" -> ((s, dir) => { // rows-only: greedy reset not SQL-friendly
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      SequencePacker.pack(d, maxTokens = 512, shards = 16)
+    }),
     "text_fingerprint" -> ((s, dir) => { // rows-only
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
@@ -766,6 +782,18 @@ object SparkEntry {
         s"""SELECT event_id,
            CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
            FROM events""",
+      "text_redact" ->
+        s"""SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact bob@example.com or https://ex.ample/x or 12345678'
+                   ELSE '' END,
+                 'https?://[^ \\t\\n]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+           FROM documents""",
       "sessionize" ->
         s"""WITH ev AS (
              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

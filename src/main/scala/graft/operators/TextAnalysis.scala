@@ -95,6 +95,20 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** PII-style redaction: replace emails, URLs and long digit runs with
+    * placeholder tokens. Plain `regexp_replace` chain — codegen'd, and the
+    * patterns stay in the RE2-compatible subset so external engines (and
+    * the DuckDB oracle) agree byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ \\t\\n]+"
+  val LongDigitsRe = "[0-9]{7,}"
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongDigitsRe, "<NUM>")
+
   /** Winnowing-style document fingerprint: hash every k-char shingle, take
     * the minimum hash in each window of w consecutive shingles, and hash the
     * distinct selected values. Robust to small local edits, computed with

@@ -84,4 +84,38 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(labels.subsetOf(Set("en", "fr", "de", "es", "und")))
   }
+
+  test("redact replaces emails, urls, long digit runs") {
+    val df = Seq(
+      "mail me at a.b+c@foo.co.uk today",
+      "see https://x.y/z?q=1 now",
+      "card 1234567890 vs pin 1234",
+      "clean text").toDF("text")
+    val got = df.select(T.redact($"text")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "see <URL> now",
+      "card <NUM> vs pin 1234",
+      "clean text"))
+  }
+
+  test("sequence packing respects the token budget and is exhaustive") {
+    val docs = (1L to 40L).map(i => (i, (i % 7) * 100 + 50))
+      .toDF("doc_id", "n_tokens")
+    val packed = graft.operators.SequencePacker
+      .pack(docs, maxTokens = 1000, shards = 4)
+    val rows = packed.collect()
+    assert(rows.length == 40) // every doc assigned exactly once
+    // budget: no pack exceeds 1000 unless it is a single oversized doc
+    val byPack = rows.groupBy(_.getAs[Long]("pack_id"))
+    byPack.foreach { case (_, ps) =>
+      val total = ps.map(_.getAs[Long]("pack_tokens")).max
+      assert(total <= 1000 || ps.length == 1)
+    }
+    // deterministic across runs
+    val again = graft.operators.SequencePacker
+      .pack(docs, maxTokens = 1000, shards = 4).collect()
+    assert(rows.map(_.toString).sorted.toSeq
+      == again.map(_.toString).sorted.toSeq)
+  }
 }
