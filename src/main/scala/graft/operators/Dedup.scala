@@ -137,8 +137,12 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
+    // Iterative algorithm: persist each generation so a round's join +
+    // convergence check don't re-derive the whole upstream lineage
+    // (pairs generation is itself a multi-join plan).
     var canon = canonicalize(docs, pairs)
       .select(col("doc_id"), col("canonical_id"))
+      .persist()
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -149,16 +153,18 @@ object Dedup {
           col("c1.canonical_id") === col("j_id"))
         .select(col("c1.doc_id").as("doc_id"),
           least(col("c1.canonical_id"), col("j_canon")).as("canonical_id"))
+        .persist()
       val moved = jumped.alias("n")
         .join(canon.select(col("doc_id"),
           col("canonical_id").as("old_c")).alias("o"), "doc_id")
         .filter(col("canonical_id") =!= col("old_c"))
         .limit(1).count()
+      canon.unpersist()
       canon = jumped
       converged = moved == 0
       i += 1
     }
-    canon
+    canon // left persisted: callers typically consume it immediately
   }
 
   /** Canonical assignment from verified duplicate pairs: every doc maps to

@@ -222,6 +222,25 @@ class UpsertSpec extends SparkSpec {
     assert(res.stats.collect().head.getAs[Long]("updated") == 0L)
   }
 
+  test("custom key column name (README serialnumber pattern)") {
+    val m = new Mapping(keyColumnName = "serial")
+    m.auto("serial")
+    m.auto("status", opts = ColOpts(keepHistory = true))
+    val schema = StructType(Seq(
+      StructField("serial", StringType), StructField("status", StringType)))
+    val tgt = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("SN-1", "stocked"), Row("SN-2", "shipped")), schema)
+    val src = Sources.rows(spark, Seq(
+      Seq("SN-1", "shipped"),
+      Seq("SN-3", "received")), headerLines = -1)
+    val res = Upsert(tgt, m.complete(schema).project(src), m)
+    assert(res.merged.orderBy("serial").collect().toSeq == Seq(
+      Row("SN-1", "shipped"), Row("SN-2", "shipped"),
+      Row("SN-3", "received")))
+    assert(res.history.collect().toSeq == Seq(Row("SN-1", "stocked", "shipped")))
+  }
+
   test("key comparator normalizes join keys (mapping.py:522)") {
     val m = new Mapping() {
       override def keyComparator = c => trim(lower(c))
