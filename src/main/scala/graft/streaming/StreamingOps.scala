@@ -46,6 +46,21 @@ object StreamingOps {
         "event_type STRING, value DOUBLE")
       .parquet(dir)
 
+  /** Streaming exact dedup: drops rows whose content hash was already
+    * seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keeps the dedup state BOUNDED — at
+    * 100 TB/day the state holds one hash per distinct doc per horizon,
+    * never the full history). */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(
       events: DataFrame,

@@ -108,4 +108,25 @@ class StreamingSpec extends SparkSpec {
       q.stop()
     }
   }
+
+  test("streaming dedup drops repeated content within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStream(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "same text"),
+        (2L, ts("2024-01-01 10:01:00"), "same text"),   // dup, dropped
+        (3L, ts("2024-01-01 10:02:00"), "other text"))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-01 10:03:00"), "same text")) // still dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
 }
