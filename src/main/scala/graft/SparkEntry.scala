@@ -274,6 +274,26 @@ object SparkEntry {
         .drop(Mapping.LineCol)
     }),
 
+    "mapping_export" -> ((s, dir) => {
+      // Export direction: model → formatted strings (headers renamed).
+      val o = t(s, dir, "orders")
+      val m = new Mapping(keyColumnName = "id")
+      m.field("id", path = "o_orderkey")
+      m.field("total", path = "o_totalprice",
+        opts = ColOpts(formatter = Some(P.dumpInt),
+          header = Some("Total")))
+      m.field("when", path = "o_orderdate",
+        opts = ColOpts(formatter = Some(c => P.dumpDatetime(c, "gs")),
+          header = Some("Date")))
+      m.field("status", path = "o_orderstatus",
+        opts = ColOpts(formatter = Some(P.dumpStr)))
+      m.complete(o.schema
+        .add("id", LongType).add("total", DoubleType)
+        .add("when", TimestampType).add("status", StringType))
+      m.export(o.select(
+        col("o_orderkey").as("id"), col("o_totalprice").as("total"),
+        col("o_orderdate").as("when"), col("o_orderstatus").as("status")))
+    }),
     "mapping_diagnostics" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val raw = Sources.fromColumns(c,
@@ -612,6 +632,13 @@ object SparkEntry {
            o_totalprice AS total,
            substring(o_orderpriority, 1, 5) AS prio,
            o_orderstatus AS status
+           FROM orders""",
+      "mapping_export" ->
+        s"""SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           printf('%.0f', o_totalprice) AS "Total",
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "Date",
+           CASE WHEN o_orderstatus IS NULL OR trim(o_orderstatus) = ''
+                THEN '-' ELSE o_orderstatus END AS status
            FROM orders""",
       "mapping_diagnostics" ->
         s"""WITH rows AS (SELECT c_custkey,

@@ -19,6 +19,7 @@ final case class ColOpts(
     shouldUpdateOnlyIfNull: Boolean = false,
     keepHistory: Boolean = false,
     comparator: Option[(Column, Column) => Column] = None,
+    formatter: Option[Column => Column] = None,
     header: Option[String] = None,
     warnOnError: Boolean = true,
     warnIfEmpty: Boolean = false,
@@ -262,6 +263,22 @@ class Mapping(val keyColumnName: String = "id") {
         fcol("w.column").as("column"),
         fcol("w.raw_value").as("raw_value"),
         fcol("w.warning").as("warning"))
+  }
+
+  /** Export direction (reference: Mapping “between a model and a
+    * destination (for exporting)”, mapping.py:474; per-column `formatter`
+    * and `header`, mapping.py:54-70): formats each mapped model column as a
+    * string — custom formatter, or the reference default
+    * `str(x) if x is not None else ""` — named by its header. */
+  def export(df: DataFrame): DataFrame = {
+    val fcol = org.apache.spark.sql.functions.col _
+    val cols = registry.toSeq.map { case (name, spec) =>
+      val v = fcol(name)
+      val formatted = spec.opts.formatter.map(f => f(v)).getOrElse(
+        coalesce(v.cast(StringType), lit("")))
+      formatted.as(spec.opts.header.getOrElse(name))
+    }
+    df.select(cols: _*)
   }
 
   /** Compiles the mapping to a single projection over the raw DataFrame.

@@ -154,6 +154,21 @@ class MappingSpec extends SparkSpec {
       (2L, "s", "  ", "empty")))
   }
 
+  test("export formats model columns with formatter/header (mapping.py:54)") {
+    import spark.implicits._
+    val df = Seq((1L, Option(2.5), Option("ok")), (2L, None, None))
+      .toDF("id", "v", "s")
+    val m = new Mapping()
+    m.field("id")
+    m.field("v", opts = ColOpts(formatter = Some(P.dumpPercentage),
+      header = Some("Pct")))
+    m.field("s")
+    m.complete(df.schema)
+    val got = m.export(df).orderBy("id").collect().toSeq
+    assert(m.export(df).columns.toSeq == Seq("id", "Pct", "s"))
+    assert(got == Seq(Row("1", "250.0", "ok"), Row("2", "0.0", "")))
+  }
+
   test("missing key column fails complete (mapping.py:631)") {
     val m = new Mapping()
     m.auto("col1")
