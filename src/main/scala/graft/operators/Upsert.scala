@@ -74,7 +74,13 @@ object Upsert {
     val norm = mapping.keyComparator
 
     // --- source side: drop missing ids, last-duplicate-wins ---------------
-    val srcKeyed = projectedSource
+    // Defensive: sources built outside graft.sources may lack the _line
+    // ordering column; fall back to arrival order.
+    val withLineCol =
+      if (projectedSource.columns.contains(Mapping.LineCol)) projectedSource
+      else projectedSource.withColumn(
+        Mapping.LineCol, monotonically_increasing_id())
+    val srcKeyed = withLineCol
       .withColumn("_k", norm(col(key)))
     val withId = srcKeyed.filter(col("_k").isNotNull)
     val w = Window.partitionBy(col("_k")).orderBy(col(Mapping.LineCol).desc)
