@@ -341,6 +341,9 @@ object SparkEntry {
       Dedup.simhashDups(d.union(copies), maxHamming = 6)
     }),
 
+    "source_overlap" -> ((s, dir) => { // rows-only (minhash estimate)
+      Dedup.groupOverlap(t(s, dir, "documents"), "source", numHashes = 64)
+    }),
     "dedup_canonical" -> ((s, dir) => {
       // Exact-duplicate components: docs plus verbatim copies; pairs from
       // the content-hash groups; transitive canonical assignment.

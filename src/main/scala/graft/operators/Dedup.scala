@@ -127,6 +127,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-group corpus signature: MinHash signature of the UNION of all
+    * shingle sets in the group (see [[MinHashUnion]]). */
+  def groupSignature(
+      docs: DataFrame,
+      groupCol: String,
+      ngram: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val B = org.apache.spark.sql.graft.Bridge
+    val sig = B.column(MinHashSig(
+      B.expression(col("text")), ngram, numHashes))
+    val unioned = B.column(
+      MinHashUnion(B.expression(sig), numHashes).toAggregateExpression())
+    docs.groupBy(col(groupCol)).agg(unioned.as("sig"))
+  }
+
+  /** Estimated Jaccard between two minhash signatures: fraction of equal
+    * slots (small fixed arrays — built-in HOFs are fine here, one row per
+    * group pair). */
+  def sigJaccard(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast(DoubleType) / size(a)
+
+  /** Pairwise estimated content overlap between groups (e.g. sources):
+    * tiny (#groups²) comparison on aggregated signatures — the raw corpus
+    * is touched exactly once by the aggregate. */
+  def groupOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      ngram: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val sigs = groupSignature(docs, groupCol, ngram, numHashes)
+    val a = sigs.select(col(groupCol).as("group_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col(groupCol).as("group_b"), col("sig").as("sig_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
   /** Transitive canonicalization: iterate pointer-jumping
     * (canonical := canonical(canonical)) until fixpoint, so chains like
     * a~b~c~d all map to the smallest member. Each round is one self-join

@@ -90,6 +90,34 @@ class DedupSpec extends SparkSpec {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L, 5L -> 5L))
   }
 
+  test("group signatures: identical corpora → jaccard 1, disjoint → low") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "eta theta iota kappa lambda mu", "s1"),
+      (3L, "alpha beta gamma delta epsilon zeta", "s2"),  // == doc 1
+      (4L, "eta theta iota kappa lambda mu", "s2"),        // == doc 2
+      (5L, "nu xi omicron pi rho sigma tau", "s3")
+    ).toDF("doc_id", "text", "source")
+    val overlap = Dedup.groupOverlap(corpus, "source", numHashes = 32)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val m = overlap.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("s1", "s2")) == 1.0)       // identical content
+    assert(m(("s1", "s3")) < 0.3)        // disjoint content
+    assert(m(("s2", "s3")) < 0.3)
+  }
+
+  test("minhash union aggregate survives partial aggregation") {
+    val corpus = (1L to 100L)
+      .map(i => (i, s"w$i x$i y$i z$i common words here", "g"))
+      .toDF("doc_id", "text", "source")
+      .repartition(7) // force map-side partials + merge
+    val sig = Dedup.groupSignature(corpus, "source", numHashes = 16)
+      .head.getSeq[Long](1)
+    assert(sig.length == 16)
+    assert(sig.forall(_ != Long.MaxValue))
+  }
+
   test("fnv1a64 is stable") {
     assert(SimHash64.fnv1a64("abc") == SimHash64.fnv1a64("abc"))
     assert(SimHash64.fnv1a64("abc") != SimHash64.fnv1a64("abd"))
