@@ -341,6 +341,8 @@ object SparkEntry {
       Dedup.simhashDups(d.union(copies), maxHamming = 6)
     }),
 
+    "curate_corpus" -> ((s, dir) =>
+      Curate(t(s, dir, "documents"), minQuality = 0.6, langs = Seq("en"))),
     "source_overlap" -> ((s, dir) => { // rows-only (minhash estimate)
       Dedup.groupOverlap(t(s, dir, "documents"), "source", numHashes = 64)
     }),
@@ -715,6 +717,46 @@ object SparkEntry {
            CAST(sum(CASE WHEN ($inTgt) AND NOT ($inSrc) THEN 1 ELSE 0 END) AS BIGINT) AS not_found,
            CAST(0 AS BIGINT) AS ignored_missing_id
            FROM customer""",
+      "curate_corpus" ->
+        s"""WITH base AS (SELECT doc_id, text,
+             CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+             len(list_filter($toksSql, x -> x IN ($stopEn))) AS n_stop,
+             len(list_filter($toksSql, x -> x IN ($stopFr))) AS fr_hits,
+             len(list_filter($toksSql, x -> x IN ($stopDe))) AS de_hits,
+             len(list_filter($toksSql, x -> x IN ($stopEs))) AS es_hits
+             FROM documents),
+           m AS (SELECT doc_id, text, n_stop AS en_hits, fr_hits, de_hits, es_hits,
+             CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+             CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+             n_tokens
+             FROM base),
+           scored AS (SELECT doc_id, text, en_hits, fr_hits, de_hits, es_hits,
+             CAST((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1 ELSE 0 END
+                 + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1 ELSE 0 END
+                 + CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END
+                 + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
+                 + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS quality_score
+             FROM m),
+           kept AS (SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^ \\t\\n]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+             quality_score
+             FROM scored
+             WHERE quality_score >= 0.6
+               AND greatest(en_hits, fr_hits, de_hits, es_hits) > 0
+               AND en_hits = greatest(en_hits, fr_hits, de_hits, es_hits))
+           SELECT doc_id, clean_text, quality_score FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(clean_text)
+               ORDER BY doc_id) AS rn FROM kept)
+           WHERE rn = 1""",
       "dedup_canonical" ->
         s"""WITH all_docs AS (
              SELECT doc_id, text FROM documents

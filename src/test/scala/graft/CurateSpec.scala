@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Curate
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation keeps good english docs, drops junk and exact dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "!!! ??? ;;; :::"),
+      (4L, "le chat est dans la maison et il est content aujourd'hui oui"),
+      (5L, "the data pipeline is fast and it is correct for the most part")
+    ).toDF("doc_id", "text")
+    val out = Curate(docs, minQuality = 0.6, langs = Seq("en"))
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 5L)) // 2 = dup of 1, 3 = junk, 4 = french
+    assert(out.forall(_.getDouble(2) >= 0.6))
+  }
+
+  test("redaction applies inside curation") {
+    val docs = Seq(
+      (1L, "the contact for the data team is help@example.com and it is fine")
+    ).toDF("doc_id", "text")
+    val out = Curate(docs, minQuality = 0.2).head
+    assert(out.getString(1).contains("<EMAIL>"))
+  }
+}
