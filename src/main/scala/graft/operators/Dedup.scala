@@ -38,6 +38,32 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_dups"))
 
+  /** Banded minhash index of a corpus: (doc_id, band, bh) — the shared
+    * candidate-generation relation used by [[minhashLsh]] and the
+    * stream-static near-dup check. */
+  def bandIndex(
+      docs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      ngram: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
+        MinHashSig(
+          org.apache.spark.sql.graft.Bridge.expression(col("text")),
+          ngram, numHashes)).as("sig"))
+    withSig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col("sig").getItem(i)): _*).as("bh"))
+      }: _*)).as("bucket"))
+      .select(col("doc_id"),
+        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+  }
+
   /** MinHash + banded LSH near-duplicate candidate pairs with exact Jaccard
     * verification (numHashes = bands * rowsPerBand).
     *
@@ -53,24 +79,9 @@ object Dedup {
       rowsPerBand: Int = 4,
       ngram: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val withSh = docs
       .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
-    val withSig = docs
-      .select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
-        MinHashSig(
-          org.apache.spark.sql.graft.Bridge.expression(col("text")),
-          ngram, numHashes)).as("sig"))
-    val banded = withSig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col("sig").getItem(i)): _*).as("bh"))
-      }: _*)).as("bucket"))
-      .select(col("doc_id"),
-        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+    val banded = bandIndex(docs, bands, rowsPerBand, ngram)
 
     val a = banded.alias("a")
     val b = banded.alias("b")

@@ -61,6 +61,25 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static near-duplicate detection: band the STATIC corpus once
+    * (broadcast-friendly index), then stream-static equi-join incoming
+    * docs' band hashes against it — each arriving document is checked
+    * against the full reference corpus without rescanning it. Emits
+    * (doc_id, matched_static_id) candidate pairs; exact-verify downstream
+    * if needed. */
+  def nearDupAgainst(
+      staticDocs: DataFrame,
+      streamDocs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val staticIdx = graft.operators.Dedup
+      .bandIndex(staticDocs, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "static_id")
+    graft.operators.Dedup.bandIndex(streamDocs, bands, rowsPerBand)
+      .join(staticIdx, Seq("band", "bh"))
+      .select(col("doc_id"), col("static_id"))
+  }
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(
       events: DataFrame,

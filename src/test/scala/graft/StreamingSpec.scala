@@ -129,4 +129,27 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("stream-static near-dup flags arrivals matching the reference corpus") {
+    implicit val sc = spark.sqlContext
+    val staticDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog by the river"),
+      (200L, "completely unrelated reference text about query planners")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupAgainst(staticDocs, stream)
+      .writeStream.format("memory").queryName("near_dup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog by the river"),
+        (2L, "some totally fresh content that matches nothing at all here"))
+      q.processAllAvailable()
+      val matches = spark.table("near_dup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matches.contains((1L, 100L)))
+      assert(!matches.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
