@@ -21,10 +21,9 @@ object Curate {
       minQuality: Double = 0.6,
       langs: Seq[String] = Seq("en"),
       text: Column = col("text")): DataFrame = {
-    val q = TextAnalysis.quality(docs, text)
-      .select(col("doc_id"), col("quality_score"))
+    // quality and language are plain Columns → single scan, no self-join
     val kept = docs
-      .join(q, "doc_id")
+      .withColumn("quality_score", TextAnalysis.qualityScore(text))
       .filter(col("quality_score") >= minQuality)
       .filter(TextAnalysis.langId(text).isInCollection(langs))
       .select(col("doc_id"),

@@ -56,6 +56,37 @@ object TextAnalysis {
       .otherwise(lit("es"))
   }
 
+  /** Gopher-style rule score in [0,1] as a single Column — the fraction
+    * of five structural checks the text passes (same rules as [[quality]],
+    * composable without a join). */
+  def qualityScore(text: Column): Column = {
+    val nChars = coalesce(length(text), lit(0)).cast(LongType)
+    val nToks = tokenCount(text)
+    val meanTokLen = when(nToks > 0,
+      (nChars - (nToks - 1)).cast(DoubleType) / nToks.cast(DoubleType))
+      .otherwise(lit(0.0))
+    val punct = coalesce(
+      regexp_count(text, lit("[\\p{Punct}]")), lit(0)).cast(LongType)
+    val punctRatio = when(nChars > 0,
+      punct.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val digits = coalesce(
+      regexp_count(text, lit("[0-9]")), lit(0)).cast(LongType)
+    val digitRatio = when(nChars > 0,
+      digits.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val toks = transform(tokens(text), lower _)
+    val stopRatio = when(nToks > 0,
+      stopwordHits(toks, StopwordsEn).cast(DoubleType) /
+        nToks.cast(DoubleType)).otherwise(lit(0.0))
+    val checks = Seq[Column](
+      (nToks >= 5) && (nToks <= 100000),
+      (meanTokLen >= 2.0) && (meanTokLen <= 12.0),
+      punctRatio <= 0.2,
+      digitRatio <= 0.3,
+      stopRatio >= 0.01)
+    checks.map(c => when(c, 1).otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / checks.size
+  }
+
   /** Quality signals + a Gopher-style rule score in [0,1]: the fraction of
     * five structural checks the document passes. */
   def quality(df: DataFrame, text: Column): DataFrame = {
