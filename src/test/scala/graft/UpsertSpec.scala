@@ -222,6 +222,26 @@ class UpsertSpec extends SparkSpec {
     assert(res.stats.collect().head.getAs[Long]("updated") == 0L)
   }
 
+  test("empty source: merged equals target, everything not_found") {
+    val m = mappingA
+    val src = Sources.rows(spark, Seq(), headerLines = -1)
+    val res = Upsert(target, m.complete(targetSchema).project(src), m)
+    assert(res.merged.orderBy("id").collect().toSeq
+      == target.orderBy("id").collect().toSeq)
+    assert(res.notFound.count() == 2)
+    assert(res.stats.collect().head.getAs[Long]("read_keys") == 0L)
+  }
+
+  test("empty target: first import creates everything") {
+    val m = mappingA
+    val emptyTarget = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), targetSchema)
+    val projected = m.complete(targetSchema).project(source1)
+    val res = Upsert(emptyTarget, projected, m)
+    assert(res.merged.count() == 3)
+    assert(res.stats.collect().head.getAs[Long]("created") == 3L)
+  }
+
   test("custom key column name (README serialnumber pattern)") {
     val m = new Mapping(keyColumnName = "serial")
     m.auto("serial")
