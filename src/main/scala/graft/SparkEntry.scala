@@ -439,6 +439,28 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
     }),
+    "orders_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+    }),
+    "customers_without_orders" -> ((s, dir) => {
+      // anti-join: customers with no urgent orders (non-empty at every SF)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "orders_percentiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderstatus")).agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+    }),
     "events_agg" -> ((s, dir) => {
       val e = events(s, dir)
       e.groupBy(col("event_type")).agg(
@@ -821,6 +843,20 @@ object SparkEntry {
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
            GROUP BY l_returnflag, l_linestatus""",
+      "orders_rollup" ->
+        s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+      "customers_without_orders" ->
+        s"""SELECT c_custkey, c_name FROM customer c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT')""",
+      "orders_percentiles" ->
+        s"""SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
+           FROM orders GROUP BY o_orderstatus""",
       "events_agg" ->
         s"""SELECT event_type, count(*) AS n,
            count(DISTINCT user_id) AS n_users,
