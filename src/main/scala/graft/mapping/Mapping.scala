@@ -231,7 +231,10 @@ class Mapping(val keyColumnName: String = "id") {
     * DataFrame of (line, column, raw_value, warning) rows:
     *  - `parse_error`: raw value non-empty but parser yielded NULL
     *    (the reference's ValueError path), for columns with warnOnError;
-    *  - `empty`: parsed value NULL/empty for columns with warnIfEmpty.
+    *  - `empty`: parsed value NULL/empty-string for columns with
+    *    warnIfEmpty (the reference's Python-falsy check also fires on 0 and
+    *    False — deliberately not mirrored, as numeric zeros are legitimate
+    *    values at scale).
     */
   def diagnostics(raw: DataFrame): DataFrame = {
     val entries = registry.toSeq.flatMap { case (name, spec) =>
