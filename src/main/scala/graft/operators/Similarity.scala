@@ -77,6 +77,77 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Multi-probe LSH top-k: the query side also probes every bucket at
+    * Hamming distance 1 from its own fingerprint (planes+1 probes/query) —
+    * the standard recall boost without growing buckets. Corpus cost is
+    * unchanged; the join stays a bucket equi-join.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      planes: Int = 8): DataFrame = {
+    val c = corpus.select(
+      col("vec_id"), col("embedding").as("emb"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val q0 = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qemb"),
+      hyperplaneBucket(col("embedding"), planes).as("b0"))
+    val probes = q0.select(
+      col("query_id"), col("qemb"),
+      explode(array(
+        (col("b0") +: (0 until planes).map(p =>
+          col("b0").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    val scored = c.join(probes, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("emb"), col("qemb")))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Lloyd iterations for IVF centroids, in pure DataFrame ops: assign
+    * each vector to its nearest centroid (broadcast), then recompute each
+    * centroid as the element-wise mean of its cell (posexplode → per-dim
+    * avg → re-assemble). Deterministic init: first k vectors by vec_id.
+    * Each iteration is one broadcast pass + one (cell, dim) aggregate.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 3): DataFrame = {
+    var centroids = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_csim").desc, col("cid"))
+      val assigned = corpus.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("_csim", cosine(col("embedding"), col("cemb")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("cid"), col("embedding"))
+      centroids = assigned
+        .select(col("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m").cast("float"))
+            .as("cemb"))
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic scale path.
     *
     * Coarse quantizer: the first `nlist` corpus vectors by vec_id stand in
@@ -92,9 +163,11 @@ object Similarity {
       queries: DataFrame,
       k: Int = 5,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      nprobe: Int = 4,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = trainedCentroids.getOrElse(
+      corpus.orderBy("vec_id").limit(nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
 
     def assign(df: DataFrame, idCol: String, embCol: String, topCells: Int)
         : DataFrame = {

@@ -97,6 +97,58 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("multi-probe LSH recall >= single-probe on clustered vectors") {
+    val dim = 16
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v((c + 3) % dim) = 0.05f * ((c * 20 + m) % 5)
+      ((c * 20 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 3)
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val single = recall(Similarity.lshTopK(emb, queries, k = 5, planes = 8))
+    val multi = recall(
+      Similarity.lshTopKMultiProbe(emb, queries, k = 5, planes = 8))
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi >= 0.5, s"multi-probe recall too low: $multi")
+  }
+
+  test("trained IVF centroids: recall >= deterministic-init IVF") {
+    val dim = 16
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v((c + 5) % dim) = 0.04f * ((c * 20 + m) % 5)
+      ((c * 20 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 11)
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val trained = Similarity.trainCentroids(emb, k = 10, iters = 2)
+    assert(trained.count() <= 10)
+    val plain = recall(Similarity.ivfTopK(emb, queries, k = 5,
+      nlist = 10, nprobe = 3))
+    val withTrained = recall(Similarity.ivfTopK(emb, queries, k = 5,
+      nlist = 10, nprobe = 3, trainedCentroids = Some(trained)))
+    assert(withTrained >= plain - 0.2,
+      s"trained=$withTrained plain=$plain")
+    assert(withTrained >= 0.5, s"trained recall too low: $withTrained")
+  }
+
   test("testdata embeddings: brute + LSH run end-to-end, no cartesian") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
