@@ -372,6 +372,11 @@ object SparkEntry {
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
         k = 5, planes = 6)
     }),
+    "ann_multiprobe" -> ((s, dir) => { // rows-only
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") % 100 === 0),
+        k = 5, planes = 6)
+    }),
     "ann_ivf" -> ((s, dir) => { // rows-only
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
