@@ -62,6 +62,26 @@ object SparkEntry {
     "", "24/01/2020 13:59:01")
   private val TimeSamples = Seq("01:02:03", "", "23:59:59", "07:08:09")
   private val DumpStrSamples = Seq("x", "", " ", "ok")
+  /** formatList inputs and their hand-derived expected outputs (pipe-joined
+    * token lists; the semantics mirror tests/formatting_test.py). */
+  private val FormatListSamples = Seq(
+    "a, b, c",
+    "a; b; c",
+    "x et y and z",
+    "'a, b', c",
+    "\"x, y\", z",
+    "(1, 2), 3",
+    " foo ",
+    "")
+  private val FormatListExpected = Seq(
+    "a|b|c",
+    "a|b|c",
+    "x|y|z",
+    "a, b|c",
+    "x, y|z",
+    "(1, 2)|3",
+    "foo",
+    "")
 
   // --------------------------------------------------------- upsert fixtures
 
@@ -121,6 +141,24 @@ object SparkEntry {
     val projected = m.complete(upsertSchema)
       .project(upsertSource(s, dir, blankNames))
     Upsert(upsertTarget(s, dir), projected, m, mode, nonNullable)
+  }
+
+  /** Planted-neighbor recovery harness for the approximate ANN paths: the
+    * corpus gains a positively-scaled copy of every query vector (cosine
+    * 1.0, same LSH bucket / IVF cell by construction), so each query MUST
+    * report its plant at rank 1 — which the oracle can state exactly
+    * without simulating the index. */
+  private def annPlantedRecovery(
+      s: SparkSession, dir: String,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val plants = queries.select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+    ann(e.union(plants), queries)
+      .filter(col("vec_id") === col("query_id") + 10000000L)
+      .select(col("query_id"), col("rank"))
   }
 
   /** Flagship: the reference's whole purpose end-to-end on sf0.001 — raw
@@ -202,13 +240,15 @@ object SparkEntry {
           .as("dp"),
         P.dumpStr(sample(col("o_orderkey"), DumpStrSamples)).as("ds"))
     }),
-    "format_list" -> ((s, dir) => { // rows-only: no SQL-portable tokenizer
+    "format_list" -> ((s, dir) => {
+      // Literal raw samples (incl. quote/paren/"et"/"and" cases); joined to
+      // a pipe string so the driver harness can sort/hash the result. The
+      // oracle carries the hand-derived expected tokenization (mirroring
+      // the reference's formatting_test.py vectors) for the same samples.
       val c = t(s, dir, "customer")
-      val raw = concat_ws("; ", col("c_name"), col("c_mktsegment"),
-        lit("x et y"))
-      c.select(col("c_custkey"),
-        P.formatList(raw).as("items"),
-        P.toList(P.formatList(raw)).as("clean"))
+      val raw = sample(col("c_custkey"), FormatListSamples)
+      c.select(col("c_custkey"), raw.as("raw"),
+        concat_ws("|", P.formatList(raw)).as("items"))
     }),
 
     // --- mapping DSL + sources ---
@@ -321,7 +361,7 @@ object SparkEntry {
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
-    "dedup_minhash" -> ((s, dir) => { // rows-only
+    "dedup_minhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       // Guarantee near-dups exist: append perturbed copies (drop last word).
       val copies = d.filter(col("doc_id") % 10 === 0).select(
@@ -330,21 +370,43 @@ object SparkEntry {
       // r=8 rows/band: these synthetic docs share a tiny vocabulary, so
       // base pairwise Jaccard is ~0.2-0.3 and short bands would flood the
       // buckets (J^2 collisions); J^8 keeps candidates ~ true near-dups.
+      // Planted-recovery projection: the oracle recomputes each planted
+      // pair's EXACT shingle Jaccard in SQL, so a green row proves both
+      // 100% LSH recall on the plants and exact verify agreement.
       Dedup.minhashLsh(d.union(copies), bands = 8, rowsPerBand = 8,
         threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + 10000000L)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
-    "dedup_simhash" -> ((s, dir) => { // rows-only
+    "dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
+      // Normalization-invariant plants: uppercasing + trailing punctuation
+      // leave the token sequence unchanged, so the planted copy's simhash
+      // is bit-identical (hamming 0) and chunk banding MUST recover it —
+      // an exactly checkable invariant (raw texts differ, so exact dedup
+      // would not catch these).
       val copies = d.filter(col("doc_id") % 10 === 0).select(
         (col("doc_id") + 10000000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      Dedup.simhashDups(d.union(copies), maxHamming = 6)
+        concat(upper(col("text")), lit(" ... !!!")).as("text"))
+      Dedup.simhashDups(d.union(copies), maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 10000000L)
+        .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
     "curate_corpus" -> ((s, dir) =>
       Curate(t(s, dir, "documents"), minQuality = 0.6, langs = Seq("en"))),
-    "source_overlap" -> ((s, dir) => { // rows-only (minhash estimate)
-      Dedup.groupOverlap(t(s, dir, "documents"), "source", numHashes = 64)
+    "source_overlap" -> ((s, dir) => {
+      // The minhash estimate (the scale path) is checked against the EXACT
+      // per-source shingle-set Jaccard, which DuckDB recomputes
+      // independently; est_ok bounds the estimator error (64 hashes →
+      // σ ≤ 0.0625, tolerance 0.2 > 3σ).
+      val d = t(s, dir, "documents")
+      val est = Dedup.groupOverlap(d, "source", numHashes = 64)
+      val exact = Dedup.groupOverlapExact(d, "source")
+      exact.join(est, Seq("group_a", "group_b"))
+        .select(col("group_a"), col("group_b"), col("exact_jaccard"),
+          (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.2)
+            .as("est_ok"))
     }),
     "dedup_canonical" -> ((s, dir) => {
       // Exact-duplicate components: docs plus verbatim copies; pairs from
@@ -363,32 +425,32 @@ object SparkEntry {
     }),
 
     // --- similarity ---
-    "ann_brute" -> ((s, dir) => { // rows-only
+    "ann_brute" -> ((s, dir) => {
+      // Exact top-k is fully SQL-semantic: the DuckDB oracle recomputes
+      // the same cosine ranking (ranks only — float-vs-double cosine
+      // values are engine-specific, the ORDER is not at these gaps).
       val e = t(s, dir, "embeddings")
       Similarity.bruteTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "vec_id", "rank")
     }),
-    "ann_lsh" -> ((s, dir) => { // rows-only
-      val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, planes = 6)
-    }),
-    "ann_multiprobe" -> ((s, dir) => { // rows-only
-      val e = t(s, dir, "embeddings")
-      Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, planes = 6)
-    }),
-    "ann_ivf" -> ((s, dir) => { // rows-only
-      val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 5, nlist = 16, nprobe = 4)
-    }),
-    "embed_dups" -> ((s, dir) => { // rows-only
+    "ann_lsh" -> ((s, dir) => annPlantedRecovery(s, dir,
+      (c, q) => Similarity.lshTopK(c, q, k = 5, planes = 6))),
+    "ann_multiprobe" -> ((s, dir) => annPlantedRecovery(s, dir,
+      (c, q) => Similarity.lshTopKMultiProbe(c, q, k = 5, planes = 6))),
+    "ann_ivf" -> ((s, dir) => annPlantedRecovery(s, dir,
+      (c, q) => Similarity.ivfTopK(c, q, k = 5, nlist = 16, nprobe = 4))),
+    "embed_dups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      // Guarantee near-dups: scaled copies (cosine 1.0 with originals).
+      // Guarantee near-dups: scaled copies (cosine 1.0 with originals;
+      // positive scaling preserves hyperplane signs, so LSH recovery of
+      // every plant is deterministic). Max natural pair cosine in this
+      // table is ~0.51, so the planted pairs are exactly the rows above
+      // the 0.999 threshold — an exhaustively checkable output.
       val copies = e.filter(col("vec_id") % 20 === 0).select(
         (col("vec_id") + 10000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
       Similarity.cosineDups(e.union(copies), threshold = 0.999, planes = 6)
+        .select("id_a", "id_b")
     }),
 
     // --- text analysis ---
@@ -414,16 +476,53 @@ object SparkEntry {
       d.select(col("doc_id"),
         TextAnalysis.redact(planted).as("clean_text"))
     }),
-    "text_pack" -> ((s, dir) => { // rows-only: greedy reset not SQL-friendly
+    "text_pack" -> ((s, dir) => {
+      // The greedy reset itself is not SQL-expressible, but its defining
+      // INVARIANTS are: every doc packed exactly once, no multi-doc pack
+      // over budget, and no unnecessary pack break (greedy tightness).
+      // The oracle states those from the documents table alone.
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      SequencePacker.pack(d, maxTokens = 512, shards = 16)
+      val packed = SequencePacker.pack(d, maxTokens = 512, shards = 16)
+      val perPack = packed.groupBy(col("shard"), col("pack_id")).agg(
+        max(col("pack_tokens")).as("total"),
+        count(lit(1)).as("nd"),
+        max(when(col("pack_seq") === 0, col("pack_tokens"))).as("first_tok"))
+      val wShard = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("pack_id"))
+      val packStats = perPack
+        .withColumn("prev_total", lag(col("total"), 1).over(wShard))
+        .agg(
+          sum(when(col("total") > 512 && col("nd") > 1, 1L).otherwise(0L))
+            .as("overfull_packs"),
+          sum(when(col("prev_total").isNotNull
+            && col("prev_total") + col("first_tok") <= 512, 1L).otherwise(0L))
+            .as("loose_breaks"))
+      val docStats = packed.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct_docs"))
+      docStats.crossJoin(packStats)
     }),
-    "text_fingerprint" -> ((s, dir) => { // rows-only
-      val d = t(s, dir, "documents")
+    "text_fingerprint" -> ((s, dir) => {
+      // Winnowing robustness invariants: a local edit (insertion at the
+      // middle or front) must preserve at least half of the selected
+      // fingerprint set — checkable without reproducing the hash values.
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val half = (length(col("text")) / 2).cast(IntegerType)
+      val midEdit = concat(
+        substring(col("text"), lit(1), half), lit(" qq zz "),
+        col("text").substr(half + 1, length(col("text"))))
+      val preEdit = concat(lit("zz qq "), col("text"))
+      val sOrig = TextAnalysis.fingerprintSet(col("text"))
+      val sMid = TextAnalysis.fingerprintSet(midEdit)
+      val sPre = TextAnalysis.fingerprintSet(preEdit)
+      def overlapHi(other: Column): Column =
+        (size(array_intersect(sOrig, other)).cast(DoubleType) /
+          size(sOrig).cast(DoubleType)) >= 0.5
       d.select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+        overlapHi(sMid).as("mid_overlap_hi"),
+        overlapHi(sPre).as("prefix_overlap_hi"))
     }),
 
     // --- analytics over the star schema ---
@@ -538,8 +637,10 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  /** DuckDB oracles. Rows-only queries (format_list, dedup_minhash,
-    * dedup_simhash, ann_*, text_fingerprint) are intentionally omitted. */
+  /** DuckDB oracles — one per `queries` key. The dedup/ANN/packing family
+    * is oracled through planted-recovery projections and SQL-expressible
+    * invariants (see each query's comment); nothing re-simulates Spark
+    * mechanics. */
   def oracleSql: Map[String, String] = {
     val boolList = sampleSql("c_custkey", BoolSamples)
     val intList = sampleSql("c_custkey", IntSamples)
@@ -595,6 +696,16 @@ object SparkEntry {
     val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
     val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString(", ")
     val toksSql = "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) END"
+
+    // DuckDB replication of TextNorm.tokenize + word-3-gram shingles (the
+    // dedup family's normalization): lowercase, collapse non-alnum runs to
+    // single spaces, split, 3-grams (short docs → one whole-text shingle).
+    def tokSqlOf(texpr: String): String =
+      s"string_split(trim(regexp_replace(lower($texpr), '[^a-z0-9]+', ' ', 'g')), ' ')"
+    def shingleSqlOf(tk: String): String =
+      s"""CASE WHEN len($tk) < 3 THEN [array_to_string($tk, ' ')]
+         ELSE list_transform(range(1, len($tk) - 1),
+           i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2]) END"""
 
     // Shared CASE pieces for the upsert family.
     val inTgt = "c_custkey % 3 <> 0"
@@ -784,6 +895,80 @@ object SparkEntry {
              SELECT *, row_number() OVER (PARTITION BY md5(clean_text)
                ORDER BY doc_id) AS rn FROM kept)
            WHERE rn = 1""",
+      "format_list" ->
+        s"""SELECT c_custkey, ${sampleSql("c_custkey", FormatListSamples)} AS raw,
+           ${sampleSql("c_custkey", FormatListExpected)} AS items
+           FROM customer""",
+      "dedup_minhash" ->
+        s"""WITH base AS (
+             SELECT doc_id, text,
+               regexp_replace(text, '\\s+\\S+$$', '') AS ptext
+             FROM documents WHERE doc_id % 10 = 0),
+           tok AS (SELECT doc_id,
+             ${tokSqlOf("text")} AS ta, ${tokSqlOf("ptext")} AS tb
+             FROM base),
+           sh AS (SELECT doc_id,
+             ${shingleSqlOf("ta")} AS sa, ${shingleSqlOf("tb")} AS sb
+             FROM tok)
+           SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+             CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+             CAST(len(list_distinct(sa || sb)) AS DOUBLE) AS jaccard
+           FROM sh
+           WHERE CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+                 CAST(len(list_distinct(sa || sb)) AS DOUBLE) >= 0.5""",
+      "dedup_simhash" ->
+        s"""SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+           FROM documents WHERE doc_id % 10 = 0""",
+      "ann_brute" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+             FROM embeddings WHERE vec_id % 100 = 0),
+           s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qe) AS c
+             FROM embeddings e, q WHERE e.vec_id <> q.qid),
+           r AS (SELECT qid AS query_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+               AS INTEGER) AS rank
+             FROM s)
+           SELECT query_id, vec_id, rank FROM r WHERE rank <= 5""",
+      "ann_lsh" ->
+        s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS rank
+           FROM embeddings WHERE vec_id % 100 = 0""",
+      "ann_multiprobe" ->
+        s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS rank
+           FROM embeddings WHERE vec_id % 100 = 0""",
+      "ann_ivf" ->
+        s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS rank
+           FROM embeddings WHERE vec_id % 100 = 0""",
+      "embed_dups" ->
+        s"""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
+           FROM embeddings WHERE vec_id % 20 = 0""",
+      "source_overlap" ->
+        s"""WITH tok AS (SELECT source, ${tokSqlOf("text")} AS tk
+             FROM documents),
+           sh AS (SELECT source,
+             unnest(${shingleSqlOf("tk")}) AS s
+             FROM tok),
+           d AS (SELECT DISTINCT source, s FROM sh),
+           sz AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+           pr AS (SELECT a.source AS ga, b.source AS gb, a.n AS na, b.n AS nb
+             FROM sz a, sz b WHERE a.source < b.source),
+           iv AS (SELECT x.source AS ga, y.source AS gb, count(*) AS i
+             FROM d x JOIN d y ON x.s = y.s AND x.source < y.source
+             GROUP BY x.source, y.source)
+           SELECT pr.ga AS group_a, pr.gb AS group_b,
+             CAST(coalesce(iv.i, 0) AS DOUBLE) /
+               CAST(pr.na + pr.nb - coalesce(iv.i, 0) AS DOUBLE)
+               AS exact_jaccard,
+             TRUE AS est_ok
+           FROM pr LEFT JOIN iv ON pr.ga = iv.ga AND pr.gb = iv.gb""",
+      "text_pack" ->
+        s"""SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct_docs,
+           CAST(0 AS BIGINT) AS overfull_packs, CAST(0 AS BIGINT) AS loose_breaks
+           FROM documents""",
+      "text_fingerprint" ->
+        s"""SELECT doc_id, TRUE AS mid_overlap_hi, TRUE AS prefix_overlap_hi
+           FROM documents WHERE doc_id % 10 = 0""",
       "dedup_canonical" ->
         s"""WITH all_docs AS (
              SELECT doc_id, text FROM documents

@@ -112,17 +112,26 @@ object Dedup {
     org.apache.spark.sql.graft.Bridge.column(
       SimHash64(org.apache.spark.sql.graft.Bridge.expression(text)))
 
-  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into four
-    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
-    * chunk), bucket-join on any equal chunk, verify with bit_count(xor). */
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
+    * `maxHamming + 1` chunks (pigeonhole: hamming ≤ maxHamming ⇒ at least
+    * one identical chunk, so recall within the declared radius is
+    * GUARANTEED, not heuristic), bucket-join on any equal chunk, verify
+    * with bit_count(xor). maxHamming=3 gives the classic 4×16-bit layout;
+    * larger radii band into more, narrower chunks (bigger buckets — the
+    * usual recall/cost trade). */
   def simhashDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming must be in [0,16], got $maxHamming")
+    val numChunks = maxHamming + 1
+    val chunkBits = (64 + numChunks - 1) / numChunks
+    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val withSim = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
     val banded = withSim.select(
       col("doc_id"), col("sim"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until numChunks).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sim"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+          shiftrightunsigned(col("sim"), b * chunkBits)
+            .bitwiseAND(lit(mask)).as("chunk"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sim"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
@@ -175,6 +184,33 @@ object Dedup {
     a.join(b, col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"),
         sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
+  /** EXACT corpus-level overlap between groups: Jaccard of the DISTINCT
+    * shingle sets per group. This shuffles every distinct (group, shingle)
+    * pair — verification-scale only; the 100 TB path is [[groupOverlap]]'s
+    * constant-size minhash signatures, which this serves as ground truth
+    * for (the driver oracle compares the two). */
+  def groupOverlapExact(
+      docs: DataFrame,
+      groupCol: String,
+      ngram: Int = 3): DataFrame = {
+    val ex = docs.select(
+      col(groupCol).as("g"), explode(shingles(col("text"), ngram)).as("sh"))
+      .distinct()
+    val sizes = ex.groupBy("g").agg(count(lit(1)).as("n"))
+    val allPairs = sizes.select(col("g").as("group_a"), col("n").as("na"))
+      .join(sizes.select(col("g").as("group_b"), col("n").as("nb")),
+        col("group_a") < col("group_b"))
+    val inter = ex.select(col("g").as("group_a"), col("sh"))
+      .join(ex.select(col("g").as("group_b"), col("sh")), Seq("sh"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b").agg(count(lit(1)).as("i"))
+    allPairs.join(inter, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"),
+        (coalesce(col("i"), lit(0L)).cast(DoubleType) /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L)))
+            .cast(DoubleType)).as("exact_jaccard"))
   }
 
   /** Transitive canonicalization: iterate pointer-jumping

@@ -145,7 +145,15 @@ object TextAnalysis {
     * distinct selected values. Robust to small local edits, computed with
     * array expressions only (one narrow pass, no shuffle).
     */
-  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    xxhash64(concat_ws(",",
+      transform(fingerprintSet(text, k, w), _.cast(StringType))))
+
+  /** The winnowing SELECTION SET behind [[fingerprint]]: the sorted
+    * distinct window-minimum hashes. Exposed so near-duplicate robustness
+    * is measurable (overlap of two documents' sets), which is what the
+    * driver-oracle invariants check. */
+  def fingerprintSet(text: Column, k: Int = 8, w: Int = 4): Column = {
     val n = length(text)
     val shingleHashes = when(n < k, array(xxhash64(text)))
       .otherwise(transform(
@@ -155,7 +163,6 @@ object TextAnalysis {
       .otherwise(transform(
         sequence(lit(0), size(shingleHashes) - w),
         i => array_min(slice(shingleHashes, i + 1, lit(w)))))
-    xxhash64(concat_ws(",",
-      transform(array_sort(array_distinct(mins)), _.cast(StringType))))
+    array_sort(array_distinct(mins))
   }
 }
