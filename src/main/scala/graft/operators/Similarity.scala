@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.IntegerType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -25,6 +24,24 @@ object Similarity {
     B.column(CosineSim(B.expression(a), B.expression(b)))
   }
 
+  /** Final per-query ranking of scored candidates as a BOUNDED hash
+    * aggregate ([[TopKByScore]]): map-side partials carry at most k rows
+    * per (query, partition) into the exchange — versus the earlier
+    * `row_number().over(Window.partitionBy(query_id))`, which funneled
+    * every scored candidate of a query into one task (for brute force,
+    * the entire corpus). Expects columns query_id, vec_id, cosine. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val B = org.apache.spark.sql.graft.Bridge
+    val topk = B.column(TopKByScore(
+      B.expression(col("cosine")), B.expression(col("vec_id")), k)
+      .toAggregateExpression())
+    scored.groupBy("query_id").agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.id").as("vec_id"),
+        col("e.score").as("cosine"),
+        (col("r0") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (excluding self-matches on vec_id). Deterministic tiebreak
     * on vec_id. */
@@ -36,12 +53,7 @@ object Similarity {
       col("vec_id").as("query_id"), col("embedding").as("qemb"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("emb"), col("qemb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Sign-bit fingerprint: bit p = sign of <v, w_p> where hyperplane w_p
@@ -69,12 +81,7 @@ object Similarity {
     val scored = c.join(q, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("emb"), col("qemb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Multi-probe LSH top-k: the query side also probes every bucket at
@@ -98,23 +105,45 @@ object Similarity {
       explode(array(
         (col("b0") +: (0 until planes).map(p =>
           col("b0").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    // No dropDuplicates: [[TopKByScore]] collapses duplicate vec_ids from
+    // overlapping probes inside the aggregation buffer — one exchange
+    // fewer than a distinct-then-rank plan.
     val scored = c.join(probes, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("emb"), col("qemb")))
-      .dropDuplicates("query_id", "vec_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
-  /** Lloyd iterations for IVF centroids, in pure DataFrame ops: assign
-    * each vector to its nearest centroid (broadcast), then recompute each
-    * centroid as the element-wise mean of its cell (posexplode → per-dim
-    * avg → re-assemble). Deterministic init: first k vectors by vec_id.
-    * Each iteration is one broadcast pass + one (cell, dim) aggregate.
+  /** Collect the tiny (nlist-row) centroid table driver-side so nearest-
+    * cell assignment can run as a literal-embedded expression. This is the
+    * legitimate small-side collect — same size class as a broadcast dim
+    * table (nlist × dim floats; 4096 × 1024 ≈ 16 MB worst case). */
+  private def collectCentroids(centroids: DataFrame)
+      : (IndexedSeq[Long], IndexedSeq[IndexedSeq[Float]]) = {
+    val rows = centroids.select(col("cid"), col("cemb")).collect()
+    (rows.map(_.getLong(0)).toIndexedSeq,
+      rows.map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq)
+  }
+
+  /** Top-`topCells` nearest centroid ids of an embedding column — one
+    * zero-shuffle pass per row (see [[NearestCells]]). */
+  def nearestCells(
+      emb: Column,
+      cids: IndexedSeq[Long],
+      cents: IndexedSeq[IndexedSeq[Float]],
+      topCells: Int): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(NearestCells(B.expression(emb), cids, cents, topCells))
+  }
+
+  /** Lloyd iterations for IVF centroids: assign each vector to its nearest
+    * centroid with the zero-shuffle [[NearestCells]] expression (the
+    * centroid table is collected per iteration — it is nlist rows, and
+    * Lloyd's is inherently iterative), then recompute each centroid as the
+    * element-wise mean of its cell (posexplode → per-dim avg →
+    * re-assemble; the exploded rows collapse in the map-side partial
+    * aggregate, so the shuffle is only nlist × dim per partition).
+    * Deterministic init: first k vectors by vec_id.
     */
   def trainCentroids(
       corpus: DataFrame,
@@ -124,14 +153,11 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     var i = 0
     while (i < iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_csim").desc, col("cid"))
-      val assigned = corpus.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("_csim", cosine(col("embedding"), col("cemb")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("cid"), col("embedding"))
+      val (cids, cents) = collectCentroids(centroids)
+      val assigned = corpus.select(
+        element_at(nearestCells(col("embedding"), cids, cents, 1), 1)
+          .as("cid"),
+        col("embedding"))
       centroids = assigned
         .select(col("cid"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -153,10 +179,11 @@ object Similarity {
     * Coarse quantizer: the first `nlist` corpus vectors by vec_id stand in
     * for k-means centroids (deterministic; swap in trained centroids for
     * production). Corpus rows are assigned to their nearest centroid cell
-    * (a broadcast of the tiny centroid table — per-row cost is nlist
-    * cosines, never a data×data join); queries probe their `nprobe`
-    * nearest cells and rank candidates by exact cosine within those cells.
-    * The candidate join is an equi-join on the cell id.
+    * with the literal-embedded [[NearestCells]] expression — per-row cost
+    * is nlist fused cosines, ZERO shuffle (no join, no window); queries
+    * probe their `nprobe` nearest cells the same way. The only exchanges
+    * in the plan are the candidate equi-join on the cell id and the final
+    * per-query rank.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -168,34 +195,22 @@ object Similarity {
     val centroids = trainedCentroids.getOrElse(
       corpus.orderBy("vec_id").limit(nlist)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val (cids, cents) = collectCentroids(centroids)
 
-    def assign(df: DataFrame, idCol: String, embCol: String, topCells: Int)
-        : DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("_csim").desc, col("cid"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("_csim", cosine(col(embCol), col("cemb")))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= topCells)
-        .drop("_csim", "_crn", "cemb")
-    }
+    val cells = corpus.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("cid",
+        element_at(nearestCells(col("emb"), cids, cents, 1), 1))
+    val qcells = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb"))
+      .withColumn("cid",
+        explode(nearestCells(col("qemb"), cids, cents, nprobe)))
 
-    val cells = assign(
-      corpus.select(col("vec_id"), col("embedding").as("emb")),
-      "vec_id", "emb", 1)
-    val qcells = assign(
-      queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qemb")),
-      "query_id", "qemb", nprobe)
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cells.join(qcells, "cid")
+    // Each corpus vector lives in exactly one cell, so the nprobe cell
+    // join is already duplicate-free per (query, vec).
+    val scored = cells.join(qcells, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("emb"), col("qemb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, generated via

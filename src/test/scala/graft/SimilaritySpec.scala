@@ -149,6 +149,50 @@ class SimilaritySpec extends SparkSpec {
     assert(withTrained >= 0.5, s"trained recall too low: $withTrained")
   }
 
+  test("top-k plans: bounded agg, no per-query window funnel") {
+    // The final ranking must be a hash aggregate (partial top-k map-side),
+    // not row_number over Window.partitionBy(query_id) — the window form
+    // funnels every scored candidate of a query into a single task.
+    for (df <- Seq(
+        Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 1), k = 2),
+        Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1), k = 2),
+        Similarity.lshTopKMultiProbe(vecs, vecs.filter($"vec_id" === 1), 2),
+        Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1), k = 2,
+          nlist = 2, nprobe = 1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window funnel in plan:\n$plan")
+      assert(plan.contains("topk_by_score"), s"no bounded agg in:\n$plan")
+    }
+  }
+
+  test("IVF assignment is shuffle-free (no exchange between scan and join)") {
+    // Centroid assignment rides in a literal-embedded expression: the only
+    // exchanges in the whole plan are the cell-id join and the final
+    // bounded top-k aggregate; the old crossJoin+window form added a
+    // corpus×nlist exchange. (One join + one agg = at most 3 exchanges;
+    // no cartesian, no window.)
+    val df = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1), k = 2,
+      nlist = 2, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"$exchanges exchanges in IVF plan:\n$plan")
+  }
+
+  test("TopKByScore dedups ids and honors (score desc, id asc) ties") {
+    import graft.operators.TopKByScore
+    val buf = new TopKByScore.Buf(3)
+    buf.insert(0.5, 7L); buf.insert(0.5, 3L); buf.insert(0.5, 7L)
+    buf.insert(0.9, 1L); buf.insert(0.5, 2L)
+    assert(buf.size == 3)
+    assert(buf.ids.toSeq == Seq(1L, 2L, 3L))
+    assert(buf.scores.toSeq == Seq(0.9, 0.5, 0.5))
+    // an evicted id never re-qualifies at the same score
+    buf.insert(0.5, 7L)
+    assert(buf.ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("testdata embeddings: brute + LSH run end-to-end, no cartesian") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
