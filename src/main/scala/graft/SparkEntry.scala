@@ -136,11 +136,13 @@ object SparkEntry {
   private def runUpsert(
       s: SparkSession, dir: String, mode: ImportMode = CreateAndUpdate,
       blankNames: Boolean = false,
-      nonNullable: Seq[String] = Nil): UpsertResult = {
+      nonNullable: Seq[String] = Nil,
+      ignoreWhen: Option[Column] = None): UpsertResult = {
     val m = upsertMapping
     val projected = m.complete(upsertSchema)
       .project(upsertSource(s, dir, blankNames))
-    Upsert(upsertTarget(s, dir), projected, m, mode, nonNullable)
+    Upsert(upsertTarget(s, dir), projected, m, mode, nonNullable,
+      ignoreWhen = ignoreWhen)
   }
 
   /** Planted-neighbor recovery harness for the approximate ANN paths: the
@@ -357,7 +359,10 @@ object SparkEntry {
     "upsert_reject_nonnull" -> ((s, dir) =>
       runUpsert(s, dir, blankNames = true,
         nonNullable = Seq("name")).merged),
-    "upsert_stats" -> ((s, dir) => runUpsert(s, dir).stats),
+    // should_import-style ignore on id%13==2 exercises the `ignored`
+    // counter (importtask.py:236-238,:303).
+    "upsert_stats" -> ((s, dir) =>
+      runUpsert(s, dir, ignoreWhen = Some(col("id") % 13 === 2)).stats),
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -710,6 +715,7 @@ object SparkEntry {
     // Shared CASE pieces for the upsert family.
     val inTgt = "c_custkey % 3 <> 0"
     val inSrc = "c_custkey % 7 <> 1"
+    val ign = "c_custkey % 13 = 2" // upsert_stats should_import ignore
     val drifted = "c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END"
     val tgtNation = "CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE CAST(99 AS BIGINT) END"
 
@@ -846,14 +852,15 @@ object SparkEntry {
            WHERE ($inTgt) OR (($inSrc) AND c_custkey % 11 <> 0)""",
       "upsert_stats" ->
         s"""SELECT
-           CAST(sum(CASE WHEN $inSrc THEN 1 ELSE 0 END) AS BIGINT) AS read_keys,
-           CAST(sum(CASE WHEN ($inSrc) AND NOT ($inTgt) THEN 1 ELSE 0 END) AS BIGINT) AS created,
-           CAST(sum(CASE WHEN ($inSrc) AND ($inTgt) AND (c_custkey % 5 = 0 OR c_custkey % 4 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+           CAST(sum(CASE WHEN ($inSrc) AND NOT ($ign) THEN 1 ELSE 0 END) AS BIGINT) AS read_keys,
+           CAST(sum(CASE WHEN ($inSrc) AND NOT ($ign) AND NOT ($inTgt) THEN 1 ELSE 0 END) AS BIGINT) AS created,
+           CAST(sum(CASE WHEN ($inSrc) AND NOT ($ign) AND ($inTgt) AND (c_custkey % 5 = 0 OR c_custkey % 4 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS updated,
            CAST(0 AS BIGINT) AS rejected,
            CAST(0 AS BIGINT) AS ignored_not_created,
            CAST(0 AS BIGINT) AS ignored_not_updated,
-           CAST(sum(CASE WHEN ($inTgt) AND NOT ($inSrc) THEN 1 ELSE 0 END) AS BIGINT) AS not_found,
-           CAST(0 AS BIGINT) AS ignored_missing_id
+           CAST(sum(CASE WHEN ($inTgt) AND NOT (($inSrc) AND NOT ($ign)) THEN 1 ELSE 0 END) AS BIGINT) AS not_found,
+           CAST(0 AS BIGINT) AS ignored_missing_id,
+           CAST(sum(CASE WHEN ($inSrc) AND ($ign) THEN 1 ELSE 0 END) AS BIGINT) AS ignored
            FROM customer""",
       "curate_corpus" ->
         s"""WITH base AS (SELECT doc_id, text,

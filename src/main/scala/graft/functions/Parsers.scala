@@ -157,13 +157,68 @@ object Parsers {
 
   // -------------------------------------------------------------- formatters
 
-  /** formatting.py:14 `dump_datetime` — shorthand "json" / "gs" formats or a
-    * strftime-style passthrough already converted to Spark pattern syntax. */
+  /** strftime → Spark/JavaTime datetime pattern translation, for
+    * `dump_datetime`'s passthrough branch (formatting.py:36:
+    * `value.strftime(fmt)`). Literal runs that contain pattern letters are
+    * single-quoted; `%%` is a literal percent; `%z` renders empty (the
+    * reference's datetimes are naive, so strftime gives '' for %z);
+    * unrecognized directives stay as literal text, like C strftime. */
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(ch => Character.isLetter(ch) || ch == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val mapped: Option[String] = fmt.charAt(i + 1) match {
+          case 'Y' => Some("yyyy")
+          case 'y' => Some("yy")
+          case 'm' => Some("MM")
+          case 'd' => Some("dd")
+          case 'H' => Some("HH")
+          case 'I' => Some("hh")
+          case 'M' => Some("mm")
+          case 'S' => Some("ss")
+          case 'f' => Some("SSSSSS")
+          case 'p' => Some("a")
+          case 'a' => Some("EEE")
+          case 'A' => Some("EEEE")
+          case 'b' => Some("MMM")
+          case 'B' => Some("MMMM")
+          case 'j' => Some("DDD")
+          case 'z' => Some("")
+          case '%' => None // literal percent
+          case _   => None // unknown directive: keep as literal text
+        }
+        mapped match {
+          case Some(p) => flushLit(); out.append(p); i += 2
+          case None =>
+            if (fmt.charAt(i + 1) == '%') { lit.append('%'); i += 2 }
+            else { lit.append('%').append(fmt.charAt(i + 1)); i += 2 }
+        }
+      } else { lit.append(ch); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
+  /** formatting.py:14 `dump_datetime` — shorthand "json" / "gs" formats;
+    * any other fmt CONTAINING `%` is treated as strftime (the reference
+    * passes it to `value.strftime`, formatting.py:36) and translated;
+    * a %-free fmt is taken as an already-Spark pattern. */
   def dumpDatetime(c: Column, fmt: String = "json"): Column = {
     val pattern = fmt match {
-      case "json" => "yyyy-MM-dd'T'HH:mm:ss"
-      case "gs"   => "yyyy-MM-dd HH:mm:ss"
-      case other  => other
+      case "json"                       => "yyyy-MM-dd'T'HH:mm:ss"
+      case "gs"                         => "yyyy-MM-dd HH:mm:ss"
+      case other if other.contains('%') => strftimeToJava(other)
+      case other                        => other
     }
     date_format(c, pattern)
   }

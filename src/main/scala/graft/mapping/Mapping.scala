@@ -48,13 +48,19 @@ sealed trait ColSpec {
 }
 
 /** CSV column by 0-based index over the `_raw array<string>` column
-  * (reference: mapping.py:100 `Column`). Out-of-range yields NULL via
-  * `try_element_at` (the distributed analogue of fail_on_out_of_range). */
+  * (reference: mapping.py:100 `Column`). `failOnOutOfRange` mirrors
+  * mapping.py:157-162: strict (default) raises on a too-short row — here
+  * the ANSI `element_at` error fails the job, the distributed analogue of
+  * the reference's uncaught IndexError; lenient yields `""` (which the
+  * parsers turn into NULL), exactly the reference's fallback value. */
 final case class IndexedCol(
     index: Int,
     parser: Option[Column => Column] = None,
     opts: ColOpts = ColOpts()) extends ColSpec {
-  def raw: Column = try_element_at(col(Mapping.RawCol), lit(index + 1))
+  def raw: Column =
+    if (opts.failOnOutOfRange) element_at(col(Mapping.RawCol), index + 1)
+    else coalesce(
+      try_element_at(col(Mapping.RawCol), lit(index + 1)), lit(""))
   def expr: Column = parser.getOrElse(identity[Column] _)(raw)
 }
 
@@ -285,13 +291,13 @@ class Mapping(val keyColumnName: String = "id") {
   }
 
   /** Compiles the mapping to a single projection over the raw DataFrame.
-    * Keeps [[Mapping.LineCol]] when present (needed for last-dup-wins). */
+    * Keeps [[Mapping.LineCol]] (needed for last-dup-wins) and
+    * [[Mapping.IgnoreCol]] (should_import stats) when present. */
   def project(raw: DataFrame): DataFrame = {
     val cols = registry.toSeq.map { case (name, spec) => spec.expr.as(name) }
-    val carry =
-      if (raw.columns.contains(Mapping.LineCol))
-        Seq(org.apache.spark.sql.functions.col(Mapping.LineCol))
-      else Seq.empty
+    val carry = Seq(Mapping.LineCol, Mapping.IgnoreCol)
+      .filter(raw.columns.contains)
+      .map(org.apache.spark.sql.functions.col)
     raw.select(cols ++ carry: _*)
   }
 }
@@ -303,4 +309,8 @@ object Mapping {
   /** Per-file line index column attached by CsvSource (ordering for
     * last-duplicate-wins upsert semantics). */
   val LineCol = "_line"
+
+  /** should_import flag column attached by ImportPipeline (rows to ignore,
+    * counted in upsert stats — importtask.py:236-238,:303). */
+  val IgnoreCol = "_ign"
 }

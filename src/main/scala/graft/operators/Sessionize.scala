@@ -16,9 +16,13 @@ object Sessionize {
       events: DataFrame,
       gapMinutes: Int = 30,
       userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
-    val byUser = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col("event_id"))
+      tsCol: String = "ts",
+      idCol: Option[String] = Some("event_id")): DataFrame = {
+    // Deterministic tiebreak for same-timestamp events when an id column
+    // exists (None → order by timestamp alone).
+    val order = col(tsCol) +:
+      idCol.filter(events.columns.contains).map(col).toSeq
+    val byUser = Window.partitionBy(col(userCol)).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(byUser)
     val isBreak = when(
       prev.isNull ||

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.mapping.{ColSpec, Mapping}
@@ -40,11 +39,16 @@ final case class UpsertResult(
   * the small side automatically; at 100 TB both sides shuffle once on the
   * key and everything downstream is narrow.
   *
-  * Duplicate keys within a source: the reference processes rows in order, so
-  * later rows override earlier ones — and if a later duplicate restores the
-  * stored value, the pending update is cancelled (importtask.py:262-277).
-  * Both collapse to "last source row wins, then change-detect vs target",
-  * which is what the `_line`-ordered window dedup implements.
+  * Duplicate keys within a source: the reference creates the item from the
+  * FIRST duplicate row, then applies the per-column update policies to each
+  * later row in order (importtask.py:262-277) — so a `should_update=false`
+  * column keeps the first row's value, `should_update_only_if_null` keeps
+  * the first NON-null value, and a default column ends at the last row's
+  * value; if that restores the stored value the pending update is
+  * cancelled. The same semantics here, in one `_line`-ordered aggregation
+  * per key (see `dedupAgg`) followed by change-detection against the
+  * target — a hash aggregate with map-side partials, where a
+  * row_number window would sort-shuffle every source row.
   */
 object Upsert {
 
@@ -55,13 +59,18 @@ object Upsert {
     * the merged row — reference target columns by name and incoming source
     * values as `_src_<name>`. Rejected updates revert, rejected creates
     * drop, same as the non-nullable path. */
+  /** `ignoreWhen`: rows matching the predicate are excluded from the
+    * import and counted in the stats `ignored` column — the reference's
+    * `should_import` returning False (importtask.py:236-238, counted at
+    * :303). Checked BEFORE the missing-key check, like the reference. */
   def apply(
       target: DataFrame,
       projectedSource: DataFrame, // model columns + Mapping.LineCol
       mapping: Mapping,
       mode: ImportMode = CreateAndUpdate,
       nonNullable: Seq[String] = Nil,
-      rejectWhen: Option[Column] = None): UpsertResult = {
+      rejectWhen: Option[Column] = None,
+      ignoreWhen: Option[Column] = None): UpsertResult = {
 
     val cols: Seq[(String, ColSpec)] = mapping.columns
     val names = cols.map(_._1)
@@ -81,20 +90,34 @@ object Upsert {
       else projectedSource.withColumn(
         Mapping.LineCol, monotonically_increasing_id())
     val srcKeyed = withLineCol
+      .withColumn("_ign",
+        ignoreWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(false)))
       .withColumn("_k", norm(col(key)))
-    val withId = srcKeyed.filter(col("_k").isNotNull)
-    val w = Window.partitionBy(col("_k")).orderBy(col(Mapping.LineCol).desc)
-    val deduped = withId
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(
-        (col("_k") +: names.map(n => col(n).as(SrcPrefix + n))): _*)
+    val withId = srcKeyed.filter(!col("_ign") && col("_k").isNotNull)
+
+    // Effective source value per (key, column) under intra-source duplicate
+    // semantics (see object doc): the item is created from the first dup
+    // row, later rows pass through the column's update policy. With
+    // mode=Create a just-created item can't be updated at all, so every
+    // column keeps the first row's value.
+    def dedupAgg(n: String): Column = {
+      val c = col(n)
+      val line = col(Mapping.LineCol)
+      val spec = specByName(n)
+      if (!mode.canUpdate || !spec.opts.shouldUpdate) min_by(c, line)
+      else if (spec.opts.shouldUpdateOnlyIfNull)
+        min_by(c, when(c.isNotNull, line)) // first non-null (else null)
+      else max_by(c, line) // last row wins
+    }
+    val deduped = withId.groupBy(col("_k"))
+      .agg(dedupAgg(names.head).as(SrcPrefix + names.head),
+        names.tail.map(n => dedupAgg(n).as(SrcPrefix + n)): _*)
 
     // --- the one join ------------------------------------------------------
     // Plain equality, not <=>: source keys are non-null by construction
     // (missing ids filtered above), and null-keyed target rows fall out as
     // target-only rows either way. `===` lets Catalyst reuse the dedup
-    // window's hash partitioning on _k instead of re-exchanging for a
+    // aggregate's hash partitioning on _k instead of re-exchanging for a
     // null-safe key.
     val tgtKeyed = target.withColumn("_tk", norm(col(key)))
     val joined = tgtKeyed.join(deduped, col("_tk") === col("_k"), "full_outer")
@@ -190,7 +213,6 @@ object Upsert {
       .select(outNames.map(col): _*)
 
     // --- stats: single agg over the same joined plan ----------------------
-    val missingIds = srcKeyed.filter(col("_k").isNull)
     val statsRow = flags.agg(
       sum(when(col("_in_src"), 1L).otherwise(0L)).as("read_keys"),
       sum(when(col("_in_src") && !col("_in_tgt") && lit(mode.canCreate)
@@ -205,8 +227,12 @@ object Upsert {
         .as("ignored_not_updated"),
       sum(when(col("_in_tgt") && !col("_in_src"), 1L).otherwise(0L))
         .as("not_found"))
-    val stats = statsRow.crossJoin(
-      missingIds.agg(count(lit(1)).as("ignored_missing_id")))
+    // Pre-join counters (rows that never reach the merge): should_import
+    // ignores and missing-key drops, one agg over the keyed source.
+    val stats = statsRow.crossJoin(srcKeyed.agg(
+      sum(when(!col("_ign") && col("_k").isNull, 1L).otherwise(0L))
+        .as("ignored_missing_id"),
+      sum(when(col("_ign"), 1L).otherwise(0L)).as("ignored")))
 
     UpsertResult(merged, history, notFound, stats)
   }
@@ -241,12 +267,23 @@ object ImportPipeline {
     val start = preProcess(target)
     val init = PipelineResult(start, Nil, Nil, Nil)
     val folded = sources.foldLeft(init) { (acc, s) =>
-      val filtered = s.shouldImport.map(s.raw.filter).getOrElse(s.raw)
+      // should_import is evaluated over the RAW row (reference:
+      // importsource.py:98) but applied inside the upsert, so ignored rows
+      // are counted in the stats instead of silently pre-filtered.
+      val flagged = s.shouldImport match {
+        case Some(p) =>
+          s.raw.withColumn(Mapping.IgnoreCol, !coalesce(p, lit(false)))
+        case None => s.raw
+      }
       val projected = s.mapping
         .complete(target.schema)
-        .project(filtered)
+        .project(flagged)
+      val ignore =
+        if (projected.columns.contains(Mapping.IgnoreCol))
+          Some(col(Mapping.IgnoreCol))
+        else None
       val r = Upsert(acc.merged, projected, s.mapping, s.mode, nonNullable,
-        s.rejectWhen)
+        s.rejectWhen, ignore)
       PipelineResult(
         r.merged,
         acc.histories :+ r.history,

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -33,6 +33,65 @@ case class CsvLine(child: Expression) extends UnaryExpression
     copy(child = newChild)
 
   override def prettyName: String = "csv_line"
+}
+
+/** Per-file line index computed during the scan itself — ONE pass, zero
+  * shuffle, no RDD round-trip.
+  *
+  * Spark reads each file block (PartitionedFile) contiguously inside a
+  * single task, so a stateful counter that resets at block boundaries
+  * yields the exact row ordinal within the block. Emitting
+  * `file_block_start + ordinal` then gives a value that is:
+  *  - the EXACT line number for rows in a file's first block (block
+  *    start 0) — where header lines live, and the whole file for anything
+  *    under one split (~128 MB);
+  *  - strictly monotone in file order across blocks (each line is ≥ 1
+  *    byte, so ordinal ≤ block byte length ≤ next block's start), which is
+  *    all last-duplicate-wins ordering needs.
+  *
+  * This replaces an RDD `zipWithIndex` — which ran an extra counting job
+  * (second scan of the text) and dropped the whole import out of
+  * Tungsten through an untyped RDD[Row] boundary.
+  *
+  * Nondeterministic (stateful, partition-order dependent), like Spark's
+  * own MonotonicallyIncreasingID — which also stops the optimizer from
+  * reordering the header-skip filter below the index assignment.
+  */
+case class PerBlockLineIndex(blockStart: Expression, filePath: Expression)
+    extends Expression with Nondeterministic with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(blockStart, filePath)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  @transient private var count: Long = 0L
+  @transient private var curBlock: Long = -1L
+  @transient private var curFile: UTF8String = null
+
+  override protected def initializeInternal(partitionIndex: Int): Unit = {
+    count = 0L
+    curBlock = -1L
+    curFile = null
+  }
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val bs = blockStart.eval(input).asInstanceOf[Long]
+    val fp = filePath.eval(input).asInstanceOf[UTF8String]
+    if (bs != curBlock || curFile == null || curFile != fp) {
+      curBlock = bs
+      curFile = fp.clone()
+      count = 0L
+    }
+    val out = bs + count
+    count += 1L
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PerBlockLineIndex =
+    copy(blockStart = newChildren(0), filePath = newChildren(1))
+
+  override def prettyName: String = "per_block_line_index"
 }
 
 object CsvLine {
@@ -74,34 +133,19 @@ object Sources {
     * importsource.py:154 + get_header_line_number at mapping.py:533 —
     * skip all lines with index <= headerLines; -1 skips nothing).
     *
-    * Scale shape: a single narrow text scan; line indexes are derived from
-    * `zipWithIndex` (partition-ordered = file+offset order) and made
-    * PER-FILE by subtracting each file's minimum global index, joined back
-    * via a broadcast of the tiny per-file offset table — the raw data is
-    * never shuffled.
+    * Scale shape: ONE narrow text scan, zero shuffle — the per-file line
+    * index is a stateful scan-time counter over `_metadata` block offsets
+    * (see [[PerBlockLineIndex]]): exact line numbers in each file's first
+    * block (where headers live), strictly file-order monotone afterwards.
     */
   def csv(spark: SparkSession, path: String, headerLines: Int = 0): DataFrame = {
-    val raw = spark.read.text(path)
-      .select(input_file_name().as("_file"), col("value"))
-
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_file", StringType),
-      org.apache.spark.sql.types.StructField("value", StringType),
-      org.apache.spark.sql.types.StructField("_gidx", LongType)))
-    val withIdx = spark.createDataFrame(
-      raw.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.getString(0), r.getString(1), i)
-      },
-      schema)
-
-    val offsets = withIdx.groupBy("_file")
-      .agg(min("_gidx").as("_file_offset"))
-
-    withIdx
-      .join(broadcast(offsets), "_file")
+    val idx = Bridge.column(PerBlockLineIndex(
+      Bridge.expression(col("_metadata.file_block_start")),
+      Bridge.expression(col("_metadata.file_path"))))
+    spark.read.text(path)
       .select(
         CsvLine(col("value")).as(Mapping.RawCol),
-        (col("_gidx") - col("_file_offset")).as(Mapping.LineCol))
+        idx.as(Mapping.LineCol))
       .filter(col(Mapping.LineCol) > headerLines)
   }
 

@@ -51,12 +51,25 @@ class MappingSpec extends SparkSpec {
     assert(a.index == 5 && b.index == 6)
   }
 
-  test("out-of-range column yields null (test_column_outofrange)") {
+  test("out-of-range column (test_column_outofrange)") {
+    // Lenient: reference returns "" (mapping.py:160-162) — the raw value
+    // is empty string; a nullable parser then turns it into NULL.
     val m = new Mapping()
     m.auto("id", c => c, ColOpts(failOnOutOfRange = false))
+    m.auto("s", P.str2strnullable(_), ColOpts(failOnOutOfRange = false))
     val raw = Sources.rows(spark, Seq(Seq()), -1)
-    val got = m.project(raw).select("id").head
-    assert(got.isNullAt(0))
+    val got = m.project(raw).select("id", "s").head
+    assert(got.getString(0) == "")
+    assert(got.isNullAt(1))
+    // Strict (the reference default): out-of-range fails the job, the
+    // distributed analogue of the uncaught IndexError.
+    val strict = new Mapping()
+    strict.auto("id", c => c)
+    val e = intercept[Exception] {
+      strict.project(raw).select("id").head
+    }
+    assert(e.getMessage.contains("INVALID_ARRAY_INDEX"),
+      s"expected array index error, got: ${e.getMessage}")
   }
 
   test("computed column (test_computedcolumn)") {

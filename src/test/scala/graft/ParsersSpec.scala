@@ -129,6 +129,24 @@ class ParsersSpec extends SparkSpec {
       == "2020-01-02 03:04:05")
     assert(ts.select(P.dumpDatetime(col("t"), "dd/MM/yyyy")).head.getString(0)
       == "02/01/2020")
+    // strftime passthrough (formatting.py:36; tests/formatting_test.py:40)
+    assert(ts.select(P.dumpDatetime(col("t"), "%d/%m/%Y")).head.getString(0)
+      == "02/01/2020")
+    assert(ts.select(P.dumpDatetime(col("t"), "%Y-%m-%dT%H:%M:%S%z"))
+      .head.getString(0) == "2020-01-02T03:04:05") // naive: %z → ''
+    assert(ts.select(P.dumpDatetime(col("t"), "at %H:%M on %d.%m."))
+      .head.getString(0) == "at 03:04 on 02.01.")
+    assert(ts.select(P.dumpDatetime(col("t"), "%d%%%m")).head.getString(0)
+      == "02%01")
+  }
+
+  test("strftimeToJava translation") {
+    assert(P.strftimeToJava("%d/%m/%Y") == "dd/MM/yyyy")
+    assert(P.strftimeToJava("%Y-%m-%dT%H:%M:%S%z")
+      == "yyyy-MM-dd'T'HH:mm:ss")
+    assert(P.strftimeToJava("at %H h") == "'at 'HH' h'")
+    assert(P.strftimeToJava("%%") == "%")
+    assert(P.strftimeToJava("%q") == "'%q'")
   }
 
   test("dumpInt") {

@@ -72,6 +72,19 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.csvFor(spark, f.toString, m).count() == 1)
   }
 
+  test("csv source plan: one text scan, no RDD boundary, no exchange") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp")).toAbsolutePath
+    val f = dir.resolve("planshape.csv")
+    Files.writeString(f, "id,name\n1,a\n")
+    val df = Sources.csv(spark, f.toString, headerLines = 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD boundary in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"shuffle in csv plan:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+  }
+
   test("multi-file csv source skips the header in EVERY file") {
     val dir = Files.createDirectories(
       Paths.get("target/test-tmp/multicsv")).toAbsolutePath

@@ -76,6 +76,19 @@ class TextSpec extends SparkSpec {
     assert(summary(0).getAs[Long]("duration_s") == 600L)
   }
 
+  test("sessionize works with custom column names and no id column") {
+    val df = Seq(
+      (100L, "2024-01-01 10:00:00"),
+      (100L, "2024-01-01 11:00:00"),
+      (200L, "2024-01-01 09:00:00"))
+      .toDF("uid", "s")
+      .withColumn("when", to_timestamp($"s"))
+    val sess = Sessionize(df, userCol = "uid", tsCol = "when")
+      .orderBy("uid", "when")
+      .select("session_idx").collect().map(_.getLong(0)).toSeq
+    assert(sess == Seq(1L, 2L, 1L))
+  }
+
   test("langid agrees with testdata lang labels for english docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // Synthetic texts are mostly topic words; just require the operator

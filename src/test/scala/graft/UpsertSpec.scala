@@ -261,6 +261,75 @@ class UpsertSpec extends SparkSpec {
     assert(res.history.collect().toSeq == Seq(Row("SN-1", "stocked", "shipped")))
   }
 
+  private val dupSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frozen", StringType), // should_update = false
+    StructField("fill", StringType), //   should_update_only_if_null
+    StructField("last", StringType))) //  default policy
+
+  private def dupMapping = {
+    val m = new Mapping()
+    m.auto("id")
+    m.auto("frozen", opts = ColOpts(shouldUpdate = false))
+    m.auto("fill", opts = ColOpts(shouldUpdateOnlyIfNull = true))
+    m.auto("last")
+    m
+  }
+
+  // Three rows, same key: reference creates the item from the first and
+  // routes later rows through the update policies (importtask.py:262-277).
+  private def dupSource = Sources.rows(spark, Seq(
+    Seq("9", "f1", "", "l1"),
+    Seq("9", "f2", "x2", "l2"),
+    Seq("9", "f3", "x3", "l3")), headerLines = -1)
+
+  test("intra-source duplicates, create path: first-row create + policies") {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), dupSchema)
+    val m = dupMapping
+    val merged = Upsert(empty, m.complete(dupSchema).project(dupSource), m)
+      .merged.collect().toSeq
+    // frozen: first row's value; fill: first NON-null ("" parses to null);
+    // last: last row's value.
+    assert(merged == Seq(Row(9L, "f1", "x2", "l3")))
+  }
+
+  test("intra-source duplicates, create-only mode: first row wholesale") {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), dupSchema)
+    val m = dupMapping
+    val merged = Upsert(empty, m.complete(dupSchema).project(dupSource), m,
+      mode = Create).merged.collect().toSeq
+    // A just-created item can't be updated in CREATE mode, so later dups
+    // are ignored entirely (importtask.py:245-248).
+    assert(merged == Seq(Row(9L, "f1", null, "l1")))
+  }
+
+  test("intra-source duplicates, matched path: only_if_null fills once") {
+    val tgt = spark.createDataFrame(
+      java.util.Arrays.asList(Row(9L, "tf", null, "tl")), dupSchema)
+    val m = dupMapping
+    val merged = Upsert(tgt, m.complete(dupSchema).project(dupSource), m)
+      .merged.collect().toSeq
+    // frozen: target value stays; fill: target null → first non-null dup;
+    // last: last dup.
+    assert(merged == Seq(Row(9L, "tf", "x2", "l3")))
+  }
+
+  test("should_import rows are counted as ignored (importtask.py:303)") {
+    val res = ImportPipeline.run(
+      target,
+      Seq(ImportPipeline.SourceDef(source1, mappingA,
+        shouldImport = Some(element_at(col(Mapping.RawCol), 1) =!= "3"))))
+    assert(res.merged.filter($"id" === 3L).count() == 0)
+    val stats = res.stats.head.head()
+    assert(stats.getAs[Long]("ignored") == 1L)
+    assert(stats.getAs[Long]("read_keys") == 2L)
+    // ignored is checked BEFORE the missing-key check, so the blank-id row
+    // still counts as missing, not ignored.
+    assert(stats.getAs[Long]("ignored_missing_id") == 1L)
+  }
+
   test("key comparator normalizes join keys (mapping.py:522)") {
     val m = new Mapping() {
       override def keyComparator = c => trim(lower(c))
