@@ -21,13 +21,18 @@ object Curate {
       minQuality: Double = 0.6,
       langs: Seq[String] = Seq("en"),
       text: Column = col("text")): DataFrame = {
-    // quality and language are plain Columns → single scan, no self-join
+    // quality and language both derive from ONE TextStats walk, computed
+    // in its own projection so the expression runs once per row; the
+    // combined gate is a single filter over the struct fields.
     val kept = docs
-      .withColumn("quality_score", TextAnalysis.qualityScore(text))
-      .filter(col("quality_score") >= minQuality)
-      .filter(TextAnalysis.langId(text).isInCollection(langs))
+      .select(col("doc_id"), text.as("_text"),
+        TextAnalysis.stats(text).as("_st"))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreFrom(col("_st")))
+      .filter(col("quality_score") >= minQuality &&
+        TextAnalysis.langIdFrom(col("_st")).isInCollection(langs))
       .select(col("doc_id"),
-        TextAnalysis.redact(text).as("clean_text"),
+        TextAnalysis.redact(col("_text")).as("clean_text"),
         col("quality_score"))
     // exact dedup on the REDACTED text: smallest doc_id survives
     val w = org.apache.spark.sql.expressions.Window

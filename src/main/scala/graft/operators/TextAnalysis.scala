@@ -37,17 +37,19 @@ object TextAnalysis {
   val StopwordsEs: Seq[String] =
     Seq("el", "los", "de", "y", "es", "un", "una", "en", "que", "por")
 
-  private def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+  /** All per-document stats in one string walk (see [[TextStats]]):
+    * struct(n_chars, n_tokens, n_punct, n_digits, stop_en..stop_es). */
+  def stats(text: Column): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(TextStats(B.expression(text)))
+  }
 
-  /** Stopword-voting language ID: the language whose stopword inventory
-    * hits most tokens wins; ties/zero → "und". */
-  def langId(text: Column): Column = {
-    val toks = transform(tokens(text), lower _)
-    val en = stopwordHits(toks, StopwordsEn)
-    val fr = stopwordHits(toks, StopwordsFr)
-    val de = stopwordHits(toks, StopwordsDe)
-    val es = stopwordHits(toks, StopwordsEs)
+  /** Stopword-voting language ID over a precomputed [[stats]] struct. */
+  def langIdFrom(st: Column): Column = {
+    val en = st.getField("stop_en")
+    val fr = st.getField("stop_fr")
+    val de = st.getField("stop_de")
+    val es = st.getField("stop_es")
     val m = greatest(en, fr, de, es)
     when(m === 0, lit("und"))
       .when(en === m, lit("en"))
@@ -56,66 +58,68 @@ object TextAnalysis {
       .otherwise(lit("es"))
   }
 
-  /** Gopher-style rule score in [0,1] as a single Column — the fraction
-    * of five structural checks the text passes (same rules as [[quality]],
-    * composable without a join). */
-  def qualityScore(text: Column): Column = {
-    val nChars = coalesce(length(text), lit(0)).cast(LongType)
-    val nToks = tokenCount(text)
+  /** Stopword-voting language ID: the language whose stopword inventory
+    * hits most tokens wins; ties/zero → "und". */
+  def langId(text: Column): Column = langIdFrom(stats(text))
+
+  /** The five Gopher-style structural checks over a [[stats]] struct. */
+  private def qualityChecks(st: Column): Seq[Column] = {
+    val nChars = st.getField("n_chars")
+    val nToks = st.getField("n_tokens")
     val meanTokLen = when(nToks > 0,
       (nChars - (nToks - 1)).cast(DoubleType) / nToks.cast(DoubleType))
       .otherwise(lit(0.0))
-    val punct = coalesce(
-      regexp_count(text, lit("[\\p{Punct}]")), lit(0)).cast(LongType)
     val punctRatio = when(nChars > 0,
-      punct.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
-    val digits = coalesce(
-      regexp_count(text, lit("[0-9]")), lit(0)).cast(LongType)
+      st.getField("n_punct").cast(DoubleType) / nChars.cast(DoubleType))
+      .otherwise(lit(0.0))
     val digitRatio = when(nChars > 0,
-      digits.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
-    val toks = transform(tokens(text), lower _)
+      st.getField("n_digits").cast(DoubleType) / nChars.cast(DoubleType))
+      .otherwise(lit(0.0))
     val stopRatio = when(nToks > 0,
-      stopwordHits(toks, StopwordsEn).cast(DoubleType) /
-        nToks.cast(DoubleType)).otherwise(lit(0.0))
-    val checks = Seq[Column](
+      st.getField("stop_en").cast(DoubleType) / nToks.cast(DoubleType))
+      .otherwise(lit(0.0))
+    Seq(
       (nToks >= 5) && (nToks <= 100000),
       (meanTokLen >= 2.0) && (meanTokLen <= 12.0),
       punctRatio <= 0.2,
       digitRatio <= 0.3,
       stopRatio >= 0.01)
+  }
+
+  /** Gopher-style rule score in [0,1] over a precomputed [[stats]]
+    * struct — the fraction of five structural checks the text passes. */
+  def qualityScoreFrom(st: Column): Column = {
+    val checks = qualityChecks(st)
     checks.map(c => when(c, 1).otherwise(0))
       .reduce(_ + _).cast(DoubleType) / checks.size
   }
 
+  /** Gopher-style rule score in [0,1] as a single Column. */
+  def qualityScore(text: Column): Column = qualityScoreFrom(stats(text))
+
   /** Quality signals + a Gopher-style rule score in [0,1]: the fraction of
-    * five structural checks the document passes. */
+    * five structural checks the document passes. The stats struct is
+    * computed in a SEPARATE projection so the one-walk expression is
+    * evaluated once per row, not once per derived column (CollapseProject
+    * keeps multi-referenced non-cheap expressions apart). */
   def quality(df: DataFrame, text: Column): DataFrame = {
-    val nChars = coalesce(length(text), lit(0)).cast(LongType)
-    val nToks = tokenCount(text)
+    val withSt = df.select(col("doc_id"), stats(text).as("_st"))
+    val st = col("_st")
+    val nChars = st.getField("n_chars")
+    val nToks = st.getField("n_tokens")
     val meanTokLen = when(nToks > 0,
       (nChars - (nToks - 1)).cast(DoubleType) / nToks.cast(DoubleType))
       .otherwise(lit(0.0))
-    val punct = coalesce(
-      regexp_count(text, lit("[\\p{Punct}]")), lit(0)).cast(LongType)
     val punctRatio = when(nChars > 0,
-      punct.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
-    val digits = coalesce(
-      regexp_count(text, lit("[0-9]")), lit(0)).cast(LongType)
+      st.getField("n_punct").cast(DoubleType) / nChars.cast(DoubleType))
+      .otherwise(lit(0.0))
     val digitRatio = when(nChars > 0,
-      digits.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
-    val toks = transform(tokens(text), lower _)
+      st.getField("n_digits").cast(DoubleType) / nChars.cast(DoubleType))
+      .otherwise(lit(0.0))
     val stopRatio = when(nToks > 0,
-      stopwordHits(toks, StopwordsEn).cast(DoubleType) /
-        nToks.cast(DoubleType)).otherwise(lit(0.0))
-    val checks = Seq[Column](
-      (nToks >= 5) && (nToks <= 100000),
-      (meanTokLen >= 2.0) && (meanTokLen <= 12.0),
-      punctRatio <= 0.2,
-      digitRatio <= 0.3,
-      stopRatio >= 0.01)
-    val score = checks.map(c => when(c, 1).otherwise(0))
-      .reduce(_ + _).cast(DoubleType) / checks.size
-    df.select(
+      st.getField("stop_en").cast(DoubleType) / nToks.cast(DoubleType))
+      .otherwise(lit(0.0))
+    withSt.select(
       col("doc_id"),
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
@@ -123,7 +127,7 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       digitRatio.as("digit_ratio"),
       stopRatio.as("stopword_ratio"),
-      score.as("quality_score"))
+      qualityScoreFrom(st).as("quality_score"))
   }
 
   /** PII-style redaction: replace emails, URLs and long digit runs with
