@@ -49,20 +49,18 @@ object Parsers {
   private val IntRe = "^[+-]?\\d+$"
   private val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
 
-  /** formatting.py:231 `str2intnullable` — strict integer syntax only
-    * (`int("42.56")` raises in Python → NULL here). Regex guard keeps the
-    * cast ANSI-safe. */
-  def str2intnullable(c: Column): Column = {
-    val t = trim(c)
-    when(t.rlike(IntRe), t.cast(LongType)).otherwise(lit(null).cast(LongType))
-  }
+  /** formatting.py:231 `str2intnullable` — strict integer syntax only.
+    * ANSI `try_cast` string→bigint has exactly Python `int()`'s accept set
+    * on the reference's vectors ("42.56"/""/"foobar"/"4e2" → NULL,
+    * " 42 "/"+7" → value) and generates a plain null-producing cast
+    * instead of a CASE WHEN + RLIKE pair — cheaper, and it keeps the
+    * upsert merge filter codegen-friendly. */
+  def str2intnullable(c: Column): Column =
+    trim(c).try_cast(LongType)
 
-  /** formatting.py:265 `str2floatnullable`. */
-  def str2floatnullable(c: Column): Column = {
-    val t = trim(c)
-    when(t.rlike(FloatRe), t.cast(DoubleType))
-      .otherwise(lit(null).cast(DoubleType))
-  }
+  /** formatting.py:265 `str2floatnullable` — `float(v.strip())` or NULL. */
+  def str2floatnullable(c: Column): Column =
+    trim(c).try_cast(DoubleType)
 
   // ----------------------------------------------------------------- amounts
 

@@ -57,8 +57,15 @@ final case class IndexedCol(
     index: Int,
     parser: Option[Column => Column] = None,
     opts: ColOpts = ColOpts()) extends ColSpec {
+  // Strict path uses 0-based getItem (GetArrayItem) rather than
+  // element_at: same ANSI out-of-range error, but Catalyst's
+  // SimplifyExtractValueOps collapses `array(...)[i]` from
+  // column-derived sources straight to the source column — no array
+  // construction in the plan (ElementAt has no such rule, and its
+  // codegen also trips a Janino error when constraint propagation marks
+  // the selected element non-nullable).
   def raw: Column =
-    if (opts.failOnOutOfRange) element_at(col(Mapping.RawCol), index + 1)
+    if (opts.failOnOutOfRange) col(Mapping.RawCol).getItem(index)
     else coalesce(
       try_element_at(col(Mapping.RawCol), lit(index + 1)), lit(""))
   def expr: Column = parser.getOrElse(identity[Column] _)(raw)
