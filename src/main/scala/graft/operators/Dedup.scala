@@ -78,10 +78,13 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       ngram: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
     val withSh = docs
       .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
-    val banded = bandIndex(docs, bands, rowsPerBand, ngram)
+    val banded = capBuckets(
+      bandIndex(docs, bands, rowsPerBand, ngram),
+      Seq("band", "bh"), maxBucketSize)
 
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -98,6 +101,30 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Skew guard for bucketed self-joins: drop buckets holding more than
+    * `maxBucketSize` rows. A single degenerate bucket (e.g. a band hash
+    * shared by millions of near-empty docs) otherwise produces O(m²)
+    * candidate pairs — the one way a banded LSH join goes quadratic at
+    * scale. The count runs as a window over the SAME keys the self-join
+    * shuffles on, so pruning adds no extra exchange; AQE's skew handling
+    * splits oversized partitions but cannot cap within-bucket pair
+    * blow-up, which this does. Oversized buckets are overwhelmingly
+    * boilerplate/empty content; the recall loss is the standard
+    * production trade and is bounded to those buckets. */
+  private[operators] def capBuckets(
+      banded: DataFrame,
+      keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    if (maxBucketSize <= 0) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      banded.withColumn("_bn", count(lit(1)).over(w))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn")
+    }
   }
 
   /** Exact n-gram Jaccard similarity between two shingle arrays. */
@@ -119,22 +146,27 @@ object Dedup {
     * with bit_count(xor). maxHamming=3 gives the classic 4×16-bit layout;
     * larger radii band into more, narrower chunks (bigger buckets — the
     * usual recall/cost trade). */
-  def simhashDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDups(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming must be in [0,16], got $maxHamming")
     val numChunks = maxHamming + 1
     val chunkBits = (64 + numChunks - 1) / numChunks
     val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val withSim = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
-    val banded = withSim.select(
-      col("doc_id"), col("sim"),
-      explode(array((0 until numChunks).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sim"), b * chunkBits)
-            .bitwiseAND(lit(mask)).as("chunk"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sim"),
-        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val banded = capBuckets(
+      withSim.select(
+        col("doc_id"), col("sim"),
+        explode(array((0 until numChunks).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sim"), b * chunkBits)
+              .bitwiseAND(lit(mask)).as("chunk"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("sim"),
+          col("bk.band").as("band"), col("bk.chunk").as("chunk")),
+      Seq("band", "chunk"), maxBucketSize)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,

@@ -218,10 +218,15 @@ object Similarity {
   def cosineDups(
       corpus: DataFrame,
       threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
-    val c = corpus.select(
-      col("vec_id"), col("embedding").as("emb"),
-      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+      planes: Int = 8,
+      maxBucketSize: Int = 100000): DataFrame = {
+    // Same skew guard as the text LSH joins (see Dedup.capBuckets): one
+    // degenerate hyperplane bucket must not go quadratic.
+    val c = Dedup.capBuckets(
+      corpus.select(
+        col("vec_id"), col("embedding").as("emb"),
+        hyperplaneBucket(col("embedding"), planes).as("bucket")),
+      Seq("bucket"), maxBucketSize)
     val a = c.alias("a")
     val b = c.alias("b")
     a.join(b,

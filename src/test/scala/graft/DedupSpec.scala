@@ -118,6 +118,33 @@ class DedupSpec extends SparkSpec {
     assert(sig.forall(_ != Long.MaxValue))
   }
 
+  test("bucket-size cap defuses an adversarial hot bucket") {
+    // 300 byte-identical boilerplate docs share EVERY band hash → one
+    // degenerate bucket per band, ~300²/2 candidate pairs without the
+    // guard. With the cap they are pruned wholesale while a small planted
+    // near-dup pair in its own bucket is still recovered.
+    val boiler = (100L until 400L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    val corpus = (boiler ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(corpus, bands = 8, rowsPerBand = 2,
+      threshold = 0.4, maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the planted pair to survive the cap, got $pairs")
+    // Same guard on the simhash banding.
+    val simPairs = Dedup.simhashDups(corpus, maxHamming = 3,
+      maxBucketSize = 50).collect()
+    assert(simPairs.forall(r => r.getAs[Long]("id_a") < 100L))
+    // Default (uncapped-in-practice) still surfaces the boilerplate dups.
+    val all = Dedup.minhashLsh(corpus, bands = 8, rowsPerBand = 2,
+      threshold = 0.4).count()
+    assert(all > 40000L)
+  }
+
   test("fnv1a64 is stable") {
     assert(SimHash64.fnv1a64("abc") == SimHash64.fnv1a64("abc"))
     assert(SimHash64.fnv1a64("abc") != SimHash64.fnv1a64("abd"))
