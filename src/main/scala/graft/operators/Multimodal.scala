@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * with a typed metadata struct; decode / feature-extract / resize /
   * frame-sample run as batched partition-local transforms.
   *
-  * The image/audio codec libraries are not available in this environment,
-  * so the byte-level decode is a clearly-marked deterministic STUB
-  * ([[stubDecode]]) — everything around it (schema, batch shape,
-  * partitioning, the mapPartitions plumbing a real decoder would drop
-  * into) is real and tested. Swap [[stubDecode]] for an actual codec call
-  * to productionize.
+  * IMAGES decode for real through the in-JVM `javax.imageio` codecs
+  * (PNG/JPEG/BMP/GIF): [[extractImageFeatures]] produces pixel-derived
+  * features and [[resizeImages]] resamples payload bytes. Video/audio
+  * codecs are not available in this environment, so those formats keep
+  * the clearly-marked deterministic STUB ([[stubDecode]]) behind the same
+  * batched plumbing — swap it for a codec call to productionize.
   */
 object Multimodal {
 
@@ -73,9 +73,143 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Resize plumbing: recompute metadata for a target size; payload passes
-    * through untouched (the stub for the codec's resample call). Pure
-    * column expressions — no data movement. */
+  // ----------------------------------------------------------- real images
+
+  /** In-JVM image decode (javax.imageio: PNG/JPEG/BMP/GIF). None when the
+    * payload is null or not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(payload).flatMap { b =>
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      catch { case _: java.io.IOException => None }
+    }
+
+  /** Pixel-derived features from a decoded image: a 4×4 grid of grayscale
+    * means in [0,1] (row-major) — `featureDim` floats, the classic tiny
+    * perceptual descriptor (what an embedding model stub should look
+    * like: REAL pixels in, deterministic floats out). */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val grid = 4
+    val sums = new Array[Double](featureDim)
+    val counts = new Array[Long](featureDim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val gy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(grid - 1, x * grid / w)
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / (3.0 * 255.0)
+        val cell = gy * grid + gx
+        sums(cell) += gray
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(featureDim)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Batched REAL feature extraction for image payloads: decode via
+    * javax.imageio per micro-batch, features from actual pixels;
+    * undecodable payloads yield NULL features (honest signal, not a fake
+    * vector). Input needs media_id + payload. */
+  def extractImageFeatures(media: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val feats = decodeImage(r.getAs[Array[Byte]](payloadIdx))
+            .map(imageFeatures)
+          Row(r.getLong(idIdx), feats.map(_.toSeq).orNull)
+        }
+      }
+    }(encoder)
+  }
+
+  /** REAL image resize: decode, bilinear-resample to w×h, re-encode PNG,
+    * refresh metadata from the actual output. Undecodable payloads pass
+    * through with their original meta. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val encoder = Encoders.row(StructType(mediaSchema.fields))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        decodeImage(payload) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            Row(r.getLong(idIdx), baos.toByteArray,
+              Row("png", w, h, 1))
+          case None =>
+            Row(r.getLong(idIdx), payload, r.getStruct(metaIdx))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic synthetic REAL-PNG media table (distributed encode):
+    * pixel (x,y) of image `id` has channels derived from (id, x, y), so
+    * specs can recompute expected features from first principles. */
+  def syntheticImages(
+      spark: SparkSession, n: Int, w: Int = 16, h: Int = 16): DataFrame = {
+    import spark.implicits._
+    val wl = w
+    val hl = h
+    spark.range(n.toLong).as[Long].map { id =>
+      val img = new java.awt.image.BufferedImage(
+        wl, hl, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < hl) {
+        var x = 0
+        while (x < wl) {
+          img.setRGB(x, y, syntheticRgb(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      (id, baos.toByteArray)
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("png").as("format"),
+        lit(w).as("width"),
+        lit(h).as("height"),
+        lit(1).as("n_frames")))
+  }
+
+  /** The synthetic pixel function behind [[syntheticImages]]. */
+  def syntheticRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+    val b = ((id * 11 + x * 19 + y * 23) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Resize plumbing for codec-less formats: recompute metadata for a
+    * target size; payload passes through untouched (the stub for the
+    * codec's resample call). Pure column expressions — no data movement. */
   def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",
       struct(

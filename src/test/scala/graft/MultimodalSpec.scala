@@ -54,6 +54,49 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Long]("byte_len") == 16L))
   }
 
+  test("real PNG decode: features come from actual pixels") {
+    val imgs = Multimodal.syntheticImages(spark, 5, w = 16, h = 16)
+      .repartition(2)
+    val feats = Multimodal.extractImageFeatures(imgs, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.size == 5)
+    // Recompute image 3's expected 4x4 grid means from the pixel formula
+    // (independent of the PNG round-trip: PNG is lossless).
+    val id = 3L
+    val grid = 4
+    val sums = new Array[Double](16)
+    val counts = new Array[Long](16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val rgb = Multimodal.syntheticRgb(id, x, y)
+      val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+        (rgb & 0xff)) / (3.0 * 255.0)
+      val cell = (y * grid / 16) * grid + (x * grid / 16)
+      sums(cell) += gray; counts(cell) += 1
+    }
+    val expected = (0 until 16).map(i => (sums(i) / counts(i)).toFloat)
+    val got = feats(id)
+    assert(got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 },
+      s"pixel-derived features mismatch:\n got=$got\n exp=$expected")
+  }
+
+  test("undecodable payloads yield null features, not fake ones") {
+    val junk = Multimodal.synthetic(spark, 3) // md5 bytes, not an image
+    val feats = Multimodal.extractImageFeatures(junk).collect()
+    assert(feats.length == 3 && feats.forall(_.isNullAt(1)))
+  }
+
+  test("real resize: payload re-encoded at target dims") {
+    val imgs = Multimodal.syntheticImages(spark, 3, w = 16, h = 16)
+    val resized = Multimodal.resizeImages(imgs, 8, 8)
+    val row = resized.orderBy("media_id").head
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getAs[String]("format") == "png")
+    assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
+    val img = Multimodal.decodeImage(row.getAs[Array[Byte]]("payload"))
+    assert(img.isDefined)
+    assert(img.get.getWidth == 8 && img.get.getHeight == 8)
+  }
+
   test("end-to-end: media payloads → features → ANN neighbors") {
     val media = Multimodal.synthetic(spark, 60)
     val feats = Multimodal.extractFeatures(media)
