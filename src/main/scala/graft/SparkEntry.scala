@@ -444,6 +444,30 @@ object SparkEntry {
       (c, q) => Similarity.lshTopKMultiProbe(c, q, k = 5, planes = 6))),
     "ann_ivf" -> ((s, dir) => annPlantedRecovery(s, dir,
       (c, q) => Similarity.ivfTopK(c, q, k = 5, nlist = 16, nprobe = 4))),
+    "ann_pq" -> ((s, dir) => {
+      // Product-quantization pipeline end-to-end with exactly-checkable
+      // invariants: PQ codes are computed on the L2-NORMALIZED vector, so
+      // a positively-scaled plant encodes to byte-identical codes as its
+      // query (codes_match TRUE for every query), and ADC top-k over the
+      // corpus+plants returns exactly k rows per query.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val plants = queries.select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+      val cb = Pq.train(e, m = 8, ksub = 16, iters = 2)
+      val qCodes = Pq.encode(queries, cb)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+      val pCodes = Pq.encode(plants, cb)
+        .select((col("vec_id") - 10000000L).as("query_id"),
+          col("codes").as("pc"))
+      val top = Pq.topK(e.union(plants), queries, cb, k = 5)
+        .groupBy("query_id").agg(count(lit(1)).as("n_results"))
+      qCodes.join(pCodes, "query_id").join(top, "query_id")
+        .select(col("query_id"),
+          (col("qc") === col("pc")).as("codes_match"),
+          col("n_results"))
+    }),
     "embed_dups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       // Guarantee near-dups: scaled copies (cosine 1.0 with originals;
@@ -946,6 +970,10 @@ object SparkEntry {
            FROM embeddings WHERE vec_id % 100 = 0""",
       "ann_ivf" ->
         s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS rank
+           FROM embeddings WHERE vec_id % 100 = 0""",
+      "ann_pq" ->
+        s"""SELECT vec_id AS query_id, TRUE AS codes_match,
+           CAST(5 AS BIGINT) AS n_results
            FROM embeddings WHERE vec_id % 100 = 0""",
       "embed_dups" ->
         s"""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b

@@ -143,13 +143,16 @@ object Similarity {
     * element-wise mean of its cell (posexplode → per-dim avg →
     * re-assemble; the exploded rows collapse in the map-side partial
     * aggregate, so the shuffle is only nlist × dim per partition).
-    * Deterministic init: first k vectors by vec_id.
+    * Deterministic but SPREAD init: first k vectors by xxhash64(vec_id) —
+    * a reproducible pseudo-random sample (the first k ids outright can
+    * all fall in one cluster and starve every other cell).
     */
   def trainCentroids(
       corpus: DataFrame,
       k: Int,
       iters: Int = 3): DataFrame = {
-    var centroids = corpus.orderBy("vec_id").limit(k)
+    var centroids = corpus.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     var i = 0
     while (i < iters) {
