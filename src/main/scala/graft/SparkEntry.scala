@@ -580,6 +580,28 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("total"))
     }),
+    "orders_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS: per-priority, per-status, and grand total in one
+      // pass (decimal-exact sums cast back like the rollup query).
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(1) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_gs
+           GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+    }),
+    "orders_topn_per_group" -> ((s, dir) => {
+      // Windowed rank: top-3 orders by price within each priority —
+      // deterministic tiebreak on the key.
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
     "customers_without_orders" -> ((s, dir) => {
       // anti-join: customers with no urgent orders (non-empty at every SF)
       val c = t(s, dir, "customer")
@@ -1072,6 +1094,18 @@ object SparkEntry {
         s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+      "orders_grouping_sets" ->
+        s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+      "orders_topn_per_group" ->
+        s"""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+             SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+             FROM orders)
+           WHERE rn <= 3""",
       "customers_without_orders" ->
         s"""SELECT c_custkey, c_name FROM customer c
            WHERE NOT EXISTS (
