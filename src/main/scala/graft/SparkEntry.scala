@@ -468,6 +468,38 @@ object SparkEntry {
           (col("qc") === col("pc")).as("codes_match"),
           col("n_results"))
     }),
+    "ann_ivfpq" -> ((s, dir) => {
+      // Composed IVF×PQ with exactly-checkable invariants: both the
+      // coarse cell (cosine argmax) and the PQ codes are computed on the
+      // normalized vector, so a positively-scaled plant lands in its
+      // query's cell with its query's codes; and the probed cells always
+      // hold >= k candidates at these SFs, so ADC top-k is exactly k rows.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val plants = queries.select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+      val cb = Pq.train(e, m = 8, ksub = 16, iters = 2)
+      val centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val (cids, cents) = Similarity.collectCentroids(centroids)
+      def cellOf(df: DataFrame, idShift: Long): DataFrame = df.select(
+        (col("vec_id") - idShift).as("query_id"),
+        element_at(Similarity.nearestCells(col("embedding"), cids, cents, 1),
+          1).as(if (idShift == 0L) "qcell" else "pcell"),
+        Pq.codesCol(col("embedding"), cb)
+          .as(if (idShift == 0L) "qc" else "pc"))
+      val top = Pq.ivfPqTopK(e.union(plants), queries, cb, k = 5,
+          nlist = 16, nprobe = 4, trainedCentroids = Some(centroids))
+        .groupBy("query_id").agg(count(lit(1)).as("n_results"))
+      cellOf(queries, 0L).join(cellOf(plants, 10000000L), "query_id")
+        .join(top, "query_id")
+        .select(col("query_id"),
+          (col("qcell") === col("pcell")).as("cell_match"),
+          (col("qc") === col("pc")).as("codes_match"),
+          col("n_results"))
+    }),
     "embed_dups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       // Guarantee near-dups: scaled copies (cosine 1.0 with originals;
@@ -996,6 +1028,10 @@ object SparkEntry {
       "ann_pq" ->
         s"""SELECT vec_id AS query_id, TRUE AS codes_match,
            CAST(5 AS BIGINT) AS n_results
+           FROM embeddings WHERE vec_id % 100 = 0""",
+      "ann_ivfpq" ->
+        s"""SELECT vec_id AS query_id, TRUE AS cell_match,
+           TRUE AS codes_match, CAST(5 AS BIGINT) AS n_results
            FROM embeddings WHERE vec_id % 100 = 0""",
       "embed_dups" ->
         s"""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b

@@ -130,6 +130,53 @@ object Pq {
         (col("r0") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** IVF × PQ — the composed 100 TB shape (what FAISS calls IVFPQ):
+    * coarse cells prune the candidate set (only `nprobe`/`nlist` of the
+    * corpus is scored per query) AND the scored representation is m int
+    * codes instead of float vectors. The persisted corpus relation is
+    * (vec_id, cid, codes) — a few dozen bytes per vector regardless of
+    * dimension; both assignment and encoding are zero-shuffle
+    * literal-embedded expressions, and the only exchanges are the cell
+    * equi-join and the bounded top-k aggregate. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cb: Codebooks,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val ksub = cb.head.length
+    val centroids = trainedCentroids.getOrElse(
+      corpus.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val (cids, cents) = Similarity.collectCentroids(centroids)
+
+    val coded = corpus.select(
+      col("vec_id"),
+      element_at(
+        Similarity.nearestCells(col("embedding"), cids, cents, 1), 1)
+        .as("cid"),
+      codesCol(col("embedding"), cb).as("codes"))
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      tableCol(col("embedding"), cb).as("qtable"),
+      explode(
+        Similarity.nearestCells(col("embedding"), cids, cents, nprobe))
+        .as("cid"))
+    val scored = coded.join(q, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", lookupCol(col("codes"), col("qtable"), ksub))
+    val topk = B.column(TopKByScore(
+      B.expression(col("cosine")), B.expression(col("vec_id")), k)
+      .toAggregateExpression())
+    scored.groupBy("query_id").agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.id").as("vec_id"),
+        col("e.score").as("score"),
+        (col("r0") + 1).cast(IntegerType).as("rank"))
+  }
+
   private[operators] def normalize(v: Array[Float]): Array[Float] = {
     var s = 0.0
     var i = 0

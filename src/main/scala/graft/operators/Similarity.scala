@@ -118,7 +118,7 @@ object Similarity {
     * cell assignment can run as a literal-embedded expression. This is the
     * legitimate small-side collect — same size class as a broadcast dim
     * table (nlist × dim floats; 4096 × 1024 ≈ 16 MB worst case). */
-  private def collectCentroids(centroids: DataFrame)
+  def collectCentroids(centroids: DataFrame)
       : (IndexedSeq[Long], IndexedSeq[IndexedSeq[Float]]) = {
     val rows = centroids.select(col("cid"), col("cemb")).collect()
     (rows.map(_.getLong(0)).toIndexedSeq,

@@ -74,6 +74,35 @@ class PqSpec extends SparkSpec {
       s"plant ($plantScore) does not tie the max score ($best)")
   }
 
+  test("IVF x PQ: cell pruning + codes, same-cluster recall holds") {
+    val emb = clustered
+    val queries = emb.filter($"vec_id" % 20 === 9)
+    val cb = Pq.train(emb, m = 8, ksub = 16, iters = 3)
+    val got = Pq.ivfPqTopK(emb, queries, cb, k = 5, nlist = 10, nprobe = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, v) => v / 20 == q / 20 },
+      s"IVFPQ returned a cross-cluster neighbor: ${got.toSeq}")
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute intersect got.toSet).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVFPQ recall too low: $recall")
+  }
+
+  test("IVF x PQ plan: cell equi-join + bounded agg, no cartesian/window") {
+    val emb = clustered
+    val cb = Pq.train(emb, m = 4, ksub = 8, iters = 1)
+    val plan = Pq.ivfPqTopK(emb, emb.filter($"vec_id" === 9L), cb,
+      k = 3, nlist = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    assert(!plan.contains("Window"))
+    assert(plan.contains("topk_by_score"))
+    assert("Exchange".r.findAllIn(plan).size <= 3,
+      s"too many exchanges:\n$plan")
+  }
+
   test("PQ plan: no cartesian, no window funnel, bounded agg") {
     val emb = clustered
     val cb = Pq.train(emb, m = 4, ksub = 8, iters = 1)
