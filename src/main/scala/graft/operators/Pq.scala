@@ -193,6 +193,10 @@ object Pq {
 
   def normCol(emb: Column): Column =
     B.column(L2Normalize(B.expression(emb)))
+
+  private[operators] def normalize0(
+      v: IndexedSeq[Float]): IndexedSeq[Float] =
+    normalize(v.toArray).toIndexedSeq
 }
 
 /** L2-normalized copy of a float vector (zero vector passes through). */

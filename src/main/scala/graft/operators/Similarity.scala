@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -134,6 +134,89 @@ object Similarity {
       topCells: Int): Column = {
     val B = org.apache.spark.sql.graft.Bridge
     B.column(NearestCells(B.expression(emb), cids, cents, topCells))
+  }
+
+  /** Per-row max cosine against a literal-embedded centroid set (zero
+    * shuffle; see [[MaxCosine]]). */
+  def maxCosine(emb: Column, cents: IndexedSeq[IndexedSeq[Float]]): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(MaxCosine(B.expression(emb), cents))
+  }
+
+  /** k-means|| initialization (Bahmani et al., VLDB 2012) for the IVF
+    * coarse quantizer, fully deterministic:
+    *
+    *  1. seed with the min-hash vector;
+    *  2. `rounds` passes, each sampling every point independently with
+    *     probability `min(1, l·d²(x,C)/Σd²)` where d = 1 − maxcos —
+    *     the uniform draw is `xxhash64(vec_id, round)` scaled to [0,1),
+    *     so the run is reproducible with no RNG state;
+    *  3. weight each candidate by the number of corpus points it is
+    *     nearest to (one zero-shuffle [[NearestCells]] pass + a count);
+    *  4. recluster the ≤ 1+rounds·l weighted candidates driver-side:
+    *     deterministic farthest-point seeding + weighted Lloyd.
+    *
+    * Per round: one aggregate (Σd²) and one bounded collect — each a
+    * full scan but ZERO shuffles; the candidate set stays driver-tiny.
+    * Returns (cid, cemb) compatible with `ivfTopK(trainedCentroids=…)`.
+    * Compared to the hash-spread seed sample, the d²-weighted rounds
+    * guarantee coverage of small far-away clusters that a uniform sample
+    * of k points can miss entirely.
+    */
+  def kmeansParCentroids(
+      corpus: DataFrame,
+      k: Int,
+      rounds: Int = 3,
+      oversample: Int = 0,
+      lloydIters: Int = 5): DataFrame = {
+    val l = if (oversample > 0) oversample else 2 * k
+    val seed = corpus.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(1).select(col("embedding")).collect()
+      .head.getSeq[Float](0).toIndexedSeq
+    var cents: Vector[IndexedSeq[Float]] = Vector(seed)
+
+    var t = 1
+    while (t <= rounds) {
+      val d = lit(1.0) - maxCosine(col("embedding"), cents)
+      val d2 = d * d
+      val total = corpus.agg(sum(d2)).head.getDouble(0)
+      if (total > 0.0) {
+        // deterministic uniform in [0,1): top 53 bits of xxhash64
+        val u = shiftrightunsigned(
+          xxhash64(col("vec_id"), lit(t)), 11).cast(DoubleType) /
+          lit(9007199254740992.0) // 2^53
+        val p = least(lit(1.0), lit(l.toDouble) * d2 / lit(total))
+        val picked = corpus.filter(u < p)
+          .limit(8 * l) // bound the collect against adversarial skew
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toIndexedSeq)
+        cents = cents ++ picked
+      }
+      t += 1
+    }
+
+    // candidate weights: corpus points nearest to each candidate
+    val candIds = cents.indices.map(_.toLong).toIndexedSeq
+    val weights = corpus
+      .select(element_at(
+        nearestCells(col("embedding"), candIds, cents, 1), 1).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+
+    val chosen = KmeansLocal.weighted(
+      cents.map(Pq.normalize0), // unit vectors → Euclidean ≈ spherical
+      cents.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray,
+      k, lloydIters)
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("cid", "cemb")
+      .select(col("cid"),
+        col("cemb").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))
+          .as("cemb"))
   }
 
   /** Lloyd iterations for IVF centroids: assign each vector to its nearest

@@ -193,6 +193,43 @@ class SimilaritySpec extends SparkSpec {
     assert(buf.ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("k-means|| centroids cover every cluster (deterministic)") {
+    val dim = 16
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v((c + 3) % dim) = 0.01f * m
+      ((c * 20 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansParCentroids(emb, k = 10, rounds = 3)
+    val collected = cents.collect().map(_.getSeq[Float](1))
+    assert(collected.length == 10)
+    // every cluster direction must have a centroid with high cosine —
+    // the coverage guarantee d²-weighted sampling provides.
+    for (c <- 0 until 10) {
+      val best = collected.map { cent =>
+        // cosine with the cluster axis = normalized component c
+        val n = math.sqrt(cent.map(x => x.toDouble * x).sum)
+        if (n == 0) 0.0 else cent(c) / n
+      }.max
+      assert(best > 0.8, s"cluster $c uncovered (best cos $best)")
+    }
+    // deterministic: second run bit-identical
+    val again = Similarity.kmeansParCentroids(emb, k = 10, rounds = 3)
+      .collect().map(_.getSeq[Float](1))
+    assert(collected.map(_.toList).toList == again.map(_.toList).toList)
+    // and IVF search with these centroids reaches good recall
+    val queries = emb.filter($"vec_id" % 20 === 13)
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 10,
+      nprobe = 3, trainedCentroids = Some(cents)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall with kmeans|| centroids: $recall")
+  }
+
   test("testdata embeddings: brute + LSH run end-to-end, no cartesian") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
