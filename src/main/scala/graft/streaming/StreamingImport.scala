@@ -17,11 +17,17 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   */
 object StreamingImport {
 
-  /** Current version directory of a maintained target, if any. */
+  /** Current version directory of a maintained target, if any. Only
+    * COMMITTED versions count: a directory without the parquet writer's
+    * `_SUCCESS` marker is a torn write from a crashed attempt and must be
+    * invisible to readers — the replay of that batch overwrites it. This
+    * is what makes at-least-once foreachBatch delivery yield an
+    * exactly-once published state. */
   def currentVersion(targetRoot: String): Option[String] = {
     val root = new java.io.File(targetRoot)
     Option(root.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v")
+          && new java.io.File(f, "_SUCCESS").exists())
         .map(_.getName.stripPrefix("v").toLong))
       .filter(_.nonEmpty)
       .map(vs => s"$targetRoot/v${vs.max}")
@@ -52,15 +58,41 @@ object StreamingImport {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val target = readTarget(spark, targetRoot, targetSchema)
-        val projected = mapping.project(batch)
-        val merged = Upsert(target, projected, mapping, mode, nonNullable)
-          .merged
-        val next = s"$targetRoot/v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        ()
+        applyBatch(batch, batchId, mapping, targetRoot, targetSchema,
+          mode, nonNullable)
       }
       .start()
+  }
+
+  /** One micro-batch merge — the foreachBatch body, exposed so replay
+    * semantics are testable. IDEMPOTENT under at-least-once delivery:
+    * a re-run of batch N reads the last COMMITTED version (a torn vN has
+    * no `_SUCCESS` and is ignored; a committed vN was produced from the
+    * same input and target, and re-merging identical source rows leaves
+    * every merged value unchanged). The output is written to a hidden
+    * temp dir and published with an atomic rename — never an in-place
+    * overwrite of a directory the merge may be reading. */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      mapping: Mapping,
+      targetRoot: String,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      mode: ImportMode = CreateAndUpdate,
+      nonNullable: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val target = readTarget(spark, targetRoot, targetSchema)
+    val projected = mapping.project(batch)
+    val merged = Upsert(target, projected, mapping, mode, nonNullable)
+      .merged
+    val tmp = s"$targetRoot/.tmp-v$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$targetRoot/v$batchId")
+    fs.delete(dst, true) // torn or superseded attempt, readers ignore it
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"failed to publish $dst")
+    ()
   }
 }

@@ -58,4 +58,59 @@ class StreamingImportSpec extends SparkSpec {
       Row(2L, "beta", 7L),
       Row(3L, "gamma", 5L)))
   }
+
+  test("batch replay is idempotent (at-least-once foreachBatch)") {
+    val root = "target/test-tmp/stream_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def mapping = {
+      val m = new Mapping()
+      m.auto("id"); m.auto("name"); m.auto("score")
+      m
+    }
+    val m = mapping
+    m.complete(schema)
+    val batch = Seq(
+      (Seq("1", "alpha", "10"), 0L),
+      (Seq("2", "beta", "20"), 1L)).toDF("_raw", "_line")
+
+    StreamingImport.applyBatch(batch, 0L, m, root, schema)
+    val once = StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    // replay of an already-COMMITTED batch: same input, same published
+    // state, no self-overwrite error
+    StreamingImport.applyBatch(batch, 0L, m, root, schema)
+    val twice = StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    assert(once == twice)
+    assert(once == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", 20L)))
+  }
+
+  test("torn version dirs (no _SUCCESS) are invisible to readers") {
+    val root = "target/test-tmp/stream_torn"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def mapping = {
+      val m = new Mapping()
+      m.auto("id"); m.auto("name"); m.auto("score")
+      m
+    }
+    val m = mapping
+    m.complete(schema)
+    val batch = Seq((Seq("1", "alpha", "10"), 0L)).toDF("_raw", "_line")
+    StreamingImport.applyBatch(batch, 0L, m, root, schema)
+
+    // simulate a crashed attempt at batch 1: directory without _SUCCESS
+    val torn = new java.io.File(s"$root/v1")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/v1/part-junk.parquet"), "garbage")
+    assert(StreamingImport.currentVersion(root).exists(_.endsWith("/v0")))
+
+    // the replay of batch 1 reads v0, publishes a committed v1
+    val batch1 = Seq((Seq("2", "beta", "20"), 0L)).toDF("_raw", "_line")
+    StreamingImport.applyBatch(batch1, 1L, m, root, schema)
+    assert(StreamingImport.currentVersion(root).exists(_.endsWith("/v1")))
+    val state = StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    assert(state == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", 20L)))
+  }
 }
