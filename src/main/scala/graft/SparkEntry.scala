@@ -455,7 +455,7 @@ object SparkEntry {
       val plants = queries.select(
         (col("vec_id") + 10000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
-      val cb = Pq.train(e, m = 8, ksub = 16, iters = 2)
+      val cb = Pq.train(e, m = 8, ksub = 16, iters = 1)
       val qCodes = Pq.encode(queries, cb)
         .select(col("vec_id").as("query_id"), col("codes").as("qc"))
       val pCodes = Pq.encode(plants, cb)
@@ -479,7 +479,7 @@ object SparkEntry {
       val plants = queries.select(
         (col("vec_id") + 10000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
-      val cb = Pq.train(e, m = 8, ksub = 16, iters = 2)
+      val cb = Pq.train(e, m = 8, ksub = 16, iters = 1)
       val centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(16)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
@@ -647,6 +647,28 @@ object SparkEntry {
       o.groupBy(col("o_orderstatus")).agg(
         percentile(col("o_totalprice"), lit(0.5)).as("p50"),
         percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+    }),
+    "orders_percentiles_approx" -> ((s, dir) => {
+      // approx_percentile's rank-error guarantee made checkable: with
+      // accuracy=10000 the returned element's rank is within N/10000 of
+      // the target, so it must lie between the exact 0.49/0.51 (resp.
+      // 0.89/0.91) quantile VALUES — both sides computed in the same agg,
+      // the oracle states the boolean outcome exactly.
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderstatus")).agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("ap50"),
+        approx_percentile(col("o_totalprice"), lit(0.9), lit(10000))
+          .as("ap90"),
+        percentile(col("o_totalprice"), lit(0.49)).as("lo50"),
+        percentile(col("o_totalprice"), lit(0.51)).as("hi50"),
+        percentile(col("o_totalprice"), lit(0.89)).as("lo90"),
+        percentile(col("o_totalprice"), lit(0.91)).as("hi90"))
+        .select(col("o_orderstatus"),
+          (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+            .as("p50_ok"),
+          (col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+            .as("p90_ok"))
     }),
     "events_agg" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1151,6 +1173,9 @@ object SparkEntry {
         s"""SELECT o_orderstatus,
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.9) AS p90
+           FROM orders GROUP BY o_orderstatus""",
+      "orders_percentiles_approx" ->
+        s"""SELECT o_orderstatus, TRUE AS p50_ok, TRUE AS p90_ok
            FROM orders GROUP BY o_orderstatus""",
       "events_agg" ->
         s"""SELECT event_type, count(*) AS n,
