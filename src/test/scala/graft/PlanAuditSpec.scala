@@ -61,6 +61,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many shuffles:\n$p")
   }
 
+  test("upsert merge has no window and compiles without codegen fallback") {
+    // Round-3 invariants: intra-source dup collapse is a hash/sort
+    // AGGREGATE with map-side partials (no row_number window), and the
+    // whole merge stage stays in whole-stage codegen (the ElementAt/
+    // CreateArray Janino bug is designed out — see SURVEY §4).
+    val df = SparkEntry.queries("upsert_basic")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window dedup crept back:\n$p")
+    // `*(n)` prefixes mark whole-stage-codegen spans; the merge
+    // project/filter/join stage must carry one.
+    assert(p.contains("*(5) Project") || p.contains("*(4) Project")
+      || p.contains("*(3) Project"),
+      s"merge stage not codegen'd:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"dup collapse lost its map-side partial aggregation:\n$p")
+  }
+
+  test("ANN top-k plans rank through the bounded aggregate") {
+    Seq("ann_brute", "ann_lsh", "ann_multiprobe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via window funnel:\n$p")
+      assert(p.contains("topk_by_score"), s"$q lacks bounded agg:\n$p")
+    }
+  }
+
+  test("csv source is one scan with no RDD boundary") {
+    val p = plan("csv_source")
+    assert(!p.contains("ExistingRDD"), s"RDD boundary in csv plan:\n$p")
+    assert(countOccurrences(p, "FileScan text") == 1,
+      s"expected exactly one text scan:\n$p")
+  }
+
   test("flagship entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
