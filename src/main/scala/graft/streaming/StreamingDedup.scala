@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.Dedup
+
+/** Continuous near-duplicate detection with an INCREMENTALLY MAINTAINED
+  * MinHash band index — the missing piece between the batch
+  * [[graft.operators.Dedup.minhashLsh]] (full self-join) and the
+  * stream-static check (frozen reference corpus): every arriving document
+  * is checked against ALL previously indexed documents, then added to the
+  * index, without ever rescanning history.
+  *
+  * Storage layout under `indexRoot`: committed delta directories
+  * `d<batchId>` (same `_SUCCESS` + temp-write + atomic-rename discipline
+  * as [[StreamingImport]]), each holding (doc_id, band, bh) rows for one
+  * micro-batch. Readers union the committed deltas; when their count
+  * exceeds `compactEvery`, the batch compacts them into one directory —
+  * so the file count stays O(compactEvery), not O(batches), and the
+  * per-batch work is (batch bands) ⋈ (index bands): an equi-join whose
+  * left side is micro-batch-sized.
+  *
+  * At 100 TB the index relation is the SLIM (doc_id, band, bh) projection
+  * (a few dozen bytes per doc per band) — the heavy text never enters it.
+  */
+object StreamingDedup {
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("band", org.apache.spark.sql.types.IntegerType,
+      nullable = false),
+    StructField("bh", LongType, nullable = false)))
+
+  /** Committed delta dirs (name `d<n>`, `_SUCCESS` present), sorted. */
+  def committedDeltas(indexRoot: String): Seq[String] = {
+    val root = new java.io.File(indexRoot)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("d")
+        && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName)
+      .sortBy(_.stripPrefix("d").toLong)
+      .map(n => s"$indexRoot/$n")
+  }
+
+  /** The full committed index (empty frame when none). */
+  def readIndex(spark: SparkSession, indexRoot: String): DataFrame = {
+    val deltas = committedDeltas(indexRoot)
+    if (deltas.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        indexSchema)
+    else spark.read.schema(indexSchema).parquet(deltas: _*)
+  }
+
+  private def publish(df: DataFrame, root: String, name: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"$root/.tmp-$name"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"failed to publish $dst")
+  }
+
+  /** One micro-batch: publish the (doc_id, matched_id) candidate pairs of
+    * the batch against everything indexed BEFORE it to
+    * `pairsRoot/p<batchId>`, THEN append the batch's bands as delta
+    * `d<batchId>`, compacting when the delta count exceeds `compactEvery`.
+    * Pairs are always materialized before the index mutates. Idempotent
+    * under replay: a committed `d<batchId>` is excluded from the
+    * comparison index (a batch never matches itself), and both outputs
+    * re-publish atomically. */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexRoot: String,
+      pairsRoot: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      compactEvery: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val self = s"d$batchId"
+    val all = committedDeltas(indexRoot)
+    if (all.exists(_.endsWith(s"/$self"))) {
+      // Replay of a FULLY published batch (delta commit is the last
+      // write): pairs/p<batchId> is already on disk and the comparison
+      // set may since have been compacted away — recomputing here would
+      // overwrite good pairs with garbage. No-op is the idempotent move.
+      return
+    }
+    val priorDeltas = all
+    val prior =
+      if (priorDeltas.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          indexSchema)
+      else spark.read.schema(indexSchema).parquet(priorDeltas: _*)
+
+    val batchIdx = Dedup.bandIndex(batch, bands, rowsPerBand)
+    // the comparison join is (micro-batch bands) ⋈ (index bands)
+    val pairs = batchIdx
+      .join(prior.withColumnRenamed("doc_id", "matched_id"),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("matched_id"))
+      .distinct()
+    publish(pairs, pairsRoot, s"p$batchId")
+
+    if (priorDeltas.length + 1 > compactEvery) {
+      // compact prior deltas + this batch into a single delta, then drop
+      // the superseded dirs (readers only ever see committed sets);
+      // distinct() self-heals any double-counted bands a crashed
+      // partial-deletion attempt may have left behind
+      publish(prior.union(batchIdx).distinct(), indexRoot, self)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      priorDeltas.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    } else {
+      publish(batchIdx, indexRoot, self)
+    }
+  }
+
+  /** Starts the continuous near-dup monitor: `docStream` is a streaming
+    * (doc_id, text) frame; candidate pairs per batch land under
+    * `pairsRoot/p<batchId>`. */
+  def start(
+      docStream: DataFrame,
+      indexRoot: String,
+      pairsRoot: String,
+      checkpoint: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      compactEvery: Int = 8): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, indexRoot, pairsRoot, bands,
+          rowsPerBand, compactEvery)
+      }
+      .start()
+}

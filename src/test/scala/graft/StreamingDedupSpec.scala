@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA =
+    "the quick brown fox jumps over the lazy dog near the river bank"
+  private val docANear =
+    "the quick brown fox jumps over the lazy dog near the river bend"
+  private val docB =
+    "completely different text about spark query engines and shuffles"
+  private val docC =
+    "yet another unrelated document discussing distributed aggregation"
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def freshRoots(name: String): (String, String) = {
+    val idx = s"target/test-tmp/$name/index"
+    val prs = s"target/test-tmp/$name/pairs"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"target/test-tmp/$name"))
+    (idx, prs)
+  }
+
+  private def pairsOf(prs: String, batch: Long): Set[(Long, Long)] =
+    spark.read.parquet(s"$prs/p$batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("arriving near-dups match ALL earlier batches, index grows") {
+    val (idx, prs) = freshRoots("sdedup_flow")
+    StreamingDedup.applyBatch(df(1L -> docA, 2L -> docB), 0L, idx, prs)
+    assert(pairsOf(prs, 0L).isEmpty) // nothing indexed before batch 0
+    StreamingDedup.applyBatch(df(3L -> docC), 1L, idx, prs)
+    assert(pairsOf(prs, 1L).isEmpty)
+    // batch 2 near-dups doc 1 (indexed two batches ago)
+    StreamingDedup.applyBatch(df(4L -> docANear, 5L -> docA), 2L, idx, prs)
+    val p2 = pairsOf(prs, 2L)
+    assert(p2.contains((4L, 1L)) && p2.contains((5L, 1L)),
+      s"missed cross-batch near-dups: $p2")
+    assert(!p2.exists(_._2 == 2L) && !p2.exists(_._2 == 3L),
+      s"false positives vs distinct docs: $p2")
+    assert(StreamingDedup.committedDeltas(idx).length == 3)
+  }
+
+  test("compaction bounds the delta count, detection still works") {
+    val (idx, prs) = freshRoots("sdedup_compact")
+    StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs,
+      compactEvery = 2)
+    StreamingDedup.applyBatch(df(2L -> docB), 1L, idx, prs,
+      compactEvery = 2)
+    // third delta would exceed the bound → compacts to ONE dir
+    StreamingDedup.applyBatch(df(3L -> docC), 2L, idx, prs,
+      compactEvery = 2)
+    assert(StreamingDedup.committedDeltas(idx).length == 1)
+    // post-compaction arrivals still match pre-compaction docs
+    StreamingDedup.applyBatch(df(4L -> docANear), 3L, idx, prs,
+      compactEvery = 2)
+    assert(pairsOf(prs, 3L) == Set((4L, 1L)))
+    assert(StreamingDedup.readIndex(spark, idx)
+      .select("doc_id").distinct().count() == 4)
+  }
+
+  test("replay of a fully published batch is a no-op") {
+    val (idx, prs) = freshRoots("sdedup_replay")
+    StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs)
+    StreamingDedup.applyBatch(df(2L -> docANear), 1L, idx, prs)
+    val before = pairsOf(prs, 1L)
+    assert(before == Set((2L, 1L)))
+    StreamingDedup.applyBatch(df(2L -> docANear), 1L, idx, prs) // replay
+    assert(pairsOf(prs, 1L) == before)
+    assert(StreamingDedup.committedDeltas(idx).length == 2)
+  }
+
+  test("end-to-end over a MemoryStream") {
+    val (idx, prs) = freshRoots("sdedup_e2e")
+    val ckpt = s"target/test-tmp/sdedup_e2e/ckpt"
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    mem.addData((1L, docA), (2L, docB))
+    StreamingDedup.start(stream, idx, prs, ckpt).awaitTermination()
+    mem.addData((3L, docANear))
+    StreamingDedup.start(stream, idx, prs, ckpt).awaitTermination()
+    assert(pairsOf(prs, 1L) == Set((3L, 1L)))
+  }
+}
