@@ -54,6 +54,18 @@ object Upsert {
 
   private val SrcPrefix = "_src_"
 
+  /** Non-nullable columns derived from the target schema, excluding the
+    * key — the reference's automatic inference over the model
+    * (importtask.py:383-391: non-nullable, non-primary-key columns
+    * become reject checks). Pass the result as `nonNullable` to get the
+    * reference's default behavior without listing columns by hand. */
+  def nonNullableFromSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String = "id"): Seq[String] =
+    schema.fields.toSeq
+      .filter(f => !f.nullable && f.name != keyColumn)
+      .map(_.name)
+
   /** `rejectWhen`: custom row-rejection predicate (the analogue of
     * overriding validate_updates, importsource.py:109-123) evaluated over
     * the merged row — reference target columns by name and incoming source

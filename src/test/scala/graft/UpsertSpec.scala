@@ -330,6 +330,26 @@ class UpsertSpec extends SparkSpec {
     assert(stats.getAs[Long]("ignored_missing_id") == 1L)
   }
 
+  test("nonNullableFromSchema mirrors the reference model inference") {
+    // importtask.py:383-391: non-nullable, non-key columns reject nulls.
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("score", LongType, nullable = true)))
+    assert(Upsert.nonNullableFromSchema(schema) == Seq("name"))
+    val src = Sources.rows(spark, Seq(
+      Seq("1", "", "5"), // blank name parses to null → rejected create
+      Seq("2", "ok", "6")), headerLines = -1)
+    val m = new Mapping()
+    m.auto("id"); m.auto("name"); m.auto("score")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    val res = Upsert(empty, m.complete(schema).project(src), m,
+      nonNullable = Upsert.nonNullableFromSchema(schema))
+    assert(res.merged.collect().toSeq == Seq(Row(2L, "ok", 6L)))
+    assert(res.stats.head.getAs[Long]("rejected") == 1L)
+  }
+
   test("key comparator normalizes join keys (mapping.py:522)") {
     val m = new Mapping() {
       override def keyComparator = c => trim(lower(c))
