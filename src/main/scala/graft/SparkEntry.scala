@@ -648,6 +648,18 @@ object SparkEntry {
         percentile(col("o_totalprice"), lit(0.5)).as("p50"),
         percentile(col("o_totalprice"), lit(0.9)).as("p90"))
     }),
+    "events_distinct_approx" -> ((s, dir) => {
+      // HyperLogLog++ distinct with a checkable bound: at rsd=0.01 the
+      // estimate must land within 5% (5σ) of the exact distinct count,
+      // both computed in the same aggregate.
+      val e = events(s, dir)
+      e.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("ad"),
+        countDistinct(col("user_id")).as("xd"))
+        .select(col("event_type"),
+          (abs(col("ad") - col("xd")).cast(DoubleType) /
+            col("xd").cast(DoubleType) <= 0.05).as("distinct_ok"))
+    }),
     "orders_percentiles_approx" -> ((s, dir) => {
       // approx_percentile's rank-error guarantee made checkable: with
       // accuracy=10000 the returned element's rank is within N/10000 of
@@ -1177,6 +1189,9 @@ object SparkEntry {
       "orders_percentiles_approx" ->
         s"""SELECT o_orderstatus, TRUE AS p50_ok, TRUE AS p90_ok
            FROM orders GROUP BY o_orderstatus""",
+      "events_distinct_approx" ->
+        s"""SELECT event_type, TRUE AS distinct_ok
+           FROM events GROUP BY event_type""",
       "events_agg" ->
         s"""SELECT event_type, count(*) AS n,
            count(DISTINCT user_id) AS n_users,
