@@ -147,6 +147,115 @@ class ParserDifferentialSpec extends SparkSpec {
     }
   }
 
+  // ---- date family: model of parseShittyDate/DateTime (formatting.py:300,
+  // :360 — the CODE branches, which beat the docstring where they differ) --
+
+  private def tryPat(t: String, pat: String): Option[java.time.LocalDateTime] = {
+    val f = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(pat)
+      .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+      .toFormatter(java.util.Locale.ROOT)
+      .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+    try Some(java.time.LocalDateTime.parse(t, f))
+    catch { case _: java.time.format.DateTimeParseException => None }
+  }
+
+  private val MaxDt = java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59)
+
+  private def modelDate(s: String, fmt: String): Option[java.time.LocalDateTime] = {
+    val t = s.trim
+    val fr = fmt == "fr_FR"
+    if (t.contains("/"))
+      tryPat(t, if (fr) "d/M/uuuu" else "M/d/uuuu")
+        .orElse(tryPat(t, if (fr) "M/d/uuuu" else "d/M/uuuu"))
+    else if (t.contains("."))
+      tryPat(t, if (fr) "d.M.uuuu" else "M.d.uuuu")
+        .orElse(tryPat(t, if (fr) "M.d.uuuu" else "d.M.uuuu"))
+    else if (t == "10000-01-01" || t == "10000-01-01 0:00:00") Some(MaxDt)
+    else if (t.isEmpty) None
+    else tryPat(t, "u-M-d")
+  }
+
+  private def modelDateTime(s: String, fmt: String): Option[java.time.LocalDateTime] = {
+    val t = s.trim
+    val us = fmt == "en_US"
+    if (t.contains("/"))
+      tryPat(t, if (us) "M/d/uuuu H:m:s" else "d/M/uuuu H:m:s")
+        .orElse(tryPat(t, if (us) "d/M/uuuu H:m:s" else "M/d/uuuu H:m:s"))
+    else if (t.contains("."))
+      tryPat(t, if (us) "M.d.uuuu H:m:s" else "d.M.uuuu H:m:s")
+        .orElse(tryPat(t, if (us) "d.M.uuuu H:m:s" else "M.d.uuuu H:m:s"))
+    else if (t == "10000-01-01 0:00:00") Some(MaxDt)
+    else if (t.isEmpty) None
+    else tryPat(t, "u-M-d H:m:s")
+  }
+
+  private val Out = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss")
+
+  /** Dates parseable by at least one branch format (the reference RAISES
+    * on totally-unparseable input — the distributed analogue is NULL, so
+    * those stay out of the differential domain), with ambiguous d/m pairs
+    * to stress the primary-then-swapped fallback ordering. */
+  private val dateGen: Gen[String] = for {
+    y <- Gen.choose(1900, 2099)
+    a <- Gen.choose(1, 28)
+    b <- Gen.choose(1, 12)
+    flip <- Gen.oneOf(false, true)
+    (d, m) = if (flip) (b, a) else (a, b)
+    pad <- Gen.oneOf(false, true)
+    sep <- Gen.oneOf("/", ".", "-")
+    sp <- Gen.oneOf("", " ", "  ")
+  } yield {
+    def two(v: Int) = if (pad) f"$v%02d" else v.toString
+    val core = sep match {
+      case "-" => f"$y%04d-${two(m)}-${two(d)}"
+      case s   => s"${two(d)}$s${two(m)}$s$y"
+    }
+    sp + core + sp
+  }
+
+  private val dateTimeGen: Gen[String] = for {
+    d <- dateGen
+    h <- Gen.choose(0, 23)
+    mi <- Gen.choose(0, 59)
+    se <- Gen.choose(0, 59)
+    pad <- Gen.oneOf(false, true)
+  } yield {
+    def two(v: Int) = if (pad) f"$v%02d" else v.toString
+    s"${d.trim} ${two(h)}:${two(mi)}:${two(se)}"
+  }
+
+  test("parseShittyDate ≡ reference branch logic on 500 random dates") {
+    for (fmt <- Seq("fr_FR", "en_US")) {
+      val xs = samples(dateGen) ++ Seq("", " ", "10000-01-01")
+      val got = xs.toDF("v")
+        .select(date_format(P.parseShittyDate($"v", fmt),
+          "yyyy-MM-dd HH:mm:ss"))
+        .collect().map(r => Option(r.getString(0)))
+      xs.zip(got).foreach { case (s, g) =>
+        val want = modelDate(s, fmt).map(_.format(Out))
+        assert(g == want, s"parseShittyDate(${s.inspect}, $fmt)")
+      }
+    }
+  }
+
+  test("parseShittyDateTime ≡ reference branch logic on 500 random inputs") {
+    for (fmt <- Seq("en_US", "fr_FR")) {
+      val xs = samples(dateTimeGen) ++ Seq("", "10000-01-01 0:00:00")
+      val got = xs.toDF("v")
+        .select(date_format(P.parseShittyDateTime($"v", fmt),
+          "yyyy-MM-dd HH:mm:ss"))
+        .collect().map(r => Option(r.getString(0)))
+      xs.zip(got).foreach { case (s, g) =>
+        val want = modelDateTime(s, fmt).map(_.format(Out))
+        assert(g == want, s"parseShittyDateTime(${s.inspect}, $fmt)")
+      }
+    }
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String =
       "\"" + s.flatMap {
