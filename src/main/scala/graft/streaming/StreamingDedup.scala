@@ -102,10 +102,13 @@ object StreamingDedup {
       else spark.read.schema(indexSchema).parquet(priorDeltas: _*)
 
     val batchIdx = Dedup.bandIndex(batch, bands, rowsPerBand)
-    // the comparison join is (micro-batch bands) ⋈ (index bands)
-    val pairs = batchIdx
-      .join(prior.withColumnRenamed("doc_id", "matched_id"),
-        Seq("band", "bh"))
+    // The micro-batch side BROADCASTS: the (large) committed index then
+    // streams through a map-side hash join — no shuffle of the index,
+    // ever. A hash-partitioned join here would re-exchange the full
+    // index on every batch, which is the one shape that cannot survive
+    // an ever-growing corpus.
+    val pairs = prior.withColumnRenamed("doc_id", "matched_id")
+      .join(broadcast(batchIdx), Seq("band", "bh"))
       .select(col("doc_id"), col("matched_id"))
       .distinct()
     publish(pairs, pairsRoot, s"p$batchId")

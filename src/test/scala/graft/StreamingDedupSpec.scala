@@ -77,6 +77,21 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.committedDeltas(idx).length == 2)
   }
 
+  test("comparison join broadcasts the batch, never shuffles the index") {
+    val (idx, prs) = freshRoots("sdedup_plan")
+    StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs)
+    val prior = StreamingDedup.readIndex(spark, idx)
+      .withColumnRenamed("doc_id", "matched_id")
+    val batchIdx = graft.operators.Dedup.bandIndex(df(9L -> docANear))
+    val plan = prior
+      .join(org.apache.spark.sql.functions.broadcast(batchIdx),
+        Seq("band", "bh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index would be shuffled per batch:\n$plan")
+  }
+
   test("end-to-end over a MemoryStream") {
     val (idx, prs) = freshRoots("sdedup_e2e")
     val ckpt = s"target/test-tmp/sdedup_e2e/ckpt"
