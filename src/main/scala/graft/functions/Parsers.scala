@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   */
 object Parsers {
 
+  /** Python `str.strip()` analogue: trims ASCII whitespace from both ends
+    * (Spark's bare `trim` strips SPACES only — a tab-padded value must
+    * still parse like the reference). */
+  private def pyStrip(c: Column): Column = trim(c, " \t\n\u000B\f\r")
+
   // ---------------------------------------------------------------- booleans
 
   /** Truthy tokens per formatting.py:178 (case-insensitive, incl. fr). */
@@ -39,7 +44,7 @@ object Parsers {
   /** formatting.py:195 `str2strnullable` — trim; empty → NULL; optional
     * max-length truncation (applied after trim). */
   def str2strnullable(c: Column, maxlength: Option[Int] = None): Column = {
-    val t = trim(c)
+    val t = pyStrip(c)
     val v = maxlength.map(n => substring(t, 1, n)).getOrElse(t)
     when(c.isNull || t === "", lit(null).cast(StringType)).otherwise(v)
   }
@@ -51,16 +56,31 @@ object Parsers {
 
   /** formatting.py:231 `str2intnullable` — strict integer syntax only.
     * ANSI `try_cast` string→bigint has exactly Python `int()`'s accept set
-    * on the reference's vectors ("42.56"/""/"foobar"/"4e2" → NULL,
+    * on the reference's vectors ("42.56"/""/"foobar"/"4e2"/"0x1A" → NULL,
     * " 42 "/"+7" → value) and generates a plain null-producing cast
     * instead of a CASE WHEN + RLIKE pair — cheaper, and it keeps the
-    * upsert merge filter codegen-friendly. */
+    * upsert merge filter codegen-friendly. Documented divergence:
+    * Python's underscored literals ("1_0") parse to NULL here. */
   def str2intnullable(c: Column): Column =
-    trim(c).try_cast(LongType)
+    pyStrip(c).try_cast(LongType)
 
-  /** formatting.py:265 `str2floatnullable` — `float(v.strip())` or NULL. */
-  def str2floatnullable(c: Column): Column =
-    trim(c).try_cast(DoubleType)
+  /** formatting.py:265 `str2floatnullable` — `float(v.strip())` or NULL.
+    * Python's special spellings (inf/infinity/nan, any case, signed) are
+    * honored explicitly; Java-only literal forms that `float()` rejects —
+    * type suffixes ("1.0f", "2d") and hex floats ("0x1p3") — are guarded
+    * to NULL before the cast. Remaining documented divergence: Python's
+    * underscored literals ("1_0.5") parse to NULL here. */
+  def str2floatnullable(c: Column): Column = {
+    val t = pyStrip(c)
+    val lt = lower(t)
+    when(lt.isin("inf", "infinity", "+inf", "+infinity"),
+      lit(Double.PositiveInfinity))
+      .when(lt.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+      .when(lt.isin("nan", "+nan", "-nan"), lit(Double.NaN))
+      .when(t.rlike("(?i)[fd]$") || t.rlike("(?i)^[+-]?0x"),
+        lit(null).cast(DoubleType))
+      .otherwise(t.try_cast(DoubleType))
+  }
 
   // ----------------------------------------------------------------- amounts
 
@@ -69,7 +89,7 @@ object Parsers {
     * strips regular, no-break and narrow-no-break spaces; empty/`-` → "0".
     * Returns a STRING (like the reference); see str2int/floatamount. */
   def formatMontant(c: Column, shittyFormat: String = "en_US"): Column = {
-    val stripped = trim(c)
+    val stripped = pyStrip(c)
     val neg = when(
       stripped.contains("("),
       concat(lit("-"), regexp_replace(stripped, "[()]", ""))
@@ -108,7 +128,7 @@ object Parsers {
     * with a locale-primary format and a swapped fallback. Single-digit day /
     * month accepted (Python's strptime is lenient there too). */
   def parseShittyDate(c: Column, shittyFormat: String = "fr_FR"): Column = {
-    val s = trim(c)
+    val s = pyStrip(c)
     val fr = shittyFormat == "fr_FR"
     val slash =
       if (fr) Seq("d/M/yyyy", "M/d/yyyy") else Seq("M/d/yyyy", "d/M/yyyy")
@@ -128,7 +148,7 @@ object Parsers {
   /** formatting.py:360 `parseShittyDateTime` — note the reference's default
     * locale here is en_US (the reverse of parseShittyDate). */
   def parseShittyDateTime(c: Column, shittyFormat: String = "en_US"): Column = {
-    val s = trim(c)
+    val s = pyStrip(c)
     val us = shittyFormat == "en_US"
     val slash =
       if (us) Seq("M/d/yyyy H:m:s", "d/M/yyyy H:m:s")
@@ -147,7 +167,7 @@ object Parsers {
     * as whole seconds (LongType): parquet/oracle-friendly, unlike interval
     * types, and losslessly equal to the reference's timedelta. */
   def parseShittyTime(c: Column): Column = {
-    val s = trim(c)
+    val s = pyStrip(c)
     val t = try_to_timestamp(s, lit("H:m:s"))
     when(c.isNull || s === "", lit(null).cast(LongType))
       .otherwise(hour(t) * 3600L + minute(t) * 60L + second(t))
@@ -236,7 +256,7 @@ object Parsers {
 
   /** formatting.py:82 `dump_str` — NULL/blank → "-". */
   def dumpStr(c: Column): Column =
-    when(c.isNull || trim(c) === "", lit("-")).otherwise(c)
+    when(c.isNull || pyStrip(c) === "", lit("-")).otherwise(c)
 
   /** formatting.py:39 `dump_gps` — POINT → "lat, lng" with 6 decimals; here
     * the geography is a struct<lat:double,lng:double> column. */

@@ -153,15 +153,22 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming must be in [0,16], got $maxHamming")
     val numChunks = maxHamming + 1
-    val chunkBits = (64 + numChunks - 1) / numChunks
-    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
+    // Distribute the 64 bits over numChunks DISJOINT chunks with widths
+    // differing by at most one (a uniform ceil width would leave the last
+    // chunk past bit 63 — Java shifts reduce mod 64, silently aliasing it
+    // onto chunk 0 and voiding the pigeonhole guarantee).
+    val base = 64 / numChunks
+    val extra = 64 % numChunks
+    val widths = (0 until numChunks).map(b => if (b < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSim = docs.select(col("doc_id"), simhash(col("text")).as("sim"))
     val banded = capBuckets(
       withSim.select(
         col("doc_id"), col("sim"),
         explode(array((0 until numChunks).map { b =>
+          val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("sim"), b * chunkBits)
+            shiftrightunsigned(col("sim"), offsets(b))
               .bitwiseAND(lit(mask)).as("chunk"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("sim"),

@@ -76,11 +76,14 @@ object Multimodal {
   // ----------------------------------------------------------- real images
 
   /** In-JVM image decode (javax.imageio: PNG/JPEG/BMP/GIF). None when the
-    * payload is null or not a decodable image. */
+    * payload is null or not a decodable image — including payloads with a
+    * valid magic header but corrupt innards, where ImageIO codecs throw
+    * RuntimeExceptions rather than IOException; one bad row must not kill
+    * a 100 TB job. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     Option(payload).flatMap { b =>
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Pixel-derived features from a decoded image: a 4×4 grid of grayscale

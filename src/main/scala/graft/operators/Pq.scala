@@ -119,15 +119,7 @@ object Pq {
       tableCol(col("embedding"), cb).as("qtable"))
     val scored = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine", lookupCol(col("codes"), col("qtable"), ksub))
-    val B = org.apache.spark.sql.graft.Bridge
-    val topk = B.column(TopKByScore(
-      B.expression(col("cosine")), B.expression(col("vec_id")), k)
-      .toAggregateExpression())
-    scored.groupBy("query_id").agg(topk.as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
-      .select(col("query_id"), col("e.id").as("vec_id"),
-        col("e.score").as("score"),
-        (col("r0") + 1).cast(IntegerType).as("rank"))
+    Similarity.rankTopK(scored, k, scoreName = "score")
   }
 
   /** IVF × PQ — the composed 100 TB shape (what FAISS calls IVFPQ):
@@ -167,14 +159,7 @@ object Pq {
     val scored = coded.join(q, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", lookupCol(col("codes"), col("qtable"), ksub))
-    val topk = B.column(TopKByScore(
-      B.expression(col("cosine")), B.expression(col("vec_id")), k)
-      .toAggregateExpression())
-    scored.groupBy("query_id").agg(topk.as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
-      .select(col("query_id"), col("e.id").as("vec_id"),
-        col("e.score").as("score"),
-        (col("r0") + 1).cast(IntegerType).as("rank"))
+    Similarity.rankTopK(scored, k, scoreName = "score")
   }
 
   private[operators] def normalize(v: Array[Float]): Array[Float] = {

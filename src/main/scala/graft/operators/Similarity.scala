@@ -29,8 +29,11 @@ object Similarity {
     * per (query, partition) into the exchange — versus the earlier
     * `row_number().over(Window.partitionBy(query_id))`, which funneled
     * every scored candidate of a query into one task (for brute force,
-    * the entire corpus). Expects columns query_id, vec_id, cosine. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    * the entire corpus). Expects columns query_id, vec_id, cosine;
+    * `scoreName` names the output score column (shared with the PQ
+    * paths, which emit "score"). */
+  private[operators] def rankTopK(
+      scored: DataFrame, k: Int, scoreName: String = "cosine"): DataFrame = {
     val B = org.apache.spark.sql.graft.Bridge
     val topk = B.column(TopKByScore(
       B.expression(col("cosine")), B.expression(col("vec_id")), k)
@@ -38,7 +41,7 @@ object Similarity {
     scored.groupBy("query_id").agg(topk.as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.id").as("vec_id"),
-        col("e.score").as("cosine"),
+        col("e.score").as(scoreName),
         (col("r0") + 1).cast(IntegerType).as("rank"))
   }
 
@@ -186,8 +189,12 @@ object Similarity {
           xxhash64(col("vec_id"), lit(t)), 11).cast(DoubleType) /
           lit(9007199254740992.0) // 2^53
         val p = least(lit(1.0), lit(l.toDouble) * d2 / lit(total))
+        // Bound the collect against adversarial d² skew; the cap picks
+        // deterministically (hash order), not whichever partitions answer
+        // first, so reruns stay bit-identical even when it binds.
         val picked = corpus.filter(u < p)
-          .limit(8 * l) // bound the collect against adversarial skew
+          .orderBy(xxhash64(col("vec_id"), lit(t)), col("vec_id"))
+          .limit(8 * l)
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toIndexedSeq)
         cents = cents ++ picked

@@ -17,9 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics replicate the composed built-ins bit-for-bit (the DuckDB
   * oracles recompute them in SQL):
-  *  - tokens: ASCII-space trim, then Java `split("\\s+")` — a leading
-  *    non-space whitespace char yields an empty first token, trailing
-  *    empties drop; empty/null text → 0 tokens;
+  *  - tokens: ASCII-space trim, then Spark `split("\\s+")` (limit −1) —
+  *    leading or trailing non-space whitespace each contribute one empty
+  *    token; empty/null text → 0 tokens;
   *  - punct: Java `\p{Punct}` = ASCII 33-47, 58-64, 91-96, 123-126;
   *  - chars: code points, like Spark's `length`;
   *  - stopword hits: case-insensitive token membership, counted per
@@ -67,6 +67,8 @@ case class TextStats(child: Expression)
     var es = 0L
     if (to > from) {
       if (isWs(s.charAt(from))) nToks += 1 // split's leading empty token
+      if (isWs(s.charAt(to - 1))) nToks += 1 // split(limit=-1) KEEPS one
+      // trailing empty token when the trimmed text ends in whitespace
       var p = from
       while (p < to) {
         if (isWs(s.charAt(p))) { p += 1 }

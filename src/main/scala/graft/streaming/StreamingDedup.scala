@@ -102,15 +102,25 @@ object StreamingDedup {
       else spark.read.schema(indexSchema).parquet(priorDeltas: _*)
 
     val batchIdx = Dedup.bandIndex(batch, bands, rowsPerBand)
-    // The micro-batch side BROADCASTS: the (large) committed index then
-    // streams through a map-side hash join — no shuffle of the index,
-    // ever. A hash-partitioned join here would re-exchange the full
-    // index on every batch, which is the one shape that cannot survive
-    // an ever-growing corpus.
-    val pairs = prior.withColumnRenamed("doc_id", "matched_id")
+    // Cross-batch candidates: the micro-batch side BROADCASTS, so the
+    // (large) committed index streams through a map-side hash join — no
+    // shuffle of the index, ever. A hash-partitioned join here would
+    // re-exchange the full index on every batch, which is the one shape
+    // that cannot survive an ever-growing corpus.
+    val crossPairs = prior.withColumnRenamed("doc_id", "matched_id")
       .join(broadcast(batchIdx), Seq("band", "bh"))
       .select(col("doc_id"), col("matched_id"))
-      .distinct()
+    // Within-batch candidates: two near-dups arriving in the SAME batch
+    // never meet the prior index, so the batch also self-joins (micro-
+    // batch-sized on both sides; ordered so each pair appears once).
+    val a = batchIdx.alias("a")
+    val b = batchIdx.alias("b")
+    val selfPairs = a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("matched_id"))
+    val pairs = crossPairs.union(selfPairs).distinct()
     publish(pairs, pairsRoot, s"p$batchId")
 
     if (priorDeltas.length + 1 > compactEvery) {

@@ -118,6 +118,19 @@ class DedupSpec extends SparkSpec {
     assert(sig.forall(_ != Long.MaxValue))
   }
 
+  test("simhash banding at the max radius keeps the pigeonhole guarantee") {
+    // All 17 chunks at maxHamming=16 must cover REAL bits (a uniform ceil
+    // width would alias the 17th chunk onto chunk 0 via Java's mod-64
+    // shift); any pair within a smaller radius must a fortiori be found
+    // at the larger one.
+    def pairs(h: Int) = Dedup.simhashDups(docs, maxHamming = h)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p3 = pairs(3)
+    val p16 = pairs(16)
+    assert(p3.nonEmpty && p3.subsetOf(p16), s"p3=$p3 p16=$p16")
+  }
+
   test("bucket-size cap defuses an adversarial hot bucket") {
     // 300 byte-identical boilerplate docs share EVERY band hash → one
     // degenerate bucket per band, ~300²/2 candidate pairs without the

@@ -85,6 +85,12 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 3 && feats.forall(_.isNullAt(1)))
   }
 
+  test("corrupt payload with a valid PNG magic header decodes to None") {
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0D, 0x0A, 0x1A, 0x0A) ++ Array.fill[Byte](32)(0x42)
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+  }
+
   test("real resize: payload re-encoded at target dims") {
     val imgs = Multimodal.syntheticImages(spark, 3, w = 16, h = 16)
     val resized = Multimodal.resizeImages(imgs, 8, 8)

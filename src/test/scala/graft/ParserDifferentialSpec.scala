@@ -32,10 +32,19 @@ class ParserDifferentialSpec extends SparkSpec {
     else None
   }
 
-  /** float(v.strip()) or None (formatting.py:265). */
+  /** float(v.strip()) or None (formatting.py:265) — including Python's
+    * case-insensitive inf/infinity/nan spellings, which Java's parser
+    * does NOT share (and excluding Java-only suffix/hex forms). */
   private def modelFloat(s: String): Option[Double] = {
     val t = s.trim
-    if (FloatRe.findFirstIn(t).isDefined) Some(t.toDouble) else None
+    t.toLowerCase match {
+      case "inf" | "infinity" | "+inf" | "+infinity" =>
+        Some(Double.PositiveInfinity)
+      case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+      case "nan" | "+nan" | "-nan" => Some(Double.NaN)
+      case _ =>
+        if (FloatRe.findFirstIn(t).isDefined) Some(t.toDouble) else None
+    }
   }
 
   /** formatMontant (formatting.py:134): strip, (x) → -x, locale separator
@@ -69,7 +78,11 @@ class ParserDifferentialSpec extends SparkSpec {
       Gen.choose(-999999L, 999999L).map(_.toString),
       Gen.choose(-9999.0, 9999.0).map(d => f"$d%.4f"),
       Gen.oneOf("", " ", "-", "+", ".", "1.2.3", "4e2", "e4", "abc",
-        "12abc", "  42  ", "+007", "-0", ".5", "5."),
+        "12abc", "  42  ", "+007", "-0", ".5", "5.",
+        // Java-only literal forms Python float() rejects
+        "1.0f", "2d", "42F", "0x1p3", "-0X2A",
+        // Python's special float spellings
+        "inf", "Infinity", "-INF", "+infinity"),
       for {
         sign <- Gen.oneOf("", "+", "-")
         a <- Gen.choose(0, 99999)
@@ -207,7 +220,7 @@ class ParserDifferentialSpec extends SparkSpec {
     (d, m) = if (flip) (b, a) else (a, b)
     pad <- Gen.oneOf(false, true)
     sep <- Gen.oneOf("/", ".", "-")
-    sp <- Gen.oneOf("", " ", "  ")
+    sp <- Gen.oneOf("", " ", "  ", "\t", "\n")
   } yield {
     def two(v: Int) = if (pad) f"$v%02d" else v.toString
     val core = sep match {

@@ -48,6 +48,15 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.committedDeltas(idx).length == 3)
   }
 
+  test("near-dups arriving in the SAME batch are paired") {
+    val (idx, prs) = freshRoots("sdedup_within")
+    StreamingDedup.applyBatch(df(1L -> docB), 0L, idx, prs)
+    // docs 2 and 3 are near-dups of each other and arrive together
+    StreamingDedup.applyBatch(df(2L -> docA, 3L -> docANear), 1L, idx, prs)
+    val p1 = pairsOf(prs, 1L)
+    assert(p1.contains((3L, 2L)), s"within-batch pair missed: $p1")
+  }
+
   test("compaction bounds the delta count, detection still works") {
     val (idx, prs) = freshRoots("sdedup_compact")
     StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs,

@@ -76,6 +76,19 @@ class TextSpec extends SparkSpec {
     assert(summary(0).getAs[Long]("duration_s") == 600L)
   }
 
+  test("TextStats token count matches split semantics on whitespace edges") {
+    // Spark split(limit -1) keeps leading AND trailing empty tokens for
+    // non-space whitespace that survives the space-only trim; the
+    // one-walk kernel must agree exactly with the built-in composition.
+    val df = Seq("alpha beta\t", "\t", "x\t\t", "\tx", "", "a b", " pad ")
+      .toDF("text")
+    val kernel = df.select(T.stats($"text").getField("n_tokens"))
+      .collect().map(_.getLong(0)).toSeq
+    val builtin = df.select(T.tokenCount($"text"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(kernel == builtin, s"kernel=$kernel builtin=$builtin")
+  }
+
   test("sessionize works with custom column names and no id column") {
     val df = Seq(
       (100L, "2024-01-01 10:00:00"),
