@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.FormatList
-import graft.operators.{CosineSim, HyperplaneBits, MinHashSig, Shingles, SimHash64}
+import graft.operators.{CosineSim, HyperplaneBits, L2Normalize, MinHashSig, Shingles, SimHash64, TextStats}
 import graft.sources.CsvLine
 
 /** Exposes graft's custom Catalyst expressions to SQL.
@@ -51,7 +51,9 @@ object GraftExtensions {
       if (es.length > 2) intArg(es(2)) else 32)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "hyperplane_bits" -> (es => HyperplaneBits(es.head,
-      if (es.length > 1) intArg(es(1)) else 8)))
+      if (es.length > 1) intArg(es(1)) else 8)),
+    "text_stats" -> (es => TextStats(es.head)),
+    "l2_normalize" -> (es => L2Normalize(es.head)))
 
   /** Registers all graft SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

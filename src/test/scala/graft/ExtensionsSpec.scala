@@ -21,4 +21,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
   }
 
+  test("round-3 kernels are callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq(Tuple1("the cat and the dog"))
+      .toDF("t").createOrReplaceTempView("ext_t3")
+    val r = spark.sql(
+      """SELECT text_stats(t).n_tokens AS nt,
+         text_stats(t).stop_en AS se,
+         l2_normalize(array(3.0f, 4.0f)) AS nv
+         FROM ext_t3""").head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 3L) // "the" twice + "and"; cat/dog aren't
+    val nv = r.getSeq[Float](2)
+    assert(math.abs(nv(0) - 0.6f) < 1e-6 && math.abs(nv(1) - 0.8f) < 1e-6)
+  }
 }
