@@ -19,10 +19,21 @@ import org.apache.spark.sql.types._
   */
 object Parsers {
 
-  /** Python `str.strip()` analogue: trims ASCII whitespace from both ends
-    * (Spark's bare `trim` strips SPACES only — a tab-padded value must
-    * still parse like the reference). */
-  private def pyStrip(c: Column): Column = trim(c, " \t\n\u000B\f\r")
+  /** The characters Python `str.strip()` removes (the `str.isspace()`
+    * set): ASCII whitespace, the C1 separators FS-US + NEL, and the
+    * Unicode spaces — notably U+00A0 NBSP, the standard French padding
+    * character the fr_FR parsers exist for. Shared with the
+    * differential-test model. */
+  val PyWhitespace: String =
+    " \t\n\u000B\f\r" +
+      "\u001C\u001D\u001E\u001F\u0085\u00A0\u1680" +
+      "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007" +
+      "\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
+
+  /** Python `str.strip()` analogue (Spark's bare `trim` strips SPACES
+    * only — a tab- or NBSP-padded value must still parse like the
+    * reference). */
+  private def pyStrip(c: Column): Column = trim(c, PyWhitespace)
 
   // ---------------------------------------------------------------- booleans
 

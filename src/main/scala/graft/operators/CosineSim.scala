@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity between two float-array columns in one tight loop.
   *
@@ -13,8 +13,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
 
+  // Declared input types make SQL/Scala misuse safe: the analyzer inserts
+  // casts (e.g. array<double> → array<float>) or fails analysis instead
+  // of the eval crashing on a mistyped ArrayData at runtime.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
 

@@ -113,7 +113,7 @@ object Dedup {
     * blow-up, which this does. Oversized buckets are overwhelmingly
     * boilerplate/empty content; the recall loss is the standard
     * production trade and is bounded to those buckets. */
-  private[operators] def capBuckets(
+  private[graft] def capBuckets(
       banded: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int): DataFrame = {
@@ -143,9 +143,16 @@ object Dedup {
     * `maxHamming + 1` chunks (pigeonhole: hamming ≤ maxHamming ⇒ at least
     * one identical chunk, so recall within the declared radius is
     * GUARANTEED, not heuristic), bucket-join on any equal chunk, verify
-    * with bit_count(xor). maxHamming=3 gives the classic 4×16-bit layout;
-    * larger radii band into more, narrower chunks (bigger buckets — the
-    * usual recall/cost trade). */
+    * with bit_count(xor). maxHamming=3 gives the classic 4×16-bit layout.
+    *
+    * LARGE RADII vs the skew cap: radii above ~7 shrink chunks below
+    * 8 bits, so a band has at most 2^width (≤ 256) distinct buckets — on
+    * a corpus much larger than maxBucketSize × 2^width, EVERY bucket
+    * exceeds the cap and gets pruned, silently costing the guaranteed
+    * recall. For aggressive radii at corpus scale prefer [[minhashLsh]]
+    * (hash-spread buckets), raise maxBucketSize, or pass
+    * maxBucketSize=0 to disable the cap and accept the quadratic
+    * bucket cost. */
   def simhashDups(
       docs: DataFrame,
       maxHamming: Int = 3,

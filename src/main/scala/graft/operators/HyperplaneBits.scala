@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Random-hyperplane LSH fingerprint of a float vector: bit p is the sign
   * of the dot product with hyperplane p, whose ±1 weights are derived
@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class HyperplaneBits(child: Expression, planes: Int)
     extends UnaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {

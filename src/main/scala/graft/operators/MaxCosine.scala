@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Maximum cosine similarity between a float vector and a literal-embedded
   * centroid set, in one fused pass — the distance kernel k-means||
@@ -13,10 +13,12 @@ case class MaxCosine(
     child: Expression,
     cents: IndexedSeq[IndexedSeq[Float]])
     extends UnaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
 
   require(cents.nonEmpty, "centroid set must be non-empty")
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
 
   @transient private lazy val vecs: Array[Array[Float]] =

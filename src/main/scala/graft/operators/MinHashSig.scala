@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Full MinHash signature (numHashes mins) over a document's word n-gram
   * shingles, computed from the raw text in ONE pass.
@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashSig(child: Expression, ngram: Int, numHashes: Int)
     extends UnaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 

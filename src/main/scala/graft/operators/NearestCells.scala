@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Top-`topCells` nearest IVF centroids (by cosine) of a float vector, in
   * one pass with ZERO shuffle.
@@ -28,7 +28,10 @@ case class NearestCells(
     cents: IndexedSeq[IndexedSeq[Float]],
     topCells: Int)
     extends UnaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   require(cids.length == cents.length && cids.nonEmpty,
     "centroid ids and vectors must align and be non-empty")

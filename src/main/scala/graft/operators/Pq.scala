@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -118,8 +118,8 @@ object Pq {
       col("vec_id").as("query_id"),
       tableCol(col("embedding"), cb).as("qtable"))
     val scored = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", lookupCol(col("codes"), col("qtable"), ksub))
-    Similarity.rankTopK(scored, k, scoreName = "score")
+      .withColumn("score", lookupCol(col("codes"), col("qtable"), ksub))
+    Similarity.rankTopK(scored, k, scoreCol = "score")
   }
 
   /** IVF × PQ — the composed 100 TB shape (what FAISS calls IVFPQ):
@@ -158,8 +158,8 @@ object Pq {
         .as("cid"))
     val scored = coded.join(q, "cid")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", lookupCol(col("codes"), col("qtable"), ksub))
-    Similarity.rankTopK(scored, k, scoreName = "score")
+      .withColumn("score", lookupCol(col("codes"), col("qtable"), ksub))
+    Similarity.rankTopK(scored, k, scoreCol = "score")
   }
 
   private[operators] def normalize(v: Array[Float]): Array[Float] = {
@@ -186,7 +186,8 @@ object Pq {
 
 /** L2-normalized copy of a float vector (zero vector passes through). */
 case class L2Normalize(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData].toFloatArray()
@@ -200,8 +201,10 @@ case class L2Normalize(child: Expression) extends UnaryExpression
 /** PQ encode: L2-normalize, split into m subvectors, emit the nearest
   * sub-centroid id per subspace (L2 distance; ties → lower id). */
 case class PqCodes(child: Expression, cb: Pq.Codebooks)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
 
@@ -247,8 +250,10 @@ case class PqCodes(child: Expression, cb: Pq.Codebooks)
 /** Per-query ADC table: flat array<float> of m × ksub entries, entry
   * (j, c) = <normalized-query subvector j, codebook j centroid c>. */
 case class PqTable(child: Expression, cb: Pq.Codebooks)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   @transient private lazy val books: Array[Array[Array[Float]]] =
@@ -286,8 +291,11 @@ case class PqTable(child: Expression, cb: Pq.Codebooks)
 
 /** ADC score: sum of m table lookups — the per-pair cost PQ buys. */
 case class PqLookup(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
 

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** 64-bit SimHash over a document's normalized word tokens, computed from
   * the raw text in one pass ([[TextNorm.tokenize]] — no interpreted regex
@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * equivalent; still one narrow pass over the data.
   */
 case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes
     with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {

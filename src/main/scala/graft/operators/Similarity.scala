@@ -29,19 +29,19 @@ object Similarity {
     * per (query, partition) into the exchange — versus the earlier
     * `row_number().over(Window.partitionBy(query_id))`, which funneled
     * every scored candidate of a query into one task (for brute force,
-    * the entire corpus). Expects columns query_id, vec_id, cosine;
-    * `scoreName` names the output score column (shared with the PQ
-    * paths, which emit "score"). */
+    * the entire corpus). Expects columns query_id and vec_id; `scoreCol`
+    * names BOTH the input score column and the output column (the PQ
+    * paths use "score", the cosine paths the default). */
   private[operators] def rankTopK(
-      scored: DataFrame, k: Int, scoreName: String = "cosine"): DataFrame = {
+      scored: DataFrame, k: Int, scoreCol: String = "cosine"): DataFrame = {
     val B = org.apache.spark.sql.graft.Bridge
     val topk = B.column(TopKByScore(
-      B.expression(col("cosine")), B.expression(col("vec_id")), k)
+      B.expression(col(scoreCol)), B.expression(col("vec_id")), k)
       .toAggregateExpression())
     scored.groupBy("query_id").agg(topk.as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "e")))
       .select(col("query_id"), col("e.id").as("vec_id"),
-        col("e.score").as(scoreName),
+        col("e.score").as(scoreCol),
         (col("r0") + 1).cast(IntegerType).as("rank"))
   }
 

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Nondeterministic, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -20,8 +20,9 @@ import graft.mapping.Mapping
   * importsource.py:170. Row-wise by nature, hence an eval expression.
   */
 case class CsvLine(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+    with ImplicitCastInputTypes with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
@@ -58,8 +59,10 @@ case class CsvLine(child: Expression) extends UnaryExpression
   * reordering the header-skip filter below the index assignment.
   */
 case class PerBlockLineIndex(blockStart: Expression, filePath: Expression)
-    extends Expression with Nondeterministic with CodegenFallback {
+    extends Expression with Nondeterministic with ImplicitCastInputTypes
+    with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
   override def children: Seq[Expression] = Seq(blockStart, filePath)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

@@ -82,7 +82,9 @@ object StreamingDedup {
       pairsRoot: String,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      compactEvery: Int = 8): Unit = {
+      compactEvery: Int = 8,
+      maxBucketSize: Int = 10000,
+      maxBroadcastRows: Long = 2000000L): Unit = {
     val spark = batch.sparkSession
     val self = s"d$batchId"
     val all = committedDeltas(indexRoot)
@@ -101,40 +103,57 @@ object StreamingDedup {
           indexSchema)
       else spark.read.schema(indexSchema).parquet(priorDeltas: _*)
 
-    val batchIdx = Dedup.bandIndex(batch, bands, rowsPerBand)
-    // Cross-batch candidates: the micro-batch side BROADCASTS, so the
-    // (large) committed index streams through a map-side hash join — no
-    // shuffle of the index, ever. A hash-partitioned join here would
-    // re-exchange the full index on every batch, which is the one shape
-    // that cannot survive an ever-growing corpus.
-    val crossPairs = prior.withColumnRenamed("doc_id", "matched_id")
-      .join(broadcast(batchIdx), Seq("band", "bh"))
-      .select(col("doc_id"), col("matched_id"))
-    // Within-batch candidates: two near-dups arriving in the SAME batch
-    // never meet the prior index, so the batch also self-joins (micro-
-    // batch-sized on both sides; ordered so each pair appears once).
-    val a = batchIdx.alias("a")
-    val b = batchIdx.alias("b")
-    val selfPairs = a.join(b,
-      col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"),
-        col("b.doc_id").as("matched_id"))
-    val pairs = crossPairs.union(selfPairs).distinct()
-    publish(pairs, pairsRoot, s"p$batchId")
+    // Batch bands: computed ONCE (persisted — they feed the broadcast,
+    // both self-join sides and the delta publish), skew-capped like the
+    // batch-path minhashLsh so one degenerate bucket can't go quadratic.
+    val batchIdx = Dedup.capBuckets(
+      Dedup.bandIndex(batch, bands, rowsPerBand),
+      Seq("band", "bh"), maxBucketSize).persist()
+    val batchRows = batchIdx.count()
+    try {
+      // Cross-batch candidates: for normal micro-batches the batch side
+      // broadcasts, so the (large) committed index streams through a
+      // map-side hash join — the index is never shuffled. An oversized
+      // batch (e.g. the first AvailableNow backlog) would blow the 8 GB
+      // broadcast limit, so above maxBroadcastRows it falls back to a
+      // plain equi-join: slower, never fatal.
+      val batchSide =
+        if (batchRows <= maxBroadcastRows) broadcast(batchIdx) else batchIdx
+      val crossPairs = prior.withColumnRenamed("doc_id", "matched_id")
+        .join(batchSide, Seq("band", "bh"))
+        .select(col("doc_id"), col("matched_id"))
+      // Within-batch candidates: two near-dups arriving in the SAME batch
+      // never meet the prior index, so the (capped) batch also self-joins.
+      val a = batchIdx.alias("a")
+      val b = batchIdx.alias("b")
+      val selfPairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          col("b.doc_id").as("matched_id"))
+      val pairs = crossPairs.union(selfPairs).distinct()
+      publish(pairs, pairsRoot, s"p$batchId")
 
-    if (priorDeltas.length + 1 > compactEvery) {
-      // compact prior deltas + this batch into a single delta, then drop
-      // the superseded dirs (readers only ever see committed sets);
-      // distinct() self-heals any double-counted bands a crashed
-      // partial-deletion attempt may have left behind
-      publish(prior.union(batchIdx).distinct(), indexRoot, self)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      priorDeltas.foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    } else {
-      publish(batchIdx, indexRoot, self)
+      if (priorDeltas.length + 1 > compactEvery) {
+        // Compact prior deltas + this batch into a single delta, then drop
+        // the superseded dirs (readers only ever see committed sets).
+        // distinct() self-heals double-counted bands from a crashed
+        // partial deletion, and the re-cap bounds hot buckets that
+        // ACCUMULATED across deltas (each delta is capped at write, so
+        // between compactions a bucket holds ≤ compactEvery × cap rows).
+        publish(
+          Dedup.capBuckets(prior.union(batchIdx).distinct(),
+            Seq("band", "bh"), maxBucketSize),
+          indexRoot, self)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        priorDeltas.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      } else {
+        publish(batchIdx, indexRoot, self)
+      }
+    } finally {
+      batchIdx.unpersist()
     }
   }
 
@@ -148,13 +167,15 @@ object StreamingDedup {
       checkpoint: String,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      compactEvery: Int = 8): StreamingQuery =
+      compactEvery: Int = 8,
+      maxBucketSize: Int = 10000,
+      maxBroadcastRows: Long = 2000000L): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, indexRoot, pairsRoot, bands,
-          rowsPerBand, compactEvery)
+          rowsPerBand, compactEvery, maxBucketSize, maxBroadcastRows)
       }
       .start()
 }

@@ -24,9 +24,15 @@ class ParserDifferentialSpec extends SparkSpec {
   private val IntRe = "^[+-]?\\d+$".r
   private val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
 
+  /** Python str.strip(): same character set the implementation trims. */
+  private def pyStrip(s: String): String = {
+    val ws = P.PyWhitespace.toSet
+    s.dropWhile(ws).reverse.dropWhile(ws).reverse
+  }
+
   /** int(v.strip()) or None (formatting.py:231). */
   private def modelInt(s: String): Option[Long] = {
-    val t = s.trim
+    val t = pyStrip(s)
     if (IntRe.findFirstIn(t).isDefined)
       try Some(java.lang.Long.parseLong(t)) catch { case _: Exception => None }
     else None
@@ -36,7 +42,7 @@ class ParserDifferentialSpec extends SparkSpec {
     * case-insensitive inf/infinity/nan spellings, which Java's parser
     * does NOT share (and excluding Java-only suffix/hex forms). */
   private def modelFloat(s: String): Option[Double] = {
-    val t = s.trim
+    val t = pyStrip(s)
     t.toLowerCase match {
       case "inf" | "infinity" | "+inf" | "+infinity" =>
         Some(Double.PositiveInfinity)
@@ -50,7 +56,7 @@ class ParserDifferentialSpec extends SparkSpec {
   /** formatMontant (formatting.py:134): strip, (x) → -x, locale separator
     * normalization, drop spaces incl. U+00A0/U+202F, empty/"-" → "0". */
   private def modelMontant(s: String, fmt: String): String = {
-    val stripped = s.trim
+    val stripped = pyStrip(s)
     val neg =
       if (stripped.contains("(")) "-" + stripped.replaceAll("[()]", "")
       else stripped
@@ -90,9 +96,9 @@ class ParserDifferentialSpec extends SparkSpec {
         b <- Gen.oneOf("", Gen.choose(0, 999).sample.getOrElse(0).toString)
       } yield s"$sign$a$dot$b")
     for {
-      pre <- Gen.oneOf("", " ", "\t")
+      pre <- Gen.oneOf("", " ", "\t", "\u00a0")
       c <- core
-      post <- Gen.oneOf("", " ", "  ")
+      post <- Gen.oneOf("", " ", "  ", "\u00a0", "\n")
     } yield pre + c + post
   }
 
@@ -178,7 +184,7 @@ class ParserDifferentialSpec extends SparkSpec {
   private val MaxDt = java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59)
 
   private def modelDate(s: String, fmt: String): Option[java.time.LocalDateTime] = {
-    val t = s.trim
+    val t = pyStrip(s)
     val fr = fmt == "fr_FR"
     if (t.contains("/"))
       tryPat(t, if (fr) "d/M/uuuu" else "M/d/uuuu")
@@ -192,7 +198,7 @@ class ParserDifferentialSpec extends SparkSpec {
   }
 
   private def modelDateTime(s: String, fmt: String): Option[java.time.LocalDateTime] = {
-    val t = s.trim
+    val t = pyStrip(s)
     val us = fmt == "en_US"
     if (t.contains("/"))
       tryPat(t, if (us) "M/d/uuuu H:m:s" else "d/M/uuuu H:m:s")
@@ -220,7 +226,7 @@ class ParserDifferentialSpec extends SparkSpec {
     (d, m) = if (flip) (b, a) else (a, b)
     pad <- Gen.oneOf(false, true)
     sep <- Gen.oneOf("/", ".", "-")
-    sp <- Gen.oneOf("", " ", "  ", "\t", "\n")
+    sp <- Gen.oneOf("", " ", "  ", "\t", "\n", "\u00a0")
   } yield {
     def two(v: Int) = if (pad) f"$v%02d" else v.toString
     val core = sep match {
