@@ -149,9 +149,16 @@ object Upsert {
     }
 
     // Change flags (comparator-aware) — drive `updated` stats and history.
+    // A frozen column (update disabled by mode or policy) can never change:
+    // short-circuit to false instead of building `equalTo(tgtV, tgtV)`,
+    // which is semantically identical but makes Spark log a trivially-true-
+    // predicate WARN per column per run.
     def changed(name: String, spec: ColSpec): Column = {
-      val newV = updatedValue(name, spec)
-      matched && !spec.opts.equalTo(newV, col(name))
+      if (!mode.canUpdate || !spec.opts.shouldUpdate) lit(false)
+      else {
+        val newV = updatedValue(name, spec)
+        matched && !spec.opts.equalTo(newV, col(name))
+      }
     }
     val anyChange = cols.map { case (n, s) => changed(n, s) }
       .reduceOption(_ || _).getOrElse(lit(false))

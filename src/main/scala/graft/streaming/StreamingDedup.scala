@@ -34,20 +34,29 @@ object StreamingDedup {
       nullable = false),
     StructField("bh", LongType, nullable = false)))
 
-  /** Committed delta dirs (name `d<n>`, `_SUCCESS` present), sorted. */
-  def committedDeltas(indexRoot: String): Seq[String] = {
-    val root = new java.io.File(indexRoot)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("d")
-        && new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName)
+  /** Committed delta dirs (name `d<n>`, `_SUCCESS` present), sorted.
+    * Listed through the Hadoop FileSystem API — the index lives on
+    * cluster storage (HDFS/S3), where a `java.io.File` listing would
+    * silently return nothing and every batch would publish pairs against
+    * an empty index. */
+  def committedDeltas(spark: SparkSession, indexRoot: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("d") &&
+        st.getPath.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+      }
+      .map(_.getPath.getName)
       .sortBy(_.stripPrefix("d").toLong)
       .map(n => s"$indexRoot/$n")
   }
 
   /** The full committed index (empty frame when none). */
   def readIndex(spark: SparkSession, indexRoot: String): DataFrame = {
-    val deltas = committedDeltas(indexRoot)
+    val deltas = committedDeltas(spark, indexRoot)
     if (deltas.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -87,7 +96,7 @@ object StreamingDedup {
       maxBroadcastRows: Long = 2000000L): Unit = {
     val spark = batch.sparkSession
     val self = s"d$batchId"
-    val all = committedDeltas(indexRoot)
+    val all = committedDeltas(spark, indexRoot)
     if (all.exists(_.endsWith(s"/$self"))) {
       // Replay of a FULLY published batch (delta commit is the last
       // write): pairs/p<batchId> is already on disk and the comparison

@@ -45,7 +45,7 @@ class StreamingDedupSpec extends SparkSpec {
       s"missed cross-batch near-dups: $p2")
     assert(!p2.exists(_._2 == 2L) && !p2.exists(_._2 == 3L),
       s"false positives vs distinct docs: $p2")
-    assert(StreamingDedup.committedDeltas(idx).length == 3)
+    assert(StreamingDedup.committedDeltas(spark, idx).length == 3)
   }
 
   test("near-dups arriving in the SAME batch are paired") {
@@ -66,7 +66,7 @@ class StreamingDedupSpec extends SparkSpec {
     // third delta would exceed the bound → compacts to ONE dir
     StreamingDedup.applyBatch(df(3L -> docC), 2L, idx, prs,
       compactEvery = 2)
-    assert(StreamingDedup.committedDeltas(idx).length == 1)
+    assert(StreamingDedup.committedDeltas(spark, idx).length == 1)
     // post-compaction arrivals still match pre-compaction docs
     StreamingDedup.applyBatch(df(4L -> docANear), 3L, idx, prs,
       compactEvery = 2)
@@ -83,7 +83,7 @@ class StreamingDedupSpec extends SparkSpec {
     assert(before == Set((2L, 1L)))
     StreamingDedup.applyBatch(df(2L -> docANear), 1L, idx, prs) // replay
     assert(pairsOf(prs, 1L) == before)
-    assert(StreamingDedup.committedDeltas(idx).length == 2)
+    assert(StreamingDedup.committedDeltas(spark, idx).length == 2)
   }
 
   test("comparison join broadcasts the batch, never shuffles the index") {
