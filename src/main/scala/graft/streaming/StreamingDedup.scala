@@ -45,8 +45,12 @@ object StreamingDedup {
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
       .filter { st =>
+        // require a NON-EMPTY numeric suffix: drop(1).forall(_.isDigit)
+        // is vacuously true for a dir named exactly "d", and the sort
+        // below would then throw on "".toLong, failing every batch.
+        val n = st.getPath.getName.drop(1)
         st.isDirectory && st.getPath.getName.startsWith("d") &&
-        st.getPath.getName.drop(1).forall(_.isDigit) &&
+        n.nonEmpty && n.forall(_.isDigit) &&
         fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
       }
       .map(_.getPath.getName)
@@ -64,13 +68,17 @@ object StreamingDedup {
     else spark.read.schema(indexSchema).parquet(deltas: _*)
   }
 
+  /** Temp-write + atomic-rename publish. The FS is resolved from the
+    * destination path (not `FileSystem.get`): with `root` on a
+    * non-default filesystem, the default FS throws "Wrong FS" on
+    * rename/delete. NOTE: relies on rename atomicity — true on HDFS and
+    * ABFS, NOT on raw S3; document/guard accordingly in deployments. */
   private def publish(df: DataFrame, root: String, name: String): Unit = {
     val spark = df.sparkSession
     val tmp = s"$root/.tmp-$name"
     df.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new java.io.IOException(s"failed to publish $dst")
@@ -154,10 +162,11 @@ object StreamingDedup {
           Dedup.capBuckets(prior.union(batchIdx).distinct(),
             Seq("band", "bh"), maxBucketSize),
           indexRoot, self)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        priorDeltas.foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        priorDeltas.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       } else {
         publish(batchIdx, indexRoot, self)
       }

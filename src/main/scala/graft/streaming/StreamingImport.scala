@@ -22,21 +22,31 @@ object StreamingImport {
     * `_SUCCESS` marker is a torn write from a crashed attempt and must be
     * invisible to readers — the replay of that batch overwrites it. This
     * is what makes at-least-once foreachBatch delivery yield an
-    * exactly-once published state. */
-  def currentVersion(targetRoot: String): Option[String] = {
-    val root = new java.io.File(targetRoot)
-    Option(root.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v")
-          && new java.io.File(f, "_SUCCESS").exists())
-        .map(_.getName.stripPrefix("v").toLong))
-      .filter(_.nonEmpty)
-      .map(vs => s"$targetRoot/v${vs.max}")
+    * exactly-once published state. Listed through the Hadoop FileSystem
+    * resolved FROM THE PATH (not the default FS): the target lives on
+    * cluster storage, where a `java.io.File` listing silently returns
+    * nothing and every batch would re-create the target from scratch. */
+  def currentVersion(spark: SparkSession, targetRoot: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(targetRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val versions = fs.listStatus(root).toSeq
+        .filter { st =>
+          val n = st.getPath.getName.stripPrefix("v")
+          st.isDirectory && st.getPath.getName.startsWith("v") &&
+          n.nonEmpty && n.forall(_.isDigit) &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        }
+        .map(_.getPath.getName.stripPrefix("v").toLong)
+      if (versions.isEmpty) None else Some(s"$targetRoot/v${versions.max}")
+    }
   }
 
   /** Reads the maintained target state (empty-schema DF if none yet). */
   def readTarget(spark: SparkSession, targetRoot: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    currentVersion(targetRoot) match {
+    currentVersion(spark, targetRoot) match {
       case Some(dir) => spark.read.schema(schema).parquet(dir)
       case None => spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
@@ -87,9 +97,15 @@ object StreamingImport {
       .merged
     val tmp = s"$targetRoot/.tmp-v$batchId"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // FS resolved from the destination path, NOT FileSystem.get(conf):
+    // with targetRoot on a non-default filesystem (s3a:// under an HDFS
+    // default) the default FS throws "Wrong FS" on rename/delete.
+    // NOTE: the publish protocol relies on rename atomicity, which HDFS
+    // and ABFS provide but raw S3 does not — on S3, point targetRoot at
+    // an S3Guard/consistent layer or use a manifest commit (see
+    // ManifestTable) instead of directory renames.
     val dst = new org.apache.hadoop.fs.Path(s"$targetRoot/v$batchId")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true) // torn or superseded attempt, readers ignore it
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new java.io.IOException(s"failed to publish $dst")

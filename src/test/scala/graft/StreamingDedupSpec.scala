@@ -101,6 +101,20 @@ class StreamingDedupSpec extends SparkSpec {
       s"index would be shuffled per batch:\n$plan")
   }
 
+  test("stray dir named exactly 'd' does not break delta listing") {
+    val (idx, prs) = freshRoots("sdedup_straydir")
+    StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs)
+    // a directory whose name is just "d" has an EMPTY numeric suffix;
+    // it must be filtered out, not crash the sort with "".toLong
+    new java.io.File(s"$idx/d").mkdirs()
+    new java.io.File(s"$idx/d/_SUCCESS").createNewFile()
+    assert(StreamingDedup.committedDeltas(spark, idx)
+      .forall(_.endsWith("/d0")))
+    // subsequent batches keep working
+    StreamingDedup.applyBatch(df(2L -> docANear), 1L, idx, prs)
+    assert(pairsOf(prs, 1L) == Set((2L, 1L)))
+  }
+
   test("end-to-end over a MemoryStream") {
     val (idx, prs) = freshRoots("sdedup_e2e")
     val ckpt = s"target/test-tmp/sdedup_e2e/ckpt"

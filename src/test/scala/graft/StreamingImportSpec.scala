@@ -103,12 +103,12 @@ class StreamingImportSpec extends SparkSpec {
     torn.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/v1/part-junk.parquet"), "garbage")
-    assert(StreamingImport.currentVersion(root).exists(_.endsWith("/v0")))
+    assert(StreamingImport.currentVersion(spark, root).exists(_.endsWith("/v0")))
 
     // the replay of batch 1 reads v0, publishes a committed v1
     val batch1 = Seq((Seq("2", "beta", "20"), 0L)).toDF("_raw", "_line")
     StreamingImport.applyBatch(batch1, 1L, m, root, schema)
-    assert(StreamingImport.currentVersion(root).exists(_.endsWith("/v1")))
+    assert(StreamingImport.currentVersion(spark, root).exists(_.endsWith("/v1")))
     val state = StreamingImport.readTarget(spark, root, schema)
       .orderBy("id").collect().toSeq
     assert(state == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", 20L)))
