@@ -326,4 +326,38 @@ object ImportPipeline {
     merged.write.mode("overwrite").parquet(path)
     postCommit(merged)
   }
+
+  /** Incremental commit against a [[graft.store.ManifestTable]]: each
+    * source merges into the table in order (source N sees the state as
+    * amended by sources < N, same sequencing as `run`), and each merge
+    * rewrites ONLY the data files of the buckets that source touches —
+    * the batch analogue of the streaming incremental import, sharing the
+    * reference's closest shape to a per-row `session.commit()` without
+    * rewriting the whole target. Hooks run around the whole sequence;
+    * `preCommit`/`postCommit` receive the table state before/after. */
+  def commitIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sources: Seq[SourceDef],
+      nonNullable: Seq[String] = Nil,
+      numBuckets: Int = 16,
+      preCommit: DataFrame => Unit = _ => (),
+      postCommit: DataFrame => Unit = _ => ()): Unit = {
+    import graft.store.ManifestTable
+    preCommit(ManifestTable.read(spark, root, schema))
+    sources.foreach { s =>
+      val flagged = s.shouldImport match {
+        case Some(p) =>
+          s.raw.withColumn(Mapping.IgnoreCol, !coalesce(p, lit(false)))
+        case None => s.raw
+      }
+      val projected = s.mapping.complete(schema).project(flagged)
+      val version =
+        ManifestTable.currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+      ManifestTable.merge(projected, version, s.mapping, root, schema,
+        s.mode, nonNullable, numBuckets, s.rejectWhen)
+    }
+    postCommit(ManifestTable.read(spark, root, schema))
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.types._
 
 import graft.mapping.{ColOpts, Mapping}
+import graft.store.ManifestTable
 import graft.streaming.StreamingImport
 
 class StreamingImportSpec extends SparkSpec {
@@ -85,7 +86,7 @@ class StreamingImportSpec extends SparkSpec {
     assert(once == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", 20L)))
   }
 
-  test("torn version dirs (no _SUCCESS) are invisible to readers") {
+  test("torn data writes (no committed manifest) are invisible to readers") {
     val root = "target/test-tmp/stream_torn"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     def mapping = {
@@ -98,17 +99,22 @@ class StreamingImportSpec extends SparkSpec {
     val batch = Seq((Seq("1", "alpha", "10"), 0L)).toDF("_raw", "_line")
     StreamingImport.applyBatch(batch, 0L, m, root, schema)
 
-    // simulate a crashed attempt at batch 1: directory without _SUCCESS
-    val torn = new java.io.File(s"$root/v1")
-    torn.mkdirs()
+    // simulate a crash BETWEEN the data write and the manifest rename at
+    // batch 1: an orphan data dir (garbage contents) + a torn temp
+    // manifest. No manifest m1 was committed, so readers stay on m0.
+    new java.io.File(s"$root/data/v1/_bucket=0").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/v1/part-junk.parquet"), "garbage")
-    assert(StreamingImport.currentVersion(spark, root).exists(_.endsWith("/v0")))
+      java.nio.file.Paths.get(s"$root/data/v1/_bucket=0/part-junk.parquet"),
+      "garbage")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/manifest/.tmp-m1"), "garbage")
+    assert(ManifestTable.currentVersion(spark, root).contains(0L))
+    assert(StreamingImport.readTarget(spark, root, schema).count() == 1)
 
-    // the replay of batch 1 reads v0, publishes a committed v1
+    // the replay of batch 1 overwrites the orphan dir and commits m1
     val batch1 = Seq((Seq("2", "beta", "20"), 0L)).toDF("_raw", "_line")
     StreamingImport.applyBatch(batch1, 1L, m, root, schema)
-    assert(StreamingImport.currentVersion(spark, root).exists(_.endsWith("/v1")))
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
     val state = StreamingImport.readTarget(spark, root, schema)
       .orderBy("id").collect().toSeq
     assert(state == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", 20L)))

@@ -105,6 +105,29 @@ class UpsertSpec extends SparkSpec {
     assert(s2.getAs[Long]("ignored_not_created") == 1L)
   }
 
+  test("incremental commit on the manifest format matches test_nominal") {
+    val root = "target/test-tmp/upsert_manifest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // bootstrap the table from the existing target, then fold both
+    // sources through incremental merges (only touched buckets rewrite)
+    graft.store.ManifestTable.create(target, "id", root, numBuckets = 4)
+    ImportPipeline.commitIncremental(
+      spark, root, targetSchema,
+      Seq(
+        ImportPipeline.SourceDef(source1, mappingA),
+        ImportPipeline.SourceDef(source2, mappingB, Update)),
+      nonNullable = Seq("col1"))
+    val merged = graft.store.ManifestTable.read(spark, root, targetSchema)
+      .orderBy("id").collect().toSeq
+    assert(merged == Seq(
+      Row(1L, "A", "", "C", "D", 1L, 1L),
+      Row(2L, "E", "F", "G", "H", 2L, 1L),
+      Row(3L, "I", "J", "K", "L", null, 2L)))
+    // two merges on top of the bootstrap version
+    assert(graft.store.ManifestTable.currentVersion(spark, root)
+      .contains(2L))
+  }
+
   test("create-only mode ignores matched rows") {
     val m = mappingA
     val projected = m.complete(targetSchema).project(source1)
