@@ -301,6 +301,31 @@ object SparkEntry {
         .project(Sources.csv(s, f.toString, headerLines = 0))
         .drop(Mapping.LineCol)
     }),
+    "csv_multiline" -> ((s, dir) => {
+      // Records whose quoted name field embeds a NEWLINE — the case the
+      // line-split mode rejects loudly and multiline=true parses exactly
+      // (reference csv.reader spans physical lines, importsource.py:168).
+      val rows = t(s, dir, "nation")
+        .orderBy("n_nationkey")
+        .collect()
+      val csv = "nationkey,name,regionkey\n" + rows.map { r =>
+        s"""${r.get(0)},"${r.get(1)}\n${r.get(1)}",${r.get(2)}"""
+      }.mkString("\n") + "\n"
+      val dirPath = java.nio.file.Paths.get("/root/repo/target/verify_tmp")
+      java.nio.file.Files.createDirectories(dirPath)
+      val f = dirPath.resolve("nation_multiline.csv")
+      java.nio.file.Files.writeString(f, csv)
+      val m = new Mapping()
+      m.auto("id"); m.auto("name"); m.auto("region")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("region", LongType)))
+      m.complete(schema)
+        .project(Sources.csv(s, f.toString, headerLines = 0,
+          multiline = true))
+        .drop(Mapping.LineCol)
+    }),
     "table_source" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val m = new Mapping()
@@ -916,6 +941,10 @@ object SparkEntry {
            FROM rows WHERE trim(raws) = ''""",
       "csv_source" ->
         s"""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region FROM nation""",
+      "csv_multiline" ->
+        s"""SELECT CAST(n_nationkey AS BIGINT) AS id,
+           n_name || chr(10) || n_name AS name,
            CAST(n_regionkey AS BIGINT) AS region FROM nation""",
       "table_source" ->
         s"""SELECT c_custkey AS id, upper(c_name) AS name,

@@ -98,6 +98,12 @@ case class PerBlockLineIndex(blockStart: Expression, filePath: Expression)
 }
 
 object CsvLine {
+  /** Throws on a record whose quoted field never closes. In line-split
+    * mode that is the signature of an embedded-newline record the text
+    * scan broke in two (reference `csv.reader` at importsource.py:168-171
+    * would have spanned the lines) — failing LOUDLY beats silently
+    * parsing two broken rows. Multiline-safe records (quotes balanced,
+    * `\n` inside quotes) parse fine: the newline is just a character. */
   def split(s: String): Seq[String] = {
     val fields = ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -118,11 +124,79 @@ object CsvLine {
       }
       i += 1
     }
+    if (inQuote) throw new IllegalArgumentException(
+      "CSV record ends inside a quoted field (embedded newline split by " +
+      "the line scan, or unbalanced quote). Use Sources.csv(..., " +
+      s"multiline = true) for records spanning lines. Record: " +
+      s"${s.take(80)}")
     fields += cur.toString
     fields.toSeq
   }
 
   def apply(c: Column): Column = Bridge.column(CsvLine(Bridge.expression(c)))
+}
+
+/** Quote-aware RECORD split of a whole file's content — the multiline
+  * analogue of line splitting: a `\n` inside a quoted field is data, a
+  * `\n` outside ends the record (`\r\n` normalized). Tracks the same
+  * field-start/quote state machine as [[CsvLine.split]] but copies
+  * characters verbatim, so each returned record re-parses identically.
+  * A trailing newline terminates the last record without starting a new
+  * one; an interior blank line is an empty record (Python `csv.reader`
+  * yields `[]` for it — kept as `""` → `[""]`, the same shape line mode
+  * produces). Row-wise by nature, hence an eval expression.
+  */
+case class CsvRecords(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val recs = CsvRecords.records(v.toString)
+    new GenericArrayData(recs.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CsvRecords =
+    copy(child = newChild)
+
+  override def prettyName: String = "csv_records"
+}
+
+object CsvRecords {
+  def records(s: String): Seq[String] = {
+    val recs = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var fieldStart = true
+    var i = 0
+    def emit(): Unit = {
+      if (cur.nonEmpty && cur.last == '\r') cur.setLength(cur.length - 1)
+      recs += cur.toString
+      cur.clear()
+      fieldStart = true
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') {
+            cur += c; cur += c; i += 1
+          } else { inQuote = false; cur += c; fieldStart = false }
+        } else cur += c
+      } else c match {
+        case '"' if fieldStart => inQuote = true; cur += c
+        case ',' => cur += c; fieldStart = true
+        case '\n' => emit()
+        case other => cur += other; fieldStart = false
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) emit() // no trailing empty record after a final \n
+    recs.toSeq
+  }
+
+  def apply(c: Column): Column = Bridge.column(CsvRecords(Bridge.expression(c)))
 }
 
 /** Sources produce a raw DataFrame with:
@@ -136,20 +210,42 @@ object Sources {
     * importsource.py:154 + get_header_line_number at mapping.py:533 —
     * skip all lines with index <= headerLines; -1 skips nothing).
     *
-    * Scale shape: ONE narrow text scan, zero shuffle — the per-file line
-    * index is a stateful scan-time counter over `_metadata` block offsets
-    * (see [[PerBlockLineIndex]]): exact line numbers in each file's first
-    * block (where headers live), strictly file-order monotone afterwards.
+    * Scale shape, default mode: ONE narrow text scan, zero shuffle — the
+    * per-file line index is a stateful scan-time counter over `_metadata`
+    * block offsets (see [[PerBlockLineIndex]]): exact line numbers in each
+    * file's first block (where headers live), strictly file-order monotone
+    * afterwards. A record whose quoted field embeds a newline CANNOT be
+    * line-split; [[CsvLine]] rejects it loudly (the reference's
+    * `csv.reader`, importsource.py:168-171, spans lines instead —
+    * silently producing two broken rows here would corrupt the import).
+    *
+    * `multiline = true` handles such records exactly: each file is read
+    * WHOLE and split into records by the quote-aware [[CsvRecords]], so
+    * `_line` enumerates RECORDS — which is what the reference's header
+    * skip actually indexes (it enumerates `csv.reader` output). The
+    * trade-off is per-file (not per-block) parallelism, the same one
+    * Spark's own `multiLine` CSV option makes: keep files ≲ a few hundred
+    * MB in this mode, or split upstream.
     */
-  def csv(spark: SparkSession, path: String, headerLines: Int = 0): DataFrame = {
-    val idx = Bridge.column(PerBlockLineIndex(
-      Bridge.expression(col("_metadata.file_block_start")),
-      Bridge.expression(col("_metadata.file_path"))))
-    spark.read.text(path)
-      .select(
-        CsvLine(col("value")).as(Mapping.RawCol),
-        idx.as(Mapping.LineCol))
-      .filter(col(Mapping.LineCol) > headerLines)
+  def csv(spark: SparkSession, path: String, headerLines: Int = 0,
+      multiline: Boolean = false): DataFrame = {
+    if (multiline) {
+      spark.read.option("wholetext", "true").text(path)
+        .select(posexplode(CsvRecords(col("value"))).as(Seq("_pos", "_rec")))
+        .select(
+          CsvLine(col("_rec")).as(Mapping.RawCol),
+          col("_pos").cast(LongType).as(Mapping.LineCol))
+        .filter(col(Mapping.LineCol) > headerLines)
+    } else {
+      val idx = Bridge.column(PerBlockLineIndex(
+        Bridge.expression(col("_metadata.file_block_start")),
+        Bridge.expression(col("_metadata.file_path"))))
+      spark.read.text(path)
+        .select(
+          CsvLine(col("value")).as(Mapping.RawCol),
+          idx.as(Mapping.LineCol))
+        .filter(col(Mapping.LineCol) > headerLines)
+    }
   }
 
   /** CSV source whose header-skip comes from the mapping (reference flow:

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.mapping.Mapping
-import graft.sources.{CsvLine, Sources}
+import graft.sources.{CsvLine, CsvRecords, Sources}
 
 class SourcesSpec extends SparkSpec {
 
@@ -83,6 +83,58 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"shuffle in csv plan:\n$plan")
     assert("FileScan".r.findAllIn(plan).size == 1,
       s"expected exactly one scan:\n$plan")
+  }
+
+  test("CsvRecords quote-aware record split (multiline csv.reader)") {
+    // embedded newline stays inside the quoted field
+    assert(CsvRecords.records("1,\"a\nb\",x\n2,c,d\n")
+      == Seq("1,\"a\nb\",x", "2,c,d"))
+    // \r\n normalized, trailing newline adds no empty record
+    assert(CsvRecords.records("a,b\r\nc,d\r\n") == Seq("a,b", "c,d"))
+    // interior blank line is a record; doubled quotes stay verbatim
+    assert(CsvRecords.records("a\n\n\"say \"\"hi\"\"\"\n")
+      == Seq("a", "", "\"say \"\"hi\"\"\""))
+    // mid-field quote is literal, not a state change
+    assert(CsvRecords.records("ab\"cd\ne,f") == Seq("ab\"cd", "e,f"))
+  }
+
+  test("multiline csv source parses embedded-newline records " +
+      "(importsource.py:168-171)") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp")).toAbsolutePath
+    val f = dir.resolve("multiline.csv")
+    // mirrors python csv.reader output:
+    //   ['id','name','notes'], ['1','alpha\nbeta','x'],
+    //   ['2','say "hi"','y'], ['3','plain','a,b'], [], ['4','last','z']
+    Files.writeString(f,
+      "id,name,notes\n1,\"alpha\nbeta\",x\n2,\"say \"\"hi\"\"\",y\n" +
+      "3,plain,\"a,b\"\n\n4,last,z\n")
+    val got = Sources.csv(spark, f.toString, headerLines = 0,
+        multiline = true)
+      .orderBy(Mapping.LineCol)
+      .select(col(Mapping.RawCol), col(Mapping.LineCol))
+      .collect().map(r => (r.getSeq[String](0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      (Seq("1", "alpha\nbeta", "x"), 1L),
+      (Seq("2", "say \"hi\"", "y"), 2L),
+      (Seq("3", "plain", "a,b"), 3L),
+      (Seq(""), 4L), // blank line: csv.reader yields [], line mode [""]
+      (Seq("4", "last", "z"), 5L)))
+  }
+
+  test("line mode rejects embedded-newline records loudly") {
+    val dir = Files.createDirectories(
+      Paths.get("target/test-tmp")).toAbsolutePath
+    val f = dir.resolve("torn_quote.csv")
+    Files.writeString(f, "id,name\n1,\"alpha\nbeta\",x\n")
+    val e = intercept[Exception] {
+      Sources.csv(spark, f.toString, headerLines = 0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("multiline")),
+      s"expected a loud multiline hint, got: ${messages(e)}")
   }
 
   test("multi-file csv source skips the header in EVERY file") {
