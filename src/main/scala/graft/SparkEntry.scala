@@ -380,6 +380,31 @@ object SparkEntry {
     "upsert_create_only" -> ((s, dir) => runUpsert(s, dir, Create).merged),
     "upsert_update_only" -> ((s, dir) => runUpsert(s, dir, Update).merged),
     "upsert_history" -> ((s, dir) => runUpsert(s, dir).history),
+    "upsert_skew" -> ((s, dir) => {
+      // Adversarial hot key: 10% of ALL source rows share key 42. The
+      // dedup policy aggregate collapses them to one row per key with
+      // map-side partials BEFORE the exchange (a window dedup would
+      // sort-shuffle every dup row), and the post-dedup join keys are
+      // unique on both sides — nothing left for salting to fix.
+      val o = t(s, dir, "orders")
+      val skewKey = when(col("o_orderkey") % 10 === 0, lit(42L))
+        .otherwise(col("o_orderkey"))
+      val target = o.filter(col("o_orderkey") % 3 =!= 0).select(
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val source = Sources.fromColumns(o,
+        Seq(skewKey, col("o_totalprice"), col("o_orderstatus")),
+        order = col("o_orderkey"))
+      val m = new Mapping()
+      m.auto("id"); m.auto("price"); m.auto("status")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("price", DoubleType),
+        StructField("status", StringType)))
+      val projected = m.complete(schema).project(source)
+      Upsert(target, projected, m).merged
+    }),
     "upsert_not_found" -> ((s, dir) => runUpsert(s, dir).notFound),
     "upsert_reject_nonnull" -> ((s, dir) =>
       runUpsert(s, dir, blankNames = true,
@@ -977,6 +1002,20 @@ object SparkEntry {
            $drifted AS old_acctbal, c_acctbal AS new_acctbal
            FROM customer
            WHERE ($inTgt) AND ($inSrc) AND c_custkey % 5 = 0""",
+      "upsert_skew" ->
+        s"""WITH src AS (
+             SELECT CASE WHEN o_orderkey % 10 = 0 THEN 42 ELSE o_orderkey END AS id,
+               arg_max(o_totalprice, o_orderkey) AS sprice,
+               arg_max(o_orderstatus, o_orderkey) AS sstatus
+             FROM orders GROUP BY 1),
+           tgt AS (
+             SELECT o_orderkey AS id, o_totalprice AS tprice,
+               o_orderstatus AS tstatus
+             FROM orders WHERE o_orderkey % 3 <> 0)
+           SELECT coalesce(t.id, s.id) AS id,
+             CASE WHEN s.id IS NOT NULL THEN s.sprice ELSE t.tprice END AS price,
+             CASE WHEN s.id IS NOT NULL THEN s.sstatus ELSE t.tstatus END AS status
+           FROM tgt t FULL OUTER JOIN src s ON t.id = s.id""",
       "upsert_not_found" ->
         s"""SELECT c_custkey AS id, c_name AS name, $drifted AS acctbal,
            'LEGACY' AS segment, $tgtNation AS nation

@@ -122,6 +122,31 @@ object Pq {
     Similarity.rankTopK(scored, k, scoreCol = "score")
   }
 
+  /** PQ shortlist + exact re-rank (what FAISS calls a refine step): ADC
+    * over the compressed codes prunes the corpus to `shortlist`
+    * candidates per query, then ONLY those candidates' float vectors are
+    * fetched and exactly cosine-ranked to the final k. This closes PQ's
+    * structural within-cluster rank degeneracy (RECALL.md: same-cluster
+    * vectors share codes, so quantization-only recall@5 collapses to
+    * ~k/cluster-size) at the cost of one slim semi-join: the re-rank
+    * reads `shortlist × |queries|` vectors, not the corpus. */
+  def topKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cb: Codebooks,
+      k: Int = 5,
+      shortlist: Int = 50): DataFrame = {
+    val cand = topK(corpus, queries, cb, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val scored = cand
+      .join(corpus, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", Similarity.cosine(col("embedding"), col("qemb")))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** IVF × PQ — the composed 100 TB shape (what FAISS calls IVFPQ):
     * coarse cells prune the candidate set (only `nprobe`/`nlist` of the
     * corpus is scored per query) AND the scored representation is m int

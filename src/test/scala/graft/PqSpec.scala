@@ -55,6 +55,23 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall too low on clustered data: $recall")
   }
 
+  test("refined top-k (PQ shortlist + exact re-rank) matches brute force") {
+    val emb = clustered
+    val queries = emb.filter($"vec_id" % 20 === 9)
+    val brute = Similarity.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // Coarse codebooks (m=4 → 4-dim subspaces) so raw ADC ranking WITHIN
+    // a cluster is degenerate — the regime the refine step exists for: a
+    // shortlist covering the cluster (20 members) re-ranked exactly must
+    // recover the full brute top-5.
+    val cb = Pq.train(emb, m = 4, ksub = 8, iters = 2)
+    val refined = Pq.topKRefined(emb, queries, cb, k = 5, shortlist = 30)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(refined == brute,
+      s"refined != brute: missing=${brute -- refined} extra=${refined -- brute}")
+  }
+
   test("planted same-direction copy ties the maximal ADC score") {
     val emb = clustered
     val queries = emb.filter($"vec_id" === 9L)
