@@ -43,6 +43,7 @@ object GraftExtensions {
   val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "format_list" -> (es => FormatList(es.head)),
     "csv_line" -> (es => CsvLine(es.head)),
+    "csv_records" -> (es => graft.sources.CsvRecords(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "shingles" -> (es => Shingles(es.head,
       if (es.length > 1) intArg(es(1)) else 3)),

@@ -155,16 +155,21 @@ object ManifestTable {
 
   /** Writes `df`'s rows bucketed under `data/v<version>` (one file per
     * bucket) and returns the FileEntry per written bucket, stats read
-    * back from the committed files. */
+    * back from the committed files. `numTasks` sizes the write exchange
+    * to the buckets actually being written — a micro-batch touching 3
+    * buckets runs 3 write tasks, a full-table bootstrap runs one per
+    * bucket — so task count tracks touched data, not a global setting. */
   private def writeBuckets(
       df: DataFrame,
       bucket: org.apache.spark.sql.Column,
       keyColumn: String,
       root: String,
-      version: Long): Seq[FileEntry] = {
+      version: Long,
+      numTasks: Int): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/v$version"
-    df.withColumn(BucketCol, bucket).repartition(col(BucketCol))
+    df.withColumn(BucketCol, bucket)
+      .repartition(math.max(1, numTasks), col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
     // Explicit schema (+ the partition column) so an all-rows-rejected
     // empty write doesn't fail schema inference.
@@ -199,7 +204,7 @@ object ManifestTable {
     val spark = df.sparkSession
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
     val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(numBuckets))
-    val entries = writeBuckets(df, bucket, keyColumn, root, 0L)
+    val entries = writeBuckets(df, bucket, keyColumn, root, 0L, numBuckets)
     writeManifest(spark, root, Manifest(0L, numBuckets, entries))
   }
 
@@ -261,10 +266,56 @@ object ManifestTable {
     // 4-5. write ONLY the touched buckets under this version's directory
     //    (one file per bucket), compute their stats from the committed
     //    files in one bounded agg, then the atomic manifest swap.
-    val written = writeBuckets(merged, bucketOf(col(key)), key, root, version)
+    val written = writeBuckets(merged, bucketOf(col(key)), key, root, version,
+      math.max(touched.size, 1))
     writeManifest(spark, root, Manifest(version, n, untouched ++ written))
     written
   }
+
+  /** Pruned point-lookup: reads ONLY the data files that can contain the
+    * requested keys — their hash buckets, further narrowed by the
+    * manifest's per-bucket key ranges when the key renders as an
+    * orderable string. O(|keys|/numBuckets) of the table's files instead
+    * of a full scan; the scan itself still carries the key predicate so
+    * parquet row-group min/max pruning applies within the file. */
+  def lookup(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      keys: Seq[Any],
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame =
+    currentManifest(spark, root) match {
+      case Some(m) if m.entries.nonEmpty && keys.nonEmpty =>
+        // Bucket AND string rendering computed by Spark itself, so the
+        // range check compares in exactly the space the manifest stats
+        // were computed in (`cast(key as string)`) — a driver-side
+        // String.valueOf could render differently and wrongly exclude a
+        // file. Stats are string-ordered min/max of the stringified
+        // keys, so lexicographic containment is conservative-correct.
+        val rendered = spark.range(1)
+          .select(explode(array(keys.map { k =>
+            val c = lit(k)
+            struct(
+              pmod(hash(keyComparator(c)), lit(m.numBuckets)).as("b"),
+              c.cast("string").as("s"))
+          }: _*)).as("k"))
+          .select(col("k.b"), col("k.s"))
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        val hit = m.entries.filter(e => rendered.exists { case (b, s) =>
+          b == e.bucket && s >= e.minKey && s <= e.maxKey
+        })
+        if (hit.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema)
+        else spark.read.schema(schema)
+          .parquet(hit.map(e => s"$root/${e.relPath}"): _*)
+          .filter(col(keyColumn).isin(keys: _*))
+      case _ => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
 
   /** Deletes data directories and manifests no longer referenced by the
     * CURRENT manifest. Maintenance only — run when no reader holds an

@@ -21,6 +21,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
   }
 
+  test("csv_records splits multiline content from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT transform(
+           csv_records('1,"a\nb",x\n2,c,d\n'), r -> csv_line(r)) AS rows""")
+      .head.getSeq[Seq[String]](0)
+    assert(r == Seq(Seq("1", "a\nb", "x"), Seq("2", "c", "d")))
+  }
+
   test("round-3 kernels are callable from SQL") {
     GraftExtensions.register(spark)
     Seq(Tuple1("the cat and the dog"))

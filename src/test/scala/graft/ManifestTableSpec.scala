@@ -140,6 +140,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.currentManifest(spark, root).get.numBuckets == 4)
   }
 
+  test("lookup prunes to the key's bucket files only") {
+    val root = freshRoot("manifest_lookup")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 32L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 8)
+    val man = ManifestTable.currentManifest(spark, root).get
+
+    val got = ManifestTable.lookup(spark, root, schema, "id", Seq(7L, 19L))
+      .orderBy("id").collect().toSeq
+    assert(got == Seq(Row(7L, "n7", 7L), Row(19L, "n19", 19L)))
+
+    // the scan must be backed ONLY by the buckets those keys hash to —
+    // inputFiles names the exact parquet files behind the plan
+    val wantedBuckets = Set(bucketOf(7L, 8), bucketOf(19L, 8))
+    val files = ManifestTable.lookup(spark, root, schema, "id", Seq(7L, 19L))
+      .inputFiles.toSeq
+    assert(files.nonEmpty)
+    val bucketsRead = files.flatMap(f =>
+      "_bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(bucketsRead.subsetOf(wantedBuckets),
+      s"lookup read extra buckets: $bucketsRead vs $wantedBuckets " +
+      s"(of ${man.entries.size} total)")
+    assert(man.entries.size > wantedBuckets.size,
+      "fixture too small to demonstrate pruning")
+
+    // a key absent from the table returns empty without error
+    assert(ManifestTable.lookup(spark, root, schema, "id", Seq(999L))
+      .count() == 0)
+  }
+
   test("vacuum drops unreferenced data versions and old manifests") {
     val root = freshRoot("manifest_vacuum")
     val m = mapping
