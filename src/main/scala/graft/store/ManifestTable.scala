@@ -222,7 +222,8 @@ object ManifestTable {
       mode: ImportMode = CreateAndUpdate,
       nonNullable: Seq[String] = Nil,
       numBuckets: Int = 16,
-      rejectWhen: Option[org.apache.spark.sql.Column] = None): Seq[FileEntry] = {
+      rejectWhen: Option[org.apache.spark.sql.Column] = None,
+      recordStats: Boolean = false): Seq[FileEntry] = {
     val spark = projected.sparkSession
     val fs = fsOf(spark, new Path(root))
     if (fs.exists(new Path(s"$root/manifest/m$version"))) return Nil
@@ -260,16 +261,76 @@ object ManifestTable {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema)
         .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
-    val merged = Upsert(fragment, projected, mapping, mode, nonNullable,
-      rejectWhen, ignore).merged
+    val res = Upsert(fragment, projected, mapping, mode, nonNullable,
+      rejectWhen, ignore)
 
     // 4-5. write ONLY the touched buckets under this version's directory
     //    (one file per bucket), compute their stats from the committed
     //    files in one bounded agg, then the atomic manifest swap.
-    val written = writeBuckets(merged, bucketOf(col(key)), key, root, version,
-      math.max(touched.size, 1))
+    val written = writeBuckets(res.merged, bucketOf(col(key)), key, root,
+      version, math.max(touched.size, 1))
+
+    // keep_history rows and import stats are part of the same commit:
+    // written under version-scoped directories BEFORE the manifest
+    // rename, so the rename makes state + history + stats visible
+    // together (the reference commits history in the same DB transaction,
+    // importtask.py:313-344,:369-371). A replay skips the whole merge, so
+    // history is never duplicated; a crash before the rename leaves
+    // orphans that the replay overwrites. Readers must ignore versions
+    // above the current manifest (see historyOf/statsOf).
+    val tracked = mapping.columns.exists(_._2.opts.keepHistory)
+    if (tracked && mode.canUpdate)
+      res.history.write.mode("overwrite")
+        .parquet(s"$root/history/v$version")
+    if (recordStats)
+      res.stats.write.mode("overwrite").parquet(s"$root/stats/v$version")
+
     writeManifest(spark, root, Manifest(version, n, untouched ++ written))
     written
+  }
+
+  /** Versions ≤ the current manifest with a committed side-directory
+    * (`history/v<i>` or `stats/v<i>`). Orphans from a crashed attempt at
+    * a version ABOVE the current manifest are excluded — the replay of
+    * that version overwrites them. */
+  private def committedSideDirs(
+      spark: SparkSession, root: String, kind: String): Seq[String] =
+    currentVersion(spark, root) match {
+      case None => Nil
+      case Some(cur) =>
+        val dir = new Path(s"$root/$kind")
+        val fs = fsOf(spark, dir)
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .filter { n =>
+            val s = n.stripPrefix("v")
+            n.startsWith("v") && s.nonEmpty && s.forall(_.isDigit) &&
+            s.toLong <= cur &&
+            fs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
+          }
+          .sortBy(_.stripPrefix("v").toLong)
+          .map(n => s"$root/$kind/$n")
+    }
+
+  /** All committed keep_history rows across versions (empty frame when
+    * none). Survives `vacuum` — history records facts, not superseded
+    * state. */
+  def historyOf(spark: SparkSession, root: String): DataFrame = {
+    val dirs = committedSideDirs(spark, root, "history")
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** All committed per-merge import stats (one row per recorded version;
+    * `_version` column added). */
+  def statsOf(spark: SparkSession, root: String): DataFrame = {
+    val dirs = committedSideDirs(spark, root, "stats")
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else dirs.map { d =>
+      val v = d.substring(d.lastIndexOf('/') + 1).stripPrefix("v").toLong
+      spark.read.parquet(d).withColumn("_version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** Pruned point-lookup: reads ONLY the data files that can contain the

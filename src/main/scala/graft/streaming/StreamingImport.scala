@@ -43,14 +43,15 @@ object StreamingImport {
       checkpoint: String,
       mode: ImportMode = CreateAndUpdate,
       nonNullable: Seq[String] = Nil,
-      numBuckets: Int = 16): StreamingQuery = {
+      numBuckets: Int = 16,
+      recordStats: Boolean = false): StreamingQuery = {
     mapping.complete(targetSchema)
     rawStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, mapping, targetRoot, targetSchema,
-          mode, nonNullable, numBuckets)
+          mode, nonNullable, numBuckets, recordStats)
       }
       .start()
   }
@@ -68,10 +69,12 @@ object StreamingImport {
       targetSchema: org.apache.spark.sql.types.StructType,
       mode: ImportMode = CreateAndUpdate,
       nonNullable: Seq[String] = Nil,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16,
+      recordStats: Boolean = false): Unit = {
     val projected = mapping.project(batch)
     ManifestTable.merge(projected, batchId, mapping, targetRoot,
-      targetSchema, mode, nonNullable, numBuckets)
+      targetSchema, mode, nonNullable, numBuckets,
+      recordStats = recordStats)
     ()
   }
 }

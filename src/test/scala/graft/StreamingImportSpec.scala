@@ -86,6 +86,47 @@ class StreamingImportSpec extends SparkSpec {
     assert(once == Seq(Row(1L, "alpha", 10L), Row(2L, "beta", 20L)))
   }
 
+  test("keep_history and stats commit with the merge, exactly once") {
+    val root = "target/test-tmp/stream_history"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def mapping = {
+      val m = new Mapping()
+      m.auto("id"); m.auto("name")
+      m.auto("score", opts = ColOpts(keepHistory = true))
+      m
+    }
+    val m = mapping
+    m.complete(schema)
+
+    // batch 0: creates only → an (empty) history version still commits
+    val b0 = Seq((Seq("1", "a", "10"), 0L), (Seq("2", "b", "20"), 1L))
+      .toDF("_raw", "_line")
+    StreamingImport.applyBatch(b0, 0L, m, root, schema, recordStats = true)
+    assert(ManifestTable.historyOf(spark, root).count() == 0)
+
+    // batch 1: updates score of id=1 → one history row with old/new
+    val b1 = Seq((Seq("1", "a", "99"), 0L)).toDF("_raw", "_line")
+    StreamingImport.applyBatch(b1, 1L, m, root, schema, recordStats = true)
+    val h = ManifestTable.historyOf(spark, root).collect().toSeq
+    assert(h == Seq(Row(1L, 10L, 99L)),
+      s"expected one old=10/new=99 history row, got $h")
+
+    // replay of batch 1 must not duplicate history or stats
+    StreamingImport.applyBatch(b1, 1L, m, root, schema, recordStats = true)
+    assert(ManifestTable.historyOf(spark, root).count() == 1)
+    val stats = ManifestTable.statsOf(spark, root)
+      .orderBy("_version").collect().toSeq
+    assert(stats.length == 2)
+    assert(stats.head.getAs[Long]("created") == 2L)
+    assert(stats(1).getAs[Long]("updated") == 1L)
+
+    // an orphan side-dir above the current manifest stays invisible
+    val orphan = s"$root/history/v9"
+    new java.io.File(orphan).mkdirs()
+    new java.io.File(s"$orphan/_SUCCESS").createNewFile()
+    assert(ManifestTable.historyOf(spark, root).count() == 1)
+  }
+
   test("torn data writes (no committed manifest) are invisible to readers") {
     val root = "target/test-tmp/stream_torn"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
