@@ -278,25 +278,25 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // One join per round: the jump computes its own change flag —
+      // least(old, jumped) differs from old exactly when jumped < old —
+      // so convergence needs no second join against the prior generation.
       val jumped = canon.alias("c1")
         .join(
           canon.select(col("doc_id").as("j_id"),
             col("canonical_id").as("j_canon")).alias("c2"),
           col("c1.canonical_id") === col("j_id"))
         .select(col("c1.doc_id").as("doc_id"),
-          least(col("c1.canonical_id"), col("j_canon")).as("canonical_id"))
+          least(col("c1.canonical_id"), col("j_canon")).as("canonical_id"),
+          (col("j_canon") < col("c1.canonical_id")).as("_moved"))
         .persist()
-      val moved = jumped.alias("n")
-        .join(canon.select(col("doc_id"),
-          col("canonical_id").as("old_c")).alias("o"), "doc_id")
-        .filter(col("canonical_id") =!= col("old_c"))
-        .limit(1).count()
-      canon.unpersist()
+      val moved = jumped.filter(col("_moved")).limit(1).count()
+      canon.unpersist() // canon IS the persisted frame (never a projection)
       canon = jumped
       converged = moved == 0
       i += 1
     }
-    canon // left persisted: callers typically consume it immediately
+    canon.drop("_moved") // child stays persisted for the caller's reads
   }
 
   /** Canonical assignment from verified duplicate pairs: every doc maps to

@@ -342,6 +342,7 @@ object ImportPipeline {
       sources: Seq[SourceDef],
       nonNullable: Seq[String] = Nil,
       numBuckets: Int = 16,
+      recordStats: Boolean = false,
       preCommit: DataFrame => Unit = _ => (),
       postCommit: DataFrame => Unit = _ => ()): Unit = {
     import graft.store.ManifestTable
@@ -356,7 +357,7 @@ object ImportPipeline {
       val version =
         ManifestTable.currentVersion(spark, root).map(_ + 1).getOrElse(0L)
       ManifestTable.merge(projected, version, s.mapping, root, schema,
-        s.mode, nonNullable, numBuckets, s.rejectWhen)
+        s.mode, nonNullable, numBuckets, s.rejectWhen, recordStats)
     }
     postCommit(ManifestTable.read(spark, root, schema))
   }

@@ -45,6 +45,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val multilineFieldGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf(',', '"', ' ', ';', '\n')))
+      .map(_.mkString)
+
+  test("CsvRecords + CsvLine invert RFC-4180 for fields with newlines") {
+    // any table of records (fields may embed \n, quotes, commas) encoded
+    // with full quoting and joined by \n round-trips exactly
+    forAll(Gen.listOfN(3, Gen.listOfN(3, multilineFieldGen))) { table =>
+      val content = table.map(_.map(f =>
+        "\"" + f.replace("\"", "\"\"") + "\"").mkString(","))
+        .mkString("", "\n", "\n")
+      val records = graft.sources.CsvRecords.records(content)
+      assert(records.length == table.length)
+      assert(records.map(CsvLine.split) == table)
+    }
+  }
+
   test("tokenize output is lowercase alphanumeric words only") {
     forAll(Gen.asciiPrintableStr) { s =>
       val toks = TextNorm.tokenize(s)
