@@ -450,6 +450,14 @@ object SparkEntry {
 
     "curate_corpus" -> ((s, dir) =>
       Curate(t(s, dir, "documents"), minQuality = 0.6, langs = Seq("en"))),
+    "decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: every doc sharing a word 3-gram with
+      // the "evaluation set" (doc_id%17==3) is dropped; DuckDB recomputes
+      // the contaminated set exactly from the same shingle definition.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 3)
+      Curate.decontaminate(d, bench, n = 3).select("doc_id")
+    }),
     "source_overlap" -> ((s, dir) => {
       // The minhash estimate (the scale path) is checked against the EXACT
       // per-source shingle-set Jaccard, which DuckDB recomputes
@@ -1042,6 +1050,17 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS ignored_missing_id,
            CAST(sum(CASE WHEN ($inSrc) AND ($ign) THEN 1 ELSE 0 END) AS BIGINT) AS ignored
            FROM customer""",
+      "decontaminate" ->
+        s"""WITH tok AS (SELECT doc_id, ${tokSqlOf("text")} AS t
+             FROM documents),
+           sh AS (SELECT doc_id, ${shingleSqlOf("t")} AS s FROM tok),
+           bg AS (SELECT DISTINCT g FROM
+             (SELECT unnest(s) AS g FROM sh WHERE doc_id % 17 = 3)),
+           bad AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(s) AS g FROM sh) cg
+             WHERE g IN (SELECT g FROM bg))
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
       "curate_corpus" ->
         s"""WITH base AS (SELECT doc_id, text,
              CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,

@@ -42,4 +42,32 @@ object Curate {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Benchmark decontamination — the GPT-3/Pile-style step: drop every
+    * corpus document sharing ANY word n-gram with the evaluation set, so
+    * test data never leaks into training data.
+    *
+    * Scale shape: the benchmark side (test sets — MBs, not TBs) explodes
+    * to a DISTINCT n-gram relation and BROADCASTS; the corpus side is one
+    * scan + shingle explode feeding a map-side hash semi-join — the
+    * corpus is never shuffled to find contamination, only the (typically
+    * tiny) contaminated-id set flows into the anti-join. At extreme
+    * benchmark sizes swap the broadcast for a bloom-filter prefilter plus
+    * exact verify on the candidates.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      text: Column = col("text")): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(Dedup.shingles(text, n)).as("_g"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(Dedup.shingles(text, n)).as("_g"))
+      .join(broadcast(bGrams), "_g")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

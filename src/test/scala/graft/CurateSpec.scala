@@ -20,6 +20,25 @@ class CurateSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("decontamination drops docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 4-gram w/ bench
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "xx yy alpha beta gamma delta zz"),     // shares the same 4-gram
+      (4L, "totally unrelated words entirely here")// clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val kept = Curate.decontaminate(corpus, bench, n = 4)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 4L), s"got $kept")
+    // the contamination check must broadcast the benchmark grams — the
+    // corpus is never shuffled to FIND contamination
+    val plan = Curate.decontaminate(corpus, bench, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")
