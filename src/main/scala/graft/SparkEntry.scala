@@ -450,6 +450,32 @@ object SparkEntry {
 
     "curate_corpus" -> ((s, dir) =>
       Curate(t(s, dir, "documents"), minQuality = 0.6, langs = Seq("en"))),
+    "revenue_by_region" -> ((s, dir) => {
+      // TPC-H Q5-shaped star join: facts shuffle once on the customer
+      // key; the nation/region dimensions BROADCAST (explicitly — at
+      // 100 TB they are KBs while orders is the 100 TB side). DECIMAL
+      // accumulation for cross-engine bit-stable sums.
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val price = col("o_totalprice").cast(DecimalType(18, 2))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(price).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+    "orders_moving_sum" -> ((s, dir) => {
+      // RANGE-frame window: per-customer trailing-7-day revenue. The
+      // frame is a TIME range over the order timestamp (peers included),
+      // not a row count — Spark's interval RANGE frame via expr (the
+      // Scala Window API only takes numeric offsets).
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+          AS DOUBLE)""").as("mv_sum"))
+    }),
     "decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: every doc sharing a word 3-gram with
       // the "evaluation set" (doc_id%17==3) is dropped; DuckDB recomputes
@@ -1050,6 +1076,22 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS ignored_missing_id,
            CAST(sum(CASE WHEN ($inSrc) AND ($ign) THEN 1 ELSE 0 END) AS BIGINT) AS ignored
            FROM customer""",
+      "revenue_by_region" ->
+        s"""SELECT r_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name""",
+      "orders_moving_sum" ->
+        s"""SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS mv_sum
+           FROM orders""",
       "decontaminate" ->
         s"""WITH tok AS (SELECT doc_id, ${tokSqlOf("text")} AS t
              FROM documents),
