@@ -70,4 +70,33 @@ object Curate {
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Ratio variant: drops a document only when MORE than `maxOverlap` of
+    * its distinct n-grams appear in the benchmark (some pipelines
+    * tolerate incidental short overlaps; `maxOverlap = 0.0` reproduces
+    * the strict any-overlap rule). Same broadcast shape — the per-doc
+    * distinct-gram and overlap counts come from one aggregation over the
+    * exploded grams with the broadcast membership flag. */
+  def decontaminateRatio(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      maxOverlap: Double = 0.1,
+      idCol: String = "doc_id",
+      text: Column = col("text")): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(Dedup.shingles(text, n)).as("_g"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val ratios = corpus
+      .select(col(idCol), explode(Dedup.shingles(text, n)).as("_g"))
+      .distinct() // per-doc DISTINCT grams, so the ratio is set-based
+      .join(broadcast(bGrams), Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("_hit"), lit(0))) /
+        count(lit(1))).as("_overlap"))
+    val contaminated = ratios.filter(col("_overlap") > maxOverlap)
+      .select(idCol)
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

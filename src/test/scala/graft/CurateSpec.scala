@@ -39,6 +39,24 @@ class CurateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
 
+  test("ratio decontamination tolerates incidental overlap below threshold") {
+    val corpus = Seq(
+      // 6 tokens → 3 distinct 4-grams, 1 shared with bench → ratio 1/3
+      (1L, "alpha beta gamma delta other words"),
+      // every 4-gram shared → ratio 1.0
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely clean document with nothing shared here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def kept(max: Double) =
+      Curate.decontaminateRatio(corpus, bench, n = 4, maxOverlap = max)
+        .select("doc_id").orderBy("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+    assert(kept(0.5) == Seq(1L, 3L))  // doc 1's 1/3 tolerated, doc 2 out
+    assert(kept(0.0) == Seq(3L))      // strict: any overlap drops
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")

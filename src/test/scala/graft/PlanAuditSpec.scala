@@ -26,6 +26,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("star join broadcasts dimensions, never cartesian") {
+    val p = plan("revenue_by_region")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cartesian in star join:\n$p")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      s"nation/region dims must broadcast:\n$p")
+  }
+
+  test("decontamination joins broadcast the benchmark grams") {
+    val p = plan("decontaminate")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram join must broadcast:\n$p")
+  }
+
   test("upsert merge is a single join (one shuffle pair or broadcast)") {
     val p = plan("upsert_basic")
     val joins = countOccurrences(p, "Join")
