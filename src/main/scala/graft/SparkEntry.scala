@@ -476,6 +476,16 @@ object SparkEntry {
             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
           AS DOUBLE)""").as("mv_sum"))
     }),
+    "hash_split" -> ((s, dir) => {
+      // Deterministic 90/10 train/validation split: a doc's fate depends
+      // only on md5(doc_id || salt), reproducible in any engine — DuckDB
+      // recomputes the identical assignment.
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      Curate.hashSplit(d, 0.0, 0.9, salt = "v1")
+        .withColumn("split", lit("train"))
+        .union(Curate.hashSplit(d, 0.9, 1.0, salt = "v1")
+          .withColumn("split", lit("valid")))
+    }),
     "decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: every doc sharing a word 3-gram with
       // the "evaluation set" (doc_id%17==3) is dropped; DuckDB recomputes
@@ -1092,6 +1102,13 @@ object SparkEntry {
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
              AS DOUBLE) AS mv_sum
            FROM orders""",
+      "hash_split" -> {
+        val cut = f"${(0.9 * 4294967296.0).toLong}%08x"
+        s"""SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)
+             < '$cut' THEN 'train' ELSE 'valid' END AS split
+           FROM documents"""
+      },
       "decontaminate" ->
         s"""WITH tok AS (SELECT doc_id, ${tokSqlOf("text")} AS t
              FROM documents),

@@ -99,4 +99,33 @@ object Curate {
       .select(idCol)
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Deterministic hash split — how large pipelines take reproducible
+    * train/validation/test cuts and downsamples: a row's fate depends
+    * only on (id, salt), never on partitioning, row order, or cluster
+    * size, so the same split falls out on any rerun anywhere. The hash
+    * is md5 (not Spark's murmur3) so any engine — including the DuckDB
+    * oracle — reproduces the assignment bit-for-bit. Zero shuffle: a
+    * pure filter the optimizer pushes to the scan.
+    *
+    * Returns rows whose bucket lands in [lo, hi): e.g. train =
+    * split(df, 0.0, 0.9), validation = split(df, 0.9, 1.0) — disjoint
+    * and exhaustive by construction. */
+  def hashSplit(
+      df: DataFrame,
+      lo: Double,
+      hi: Double,
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    // first 8 hex chars of md5(id || salt) are uniform in [0, 2^32);
+    // fixed-length lowercase hex compares lexicographically AS the
+    // number, so the cut is two string comparisons — no hex parsing,
+    // byte-identical in any engine.
+    // "g" sorts after every hex digit, so hi=1.0 includes "ffffffff"
+    def hex(f: Double): String =
+      if (f >= 1.0) "g"
+      else f"${(math.max(f, 0.0) * 4294967296.0).toLong}%08x"
+    val u = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8)
+    df.filter(u >= lit(hex(lo)) && u < lit(hex(hi)))
+  }
 }

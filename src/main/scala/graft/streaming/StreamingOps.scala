@@ -80,6 +80,32 @@ object StreamingOps {
       .select(col("doc_id"), col("static_id"))
   }
 
+  /** Watermarked stream-stream INTERVAL join: pairs each left event with
+    * right events for the same user within `[0, horizon]` AFTER it —
+    * click→purchase attribution, request→response matching. Both sides
+    * carry watermarks and the join condition bounds the time skew, so
+    * Spark can size the join state to watermark + horizon and EVICT —
+    * the state never holds unbounded history, which is what makes a
+    * stream-stream join runnable forever at 100 TB/day. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      horizon: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("right_id"), col("ts").as("right_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+      col("right_ts") >= col("left_ts") &&
+      col("right_ts") <= col("left_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+  }
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(
       events: DataFrame,

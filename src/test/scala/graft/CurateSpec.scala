@@ -57,6 +57,25 @@ class CurateSpec extends SparkSpec {
     assert(kept(0.0) == Seq(3L))      // strict: any overlap drops
   }
 
+  test("hash split is disjoint, exhaustive, deterministic, near-uniform") {
+    val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val train = Curate.hashSplit(docs, 0.0, 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val valid = Curate.hashSplit(docs, 0.9, 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((train & valid).isEmpty, "splits must be disjoint")
+    assert(train.size + valid.size == 2000, "splits must be exhaustive")
+    assert(math.abs(train.size - 1800) < 100,
+      s"90% cut far from uniform: ${train.size}")
+    // deterministic: same inputs → identical assignment
+    assert(Curate.hashSplit(docs, 0.0, 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == train)
+    // salt reshuffles membership
+    val salted = Curate.hashSplit(docs, 0.0, 0.9, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted != train)
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")

@@ -38,6 +38,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the horizon") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = StreamingOps
+      .intervalJoin(clicks.toDF(), buys.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 0),
+        Event(2, ts("2024-01-01 10:30:00"), 7, "click", 0))
+      buys.addData(
+        Event(100, ts("2024-01-01 10:05:00"), 7, "buy", 0), // 1 within 10m
+        Event(101, ts("2024-01-01 10:20:00"), 7, "buy", 0), // outside both
+        Event(102, ts("2024-01-01 10:31:00"), 8, "buy", 0)) // other user
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData(Event(3, ts("2024-01-01 12:00:00"), 9, "click", 0))
+      buys.addData(Event(103, ts("2024-01-01 12:00:00"), 9, "buy", 0))
+      q.processAllAvailable()
+      val pairs = spark.table("ij")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 100L)), s"missing attribution: $pairs")
+      assert(!pairs.contains((1L, 101L)), s"beyond-horizon pair: $pairs")
+      assert(!pairs.exists(p => p._1 == 2L && p._2 == 102L),
+        s"cross-user pair leaked: $pairs")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and timeout") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
