@@ -476,6 +476,19 @@ object SparkEntry {
             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
           AS DOUBLE)""").as("mv_sum"))
     }),
+    "text_repetition" -> ((s, dir) => {
+      // Plant line structure deterministically (the synthetic docs are
+      // single-line): every third doc gains a repeated BOILER line, a
+      // blank separator, and a repeated body paragraph; others a unique
+      // suffix line. DuckDB reconstructs the identical text and signals.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nBOILER\nBOILER\n\n"), col("text")))
+        .otherwise(concat(col("text"), lit("\nuq-"),
+          col("doc_id").cast(StringType)))
+      TextAnalysis.repetition(d.withColumn("text", planted))
+        .filter(col("doc_id") % 10 === 0)
+    }),
     "hash_split" -> ((s, dir) => {
       // Deterministic 90/10 train/validation split: a doc's fate depends
       // only on md5(doc_id || salt), reproducible in any engine — DuckDB
@@ -1102,6 +1115,41 @@ object SparkEntry {
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
              AS DOUBLE) AS mv_sum
            FROM orders""",
+      "text_repetition" ->
+        s"""WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || chr(10) || 'BOILER' || chr(10) || 'BOILER'
+                 || chr(10) || chr(10) || text
+               ELSE text || chr(10) || 'uq-' || CAST(doc_id AS VARCHAR)
+             END AS t
+             FROM documents WHERE doc_id % 10 = 0),
+           l AS (SELECT doc_id,
+             list_filter(list_transform(string_split(t, chr(10)),
+               x -> trim(x)), x -> x <> '') AS lines,
+             list_filter(list_transform(
+               string_split_regex(t, '\\n[ ]*\\n([ ]*\\n)*'),
+               seg -> list_aggr(list_filter(list_transform(
+                 string_split(seg, chr(10)), x -> trim(x)), x -> x <> ''),
+                 'string_agg', chr(10))),
+               seg -> seg IS NOT NULL AND seg <> '') AS paras
+             FROM p)
+           SELECT doc_id,
+             CASE WHEN len(lines) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+             END AS dup_line_frac,
+             CASE WHEN len(paras) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / len(paras)
+             END AS dup_para_frac,
+             CASE WHEN coalesce(list_aggr(list_transform(lines, x -> len(x)),
+                 'sum'), 0) = 0 THEN 0.0
+               ELSE CAST(coalesce(list_aggr(list_transform(
+                 list_filter(list_distinct(lines),
+                   d -> len(list_filter(lines, x -> x = d)) >= 2),
+                 d -> len(d) * len(list_filter(lines, x -> x = d))),
+                 'sum'), 0) AS DOUBLE) /
+                 list_aggr(list_transform(lines, x -> len(x)), 'sum')
+             END AS dup_line_char_frac
+           FROM l""",
       "hash_split" -> {
         val cut = f"${(0.9 * 4294967296.0).toLong}%08x"
         s"""SELECT doc_id,

@@ -97,6 +97,24 @@ object TextAnalysis {
   /** Gopher-style rule score in [0,1] as a single Column. */
   def qualityScore(text: Column): Column = qualityScoreFrom(stats(text))
 
+  /** Gopher-style REPETITION signals — boilerplate/spam detectors the
+    * rule score doesn't see: the fraction of duplicate lines, the
+    * fraction of duplicate paragraphs (blank-line-separated), and the
+    * fraction of characters sitting in duplicated lines. Blank lines
+    * separate, they don't repeat. One-pass custom kernel
+    * ([[RepetitionStats]]) per the §2 interpreted-HOF lesson — the
+    * composed split/distinct/HOF form re-walks the text quadratically. */
+  def repetition(docs: org.apache.spark.sql.DataFrame,
+      text: Column = col("text")): org.apache.spark.sql.DataFrame = {
+    val B = org.apache.spark.sql.graft.Bridge
+    val st = B.column(RepetitionStats(B.expression(text)))
+    docs.select(col("doc_id"), st.as("_r"))
+      .select(col("doc_id"),
+        col("_r.dup_line_frac").as("dup_line_frac"),
+        col("_r.dup_para_frac").as("dup_para_frac"),
+        col("_r.dup_line_char_frac").as("dup_line_char_frac"))
+  }
+
   /** Quality signals + a Gopher-style rule score in [0,1]: the fraction of
     * five structural checks the document passes. The stats struct is
     * computed in a SEPARATE projection so the one-walk expression is

@@ -46,6 +46,33 @@ class TextSpec extends SparkSpec {
     assert(q(2).getAs[Double]("punct_ratio") > 0.5)
   }
 
+  test("repetition signals: dup lines, dup paragraphs, hot-line share") {
+    val docs = Seq(
+      // 4 lines: a, b, a, b → 2 distinct / 4 → dup_line 0.5;
+      // paragraphs "a\nb" twice → dup_para 0.5; each line 1 char,
+      // max line chars = 2 of 4 → 0.5
+      (1L, "a\nb\n\na\nb"),
+      // all unique
+      (2L, "x\ny\nz"),
+      // blank/whitespace lines ignored; single paragraph
+      (3L, "  \nonly\n  \n"),
+      (4L, ""),
+      // hot line: "dup" twice (6 chars) vs "unique-longer" (13) → 6/19
+      (5L, "dup\nunique-longer\ndup")
+    ).toDF("doc_id", "text")
+    val got = T.repetition(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toList
+    // doc 1: every line duplicated → all 4 chars sit in dup lines
+    assert(got(0) == ((1L, 0.5, 0.5, 1.0)), s"got ${got(0)}")
+    assert(got(1) == ((2L, 0.0, 0.0, 0.0)), s"got ${got(1)}")
+    assert(got(2)._2 == 0.0 && got(2)._3 == 0.0 && got(2)._4 == 0.0,
+      s"got ${got(2)}")
+    assert(got(3) == ((4L, 0.0, 0.0, 0.0)), s"got ${got(3)}")
+    // doc 5: "dup" twice = 6 chars of 19 total in duplicated lines
+    assert(got(4)._4 == 6.0 / 19, s"got ${got(4)}")
+  }
+
   test("fingerprint is stable and edit-robust-ish") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
