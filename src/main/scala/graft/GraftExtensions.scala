@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.FormatList
-import graft.operators.{CosineSim, HyperplaneBits, L2Normalize, MinHashSig, Shingles, SimHash64, TextStats}
+import graft.operators.{CosineSim, HyperplaneBits, L2Normalize, MinHashSig, RepetitionStats, Shingles, SimHash64, TextStats}
 import graft.sources.CsvLine
 
 /** Exposes graft's custom Catalyst expressions to SQL.
@@ -54,6 +54,7 @@ object GraftExtensions {
     "hyperplane_bits" -> (es => HyperplaneBits(es.head,
       if (es.length > 1) intArg(es(1)) else 8)),
     "text_stats" -> (es => TextStats(es.head)),
+    "repetition_stats" -> (es => RepetitionStats(es.head)),
     "l2_normalize" -> (es => L2Normalize(es.head)))
 
   /** Registers all graft SQL functions on an existing session. */

@@ -20,17 +20,26 @@ object Curate {
       docs: DataFrame,
       minQuality: Double = 0.6,
       langs: Seq[String] = Seq("en"),
-      text: Column = col("text")): DataFrame = {
+      text: Column = col("text"),
+      maxDupLineFrac: Double = 1.0): DataFrame = {
     // quality and language both derive from ONE TextStats walk, computed
     // in its own projection so the expression runs once per row; the
-    // combined gate is a single filter over the struct fields.
+    // combined gate is a single filter over the struct fields. The
+    // repetition gate (off at the 1.0 default) adds the one-pass
+    // RepetitionStats kernel to the same filter.
+    val B = org.apache.spark.sql.graft.Bridge
+    val repGate: Column =
+      if (maxDupLineFrac >= 1.0) lit(true)
+      else B.column(RepetitionStats(B.expression(col("_text"))))
+        .getField("dup_line_frac") <= maxDupLineFrac
     val kept = docs
       .select(col("doc_id"), text.as("_text"),
         TextAnalysis.stats(text).as("_st"))
       .withColumn("quality_score",
         TextAnalysis.qualityScoreFrom(col("_st")))
       .filter(col("quality_score") >= minQuality &&
-        TextAnalysis.langIdFrom(col("_st")).isInCollection(langs))
+        TextAnalysis.langIdFrom(col("_st")).isInCollection(langs) &&
+        repGate)
       .select(col("doc_id"),
         TextAnalysis.redact(col("_text")).as("clean_text"),
         col("quality_score"))

@@ -225,8 +225,12 @@ object ManifestTable {
       rejectWhen: Option[org.apache.spark.sql.Column] = None,
       recordStats: Boolean = false): Seq[FileEntry] = {
     val spark = projected.sparkSession
-    val fs = fsOf(spark, new Path(root))
-    if (fs.exists(new Path(s"$root/manifest/m$version"))) return Nil
+    // Replay/no-op guard: an exact manifest hit is a replayed batch; a
+    // version at or below the current maximum with no manifest would be
+    // out-of-order writing (single-writer monotone versions are the
+    // protocol), and committing it would be silently shadowed by the
+    // newer manifest — refuse to do the work either way.
+    if (currentVersion(spark, root).exists(_ >= version)) return Nil
 
     val prior = currentManifest(spark, root)
     // numBuckets is a TABLE property: fixed at creation, the parameter is

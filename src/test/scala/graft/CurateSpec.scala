@@ -57,6 +57,20 @@ class CurateSpec extends SparkSpec {
     assert(kept(0.0) == Seq(3L))      // strict: any overlap drops
   }
 
+  test("repetition gate drops boilerplate-heavy docs inside curation") {
+    val docs = Seq(
+      (1L, "the data pipeline is fast and it is correct for the most part"),
+      (2L, ("the data pipeline is fine and good\n" * 5) +
+        "the data pipeline is fast and it is correct for the most part")
+    ).toDF("doc_id", "text")
+    val strict = Curate(docs, minQuality = 0.2, maxDupLineFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(1L), s"got $strict")
+    val off = Curate(docs, minQuality = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(off == Seq(1L, 2L), s"got $off")
+  }
+
   test("hash split is disjoint, exhaustive, deterministic, near-uniform") {
     val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val train = Curate.hashSplit(docs, 0.0, 0.9)
