@@ -18,8 +18,9 @@ import graft.operators.Dedup
   * `d<batchId>` (same `_SUCCESS` + temp-write + atomic-rename discipline
   * as [[StreamingImport]]), each holding (doc_id, band, bh) rows for one
   * micro-batch. Readers union the committed deltas; when their count
-  * exceeds `compactEvery`, the batch compacts them into one directory —
-  * so the file count stays O(compactEvery), not O(batches), and the
+  * exceeds `compactEvery`, the batch merges the two SMALLEST runs with
+  * itself (size-tiered, LSM-style) — the delta count stays
+  * O(compactEvery), mature large runs are not rewritten, and the
   * per-batch work is (batch bands) ⋈ (index bands): an equi-join whose
   * left side is micro-batch-sized.
   *
@@ -152,17 +153,29 @@ object StreamingDedup {
       publish(pairs, pairsRoot, s"p$batchId")
 
       if (priorDeltas.length + 1 > compactEvery) {
-        // Compact prior deltas + this batch into a single delta, then drop
-        // the superseded dirs (readers only ever see committed sets).
-        // distinct() self-heals double-counted bands from a crashed
-        // partial deletion, and the re-cap bounds hot buckets that
-        // ACCUMULATED across deltas (each delta is capped at write, so
-        // between compactions a bucket holds ≤ compactEvery × cap rows).
+        // SIZE-TIERED compaction (LSM-style): merge ONLY the two
+        // smallest prior deltas with this batch — never the whole
+        // index. Mature large runs are left untouched until they
+        // themselves become the smallest pair, so runs form geometric
+        // tiers and cumulative compaction write is O(N log N), not the
+        // O(N²/compactEvery) a rewrite-everything policy costs — the
+        // same touched-data principle as the ManifestTable MERGE. The
+        // delta count still stays < compactEvery. distinct() self-heals
+        // double-counted bands from a crashed partial deletion; the
+        // re-cap bounds hot buckets that accumulated across the merged
+        // runs (the cap is per-run between compactions, as before).
+        val fs = new org.apache.hadoop.fs.Path(indexRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val toMerge = priorDeltas
+          .sortBy(d => fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(d)).getLength)
+          .take(2)
+        val mergeDf = spark.read.schema(indexSchema).parquet(toMerge: _*)
         publish(
-          Dedup.capBuckets(prior.union(batchIdx).distinct(),
+          Dedup.capBuckets(mergeDf.union(batchIdx).distinct(),
             Seq("band", "bh"), maxBucketSize),
           indexRoot, self)
-        priorDeltas.foreach { d =>
+        toMerge.foreach { d =>
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(p, true)

@@ -101,6 +101,44 @@ class StreamingDedupSpec extends SparkSpec {
       s"index would be shuffled per batch:\n$plan")
   }
 
+  test("size-tiered compaction never rewrites the mature large run") {
+    val (idx, prs) = freshRoots("sdedup_tiered")
+    // batch 0: a LARGE run (50 docs); later batches are single docs
+    val big = (1L to 50L).map(i =>
+      i -> s"document number $i about topic ${i % 7} with unique tail $i")
+    StreamingDedup.applyBatch(df(big: _*), 0L, idx, prs, compactEvery = 3)
+    def digests(d: String): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(d)
+      val s = java.nio.file.Files.walk(base)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        base.relativize(p).toString -> java.nio.file.Files.size(p)
+      }.toMap
+      finally s.close()
+    }
+    val d0Before = digests(s"$idx/d0")
+    StreamingDedup.applyBatch(df(100L -> docB), 1L, idx, prs,
+      compactEvery = 3)
+    StreamingDedup.applyBatch(df(101L -> docC), 2L, idx, prs,
+      compactEvery = 3)
+    // 3 priors + batch > 3 → compaction merges the two SMALLEST runs
+    // (d1, d2) with the batch; the large d0 must not be rewritten
+    StreamingDedup.applyBatch(df(102L -> docA), 3L, idx, prs,
+      compactEvery = 3)
+    val deltas = StreamingDedup.committedDeltas(spark, idx)
+    assert(deltas.exists(_.endsWith("/d0")),
+      s"large run was merged away: $deltas")
+    assert(digests(s"$idx/d0") == d0Before,
+      "mature large run rewritten by compaction")
+    assert(deltas.length == 2, s"tier count must shrink: $deltas")
+    // detection across tiers still works: a near-dup of a batch-0 doc
+    StreamingDedup.applyBatch(
+      df(200L -> "document number 7 about topic 0 with unique tail 7x"),
+      4L, idx, prs, compactEvery = 3)
+    assert(pairsOf(prs, 4L).contains((200L, 7L)),
+      s"cross-tier match missed: ${pairsOf(prs, 4L)}")
+  }
+
   test("stray dir named exactly 'd' does not break delta listing") {
     val (idx, prs) = freshRoots("sdedup_straydir")
     StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs)
