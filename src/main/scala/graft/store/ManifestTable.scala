@@ -382,6 +382,46 @@ object ManifestTable {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     }
 
+  /** Targeted key deletion (GDPR-style erasure): removes the rows whose
+    * key is in `keys`, rewriting ONLY the buckets those keys hash to —
+    * the untouched rest of the table carries into the new manifest
+    * verbatim, same as a MERGE. Publishes a new version via the same
+    * atomic manifest rename; a replayed/out-of-order version is a no-op.
+    * Cost: |touched buckets| file rewrites, never a table scan. */
+  def delete(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      keys: Seq[Any],
+      version: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Seq[FileEntry] = {
+    if (currentVersion(spark, root).exists(_ >= version)) return Nil
+    val prior = currentManifest(spark, root).getOrElse(return Nil)
+    val n = prior.numBuckets
+    val rendered = spark.range(1)
+      .select(explode(array(keys.map { k =>
+        pmod(hash(keyComparator(lit(k))), lit(n))
+      }: _*)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (touchedEntries, untouched) =
+      prior.entries.partition(e => rendered(e.bucket))
+    if (touchedEntries.isEmpty) {
+      writeManifest(spark, root, Manifest(version, n, prior.entries))
+      return Nil
+    }
+    val fragment = spark.read.schema(schema)
+      .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
+      .filter(!keyComparator(col(keyColumn)).isin(
+        keys.map(k => keyComparator(lit(k))): _*))
+    val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
+    val written = writeBuckets(fragment, bucket, keyColumn, root, version,
+      touchedEntries.size)
+    writeManifest(spark, root, Manifest(version, n, untouched ++ written))
+    written
+  }
+
   /** Deletes data directories and manifests no longer referenced by the
     * CURRENT manifest. Maintenance only — run when no reader holds an
     * older manifest (readers resolve the manifest once per query). */

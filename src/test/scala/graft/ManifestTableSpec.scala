@@ -171,6 +171,54 @@ class ManifestTableSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("targeted delete rewrites only the keys' buckets") {
+    val root = freshRoot("manifest_delete")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 16L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    val victim = 5L
+    val vb = bucketOf(victim, 4)
+    ManifestTable.delete(spark, root, schema, "id", Seq(victim), 1L)
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m1.version == 1L)
+    // untouched buckets carry verbatim; victim's bucket rewritten
+    m0.entries.filter(_.bucket != vb).foreach { e =>
+      assert(m1.entries.find(_.bucket == e.bucket).contains(e))
+    }
+    assert(m1.entries.find(_.bucket == vb).get.relPath.startsWith("data/v1"))
+    val ids = ManifestTable.read(spark, root, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(victim) && ids.size == 15)
+    // replayed delete is a no-op
+    assert(ManifestTable.delete(
+      spark, root, schema, "id", Seq(victim), 1L).isEmpty)
+  }
+
+  test("schema evolution: new nullable column reads old files as null") {
+    val root = freshRoot("manifest_evolve")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema)
+    val wider = StructType(schema.fields :+
+      StructField("extra", StringType))
+    val widerMapping = {
+      val mm = new Mapping()
+      mm.auto("id"); mm.auto("name"); mm.auto("score"); mm.auto("extra")
+      mm.complete(wider)
+      mm
+    }
+    ManifestTable.merge(
+      Seq((Seq("2", "b", "2", "x"), 0L)).toDF("_raw", "_line")
+        .transform(widerMapping.project),
+      1L, widerMapping, root, wider)
+    val rows = ManifestTable.read(spark, root, wider)
+      .orderBy("id").collect().toSeq
+    assert(rows == Seq(
+      Row(1L, "a", 1L, null), // old file: new column reads as null
+      Row(2L, "b", 2L, "x")))
+  }
+
   test("vacuum drops unreferenced data versions and old manifests") {
     val root = freshRoot("manifest_vacuum")
     val m = mapping
