@@ -18,14 +18,16 @@ case object CreateAndUpdate extends ImportMode {
 }
 
 /** Outputs of one upsert pass. All four DataFrames derive from the same
-  * single-join plan; materialize `merged` first (or persist the join) when
-  * you need several of them.
+  * single-join plan, exposed as `joined`: persist it (and unpersist when
+  * done) when you consume several outputs, so the join — and the target
+  * scan under it — evaluates once instead of once per output.
   */
 final case class UpsertResult(
     merged: DataFrame,
     history: DataFrame,
     notFound: DataFrame,
-    stats: DataFrame)
+    stats: DataFrame,
+    joined: DataFrame)
 
 /** Key-matched upsert — the Spark re-expression of the reference's import
   * loop (importtask.py:197-344).
@@ -253,7 +255,7 @@ object Upsert {
         .as("ignored_missing_id"),
       sum(when(col("_ign"), 1L).otherwise(0L)).as("ignored")))
 
-    UpsertResult(merged, history, notFound, stats)
+    UpsertResult(merged, history, notFound, stats, flags)
   }
 }
 
@@ -354,9 +356,12 @@ object ImportPipeline {
         case None => s.raw
       }
       val projected = s.mapping.complete(schema).project(flagged)
-      val version =
+      // Idempotency token: currentVersion + 1 strictly increases across
+      // merges (each commit bumps the version), so it never collides
+      // with the previous merge's token.
+      val token =
         ManifestTable.currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-      ManifestTable.merge(projected, version, s.mapping, root, schema,
+      ManifestTable.merge(projected, token, s.mapping, root, schema,
         s.mode, nonNullable, numBuckets, s.rejectWhen, recordStats)
     }
     postCommit(ManifestTable.read(spark, root, schema))

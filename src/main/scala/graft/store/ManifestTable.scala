@@ -42,11 +42,13 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   *      via temp-write + atomic rename.
   *
   * Readers resolve the highest committed manifest and union its files:
-  * they never see a half-merged state. Replay of an already-committed
-  * version is a no-op (the manifest exists), making at-least-once
-  * foreachBatch delivery exactly-once. A crash between the data write and
-  * the manifest rename leaves an orphan data directory that no manifest
-  * references — invisible, and overwritten by the replay.
+  * they never see a half-merged state. Each merge carries a
+  * (streamId, batchId) idempotency token recorded in the manifest as
+  * `lastBatch`; re-delivery of the last committed batch is a no-op,
+  * making at-least-once foreachBatch delivery exactly-once. Table
+  * versions are internal (`current + 1`). A crash between the data write
+  * and the manifest rename leaves an orphan data directory that no
+  * manifest references — invisible, and overwritten by the replay.
   *
   * Filesystems are resolved from the paths they operate on (never the
   * default FS). The manifest rename is the single commit point; rename
@@ -63,13 +65,25 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
 object ManifestTable {
 
   /** One live bucket in a committed manifest. `relPath` is relative to the
-    * table root and points at a `_bucket=<k>` leaf directory. */
+    * table root and points at a `_bucket=<k>` leaf directory. Key stats are
+    * min/max of the NORMALIZED key rendered as a string (the same
+    * `keyComparator` space the bucket hash uses), so comparator-aware
+    * lookups can prune against them. */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
       relPath: String)
 
+  /** `version` is the table's own monotone commit counter (internal —
+    * callers never choose it). Replay detection is separate:
+    * `lastBatch` is the (streamId, batchId) token of the last merge and
+    * `lastDelete` the token of the last delete, so a replayed foreachBatch
+    * delivery no-ops without colliding with table versions (a
+    * `create()`-bootstrapped table starts at version 0 with NO lastBatch,
+    * so the stream's batch 0 still applies). */
   final case class Manifest(
-      version: Long, numBuckets: Int, entries: Seq[FileEntry])
+      version: Long, numBuckets: Int, entries: Seq[FileEntry],
+      lastBatch: Option[(String, Long)] = None,
+      lastDelete: Option[Long] = None)
 
   private val BucketCol = "_bucket"
 
@@ -101,8 +115,9 @@ object ManifestTable {
   }
 
   /** Parses a committed manifest. Line 1: `graft-manifest <format>`,
-    * line 2: numBuckets, then one tab-separated entry per bucket with
-    * URL-encoded key stats (keys may contain tabs/newlines). */
+    * line 2: `numBuckets \t lastBatchStream \t lastBatchId \t lastDelete`
+    * (empty id fields = none), then one tab-separated entry per bucket
+    * with URL-encoded key stats (keys may contain tabs/newlines). */
   def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = new Path(s"$root/manifest/m$version")
     val fs = fsOf(spark, p)
@@ -111,14 +126,18 @@ object ManifestTable {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    require(lines.head == "graft-manifest 1",
+    require(lines.head == "graft-manifest 2",
       s"unsupported manifest header: ${lines.head}")
-    val numBuckets = lines(1).toInt
+    val h = lines(1).split("\t", -1)
+    val numBuckets = h(0).toInt
+    val lastBatch =
+      if (h(2).isEmpty) None else Some((dec(h(1)), h(2).toLong))
+    val lastDelete = if (h(3).isEmpty) None else Some(h(3).toLong)
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4))
     }
-    Manifest(version, numBuckets, entries)
+    Manifest(version, numBuckets, entries, lastBatch, lastDelete)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -137,7 +156,12 @@ object ManifestTable {
 
   private def writeManifest(
       spark: SparkSession, root: String, m: Manifest): Unit = {
-    val body = (s"graft-manifest 1" +: s"${m.numBuckets}" +:
+    val header = Seq(
+      m.numBuckets.toString,
+      m.lastBatch.map(b => enc(b._1)).getOrElse(""),
+      m.lastBatch.map(_._2.toString).getOrElse(""),
+      m.lastDelete.map(_.toString).getOrElse("")).mkString("\t")
+    val body = (s"graft-manifest 2" +: header +:
       m.entries.sortBy(_.bucket).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}"))
       .mkString("", "\n", "\n")
@@ -165,7 +189,9 @@ object ManifestTable {
       keyColumn: String,
       root: String,
       version: Long,
-      numTasks: Int): Seq[FileEntry] = {
+      numTasks: Int,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/v$version"
     df.withColumn(BucketCol, bucket)
@@ -176,12 +202,15 @@ object ManifestTable {
     val writtenSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         BucketCol, org.apache.spark.sql.types.IntegerType))
+    // Stats in NORMALIZED key space — the space lookup() renders its
+    // probe keys in; raw-key stats would wrongly prune a file when the
+    // comparator changes rendering (e.g. lower("Foo") vs "foo").
     spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
       .groupBy(col(BucketCol))
       .agg(count(lit(1)).as("rows"),
-        min(col(keyColumn).cast("string")).as("minKey"),
-        max(col(keyColumn).cast("string")).as("maxKey"))
+        min(keyComparator(col(keyColumn)).cast("string")).as("minKey"),
+        max(keyComparator(col(keyColumn)).cast("string")).as("maxKey"))
       .collect()
       .map { r =>
         FileEntry(r.getInt(0), r.getLong(1),
@@ -204,18 +233,27 @@ object ManifestTable {
     val spark = df.sparkSession
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
     val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(numBuckets))
-    val entries = writeBuckets(df, bucket, keyColumn, root, 0L, numBuckets)
+    val entries = writeBuckets(df, bucket, keyColumn, root, 0L, numBuckets,
+      keyComparator)
     writeManifest(spark, root, Manifest(0L, numBuckets, entries))
   }
 
   /** One incremental MERGE of a projected source into the table.
-    * `version` must be new and monotone (foreachBatch batchId, or
-    * `currentVersion + 1` for batch use); if manifest `version` is already
-    * committed the call is a replay and a NO-OP. Returns the entries
-    * rewritten by this merge (empty on replay). */
+    * `(streamId, batchId)` is the merge's IDEMPOTENCY TOKEN, not the
+    * table version: foreachBatch passes its batchId (plus the checkpoint
+    * path as streamId, so a stream restarted on a FRESH checkpoint —
+    * batchIds reset to 0 — is a new token, not a false replay); batch
+    * callers pass any token different from the previous merge's. If the
+    * token equals the current manifest's `lastBatch` the call is the
+    * at-least-once re-delivery of the last committed batch and a NO-OP —
+    * exactly foreachBatch's replay window (only the most recent batch is
+    * ever re-delivered). The table version is internal and monotone
+    * (`current + 1`), so a `create()` bootstrap at version 0 never
+    * swallows the stream's batch 0. Returns the entries rewritten
+    * (empty on replay). */
   def merge(
       projected: DataFrame,
-      version: Long,
+      batchId: Long,
       mapping: Mapping,
       root: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -223,16 +261,12 @@ object ManifestTable {
       nonNullable: Seq[String] = Nil,
       numBuckets: Int = 16,
       rejectWhen: Option[org.apache.spark.sql.Column] = None,
-      recordStats: Boolean = false): Seq[FileEntry] = {
+      recordStats: Boolean = false,
+      streamId: String = ""): Seq[FileEntry] = {
     val spark = projected.sparkSession
-    // Replay/no-op guard: an exact manifest hit is a replayed batch; a
-    // version at or below the current maximum with no manifest would be
-    // out-of-order writing (single-writer monotone versions are the
-    // protocol), and committing it would be silently shadowed by the
-    // newer manifest — refuse to do the work either way.
-    if (currentVersion(spark, root).exists(_ >= version)) return Nil
-
     val prior = currentManifest(spark, root)
+    if (prior.exists(_.lastBatch.contains((streamId, batchId)))) return Nil
+    val version = prior.map(_.version + 1).getOrElse(0L)
     // numBuckets is a TABLE property: fixed at creation, the parameter is
     // ignored once a manifest exists (a mismatch would scatter each key
     // across two bucket layouts).
@@ -249,11 +283,14 @@ object ManifestTable {
       else None
 
     // 1. touched buckets: bounded distinct over ≤ n values, never a key
-    //    collect. Null-keyed source rows are dropped by the upsert anyway.
+    //    collect. Null-keyed source rows are dropped by the upsert, so
+    //    they must not mark buckets either — and the null filter has to
+    //    run BEFORE bucketing (hash(null) is the seed, not null, so a
+    //    null key would otherwise always touch bucket pmod(seed, n)).
     val touched = ignore.foldLeft(projected)((df, c) =>
         df.filter(!coalesce(c, lit(false))))
+      .filter(mapping.keyComparator(col(key)).isNotNull)
       .select(bucketOf(col(key)).as(BucketCol))
-      .filter(col(BucketCol).isNotNull)
       .distinct().collect().map(_.getInt(0)).toSet
     val (touchedEntries, untouched) =
       prior.map(_.entries).getOrElse(Nil).partition(e => touched(e.bucket))
@@ -267,30 +304,40 @@ object ManifestTable {
         .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
     val res = Upsert(fragment, projected, mapping, mode, nonNullable,
       rejectWhen, ignore)
-
-    // 4-5. write ONLY the touched buckets under this version's directory
-    //    (one file per bucket), compute their stats from the committed
-    //    files in one bounded agg, then the atomic manifest swap.
-    val written = writeBuckets(res.merged, bucketOf(col(key)), key, root,
-      version, math.max(touched.size, 1))
-
-    // keep_history rows and import stats are part of the same commit:
-    // written under version-scoped directories BEFORE the manifest
-    // rename, so the rename makes state + history + stats visible
-    // together (the reference commits history in the same DB transaction,
-    // importtask.py:313-344,:369-371). A replay skips the whole merge, so
-    // history is never duplicated; a crash before the rename leaves
-    // orphans that the replay overwrites. Readers must ignore versions
-    // above the current manifest (see historyOf/statsOf).
     val tracked = mapping.columns.exists(_._2.opts.keepHistory)
-    if (tracked && mode.canUpdate)
-      res.history.write.mode("overwrite")
-        .parquet(s"$root/history/v$version")
-    if (recordStats)
-      res.stats.write.mode("overwrite").parquet(s"$root/stats/v$version")
+    val multiOut = (tracked && mode.canUpdate) || recordStats
+    // merged/history/stats all derive from the ONE full-outer join; with
+    // several consumers, persist it once instead of re-reading the
+    // fragment and re-aggregating the source per output (UpsertResult's
+    // own contract, Upsert.scala:20-23).
+    if (multiOut) res.joined.persist()
+    try {
+      // 4-5. write ONLY the touched buckets under this version's directory
+      //    (one file per bucket), compute their stats from the committed
+      //    files in one bounded agg, then the atomic manifest swap.
+      val written = writeBuckets(res.merged, bucketOf(col(key)), key, root,
+        version, math.max(touched.size, 1), mapping.keyComparator)
 
-    writeManifest(spark, root, Manifest(version, n, untouched ++ written))
-    written
+      // keep_history rows and import stats are part of the same commit:
+      // written under version-scoped directories BEFORE the manifest
+      // rename, so the rename makes state + history + stats visible
+      // together (the reference commits history in the same DB transaction,
+      // importtask.py:313-344,:369-371). A replay skips the whole merge, so
+      // history is never duplicated; a crash before the rename leaves
+      // orphans that the replay overwrites. Readers must ignore versions
+      // above the current manifest (see historyOf/statsOf).
+      if (tracked && mode.canUpdate)
+        res.history.write.mode("overwrite")
+          .parquet(s"$root/history/v$version")
+      if (recordStats)
+        res.stats.write.mode("overwrite").parquet(s"$root/stats/v$version")
+
+      writeManifest(spark, root, Manifest(version, n, untouched ++ written,
+        Some((streamId, batchId)), prior.flatMap(_.lastDelete)))
+      written
+    } finally {
+      if (multiOut) res.joined.unpersist()
+    }
   }
 
   /** Versions ≤ the current manifest with a committed side-directory
@@ -355,15 +402,18 @@ object ManifestTable {
       case Some(m) if m.entries.nonEmpty && keys.nonEmpty =>
         // Bucket AND string rendering computed by Spark itself, so the
         // range check compares in exactly the space the manifest stats
-        // were computed in (`cast(key as string)`) — a driver-side
-        // String.valueOf could render differently and wrongly exclude a
-        // file. Stats are string-ordered min/max of the stringified
-        // keys, so lexicographic containment is conservative-correct.
+        // were computed in (`cast(comparator(key) as string)` — see
+        // writeBuckets) — a driver-side String.valueOf could render
+        // differently and wrongly exclude a file. Stats are
+        // string-ordered min/max of the stringified NORMALIZED keys, so
+        // lexicographic containment is conservative-correct, and the
+        // probe keys must be normalized the same way (a lower-cased
+        // table probed with "Foo" must compare "foo").
         val rendered = spark.range(1)
           .select(explode(array(keys.map { k =>
-            val c = lit(k)
+            val c = keyComparator(lit(k))
             struct(
-              pmod(hash(keyComparator(c)), lit(m.numBuckets)).as("b"),
+              pmod(hash(c), lit(m.numBuckets)).as("b"),
               c.cast("string").as("s"))
           }: _*)).as("k"))
           .select(col("k.b"), col("k.s"))
@@ -377,7 +427,8 @@ object ManifestTable {
             schema)
         else spark.read.schema(schema)
           .parquet(hit.map(e => s"$root/${e.relPath}"): _*)
-          .filter(col(keyColumn).isin(keys: _*))
+          .filter(keyComparator(col(keyColumn)).isin(
+            keys.map(k => keyComparator(lit(k))): _*))
       case _ => spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     }
@@ -385,20 +436,25 @@ object ManifestTable {
   /** Targeted key deletion (GDPR-style erasure): removes the rows whose
     * key is in `keys`, rewriting ONLY the buckets those keys hash to —
     * the untouched rest of the table carries into the new manifest
-    * verbatim, same as a MERGE. Publishes a new version via the same
-    * atomic manifest rename; a replayed/out-of-order version is a no-op.
-    * Cost: |touched buckets| file rewrites, never a table scan. */
+    * verbatim, same as a MERGE. Publishes a new internal version via the
+    * same atomic manifest rename; `token` is the delete's idempotency
+    * token (pick any value different from the previous delete's, e.g.
+    * `currentVersion + 1`) — a replay with the same token is a no-op.
+    * NULL-keyed rows never match a delete key (SQL semantics) and are
+    * kept when their bucket is rewritten. Cost: |touched buckets| file
+    * rewrites, never a table scan. */
   def delete(
       spark: SparkSession,
       root: String,
       schema: org.apache.spark.sql.types.StructType,
       keyColumn: String,
       keys: Seq[Any],
-      version: Long,
+      token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity): Seq[FileEntry] = {
-    if (currentVersion(spark, root).exists(_ >= version)) return Nil
     val prior = currentManifest(spark, root).getOrElse(return Nil)
+    if (prior.lastDelete.contains(token)) return Nil
+    val version = prior.version + 1
     val n = prior.numBuckets
     val rendered = spark.range(1)
       .select(explode(array(keys.map { k =>
@@ -408,17 +464,24 @@ object ManifestTable {
     val (touchedEntries, untouched) =
       prior.entries.partition(e => rendered(e.bucket))
     if (touchedEntries.isEmpty) {
-      writeManifest(spark, root, Manifest(version, n, prior.entries))
+      writeManifest(spark, root, Manifest(version, n, prior.entries,
+        prior.lastBatch, Some(token)))
       return Nil
     }
+    // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a NULL
+    // key, and a bare `!NULL` filter would silently DROP null-keyed rows
+    // that happen to share a bucket with a deleted key.
     val fragment = spark.read.schema(schema)
       .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
-      .filter(!keyComparator(col(keyColumn)).isin(
-        keys.map(k => keyComparator(lit(k))): _*))
+      .filter(!coalesce(
+        keyComparator(col(keyColumn)).isin(
+          keys.map(k => keyComparator(lit(k))): _*),
+        lit(false)))
     val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
     val written = writeBuckets(fragment, bucket, keyColumn, root, version,
-      touchedEntries.size)
-    writeManifest(spark, root, Manifest(version, n, untouched ++ written))
+      touchedEntries.size, keyComparator)
+    writeManifest(spark, root, Manifest(version, n, untouched ++ written,
+      prior.lastBatch, Some(token)))
     written
   }
 

@@ -35,16 +35,20 @@ object StreamingDedup {
       nullable = false),
     StructField("bh", LongType, nullable = false)))
 
-  /** Committed delta dirs (name `d<n>`, `_SUCCESS` present), sorted.
-    * Listed through the Hadoop FileSystem API — the index lives on
-    * cluster storage (HDFS/S3), where a `java.io.File` listing would
-    * silently return nothing and every batch would publish pairs against
-    * an empty index. */
-  def committedDeltas(spark: SparkSession, indexRoot: String): Seq[String] = {
+  /** Committed run dirs split into (live, superseded-but-on-disk) names.
+    * A compaction's merged run carries a `_MERGED` tombstone file naming
+    * the source runs it replaced — committed atomically WITH the run by
+    * the same rename — so a run named by any committed run's tombstone is
+    * logically deleted even if its directory still exists (crash between
+    * publish and delete). Tombstones are unioned across ALL on-disk
+    * committed runs (including superseded ones) so chains of crashed
+    * compactions resolve transitively. */
+  private def listRuns(
+      spark: SparkSession, indexRoot: String): (Seq[String], Seq[String]) = {
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
+    if (!fs.exists(root)) return (Nil, Nil)
+    val committed = fs.listStatus(root).toSeq
       .filter { st =>
         // require a NON-EMPTY numeric suffix: drop(1).forall(_.isDigit)
         // is vacuously true for a dir named exactly "d", and the sort
@@ -56,8 +60,28 @@ object StreamingDedup {
       }
       .map(_.getPath.getName)
       .sortBy(_.stripPrefix("d").toLong)
-      .map(n => s"$indexRoot/$n")
+    val superseded: Set[String] = committed.flatMap { n =>
+      val t = new org.apache.hadoop.fs.Path(s"$indexRoot/$n/_MERGED")
+      if (!fs.exists(t)) Nil
+      else {
+        val in = fs.open(t)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        finally in.close()
+      }
+    }.toSet
+    committed.partition(n => !superseded(n))
   }
+
+  /** Live committed delta dirs (name `d<n>`, `_SUCCESS` present, not
+    * superseded by a compaction tombstone), as paths, sorted. Listed
+    * through the Hadoop FileSystem API — the index lives on cluster
+    * storage (HDFS/S3), where a `java.io.File` listing would silently
+    * return nothing and every batch would publish pairs against an empty
+    * index. */
+  def committedDeltas(spark: SparkSession, indexRoot: String): Seq[String] =
+    listRuns(spark, indexRoot)._1.map(n => s"$indexRoot/$n")
 
   /** The full committed index (empty frame when none). */
   def readIndex(spark: SparkSession, indexRoot: String): DataFrame = {
@@ -72,14 +96,26 @@ object StreamingDedup {
   /** Temp-write + atomic-rename publish. The FS is resolved from the
     * destination path (not `FileSystem.get`): with `root` on a
     * non-default filesystem, the default FS throws "Wrong FS" on
-    * rename/delete. NOTE: relies on rename atomicity — true on HDFS and
-    * ABFS, NOT on raw S3; document/guard accordingly in deployments. */
-  private def publish(df: DataFrame, root: String, name: String): Unit = {
+    * rename/delete. `supersedes` names source runs this one replaces —
+    * written as a `_MERGED` tombstone inside the temp dir BEFORE the
+    * rename, so the one atomic rename commits the merged run and the
+    * logical deletion of its sources together. NOTE: relies on rename
+    * atomicity — true on HDFS and ABFS, NOT on raw S3; document/guard
+    * accordingly in deployments. */
+  private def publish(df: DataFrame, root: String, name: String,
+      supersedes: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val tmp = s"$root/.tmp-$name"
     df.write.mode("overwrite").parquet(tmp)
     val dst = new org.apache.hadoop.fs.Path(s"$root/$name")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (supersedes.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$tmp/_MERGED"), true)
+      try out.write(supersedes.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     fs.delete(dst, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new java.io.IOException(s"failed to publish $dst")
@@ -105,15 +141,25 @@ object StreamingDedup {
       maxBroadcastRows: Long = 2000000L): Unit = {
     val spark = batch.sparkSession
     val self = s"d$batchId"
-    val all = committedDeltas(spark, indexRoot)
-    if (all.exists(_.endsWith(s"/$self"))) {
+    val (liveNames, staleNames) = listRuns(spark, indexRoot)
+    if (liveNames.contains(self) || staleNames.contains(self)) {
       // Replay of a FULLY published batch (delta commit is the last
       // write): pairs/p<batchId> is already on disk and the comparison
       // set may since have been compacted away — recomputing here would
       // overwrite good pairs with garbage. No-op is the idempotent move.
       return
     }
-    val priorDeltas = all
+    if (staleNames.nonEmpty) {
+      // Janitor: runs superseded by a committed compaction tombstone are
+      // logically dead (excluded from every listing) — a crash between
+      // that compaction's publish and its source deletion left them on
+      // disk. Sweep here, in the single writer.
+      val fs = new org.apache.hadoop.fs.Path(indexRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      staleNames.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexRoot/$n"), true))
+    }
+    val priorDeltas = liveNames.map(n => s"$indexRoot/$n")
     val prior =
       if (priorDeltas.isEmpty)
         spark.createDataFrame(
@@ -160,10 +206,14 @@ object StreamingDedup {
         // tiers and cumulative compaction write is O(N log N), not the
         // O(N²/compactEvery) a rewrite-everything policy costs — the
         // same touched-data principle as the ManifestTable MERGE. The
-        // delta count still stays < compactEvery. distinct() self-heals
-        // double-counted bands from a crashed partial deletion; the
-        // re-cap bounds hot buckets that accumulated across the merged
-        // runs (the cap is per-run between compactions, as before).
+        // delta count still stays < compactEvery. Crash-safety: the
+        // merged run's `_MERGED` tombstone (see publish) commits the
+        // logical deletion of its sources atomically with the run
+        // itself, so a crash before the physical deletes below cannot
+        // double-count rows — the leftovers are invisible to every
+        // listing and swept by the next batch's janitor. The re-cap
+        // bounds hot buckets that accumulated across the merged runs
+        // (the cap is per-run between compactions, as before).
         val fs = new org.apache.hadoop.fs.Path(indexRoot)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val toMerge = priorDeltas
@@ -174,7 +224,8 @@ object StreamingDedup {
         publish(
           Dedup.capBuckets(mergeDf.union(batchIdx).distinct(),
             Seq("band", "bh"), maxBucketSize),
-          indexRoot, self)
+          indexRoot, self,
+          supersedes = toMerge.map(_.substring(indexRoot.length + 1)))
         toMerge.foreach { d =>
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)

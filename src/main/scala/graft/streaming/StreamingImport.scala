@@ -19,10 +19,13 @@ import graft.store.ManifestTable
   * atomicity (manifest rename is the single commit point) while
   * rewriting only the data files whose buckets the batch touches.
   *
-  * Exactly-once under at-least-once foreachBatch delivery: the batchId is
-  * the manifest version, so a replay of a committed batch is a no-op, and
-  * a crash before the manifest rename leaves only an unreferenced data
-  * directory that the replay overwrites.
+  * Exactly-once under at-least-once foreachBatch delivery: the
+  * (checkpoint, batchId) pair is the merge's idempotency token, so a
+  * replay of the last committed batch is a no-op, a crash before the
+  * manifest rename leaves only an unreferenced data directory that the
+  * replay overwrites, and a stream restarted on a FRESH checkpoint
+  * (batchIds reset to 0) is a new token — not a false replay that would
+  * silently drop its first batch.
   */
 object StreamingImport {
 
@@ -51,16 +54,17 @@ object StreamingImport {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, mapping, targetRoot, targetSchema,
-          mode, nonNullable, numBuckets, recordStats)
+          mode, nonNullable, numBuckets, recordStats,
+          streamId = checkpoint)
       }
       .start()
   }
 
   /** One micro-batch merge — the foreachBatch body, exposed so replay
     * semantics are testable. Delegates to [[ManifestTable.merge]] with
-    * the batchId as the manifest version: only the batch's touched
-    * buckets are rewritten; untouched data files carry into the new
-    * manifest verbatim. */
+    * (streamId, batchId) as the idempotency token: only the batch's
+    * touched buckets are rewritten; untouched data files carry into the
+    * new manifest verbatim. */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,
@@ -70,11 +74,12 @@ object StreamingImport {
       mode: ImportMode = CreateAndUpdate,
       nonNullable: Seq[String] = Nil,
       numBuckets: Int = 16,
-      recordStats: Boolean = false): Unit = {
+      recordStats: Boolean = false,
+      streamId: String = ""): Unit = {
     val projected = mapping.project(batch)
     ManifestTable.merge(projected, batchId, mapping, targetRoot,
       targetSchema, mode, nonNullable, numBuckets,
-      recordStats = recordStats)
+      recordStats = recordStats, streamId = streamId)
     ()
   }
 }

@@ -196,6 +196,99 @@ class ManifestTableSpec extends SparkSpec {
       spark, root, schema, "id", Seq(victim), 1L).isEmpty)
   }
 
+  test("batch 0 after a create() bootstrap is applied, not swallowed") {
+    // regression: when the replay guard compared table versions, the
+    // create() commit at version 0 made the stream's batchId-0 merge look
+    // like a replay and silently dropped its rows
+    val root = freshRoot("manifest_create_batch0")
+    val m = mapping
+    ManifestTable.create(Seq((1L, "a", 1L)).toDF("id", "name", "score"),
+      "id", root, numBuckets = 4)
+    val rewritten = ManifestTable.merge(
+      m.project(raw((2L, "b", "2"))), 0L, m, root, schema)
+    assert(rewritten.nonEmpty, "first stream batch must merge, not no-op")
+    assert(ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "a", 1L), Row(2L, "b", 2L)))
+  }
+
+  test("fresh-checkpoint restart (batchIds reset) is a new token stream") {
+    val root = freshRoot("manifest_fresh_ckpt")
+    val m = mapping
+    // old stream committed batches 0 and 1 under checkpoint A
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema,
+      streamId = "ckptA")
+    ManifestTable.merge(m.project(raw((2L, "b", "2"))), 1L, m, root, schema,
+      streamId = "ckptA")
+    // replay of A's last batch no-ops...
+    assert(ManifestTable.merge(m.project(raw((2L, "X", "0"))), 1L, m, root,
+      schema, streamId = "ckptA").isEmpty)
+    // ...but a NEW checkpoint's batch 0 (or 1) is new data, not a replay
+    val applied = ManifestTable.merge(
+      m.project(raw((3L, "c", "3"))), 0L, m, root, schema,
+      streamId = "ckptB")
+    assert(applied.nonEmpty)
+    assert(ManifestTable.read(spark, root, schema).count() == 3)
+  }
+
+  test("delete keeps NULL-keyed rows sharing a bucket with a deleted key") {
+    // regression: `!key.isin(...)` is NULL for a NULL key and filter drops
+    // NULL rows — a targeted delete must never erase unrelated rows
+    val root = freshRoot("manifest_delete_nullkey")
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(java.lang.Long.valueOf(1L), "a", java.lang.Long.valueOf(1L)),
+        Row(null, "nullkey", java.lang.Long.valueOf(0L))),
+      schema)
+    // ONE bucket so the null-keyed row is guaranteed to share the
+    // deleted key's bucket
+    ManifestTable.create(rows, "id", root, numBuckets = 1)
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), 1L)
+    val left = ManifestTable.read(spark, root, schema).collect().toSeq
+    assert(left == Seq(Row(null, "nullkey", 0L)),
+      s"null-keyed row must survive the delete, got $left")
+  }
+
+  test("lookup honors the key comparator (normalized stats and filter)") {
+    val root = freshRoot("manifest_lookup_cmp")
+    val strSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val lowerCmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      lower(_)
+    ManifestTable.create(
+      Seq(("Foo", 1L), ("BAR", 2L), ("baz", 3L)).toDF("k", "v"),
+      "k", root, numBuckets = 4, keyComparator = lowerCmp)
+    // probe with a different case than stored: the comparator-space
+    // bucket, range stats and final filter must all still match
+    val got = ManifestTable.lookup(spark, root, strSchema, "k",
+        Seq("foo", "bar"), keyComparator = lowerCmp)
+      .orderBy("k").collect().toSeq
+    assert(got == Seq(Row("BAR", 2L), Row("Foo", 1L)))
+    // delete agrees with lookup on the same normalized key
+    ManifestTable.delete(spark, root, strSchema, "k", Seq("FOO"), 1L,
+      keyComparator = lowerCmp)
+    assert(ManifestTable.lookup(spark, root, strSchema, "k", Seq("foo"),
+      keyComparator = lowerCmp).count() == 0)
+  }
+
+  test("all-null-keyed batch touches no buckets") {
+    val root = freshRoot("manifest_null_touch")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 8L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    // a batch whose only row has a null key: the upsert drops it, so no
+    // bucket may be rewritten (hash(null) = seed would otherwise always
+    // mark bucket pmod(seed, n) touched)
+    val nullBatch = Seq((Seq("", "x", "9"), 0L)).toDF("_raw", "_line")
+    val rewritten = ManifestTable.merge(
+      m.project(nullBatch), 1L, m, root, schema)
+    assert(rewritten.isEmpty, s"null-key batch rewrote: $rewritten")
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m1.entries.toSet == m0.entries.toSet)
+  }
+
   test("schema evolution: new nullable column reads old files as null") {
     val root = freshRoot("manifest_evolve")
     val m = mapping

@@ -139,6 +139,42 @@ class StreamingDedupSpec extends SparkSpec {
       s"cross-tier match missed: ${pairsOf(prs, 4L)}")
   }
 
+  test("crashed compaction (tombstone committed, sources undeleted) " +
+      "never double-counts") {
+    val (idx, prs) = freshRoots("sdedup_crash_compact")
+    // three committed runs
+    StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs)
+    StreamingDedup.applyBatch(df(2L -> docB), 1L, idx, prs)
+    StreamingDedup.applyBatch(df(3L -> docC), 2L, idx, prs)
+    val rowsBefore = StreamingDedup.readIndex(spark, idx).count()
+    // simulate the crash window: d2's tombstone says it superseded d0
+    // and d1 (as a compaction would), but the source dirs were never
+    // physically deleted
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/d2/_MERGED"), "d0\nd1\n")
+    // the superseded runs are logically dead: excluded from the listing
+    val live = StreamingDedup.committedDeltas(spark, idx)
+    assert(live.map(_.split('/').last) == Seq("d2"),
+      s"superseded runs must not be listed: $live")
+    // ...so the index reads without double-counting (d2 here doesn't
+    // actually contain d0/d1's rows — the point is the leftovers are
+    // invisible, not unioned in twice)
+    assert(StreamingDedup.readIndex(spark, idx).count() < rowsBefore)
+    // the next batch's janitor sweeps the leftovers off disk
+    StreamingDedup.applyBatch(df(4L -> docB), 3L, idx, prs)
+    assert(!new java.io.File(s"$idx/d0").exists())
+    assert(!new java.io.File(s"$idx/d1").exists())
+    // and the replay guard still honors superseded names: a replay of a
+    // batch whose run was compacted away stays a no-op
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/d3/_MERGED"), "d2\n")
+    StreamingDedup.applyBatch(df(99L -> docA), 2L, idx, prs)
+    assert(!new java.io.File(s"$idx/.tmp-d2").exists())
+    assert(StreamingDedup.readIndex(spark, idx)
+      .filter($"doc_id" === 99L).count() == 0,
+      "replay of a superseded batch must not re-publish")
+  }
+
   test("stray dir named exactly 'd' does not break delta listing") {
     val (idx, prs) = freshRoots("sdedup_straydir")
     StreamingDedup.applyBatch(df(1L -> docA), 0L, idx, prs)
