@@ -145,6 +145,25 @@ object SparkEntry {
       ignoreWhen = ignoreWhen)
   }
 
+  /** Bootstraps a [[graft.store.ManifestTable]] from the upsert target
+    * and MERGEs the upsert source into it incrementally (only the
+    * touched key-hash buckets rewrite). The committed table state must
+    * equal the one-shot upsert's merged output — so the DuckDB oracle
+    * for the manifest format is exactly `upsert_basic`'s SQL, making the
+    * table format itself hash-verified end-to-end, not just spec-tested. */
+  private def manifestTable(
+      s: SparkSession, dir: String, name: String): String = {
+    val root = s"target/qtmp/$name"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val m = upsertMapping
+    graft.store.ManifestTable.create(
+      upsertTarget(s, dir), "id", root, numBuckets = 8)
+    val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+    graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+    root
+  }
+
   /** Planted-neighbor recovery harness for the approximate ANN paths: the
     * corpus gains a positively-scaled copy of every query vector (cosine
     * 1.0, same LSH bucket / IVF cell by construction), so each query MUST
@@ -406,6 +425,19 @@ object SparkEntry {
       Upsert(target, projected, m).merged
     }),
     "upsert_not_found" -> ((s, dir) => runUpsert(s, dir).notFound),
+    // --- parquet-manifest table format (incremental MERGE ≡ upsert) ---
+    "manifest_merge" -> ((s, dir) => {
+      val root = manifestTable(s, dir, "manifest_merge")
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_delete" -> ((s, dir) => {
+      // targeted GDPR-style erasure of a FIXED key list (bounded, not a
+      // data-dependent collect): only those keys' buckets rewrite
+      val root = manifestTable(s, dir, "manifest_delete")
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
     "upsert_reject_nonnull" -> ((s, dir) =>
       runUpsert(s, dir, blankNames = true,
         nonNullable = Seq("name")).merged),
@@ -1040,6 +1072,25 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_merge" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_delete" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
       "upsert_create_only" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inTgt THEN $drifted ELSE c_acctbal END AS acctbal,
