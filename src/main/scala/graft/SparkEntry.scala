@@ -521,6 +521,27 @@ object SparkEntry {
       TextAnalysis.repetition(d.withColumn("text", planted))
         .filter(col("doc_id") % 10 === 0)
     }),
+    "dedup_lines" -> ((s, dir) => {
+      // Plant cross-document boilerplate: every doc gains a SHARED
+      // HEADER line and a footer shared by its doc_id%5 class. Only the
+      // first occurrence of each distinct line (smallest doc, position)
+      // survives; DuckDB recomputes by true line equality.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = concat(lit("SHARED HEADER\n"), col("text"),
+        lit("\nFOOTER-"), (col("doc_id") % 5).cast(StringType))
+      Curate.dedupLines(d.withColumn("text", planted))
+    }),
+    "mixture_sample" -> ((s, dir) => {
+      // Training-mix draw: even-numbered sources weighted 8%, odd 2%,
+      // sources 18/19 left out of the mix entirely; 20k-char budget
+      // filled per source in md5 order — engine-independent, so DuckDB
+      // reproduces the identical sample.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val weights = (0 until 18)
+        .map(i => s"src$i" -> (if (i % 2 == 0) 0.08 else 0.02)).toMap
+      Curate.mixtureSample(d, weights, budget = 20000L, salt = "mix1")
+    }),
     "hash_split" -> ((s, dir) => {
       // Deterministic 90/10 train/validation split: a doc's fate depends
       // only on md5(doc_id || salt), reproducible in any engine — DuckDB
@@ -1201,6 +1222,34 @@ object SparkEntry {
                  list_aggr(list_transform(lines, x -> len(x)), 'sum')
              END AS dup_line_char_frac
            FROM l""",
+      "dedup_lines" ->
+        s"""WITH p AS (SELECT doc_id,
+             'SHARED HEADER' || chr(10) || text || chr(10) || 'FOOTER-'
+               || CAST(doc_id % 5 AS VARCHAR) AS t
+             FROM documents),
+           l AS (SELECT doc_id, line, pos FROM (
+               SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS line,
+                 unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+               FROM p)
+             WHERE trim(line) <> ''),
+           c AS (SELECT line, min(doc_id * 1000000 + pos) AS fk
+             FROM l GROUP BY line),
+           k AS (SELECT l.doc_id, l.line, l.pos FROM l JOIN c
+             ON l.line = c.line AND l.doc_id * 1000000 + l.pos = c.fk)
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           FROM k GROUP BY doc_id""",
+      "mixture_sample" ->
+        s"""WITH r AS (SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix1'), doc_id)
+               AS BIGINT) AS cum_size
+             FROM documents)
+           SELECT doc_id, source, n_chars, cum_size FROM r
+           WHERE cum_size <= CASE
+             WHEN CAST(substring(source, 4) AS INT) >= 18 THEN 0.0
+             WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 1600.0
+             ELSE 400.0 END""",
       "hash_split" -> {
         val cut = f"${(0.9 * 4294967296.0).toLong}%08x"
         s"""SELECT doc_id,

@@ -109,6 +109,82 @@ object Curate {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document LINE-level exact deduplication (the CCNet/RefinedWeb
+    * shape): every distinct non-blank line in the corpus keeps only its
+    * FIRST occurrence — smallest (document, position) — every later copy
+    * is removed, and documents are reassembled from their surviving
+    * lines (a document losing every line drops out). This strips shared
+    * boilerplate (headers, footers, nav chrome) that document-level
+    * dedup can't see.
+    *
+    * Scale shape: the dedup aggregate exchanges (line-hash,
+    * occurrence-key) — 16 bytes per line, never the text — with map-side
+    * partial min; winners flow back through a semi-join keyed on the
+    * same hash, and reassembly is one shuffle on the document id. A
+    * row_number window over raw lines would sort-shuffle the full text
+    * instead. The 64-bit xxhash64 key can in principle collide (p ≈
+    * n²/2⁶⁵ — two colliding lines would dedup as one); the DuckDB
+    * oracle checks the result by true line equality. Positions are
+    * packed as `doc_id * 1e6 + pos` (documents are assumed under 1M
+    * lines). */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "_pos", "_line")
+      .filter(trim(col("_line")) =!= "")
+      .withColumn("_okey",
+        col(idCol).cast("long") * 1000000L + col("_pos"))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val first = occ.groupBy(col("_lh").as("_flh"))
+      .agg(min(col("_okey")).as("_fokey"))
+    occ.join(first,
+        col("_lh") === col("_flh") && col("_okey") === col("_fokey"),
+        "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line")),
+        "\n").as(textCol))
+  }
+
+  /** Deterministic mixture sampling to a size budget — drawing a
+    * training mix: each source gets `weight(source) × budget` units
+    * (tokens, chars, bytes — whatever `sizeCol` counts), filled by its
+    * documents in md5-hash order, so the sample is reproducible in any
+    * engine and independent of partitioning, row order, and cluster
+    * size (same discipline as [[hashSplit]]). A document is kept while
+    * the running size within its source stays inside the cap; sources
+    * absent from `weights` contribute nothing.
+    *
+    * Scale shape: one hash-partitioned sort per source for the running
+    * sum's window; keep the frame slim (ids + sizes) and join content
+    * back by id afterwards. Parallelism is bounded by the number of
+    * sources; with a handful of huge sources prefer [[hashSplit]]-style
+    * fraction cuts (no sort) when an approximate budget suffices. */
+  def mixtureSample(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      budget: Long,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      sizeCol: String = "n_chars",
+      salt: String = ""): DataFrame = {
+    val cap = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w * budget)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
+        col(idCol))
+    docs
+      .withColumn("cum_size", sum(col(sizeCol)).over(w))
+      .filter(col("cum_size") <= cap)
+  }
+
   /** Deterministic hash split — how large pipelines take reproducible
     * train/validation/test cuts and downsamples: a row's fate depends
     * only on (id, salt), never on partitioning, row order, or cluster

@@ -90,6 +90,52 @@ class CurateSpec extends SparkSpec {
     assert(salted != train)
   }
 
+  test("line dedup keeps first occurrence, reassembles, drops empty docs") {
+    val docs = Seq(
+      (1L, "HEADER\nbody one\nFOOTER"),
+      (2L, "HEADER\nbody two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"), // nothing unique → doc drops out
+      (4L, "body one\nfresh line") // "body one" already seen in doc 1
+    ).toDF("doc_id", "text")
+    val out = Curate.dedupLines(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      (1L, "HEADER\nbody one\nFOOTER"), // first occurrence of all three
+      (2L, "body two"),
+      (4L, "fresh line")))
+  }
+
+  test("line dedup ignores blank lines and preserves line order") {
+    val docs = Seq(
+      (10L, "a\n\n  \nb"),
+      (11L, "b\nc\na")).toDF("doc_id", "text")
+    val out = Curate.dedupLines(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // blanks never survive; doc 11 keeps only its unseen line "c"
+    assert(out == Seq((10L, "a\nb"), (11L, "c")))
+  }
+
+  test("mixture sample fills per-source budgets deterministically") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i <= 20) "big" else "small", 10L)
+    }.toDF("doc_id", "source", "n_chars")
+    val weights = Map("big" -> 0.5, "small" -> 0.1) // caps: 50 and 10 chars
+    val once = Curate.mixtureSample(docs, weights, budget = 100L,
+      salt = "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // budget respected per source: 5 big docs (50/10), 1 small (10/10)
+    assert(once.count(_._2 == "big") == 5 && once.count(_._2 == "small") == 1)
+    // deterministic: independent of input partitioning/order
+    val again = Curate.mixtureSample(
+      docs.repartition(7).orderBy($"doc_id".desc), weights,
+      budget = 100L, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(once == again)
+    // a source with no weight contributes nothing
+    val noSmall = Curate.mixtureSample(docs, Map("big" -> 0.5),
+      budget = 100L, salt = "s").collect().map(_.getString(1)).toSet
+    assert(noSmall == Set("big"))
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")
