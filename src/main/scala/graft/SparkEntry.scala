@@ -521,6 +521,15 @@ object SparkEntry {
       TextAnalysis.repetition(d.withColumn("text", planted))
         .filter(col("doc_id") % 10 === 0)
     }),
+    "dsir_score" -> ((s, dir) => {
+      // DSIR importance vs the English slice: target = lang='en' docs,
+      // background = the whole corpus. Bucketed integer log-ratio
+      // weights; scores are exact integer sums, so DuckDB reproduces
+      // them bit-for-bit.
+      val d = t(s, dir, "documents")
+      val w = Dsir.weights(d.filter(col("lang") === "en"), d)
+      Dsir.score(d, w)
+    }),
     "dedup_lines" -> ((s, dir) => {
       // Plant cross-document boilerplate: every doc gains a SHARED
       // HEADER line and a footer shared by its doc_id%5 class. Only the
@@ -1222,6 +1231,30 @@ object SparkEntry {
                  list_aggr(list_transform(lines, x -> len(x)), 'sum')
              END AS dup_line_char_frac
            FROM l""",
+      "dsir_score" ->
+        s"""WITH tok AS (SELECT doc_id, lang, ${tokSqlOf("text")} AS tk
+             FROM documents),
+           g AS (SELECT doc_id, lang, unnest(list_concat(tk,
+               CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1]) END)) AS g
+             FROM tok),
+           gb AS (SELECT doc_id, lang, substring(md5(g), 1, 2) AS bucket
+             FROM g),
+           tc AS (SELECT bucket, count(*) AS tc FROM gb
+             WHERE lang = 'en' GROUP BY bucket),
+           bc AS (SELECT bucket, count(*) AS bc FROM gb GROUP BY bucket),
+           tt AS (SELECT count(*) AS t FROM gb WHERE lang = 'en'),
+           bt AS (SELECT count(*) AS b FROM gb),
+           w AS (SELECT bc.bucket,
+               CAST(round((ln((COALESCE(tc.tc, 0) + 1.0) / (tt.t + 256.0))
+                 - ln((bc.bc + 1.0) / (bt.b + 256.0))) * 1000) AS BIGINT)
+                 AS w
+             FROM bc LEFT JOIN tc ON bc.bucket = tc.bucket, tt, bt)
+           SELECT gb.doc_id,
+             CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS dsir_score
+           FROM gb LEFT JOIN w ON gb.bucket = w.bucket
+           GROUP BY gb.doc_id""",
       "dedup_lines" ->
         s"""WITH p AS (SELECT doc_id,
              'SHARED HEADER' || chr(10) || text || chr(10) || 'FOOTER-'
