@@ -569,6 +569,16 @@ object SparkEntry {
       val bench = d.filter(col("doc_id") % 17 === 3)
       Curate.decontaminate(d, bench, n = 3).select("doc_id")
     }),
+    "decontaminate_bloom" -> ((s, dir) => {
+      // Same contamination semantics through the bloom-prefilter scale
+      // path (false positives killed by the exact verify join), so the
+      // oracle is decontaminate's — at a deliberately high 20% fpp to
+      // prove false positives cannot leak into the result.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 3)
+      Curate.decontaminateBloom(d, bench, n = 3, fpp = 0.2)
+        .select("doc_id")
+    }),
     "source_overlap" -> ((s, dir) => {
       // The minhash estimate (the scale path) is checked against the EXACT
       // per-source shingle-set Jaccard, which DuckDB recomputes
@@ -1291,6 +1301,17 @@ object SparkEntry {
            FROM documents"""
       },
       "decontaminate" ->
+        s"""WITH tok AS (SELECT doc_id, ${tokSqlOf("text")} AS t
+             FROM documents),
+           sh AS (SELECT doc_id, ${shingleSqlOf("t")} AS s FROM tok),
+           bg AS (SELECT DISTINCT g FROM
+             (SELECT unnest(s) AS g FROM sh WHERE doc_id % 17 = 3)),
+           bad AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_id, unnest(s) AS g FROM sh) cg
+             WHERE g IN (SELECT g FROM bg))
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+      "decontaminate_bloom" ->
         s"""WITH tok AS (SELECT doc_id, ${tokSqlOf("text")} AS t
              FROM documents),
            sh AS (SELECT doc_id, ${shingleSqlOf("t")} AS s FROM tok),

@@ -80,6 +80,46 @@ object Curate {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination — the scale path when the
+    * benchmark's distinct n-gram set outgrows a comfortable broadcast
+    * JOIN table: a driver-built Bloom filter over the benchmark grams
+    * (bits ≈ 1.2 GB per 10⁹ grams at 1% fpp — an order of magnitude
+    * smaller than the gram strings) rides the task closure as a
+    * literal-embedded [[BloomMightContain]], so the corpus scan drops
+    * clean grams with zero join and zero shuffle; only the surviving
+    * CANDIDATE grams (true overlaps + fpp·|corpus grams| false
+    * positives) enter the exact-verify join, which AQE sizes freely
+    * because its corpus side is now tiny. False positives cannot leak:
+    * the verify join is exact, so the result EQUALS [[decontaminate]]
+    * at any fpp — only the prefilter selectivity changes. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      text: Column = col("text"),
+      fpp: Double = 0.01): DataFrame = {
+    val B = org.apache.spark.sql.graft.Bridge
+    val bGrams = benchmark
+      .select(explode(Dedup.shingles(text, n)).as("_g"))
+      .distinct()
+    // expected-items scalar (bounded) sizes the filter honestly
+    val expected = math.max(bGrams.count(), 1L)
+    val bf = bGrams.stat.bloomFilter("_g", expected, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val candidates = corpus
+      .select(col(idCol), explode(Dedup.shingles(text, n)).as("_g"))
+      .filter(B.column(
+        BloomMightContain(B.expression(col("_g")), bytes)))
+    val contaminated = candidates.join(bGrams, "_g")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Ratio variant: drops a document only when MORE than `maxOverlap` of
     * its distinct n-grams appear in the benchmark (some pipelines
     * tolerate incidental short overlaps; `maxOverlap = 0.0` reproduces

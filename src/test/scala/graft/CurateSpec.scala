@@ -39,6 +39,23 @@ class CurateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
 
+  test("bloom decontamination equals the broadcast path at any fpp") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "xx yy alpha beta gamma delta zz"),
+      (4L, "totally unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val exact = Curate.decontaminate(corpus, bench, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // an absurd 50% fpp floods the prefilter with false positives; the
+    // exact-verify join must still kill every one of them
+    val viaBloom = Curate.decontaminateBloom(corpus, bench, n = 4,
+      fpp = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact && exact == Set(2L, 4L))
+  }
+
   test("ratio decontamination tolerates incidental overlap below threshold") {
     val corpus = Seq(
       // 6 tokens → 3 distinct 4-grams, 1 shared with bench → ratio 1/3
