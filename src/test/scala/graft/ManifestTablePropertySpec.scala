@@ -1,0 +1,91 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.mapping.Mapping
+import graft.store.ManifestTable
+
+/** Model-based property test of the manifest protocol: a seeded random
+  * sequence of merges, targeted deletes, and replays (the at-least-once
+  * re-delivery of the LAST batch, with corrupted payload — exactly what
+  * foreachBatch can do) must leave the committed table equal to a plain
+  * in-memory map after every step. Catches protocol-level bugs
+  * (swallowed batches, replay double-application, delete erasing
+  * bystanders) that example-based specs enumerate one at a time. */
+class ManifestTablePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType)))
+
+  private def mapping = {
+    val m = new Mapping()
+    m.auto("id"); m.auto("v")
+    m.complete(schema)
+    m
+  }
+
+  private def raw(rows: Seq[(Long, Long)]): DataFrame =
+    rows.zipWithIndex
+      .map { case ((id, v), i) => (Seq(id.toString, v.toString), i.toLong) }
+      .toDF("_raw", "_line")
+
+  test("random merge/delete/replay sequences match an in-memory model") {
+    val root = "target/test-tmp/manifest_property"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val rnd = new scala.util.Random(20260812L)
+    val m = mapping
+    val model = mutable.Map.empty[Long, Long]
+    var batchId = 0L
+    var deleteToken = 1000L
+    var lastMerge: Option[(Long, Seq[(Long, Long)])] = None
+
+    def check(step: String): Unit = {
+      val got = ManifestTable.read(spark, root, schema)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model.toMap,
+        s"diverged after $step: got=${got.toSeq.sorted} " +
+          s"model=${model.toSeq.sorted}")
+    }
+
+    for (step <- 0 until 25) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // merge a random batch (intra-batch dups: last wins)
+          val rows = Seq.fill(1 + rnd.nextInt(8))(
+            (rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
+          ManifestTable.merge(m.project(raw(rows)), batchId, m, root,
+            schema, numBuckets = 4, streamId = "p")
+          rows.foreach { case (id, v) => model(id) = v }
+          lastMerge = Some((batchId, rows))
+          batchId += 1
+          check(s"merge#$step($rows)")
+        case 2 => // replay the LAST merge with a corrupted payload
+          lastMerge.foreach { case (bid, _) =>
+            val garbage = Seq((rnd.nextInt(30).toLong, -999L))
+            val rewritten = ManifestTable.merge(m.project(raw(garbage)),
+              bid, m, root, schema, numBuckets = 4, streamId = "p")
+            assert(rewritten.isEmpty, s"replay of $bid rewrote files")
+          }
+          check(s"replay#$step")
+        case 3 => // targeted delete of a random key set
+          if (model.nonEmpty) {
+            val victims = rnd.shuffle(model.keys.toSeq)
+              .take(1 + rnd.nextInt(3))
+            ManifestTable.delete(spark, root, schema, "id", victims,
+              deleteToken)
+            victims.foreach(model.remove)
+            // replayed delete with the same token: no further effect
+            assert(ManifestTable.delete(spark, root, schema, "id",
+              victims, deleteToken).isEmpty)
+            deleteToken += 1
+            check(s"delete#$step($victims)")
+          }
+      }
+    }
+    assert(model.nonEmpty, "degenerate run: model ended empty")
+  }
+}
