@@ -521,6 +521,14 @@ object SparkEntry {
       TextAnalysis.repetition(d.withColumn("text", planted))
         .filter(col("doc_id") % 10 === 0)
     }),
+    "text_chunk" -> ((s, dir) => {
+      // Context-window chunking: 16-token windows, 4-token overlap
+      // (stride 12); DuckDB rebuilds the identical windows from the same
+      // whitespace split.
+      val d = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.chunk(d, chunkTokens = 16, overlapTokens = 4)
+    }),
     "dsir_score" -> ((s, dir) => {
       // DSIR importance vs the English slice: target = lang='en' docs,
       // background = the whole corpus. Bucketed integer log-ratio
@@ -1241,6 +1249,17 @@ object SparkEntry {
                  list_aggr(list_transform(lines, x -> len(x)), 'sum')
              END AS dup_line_char_frac
            FROM l""",
+      "text_chunk" ->
+        s"""WITH d AS (SELECT doc_id,
+             string_split_regex(text, '\\s+') AS t
+             FROM documents WHERE doc_id % 20 = 0),
+           c AS (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS st
+             FROM d)
+           SELECT doc_id, CAST(st // 12 AS INT) AS chunk_id,
+             array_to_string(list_slice(t, st + 1, st + 16), ' ')
+               AS chunk_text,
+             CAST(least(16, len(t) - st) AS INT) AS n_tokens
+           FROM c""",
       "dsir_score" ->
         s"""WITH tok AS (SELECT doc_id, lang, ${tokSqlOf("text")} AS tk
              FROM documents),

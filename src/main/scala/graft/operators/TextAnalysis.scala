@@ -115,6 +115,42 @@ object TextAnalysis {
         col("_r.dup_line_char_frac").as("dup_line_char_frac"))
   }
 
+  /** Context-window chunking — the standard pre-training/embedding prep
+    * step: each document splits into sliding whitespace-token windows of
+    * `chunkTokens` with `overlapTokens` of lookback (stride =
+    * chunkTokens − overlapTokens); the final window keeps the remainder.
+    * Output: (id, chunk_id, chunk_text, n_tokens), chunk_id dense from
+    * 0 in document order.
+    *
+    * Scale shape: pure per-row projection + generate — no shuffle, no
+    * state; the windows are built from ONE split of the text inside a
+    * single `transform(sequence(...))` expression, so the tokenization
+    * runs once per document, not once per chunk. */
+  def chunk(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int = 0,
+      idCol: String = "doc_id",
+      text: Column = col("text")): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got $overlapTokens/$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(text, "\\s+")
+    docs
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+          st => struct(
+            array_join(slice(toks, st + 1, lit(chunkTokens)), " ")
+              .as("chunk_text"),
+            least(lit(chunkTokens), size(toks) - st).as("n_tokens")))))
+      .toDF(idCol, "chunk_id", "_c")
+      .select(col(idCol), col("chunk_id"),
+        col("_c.chunk_text").as("chunk_text"),
+        col("_c.n_tokens").as("n_tokens"))
+  }
+
   /** Quality signals + a Gopher-style rule score in [0,1]: the fraction of
     * five structural checks the document passes. The stats struct is
     * computed in a SEPARATE projection so the one-walk expression is

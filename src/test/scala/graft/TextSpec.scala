@@ -171,4 +171,32 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq
       == again.map(_.toString).sorted.toSeq)
   }
+
+  test("chunking: sliding windows with overlap, remainder tail, no shuffle") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                   // shorter than chunk
+      (3L, (1 to 12).map(i => s"x$i").mkString(" "))   // exactly one stride
+    ).toDF("doc_id", "text")
+    val out = T.chunk(docs, chunkTokens = 8, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: stride 6 -> starts 0,6,12,18
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(out.find(r => r._1 == 1L && r._2 == 0).get._3 ==
+      (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(out.find(r => r._1 == 1L && r._2 == 1).get._3 ==
+      (7 to 14).map(i => s"w$i").mkString(" ")) // 2-token overlap
+    assert(out.find(r => r._1 == 1L && r._2 == 3).get._4 == 2) // tail
+    // doc 2: one short chunk, n_tokens = actual length
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    // doc 3 (12 tokens, stride 6): starts 0 and 6
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq(8, 6))
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert((1 to 20).map(i => s"w$i").toSet == covered)
+    // pure projection: no exchange in the plan
+    val plan = T.chunk(docs, 8, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
