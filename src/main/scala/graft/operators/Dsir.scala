@@ -79,4 +79,24 @@ object Dsir {
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("w"), lit(0L))).as("dsir_score"))
+
+  /** The same score as a pure scalar COLUMN: the ≤256-entry weight
+    * table rides the plan as a literal map and the per-doc sum folds
+    * over the gram array in one expression — no explode, no join, no
+    * aggregate. This is the shape for scoring a STREAM (stateless, so
+    * it composes with any watermark/trigger) and for scoring inline in
+    * a larger projection; results are identical to [[score]]. */
+  def scoreExpr(
+      weights: Map[String, Long],
+      text: Column = col("text"),
+      ns: Seq[Int] = Seq(1, 2)): Column = {
+    val wMap = typedLit(weights)
+    aggregate(grams(text, ns), lit(0L),
+      (acc, g) => acc + coalesce(element_at(wMap, bucketOf(g)), lit(0L)))
+  }
+
+  /** Collects the bounded weight table (≤256 rows) into the literal-map
+    * form [[scoreExpr]] needs. */
+  def collectWeights(weights: DataFrame): Map[String, Long] =
+    weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 }

@@ -31,6 +31,47 @@ class DsirSpec extends SparkSpec {
         s"spark=$sparkScores cooking=$cookScores")
   }
 
+  test("inline scalar scoring equals the join path, with no shuffle") {
+    val target = sparkDocs.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val corpus = (sparkDocs ++ cookingDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val w = Dsir.weights(target, corpus)
+    val viaJoin = Dsir.score(corpus, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wMap = Dsir.collectWeights(w)
+    val inline = corpus.select(col("doc_id"),
+      Dsir.scoreExpr(wMap).as("dsir_score"))
+    val viaExpr = inline.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExpr == viaJoin)
+    val plan = inline.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inline scoring must be a pure projection:\n$plan")
+  }
+
+  test("inline scoring works on a stream (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val target = sparkDocs.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val corpus = (sparkDocs ++ cookingDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val wMap = Dsir.collectWeights(Dsir.weights(target, corpus))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(0L -> sparkDocs.head, 3L -> cookingDocs.head)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Dsir.scoreExpr(wMap).as("dsir_score"))
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dsir_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Dsir.score(corpus, Dsir.weights(target, corpus)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == want(0L) && got(3L) == want(3L))
+  }
+
   test("weight table is bounded by 256 buckets; scores are deterministic") {
     val target = sparkDocs.zipWithIndex
       .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
