@@ -157,8 +157,10 @@ object SparkEntry {
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val m = upsertMapping
+    // 32 buckets so the 10-key targeted delete demonstrates pruning
+    // (≤10/32 buckets rewrite) instead of touching every bucket
     graft.store.ManifestTable.create(
-      upsertTarget(s, dir), "id", root, numBuckets = 8)
+      upsertTarget(s, dir), "id", root, numBuckets = 32)
     val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
     graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
     root
