@@ -362,6 +362,38 @@ object SparkEntry {
         .drop(Mapping.LineCol)
     }),
 
+    "jsonl_source" -> ((s, dir) => {
+      // JSONL round-trip: documents → json-lines files (nested meta
+      // struct) → Sources.jsonl + dotted-path Field mapping back to
+      // typed rows; the oracle reads the same attributes straight off
+      // the parquet table.
+      val root = "target/qtmp/jsonl_source"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang"), col("source")).as("meta"), col("n_chars"))
+        .write.json(root)
+      val jschema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType)))),
+        StructField("n_chars", LongType)))
+      val m = new Mapping()
+      m.field("id", path = "doc_id")
+      m.field("lang", path = "meta.lang")
+      m.field("src", path = "meta.source")
+      m.field("n_chars", path = "n_chars")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("lang", StringType),
+        StructField("src", StringType),
+        StructField("n_chars", LongType)))
+      m.complete(schema).project(Sources.jsonl(s, root, jschema))
+        .drop(Mapping.LineCol)
+    }),
+
     "mapping_export" -> ((s, dir) => {
       // Export direction: model → formatted strings (headers renamed).
       val o = t(s, dir, "orders")
@@ -1113,6 +1145,9 @@ object SparkEntry {
       "table_source" ->
         s"""SELECT c_custkey AS id, upper(c_name) AS name,
            c_acctbal * 2 AS acct2 FROM customer""",
+      "jsonl_source" ->
+        s"""SELECT doc_id AS id, lang, source AS src, n_chars
+           FROM documents""",
       "upsert_basic" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

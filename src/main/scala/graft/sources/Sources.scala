@@ -268,6 +268,25 @@ object Sources {
       .filter(col(Mapping.LineCol) > headerLines)
   }
 
+  /** JSON-Lines source: one JSON object per line — the standard
+    * interchange format for document corpora. Read with an EXPLICIT
+    * schema (inference would scan the data twice and drifts as records
+    * evolve) into the table-shaped mapping route, so nested attributes
+    * address via `Field` dotted paths and per-type parsers apply as
+    * usual. `_line` is the same single-scan per-block index the CSV
+    * source uses — file order, which is all the last-duplicate-wins
+    * policies need. */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val idx = Bridge.column(PerBlockLineIndex(
+      Bridge.expression(col("_metadata.file_block_start")),
+      Bridge.expression(col("_metadata.file_path"))))
+    spark.read.schema(schema).json(path)
+      .withColumn(Mapping.LineCol, idx)
+  }
+
   /** Turns any DataFrame into a CSV-shaped raw source by casting the given
     * columns to string positionally (used to exercise the CSV mapping path
     * on parquet-born data without materializing files). */

@@ -147,4 +147,45 @@ class SourcesSpec extends SparkSpec {
       .map(_.getSeq[String](0).head).sorted.toSeq
     assert(got == Seq("1", "2", "3")) // no header row leaked through
   }
+
+  test("jsonl source: nested dotted paths, file-order line index") {
+    val dir = "target/test-tmp/jsonl_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    Files.writeString(Paths.get(s"$dir/part.jsonl"),
+      """{"id": 1, "meta": {"tag": "a"}, "v": 10}
+        |{"id": 2, "meta": {"tag": "b"}, "v": 20}
+        |{"id": 1, "meta": {"tag": "c"}, "v": 30}
+        |""".stripMargin)
+    val jschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("meta",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tag",
+            org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val raw = Sources.jsonl(spark, dir, jschema)
+    // line index is file-ordered from 0 (single block)
+    assert(raw.select(col("id"), col(Mapping.LineCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq ==
+      Seq((1L, 0L), (2L, 1L), (1L, 2L)))
+    // dotted-path Field mapping reads the nested attribute
+    val m = new Mapping()
+    m.field("id", path = "id")
+    m.field("tag", path = "meta.tag")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val projected = m.complete(schema).project(raw)
+    // last duplicate wins through the standard upsert policy
+    val target = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    val merged = graft.operators.Upsert(target, projected, m)
+      .merged.orderBy("id").collect().toSeq
+    assert(merged == Seq(Row(1L, "c"), Row(2L, "b")))
+  }
 }
