@@ -146,7 +146,47 @@ object ManifestTable {
   /** The committed table state (empty frame with `schema` when none). */
   def read(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    currentManifest(spark, root) match {
+    readManifestState(spark, root, schema, currentManifest(spark, root))
+
+  /** TIME TRAVEL: the table as of committed version `version` — data
+    * directories are immutable and every manifest survives until
+    * `vacuum`, so any retained snapshot reads with zero extra storage
+    * cost (the lakehouse read side of this format). Throws if `version`
+    * was never committed or has been vacuumed. */
+  def readAt(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      version: Long): DataFrame = {
+    val p = new Path(s"$root/manifest/m$version")
+    require(fsOf(spark, p).exists(p),
+      s"no committed manifest m$version under $root (vacuumed?)")
+    readManifestState(spark, root, schema,
+      Some(readManifest(spark, root, version)))
+  }
+
+  /** All committed snapshots, oldest first: (version, numBuckets,
+    * rows) — the bounded metadata listing for `readAt` callers. */
+  def versions(spark: SparkSession, root: String): Seq[(Long, Int, Long)] = {
+    val dir = new Path(s"$root/manifest")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter { n =>
+        val v = n.stripPrefix("m")
+        n.startsWith("m") && v.nonEmpty && v.forall(_.isDigit)
+      }
+      .map(_.stripPrefix("m").toLong).sorted
+      .map { v =>
+        val m = readManifest(spark, root, v)
+        (v, m.numBuckets, m.entries.map(_.rows).sum)
+      }
+  }
+
+  private def readManifestState(
+      spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      manifest: Option[Manifest]): DataFrame =
+    manifest match {
       case Some(m) if m.entries.nonEmpty =>
         spark.read.schema(schema)
           .parquet(m.entries.map(e => s"$root/${e.relPath}"): _*)

@@ -312,6 +312,31 @@ class ManifestTableSpec extends SparkSpec {
       Row(2L, "b", 2L, "x")))
   }
 
+  test("time travel: readAt returns any retained snapshot") {
+    val root = freshRoot("manifest_timetravel")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema)
+    ManifestTable.merge(m.project(raw((1L, "A2", "2"), (2L, "b", "2"))),
+      1L, m, root, schema)
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), 100L)
+    // three snapshots, oldest first, with row counts
+    assert(ManifestTable.versions(spark, root) ==
+      Seq((0L, 16, 1L), (1L, 16, 2L), (2L, 16, 1L)))
+    assert(ManifestTable.readAt(spark, root, schema, 0L)
+      .collect().toSeq == Seq(Row(1L, "a", 1L)))
+    assert(ManifestTable.readAt(spark, root, schema, 1L)
+      .orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "A2", 2L), Row(2L, "b", 2L)))
+    assert(ManifestTable.readAt(spark, root, schema, 2L)
+      .collect().toSeq == Seq(Row(2L, "b", 2L)))
+    // vacuum retires old snapshots; current still reads
+    ManifestTable.vacuum(spark, root)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, schema, 0L)
+    }
+    assert(ManifestTable.read(spark, root, schema).count() == 1)
+  }
+
   test("vacuum drops unreferenced data versions and old manifests") {
     val root = freshRoot("manifest_vacuum")
     val m = mapping
