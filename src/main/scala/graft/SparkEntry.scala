@@ -362,6 +362,18 @@ object SparkEntry {
         .drop(Mapping.LineCol)
     }),
 
+    "csv_export" -> ((s, dir) => {
+      // CSV export direction: French decimal-comma amounts force the
+      // quoting path, the note field forces quote-doubling; DuckDB
+      // applies the identical RFC-4180 quoting CASE.
+      val o = t(s, dir, "orders")
+      val amount = regexp_replace(
+        format_string("%.2f", col("o_totalprice")), "\\.", ",")
+      val note = concat(lit("note \""), col("o_orderstatus"), lit("\""))
+      o.select(col("o_orderkey").as("id"),
+        Sources.toCsvLine(Seq(col("o_orderkey").cast(StringType),
+          amount, note)).as("line"))
+    }),
     "jsonl_source" -> ((s, dir) => {
       // JSONL round-trip: documents → json-lines files (nested meta
       // struct) → Sources.jsonl + dotted-path Field mapping back to
@@ -1145,6 +1157,18 @@ object SparkEntry {
       "table_source" ->
         s"""SELECT c_custkey AS id, upper(c_name) AS name,
            c_acctbal * 2 AS acct2 FROM customer""",
+      "csv_export" ->
+        s"""WITH f AS (SELECT o_orderkey AS id,
+             [CAST(o_orderkey AS VARCHAR),
+              replace(printf('%.2f', o_totalprice), '.', ','),
+              'note "' || o_orderstatus || '"'] AS fs
+             FROM orders)
+           SELECT id, array_to_string(list_transform(fs, x ->
+             CASE WHEN contains(x, ',') OR contains(x, '"')
+                    OR contains(x, chr(10)) OR contains(x, chr(13))
+               THEN '"' || replace(x, '"', '""') || '"' ELSE x END),
+             ',') AS line
+           FROM f""",
       "jsonl_source" ->
         s"""SELECT doc_id AS id, lang, source AS src, n_chars
            FROM documents""",

@@ -268,6 +268,23 @@ object Sources {
       .filter(col(Mapping.LineCol) > headerLines)
   }
 
+  /** Inverse of [[CsvLine]] — the CSV EXPORT direction: renders string
+    * columns as one RFC-4180 record, quoting any field containing the
+    * delimiter, a quote, or a line break (embedded quotes doubled);
+    * null renders as the empty field. Pure built-in expressions
+    * (codegen'd, zero shuffle). Round-trip law `CsvLine ∘ toCsvLine =
+    * identity` (and `CsvRecords` for multiline fields) is
+    * property-tested in SourcesSpec. */
+  def toCsvLine(cols: Seq[Column]): Column = {
+    val fields = cols.map { c =>
+      val f = coalesce(c.cast("string"), lit(""))
+      when(f.rlike("[,\"\n\r]"),
+        concat(lit("\""), regexp_replace(f, "\"", "\"\""), lit("\"")))
+        .otherwise(f)
+    }
+    concat_ws(",", fields: _*)
+  }
+
   /** JSON-Lines source: one JSON object per line — the standard
     * interchange format for document corpora. Read with an EXPLICIT
     * schema (inference would scan the data twice and drifts as records

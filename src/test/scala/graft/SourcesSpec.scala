@@ -188,4 +188,35 @@ class SourcesSpec extends SparkSpec {
       .merged.orderBy("id").collect().toSeq
     assert(merged == Seq(Row(1L, "c"), Row(2L, "b")))
   }
+
+  test("toCsvLine round-trips through CsvRecords+CsvLine (property)") {
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "ab,\"\n\r x\u00e9"
+    def field() = (0 until rnd.nextInt(8))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows: Seq[Seq[String]] =
+      Seq.fill(200)((1 to (1 + rnd.nextInt(4))).map(_ => field()))
+    val arity = rows.map(_.length).max
+    val padded = rows.map(r => r.padTo(arity, ""))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          padded.map(r => Row(r.toList))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val lines = df.select(Sources.toCsvLine(
+        (0 until arity).map(i => col("fs").getItem(i))).as("line"))
+      .collect().map(_.getString(0)).toSeq
+    // parse the whole rendered file back: record split (quote-aware,
+    // multiline fields span physical lines) then field split
+    val content = lines.mkString("\n")
+    val back = CsvRecords.records(content).map(CsvLine.split)
+    assert(back.length == padded.length,
+      s"record count ${back.length} != ${padded.length}")
+    padded.zip(back).zipWithIndex.foreach { case ((want, got), i) =>
+      assert(got == want, s"row $i: want=$want got=$got")
+    }
+  }
 }
