@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGES decode for real through the in-JVM `javax.imageio` codecs
   * (PNG/JPEG/BMP/GIF): [[extractImageFeatures]] produces pixel-derived
-  * features and [[resizeImages]] resamples payload bytes. Video/audio
-  * codecs are not available in this environment, so those formats keep
-  * the clearly-marked deterministic STUB ([[stubDecode]]) behind the same
-  * batched plumbing — swap it for a codec call to productionize.
+  * features and [[resizeImages]] resamples payload bytes. AUDIO decodes
+  * for real for PCM WAV through the in-JVM `javax.sound.sampled` reader
+  * ([[extractAudioFeatures]]: sample-accurate RMS/peak/zero-crossing
+  * features). Video and compressed-audio codecs are not available in
+  * this environment, so those formats keep the clearly-marked
+  * deterministic STUB ([[stubDecode]]) behind the same batched plumbing
+  * — swap it for a codec call to productionize.
   */
 object Multimodal {
 
@@ -208,6 +211,146 @@ object Multimodal {
     val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
     val b = ((id * 11 + x * 19 + y * 23) % 256).toInt
     (r << 16) | (g << 8) | b
+  }
+
+  /** REAL audio decode for PCM WAV via the in-JVM
+    * `javax.sound.sampled` reader — the audio analogue of the imageio
+    * path: RIFF header parsed, frames streamed, normalized mono samples
+    * out. Handles 8/16-bit signed PCM (any channel count, any rate);
+    * compressed formats (MP3/OGG/AAC) still need external codecs and
+    * stay on [[stubDecode]]. Returns (format, mono samples in [-1,1]). */
+  def decodeWav(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
+    if (payload == null) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val frameBytes = ch * bytesPerSample
+          val nFrames = bytes.length / frameBytes
+          val mono = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = f * frameBytes + c * bytesPerSample
+              val s =
+                if (bits == 8) bytes(o).toDouble / 128.0
+                else {
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (bytes(o + 1), bytes(o))
+                    else (bytes(o), bytes(o + 1))
+                  ((hi << 8) | (lo & 0xff)).toDouble / 32768.0
+                }
+              acc += s
+              c += 1
+            }
+            mono(f) = acc / ch
+            f += 1
+          }
+          Some((fmt, mono))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Signal features from decoded audio: sample rate, channel count,
+    * frame count, RMS energy, absolute peak, and zero-crossing rate —
+    * the standard cheap descriptors an audio-quality gate keys on. */
+  def audioFeatures(fmt: javax.sound.sampled.AudioFormat,
+      mono: Array[Double]): Array[Float] = {
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var i = 0
+    while (i < mono.length) {
+      val v = mono(i)
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && (v >= 0) != (mono(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    val n = math.max(mono.length, 1)
+    Array(
+      fmt.getSampleRate,
+      fmt.getChannels.toFloat,
+      mono.length.toFloat,
+      math.sqrt(sumSq / n).toFloat,
+      peak.toFloat,
+      crossings.toFloat / n)
+  }
+
+  /** Batched REAL audio feature extraction (same mapPartitions shape as
+    * the image path): WAV payloads decode via javax.sound.sampled;
+    * undecodable payloads yield NULL features. */
+  def extractAudioFeatures(media: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val feats = decodeWav(r.getAs[Array[Byte]](payloadIdx))
+            .map { case (fmt, mono) => audioFeatures(fmt, mono) }
+            .orNull
+          Row(r.getLong(idIdx), feats)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic WAV fixtures: 16-bit mono PCM sine waves (id-derived
+    * frequency and amplitude) encoded through the real
+    * javax.sound.sampled writer — so specs can assert analytically
+    * known signal features (RMS = amp/√2, ZCR ≈ 2f/rate) against the
+    * REAL decode path. */
+  def syntheticWavs(
+      spark: SparkSession, n: Int, sampleRate: Int = 8000,
+      nSamples: Int = 4000): DataFrame = {
+    import spark.implicits._
+    val sr = sampleRate
+    val ns = nSamples
+    spark.range(n.toLong).as[Long].map { id =>
+      val freq = 200.0 + 100.0 * (id % 8)
+      val amp = 0.2 + 0.1 * (id % 5)
+      val pcm = new Array[Byte](ns * 2)
+      var i = 0
+      while (i < ns) {
+        val v = (amp * math.sin(2 * math.Pi * freq * i / sr) *
+          32767.0).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      (id, baos.toByteArray)
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("wav").as("format"),
+        lit(0).as("width"),
+        lit(0).as("height"),
+        lit(1).as("n_frames")))
   }
 
   /** Resize plumbing for codec-less formats: recompute metadata for a

@@ -120,4 +120,34 @@ class MultimodalSpec extends SparkSpec {
     assert(top.collect().map(_.toString).sorted.toSeq
       == again.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("real WAV decode: features match the analytic signal") {
+    val media = Multimodal.syntheticWavs(spark, 4, sampleRate = 8000,
+      nSamples = 4000)
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.size == 4 && feats.values.forall(_ != null))
+    feats.foreach { case (id, f) =>
+      val Seq(rate, ch, n, rms, peak, zcr) = f.toSeq
+      assert(rate == 8000.0f && ch == 1.0f && n == 4000.0f,
+        s"id=$id header mismatch: $f")
+      val amp = 0.2 + 0.1 * (id % 5)
+      val freq = 200.0 + 100.0 * (id % 8)
+      // sine RMS = amp/sqrt(2); quantization + windowing ~ small error
+      assert(math.abs(rms - amp / math.sqrt(2)) < 0.01,
+        s"id=$id rms=$rms want ~${amp / math.sqrt(2)}")
+      assert(math.abs(peak - amp) < 0.01, s"id=$id peak=$peak want ~$amp")
+      // sine crosses zero twice per cycle: zcr ~ 2 * freq / rate
+      assert(math.abs(zcr - 2 * freq / 8000.0) < 0.005,
+        s"id=$id zcr=$zcr want ~${2 * freq / 8000.0}")
+    }
+  }
+
+  test("non-WAV bytes yield null audio features") {
+    import spark.implicits._
+    val junk = Seq((1L, "definitely not riff".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractAudioFeatures(junk).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
 }
