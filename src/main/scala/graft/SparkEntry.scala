@@ -646,6 +646,30 @@ object SparkEntry {
           (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.2)
             .as("est_ok"))
     }),
+    "dedup_best" -> ((s, dir) => {
+      // Quality-aware cluster representative: same exact-dup components
+      // as dedup_canonical, scored by a deterministic pseudo-quality
+      // (doc_id mod 7) so the copies outrank their originals in some
+      // clusters and DuckDB can recompute the identical arg-max.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val all = d.union(copies)
+      val groups = all.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val pairs = all.join(groups, md5(col("text")) === col("h"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      val assign = Dedup.canonicalizeFixpoint(all, pairs)
+      // integer score so the (score, tie-break) ordering is exact in
+      // both engines: bestPerCluster's struct ordering on Spark's side,
+      // the equivalent packed q*1e9 - doc_id on DuckDB's
+      val scores = all.select(col("doc_id"),
+        pmod(col("doc_id"), lit(7L)).as("quality_score"))
+      Dedup.bestPerCluster(assign, scores)
+        .filter(col("cluster_size") > 1)
+    }),
     "dedup_canonical" -> ((s, dir) => {
       // Exact-duplicate components: docs plus verbatim copies; pairs from
       // the content-hash groups; transitive canonical assignment.
@@ -1524,6 +1548,22 @@ object SparkEntry {
       "text_fingerprint" ->
         s"""SELECT doc_id, TRUE AS mid_overlap_hi, TRUE AS prefix_overlap_hi
            FROM documents WHERE doc_id % 10 = 0""",
+      "dedup_best" ->
+        s"""WITH all_docs AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 10000000, text FROM documents
+             WHERE doc_id % 10 = 0),
+           a AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             doc_id % 7 AS q
+             FROM all_docs)
+           SELECT canonical_id,
+             arg_max(doc_id, q * 1000000000 - doc_id) AS keep_id,
+             max(q) AS best_score,
+             CAST(count(*) AS BIGINT) AS cluster_size
+           FROM a GROUP BY canonical_id
+           HAVING count(*) > 1""",
       "dedup_canonical" ->
         s"""WITH all_docs AS (
              SELECT doc_id, text FROM documents

@@ -311,4 +311,24 @@ object Dedup {
         least(col("doc_id"), coalesce(col("min_partner"), col("doc_id")))
           .as("canonical_id"))
   }
+
+  /** Quality-aware representative per duplicate cluster: production
+    * pipelines keep the BEST-scoring member of each near-dup component,
+    * not the smallest id. Composes on a (doc_id, canonical_id)
+    * assignment (e.g. [[canonicalizeFixpoint]]'s output) joined to a
+    * per-doc score: one hash aggregate per cluster, `max_by` over the
+    * (score, −doc_id) pair so ties break deterministically toward the
+    * smaller id. Returns (canonical_id, keep_id, best_score,
+    * cluster_size). */
+  def bestPerCluster(
+      assignment: DataFrame,
+      scores: DataFrame,
+      scoreCol: String = "quality_score"): DataFrame =
+    assignment.join(scores, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col(scoreCol), -col("doc_id"))).as("keep_id"),
+        max(col(scoreCol)).as("best_score"),
+        count(lit(1)).as("cluster_size"))
 }

@@ -162,4 +162,24 @@ class DedupSpec extends SparkSpec {
     assert(SimHash64.fnv1a64("abc") == SimHash64.fnv1a64("abc"))
     assert(SimHash64.fnv1a64("abc") != SimHash64.fnv1a64("abd"))
   }
+
+  test("bestPerCluster keeps the highest-quality member, ties to min id") {
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (10L, 10L), (11L, 10L),       // cluster 10
+      (20L, 20L)                    // singleton
+    ).toDF("doc_id", "canonical_id")
+    val scores = Seq(
+      1L -> 0.5, 2L -> 0.9, 3L -> 0.9, // 2 and 3 tie -> keep 2
+      10L -> 0.1, 11L -> 0.8,
+      20L -> 0.3
+    ).toDF("doc_id", "quality_score")
+    val out = Dedup.bestPerCluster(assign, scores)
+      .orderBy("canonical_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0.9, 3L),
+      (10L, 11L, 0.8, 2L),
+      (20L, 20L, 0.3, 1L)))
+  }
 }
