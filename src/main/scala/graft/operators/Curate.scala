@@ -103,14 +103,20 @@ object Curate {
     val bGrams = benchmark
       .select(explode(Dedup.shingles(text, n)).as("_g"))
       .distinct()
-    // expected-items scalar (bounded) sizes the filter honestly
-    val expected = math.max(bGrams.count(), 1L)
-    val bf = bGrams.stat.bloomFilter("_g", expected, fpp)
-    val bytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      bf.writeTo(out)
-      out.toByteArray
-    }
+    // The distinct-gram build feeds two ACTIONS here (count sizes the
+    // filter honestly, then the bloom aggregation) and later the
+    // exact-verify join: persist through the actions so the benchmark
+    // shingles once, then release — the verify join re-derives it one
+    // time inside the caller's plan (2 evaluations total, not 3).
+    bGrams.persist()
+    val bytes =
+      try {
+        val expected = math.max(bGrams.count(), 1L)
+        val bf = bGrams.stat.bloomFilter("_g", expected, fpp)
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        out.toByteArray
+      } finally bGrams.unpersist()
     val candidates = corpus
       .select(col(idCol), explode(Dedup.shingles(text, n)).as("_g"))
       .filter(B.column(
@@ -200,11 +206,18 @@ object Curate {
     * the running size within its source stays inside the cap; sources
     * absent from `weights` contribute nothing.
     *
+    * Output: the kept rows plus a `cum_size` column (the running size
+    * at which each document entered its source's budget — the draw's
+    * audit trail).
+    *
     * Scale shape: one hash-partitioned sort per source for the running
-    * sum's window; keep the frame slim (ids + sizes) and join content
-    * back by id afterwards. Parallelism is bounded by the number of
-    * sources; with a handful of huge sources prefer [[hashSplit]]-style
-    * fraction cuts (no sort) when an approximate budget suffices. */
+    * sum's window — unweighted sources are FILTERED OUT before the
+    * exchange (they can't contribute, so they must not be sorted, and
+    * a zero-size document from one must not slip past a zero cap).
+    * Keep the frame slim (ids + sizes) and join content back by id
+    * afterwards. Parallelism is bounded by the number of sources; with
+    * a handful of huge sources prefer [[hashSplit]]-style fraction
+    * cuts (no sort) when an approximate budget suffices. */
   def mixtureSample(
       docs: DataFrame,
       weights: Map[String, Double],
@@ -213,6 +226,7 @@ object Curate {
       sourceCol: String = "source",
       sizeCol: String = "n_chars",
       salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one weight")
     val cap = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, lit(w * budget)).otherwise(acc)
     }
@@ -221,6 +235,7 @@ object Curate {
       .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
         col(idCol))
     docs
+      .filter(col(sourceCol).isInCollection(weights.keys.toSeq))
       .withColumn("cum_size", sum(col(sizeCol)).over(w))
       .filter(col("cum_size") <= cap)
   }

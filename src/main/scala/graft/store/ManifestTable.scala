@@ -126,13 +126,19 @@ object ManifestTable {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    require(lines.head == "graft-manifest 2",
+    // Format 1 (numBuckets only, no tokens) stays READABLE so tables
+    // committed by the earlier code aren't bricked by the upgrade;
+    // writes always produce format 2.
+    require(lines.head == "graft-manifest 2" ||
+      lines.head == "graft-manifest 1",
       s"unsupported manifest header: ${lines.head}")
     val h = lines(1).split("\t", -1)
     val numBuckets = h(0).toInt
     val lastBatch =
-      if (h(2).isEmpty) None else Some((dec(h(1)), h(2).toLong))
-    val lastDelete = if (h(3).isEmpty) None else Some(h(3).toLong)
+      if (h.length < 3 || h(2).isEmpty) None
+      else Some((dec(h(1)), h(2).toLong))
+    val lastDelete =
+      if (h.length < 4 || h(3).isEmpty) None else Some(h(3).toLong)
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4))
@@ -366,11 +372,15 @@ object ManifestTable {
       // history is never duplicated; a crash before the rename leaves
       // orphans that the replay overwrites. Readers must ignore versions
       // above the current manifest (see historyOf/statsOf).
-      if (tracked && mode.canUpdate)
+      val writesHistory = tracked && mode.canUpdate
+      if (writesHistory)
         res.history.write.mode("overwrite")
           .parquet(s"$root/history/v$version")
       if (recordStats)
         res.stats.write.mode("overwrite").parquet(s"$root/stats/v$version")
+      purgeOrphanSideDirs(spark, root, version,
+        Set("history").filter(_ => writesHistory) ++
+          Set("stats").filter(_ => recordStats))
 
       writeManifest(spark, root, Manifest(version, n, untouched ++ written,
         Some((streamId, batchId)), prior.flatMap(_.lastDelete)))
@@ -379,6 +389,23 @@ object ManifestTable {
       if (multiOut) res.joined.unpersist()
     }
   }
+
+  /** Removes orphan side-directories (history/stats) left at `version`
+    * by a CRASHED attempt of a different operation. Whoever commits
+    * manifest `version` owns that version number: any side data it did
+    * not itself write must be cleared BEFORE the manifest rename, or
+    * the version-≤-current gate in committedSideDirs would make the
+    * crashed attempt's uncommitted rows permanently visible (e.g. a
+    * delete claiming the version of a merge that died between its
+    * history write and its manifest rename). */
+  private def purgeOrphanSideDirs(
+      spark: SparkSession, root: String, version: Long,
+      writtenKinds: Set[String]): Unit =
+    Seq("history", "stats").filterNot(writtenKinds).foreach { kind =>
+      val p = new Path(s"$root/$kind/v$version")
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   /** Versions ≤ the current manifest with a committed side-directory
     * (`history/v<i>` or `stats/v<i>`). Orphans from a crashed attempt at
@@ -504,6 +531,7 @@ object ManifestTable {
     val (touchedEntries, untouched) =
       prior.entries.partition(e => rendered(e.bucket))
     if (touchedEntries.isEmpty) {
+      purgeOrphanSideDirs(spark, root, version, Set.empty)
       writeManifest(spark, root, Manifest(version, n, prior.entries,
         prior.lastBatch, Some(token)))
       return Nil
@@ -520,6 +548,7 @@ object ManifestTable {
     val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
     val written = writeBuckets(fragment, bucket, keyColumn, root, version,
       touchedEntries.size, keyComparator)
+    purgeOrphanSideDirs(spark, root, version, Set.empty)
     writeManifest(spark, root, Manifest(version, n, untouched ++ written,
       prior.lastBatch, Some(token)))
     written

@@ -55,10 +55,35 @@ object StreamingImport {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, mapping, targetRoot, targetSchema,
           mode, nonNullable, numBuckets, recordStats,
-          streamId = checkpoint)
+          streamId = checkpointIdentity(batch.sparkSession, checkpoint))
       }
       .start()
   }
+
+  /** Stable identity of the CHECKPOINT INCARNATION: Spark writes
+    * `<checkpoint>/metadata` ({"id": "<uuid>"}) when a query first
+    * starts and keeps it for the checkpoint's lifetime; wiping the
+    * checkpoint in place regenerates it. Using this uuid (not the
+    * path) as the merge token's streamId means a wiped-and-reused
+    * checkpoint path reprocesses as NEW data instead of colliding
+    * with the old incarnation's last committed batch (whose batchIds
+    * also started at 0). Falls back to the path when unreadable. */
+  private[graft] def checkpointIdentity(
+      spark: SparkSession, checkpoint: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) checkpoint
+      else {
+        val in = fs.open(p)
+        val text =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+          .map(_.group(1)).getOrElse(checkpoint)
+      }
+    } catch { case scala.util.control.NonFatal(_) => checkpoint }
 
   /** One micro-batch merge — the foreachBatch body, exposed so replay
     * semantics are testable. Delegates to [[ManifestTable.merge]] with

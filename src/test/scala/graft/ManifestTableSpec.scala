@@ -312,6 +312,26 @@ class ManifestTableSpec extends SparkSpec {
       Row(2L, "b", 2L, "x")))
   }
 
+  test("delete purges a crashed merge's orphan side-dirs at its version") {
+    val root = freshRoot("manifest_orphan_purge")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
+      0L, m, root, schema)
+    // crashed merge at version 1: its stats dir landed (with _SUCCESS)
+    // but the manifest rename never happened
+    Seq((7L, 7L)).toDF("read_keys", "created")
+      .write.parquet(s"$root/stats/v1")
+    assert(ManifestTable.statsOf(spark, root).count() == 0,
+      "orphan above current must stay invisible")
+    // a delete now claims version 1 — the orphan must not ride its
+    // commit into visibility
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), 1L)
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+    assert(ManifestTable.statsOf(spark, root).count() == 0,
+      "crashed merge's stats must not become committed via delete")
+    assert(!new java.io.File(s"$root/stats/v1").exists())
+  }
+
   test("time travel: readAt returns any retained snapshot") {
     val root = freshRoot("manifest_timetravel")
     val m = mapping

@@ -127,6 +127,25 @@ class StreamingImportSpec extends SparkSpec {
     assert(ManifestTable.historyOf(spark, root).count() == 1)
   }
 
+  test("streamId is the checkpoint's uuid, so a wiped checkpoint " +
+      "reprocesses instead of colliding") {
+    val ckpt = "target/test-tmp/ckpt_ident"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    new java.io.File(ckpt).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$ckpt/metadata"), """{"id" : "uuid-A"}""")
+    assert(StreamingImport.checkpointIdentity(spark, ckpt) == "uuid-A")
+    // wipe-in-place: Spark would write a NEW uuid at the same path —
+    // the token's streamId follows it, so (streamId, batchId=0) cannot
+    // collide with the old incarnation's lastBatch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$ckpt/metadata"), """{"id":"uuid-B"}""")
+    assert(StreamingImport.checkpointIdentity(spark, ckpt) == "uuid-B")
+    // no metadata yet (pre-start) → fall back to the path
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$ckpt/metadata"))
+    assert(StreamingImport.checkpointIdentity(spark, ckpt) == ckpt)
+  }
+
   test("torn data writes (no committed manifest) are invisible to readers") {
     val root = "target/test-tmp/stream_torn"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
