@@ -53,6 +53,24 @@ object GraftExtensions {
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "hyperplane_bits" -> (es => HyperplaneBits(es.head,
       if (es.length > 1) intArg(es(1)) else 8)),
+    "to_csv_line" -> (es => {
+      // catalyst-native mirror of Sources.toCsvLine (a Column built via
+      // the DSL doesn't resolve inside a function-registry builder)
+      import org.apache.spark.sql.catalyst.expressions.{
+        CaseWhen, Cast, Coalesce, Concat, ConcatWs, Literal, RLike,
+        RegExpReplace}
+      import org.apache.spark.sql.types.StringType
+      def field(e: Expression): Expression = {
+        val f = Coalesce(Seq(Cast(e, StringType), Literal("")))
+        CaseWhen(
+          Seq((RLike(f, Literal("[,\"\n\r]")),
+            Concat(Seq(Literal("\""),
+              RegExpReplace(f, Literal("\""), Literal("\"\"")),
+              Literal("\""))))),
+          f)
+      }
+      ConcatWs(Literal(",") +: es.map(field))
+    }),
     "text_stats" -> (es => TextStats(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "l2_normalize" -> (es => L2Normalize(es.head)))

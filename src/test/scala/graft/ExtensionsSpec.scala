@@ -44,4 +44,16 @@ class ExtensionsSpec extends SparkSpec {
     val nv = r.getSeq[Float](2)
     assert(math.abs(nv(0) - 0.6f) < 1e-6 && math.abs(nv(1) - 0.8f) < 1e-6)
   }
+
+  test("to_csv_line renders and round-trips from SQL") {
+    val row = spark.sql(
+      """SELECT to_csv_line('a', 'has,comma', 'quote"inside') AS line""")
+      .head.getString(0)
+    assert(row == "a,\"has,comma\",\"quote\"\"inside\"")
+    // SQL-level round-trip: csv_line parses what to_csv_line rendered
+    val back = spark.sql(
+      s"""SELECT csv_line(to_csv_line('x,y', 'z"w', '')) AS fs""")
+      .head.getSeq[String](0)
+    assert(back == Seq("x,y", "z\"w", ""))
+  }
 }

@@ -83,4 +83,30 @@ class SkewAuditSpec extends SparkSpec {
         col("a.doc_id") > col("b.doc_id")).count()
     assert(pairs == 1L, s"expected only the planted pair, got $pairs")
   }
+
+  test("line shared by EVERY doc (200k docs) stays linear in dedupLines") {
+    // the boilerplate-header case IS the hot key: one line value occurs
+    // once per document. The dedup aggregate collapses it map-side to
+    // one (hash, min) partial per partition, and the semi-join keeps
+    // only the single winning occurrence — no row ever multiplies.
+    val n = 200000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("SHARED HOT LINE\nuniq-"), col("id").cast("string"))
+        .as("text"))
+    val out = graft.operators.Curate.dedupLines(docs)
+    val rows = out.count()
+    assert(rows == n, s"every doc keeps its unique line: $rows != $n")
+    // exactly ONE doc keeps the hot line
+    val withHot = out.filter(col("text").contains("SHARED HOT LINE"))
+      .collect()
+    assert(withHot.length == 1 && withHot(0).getLong(0) == 0L,
+      s"hot line must survive exactly once, in doc 0: ${withHot.toSeq}")
+    // and the winner aggregate output is ONE row for the hot hash —
+    // distinct line count bounds the build side, not occurrence count
+    val totalLines = out.select(
+      explode(split(col("text"), "\n"))).count()
+    assert(totalLines == n + 1,
+      s"surviving lines must be n uniques + 1 hot: $totalLines")
+  }
 }

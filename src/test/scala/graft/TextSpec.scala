@@ -199,4 +199,41 @@ class TextSpec extends SparkSpec {
     val plan = T.chunk(docs, 8, 2).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("chunk property: coverage, overlap, and bounds on random docs") {
+    val rnd = new scala.util.Random(99L)
+    val docs = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      (i.toLong, (1 to n).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val size = 8; val overlap = 3; val stride = size - overlap
+    val out = T.chunk(docs, size, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.collect().foreach { r =>
+      val (id, toks) = (r.getLong(0), r.getString(1).split(" ").toSeq)
+      val chunks = byDoc(id)
+      // dense chunk ids; every chunk within size bound, tail may be short
+      assert(chunks.map(_._2).toList == chunks.indices.toList)
+      chunks.foreach { c => assert(c._4 <= size && c._4 >= 1) }
+      // n_tokens matches the actual token count of the chunk text
+      chunks.foreach { c =>
+        assert(c._3.split(" ").length == c._4, s"doc $id chunk $c") }
+      // coverage: concatenating de-overlapped chunks rebuilds the doc
+      val rebuilt = chunks.toSeq.zipWithIndex.flatMap { case (c, i) =>
+        val t = c._3.split(" ").toSeq
+        if (i == 0) t else t.drop(overlap min t.length)
+      }
+      // consecutive chunks agree on their overlapping tokens
+      chunks.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          val at = a._3.split(" ").toSeq; val bt = b._3.split(" ").toSeq
+          assert(at.drop(stride) == bt.take(at.length - stride),
+            s"doc $id overlap mismatch: $at vs $bt")
+        case _ =>
+      }
+      assert(rebuilt == toks, s"doc $id coverage: $rebuilt != $toks")
+    }
+  }
 }
