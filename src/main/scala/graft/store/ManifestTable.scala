@@ -554,6 +554,40 @@ object ManifestTable {
     written
   }
 
+  /** Maintenance re-bucketing: rewrites the WHOLE table under a new
+    * bucket count — the one operation here whose cost is the full
+    * table, by design: a key's bucket is part of the layout, so the
+    * count is otherwise fixed at creation. Run it (rarely) when the
+    * table has outgrown its creation-time sizing — e.g. 16 buckets
+    * that were comfortable at 1 TB are 6 TB apiece at 100 TB, making
+    * every MERGE's touched-bucket rewrite too coarse. Commits through
+    * the same atomic manifest swap; `token` shares the maintenance
+    * token space with [[delete]] (guarded by `lastDelete`), and
+    * `lastBatch` carries through so streaming replay detection is
+    * unaffected. */
+  def rebucket(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      newNumBuckets: Int,
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Unit = {
+    val prior = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    if (prior.lastDelete.contains(token)) return
+    val version = prior.version + 1
+    val all = readManifestState(spark, root, schema, Some(prior))
+    val bucket =
+      pmod(hash(keyComparator(col(keyColumn))), lit(newNumBuckets))
+    val written = writeBuckets(all, bucket, keyColumn, root, version,
+      newNumBuckets, keyComparator)
+    purgeOrphanSideDirs(spark, root, version, Set.empty)
+    writeManifest(spark, root, Manifest(version, newNumBuckets, written,
+      prior.lastBatch, Some(token)))
+  }
+
   /** Deletes data directories and manifests no longer referenced by the
     * CURRENT manifest. Maintenance only — run when no reader holds an
     * older manifest (readers resolve the manifest once per query). */

@@ -357,6 +357,40 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 1)
   }
 
+  test("rebucket rewrites the layout; merges and lookups keep working") {
+    val root = freshRoot("manifest_rebucket")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 16L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2)
+    val before = ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq
+
+    ManifestTable.rebucket(spark, root, schema, "id",
+      newNumBuckets = 8, token = 500L)
+    val man = ManifestTable.currentManifest(spark, root).get
+    assert(man.numBuckets == 8)
+    assert(man.entries.map(_.rows).sum == 16)
+    assert(ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq == before)
+    // replayed rebucket: no-op
+    ManifestTable.rebucket(spark, root, schema, "id", 4, token = 500L)
+    assert(ManifestTable.currentManifest(spark, root).get.numBuckets == 8)
+
+    // lookup prunes against the NEW layout
+    val files = ManifestTable.lookup(spark, root, schema, "id", Seq(7L))
+      .inputFiles.toSeq
+    val bucketsRead = files.flatMap(f =>
+      "_bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(bucketsRead == Set(bucketOf(7L, 8)), s"read $bucketsRead")
+    // a merge after rebucketing touches only the new-layout bucket
+    val rewritten = ManifestTable.merge(
+      m.project(raw((7L, "SEVEN", "77"))), 1L, m, root, schema)
+    assert(rewritten.map(_.bucket).toSet == Set(bucketOf(7L, 8)))
+    assert(ManifestTable.read(spark, root, schema)
+      .filter($"id" === 7L).head.getString(1) == "SEVEN")
+  }
+
   test("vacuum drops unreferenced data versions and old manifests") {
     val root = freshRoot("manifest_vacuum")
     val m = mapping
