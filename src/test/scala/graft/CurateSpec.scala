@@ -160,4 +160,46 @@ class CurateSpec extends SparkSpec {
     val out = Curate(docs, minQuality = 0.2).head
     assert(out.getString(1).contains("<EMAIL>"))
   }
+
+  test("full pipeline composes: curate -> line dedup -> decontaminate " +
+      "-> mixture -> chunk -> pack") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{SequencePacker, TextAnalysis}
+    val docs = Seq(
+      (1L, "HEADER\nthe data pipeline is fast and it is correct for the most part", "web"),
+      (2L, "HEADER\nthe quick brown fox jumps over the lazy dog again and again", "web"),
+      (3L, "HEADER\nalpha beta gamma delta shares a benchmark four gram here today", "web"),
+      (4L, "!!! ??? ;;; :::", "web"), // junk -> quality gate
+      (5L, "HEADER\nanother well formed english document with plenty of words inside", "books")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // 1-2: quality/lang/redact/exact-dedup, then cross-doc line dedup
+    val curated = Curate(docs, minQuality = 0.5, langs = Seq("en"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val lineDeduped = Curate.dedupLines(curated)
+    // the shared HEADER line survives exactly once across the corpus
+    assert(lineDeduped.filter(col("text").contains("HEADER")).count() == 1)
+    // 3: benchmark decontamination drops doc 3
+    val clean = Curate.decontaminate(lineDeduped, bench, n = 4)
+    assert(!clean.select("doc_id").collect().map(_.getLong(0))
+      .contains(3L))
+    // 4: deterministic mixture draw over the surviving docs
+    val sized = clean.join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("n_chars", length(col("text")))
+    val mixed = Curate.mixtureSample(sized,
+      Map("web" -> 0.8, "books" -> 0.2), budget = 1000L)
+    assert(mixed.count() > 0)
+    // 5-6: context chunks, then greedy packing to a token budget
+    val chunks = TextAnalysis.chunk(
+      mixed.select("doc_id", "text"), chunkTokens = 6, overlapTokens = 0)
+    val packed = SequencePacker.pack(
+      chunks.select(
+        (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens")),
+      maxTokens = 12)
+    // every chunk lands in exactly one pack and no pack overflows
+    assert(packed.count() == chunks.count())
+    assert(packed.agg(max("pack_tokens")).head.getLong(0) <= 12L)
+  }
 }

@@ -236,4 +236,19 @@ class TextSpec extends SparkSpec {
       assert(rebuilt == toks, s"doc $id coverage: $rebuilt != $toks")
     }
   }
+
+  test("chunking runs stateless on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(1L -> (1 to 20).map(i => s"w$i").mkString(" "))
+    val q = T.chunk(mem.toDF().toDF("doc_id", "text"),
+        chunkTokens = 8, overlapTokens = 2)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("chunk_stream").collect()
+    assert(got.length == 4) // starts 0,6,12,18 — same as batch
+    assert(got.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
 }
