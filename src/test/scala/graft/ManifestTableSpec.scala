@@ -357,6 +357,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 1)
   }
 
+  test("snapshot isolation: a resolved reader survives later commits") {
+    val root = freshRoot("manifest_snapshot")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema)
+    // reader resolves the manifest NOW; its file list is pinned
+    val reader = ManifestTable.read(spark, root, schema)
+    // two later commits rewrite the key's bucket under new versions
+    ManifestTable.merge(m.project(raw((1L, "CHANGED", "9"))),
+      1L, m, root, schema)
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), 42L)
+    // old data files are immutable and retained until vacuum, so the
+    // pinned reader still sees its snapshot...
+    assert(reader.collect().toSeq == Seq(Row(1L, "a", 1L)))
+    // ...while a fresh reader sees the current (deleted) state
+    assert(ManifestTable.read(spark, root, schema).count() == 0)
+  }
+
   test("rebucket rewrites the layout; merges and lookups keep working") {
     val root = freshRoot("manifest_rebucket")
     val m = mapping
