@@ -21,8 +21,8 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   * write cost proportional to the TOUCHED DATA, not the table:
   *
   *   root/
-  *     data/v<version>/_bucket=<k>/part-*.parquet   (immutable once written)
-  *     manifest/m<version>                          (atomically renamed file)
+  *     data/v<version>-<attempt>/_bucket=<k>/part-*.parquet  (immutable)
+  *     manifest/m<version>                       (atomically renamed file)
   *
   * Rows are hash-bucketed on the NORMALIZED upsert key
   * (`pmod(hash(norm(key)), numBuckets)`). A manifest is a small text file
@@ -36,10 +36,11 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   *   2. reads ONLY the files of touched buckets as the target fragment,
   *   3. runs the standard one-join [[graft.operators.Upsert]] of fragment
   *      vs batch,
-  *   4. writes the merged touched buckets under `data/v<version>`,
+  *   4. writes the merged touched buckets under an ATTEMPT-UNIQUE
+  *      directory `data/v<version>-<attempt>`,
   *   5. publishes manifest <version> = untouched entries (verbatim — their
   *      files are never rewritten, never even read) + rewritten entries,
-  *      via temp-write + atomic rename.
+  *      via temp-write + NO-OVERWRITE atomic rename.
   *
   * Readers resolve the highest committed manifest and union its files:
   * they never see a half-merged state. Each merge carries a
@@ -47,14 +48,27 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   * `lastBatch`; re-delivery of the last committed batch is a no-op,
   * making at-least-once foreachBatch delivery exactly-once. Table
   * versions are internal (`current + 1`). A crash between the data write
-  * and the manifest rename leaves an orphan data directory that no
-  * manifest references — invisible, and overwritten by the replay.
+  * and the manifest rename leaves an orphan attempt directory that no
+  * manifest references — invisible, and garbage-collected by `vacuum`.
+  *
+  * CONCURRENCY (optimistic): the manifest rename is a no-overwrite
+  * commit — whoever renames `m<version>` into place first owns that
+  * version. Everything an attempt writes BEFORE its commit lives under
+  * attempt-unique names (`data/v<N>-<attempt>`, `history/v<N>-<attempt>`,
+  * `stats/v<N>-<attempt>`), so a losing or crashed attempt can never
+  * clobber committed files; a loser deletes its own uncommitted
+  * directories and RETRIES its whole operation against the new current
+  * manifest (the touched fragment may have changed, so the merge is
+  * recomputed, never rebased blindly). The committed manifest records the
+  * winning attempt's id (`sideId`), so history/stats readers resolve
+  * exactly the winner's side directories — a crashed loser's leftovers
+  * are invisible, and `vacuum` garbage-collects them. Rename-if-absent is
+  * atomic on HDFS/ABFS; on raw S3 (and the local FS used in tests) the
+  * exists-check preceding the rename is best-effort — front the manifest
+  * directory with a consistent store for multi-writer S3.
   *
   * Filesystems are resolved from the paths they operate on (never the
-  * default FS). The manifest rename is the single commit point; rename
-  * atomicity holds on HDFS/ABFS but NOT raw S3 — there, front the
-  * manifest directory with a consistent store. Single-writer assumed
-  * (Structured Streaming guarantees one foreachBatch at a time per query).
+  * default FS).
   *
   * At scale: `numBuckets` bounds the merge's write amplification — a
   * micro-batch touching k distinct buckets rewrites k/numBuckets of the
@@ -79,11 +93,14 @@ object ManifestTable {
     * `lastDelete` the token of the last delete, so a replayed foreachBatch
     * delivery no-ops without colliding with table versions (a
     * `create()`-bootstrapped table starts at version 0 with NO lastBatch,
-    * so the stream's batch 0 still applies). */
+    * so the stream's batch 0 still applies). `sideId` is the id of the
+    * attempt that won this version's commit — history/stats side
+    * directories are resolved through it. */
   final case class Manifest(
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
       lastBatch: Option[(String, Long)] = None,
-      lastDelete: Option[Long] = None)
+      lastDelete: Option[Long] = None,
+      sideId: String = "")
 
   private val BucketCol = "_bucket"
 
@@ -94,6 +111,14 @@ object ManifestTable {
     URLEncoder.encode(s, StandardCharsets.UTF_8)
   private def dec(s: String): String =
     URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def newAttemptId(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+
+  /** Test seam: invoked after the temp manifest is written, immediately
+    * before the commit-point rename — specs interleave a competing
+    * committer here to exercise the OCC conflict path deterministically. */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
 
   /** Highest committed manifest version, if any. Commit = the renamed
     * `m<version>` file exists; there is no torn state to filter because
@@ -115,9 +140,9 @@ object ManifestTable {
   }
 
   /** Parses a committed manifest. Line 1: `graft-manifest <format>`,
-    * line 2: `numBuckets \t lastBatchStream \t lastBatchId \t lastDelete`
-    * (empty id fields = none), then one tab-separated entry per bucket
-    * with URL-encoded key stats (keys may contain tabs/newlines). */
+    * line 2: `numBuckets \t lastBatchStream \t lastBatchId \t lastDelete
+    * \t sideId` (empty fields = none), then one tab-separated entry per
+    * bucket with URL-encoded key stats (keys may contain tabs/newlines). */
   def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = new Path(s"$root/manifest/m$version")
     val fs = fsOf(spark, p)
@@ -126,10 +151,11 @@ object ManifestTable {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    // Format 1 (numBuckets only, no tokens) stays READABLE so tables
-    // committed by the earlier code aren't bricked by the upgrade;
-    // writes always produce format 2.
-    require(lines.head == "graft-manifest 2" ||
+    // Formats 1 (numBuckets only) and 2 (tokens, version-named side dirs)
+    // stay READABLE so tables committed by earlier code aren't bricked by
+    // the upgrade; writes always produce format 3 (adds sideId).
+    require(lines.head == "graft-manifest 3" ||
+      lines.head == "graft-manifest 2" ||
       lines.head == "graft-manifest 1",
       s"unsupported manifest header: ${lines.head}")
     val h = lines(1).split("\t", -1)
@@ -139,11 +165,12 @@ object ManifestTable {
       else Some((dec(h(1)), h(2).toLong))
     val lastDelete =
       if (h.length < 4 || h(3).isEmpty) None else Some(h(3).toLong)
+    val sideId = if (h.length < 5) "" else h(4)
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4))
     }
-    Manifest(version, numBuckets, entries, lastBatch, lastDelete)
+    Manifest(version, numBuckets, entries, lastBatch, lastDelete, sideId)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -200,30 +227,52 @@ object ManifestTable {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     }
 
-  private def writeManifest(
-      spark: SparkSession, root: String, m: Manifest): Unit = {
-    val header = Seq(
-      m.numBuckets.toString,
-      m.lastBatch.map(b => enc(b._1)).getOrElse(""),
-      m.lastBatch.map(_._2.toString).getOrElse(""),
-      m.lastDelete.map(_.toString).getOrElse("")).mkString("\t")
-    val body = (s"graft-manifest 2" +: header +:
+  /** No-overwrite commit of manifest `m` via temp-write + rename: returns
+    * false when another writer already committed this version — the OCC
+    * conflict signal; the caller cleans up its attempt and retries
+    * against the new current state. The temp file is attempt-named so
+    * racing writers never collide pre-commit either. */
+  private def tryCommitManifest(
+      spark: SparkSession, root: String, m: Manifest): Boolean = {
+    val body = (s"graft-manifest 3" +:
+      Seq(
+        m.numBuckets.toString,
+        m.lastBatch.map(b => enc(b._1)).getOrElse(""),
+        m.lastBatch.map(_._2.toString).getOrElse(""),
+        m.lastDelete.map(_.toString).getOrElse(""),
+        m.sideId).mkString("\t") +:
       m.entries.sortBy(_.bucket).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
-    val tmp = new Path(s"$root/manifest/.tmp-m${m.version}")
+    val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
     val fs = fsOf(spark, dst)
     fs.mkdirs(dst.getParent)
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(dst, true) // superseded torn attempt (never a committed one)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"failed to commit manifest $dst")
+    testBeforeCommit()
+    if (fs.exists(dst)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, dst)) true
+    else {
+      fs.delete(tmp, false)
+      if (fs.exists(dst)) false // lost the rename race itself
+      else throw new java.io.IOException(s"failed to commit manifest $dst")
+    }
   }
 
-  /** Writes `df`'s rows bucketed under `data/v<version>` (one file per
+  /** Removes everything a LOSING attempt wrote before its failed commit —
+    * its own attempt-named directories only, never committed files. */
+  private def cleanupAttempt(spark: SparkSession, root: String,
+      version: Long, attempt: String): Unit =
+    Seq(s"data/v$version-$attempt", s"history/v$version-$attempt",
+        s"stats/v$version-$attempt").foreach { rel =>
+      val p = new Path(s"$root/$rel")
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  /** Writes `df`'s rows bucketed under `data/<dataDirName>` (one file per
     * bucket) and returns the FileEntry per written bucket, stats read
     * back from the committed files. `numTasks` sizes the write exchange
     * to the buckets actually being written — a micro-batch touching 3
@@ -234,12 +283,12 @@ object ManifestTable {
       bucket: org.apache.spark.sql.Column,
       keyColumn: String,
       root: String,
-      version: Long,
+      dataDirName: String,
       numTasks: Int,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity): Seq[FileEntry] = {
     val spark = df.sparkSession
-    val dataDir = s"$root/data/v$version"
+    val dataDir = s"$root/data/$dataDirName"
     df.withColumn(BucketCol, bucket)
       .repartition(math.max(1, numTasks), col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
@@ -262,13 +311,15 @@ object ManifestTable {
         FileEntry(r.getInt(0), r.getLong(1),
           Option(r.getString(2)).getOrElse(""),
           Option(r.getString(3)).getOrElse(""),
-          s"data/v$version/$BucketCol=${r.getInt(0)}")
+          s"data/$dataDirName/$BucketCol=${r.getInt(0)}")
       }.toSeq
   }
 
   /** Bootstraps a table from existing data: buckets `df` on the key and
     * commits it as version 0. Fails if the table already exists (use
-    * `merge` to amend). */
+    * `merge` to amend) — including when a racing `create` wins version 0
+    * first (no retry here: two bootstraps are a caller bug, not a merge
+    * to reconcile). */
   def create(
       df: DataFrame,
       keyColumn: String,
@@ -278,16 +329,22 @@ object ManifestTable {
         identity): Unit = {
     val spark = df.sparkSession
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
+    val attempt = newAttemptId()
     val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(numBuckets))
-    val entries = writeBuckets(df, bucket, keyColumn, root, 0L, numBuckets,
-      keyComparator)
-    writeManifest(spark, root, Manifest(0L, numBuckets, entries))
+    val entries = writeBuckets(df, bucket, keyColumn, root, s"v0-$attempt",
+      numBuckets, keyComparator)
+    if (!tryCommitManifest(spark, root,
+        Manifest(0L, numBuckets, entries, sideId = attempt))) {
+      cleanupAttempt(spark, root, 0L, attempt)
+      throw new java.util.ConcurrentModificationException(
+        s"table concurrently created at $root")
+    }
   }
 
   /** One incremental MERGE of a projected source into the table.
     * `(streamId, batchId)` is the merge's IDEMPOTENCY TOKEN, not the
     * table version: foreachBatch passes its batchId (plus the checkpoint
-    * path as streamId, so a stream restarted on a FRESH checkpoint —
+    * identity as streamId, so a stream restarted on a FRESH checkpoint —
     * batchIds reset to 0 — is a new token, not a false replay); batch
     * callers pass any token different from the previous merge's. If the
     * token equals the current manifest's `lastBatch` the call is the
@@ -295,8 +352,9 @@ object ManifestTable {
     * exactly foreachBatch's replay window (only the most recent batch is
     * ever re-delivered). The table version is internal and monotone
     * (`current + 1`), so a `create()` bootstrap at version 0 never
-    * swallows the stream's batch 0. Returns the entries rewritten
-    * (empty on replay). */
+    * swallows the stream's batch 0. A commit conflict (another writer won
+    * the version) retries the WHOLE merge against the new state. Returns
+    * the entries rewritten (empty on replay). */
   def merge(
       projected: DataFrame,
       batchId: Long,
@@ -310,107 +368,110 @@ object ManifestTable {
       recordStats: Boolean = false,
       streamId: String = ""): Seq[FileEntry] = {
     val spark = projected.sparkSession
-    val prior = currentManifest(spark, root)
-    if (prior.exists(_.lastBatch.contains((streamId, batchId)))) return Nil
-    val version = prior.map(_.version + 1).getOrElse(0L)
-    // numBuckets is a TABLE property: fixed at creation, the parameter is
-    // ignored once a manifest exists (a mismatch would scatter each key
-    // across two bucket layouts).
-    val n = prior.map(_.numBuckets).getOrElse(numBuckets)
-    val key = mapping.keyColumnName
-    val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => pmod(hash(mapping.keyComparator(c)), lit(n))
-    // should_import rows (flagged by the pipeline) still flow through the
-    // upsert — that's where they're counted — but must not mark buckets
-    // touched: an all-ignored batch rewrites nothing.
-    val ignore =
-      if (projected.columns.contains(Mapping.IgnoreCol))
-        Some(col(Mapping.IgnoreCol))
-      else None
+    while (true) {
+      val prior = currentManifest(spark, root)
+      if (prior.exists(_.lastBatch.contains((streamId, batchId)))) return Nil
+      val attempt = newAttemptId()
+      val version = prior.map(_.version + 1).getOrElse(0L)
+      // numBuckets is a TABLE property: fixed at creation, the parameter is
+      // ignored once a manifest exists (a mismatch would scatter each key
+      // across two bucket layouts).
+      val n = prior.map(_.numBuckets).getOrElse(numBuckets)
+      val key = mapping.keyColumnName
+      val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => pmod(hash(mapping.keyComparator(c)), lit(n))
+      // should_import rows (flagged by the pipeline) still flow through the
+      // upsert — that's where they're counted — but must not mark buckets
+      // touched: an all-ignored batch rewrites nothing.
+      val ignore =
+        if (projected.columns.contains(Mapping.IgnoreCol))
+          Some(col(Mapping.IgnoreCol))
+        else None
 
-    // 1. touched buckets: bounded distinct over ≤ n values, never a key
-    //    collect. Null-keyed source rows are dropped by the upsert, so
-    //    they must not mark buckets either — and the null filter has to
-    //    run BEFORE bucketing (hash(null) is the seed, not null, so a
-    //    null key would otherwise always touch bucket pmod(seed, n)).
-    val touched = ignore.foldLeft(projected)((df, c) =>
-        df.filter(!coalesce(c, lit(false))))
-      .filter(mapping.keyComparator(col(key)).isNotNull)
-      .select(bucketOf(col(key)).as(BucketCol))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val (touchedEntries, untouched) =
-      prior.map(_.entries).getOrElse(Nil).partition(e => touched(e.bucket))
+      // 1. touched buckets: bounded distinct over ≤ n values, never a key
+      //    collect. Null-keyed source rows are dropped by the upsert, so
+      //    they must not mark buckets either — and the null filter has to
+      //    run BEFORE bucketing (hash(null) is the seed, not null, so a
+      //    null key would otherwise always touch bucket pmod(seed, n)).
+      val touched = ignore.foldLeft(projected)((df, c) =>
+          df.filter(!coalesce(c, lit(false))))
+        .filter(mapping.keyComparator(col(key)).isNotNull)
+        .select(bucketOf(col(key)).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val (touchedEntries, untouched) =
+        prior.map(_.entries).getOrElse(Nil).partition(e => touched(e.bucket))
 
-    // 2-3. target fragment = touched buckets only; standard one-join merge.
-    val fragment =
-      if (touchedEntries.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
-    val res = Upsert(fragment, projected, mapping, mode, nonNullable,
-      rejectWhen, ignore)
-    val tracked = mapping.columns.exists(_._2.opts.keepHistory)
-    val multiOut = (tracked && mode.canUpdate) || recordStats
-    // merged/history/stats all derive from the ONE full-outer join; with
-    // several consumers, persist it once instead of re-reading the
-    // fragment and re-aggregating the source per output (UpsertResult's
-    // own contract, Upsert.scala:20-23).
-    if (multiOut) res.joined.persist()
-    try {
-      // 4-5. write ONLY the touched buckets under this version's directory
-      //    (one file per bucket), compute their stats from the committed
-      //    files in one bounded agg, then the atomic manifest swap.
-      val written = writeBuckets(res.merged, bucketOf(col(key)), key, root,
-        version, math.max(touched.size, 1), mapping.keyComparator)
-
-      // keep_history rows and import stats are part of the same commit:
-      // written under version-scoped directories BEFORE the manifest
-      // rename, so the rename makes state + history + stats visible
-      // together (the reference commits history in the same DB transaction,
-      // importtask.py:313-344,:369-371). A replay skips the whole merge, so
-      // history is never duplicated; a crash before the rename leaves
-      // orphans that the replay overwrites. Readers must ignore versions
-      // above the current manifest (see historyOf/statsOf).
+      // 2-3. target fragment = touched buckets only; standard one-join merge.
+      val fragment =
+        if (touchedEntries.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema)
+          .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
+      val res = Upsert(fragment, projected, mapping, mode, nonNullable,
+        rejectWhen, ignore)
+      val tracked = mapping.columns.exists(_._2.opts.keepHistory)
       val writesHistory = tracked && mode.canUpdate
-      if (writesHistory)
-        res.history.write.mode("overwrite")
-          .parquet(s"$root/history/v$version")
-      if (recordStats)
-        res.stats.write.mode("overwrite").parquet(s"$root/stats/v$version")
-      purgeOrphanSideDirs(spark, root, version,
-        Set("history").filter(_ => writesHistory) ++
-          Set("stats").filter(_ => recordStats))
+      val multiOut = writesHistory || recordStats
+      // merged/history/stats all derive from the ONE full-outer join; with
+      // several consumers, persist it once instead of re-reading the
+      // fragment and re-aggregating the source per output (UpsertResult's
+      // own contract, Upsert.scala:20-23).
+      if (multiOut) res.joined.persist()
+      val committed =
+        try {
+          // 4-5. write ONLY the touched buckets under this attempt's
+          //    directory (one file per bucket), compute their stats from
+          //    the committed files in one bounded agg, then the atomic
+          //    no-overwrite manifest swap.
+          val written = writeBuckets(res.merged, bucketOf(col(key)), key,
+            root, s"v$version-$attempt", math.max(touched.size, 1),
+            mapping.keyComparator)
 
-      writeManifest(spark, root, Manifest(version, n, untouched ++ written,
-        Some((streamId, batchId)), prior.flatMap(_.lastDelete)))
-      written
-    } finally {
-      if (multiOut) res.joined.unpersist()
+          // keep_history rows and import stats are part of the same commit:
+          // written under attempt-scoped directories BEFORE the manifest
+          // rename, so the rename makes state + history + stats visible
+          // together (the reference commits history in the same DB
+          // transaction, importtask.py:313-344,:369-371). A replay skips the
+          // whole merge, so history is never duplicated; the manifest
+          // records this attempt's id, so a crashed or losing attempt's
+          // side dirs can never become visible through someone else's
+          // commit (see committedSideDirs).
+          if (writesHistory)
+            res.history.write.mode("overwrite")
+              .parquet(s"$root/history/v$version-$attempt")
+          if (recordStats)
+            res.stats.write.mode("overwrite")
+              .parquet(s"$root/stats/v$version-$attempt")
+
+          if (tryCommitManifest(spark, root,
+              Manifest(version, n, untouched ++ written,
+                Some((streamId, batchId)), prior.flatMap(_.lastDelete),
+                attempt)))
+            Some(written)
+          else {
+            cleanupAttempt(spark, root, version, attempt)
+            None // lost the race — recompute against the new state
+          }
+        } finally {
+          if (multiOut) res.joined.unpersist()
+        }
+      committed match {
+        case Some(written) => return written
+        case None => ()
+      }
     }
+    Nil // unreachable
   }
 
-  /** Removes orphan side-directories (history/stats) left at `version`
-    * by a CRASHED attempt of a different operation. Whoever commits
-    * manifest `version` owns that version number: any side data it did
-    * not itself write must be cleared BEFORE the manifest rename, or
-    * the version-≤-current gate in committedSideDirs would make the
-    * crashed attempt's uncommitted rows permanently visible (e.g. a
-    * delete claiming the version of a merge that died between its
-    * history write and its manifest rename). */
-  private def purgeOrphanSideDirs(
-      spark: SparkSession, root: String, version: Long,
-      writtenKinds: Set[String]): Unit =
-    Seq("history", "stats").filterNot(writtenKinds).foreach { kind =>
-      val p = new Path(s"$root/$kind/v$version")
-      val fs = fsOf(spark, p)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-
-  /** Versions ≤ the current manifest with a committed side-directory
-    * (`history/v<i>` or `stats/v<i>`). Orphans from a crashed attempt at
-    * a version ABOVE the current manifest are excluded — the replay of
-    * that version overwrites them. */
+  /** Committed side-directories for `kind` (history/stats), oldest
+    * version first. A side dir is committed iff its version has a
+    * manifest at or below the current version AND the dir is the one the
+    * WINNING attempt wrote (`v<N>-<sideId>`; format-1/2 manifests match
+    * the old unsuffixed `v<N>` names) — so a crashed or racing loser's
+    * leftovers are invisible. For versions whose manifest was vacuumed,
+    * the surviving dir is accepted: vacuum GCs mismatched dirs BEFORE
+    * dropping a version's manifest, so at most the winner's survives. */
   private def committedSideDirs(
       spark: SparkSession, root: String, kind: String): Seq[String] =
     currentVersion(spark, root) match {
@@ -419,16 +480,35 @@ object ManifestTable {
         val dir = new Path(s"$root/$kind")
         val fs = fsOf(spark, dir)
         if (!fs.exists(dir)) Nil
-        else fs.listStatus(dir).toSeq
-          .map(_.getPath.getName)
-          .filter { n =>
-            val s = n.stripPrefix("v")
-            n.startsWith("v") && s.nonEmpty && s.forall(_.isDigit) &&
-            s.toLong <= cur &&
-            fs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
-          }
-          .sortBy(_.stripPrefix("v").toLong)
-          .map(n => s"$root/$kind/$n")
+        else {
+          val mfs = fsOf(spark, new Path(s"$root/manifest"))
+          fs.listStatus(dir).toSeq
+            .map(_.getPath.getName)
+            .flatMap(n => parseSideDirName(n).map { case (v, a) => (v, a, n) })
+            .filter { case (v, a, n) =>
+              v <= cur &&
+              fs.exists(new Path(s"$root/$kind/$n/_SUCCESS")) && {
+                val mp = new Path(s"$root/manifest/m$v")
+                if (!mfs.exists(mp)) true // vacuumed: losers GC'd first
+                else readManifest(spark, root, v).sideId == a
+              }
+            }
+            .sortBy(_._1)
+            .map { case (_, _, n) => s"$root/$kind/$n" }
+        }
+    }
+
+  /** `v<digits>` or `v<digits>-<attempt>` → (version, attempt);
+    * format-1/2 unsuffixed names parse with an empty attempt. */
+  private def parseSideDirName(n: String): Option[(Long, String)] =
+    if (!n.startsWith("v")) None
+    else {
+      val (digits, suffix) = n.stripPrefix("v").span(_.isDigit)
+      if (digits.isEmpty) None
+      else if (suffix.isEmpty) Some((digits.toLong, ""))
+      else if (suffix.startsWith("-") && suffix.length > 1)
+        Some((digits.toLong, suffix.drop(1)))
+      else None
     }
 
   /** All committed keep_history rows across versions (empty frame when
@@ -446,7 +526,8 @@ object ManifestTable {
     val dirs = committedSideDirs(spark, root, "stats")
     if (dirs.isEmpty) spark.emptyDataFrame
     else dirs.map { d =>
-      val v = d.substring(d.lastIndexOf('/') + 1).stripPrefix("v").toLong
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      val v = parseSideDirName(name).get._1
       spark.read.parquet(d).withColumn("_version", lit(v))
     }.reduce(_ unionByName _)
   }
@@ -504,12 +585,13 @@ object ManifestTable {
     * key is in `keys`, rewriting ONLY the buckets those keys hash to —
     * the untouched rest of the table carries into the new manifest
     * verbatim, same as a MERGE. Publishes a new internal version via the
-    * same atomic manifest rename; `token` is the delete's idempotency
-    * token (pick any value different from the previous delete's, e.g.
-    * `currentVersion + 1`) — a replay with the same token is a no-op.
-    * NULL-keyed rows never match a delete key (SQL semantics) and are
-    * kept when their bucket is rewritten. Cost: |touched buckets| file
-    * rewrites, never a table scan. */
+    * same atomic no-overwrite manifest rename (conflicts retry the whole
+    * delete); `token` is the delete's idempotency token (pick any value
+    * different from the previous delete's, e.g. `currentVersion + 1`) —
+    * a replay with the same token is a no-op. NULL-keyed rows never
+    * match a delete key (SQL semantics) and are kept when their bucket
+    * is rewritten. Cost: |touched buckets| file rewrites, never a table
+    * scan. */
   def delete(
       spark: SparkSession,
       root: String,
@@ -519,39 +601,43 @@ object ManifestTable {
       token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity): Seq[FileEntry] = {
-    val prior = currentManifest(spark, root).getOrElse(return Nil)
-    if (prior.lastDelete.contains(token)) return Nil
-    val version = prior.version + 1
-    val n = prior.numBuckets
-    val rendered = spark.range(1)
-      .select(explode(array(keys.map { k =>
-        pmod(hash(keyComparator(lit(k))), lit(n))
-      }: _*)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val (touchedEntries, untouched) =
-      prior.entries.partition(e => rendered(e.bucket))
-    if (touchedEntries.isEmpty) {
-      purgeOrphanSideDirs(spark, root, version, Set.empty)
-      writeManifest(spark, root, Manifest(version, n, prior.entries,
-        prior.lastBatch, Some(token)))
-      return Nil
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(return Nil)
+      if (prior.lastDelete.contains(token)) return Nil
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val n = prior.numBuckets
+      val rendered = spark.range(1)
+        .select(explode(array(keys.map { k =>
+          pmod(hash(keyComparator(lit(k))), lit(n))
+        }: _*)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val (touchedEntries, untouched) =
+        prior.entries.partition(e => rendered(e.bucket))
+      if (touchedEntries.isEmpty) {
+        if (tryCommitManifest(spark, root, Manifest(version, n,
+            prior.entries, prior.lastBatch, Some(token), attempt)))
+          return Nil
+      } else {
+        // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
+        // NULL key, and a bare `!NULL` filter would silently DROP
+        // null-keyed rows that happen to share a bucket with a deleted key.
+        val fragment = spark.read.schema(schema)
+          .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
+          .filter(!coalesce(
+            keyComparator(col(keyColumn)).isin(
+              keys.map(k => keyComparator(lit(k))): _*),
+            lit(false)))
+        val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
+        val written = writeBuckets(fragment, bucket, keyColumn, root,
+          s"v$version-$attempt", touchedEntries.size, keyComparator)
+        if (tryCommitManifest(spark, root, Manifest(version, n,
+            untouched ++ written, prior.lastBatch, Some(token), attempt)))
+          return written
+        cleanupAttempt(spark, root, version, attempt)
+      }
     }
-    // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a NULL
-    // key, and a bare `!NULL` filter would silently DROP null-keyed rows
-    // that happen to share a bucket with a deleted key.
-    val fragment = spark.read.schema(schema)
-      .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
-      .filter(!coalesce(
-        keyComparator(col(keyColumn)).isin(
-          keys.map(k => keyComparator(lit(k))): _*),
-        lit(false)))
-    val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
-    val written = writeBuckets(fragment, bucket, keyColumn, root, version,
-      touchedEntries.size, keyComparator)
-    purgeOrphanSideDirs(spark, root, version, Set.empty)
-    writeManifest(spark, root, Manifest(version, n, untouched ++ written,
-      prior.lastBatch, Some(token)))
-    written
+    Nil // unreachable
   }
 
   /** Maintenance re-bucketing: rewrites the WHOLE table under a new
@@ -561,10 +647,10 @@ object ManifestTable {
     * table has outgrown its creation-time sizing — e.g. 16 buckets
     * that were comfortable at 1 TB are 6 TB apiece at 100 TB, making
     * every MERGE's touched-bucket rewrite too coarse. Commits through
-    * the same atomic manifest swap; `token` shares the maintenance
-    * token space with [[delete]] (guarded by `lastDelete`), and
-    * `lastBatch` carries through so streaming replay detection is
-    * unaffected. */
+    * the same atomic no-overwrite manifest swap (conflicts retry);
+    * `token` shares the maintenance token space with [[delete]]
+    * (guarded by `lastDelete`), and `lastBatch` carries through so
+    * streaming replay detection is unaffected. */
   def rebucket(
       spark: SparkSession,
       root: String,
@@ -574,37 +660,75 @@ object ManifestTable {
       token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity): Unit = {
-    val prior = currentManifest(spark, root).getOrElse(
-      throw new IllegalStateException(s"no table at $root"))
-    if (prior.lastDelete.contains(token)) return
-    val version = prior.version + 1
-    val all = readManifestState(spark, root, schema, Some(prior))
-    val bucket =
-      pmod(hash(keyComparator(col(keyColumn))), lit(newNumBuckets))
-    val written = writeBuckets(all, bucket, keyColumn, root, version,
-      newNumBuckets, keyComparator)
-    purgeOrphanSideDirs(spark, root, version, Set.empty)
-    writeManifest(spark, root, Manifest(version, newNumBuckets, written,
-      prior.lastBatch, Some(token)))
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      if (prior.lastDelete.contains(token)) return
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val all = readManifestState(spark, root, schema, Some(prior))
+      val bucket =
+        pmod(hash(keyComparator(col(keyColumn))), lit(newNumBuckets))
+      val written = writeBuckets(all, bucket, keyColumn, root,
+        s"v$version-$attempt", newNumBuckets, keyComparator)
+      if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
+          written, prior.lastBatch, Some(token), attempt)))
+        return
+      cleanupAttempt(spark, root, version, attempt)
+    }
   }
 
-  /** Deletes data directories and manifests no longer referenced by the
-    * CURRENT manifest. Maintenance only — run when no reader holds an
-    * older manifest (readers resolve the manifest once per query). */
+  /** Deletes everything no longer referenced: data directories absent
+    * from the CURRENT manifest, manifests below it, loser/crashed side
+    * directories, and decided temp manifests. Per retired version the
+    * side-dir GC runs BEFORE its manifest is dropped, so
+    * committedSideDirs' vacuumed-version fallback (accept the survivor)
+    * stays sound even across a crash mid-vacuum. Maintenance only — run
+    * when no reader holds an older manifest and no writer is mid-commit
+    * (readers resolve the manifest once per query). */
   def vacuum(spark: SparkSession, root: String): Unit =
     currentManifest(spark, root).foreach { m =>
       val live: Set[String] =
-        m.entries.map(_.relPath.split("/")(1)).toSet // data/<vdir>/_bucket=k
+        m.entries.map(_.relPath.split("/")(1)).toSet // data/<dir>/_bucket=k
       val dataDir = new Path(s"$root/data")
       val dfs = fsOf(spark, dataDir)
       if (dfs.exists(dataDir))
         dfs.listStatus(dataDir).foreach { st =>
           if (!live(st.getPath.getName)) dfs.delete(st.getPath, true)
         }
+      // Side-dir GC: for every version that still has a manifest, keep
+      // only the winning attempt's directory — crashed/losing leftovers go.
       val manDir = new Path(s"$root/manifest")
       val mfs = fsOf(spark, manDir)
+      val sideIdOf: Map[Long, String] = mfs.listStatus(manDir).toSeq
+        .map(_.getPath.getName)
+        .filter { n =>
+          val s = n.stripPrefix("m")
+          n.startsWith("m") && s.nonEmpty && s.forall(_.isDigit)
+        }
+        .map(_.stripPrefix("m").toLong)
+        .map(v => v -> readManifest(spark, root, v).sideId).toMap
+      Seq("history", "stats").foreach { kind =>
+        val kd = new Path(s"$root/$kind")
+        val kfs = fsOf(spark, kd)
+        if (kfs.exists(kd))
+          kfs.listStatus(kd).foreach { st =>
+            parseSideDirName(st.getPath.getName).foreach { case (v, _) =>
+              sideIdOf.get(v).foreach { s =>
+                val want = if (s.isEmpty) s"v$v" else s"v$v-$s"
+                if (st.getPath.getName != want) kfs.delete(st.getPath, true)
+              }
+            }
+          }
+      }
+      // Then retire old manifests and decided temp files. Temp manifests
+      // at versions ABOVE current belong to in-flight commits — keep.
       mfs.listStatus(manDir).foreach { st =>
-        if (st.getPath.getName != s"m${m.version}") mfs.delete(st.getPath, true)
+        val n = st.getPath.getName
+        val keep = n == s"m${m.version}" ||
+          "^\\.tmp-m(\\d+)".r.findFirstMatchIn(n)
+            .exists(_.group(1).toLong > m.version)
+        if (!keep) mfs.delete(st.getPath, true)
       }
     }
 }

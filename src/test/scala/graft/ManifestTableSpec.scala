@@ -87,9 +87,9 @@ class ManifestTableSpec extends SparkSpec {
       assert(fileDigests(s"$root/${e.relPath}") == before(e.relPath),
         s"untouched data files changed on disk: ${e.relPath}")
     }
-    // touched bucket: new entry under data/v1
+    // touched bucket: new entry under version 1's attempt directory
     val hot1 = m1.entries.find(_.bucket == hotBucket).get
-    assert(hot1.relPath.startsWith("data/v1/"),
+    assert(hot1.relPath.startsWith("data/v1-"),
       s"touched bucket not rewritten: $hot1")
 
     // table state is the correct merge
@@ -312,24 +312,29 @@ class ManifestTableSpec extends SparkSpec {
       Row(2L, "b", 2L, "x")))
   }
 
-  test("delete purges a crashed merge's orphan side-dirs at its version") {
+  test("a crashed attempt's side-dirs stay invisible; vacuum GCs them") {
     val root = freshRoot("manifest_orphan_purge")
     val m = mapping
     ManifestTable.merge(m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
       0L, m, root, schema)
-    // crashed merge at version 1: its stats dir landed (with _SUCCESS)
-    // but the manifest rename never happened
+    // crashed merge attempt at version 1: its stats dir landed (with
+    // _SUCCESS) but its manifest commit never happened
     Seq((7L, 7L)).toDF("read_keys", "created")
-      .write.parquet(s"$root/stats/v1")
+      .write.parquet(s"$root/stats/v1-deadcafe")
     assert(ManifestTable.statsOf(spark, root).count() == 0,
       "orphan above current must stay invisible")
     // a delete now claims version 1 — the orphan must not ride its
-    // commit into visibility
+    // commit into visibility (the manifest records the WINNING attempt's
+    // id; the crashed attempt's dir doesn't match it)
     ManifestTable.delete(spark, root, schema, "id", Seq(1L), 1L)
     assert(ManifestTable.currentVersion(spark, root).contains(1L))
     assert(ManifestTable.statsOf(spark, root).count() == 0,
       "crashed merge's stats must not become committed via delete")
-    assert(!new java.io.File(s"$root/stats/v1").exists())
+    // still on disk (harmless, invisible) until vacuum collects it
+    assert(new java.io.File(s"$root/stats/v1-deadcafe").exists())
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/stats/v1-deadcafe").exists(),
+      "vacuum must GC the crashed attempt's side dir")
   }
 
   test("time travel: readAt returns any retained snapshot") {
@@ -419,9 +424,103 @@ class ManifestTableSpec extends SparkSpec {
       m.project(raw((1L to 8L).map(i => (i, s"x$i", i.toString)): _*)),
       1L, m, root, schema)
     ManifestTable.vacuum(spark, root)
-    assert(!new java.io.File(s"$root/data/v0").exists(),
-      "fully superseded data version must be vacuumed")
+    val dataDirs = new java.io.File(s"$root/data").list().toSeq
+    assert(!dataDirs.exists(_.startsWith("v0")),
+      s"fully superseded data version must be vacuumed, left: $dataDirs")
     assert(!new java.io.File(s"$root/manifest/m0").exists())
     assert(ManifestTable.read(spark, root, schema).count() == 8)
+  }
+
+  test("OCC: a losing merge retries against the winner's committed state") {
+    val root = freshRoot("manifest_occ_merge")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 8L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4, streamId = "A")
+    // two keys in different buckets so untouched-carry is checkable
+    val keyA = 3L
+    val keyB = (1L to 8L).find(i => bucketOf(i, 4) != bucketOf(keyA, 4)).get
+    var fired = false
+    ManifestTable.testBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        // writer B commits version 1 between A's compute and A's commit
+        ManifestTable.merge(m.project(raw((keyB, "FROM_B", "60"))),
+          0L, m, root, schema, streamId = "B")
+      }
+    }
+    try {
+      val written = ManifestTable.merge(
+        m.project(raw((keyA, "FROM_A", "30"))),
+        1L, m, root, schema, streamId = "A")
+      assert(written.nonEmpty, "retried merge must still commit")
+    } finally ManifestTable.testBeforeCommit = () => ()
+    val m2 = ManifestTable.currentManifest(spark, root).get
+    assert(m2.version == 2L, "loser must retry at the next version")
+    // NEITHER writer's update was lost
+    val state = ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    assert(state == (1L to 8L).map(i =>
+      if (i == keyA) Row(i, "FROM_A", 30L)
+      else if (i == keyB) Row(i, "FROM_B", 60L)
+      else Row(i, s"n$i", i)).toSeq)
+    // B's committed bucket carries into A's retried manifest verbatim
+    val m1 = ManifestTable.readManifest(spark, root, 1L)
+    val bBucket = bucketOf(keyB, 4)
+    assert(m2.entries.find(_.bucket == bBucket) ==
+      m1.entries.find(_.bucket == bBucket),
+      "winner's bucket must carry untouched through the loser's retry")
+  }
+
+  test("OCC: losing writer's stats land at its retried version only") {
+    val root = freshRoot("manifest_occ_stats")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema,
+      recordStats = true, streamId = "A")
+    var fired = false
+    ManifestTable.testBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        ManifestTable.merge(m.project(raw((2L, "b", "2"))), 0L, m, root,
+          schema, recordStats = true, streamId = "B")
+      }
+    }
+    try ManifestTable.merge(m.project(raw((3L, "c", "3"))), 1L, m, root,
+      schema, recordStats = true, streamId = "A")
+    finally ManifestTable.testBeforeCommit = () => ()
+    // exactly one stats row per committed version — the loser's abandoned
+    // attempt at version 1 left nothing visible
+    val stats = ManifestTable.statsOf(spark, root)
+      .orderBy("_version").collect().toSeq
+    assert(stats.map(_.getAs[Long]("_version")) == Seq(0L, 1L, 2L),
+      s"got versions ${stats.map(_.getAs[Long]("_version"))}")
+    assert(stats.map(_.getAs[Long]("created")) == Seq(1L, 1L, 1L))
+    // after vacuum exactly the three committed stats dirs remain
+    ManifestTable.vacuum(spark, root)
+    assert(new java.io.File(s"$root/stats").list().toSeq.size == 3,
+      "loser attempt dirs must be cleaned up")
+  }
+
+  test("OCC: delete racing a merge retries over the merged state") {
+    val root = freshRoot("manifest_occ_delete")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 4L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, streamId = "A")
+    var fired = false
+    ManifestTable.testBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        ManifestTable.merge(m.project(raw((5L, "late", "5"))), 1L, m, root,
+          schema, streamId = "A")
+      }
+    }
+    try ManifestTable.delete(spark, root, schema, "id", Seq(2L), 9L)
+    finally ManifestTable.testBeforeCommit = () => ()
+    val ids = ManifestTable.read(spark, root, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L),
+      s"delete must apply over the merged state, got $ids")
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
   }
 }
