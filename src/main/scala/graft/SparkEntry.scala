@@ -770,6 +770,20 @@ object SparkEntry {
       Similarity.cosineDups(e.union(copies), threshold = 0.999, planes = 6)
         .select("id_a", "id_b")
     }),
+    "semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-compare) planted oracle: a positively
+      // scaled copy is cosine-1.0 with its original AND lands in the
+      // original's k-means cell (the assignment argmax is
+      // scale-invariant), so with the max natural pair at ~0.51 the
+      // near-dup components are exactly {original, plant} and the min-id
+      // canonical of every plant is its original; every other vector
+      // keeps itself.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+      Similarity.semDedup(e.union(copies), threshold = 0.999, nlist = 16)
+    }),
 
     // --- text analysis ---
     "text_tokens" -> ((s, dir) => {
@@ -1521,6 +1535,11 @@ object SparkEntry {
            FROM embeddings WHERE vec_id % 100 = 0""",
       "embed_dups" ->
         s"""SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
+           FROM embeddings WHERE vec_id % 20 = 0""",
+      "semdedup" ->
+        s"""SELECT vec_id, vec_id AS canonical_id FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000 AS vec_id, vec_id AS canonical_id
            FROM embeddings WHERE vec_id % 20 = 0""",
       "source_overlap" ->
         s"""WITH tok AS (SELECT source, ${tokSqlOf("text")} AS tk

@@ -331,4 +331,60 @@ object Similarity {
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): SEMANTIC dedup by
+    * clustering the embedding space and comparing only within a cluster —
+    * the published scale trick that makes embedding dedup tractable where
+    * [[cosineDups]]' random-hyperplane buckets trade recall for speed:
+    * k-means cells follow the data's own density, so semantically close
+    * pairs share a cell by construction instead of by hash luck.
+    *
+    *   1. coarse centroids: trained (pass `trainedCentroids` from
+    *      [[trainCentroids]] / [[kmeansParCentroids]]) or the
+    *      deterministic hash-spread sample;
+    *   2. every vector is assigned to its nearest centroid with the
+    *      literal-embedded [[NearestCells]] expression — ZERO shuffle;
+    *   3. candidate pairs are generated ONLY within a cell (slim
+    *      equi-join on the cell id, skew-capped — never all-pairs);
+    *   4. exact cosine keeps pairs >= threshold; the transitive closure
+    *      (pointer-jumping fixpoint) assigns min-id canonical
+    *      representatives.
+    *
+    * Returns (vec_id, canonical_id) for EVERY corpus row; rows with
+    * `vec_id != canonical_id` are the semantic duplicates to drop.
+    *
+    * At 100 TB: assignment is zero-shuffle; the pair join shuffles the
+    * slim (vec_id, cell, emb) relation once on the cell id; per-cell
+    * work is bounded by `maxCellSize` (the same one-hot-bucket guard as
+    * the LSH joins); the closure iterates on the EDGE set (near-dup
+    * pairs), a tiny relation. Scale `nlist` with the corpus so cells
+    * stay at a workable size (SemDeDup used 50k clusters for LAION). */
+  def semDedup(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      trainedCentroids: Option[DataFrame] = None,
+      maxCellSize: Int = 100000): DataFrame = {
+    val centroids = trainedCentroids.getOrElse(
+      corpus.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val (cids, cents) = collectCentroids(centroids)
+    val cells = Dedup.capBuckets(
+      corpus.select(
+        col("vec_id"), col("embedding").as("emb"),
+        element_at(nearestCells(col("embedding"), cids, cents, 1), 1)
+          .as("cell")),
+      Seq("cell"), maxCellSize)
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell")
+          && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", cosine(col("a.emb"), col("b.emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    Dedup.canonicalizeFixpoint(
+        corpus.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+  }
 }

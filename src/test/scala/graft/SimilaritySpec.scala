@@ -239,4 +239,39 @@ class SimilaritySpec extends SparkSpec {
     assert(!lsh.queryExecution.executedPlan.toString.contains("Cartesian"))
     lsh.count() // executes
   }
+
+  test("semDedup: transitive components canonicalize to min id; " +
+      "no cartesian") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // TWO scaled copies of each planted original: the pair (copy1, copy2)
+    // is also cosine-1.0, so the component {orig, c1, c2} exercises the
+    // transitive closure, and the min id (the original) must win for all
+    val plants = emb.filter($"vec_id" % 50 === 0)
+    val c1 = plants.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.1f)).as("embedding"))
+    val c2 = plants.select(($"vec_id" + 2000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.3f)).as("embedding"))
+    val corpus = emb.union(c1).union(c2)
+    val res = Similarity.semDedup(corpus, threshold = 0.999, nlist = 8)
+    assert(!res.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "pair generation must be a cell equi-join, not all-pairs")
+    val assign = res.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val origs = plants.collect().map(_.getLong(0))
+    assert(origs.nonEmpty)
+    origs.foreach { o =>
+      assert(assign(o) == o, s"original $o must keep itself")
+      assert(assign(o + 1000000L) == o, s"copy1 of $o must canonicalize")
+      assert(assign(o + 2000000L) == o, s"copy2 of $o must canonicalize")
+    }
+    // every row assigned exactly once; non-planted vectors keep themselves
+    assert(assign.size == corpus.count())
+    val plantedIds = origs.toSet
+    assign.foreach { case (id, canon) =>
+      if (id < 1000000L && !plantedIds.contains(id))
+        assert(canon == id, s"non-dup $id must keep itself, got $canon")
+    }
+  }
 }
