@@ -931,6 +931,31 @@ object SparkEntry {
           (abs(col("ad") - col("xd")).cast(DoubleType) /
             col("xd").cast(DoubleType) <= 0.05).as("distinct_ok"))
     }),
+    "events_heavy_hitters" -> ((s, dir) => {
+      // Count-Min sketch heavy hitters with checkable properties: a CMS
+      // NEVER underestimates (hard guarantee), and the overestimate is
+      // bounded by eps*N — deterministic for a fixed seed (counter adds
+      // and merges are sums, so the sketch is partition-order
+      // independent). The sketch and the exact counts come off the same
+      // scan; the probe set (distinct event types) is bounded and tiny.
+      val e = events(s, dir)
+      val bytes = e.agg(
+        expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val exact = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_count"))
+      val types = exact.select("event_type").collect().map(_.getString(0))
+      val estCol = element_at(
+        map(types.flatMap(ty =>
+          Seq(lit(ty), lit(cms.estimateCount(ty)))): _*),
+        col("event_type"))
+      val slack = lit(math.ceil(0.001 * cms.totalCount).toLong)
+      exact.select(col("event_type"), col("exact_count"),
+        (estCol >= col("exact_count")).as("overestimates_ok"),
+        (estCol <= col("exact_count") + slack).as("within_eps"))
+    }),
     "orders_percentiles_approx" -> ((s, dir) => {
       // approx_percentile's rank-error guarantee made checkable: with
       // accuracy=10000 the returned element's rank is within N/10000 of
@@ -1678,6 +1703,10 @@ object SparkEntry {
            FROM orders GROUP BY o_orderstatus""",
       "events_distinct_approx" ->
         s"""SELECT event_type, TRUE AS distinct_ok
+           FROM events GROUP BY event_type""",
+      "events_heavy_hitters" ->
+        s"""SELECT event_type, count(*) AS exact_count,
+           TRUE AS overestimates_ok, TRUE AS within_eps
            FROM events GROUP BY event_type""",
       "events_agg" ->
         s"""SELECT event_type, count(*) AS n,

@@ -678,6 +678,106 @@ object ManifestTable {
     }
   }
 
+  /** CHANGE FEED: row-level changes between two committed versions,
+    * computed from the manifests alone — no change log is stored. For
+    * each commit in `(fromVersion, toVersion]` the manifest diff names
+    * the buckets that commit rewrote (entries whose relPath changed,
+    * appeared, or disappeared); only THOSE buckets' old and new files
+    * are read and key-diffed, so the cost tracks the data each commit
+    * touched, never the table (the same proportionality as the MERGE
+    * that produced it). Both snapshots must still be retained (vacuum
+    * drops superseded data dirs — run the feed before vacuuming).
+    *
+    * Output: the table schema plus `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage') and `_version` (the commit
+    * that made the change). Update rows appear twice (pre + post image),
+    * rows are matched on the NORMALIZED key (unique in a maintained
+    * table — the upsert guarantees it), and a rewritten-but-identical
+    * row (same key, same values) emits nothing, so a pure `rebucket`
+    * diffs to zero changes. NULL-keyed rows (create-bootstrap only; a
+    * merge never writes them) have no key to match on and surface as
+    * delete+insert when their bucket happens to be rewritten.
+    */
+  def changes(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_version",
+          org.apache.spark.sql.types.LongType))))
+    val cols = schema.fieldNames.toSeq
+    val diffs = ((fromVersion + 1) to toVersion).map { v =>
+      // fromVersion = -1 reads the feed from the table's creation:
+      // version 0 diffs against the empty table.
+      val prev =
+        if (v == 0L) Manifest(-1L, 0, Nil)
+        else readManifest(spark, root, v - 1)
+      val cur = readManifest(spark, root, v)
+      // A bucket changed iff its entry changed (relPath moves on every
+      // rewrite — data dirs are immutable and attempt-unique).
+      val prevBy = prev.entries.map(e => e.bucket -> e).toMap
+      val curBy = cur.entries.map(e => e.bucket -> e).toMap
+      val changed = (prevBy.keySet ++ curBy.keySet).toSeq.sorted
+        .filter(b => prevBy.get(b) != curBy.get(b))
+      def frag(entries: Seq[FileEntry]): DataFrame =
+        if (entries.isEmpty) spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+        else spark.read.schema(schema)
+          .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+      // Presence markers ride each side through the join — an all-null
+      // data row is still "present", so presence can't be derived from
+      // the data columns' post-join nullability.
+      val before = frag(changed.flatMap(prevBy.get))
+        .withColumn("_pb", lit(true))
+      val after = frag(changed.flatMap(curBy.get))
+        .withColumn("_pa", lit(true))
+      // One full-outer join on the normalized key over the touched
+      // fragments classifies every row; a rebucket that moved rows
+      // without changing them diffs to nothing. Null-keyed rows must NOT
+      // match (a null-safe join would cross-join them all).
+      val k = (df: DataFrame) => keyComparator(df(keyColumn))
+      val b = before.alias("b")
+      val a = after.alias("a")
+      val joined = b.join(a, k(b) === k(a), "full_outer")
+      val changedRow = cols.map(c => !(b(c) <=> a(c)))
+        .reduce(_ || _)
+      val marked = joined.select(
+        struct(cols.map(c => b(c)): _*).as("_b"),
+        struct(cols.map(c => a(c)): _*).as("_a"),
+        coalesce(b("_pb"), lit(false)).as("_inb"),
+        coalesce(a("_pa"), lit(false)).as("_ina"),
+        changedRow.as("_chg"))
+      val ins = marked.filter(col("_ina") && !col("_inb"))
+        .select(cols.map(c => col(s"_a.$c")) :+
+          lit("insert").as("_change_type") :+ lit(v).as("_version"): _*)
+      val del = marked.filter(col("_inb") && !col("_ina"))
+        .select(cols.map(c => col(s"_b.$c")) :+
+          lit("delete").as("_change_type") :+ lit(v).as("_version"): _*)
+      val pre = marked.filter(col("_ina") && col("_inb") && col("_chg"))
+        .select(cols.map(c => col(s"_b.$c")) :+
+          lit("update_preimage").as("_change_type") :+
+          lit(v).as("_version"): _*)
+      val post = marked.filter(col("_ina") && col("_inb") && col("_chg"))
+        .select(cols.map(c => col(s"_a.$c")) :+
+          lit("update_postimage").as("_change_type") :+
+          lit(v).as("_version"): _*)
+      ins.union(del).union(pre).union(post)
+    }
+    diffs.foldLeft(empty)(_ union _)
+  }
+
   /** Deletes everything no longer referenced: data directories absent
     * from the CURRENT manifest, manifests below it, loser/crashed side
     * directories, and decided temp manifests. Per retired version the

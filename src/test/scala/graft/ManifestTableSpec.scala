@@ -431,6 +431,38 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 8)
   }
 
+  test("change feed: per-commit inserts/updates/deletes from manifest diffs") {
+    val root = freshRoot("manifest_cdc")
+    val m = mapping
+    // v0: ids 1..4 created
+    ManifestTable.merge(
+      m.project(raw((1L to 4L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4)
+    // v1: update id 2, insert id 9
+    ManifestTable.merge(m.project(raw((2L, "TWO", "22"), (9L, "nine", "9"))),
+      1L, m, root, schema)
+    // v2: delete id 3
+    ManifestTable.delete(spark, root, schema, "id", Seq(3L), 7L)
+    // v3: rebucket moves every row without changing any — diffs to nothing
+    ManifestTable.rebucket(spark, root, schema, "id", 8, token = 99L)
+
+    val feed = ManifestTable.changes(spark, root, schema, "id", -1L, 3L)
+      .orderBy("_version", "_change_type", "id").collect().toSeq
+    val expected =
+      (1L to 4L).map(i => Row(i, s"n$i", i, "insert", 0L)) ++ Seq(
+        Row(9L, "nine", 9L, "insert", 1L),
+        Row(2L, "TWO", 22L, "update_postimage", 1L),
+        Row(2L, "n2", 2L, "update_preimage", 1L),
+        Row(3L, "n3", 3L, "delete", 2L))
+    assert(feed == expected, s"got $feed")
+    // a narrower window returns only that window's commits
+    assert(ManifestTable.changes(spark, root, schema, "id", 1L, 2L)
+      .collect().toSeq == Seq(Row(3L, "n3", 3L, "delete", 2L)))
+    // unchanged rows sharing a rewritten bucket emitted nothing: the
+    // full feed above contains no row for ids 1 and 4 past version 0
+    assert(!feed.exists(r => r.getLong(0) == 1L && r.getLong(4) > 0L))
+  }
+
   test("OCC: a losing merge retries against the winner's committed state") {
     val root = freshRoot("manifest_occ_merge")
     val m = mapping
