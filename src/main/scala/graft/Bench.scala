@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Steady-state benchmark. Each query runs K times (SPARK_GRAFT_BENCH_REPS,
+  * default 3) in one process and the MEDIAN is reported: a single-shot
+  * number confounds plan cost with JIT/codegen warmup and FS-cache state,
+  * which is exactly the variance that had to be re-adjudicated in prose
+  * for three rounds. Per-query fixture hooks ([[SparkEntry.benchSetups]])
+  * run OUTSIDE the timed region before every rep, so e.g. `manifest_merge`
+  * times a real incremental MERGE against a freshly reset table — never
+  * the fixture's own create(), never an idempotent replay.
+  *
+  * Output: ONE JSON line. `queries` keeps the original name→seconds
+  * contract (now the median); `queries_stats` carries
+  * name→{med,min,runs[]} so regressions are distinguishable from noise
+  * without a re-run. Seconds are rounded to 1 ms to keep the line compact
+  * (the r5 artifact was front-truncated past ~9 queries of full-precision
+  * doubles).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,27 +32,43 @@ object Bench {
     // absorb one-time JVM/JIT/codegen startup: one action through the
     // parquet read + aggregate path, then the flagship upsert on the
     // TINY sf0.001 fixture — which Janino-compiles the parser expression
-    // family shared by the whole upsert group. Bench numbers then track
-    // plan cost rather than which query happens to run first.
+    // family shared by the whole upsert group.
     spark.read.parquet(s"$sfDir/customer.parquet")
       .selectExpr("count(distinct c_custkey)").collect()
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup entry failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
+
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val setup = SparkEntry.benchSetups.get(name)
+      val runs = (1 to reps).map { _ =>
+        try setup.foreach(f => f(spark, sfDir))
+        catch { case e: Throwable =>
           System.err.println(
-            s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
-          -1L
+            s"[bench] $name setup failed: ${String.valueOf(e.getMessage).take(300)}")
+        }
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
+        }
+        r3((System.nanoTime() - t0) / 1e9)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sorted = runs.sorted
+      val med =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else r3((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
+      (name, med, sorted.head, runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => s""""$k":$med""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stats = results.map { case (k, med, min, runs) =>
+      s""""$k":{"med":$med,"min":$min,"runs":[${runs.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

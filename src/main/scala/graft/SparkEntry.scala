@@ -145,26 +145,81 @@ object SparkEntry {
       ignoreWhen = ignoreWhen)
   }
 
-  /** Bootstraps a [[graft.store.ManifestTable]] from the upsert target
-    * and MERGEs the upsert source into it incrementally (only the
-    * touched key-hash buckets rewrite). The committed table state must
-    * equal the one-shot upsert's merged output — so the DuckDB oracle
-    * for the manifest format is exactly `upsert_basic`'s SQL, making the
-    * table format itself hash-verified end-to-end, not just spec-tested. */
-  private def manifestTable(
-      s: SparkSession, dir: String, name: String): String = {
+  /** Fixtures already (re)built in THIS process — keyed by name@sfDir so
+    * a query's closure can skip its own fixture bootstrap when
+    * [[benchSetups]] (or an earlier call) already built it. Without this,
+    * the bench's timed region measures fixture I/O, not the operation. */
+  private val fixtureReady = scala.collection.mutable.HashSet.empty[String]
+
+  /** Deletes and rebuilds the named manifest-table fixture: a 32-bucket
+    * table bootstrapped from the upsert target (32 so the 10-key targeted
+    * delete demonstrates pruning — ≤10/32 buckets rewrite — instead of
+    * touching every bucket). `withMerge` additionally applies the upsert
+    * source as a committed MERGE (token 0) — the pre-state the delete
+    * query operates on. Bench calls this OUTSIDE its timed region before
+    * every rep, so each rep measures a real MERGE/DELETE against a fresh
+    * table, never a replay and never the fixture's own create(). */
+  private def resetManifestFixture(
+      s: SparkSession, dir: String, name: String,
+      withMerge: Boolean): String = synchronized {
     val root = s"target/qtmp/$name"
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    val m = upsertMapping
-    // 32 buckets so the 10-key targeted delete demonstrates pruning
-    // (≤10/32 buckets rewrite) instead of touching every bucket
     graft.store.ManifestTable.create(
       upsertTarget(s, dir), "id", root, numBuckets = 32)
-    val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
-    graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+    if (withMerge) {
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+    }
+    fixtureReady += s"$name@$dir"
     root
   }
+
+  /** The manifest fixture's root, building it only if this process hasn't
+    * yet (Verify's single pass builds it inside the query; Bench builds it
+    * via [[benchSetups]] so the build is never timed). The committed table
+    * state after the query's MERGE must equal the one-shot upsert's merged
+    * output — so the DuckDB oracle for the manifest format is exactly
+    * `upsert_basic`'s SQL, making the table format itself hash-verified
+    * end-to-end, not just spec-tested. */
+  private def manifestFixture(
+      s: SparkSession, dir: String, name: String,
+      withMerge: Boolean): String = synchronized {
+    if (fixtureReady(s"$name@$dir")) s"target/qtmp/$name"
+    else resetManifestFixture(s, dir, name, withMerge)
+  }
+
+  /** The jsonl_source fixture (documents re-dumped as JSON-lines), built
+    * once per process — rebuilding per call made the bench time the dump,
+    * not the source read. */
+  private def jsonlFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = "target/qtmp/jsonl_source"
+      if (!fixtureReady(s"jsonl_source@$dir")) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            struct(col("lang"), col("source")).as("meta"), col("n_chars"))
+          .write.json(root)
+        fixtureReady += s"jsonl_source@$dir"
+      }
+      root
+    }
+
+  /** Per-query fixture hooks Bench invokes OUTSIDE the timed region
+    * before each rep, so the rep times the operation (a real incremental
+    * MERGE / targeted DELETE against a fresh table), not fixture creation
+    * or an idempotent replay. Verify ignores this map — the query
+    * closures are self-contained (they build a missing fixture
+    * themselves). */
+  def benchSetups: Map[String, (SparkSession, String) => Unit] = Map(
+    "manifest_merge" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_merge", withMerge = false)),
+    "manifest_delete" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_delete", withMerge = true)),
+    "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)))
 
   /** Planted-neighbor recovery harness for the approximate ANN paths: the
     * corpus gains a positively-scaled copy of every query vector (cosine
@@ -379,13 +434,7 @@ object SparkEntry {
       // struct) → Sources.jsonl + dotted-path Field mapping back to
       // typed rows; the oracle reads the same attributes straight off
       // the parquet table.
-      val root = "target/qtmp/jsonl_source"
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          struct(col("lang"), col("source")).as("meta"), col("n_chars"))
-        .write.json(root)
+      val root = jsonlFixture(s, dir)
       val jschema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("meta", StructType(Seq(
@@ -473,13 +522,20 @@ object SparkEntry {
     "upsert_not_found" -> ((s, dir) => runUpsert(s, dir).notFound),
     // --- parquet-manifest table format (incremental MERGE ≡ upsert) ---
     "manifest_merge" -> ((s, dir) => {
-      val root = manifestTable(s, dir, "manifest_merge")
+      // Timed region = the incremental MERGE + committed read; the table
+      // bootstrap happens in benchSetups/first-call, never per-rep.
+      val root = manifestFixture(s, dir, "manifest_merge", withMerge = false)
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_delete" -> ((s, dir) => {
       // targeted GDPR-style erasure of a FIXED key list (bounded, not a
-      // data-dependent collect): only those keys' buckets rewrite
-      val root = manifestTable(s, dir, "manifest_delete")
+      // data-dependent collect): only those keys' buckets rewrite. The
+      // fixture (create + merge) is pre-built; the timed region is the
+      // DELETE itself + committed read.
+      val root = manifestFixture(s, dir, "manifest_delete", withMerge = true)
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L)
       graft.store.ManifestTable.read(s, root, upsertSchema)
