@@ -89,16 +89,19 @@ object ManifestTable {
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
-    * `lastBatch` is the (streamId, batchId) token of the last merge and
-    * `lastDelete` the token of the last delete, so a replayed foreachBatch
-    * delivery no-ops without colliding with table versions (a
-    * `create()`-bootstrapped table starts at version 0 with NO lastBatch,
-    * so the stream's batch 0 still applies). `sideId` is the id of the
-    * attempt that won this version's commit — history/stats side
+    * `lastBatches` records, PER STREAM ID, the batchId of that stream's
+    * last committed merge — so with two interleaved writers (two streams,
+    * or commitIncremental plus a stream) a replayed batch still no-ops
+    * instead of being re-applied just because another writer committed in
+    * between. The map is bounded by the number of distinct writers, not
+    * data. `lastDelete` is the token of the last delete/rebucket. A
+    * `create()`-bootstrapped table starts at version 0 with NO batch
+    * tokens, so a stream's batch 0 still applies. `sideId` is the id of
+    * the attempt that won this version's commit — history/stats side
     * directories are resolved through it. */
   final case class Manifest(
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
-      lastBatch: Option[(String, Long)] = None,
+      lastBatches: Map[String, Long] = Map.empty,
       lastDelete: Option[Long] = None,
       sideId: String = "")
 
@@ -139,10 +142,13 @@ object ManifestTable {
     }
   }
 
-  /** Parses a committed manifest. Line 1: `graft-manifest <format>`,
-    * line 2: `numBuckets \t lastBatchStream \t lastBatchId \t lastDelete
-    * \t sideId` (empty fields = none), then one tab-separated entry per
-    * bucket with URL-encoded key stats (keys may contain tabs/newlines). */
+  /** Parses a committed manifest. Line 1: `graft-manifest <format>`.
+    * Format 4 line 2: `numBuckets \t lastBatches \t lastDelete \t sideId`
+    * where lastBatches is comma-joined `enc(streamId):batchId` pairs
+    * (URL-encoding never emits ':' or ','); formats ≤3 carried a single
+    * `lastBatchStream \t lastBatchId` token instead. Then one
+    * tab-separated entry per bucket with URL-encoded key stats (keys may
+    * contain tabs/newlines). */
   def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = new Path(s"$root/manifest/m$version")
     val fs = fsOf(spark, p)
@@ -151,26 +157,42 @@ object ManifestTable {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    // Formats 1 (numBuckets only) and 2 (tokens, version-named side dirs)
-    // stay READABLE so tables committed by earlier code aren't bricked by
-    // the upgrade; writes always produce format 3 (adds sideId).
-    require(lines.head == "graft-manifest 3" ||
-      lines.head == "graft-manifest 2" ||
-      lines.head == "graft-manifest 1",
-      s"unsupported manifest header: ${lines.head}")
+    // Formats 1 (numBuckets only), 2 (tokens, version-named side dirs) and
+    // 3 (single lastBatch token) stay READABLE so tables committed by
+    // earlier code aren't bricked by the upgrade; writes always produce
+    // format 4 (per-stream batch tokens).
+    val format = lines.head match {
+      case "graft-manifest 4" => 4
+      case "graft-manifest 3" => 3
+      case "graft-manifest 2" => 2
+      case "graft-manifest 1" => 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported manifest header: $other")
+    }
     val h = lines(1).split("\t", -1)
     val numBuckets = h(0).toInt
-    val lastBatch =
-      if (h.length < 3 || h(2).isEmpty) None
-      else Some((dec(h(1)), h(2).toLong))
-    val lastDelete =
-      if (h.length < 4 || h(3).isEmpty) None else Some(h(3).toLong)
-    val sideId = if (h.length < 5) "" else h(4)
+    val (lastBatches, lastDelete, sideId) =
+      if (format >= 4) {
+        val lb =
+          if (h(1).isEmpty) Map.empty[String, Long]
+          else h(1).split(",", -1).map { pair =>
+            val i = pair.lastIndexOf(':')
+            dec(pair.substring(0, i)) -> pair.substring(i + 1).toLong
+          }.toMap
+        val ld = if (h(2).isEmpty) None else Some(h(2).toLong)
+        (lb, ld, h(3))
+      } else {
+        val lb =
+          if (h.length < 3 || h(2).isEmpty) Map.empty[String, Long]
+          else Map(dec(h(1)) -> h(2).toLong)
+        val ld = if (h.length < 4 || h(3).isEmpty) None else Some(h(3).toLong)
+        (lb, ld, if (h.length < 5) "" else h(4))
+      }
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4))
     }
-    Manifest(version, numBuckets, entries, lastBatch, lastDelete, sideId)
+    Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -234,11 +256,11 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 3" +:
+    val body = (s"graft-manifest 4" +:
       Seq(
         m.numBuckets.toString,
-        m.lastBatch.map(b => enc(b._1)).getOrElse(""),
-        m.lastBatch.map(_._2.toString).getOrElse(""),
+        m.lastBatches.toSeq.sortBy(_._1)
+          .map { case (s, b) => s"${enc(s)}:$b" }.mkString(","),
         m.lastDelete.map(_.toString).getOrElse(""),
         m.sideId).mkString("\t") +:
       m.entries.sortBy(_.bucket).map(e =>
@@ -346,11 +368,14 @@ object ManifestTable {
     * table version: foreachBatch passes its batchId (plus the checkpoint
     * identity as streamId, so a stream restarted on a FRESH checkpoint —
     * batchIds reset to 0 — is a new token, not a false replay); batch
-    * callers pass any token different from the previous merge's. If the
-    * token equals the current manifest's `lastBatch` the call is the
-    * at-least-once re-delivery of the last committed batch and a NO-OP —
-    * exactly foreachBatch's replay window (only the most recent batch is
-    * ever re-delivered). The table version is internal and monotone
+    * callers pass any token different from THEIR OWN previous merge's.
+    * If the token equals the current manifest's recorded batchId FOR THIS
+    * streamId the call is the at-least-once re-delivery of the stream's
+    * last committed batch and a NO-OP — exactly foreachBatch's replay
+    * window (only the most recent batch is ever re-delivered), and
+    * because the token is tracked per stream, an interleaved commit by
+    * another writer can never make a replay look fresh. The table
+    * version is internal and monotone
     * (`current + 1`), so a `create()` bootstrap at version 0 never
     * swallows the stream's batch 0. A commit conflict (another writer won
     * the version) retries the WHOLE merge against the new state. Returns
@@ -370,7 +395,8 @@ object ManifestTable {
     val spark = projected.sparkSession
     while (true) {
       val prior = currentManifest(spark, root)
-      if (prior.exists(_.lastBatch.contains((streamId, batchId)))) return Nil
+      if (prior.exists(_.lastBatches.get(streamId).contains(batchId)))
+        return Nil
       val attempt = newAttemptId()
       val version = prior.map(_.version + 1).getOrElse(0L)
       // numBuckets is a TABLE property: fixed at creation, the parameter is
@@ -446,7 +472,9 @@ object ManifestTable {
 
           if (tryCommitManifest(spark, root,
               Manifest(version, n, untouched ++ written,
-                Some((streamId, batchId)), prior.flatMap(_.lastDelete),
+                prior.map(_.lastBatches).getOrElse(Map.empty) +
+                  (streamId -> batchId),
+                prior.flatMap(_.lastDelete),
                 attempt)))
             Some(written)
           else {
@@ -616,7 +644,7 @@ object ManifestTable {
         prior.entries.partition(e => rendered(e.bucket))
       if (touchedEntries.isEmpty) {
         if (tryCommitManifest(spark, root, Manifest(version, n,
-            prior.entries, prior.lastBatch, Some(token), attempt)))
+            prior.entries, prior.lastBatches, Some(token), attempt)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
@@ -632,7 +660,7 @@ object ManifestTable {
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.size, keyComparator)
         if (tryCommitManifest(spark, root, Manifest(version, n,
-            untouched ++ written, prior.lastBatch, Some(token), attempt)))
+            untouched ++ written, prior.lastBatches, Some(token), attempt)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -672,7 +700,7 @@ object ManifestTable {
       val written = writeBuckets(all, bucket, keyColumn, root,
         s"v$version-$attempt", newNumBuckets, keyComparator)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
-          written, prior.lastBatch, Some(token), attempt)))
+          written, prior.lastBatches, Some(token), attempt)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -780,12 +808,18 @@ object ManifestTable {
 
   /** Deletes everything no longer referenced: data directories absent
     * from the CURRENT manifest, manifests below it, loser/crashed side
-    * directories, and decided temp manifests. Per retired version the
-    * side-dir GC runs BEFORE its manifest is dropped, so
-    * committedSideDirs' vacuumed-version fallback (accept the survivor)
-    * stays sound even across a crash mid-vacuum. Maintenance only — run
-    * when no reader holds an older manifest and no writer is mid-commit
-    * (readers resolve the manifest once per query). */
+    * directories, and decided temp manifests. An IN-FLIGHT commit's
+    * artifacts — temp manifests AND data/history/stats dirs at versions
+    * above current — are kept (one consistent rule), so a writer racing
+    * vacuum either commits intact or loses the OCC rename and cleans up
+    * itself; vacuum can never let it publish a manifest whose data was
+    * just deleted. Per retired version the side-dir GC runs BEFORE its
+    * manifest is dropped, so committedSideDirs' vacuumed-version fallback
+    * (accept the survivor) stays sound even across a crash mid-vacuum.
+    * Maintenance only — run when no reader holds an older manifest
+    * (readers resolve the manifest once per query; a reader that resolved
+    * a SUPERSEDED version races vacuum by design — time-travel retention
+    * is the caller's policy). */
   def vacuum(spark: SparkSession, root: String): Unit =
     currentManifest(spark, root).foreach { m =>
       val live: Set[String] =
@@ -794,7 +828,17 @@ object ManifestTable {
       val dfs = fsOf(spark, dataDir)
       if (dfs.exists(dataDir))
         dfs.listStatus(dataDir).foreach { st =>
-          if (!live(st.getPath.getName)) dfs.delete(st.getPath, true)
+          // Dirs at versions ABOVE current belong to an IN-FLIGHT commit
+          // (same keep rule as temp manifests below): deleting them would
+          // let a writer mid-commit win its manifest rename and publish a
+          // manifest pointing at vacuumed data — silent loss. Unparseable
+          // names are kept too (unknown ≠ garbage).
+          val inFlight = parseSideDirName(st.getPath.getName) match {
+            case Some((v, _)) => v > m.version
+            case None => true
+          }
+          if (!live(st.getPath.getName) && !inFlight)
+            dfs.delete(st.getPath, true)
         }
       // Side-dir GC: for every version that still has a manifest, keep
       // only the winning attempt's directory — crashed/losing leftovers go.

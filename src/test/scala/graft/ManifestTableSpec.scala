@@ -533,6 +533,114 @@ class ManifestTableSpec extends SparkSpec {
       "loser attempt dirs must be cleaned up")
   }
 
+  test("vacuum racing a writer mid-commit keeps the in-flight data dirs") {
+    // The writer has written data/v1-<attempt> and its temp manifest but
+    // not yet renamed it into place; vacuum runs in that window. The
+    // in-flight dirs are at version > current, so vacuum must keep them —
+    // deleting them would let the writer win its rename a moment later
+    // and publish a manifest referencing vacuumed files (silent loss).
+    val root = freshRoot("manifest_vacuum_inflight")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 4L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, streamId = "A")
+    var fired = false
+    ManifestTable.testBeforeCommit = () => {
+      if (!fired) { fired = true; ManifestTable.vacuum(spark, root) }
+    }
+    try ManifestTable.merge(m.project(raw((5L, "new", "5"))), 1L, m, root,
+      schema, streamId = "A")
+    finally ManifestTable.testBeforeCommit = () => ()
+    // the commit went through AND every file it references is readable
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+    val ids = ManifestTable.read(spark, root, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 5L),
+      s"vacuum must not eat an in-flight commit's data, got $ids")
+  }
+
+  test("vacuum vs reader: current snapshot completes, vacuumed one fails " +
+      "loudly") {
+    // numBuckets=1 so the v1 merge supersedes ALL of v0's data — the
+    // sharpest version of the race.
+    val root = freshRoot("manifest_vacuum_reader")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 4L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 1, streamId = "A")
+    ManifestTable.merge(m.project(raw((5L, "new", "5"))), 1L, m, root,
+      schema, streamId = "A")
+    // both readers resolve their manifest BEFORE vacuum
+    val atCurrent = ManifestTable.read(spark, root, schema)
+    val atV0 = ManifestTable.readAt(spark, root, schema, 0L)
+    ManifestTable.vacuum(spark, root)
+    // current's files survive vacuum: the action completes, full result
+    assert(atCurrent.count() == 5L)
+    // v0's files are gone: the action must fail LOUDLY (file-not-found
+    // through Spark's scan), never return a silently partial result
+    val e = intercept[Exception] { atV0.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).toLowerCase.contains("not exist") ||
+        String.valueOf(t.getMessage).toLowerCase.contains("notfound")),
+      s"expected a loud missing-file failure, got: $e")
+  }
+
+  test("replay detection is per stream: an interleaved writer cannot " +
+      "unmask a replayed batch") {
+    val root = freshRoot("manifest_per_stream_replay")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema,
+      recordStats = true, streamId = "A")
+    // another stream commits in between — under a single last-token this
+    // would overwrite A's token and make A's replay look fresh
+    ManifestTable.merge(m.project(raw((2L, "b", "2"))), 0L, m, root, schema,
+      recordStats = true, streamId = "B")
+    // at-least-once re-delivery of A's batch 0
+    val replayed = ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L,
+      m, root, schema, recordStats = true, streamId = "A")
+    assert(replayed.isEmpty, "replayed batch must be a no-op")
+    assert(ManifestTable.currentVersion(spark, root).contains(1L),
+      "a replay must not commit a new version")
+    // side outputs not duplicated: one stats row per real merge
+    assert(ManifestTable.statsOf(spark, root).count() == 2L)
+    val mf = ManifestTable.currentManifest(spark, root).get
+    assert(mf.lastBatches == Map("A" -> 0L, "B" -> 0L))
+  }
+
+  test("format-3 manifests (single last-batch token) stay readable") {
+    val root = freshRoot("manifest_format3")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
+      7L, m, root, schema, streamId = "s1")
+    // rewrite the committed manifest in format 3's layout by hand
+    val mf = ManifestTable.currentManifest(spark, root).get
+    val enc = (s: String) => java.net.URLEncoder.encode(
+      s, java.nio.charset.StandardCharsets.UTF_8)
+    val body = (Seq(
+      "graft-manifest 3",
+      Seq(mf.numBuckets.toString, enc("s1"), "7", "", mf.sideId)
+        .mkString("\t")) ++
+      mf.entries.map(e =>
+        s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}"))
+      .mkString("", "\n", "\n")
+    // bypassing the Hadoop FS invalidates its .crc sidecar — drop it
+    Files.deleteIfExists(Paths.get(s"$root/manifest/.m0.crc"))
+    Files.write(Paths.get(s"$root/manifest/m0"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = ManifestTable.currentManifest(spark, root).get
+    assert(back.lastBatches == Map("s1" -> 7L),
+      "format-3 single token must surface as a one-entry map")
+    assert(ManifestTable.read(spark, root, schema).count() == 2L)
+    // and the old token still suppresses its replay
+    val replayed = ManifestTable.merge(
+      m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
+      7L, m, root, schema, streamId = "s1")
+    assert(replayed.isEmpty)
+  }
+
   test("OCC: delete racing a merge retries over the merged state") {
     val root = freshRoot("manifest_occ_delete")
     val m = mapping
