@@ -1433,7 +1433,8 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id,
              string_split_regex(text, '\\s+') AS t
              FROM documents WHERE doc_id % 20 = 0),
-           c AS (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS st
+           c AS (SELECT doc_id, t, unnest(range(0,
+               ((greatest(len(t) - 16, 0) + 11) // 12) * 12 + 1, 12)) AS st
              FROM d)
            SELECT doc_id, CAST(st // 12 AS INT) AS chunk_id,
              array_to_string(list_slice(t, st + 1, st + 16), ' ')

@@ -31,5 +31,17 @@ case class BloomMightContain(child: Expression, filterBits: Array[Byte])
   override protected def withNewChildInternal(
       newChild: Expression): BloomMightContain = copy(child = newChild)
 
+  // Case-class equality on Array[Byte] is reference equality, under which
+  // two expressions carrying identical filters never compare equal — so
+  // semanticEquals and common-subexpression elimination could not
+  // deduplicate repeated probes. Compare the bits by content.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBits, b.filterBits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBits)
+
   override def prettyName: String = "bloom_might_contain"
 }

@@ -211,13 +211,17 @@ object Curate {
     * audit trail).
     *
     * Scale shape: one hash-partitioned sort per source for the running
-    * sum's window — unweighted sources are FILTERED OUT before the
-    * exchange (they can't contribute, so they must not be sorted, and
-    * a zero-size document from one must not slip past a zero cap).
-    * Keep the frame slim (ids + sizes) and join content back by id
-    * afterwards. Parallelism is bounded by the number of sources; with
-    * a handful of huge sources prefer [[hashSplit]]-style fraction
-    * cuts (no sort) when an approximate budget suffices. */
+    * sum's window — over a SLIM (id, source, size) frame only, never the
+    * document content: the draw is decided on ids + sizes, then content
+    * joins back by id (an exchange AQE turns into a broadcast when the
+    * kept set is small; either way the text crosses the wire at most
+    * once, instead of riding a per-source sort). Unweighted sources are
+    * FILTERED OUT before the exchange (they can't contribute, so they
+    * must not be sorted, and a zero-size document from one must not slip
+    * past a zero cap). Parallelism of the draw is bounded by the number
+    * of sources; with a handful of huge sources prefer
+    * [[hashSplit]]-style fraction cuts (no sort) when an approximate
+    * budget suffices. */
   def mixtureSample(
       docs: DataFrame,
       weights: Map[String, Double],
@@ -234,10 +238,13 @@ object Curate {
       .partitionBy(col(sourceCol))
       .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
         col(idCol))
-    docs
+    val kept = docs
       .filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+      .select(col(idCol), col(sourceCol), col(sizeCol))
       .withColumn("cum_size", sum(col(sizeCol)).over(w))
       .filter(col("cum_size") <= cap)
+      .select(col(idCol), col("cum_size"))
+    docs.join(kept, Seq(idCol))
   }
 
   /** Deterministic hash split — how large pipelines take reproducible

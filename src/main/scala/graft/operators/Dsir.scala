@@ -69,7 +69,11 @@ object Dsir {
   /** Per-document importance score: the exact integer sum of the
     * bucket weights of the document's grams (grams in buckets absent
     * from BOTH training corpora — impossible when the corpus is the
-    * background, as in standard DSIR — contribute 0). */
+    * background, as in standard DSIR — contribute 0). Documents with no
+    * real grams (empty/whitespace/null text) are NOT dropped by the
+    * explode: the shingle fallback gives them one whole-text shingle, so
+    * they score like any other doc and agree with [[scoreExpr]]
+    * (spec-pinned in DsirSpec). */
   def score(
       corpus: DataFrame,
       weights: DataFrame,

@@ -119,8 +119,11 @@ object TextAnalysis {
     * step: each document splits into sliding whitespace-token windows of
     * `chunkTokens` with `overlapTokens` of lookback (stride =
     * chunkTokens − overlapTokens); the final window keeps the remainder.
-    * Output: (id, chunk_id, chunk_text, n_tokens), chunk_id dense from
-    * 0 in document order.
+    * Starts stop at the FIRST window that reaches the end of the token
+    * array — a document ending inside the overlap region must not emit a
+    * trailing chunk fully contained in the previous one (zero new tokens,
+    * duplicated training content). Output: (id, chunk_id, chunk_text,
+    * n_tokens), chunk_id dense from 0 in document order.
     *
     * Scale shape: pure per-row projection + generate — no shuffle, no
     * state; the windows are built from ONE split of the text inside a
@@ -137,10 +140,16 @@ object TextAnalysis {
       s"need 0 <= overlap < chunk, got $overlapTokens/$chunkTokens")
     val stride = chunkTokens - overlapTokens
     val toks = split(text, "\\s+")
+    // Last start = the smallest stride multiple whose window reaches the
+    // array's end: ceil(max(size - chunk, 0) / stride) * stride.
+    val needed = greatest(size(toks) - chunkTokens, lit(0))
+    val lastStart =
+      floor((needed + lit(stride - 1)).cast("double") / lit(stride))
+        .cast("int") * lit(stride)
     docs
       .select(col(idCol), posexplode(
         transform(
-          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+          sequence(lit(0), lastStart, lit(stride)),
           st => struct(
             array_join(slice(toks, st + 1, lit(chunkTokens)), " ")
               .as("chunk_text"),

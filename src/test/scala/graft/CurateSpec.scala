@@ -153,6 +153,39 @@ class CurateSpec extends SparkSpec {
     assert(noSmall == Set("big"))
   }
 
+  test("mixture sample's window sorts a slim frame, never the content") {
+    // The per-source running-sum window must see only (id, source, size)
+    // plus its projected sort key — document content joins back by id
+    // AFTER the draw, so the text never rides the window's sort-exchange.
+    val docs = (1L to 10L).map { i =>
+      (i, "big", 10L, "PAYLOAD-" * 1000 + i)
+    }.toDF("doc_id", "source", "n_chars", "text")
+    val out = Curate.mixtureSample(docs, Map("big" -> 0.5), budget = 100L,
+      salt = "s")
+    out.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val windows = flatten(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a window for the running sum")
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name)
+      assert(!names.exists(_.contains("text")),
+        s"window frame must not carry the content column: $names")
+      assert(names.size <= 4, // id, source, size + projected sort key
+        s"window frame must stay slim, got $names")
+    }
+    // and the draw still returns the content
+    assert(out.columns.contains("text") &&
+      out.select("text").head.getString(0).startsWith("PAYLOAD-"))
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")

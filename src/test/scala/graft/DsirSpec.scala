@@ -31,6 +31,33 @@ class DsirSpec extends SparkSpec {
         s"spark=$sparkScores cooking=$cookScores")
   }
 
+  test("empty/whitespace/null docs keep a score row; score ≡ scoreExpr " +
+      "on them") {
+    // The shingle fallback gives a gram-less document ONE whole-text
+    // shingle ("" after normalization), so the explode in score() never
+    // eliminates a document's rows — every corpus doc gets a score, and
+    // the join path and the inline expression agree on the degenerates.
+    val target = sparkDocs.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val corpus = ((sparkDocs ++ cookingDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) } ++
+      Seq((90L, ""), (91L, "   \t\n "), (92L, null: String), (93L, "!!!")))
+      .toDF("doc_id", "text")
+    val w = Dsir.weights(target, corpus)
+    val viaJoin = Dsir.score(corpus, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaJoin.keySet == (0L until 6L).toSet ++ Set(90L, 91L, 92L, 93L),
+      s"every doc (including gram-less ones) must score, got ${viaJoin.keySet}")
+    val wMap = Dsir.collectWeights(w)
+    val viaExpr = corpus.select(col("doc_id"),
+      Dsir.scoreExpr(wMap).as("dsir_score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaExpr == viaJoin,
+      s"join path and inline expression must agree: $viaJoin vs $viaExpr")
+    // all four degenerates normalize to the same empty shingle
+    assert(Seq(91L, 92L, 93L).forall(i => viaJoin(i) == viaJoin(90L)))
+  }
+
   test("inline scalar scoring equals the join path, with no shuffle") {
     val target = sparkDocs.zipWithIndex
       .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")

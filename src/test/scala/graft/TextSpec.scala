@@ -181,13 +181,16 @@ class TextSpec extends SparkSpec {
     val out = T.chunk(docs, chunkTokens = 8, overlapTokens = 2)
       .orderBy("doc_id", "chunk_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
-    // doc 1: stride 6 -> starts 0,6,12,18
-    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(0, 1, 2, 3))
+    // doc 1: stride 6 -> starts 0,6,12; the window at 12 reaches token 20
+    // so no start-18 window follows (it would add zero new tokens — the
+    // trailing chunk would be fully contained in its predecessor)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(0, 1, 2))
     assert(out.find(r => r._1 == 1L && r._2 == 0).get._3 ==
       (1 to 8).map(i => s"w$i").mkString(" "))
     assert(out.find(r => r._1 == 1L && r._2 == 1).get._3 ==
       (7 to 14).map(i => s"w$i").mkString(" ")) // 2-token overlap
-    assert(out.find(r => r._1 == 1L && r._2 == 3).get._4 == 2) // tail
+    assert(out.find(r => r._1 == 1L && r._2 == 2).get._3 ==
+      (13 to 20).map(i => s"w$i").mkString(" ")) // full tail, reaches end
     // doc 2: one short chunk, n_tokens = actual length
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
     // doc 3 (12 tokens, stride 6): starts 0 and 6
@@ -234,7 +237,28 @@ class TextSpec extends SparkSpec {
         case _ =>
       }
       assert(rebuilt == toks, s"doc $id coverage: $rebuilt != $toks")
+      // every chunk past the first adds at least one NEW token: a doc
+      // ending inside the overlap region must not emit a trailing window
+      // fully contained in its predecessor (duplicated training content)
+      chunks.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(
+          b._3.split(" ").length > a._3.split(" ").length - stride,
+          s"doc $id: chunk ${b._2} adds no new tokens over ${a._2}")
+        case _ =>
+      }
     }
+  }
+
+  test("chunking: a doc ending inside the overlap emits no duplicate tail") {
+    // 8 tokens, chunk 8, overlap 3 — the old start sequence (0, 5) made a
+    // second window of tokens 6..8, fully contained in the first.
+    val docs = Seq((1L, (1 to 8).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = T.chunk(docs, chunkTokens = 8, overlapTokens = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq ==
+      Seq((0, (1 to 8).map(i => s"w$i").mkString(" "), 8)))
   }
 
   test("chunking runs stateless on a stream") {
@@ -248,7 +272,7 @@ class TextSpec extends SparkSpec {
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("chunk_stream").collect()
-    assert(got.length == 4) // starts 0,6,12,18 — same as batch
-    assert(got.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(got.length == 3) // starts 0,6,12 — same as batch
+    assert(got.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
   }
 }
