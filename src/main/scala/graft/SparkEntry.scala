@@ -217,6 +217,9 @@ object SparkEntry {
   def benchSetups: Map[String, (SparkSession, String) => Unit] = Map(
     "manifest_merge" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge", withMerge = false)),
+    "manifest_merge_delta" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_merge_delta",
+        withMerge = false)),
     "manifest_delete" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete", withMerge = true)),
     "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)))
@@ -528,6 +531,21 @@ object SparkEntry {
       val m = upsertMapping
       val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
       graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_merge_delta" -> ((s, dir) => {
+      // The LSM write path: the same MERGE as manifest_merge but in
+      // delta mode — only the batch's post-merge rows are written, the
+      // base files stay live, and the returned read RECONCILES
+      // last-version-wins per key. Hash-equal to the full-rewrite merge
+      // (same oracle), so the delta + reconcile path is driver-verified
+      // end-to-end, not just spec-tested.
+      val root =
+        manifestFixture(s, dir, "manifest_merge_delta", withMerge = false)
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema,
+        delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_delete" -> ((s, dir) => {
@@ -1301,6 +1319,15 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
       "manifest_merge" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_merge_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

@@ -42,6 +42,15 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   *      files are never rewritten, never even read) + rewritten entries,
   *      via temp-write + NO-OVERWRITE atomic rename.
   *
+  * A merge may instead write DELTAS (`delta = true`): only the batch's
+  * own post-merge rows are written as additional per-bucket files, the
+  * touched buckets' existing files stay live, and readers reconcile
+  * last-version-wins per key — write cost proportional to the BATCH.
+  * [[compact]] folds a bucket's accumulated files back into one
+  * (size-tiered by file count, touched buckets only), restoring
+  * reconciliation-free scans; the LSM discipline, with the manifest as
+  * the level index.
+  *
   * Readers resolve the highest committed manifest and union its files:
   * they never see a half-merged state. Each merge carries a
   * (streamId, batchId) idempotency token recorded in the manifest as
@@ -78,14 +87,18 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
   */
 object ManifestTable {
 
-  /** One live bucket in a committed manifest. `relPath` is relative to the
-    * table root and points at a `_bucket=<k>` leaf directory. Key stats are
-    * min/max of the NORMALIZED key rendered as a string (the same
-    * `keyComparator` space the bucket hash uses), so comparator-aware
-    * lookups can prune against them. */
+  /** One live file of a bucket in a committed manifest. `relPath` is
+    * relative to the table root and points at a `_bucket=<k>` leaf
+    * directory. Key stats are min/max of the NORMALIZED key rendered as a
+    * string (the same `keyComparator` space the bucket hash uses), so
+    * comparator-aware lookups can prune against them. `seq` is the table
+    * version that wrote the file: a bucket may carry a base file plus
+    * DELTA files from later `merge(delta = true)` commits, reconciled
+    * last-seq-wins per key on read; [[compact]] folds them back to one
+    * file per bucket. */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
-      relPath: String)
+      relPath: String, seq: Long = 0L)
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
@@ -103,7 +116,8 @@ object ManifestTable {
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
       lastBatches: Map[String, Long] = Map.empty,
       lastDelete: Option[Long] = None,
-      sideId: String = "")
+      sideId: String = "",
+      keyColumn: String = "")
 
   private val BucketCol = "_bucket"
 
@@ -143,12 +157,13 @@ object ManifestTable {
   }
 
   /** Parses a committed manifest. Line 1: `graft-manifest <format>`.
-    * Format 4 line 2: `numBuckets \t lastBatches \t lastDelete \t sideId`
-    * where lastBatches is comma-joined `enc(streamId):batchId` pairs
-    * (URL-encoding never emits ':' or ','); formats ≤3 carried a single
-    * `lastBatchStream \t lastBatchId` token instead. Then one
-    * tab-separated entry per bucket with URL-encoded key stats (keys may
-    * contain tabs/newlines). */
+    * Format 4 line 2: `numBuckets \t lastBatches \t lastDelete \t sideId
+    * \t keyColumn` where lastBatches is comma-joined `enc(streamId):
+    * batchId` pairs (URL-encoding never emits ':' or ','); formats ≤3
+    * carried a single `lastBatchStream \t lastBatchId` token instead.
+    * Then one tab-separated entry per live FILE (format 4 appends the
+    * writing version `seq`; a bucket may have several entries) with
+    * URL-encoded key stats (keys may contain tabs/newlines). */
   def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = new Path(s"$root/manifest/m$version")
     val fs = fsOf(spark, p)
@@ -171,7 +186,7 @@ object ManifestTable {
     }
     val h = lines(1).split("\t", -1)
     val numBuckets = h(0).toInt
-    val (lastBatches, lastDelete, sideId) =
+    val (lastBatches, lastDelete, sideId, keyColumn) =
       if (format >= 4) {
         val lb =
           if (h(1).isEmpty) Map.empty[String, Long]
@@ -180,19 +195,21 @@ object ManifestTable {
             dec(pair.substring(0, i)) -> pair.substring(i + 1).toLong
           }.toMap
         val ld = if (h(2).isEmpty) None else Some(h(2).toLong)
-        (lb, ld, h(3))
+        (lb, ld, h(3), dec(h(4)))
       } else {
         val lb =
           if (h.length < 3 || h(2).isEmpty) Map.empty[String, Long]
           else Map(dec(h(1)) -> h(2).toLong)
         val ld = if (h.length < 4 || h(3).isEmpty) None else Some(h(3).toLong)
-        (lb, ld, if (h.length < 5) "" else h(4))
+        (lb, ld, if (h.length < 5) "" else h(4), "")
       }
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
-      FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4))
+      FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
+        if (f.length > 5) f(5).toLong else 0L)
     }
-    Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId)
+    Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
+      keyColumn)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -237,16 +254,75 @@ object ManifestTable {
       }
   }
 
+  private val SeqCol = "__graft_seq"
+
+  private def emptyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  /** Reads `entries` reconciled to the LIVE row per key: buckets with a
+    * single file scan directly (zero overhead — the all-compacted fast
+    * path is a plain parquet union, the same plan as before deltas
+    * existed); buckets carrying delta files resolve last-seq-wins per
+    * reconcile key in one bounded aggregate over just THOSE buckets.
+    * NULL-keyed rows (create-bootstrap only — a merge never writes them,
+    * so every delta row has a key) pass through unreconciled. The
+    * reconcile key defaults to the raw key column, which is exact because
+    * the upsert keeps the table unique per NORMALIZED key and an update's
+    * delta row carries the target's original raw key — pass the
+    * comparator-normalized key when you have the comparator (lookup
+    * does). */
+  private def reconciledRead(
+      spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      entries: Seq[FileEntry],
+      keyColumn: String,
+      reconcileKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
+    if (entries.isEmpty) return emptyFrame(spark, schema)
+    val (multi, single) = entries.groupBy(_.bucket).values.toSeq
+      .partition(_.size > 1)
+    val plain =
+      if (single.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(single.flatten.map(e => s"$root/${e.relPath}"): _*))
+    val reconciled =
+      if (multi.isEmpty) None
+      else {
+        require(keyColumn.nonEmpty,
+          "bucket has delta files but the manifest records no key column")
+        val union = multi.flatten.groupBy(_.seq).toSeq.map { case (seq, es) =>
+          spark.read.schema(schema)
+            .parquet(es.map(e => s"$root/${e.relPath}"): _*)
+            .withColumn(SeqCol, lit(seq))
+        }.reduce(_ unionByName _)
+        val k = reconcileKey(col(keyColumn))
+        val live = union.filter(k.isNotNull)
+          .groupBy(k.as("_rk"))
+          .agg(max_by(struct(schema.fieldNames.map(col): _*), col(SeqCol))
+            .as("_r"))
+          .select(schema.fieldNames.map(n => col(s"_r.$n")): _*)
+        val nullKeyed = union.filter(k.isNull)
+          .select(schema.fieldNames.map(col): _*)
+        Some(live.unionByName(nullKeyed))
+      }
+    (plain, reconciled) match {
+      case (Some(p), Some(r)) => p.unionByName(r)
+      case (Some(p), None) => p
+      case (None, Some(r)) => r
+      case _ => emptyFrame(spark, schema)
+    }
+  }
+
   private def readManifestState(
       spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       manifest: Option[Manifest]): DataFrame =
     manifest match {
       case Some(m) if m.entries.nonEmpty =>
-        spark.read.schema(schema)
-          .parquet(m.entries.map(e => s"$root/${e.relPath}"): _*)
-      case _ => spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        reconciledRead(spark, root, schema, m.entries, m.keyColumn)
+      case _ => emptyFrame(spark, schema)
     }
 
   /** No-overwrite commit of manifest `m` via temp-write + rename: returns
@@ -262,9 +338,10 @@ object ManifestTable {
         m.lastBatches.toSeq.sortBy(_._1)
           .map { case (s, b) => s"${enc(s)}:$b" }.mkString(","),
         m.lastDelete.map(_.toString).getOrElse(""),
-        m.sideId).mkString("\t") +:
-      m.entries.sortBy(_.bucket).map(e =>
-        s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}"))
+        m.sideId,
+        enc(m.keyColumn)).mkString("\t") +:
+      m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
+        s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}\t${e.seq}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
@@ -308,7 +385,8 @@ object ManifestTable {
       dataDirName: String,
       numTasks: Int,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): Seq[FileEntry] = {
+        identity,
+      seq: Long = 0L): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/$dataDirName"
     df.withColumn(BucketCol, bucket)
@@ -333,7 +411,7 @@ object ManifestTable {
         FileEntry(r.getInt(0), r.getLong(1),
           Option(r.getString(2)).getOrElse(""),
           Option(r.getString(3)).getOrElse(""),
-          s"data/$dataDirName/$BucketCol=${r.getInt(0)}")
+          s"data/$dataDirName/$BucketCol=${r.getInt(0)}", seq)
       }.toSeq
   }
 
@@ -356,7 +434,8 @@ object ManifestTable {
     val entries = writeBuckets(df, bucket, keyColumn, root, s"v0-$attempt",
       numBuckets, keyComparator)
     if (!tryCommitManifest(spark, root,
-        Manifest(0L, numBuckets, entries, sideId = attempt))) {
+        Manifest(0L, numBuckets, entries, sideId = attempt,
+          keyColumn = keyColumn))) {
       cleanupAttempt(spark, root, 0L, attempt)
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $root")
@@ -379,7 +458,18 @@ object ManifestTable {
     * (`current + 1`), so a `create()` bootstrap at version 0 never
     * swallows the stream's batch 0. A commit conflict (another writer won
     * the version) retries the WHOLE merge against the new state. Returns
-    * the entries rewritten (empty on replay). */
+    * the entries rewritten (empty on replay).
+    *
+    * `delta = true` writes ONLY the batch's own (post-merge) rows as
+    * per-bucket DELTA files and keeps the touched buckets' existing files
+    * in the manifest — write cost proportional to the BATCH, not the
+    * touched buckets, which is what a high-frequency micro-batch stream
+    * needs when each batch grazes many large buckets. Readers reconcile
+    * last-version-wins per key; run [[compact]] periodically to fold a
+    * bucket's deltas back into one file (restoring zero-overhead scans).
+    * `delta = false` (default) rewrites each touched bucket whole — the
+    * right trade when batches are large relative to buckets, and reads
+    * stay reconciliation-free. */
   def merge(
       projected: DataFrame,
       batchId: Long,
@@ -391,7 +481,8 @@ object ManifestTable {
       numBuckets: Int = 16,
       rejectWhen: Option[org.apache.spark.sql.Column] = None,
       recordStats: Boolean = false,
-      streamId: String = ""): Seq[FileEntry] = {
+      streamId: String = "",
+      delta: Boolean = false): Seq[FileEntry] = {
     val spark = projected.sparkSession
     while (true) {
       val prior = currentManifest(spark, root)
@@ -427,13 +518,11 @@ object ManifestTable {
       val (touchedEntries, untouched) =
         prior.map(_.entries).getOrElse(Nil).partition(e => touched(e.bucket))
 
-      // 2-3. target fragment = touched buckets only; standard one-join merge.
-      val fragment =
-        if (touchedEntries.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema)
-          .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
+      // 2-3. target fragment = touched buckets only (reconciled, in case
+      // earlier delta merges left multi-file buckets); standard one-join
+      // merge.
+      val fragment = reconciledRead(spark, root, schema, touchedEntries,
+        key, mapping.keyComparator)
       val res = Upsert(fragment, projected, mapping, mode, nonNullable,
         rejectWhen, ignore)
       val tracked = mapping.columns.exists(_._2.opts.keepHistory)
@@ -449,10 +538,26 @@ object ManifestTable {
           // 4-5. write ONLY the touched buckets under this attempt's
           //    directory (one file per bucket), compute their stats from
           //    the committed files in one bounded agg, then the atomic
-          //    no-overwrite manifest swap.
-          val written = writeBuckets(res.merged, bucketOf(col(key)), key,
+          //    no-overwrite manifest swap. In delta mode just the batch's
+          //    own post-merge rows are written (the semi-join keeps the
+          //    batch-key rows of the merged fragment; Catalyst broadcasts
+          //    the key side when the batch is small — the delta-mode
+          //    premise) and the touched buckets' existing files stay live.
+          val toWrite =
+            if (!delta) res.merged
+            else {
+              val batchKeys = ignore.foldLeft(projected)((df, c) =>
+                  df.filter(!coalesce(c, lit(false))))
+                .filter(mapping.keyComparator(col(key)).isNotNull)
+                .select(mapping.keyComparator(col(key)).as("_bk"))
+                .distinct()
+              res.merged.join(batchKeys,
+                mapping.keyComparator(res.merged(key)) === batchKeys("_bk"),
+                "left_semi")
+            }
+          val written = writeBuckets(toWrite, bucketOf(col(key)), key,
             root, s"v$version-$attempt", math.max(touched.size, 1),
-            mapping.keyComparator)
+            mapping.keyComparator, seq = version)
 
           // keep_history rows and import stats are part of the same commit:
           // written under attempt-scoped directories BEFORE the manifest
@@ -470,12 +575,14 @@ object ManifestTable {
             res.stats.write.mode("overwrite")
               .parquet(s"$root/stats/v$version-$attempt")
 
+          val live = untouched ++
+            (if (delta) touchedEntries else Nil) ++ written
           if (tryCommitManifest(spark, root,
-              Manifest(version, n, untouched ++ written,
+              Manifest(version, n, live,
                 prior.map(_.lastBatches).getOrElse(Map.empty) +
                   (streamId -> batchId),
                 prior.flatMap(_.lastDelete),
-                attempt)))
+                attempt, key)))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -594,19 +701,19 @@ object ManifestTable {
           }: _*)).as("k"))
           .select(col("k.b"), col("k.s"))
           .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        // With delta files, a hit bucket must keep ALL of its live files
+        // that can contain the probe key — range-excluded files provably
+        // lack the key, so reconciling over the remaining subset is exact
+        // (last-seq-wins on the normalized key).
         val hit = m.entries.filter(e => rendered.exists { case (b, s) =>
           b == e.bucket && s >= e.minKey && s <= e.maxKey
         })
-        if (hit.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            schema)
-        else spark.read.schema(schema)
-          .parquet(hit.map(e => s"$root/${e.relPath}"): _*)
+        if (hit.isEmpty) emptyFrame(spark, schema)
+        else reconciledRead(spark, root, schema, hit, keyColumn,
+            keyComparator)
           .filter(keyComparator(col(keyColumn)).isin(
             keys.map(k => keyComparator(lit(k))): _*))
-      case _ => spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case _ => emptyFrame(spark, schema)
     }
 
   /** Targeted key deletion (GDPR-style erasure): removes the rows whose
@@ -644,23 +751,28 @@ object ManifestTable {
         prior.entries.partition(e => rendered(e.bucket))
       if (touchedEntries.isEmpty) {
         if (tryCommitManifest(spark, root, Manifest(version, n,
-            prior.entries, prior.lastBatches, Some(token), attempt)))
+            prior.entries, prior.lastBatches, Some(token), attempt,
+            prior.keyColumn)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
         // NULL key, and a bare `!NULL` filter would silently DROP
         // null-keyed rows that happen to share a bucket with a deleted key.
-        val fragment = spark.read.schema(schema)
-          .parquet(touchedEntries.map(e => s"$root/${e.relPath}"): _*)
+        // The fragment read reconciles delta files first, so a rewritten
+        // bucket comes out compacted as a side effect.
+        val fragment = reconciledRead(spark, root, schema, touchedEntries,
+            keyColumn, keyComparator)
           .filter(!coalesce(
             keyComparator(col(keyColumn)).isin(
               keys.map(k => keyComparator(lit(k))): _*),
             lit(false)))
         val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
         val written = writeBuckets(fragment, bucket, keyColumn, root,
-          s"v$version-$attempt", touchedEntries.size, keyComparator)
+          s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
+          keyComparator, seq = version)
         if (tryCommitManifest(spark, root, Manifest(version, n,
-            untouched ++ written, prior.lastBatches, Some(token), attempt)))
+            untouched ++ written, prior.lastBatches, Some(token), attempt,
+            keyColumn)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -698,12 +810,63 @@ object ManifestTable {
       val bucket =
         pmod(hash(keyComparator(col(keyColumn))), lit(newNumBuckets))
       val written = writeBuckets(all, bucket, keyColumn, root,
-        s"v$version-$attempt", newNumBuckets, keyComparator)
+        s"v$version-$attempt", newNumBuckets, keyComparator, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
-          written, prior.lastBatches, Some(token), attempt)))
+          written, prior.lastBatches, Some(token), attempt, keyColumn)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
+  }
+
+  /** Per-bucket COMPACTION: folds every bucket carrying
+    * `minFilesPerBucket` or more live files (a base plus accumulated
+    * delta files from `merge(delta = true)`) back into ONE file,
+    * restoring reconciliation-free scans for those buckets. Buckets
+    * below the threshold carry into the new manifest VERBATIM — their
+    * files are not rewritten, not even read — so the cost tracks the
+    * delta-carrying fraction of the table, never the table (rebucket is
+    * the only whole-table rewrite here). The fold itself is the same
+    * last-version-wins reconcile readers apply, so a compacted read is
+    * row-identical to the uncompacted one, and the superseded base/delta
+    * files stay on disk for time travel until `vacuum`.
+    *
+    * Commits through the same atomic no-overwrite manifest swap
+    * (conflicts retry); `token` shares the maintenance token space with
+    * [[delete]]/[[rebucket]] (guarded by `lastDelete`). Returns the
+    * rewritten entries (empty when no bucket met the threshold —
+    * idempotent: a second call right after finds nothing to do). */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      token: Long,
+      minFilesPerBucket: Int = 2,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Seq[FileEntry] = {
+    require(minFilesPerBucket >= 2, "minFilesPerBucket must be >= 2")
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(return Nil)
+      if (prior.lastDelete.contains(token)) return Nil
+      val byBucket = prior.entries.groupBy(_.bucket)
+      val (tiered, thin) =
+        byBucket.values.toSeq.partition(_.size >= minFilesPerBucket)
+      if (tiered.isEmpty) return Nil
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val n = prior.numBuckets
+      val fragment = reconciledRead(spark, root, schema, tiered.flatten,
+        keyColumn, keyComparator)
+      val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
+      val written = writeBuckets(fragment, bucket, keyColumn, root,
+        s"v$version-$attempt", tiered.size, keyComparator, seq = version)
+      if (tryCommitManifest(spark, root, Manifest(version, n,
+          thin.flatten ++ written, prior.lastBatches, Some(token), attempt,
+          keyColumn)))
+        return written
+      cleanupAttempt(spark, root, version, attempt)
+    }
+    Nil // unreachable
   }
 
   /** CHANGE FEED: row-level changes between two committed versions,
@@ -752,24 +915,25 @@ object ManifestTable {
         if (v == 0L) Manifest(-1L, 0, Nil)
         else readManifest(spark, root, v - 1)
       val cur = readManifest(spark, root, v)
-      // A bucket changed iff its entry changed (relPath moves on every
-      // rewrite — data dirs are immutable and attempt-unique).
-      val prevBy = prev.entries.map(e => e.bucket -> e).toMap
-      val curBy = cur.entries.map(e => e.bucket -> e).toMap
+      // A bucket changed iff its live FILE SET changed (relPaths move on
+      // every rewrite — data dirs are immutable and attempt-unique; a
+      // delta merge changes the set by adding a file).
+      val prevBy = prev.entries.groupBy(_.bucket)
+      val curBy = cur.entries.groupBy(_.bucket)
       val changed = (prevBy.keySet ++ curBy.keySet).toSeq.sorted
-        .filter(b => prevBy.get(b) != curBy.get(b))
-      def frag(entries: Seq[FileEntry]): DataFrame =
-        if (entries.isEmpty) spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          schema)
-        else spark.read.schema(schema)
-          .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+        .filter(b => prevBy.get(b).map(_.toSet) != curBy.get(b).map(_.toSet))
+      // Each side reconciles its delta files first, so the diff compares
+      // LIVE rows per snapshot, not raw file contents.
+      def frag(entries: Seq[FileEntry], kc: String): DataFrame =
+        reconciledRead(spark, root, schema, entries, kc, keyComparator)
       // Presence markers ride each side through the join — an all-null
       // data row is still "present", so presence can't be derived from
       // the data columns' post-join nullability.
-      val before = frag(changed.flatMap(prevBy.get))
+      val before = frag(changed.flatMap(b => prevBy.getOrElse(b, Nil)),
+          if (prev.keyColumn.nonEmpty) prev.keyColumn else keyColumn)
         .withColumn("_pb", lit(true))
-      val after = frag(changed.flatMap(curBy.get))
+      val after = frag(changed.flatMap(b => curBy.getOrElse(b, Nil)),
+          if (cur.keyColumn.nonEmpty) cur.keyColumn else keyColumn)
         .withColumn("_pa", lit(true))
       // One full-outer join on the normalized key over the touched
       // fragments classifies every row; a rebucket that moved rows

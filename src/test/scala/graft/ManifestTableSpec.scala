@@ -641,6 +641,103 @@ class ManifestTableSpec extends SparkSpec {
     assert(replayed.isEmpty)
   }
 
+  test("delta merges: batch-sized writes, reconciled reads, compact folds " +
+      "per bucket") {
+    val root = freshRoot("manifest_delta")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 8L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4, streamId = "A")
+    val m0 = ManifestTable.currentManifest(spark, root).get
+
+    // two delta merges graze the same bucket; each writes ONLY its batch
+    val w1 = ManifestTable.merge(
+      m.project(raw((3L, "u1", "30"), (9L, "new", "90"))),
+      1L, m, root, schema, streamId = "A", delta = true)
+    assert(w1.map(_.rows).sum == 2,
+      s"delta write must be batch-sized, got $w1")
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m0.entries.forall(m1.entries.contains),
+      "a delta merge must keep every prior file live")
+    val w2 = ManifestTable.merge(m.project(raw((3L, "u2", "300"))),
+      2L, m, root, schema, streamId = "A", delta = true)
+    assert(w2.map(_.rows).sum == 1)
+
+    // reconciled read: one live row per key, last version wins
+    def state() = ManifestTable.read(spark, root, schema).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = state()
+    assert(rows.size == 9 && rows(3L) == (("u2", 300L)) &&
+      rows(9L) == (("new", 90L)), s"bad reconciled state: $rows")
+    // pruned lookup reconciles too — never two rows for an updated key
+    val lk = ManifestTable.lookup(spark, root, schema, "id", Seq(3L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lk == Seq((3L, "u2")), s"lookup must see only the live row: $lk")
+    // the feed across the delta merges: id 9 created once, id 3 updated
+    // twice (v1 and v2)
+    val feed = ManifestTable.changes(spark, root, schema, "id", 0L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("insert" -> 1L, "update_preimage" -> 2L,
+      "update_postimage" -> 2L), s"bad feed: $feed")
+
+    // untouched buckets' files stay byte-identical through compact
+    val hot = Set(bucketOf(3L, 4), bucketOf(9L, 4))
+    val cold = m0.entries.filter(e => !hot(e.bucket))
+    assert(cold.nonEmpty, "need cold buckets for the test")
+    val before = cold
+      .map(e => e.relPath -> fileDigests(s"$root/${e.relPath}")).toMap
+    val preCompact = ManifestTable.currentVersion(spark, root).get
+
+    val folded = ManifestTable.compact(spark, root, schema, "id", token = 50L)
+    assert(folded.nonEmpty)
+    val mc = ManifestTable.currentManifest(spark, root).get
+    assert(mc.entries.groupBy(_.bucket).values.forall(_.size == 1),
+      "compact must fold every tiered bucket to one file")
+    cold.foreach(e => assert(mc.entries.contains(e),
+      s"cold entry must carry verbatim: $e"))
+    before.foreach { case (rel, d) =>
+      assert(fileDigests(s"$root/$rel") == d,
+        s"cold bucket files must stay byte-identical: $rel")
+    }
+    assert(state() == rows, "compact must be row-invisible")
+    // ... including to the change feed (same rule as rebucket)
+    assert(ManifestTable.changes(spark, root, schema, "id", preCompact,
+      mc.version).count() == 0L)
+    // idempotent: nothing left at or above the tier threshold
+    assert(ManifestTable.compact(spark, root, schema, "id", 51L).isEmpty)
+    // pre-compact snapshots stay readable until vacuum...
+    assert(ManifestTable.readAt(spark, root, schema, preCompact)
+      .count() == 9L)
+    // ...then vacuum GCs exactly the merged-away sources
+    ManifestTable.vacuum(spark, root)
+    val live = mc.entries.map(_.relPath.split("/")(1)).toSet
+    val dataDirs = new java.io.File(s"$root/data").list().toSet
+    assert(dataDirs == live,
+      s"vacuum must GC superseded base/delta dirs: $dataDirs vs $live")
+    assert(state() == rows, "vacuumed table must still read in full")
+  }
+
+  test("targeted delete over delta files reconciles before rewriting") {
+    val root = freshRoot("manifest_delta_delete")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 8L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2, streamId = "A")
+    ManifestTable.merge(m.project(raw((3L, "u1", "30"), (4L, "u2", "40"))),
+      1L, m, root, schema, streamId = "A", delta = true)
+    ManifestTable.delete(spark, root, schema, "id", Seq(3L), token = 9L)
+    val rows = ManifestTable.read(spark, root, schema).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(3L), "deleted key must be gone")
+    assert(rows(4L) == "u2",
+      "the delta's update must survive the bucket rewrite")
+    assert(rows.size == 7)
+    // the rewritten bucket comes out compacted as a side effect
+    val mf = ManifestTable.currentManifest(spark, root).get
+    assert(mf.entries.groupBy(_.bucket)(bucketOf(3L, 2)).size == 1)
+  }
+
   test("OCC: delete racing a merge retries over the merged state") {
     val root = freshRoot("manifest_occ_delete")
     val m = mapping
