@@ -951,21 +951,21 @@ object ManifestTable {
         coalesce(b("_pb"), lit(false)).as("_inb"),
         coalesce(a("_pa"), lit(false)).as("_ina"),
         changedRow.as("_chg"))
-      val ins = marked.filter(col("_ina") && !col("_inb"))
-        .select(cols.map(c => col(s"_a.$c")) :+
-          lit("insert").as("_change_type") :+ lit(v).as("_version"): _*)
-      val del = marked.filter(col("_inb") && !col("_ina"))
-        .select(cols.map(c => col(s"_b.$c")) :+
-          lit("delete").as("_change_type") :+ lit(v).as("_version"): _*)
-      val pre = marked.filter(col("_ina") && col("_inb") && col("_chg"))
-        .select(cols.map(c => col(s"_b.$c")) :+
-          lit("update_preimage").as("_change_type") :+
-          lit(v).as("_version"): _*)
-      val post = marked.filter(col("_ina") && col("_inb") && col("_chg"))
-        .select(cols.map(c => col(s"_a.$c")) :+
-          lit("update_postimage").as("_change_type") :+
-          lit(v).as("_version"): _*)
-      ins.union(del).union(pre).union(post)
+      // ONE pass classifies every joined row: the four change kinds ride
+      // an exploded 4-slot array (unmatched kinds are null slots, dropped
+      // by the filter) — four filter-branches off the same join would
+      // re-plan it and re-read the touched files once per kind.
+      val kind = (cond: org.apache.spark.sql.Column, t: String, r: String) =>
+        when(cond, struct(lit(t).as("t"), col(r).as("r")))
+      val isUpd = col("_ina") && col("_inb") && col("_chg")
+      marked.select(explode(array(
+          kind(col("_ina") && !col("_inb"), "insert", "_a"),
+          kind(col("_inb") && !col("_ina"), "delete", "_b"),
+          kind(isUpd, "update_preimage", "_b"),
+          kind(isUpd, "update_postimage", "_a"))).as("_v"))
+        .filter(col("_v").isNotNull)
+        .select(cols.map(c => col(s"_v.r.$c")) :+
+          col("_v.t").as("_change_type") :+ lit(v).as("_version"): _*)
     }
     diffs.foldLeft(empty)(_ union _)
   }

@@ -641,6 +641,31 @@ class ManifestTableSpec extends SparkSpec {
     assert(replayed.isEmpty)
   }
 
+  test("change feed reads only commit-touched buckets (inputFiles)") {
+    val root = freshRoot("manifest_changes_pruned")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 32L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 8, streamId = "A")
+    // v1 updates ONE key → exactly one touched bucket
+    ManifestTable.merge(m.project(raw((7L, "SEVEN", "77"))), 1L, m, root,
+      schema, streamId = "A")
+    val man = ManifestTable.currentManifest(spark, root).get
+    val feed = ManifestTable.changes(spark, root, schema, "id", 0L, 1L)
+    val got = feed.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[String]("_change_type"))).toSet
+    assert(got == Set((7L, "n7", "update_preimage"),
+      (7L, "SEVEN", "update_postimage")), s"bad feed: $got")
+    // the feed's scans are backed ONLY by the rewritten bucket's old and
+    // new files — the other 7 buckets cost zero I/O
+    val hot = bucketOf(7L, 8)
+    val bucketsRead = feed.inputFiles.toSeq.flatMap(f =>
+      "_bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(bucketsRead == Set(hot),
+      s"feed must read only the touched bucket: $bucketsRead " +
+      s"(table has ${man.entries.size} live buckets)")
+  }
+
   test("delta merges: batch-sized writes, reconciled reads, compact folds " +
       "per bucket") {
     val root = freshRoot("manifest_delta")
