@@ -1,0 +1,273 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM video CONTAINER parsing: dimensions, duration, codec id and
+  * frame/cluster offsets straight from MP4 (ISO BMFF box) and Matroska
+  * (EBML element) structure — no codec, no native library. This shrinks
+  * the multimodal stub boundary to actual FRAME DECODE: everything a
+  * pipeline needs to route, partition, size-estimate and frame-sample
+  * video payloads is container-level and parses here for real
+  * ([[Multimodal.extractVideoMeta]] is the batched Spark surface).
+  *
+  * Parsers return None on anything malformed — one bad row must not kill
+  * a 100 TB job (same contract as [[Multimodal.decodeImage]]).
+  *
+  * Box/element layouts follow the public specs: ISO/IEC 14496-12 (ftyp,
+  * moov/mvhd, trak/tkhd, mdia/hdlr, stbl/stsd/stsz/stco/co64) and the
+  * Matroska/EBML RFC 8794 (EBML header, Segment, Info, Tracks, Cluster).
+  */
+object ContainerParse {
+
+  /** Container-level metadata. `sampleOffsets` are absolute payload
+    * offsets: MP4 chunk offsets (stco/co64) of the video track; for MKV,
+    * the Segment-relative offsets of Cluster elements (the unit a frame
+    * sampler seeks to). `nSamples` is the MP4 stsz sample count (a frame
+    * count for one-sample-per-frame video tracks); 0 for MKV, whose
+    * per-frame index would need Cues/Block parsing. */
+  final case class VideoMeta(
+      container: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      durationSeconds: Double,
+      nSamples: Int,
+      sampleOffsets: Seq[Long])
+
+  /** Sniffs the container by magic and parses accordingly. */
+  def parseVideo(payload: Array[Byte]): Option[VideoMeta] =
+    Option(payload).filter(_.length >= 12).flatMap { b =>
+      if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        parseMp4(b)
+      else if ((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+        parseMkv(b)
+      else None
+    }
+
+  // ------------------------------------------------------------------ MP4
+
+  /** One box at `pos`: (type, payloadStart, payloadEnd, boxEnd). */
+  private def boxAt(b: ByteBuffer, pos: Int, limit: Int)
+      : Option[(String, Int, Int, Int)] = {
+    if (pos + 8 > limit) return None
+    val size32 = b.getInt(pos).toLong & 0xffffffffL
+    val tpe = new String(Array(b.get(pos + 4), b.get(pos + 5),
+      b.get(pos + 6), b.get(pos + 7)), "ISO-8859-1")
+    val (size, hdr) =
+      if (size32 == 1L) {
+        if (pos + 16 > limit) return None
+        (b.getLong(pos + 8), 16)
+      } else if (size32 == 0L) ((limit - pos).toLong, 8) // to end of file
+      else (size32, 8)
+    if (size < hdr || pos + size > limit) None
+    else Some((tpe, pos + hdr, pos + size.toInt, pos + size.toInt))
+  }
+
+  /** All child boxes of [start, end). */
+  private def boxes(b: ByteBuffer, start: Int, end: Int)
+      : Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var pos = start
+    while (pos < end) {
+      boxAt(b, pos, end) match {
+        case Some((t, ps, pe, next)) => out += ((t, ps, pe)); pos = next
+        case None => return out.result() // truncated tail: keep what parsed
+      }
+    }
+    out.result()
+  }
+
+  private def find(b: ByteBuffer, start: Int, end: Int,
+      tpe: String): Option[(Int, Int)] =
+    boxes(b, start, end).collectFirst { case (t, s, e) if t == tpe => (s, e) }
+
+  def parseMp4(payload: Array[Byte]): Option[VideoMeta] =
+    try {
+      val b = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      val top = boxes(b, 0, payload.length)
+      if (!top.exists(_._1 == "ftyp")) return None
+      val (moovS, moovE) = top.collectFirst {
+        case ("moov", s, e) => (s, e)
+      }.getOrElse(return None)
+
+      // mvhd: movie timescale + duration
+      val (mvS, _) = find(b, moovS, moovE, "mvhd").getOrElse(return None)
+      val mvVer = b.get(mvS) & 0xff
+      val (timescale, duration) =
+        if (mvVer == 1)
+          (b.getInt(mvS + 20).toLong & 0xffffffffL, b.getLong(mvS + 24))
+        else
+          (b.getInt(mvS + 12).toLong & 0xffffffffL,
+            b.getInt(mvS + 16).toLong & 0xffffffffL)
+      val durationSec =
+        if (timescale == 0) 0.0 else duration.toDouble / timescale
+
+      // the VIDEO trak = the one whose mdia/hdlr handler is 'vide'
+      val vtrak = boxes(b, moovS, moovE).collect {
+        case ("trak", s, e) => (s, e)
+      }.find { case (ts, te) =>
+        (for {
+          (mdS, mdE) <- find(b, ts, te, "mdia")
+          (hdS, _) <- find(b, mdS, mdE, "hdlr")
+        } yield new String(Array(b.get(hdS + 8), b.get(hdS + 9),
+          b.get(hdS + 10), b.get(hdS + 11)), "ISO-8859-1") == "vide")
+          .getOrElse(false)
+      }.getOrElse(return None)
+      val (tS, tE) = vtrak
+
+      // tkhd: presentation width/height, 16.16 fixed point
+      val (tkS, _) = find(b, tS, tE, "tkhd").getOrElse(return None)
+      val tkVer = b.get(tkS) & 0xff
+      val dimOff = tkS + 4 + (if (tkVer == 1) 32 else 20) + 52
+      val width = b.getInt(dimOff) >>> 16
+      val height = b.getInt(dimOff + 4) >>> 16
+
+      // stbl: codec (stsd first entry fourcc), sample count (stsz),
+      // chunk offsets (stco / co64)
+      val (stS, stE) = (for {
+        (mdS, mdE) <- find(b, tS, tE, "mdia")
+        (mfS, mfE) <- find(b, mdS, mdE, "minf")
+        st <- find(b, mfS, mfE, "stbl")
+      } yield st).getOrElse(return None)
+      val codec = find(b, stS, stE, "stsd").map { case (s, _) =>
+        new String(Array(b.get(s + 12), b.get(s + 13), b.get(s + 14),
+          b.get(s + 15)), "ISO-8859-1")
+      }.getOrElse("")
+      val nSamples = find(b, stS, stE, "stsz")
+        .map { case (s, _) => b.getInt(s + 8) }.getOrElse(0)
+      val offsets: Seq[Long] =
+        find(b, stS, stE, "stco").map { case (s, _) =>
+          val n = b.getInt(s + 4)
+          (0 until n).map(i => b.getInt(s + 8 + 4 * i).toLong & 0xffffffffL)
+        }.orElse(find(b, stS, stE, "co64").map { case (s, _) =>
+          val n = b.getInt(s + 4)
+          (0 until n).map(i => b.getLong(s + 8 + 8 * i))
+        }).getOrElse(Nil)
+
+      Some(VideoMeta("mp4", codec, width, height, durationSec, nSamples,
+        offsets))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------------ MKV
+
+  /** EBML variable-length integer at `pos`: (value, bytesRead). `keepMarker`
+    * keeps the length-marker bit (element IDs); size fields drop it. An
+    * all-ones size is "unknown" → None value. */
+  private def vint(b: Array[Byte], pos: Int, keepMarker: Boolean)
+      : Option[(Option[Long], Int)] = {
+    if (pos >= b.length) return None
+    val first = b(pos) & 0xff
+    if (first == 0) return None
+    val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (pos + len > b.length) return None
+    var v: Long = if (keepMarker) first else first & ((1 << (8 - len)) - 1)
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+    val unknown = !keepMarker &&
+      v == (1L << (7 * len)) - 1 // all value bits set
+    Some((if (unknown) None else Some(v), len))
+  }
+
+  /** Children of an EBML master element body [start, end):
+    * (id, payloadStart, payloadEnd). Unknown-size children extend to the
+    * parent's end (legal only for Segment/Cluster — good enough here). */
+  private def ebmlChildren(b: Array[Byte], start: Int, end: Int)
+      : Seq[(Long, Int, Int)] = {
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var pos = start
+    while (pos < end) {
+      val parsed = for {
+        (Some(id), idLen) <- vint(b, pos, keepMarker = true)
+        (sz, szLen) <- vint(b, pos + idLen, keepMarker = false)
+      } yield (id, pos + idLen + szLen, sz)
+      parsed match {
+        case Some((id, ps, sz)) =>
+          val pe = sz.map(s => ps + s.toInt).getOrElse(end)
+          if (pe > end) return out.result()
+          out += ((id, ps, pe))
+          pos = pe
+        case None => return out.result()
+      }
+    }
+    out.result()
+  }
+
+  private def ebmlUint(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L; var i = s
+    while (i < e) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], s: Int, e: Int): Double =
+    (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, s, e).toInt)
+      case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, s, e))
+      case _ => 0.0
+    }
+
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val TimestampScale = 0x2AD7B1L
+  private val InfoDuration = 0x4489L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val TrackType = 0x83L
+  private val CodecID = 0x86L
+  private val VideoEl = 0xE0L
+  private val PixelWidth = 0xB0L
+  private val PixelHeight = 0xBAL
+  private val Cluster = 0x1F43B675L
+
+  def parseMkv(payload: Array[Byte]): Option[VideoMeta] =
+    try {
+      val top = ebmlChildren(payload, 0, payload.length)
+      val (segS, segE) = top.collectFirst {
+        case (id, s, e) if id == Segment => (s, e)
+      }.getOrElse(return None)
+      val seg = ebmlChildren(payload, segS, segE)
+
+      var scale = 1000000L // default: 1 ms in ns
+      var durTicks = 0.0
+      seg.collectFirst { case (id, s, e) if id == Info => (s, e) }
+        .foreach { case (s, e) =>
+          ebmlChildren(payload, s, e).foreach {
+            case (TimestampScale, cs, ce) =>
+              scale = ebmlUint(payload, cs, ce)
+            case (InfoDuration, cs, ce) =>
+              durTicks = ebmlFloat(payload, cs, ce)
+            case _ =>
+          }
+        }
+      val durationSec = durTicks * scale / 1e9
+
+      var codec = ""; var width = 0; var height = 0
+      seg.collectFirst { case (id, s, e) if id == Tracks => (s, e) }
+        .foreach { case (s, e) =>
+          ebmlChildren(payload, s, e).foreach {
+            case (TrackEntry, ts, te) =>
+              val kids = ebmlChildren(payload, ts, te)
+              val isVideo = kids.exists { case (id, cs, ce) =>
+                id == TrackType && ebmlUint(payload, cs, ce) == 1L }
+              if (isVideo && width == 0) kids.foreach {
+                case (CodecID, cs, ce) =>
+                  codec = new String(payload, cs, ce - cs, "UTF-8")
+                case (VideoEl, cs, ce) =>
+                  ebmlChildren(payload, cs, ce).foreach {
+                    case (PixelWidth, ws, we) =>
+                      width = ebmlUint(payload, ws, we).toInt
+                    case (PixelHeight, hs, he) =>
+                      height = ebmlUint(payload, hs, he).toInt
+                    case _ =>
+                  }
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+      if (width == 0 && height == 0 && codec.isEmpty) return None
+      val clusters = seg.collect {
+        case (id, s, _) if id == Cluster => s.toLong }
+      Some(VideoMeta("mkv", codec, width, height, durationSec, 0, clusters))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
   * features and [[resizeImages]] resamples payload bytes. AUDIO decodes
   * for real for PCM WAV through the in-JVM `javax.sound.sampled` reader
   * ([[extractAudioFeatures]]: sample-accurate RMS/peak/zero-crossing
-  * features). Video and compressed-audio codecs are not available in
-  * this environment, so those formats keep the clearly-marked
+  * features). VIDEO parses for real at the CONTAINER level —
+  * [[extractVideoMeta]] reads dimensions, duration, codec id and
+  * frame/cluster offsets straight from MP4 box / MKV EBML structure
+  * ([[ContainerParse]], pure JVM) — so the stub boundary is exactly
+  * frame DECODE and compressed-audio decode: those codecs are not
+  * available in this environment and keep the clearly-marked
   * deterministic STUB ([[stubDecode]]) behind the same batched plumbing
   * — swap it for a codec call to productionize.
   */
@@ -351,6 +355,42 @@ object Multimodal {
         lit(0).as("width"),
         lit(0).as("height"),
         lit(1).as("n_frames")))
+  }
+
+  // ------------------------------------------------- real video containers
+
+  /** Batched container-metadata extraction for VIDEO payloads: real MP4
+    * box / MKV EBML parsing ([[ContainerParse]]) — dimensions, duration,
+    * codec id, frame/cluster offsets, no codec involved. Unparseable
+    * payloads yield a row with NULL container (count them; don't kill the
+    * job). Same partition-local micro-batch shape as the other
+    * extractors, so swapping a vectorized demuxer in changes one line. */
+  def extractVideoMeta(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("container", StringType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_s", DoubleType),
+      StructField("n_samples", IntegerType),
+      StructField("sample_offsets", ArrayType(LongType, containsNull = false))))
+    val encoder = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          ContainerParse.parseVideo(r.getAs[Array[Byte]](payloadIdx)) match {
+            case Some(m) => Row(r.getLong(idIdx), m.container, m.codec,
+              m.width, m.height, m.durationSeconds, m.nSamples,
+              m.sampleOffsets)
+            case None => Row(r.getLong(idIdx), null, null, null, null,
+              null, null, null)
+          }
+        }
+      }
+    }(encoder)
   }
 
   /** Resize plumbing for codec-less formats: recompute metadata for a

@@ -150,4 +150,148 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.extractAudioFeatures(junk).collect()
     assert(out.length == 1 && out(0).isNullAt(1))
   }
+
+  // ------------------------------------------------ video container parse
+
+  /** Minimal ISO BMFF writer: box = size(4) + fourcc + payload. */
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+  private def be32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def be16(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+
+  /** Hand-built minimal MP4: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr,
+    * minf(stbl(stsd, stsz, stco))))) + mdat. 640×360 'avc1', timescale
+    * 1000, duration 2500 ms, 3 samples, chunk offsets 1000/2000/3000. */
+  private def miniMp4(): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes, be32(512),
+      "isomiso2".getBytes)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), // v0
+      be32(0), be32(0),      // ctime mtime
+      be32(1000), be32(2500), // timescale, duration (2.5 s)
+      be32(0x00010000), be16(0x0100), be16(0), be32(0), be32(0),
+      Array.fill(36)(0.toByte), // matrix
+      Array.fill(24)(0.toByte), // pre_defined
+      be32(2))                  // next track id
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+      be32(0), be32(0), be32(1), be32(0), be32(2500), // times/id/dur
+      Array.fill(8)(0.toByte), be16(0), be16(0), be16(0), be16(0),
+      Array.fill(36)(0.toByte),
+      be32(640 << 16), be32(360 << 16)) // 16.16 fixed
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+      "vide".getBytes, Array.fill(12)(0.toByte), Array[Byte](0))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
+      box("avc1", Array.fill(70)(0.toByte)))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0),
+      be32(0), be32(3), be32(100), be32(120), be32(80))
+    val stco = box("stco", Array[Byte](0, 0, 0, 0), be32(3),
+      be32(1000), be32(2000), be32(3000))
+    val stbl = box("stbl", stsd, stsz, stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val mdat = box("mdat", Array.fill(16)(0x42.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Minimal EBML writer: id bytes verbatim + 8-byte-marker size. */
+  private def ebml(idBytes: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    require(body.length < (1 << 21))
+    // 3-byte size with the 0x20 marker: values up to 2^21-2
+    val size = Array[Byte](
+      (0x20 | (body.length >> 16)).toByte,
+      ((body.length >> 8) & 0xff).toByte, (body.length & 0xff).toByte)
+    idBytes ++ size ++ body
+  }
+  private def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+
+  /** Hand-built minimal MKV: EBML header + Segment(Info(TimestampScale,
+    * Duration), Tracks(TrackEntry(video, V_MPEG4/ISO/AVC, 1280×720)),
+    * two Clusters). */
+  private def miniMkv(): Array[Byte] = {
+    val header = ebml(id(0x1a, 0x45, 0xdf, 0xa3), Array[Byte]())
+    val info = ebml(id(0x15, 0x49, 0xa9, 0x66),
+      ebml(id(0x2a, 0xd7, 0xb1), be32(1000000).drop(1)), // 3-byte uint
+      ebml(id(0x44, 0x89),
+        java.nio.ByteBuffer.allocate(8).putDouble(1500.0).array()))
+    val video = ebml(id(0xe0),
+      ebml(id(0xb0), be16(1280)), ebml(id(0xba), be16(720)))
+    val trackEntry = ebml(id(0xae),
+      ebml(id(0x83), Array[Byte](1)), // TrackType video
+      ebml(id(0x86), "V_MPEG4/ISO/AVC".getBytes("UTF-8")),
+      video)
+    val tracks = ebml(id(0x16, 0x54, 0xae, 0x6b), trackEntry)
+    val cluster1 = ebml(id(0x1f, 0x43, 0xb6, 0x75), Array.fill(4)(1.toByte))
+    val cluster2 = ebml(id(0x1f, 0x43, 0xb6, 0x75), Array.fill(4)(2.toByte))
+    val segment = ebml(id(0x18, 0x53, 0x80, 0x67),
+      info, tracks, cluster1, cluster2)
+    header ++ segment
+  }
+
+  test("MP4 box parsing: dimensions, duration, codec, frame offsets") {
+    import graft.operators.ContainerParse
+    val m = ContainerParse.parseVideo(miniMp4()).get
+    assert(m.container == "mp4" && m.codec == "avc1")
+    assert(m.width == 640 && m.height == 360)
+    assert(math.abs(m.durationSeconds - 2.5) < 1e-9)
+    assert(m.nSamples == 3)
+    assert(m.sampleOffsets == Seq(1000L, 2000L, 3000L))
+  }
+
+  test("MKV EBML parsing: dimensions, duration, codec, cluster offsets") {
+    import graft.operators.ContainerParse
+    val m = ContainerParse.parseVideo(miniMkv()).get
+    assert(m.container == "mkv" && m.codec == "V_MPEG4/ISO/AVC")
+    assert(m.width == 1280 && m.height == 720)
+    assert(math.abs(m.durationSeconds - 1.5) < 1e-9)
+    assert(m.sampleOffsets.size == 2,
+      s"expected two cluster offsets, got ${m.sampleOffsets}")
+  }
+
+  test("extractVideoMeta: batched Spark surface, nulls for junk") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, miniMp4()),
+      (2L, miniMkv()),
+      (3L, "not a video at all......".getBytes),
+      (4L, null: Array[Byte]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractVideoMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "mp4" && out(1L).getInt(3) == 640)
+    assert(out(2L).getString(1) == "mkv" && out(2L).getInt(4) == 720)
+    assert(out(3L).isNullAt(1) && out(4L).isNullAt(1),
+      "junk/null payloads must survive as null-meta rows")
+    // no exchange: pure partition-local projection
+    val plan = Multimodal.extractVideoMeta(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+  }
+
+  test("corrupt/truncated containers never throw") {
+    import graft.operators.ContainerParse
+    val good = miniMp4()
+    // every prefix of a valid file parses to None or a sane result
+    (0 until good.length by 7).foreach { n =>
+      ContainerParse.parseVideo(good.take(n)) // must not throw
+    }
+    val goodMkv = miniMkv()
+    (0 until goodMkv.length by 5).foreach { n =>
+      ContainerParse.parseVideo(goodMkv.take(n))
+    }
+    // bit flips in headers
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ContainerParse.parseVideo(b)
+    }
+  }
 }
