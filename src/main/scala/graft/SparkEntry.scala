@@ -1106,6 +1106,23 @@ object SparkEntry {
         from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k"))
     }),
+    "attribution_join" -> ((s, dir) => {
+      // Batch projection of StreamingOps.intervalJoin — IDENTICAL join
+      // condition and output columns; the streaming variant adds only
+      // watermarks, which bound join STATE, not results (batch ignores
+      // them). Click → purchase attribution within 10 minutes, so the
+      // stream-stream operator's semantics are DuckDB-hash-checked.
+      val e = events(s, dir)
+      graft.streaming.StreamingOps.intervalJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"),
+          horizon = "10 minutes")
+        .select(col("user_id"),
+          col("left_id").as("click_id"),
+          col("right_id").as("purchase_id"),
+          unix_micros(col("left_ts")).as("click_us"),
+          unix_micros(col("right_ts")).as("purchase_us"))
+    }),
     "sessionize" -> ((s, dir) => {
       val e = events(s, dir)
       Sessionize.summarize(e, gapMinutes = 30).select(
@@ -1837,6 +1854,14 @@ object SparkEntry {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9]{7,}', '<NUM>', 'g') AS clean_text
            FROM documents""",
+      "attribution_join" ->
+        s"""SELECT l.user_id, l.event_id AS click_id,
+             r.event_id AS purchase_id,
+             epoch_us(l.ts) AS click_us, epoch_us(r.ts) AS purchase_us
+           FROM events l JOIN events r
+             ON l.user_id = r.user_id
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+           WHERE l.event_type = 'click' AND r.event_type = 'purchase'""",
       "sessionize" ->
         s"""WITH ev AS (
              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
