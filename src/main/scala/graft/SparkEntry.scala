@@ -220,6 +220,9 @@ object SparkEntry {
     "manifest_merge_delta" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_delta",
         withMerge = false)),
+    "manifest_incr_agg" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_incr_agg",
+        withMerge = false)),
     "manifest_delete" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete", withMerge = true)),
     "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)))
@@ -547,6 +550,27 @@ object SparkEntry {
       graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema,
         delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_incr_agg" -> ((s, dir) => {
+      // Materialized-view maintenance: the per-segment rollup is
+      // bootstrapped at v0 and maintained to the current version purely
+      // from the CHANGE FEED — the base table is never re-read, so
+      // refresh cost tracks the change rate (the feed itself reads only
+      // commit-touched buckets). The result must equal a full recompute
+      // over the merged state, which is what the DuckDB oracle states.
+      // Sums go through DECIMAL so incremental addition is exact.
+      val root =
+        manifestFixture(s, dir, "manifest_incr_agg", withMerge = false)
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+      val cur = graft.store.ManifestTable.currentVersion(s, root).get
+      val prep = (df: DataFrame) =>
+        df.withColumn("acctbal_d", col("acctbal").cast("decimal(30,2)"))
+      graft.store.IncrementalAgg.maintainedView(s, root, upsertSchema,
+          "id", Seq("segment"), Seq("acctbal_d"), 0L, cur, prep)
+        .select(col("segment"), col("n_rows"),
+          col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"))
     }),
     "manifest_delete" -> ((s, dir) => {
       // targeted GDPR-style erasure of a FIXED key list (bounded, not a
@@ -1353,6 +1377,16 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_incr_agg" ->
+        s"""WITH m AS (
+             SELECT c_custkey AS id,
+               CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+               CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment
+             FROM customer WHERE ($inTgt) OR ($inSrc))
+           SELECT segment, count(*) AS n_rows,
+             CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
+               AS DOUBLE) AS sum_acctbal
+           FROM m GROUP BY segment""",
       "manifest_delete" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

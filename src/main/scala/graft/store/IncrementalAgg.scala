@@ -1,0 +1,103 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a grouped-aggregate MATERIALIZED VIEW over
+  * a [[ManifestTable]], driven by its change feed: the view updates by
+  * reading only the rows the table's commits touched
+  * ([[ManifestTable.changes]] already reads only commit-touched buckets),
+  * never re-scanning the base table — the classic lakehouse
+  * materialized-view discipline, where refresh cost tracks the CHANGE
+  * RATE, not the table size. At 100 TB with a per-mille daily churn the
+  * refresh reads gigabytes, not the table.
+  *
+  * Maintained aggregates are the self-inverse ones — `n_rows` (count) and
+  * per-column sums — because every feed row carries enough to ADD and
+  * UNDO: insert/update_postimage contribute +1/+x, delete/update_preimage
+  * contribute −1/−x (averages derive as sum/n at read time; min/max are
+  * NOT maintainable under deletes without re-reading the group — use a
+  * full recompute for those). NULL values count 0 toward sums (document
+  * or pre-`coalesce` if SQL-null-sum semantics matter); groups whose
+  * count reaches 0 leave the view. Pass EXACT-addition column types
+  * (integers, DECIMAL) for sums: float addition is order-sensitive, so
+  * cast doubles to DECIMAL first and back at read time if needed.
+  */
+object IncrementalAgg {
+
+  /** Ground-truth / bootstrap aggregate of a snapshot: one hash aggregate
+    * producing `groupCols`, `n_rows`, and `sum_<c>` per sum column. */
+  def fullAgg(
+      snapshot: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    snapshot.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sumCols.map(c => sum(coalesce(col(c),
+          lit(0).cast(snapshot.schema(c).dataType))).as(s"sum_$c")): _*)
+  }
+
+  /** Applies a change-feed window to a maintained view: returns the view
+    * as of the feed's end version. `view` must be a [[fullAgg]]-shaped
+    * frame (or a previous applyChanges output); `feed` a
+    * [[ManifestTable.changes]] output over the base schema. One bounded
+    * aggregate over the feed + one join against the view — the base
+    * table is never read. */
+  def applyChanges(
+      view: DataFrame,
+      feed: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val deltas = feed
+      .select((groupCols ++ sumCols).map(col) :+ sign.as("_sign"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_sign")).as("_dn"),
+        sumCols.map(c => sum(
+          coalesce(col(c), lit(0).cast(feed.schema(c).dataType)) *
+            col("_sign")).as(s"_d_$c")): _*)
+    // NULL-safe join on the group key: a NULL group is a real group.
+    val v = view.alias("v")
+    val d = deltas.alias("d")
+    val cond = groupCols.map(g => v(g) <=> d(g)).reduce(_ && _)
+    v.join(d, cond, "full_outer")
+      .select(
+        groupCols.map(g => coalesce(v(g), d(g)).as(g)) ++
+          Seq((coalesce(v("n_rows"), lit(0L)) +
+            coalesce(d("_dn"), lit(0L))).as("n_rows")) ++
+          sumCols.map { c =>
+            val z = lit(0).cast(view.schema(s"sum_$c").dataType)
+            (coalesce(v(s"sum_$c"), z) + coalesce(d(s"_d_$c"), z))
+              .as(s"sum_$c")
+          }: _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Convenience: bootstrap the view at `fromVersion` and maintain it to
+    * `toVersion` purely from the feed — the shape a periodic refresh job
+    * runs. `prep` transforms both the snapshot and the feed rows before
+    * aggregation (e.g. casting a double to DECIMAL for exact sums). */
+  def maintainedView(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      fromVersion: Long,
+      toVersion: Long,
+      prep: DataFrame => DataFrame = identity,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
+    val base = fullAgg(
+      prep(ManifestTable.readAt(spark, root, schema, fromVersion)),
+      groupCols, sumCols)
+    val feed = prep(ManifestTable.changes(spark, root, schema, keyColumn,
+      fromVersion, toVersion, keyComparator))
+    applyChanges(base, feed, groupCols, sumCols)
+  }
+}

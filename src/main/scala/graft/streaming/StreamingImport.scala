@@ -37,7 +37,17 @@ object StreamingImport {
   /** Starts the continuous import. `rawStream` must be a streaming
     * DataFrame shaped like a [[graft.sources.Sources]] output
     * (`_raw` array<string> + `_line`). `numBuckets` is a table property:
-    * it applies on table creation and is ignored afterwards. */
+    * it applies on table creation and is ignored afterwards.
+    *
+    * `delta = true` selects the LSM write path: each micro-batch writes
+    * batch-sized per-bucket delta files instead of rewriting its touched
+    * buckets whole — the right trade for high-frequency small batches
+    * grazing large buckets (readers reconcile; see
+    * [[ManifestTable.merge]]). `compactEvery = N` (with delta) folds
+    * delta-carrying buckets back to single files after every N batches,
+    * bounding read amplification to N delta files per bucket; the
+    * compaction commits through the same OCC manifest swap and is
+    * row-invisible, so a crash or replay around it is harmless. */
   def start(
       rawStream: DataFrame,
       mapping: Mapping,
@@ -47,7 +57,9 @@ object StreamingImport {
       mode: ImportMode = CreateAndUpdate,
       nonNullable: Seq[String] = Nil,
       numBuckets: Int = 16,
-      recordStats: Boolean = false): StreamingQuery = {
+      recordStats: Boolean = false,
+      delta: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
     mapping.complete(targetSchema)
     rawStream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -55,7 +67,8 @@ object StreamingImport {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, mapping, targetRoot, targetSchema,
           mode, nonNullable, numBuckets, recordStats,
-          streamId = checkpointIdentity(batch.sparkSession, checkpoint))
+          streamId = checkpointIdentity(batch.sparkSession, checkpoint),
+          delta = delta, compactEvery = compactEvery)
       }
       .start()
   }
@@ -100,11 +113,24 @@ object StreamingImport {
       nonNullable: Seq[String] = Nil,
       numBuckets: Int = 16,
       recordStats: Boolean = false,
-      streamId: String = ""): Unit = {
+      streamId: String = "",
+      delta: Boolean = false,
+      compactEvery: Int = 0): Unit = {
     val projected = mapping.project(batch)
     ManifestTable.merge(projected, batchId, mapping, targetRoot,
       targetSchema, mode, nonNullable, numBuckets,
-      recordStats = recordStats, streamId = streamId)
+      recordStats = recordStats, streamId = streamId, delta = delta)
+    if (delta && compactEvery > 0 && batchId > 0 &&
+        batchId % compactEvery == 0) {
+      // Maintenance token derived from (streamId, batchId): idempotent on
+      // the replay of THIS batch; a re-run after a later maintenance op is
+      // harmless (compaction is row-invisible) and only the most recent
+      // batch ever replays.
+      val token = (streamId.hashCode.toLong << 32) | (batchId & 0xffffffffL)
+      ManifestTable.compact(batch.sparkSession, targetRoot, targetSchema,
+        mapping.keyColumnName, token,
+        keyComparator = mapping.keyComparator)
+    }
     ()
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mapping.Mapping
+import graft.store.{IncrementalAgg, ManifestTable}
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("v", LongType)))
+
+  private def mapping = {
+    val m = new Mapping()
+    m.auto("id"); m.auto("grp"); m.auto("v")
+    m.complete(schema)
+    m
+  }
+
+  private def raw(rows: (Long, String, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((id, g, v), i) => (Seq(id.toString, g, v), i.toLong) }
+      .toDF("_raw", "_line")
+
+  private def viewOf(df: DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getAs[Number](2).longValue)).toSet
+
+  test("feed-maintained view equals a full recompute across merges and " +
+      "deletes") {
+    val root = "target/test-tmp/incr_agg"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val m = mapping
+    // v0: three groups
+    ManifestTable.merge(raw((1L, "a", "10"), (2L, "a", "5"), (3L, "b", "7"),
+      (4L, "c", "1")).transform(m.project), 0L, m, root, schema,
+      numBuckets = 4, streamId = "S")
+    // v1: update moves id 2 from group a to b; create id 5 in a
+    ManifestTable.merge(raw((2L, "b", "20"), (5L, "a", "2"))
+      .transform(m.project), 1L, m, root, schema, streamId = "S")
+    // v2: delete id 4 — group c disappears entirely
+    ManifestTable.delete(spark, root, schema, "id", Seq(4L), token = 9L)
+    val cur = ManifestTable.currentVersion(spark, root).get
+
+    val maintained = IncrementalAgg.maintainedView(spark, root, schema,
+      "id", Seq("grp"), Seq("v"), 0L, cur)
+    val recomputed = IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, root, schema), Seq("grp"), Seq("v"))
+    assert(viewOf(maintained) == viewOf(recomputed),
+      s"maintained ${viewOf(maintained)} != recomputed ${viewOf(recomputed)}")
+    // and the numbers are what they should be
+    assert(viewOf(maintained) ==
+      Set(("a", 2L, 12L), ("b", 2L, 27L)),
+      s"group c (count 0) must leave the view: ${viewOf(maintained)}")
+  }
+
+  test("delta-mode merges feed the same maintained view") {
+    val root = "target/test-tmp/incr_agg_delta"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "10"), (2L, "b", "5"))
+      .transform(m.project), 0L, m, root, schema, numBuckets = 2,
+      streamId = "S")
+    ManifestTable.merge(raw((1L, "a", "100"), (3L, "b", "3"))
+      .transform(m.project), 1L, m, root, schema, streamId = "S",
+      delta = true)
+    val cur = ManifestTable.currentVersion(spark, root).get
+    val maintained = IncrementalAgg.maintainedView(spark, root, schema,
+      "id", Seq("grp"), Seq("v"), 0L, cur)
+    assert(viewOf(maintained) == Set(("a", 1L, 100L), ("b", 2L, 8L)))
+  }
+
+  test("NULL group keys and NULL sum values maintain correctly") {
+    // fullAgg/applyChanges contract: NULL group is a real group (NULL-safe
+    // join), NULL values count 0 toward sums.
+    val view = IncrementalAgg.fullAgg(
+      Seq((1L, null: String, 10L), (2L, "g", 5L))
+        .toDF("id", "grp", "v"), Seq("grp"), Seq("v"))
+    val feed = Seq(
+      (3L, null: String, Some(7L), "insert"),
+      (4L, "g", None: Option[Long], "insert"),
+      (1L, null: String, Some(10L), "update_preimage"),
+      (1L, null: String, Some(1L), "update_postimage"))
+      .toDF("id", "grp", "v", "_change_type")
+    val out = IncrementalAgg.applyChanges(view, feed, Seq("grp"), Seq("v"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(out == Set((None, 2L, 8L), (Some("g"), 2L, 5L)), s"got $out")
+  }
+}

@@ -146,6 +146,57 @@ class StreamingImportSpec extends SparkSpec {
     assert(StreamingImport.checkpointIdentity(spark, ckpt) == ckpt)
   }
 
+  test("delta-mode continuous import with periodic compaction equals " +
+      "the rewrite mode") {
+    val root = "target/test-tmp/stream_delta"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def mapping = {
+      val m = new Mapping()
+      m.auto("id"); m.auto("name"); m.auto("score")
+      m
+    }
+    val m = mapping
+    m.complete(schema)
+    // 6 micro-batches: creates + repeated updates of a hot key, all
+    // delta-mode with compaction every 2 batches
+    val batches = Seq(
+      Seq((Seq("1", "a", "1"), 0L), (Seq("2", "b", "2"), 1L)),
+      Seq((Seq("1", "a1", "10"), 0L), (Seq("3", "c", "3"), 1L)),
+      Seq((Seq("1", "a2", "20"), 0L)),
+      Seq((Seq("4", "d", "4"), 0L), (Seq("2", "b1", "22"), 1L)),
+      Seq((Seq("1", "a3", "30"), 0L)),
+      Seq((Seq("5", "e", "5"), 0L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      StreamingImport.applyBatch(rows.toDF("_raw", "_line"), i.toLong, m,
+        root, schema, numBuckets = 2, streamId = "S",
+        delta = true, compactEvery = 2)
+    }
+    val state = StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq
+    assert(state == Seq(
+      Row(1L, "a3", 30L), Row(2L, "b1", 22L), Row(3L, "c", 3L),
+      Row(4L, "d", 4L), Row(5L, "e", 5L)),
+      s"delta-mode stream state wrong: $state")
+    // read amplification bounded: compactEvery=2 means no bucket carries
+    // more than 1 (compacted) + 2 (deltas since) files
+    val byBucket = ManifestTable.currentManifest(spark, root).get
+      .entries.groupBy(_.bucket)
+    assert(byBucket.values.forall(_.size <= 3),
+      s"compaction must bound per-bucket files: " +
+        s"${byBucket.view.mapValues(_.size).toMap}")
+    // the last compaction actually folded: batch 4 (index) triggered at
+    // batchId 4, so buckets had ≤ 1 delta (batch 5) on top afterwards
+    assert(byBucket.values.exists(_.size >= 1))
+    // replay of the final batch: no state change, no version bump
+    val v = ManifestTable.currentVersion(spark, root)
+    StreamingImport.applyBatch(batches.last.toDF("_raw", "_line"), 5L, m,
+      root, schema, numBuckets = 2, streamId = "S",
+      delta = true, compactEvery = 2)
+    assert(ManifestTable.currentVersion(spark, root) == v)
+    assert(StreamingImport.readTarget(spark, root, schema)
+      .orderBy("id").collect().toSeq == state)
+  }
+
   test("torn data writes (no committed manifest) are invisible to readers") {
     val root = "target/test-tmp/stream_torn"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
