@@ -264,13 +264,19 @@ object ManifestTable {
   /** Reads `entries` reconciled to the LIVE row per key: buckets with a
     * single file scan directly (zero overhead — the all-compacted fast
     * path is a plain parquet union, the same plan as before deltas
-    * existed); buckets carrying delta files resolve last-seq-wins per
-    * reconcile key in one bounded aggregate over just THOSE buckets.
-    * NULL-keyed rows (create-bootstrap only — a merge never writes them,
-    * so every delta row has a key) pass through unreconciled. The
-    * reconcile key defaults to the raw key column, which is exact because
-    * the upsert keeps the table unique per NORMALIZED key and an update's
-    * delta row carries the target's original raw key — pass the
+    * existed); buckets carrying delta files resolve last-version-wins as
+    * an ANTI-JOIN CHAIN down the seq levels: each level keeps the rows
+    * whose key no HIGHER level overrode. The base level — virtually all
+    * of the data — therefore never aggregates and never shuffles: it
+    * anti-joins the accumulated DELTA key set, which is batch-sized and
+    * broadcasts (levels are bounded by the compaction cadence). A
+    * per-key max_by aggregate here would sort-shuffle the entire touched
+    * fragment instead. NULL-keyed rows (create-bootstrap only — a merge
+    * never writes them, so every delta row has a key) survive naturally:
+    * a NULL key matches nothing in an anti-join. The reconcile key
+    * defaults to the raw key column, which is exact because the upsert
+    * keeps the table unique per NORMALIZED key and an update's delta row
+    * carries the target's original raw key — pass the
     * comparator-normalized key when you have the comparator (lookup
     * does). */
   private def reconciledRead(
@@ -292,20 +298,32 @@ object ManifestTable {
       else {
         require(keyColumn.nonEmpty,
           "bucket has delta files but the manifest records no key column")
-        val union = multi.flatten.groupBy(_.seq).toSeq.map { case (seq, es) =>
-          spark.read.schema(schema)
-            .parquet(es.map(e => s"$root/${e.relPath}"): _*)
-            .withColumn(SeqCol, lit(seq))
-        }.reduce(_ unionByName _)
-        val k = reconcileKey(col(keyColumn))
-        val live = union.filter(k.isNotNull)
-          .groupBy(k.as("_rk"))
-          .agg(max_by(struct(schema.fieldNames.map(col): _*), col(SeqCol))
-            .as("_r"))
-          .select(schema.fieldNames.map(n => col(s"_r.$n")): _*)
-        val nullKeyed = union.filter(k.isNull)
-          .select(schema.fieldNames.map(col): _*)
-        Some(live.unionByName(nullKeyed))
+        val levels = multi.flatten.groupBy(_.seq).toSeq.sortBy(-_._1)
+          .map { case (_, es) =>
+            spark.read.schema(schema)
+              .parquet(es.map(e => s"$root/${e.relPath}"): _*)
+          }
+        // keys are table-unique, so the chain is safe across buckets; the
+        // override key set only ever accumulates DELTA levels (small) —
+        // the base level is last and contributes no keys to anything.
+        var overridden: Option[DataFrame] = None
+        val parts = levels.zipWithIndex.map { case (lvl, i) =>
+          val out = overridden match {
+            case None => lvl
+            case Some(hk) =>
+              lvl.join(hk, reconcileKey(lvl(keyColumn)) === hk("_hk"),
+                "left_anti")
+          }
+          if (i < levels.size - 1) {
+            val lvlKeys = lvl
+              .select(reconcileKey(col(keyColumn)).as("_hk"))
+              .filter(col("_hk").isNotNull).distinct()
+            overridden = Some(overridden
+              .map(_.unionByName(lvlKeys).distinct()).getOrElse(lvlKeys))
+          }
+          out
+        }
+        Some(parts.reduce(_ unionByName _))
       }
     (plain, reconciled) match {
       case (Some(p), Some(r)) => p.unionByName(r)
@@ -389,8 +407,16 @@ object ManifestTable {
       seq: Long = 0L): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/$dataDirName"
+    // Key-sorted within each bucket file: parquet row-group min/max stats
+    // then stratify the key space, so the pruned point lookups (which
+    // always carry the key predicate into the scan) skip row groups
+    // within a file, not just files — and sorted columns compress better.
+    // Costs one in-task sort at write; changes no semantics (readers
+    // never assume order).
     df.withColumn(BucketCol, bucket)
       .repartition(math.max(1, numTasks), col(BucketCol))
+      .sortWithinPartitions(col(BucketCol),
+        keyComparator(col(keyColumn)))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
     // Explicit schema (+ the partition column) so an all-rows-rejected
     // empty write doesn't fail schema inference.

@@ -698,6 +698,15 @@ class ManifestTableSpec extends SparkSpec {
     val lk = ManifestTable.lookup(spark, root, schema, "id", Seq(3L))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(lk == Seq((3L, "u2")), s"lookup must see only the live row: $lk")
+    // reconcile plan shape: an anti-join chain, never a per-key aggregate
+    // that would shuffle the whole base level
+    val rdf = ManifestTable.read(spark, root, schema)
+    rdf.collect()
+    val plan = rdf.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"reconcile must be an anti-join chain:\n$plan")
+    assert(!plan.contains("max_by") && !plan.contains("SortAggregate"),
+      s"reconcile must not aggregate the base level:\n$plan")
     // the feed across the delta merges: id 9 created once, id 3 updated
     // twice (v1 and v2)
     val feed = ManifestTable.changes(spark, root, schema, "id", 0L, 2L)
