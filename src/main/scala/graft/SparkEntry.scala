@@ -102,10 +102,14 @@ object SparkEntry {
 
   /** CSV-shaped source: all customers with custkey%7!=1 as raw strings.
     * blankNames additionally blanks the name for custkey%11==0 (for the
-    * non-nullable rejection query). */
+    * non-nullable rejection query). `keyMod` keeps only custkey%keyMod==0
+    * — the SMALL-batch shape for the delta-vs-rewrite merge queries. */
   private def upsertSource(
-      s: SparkSession, dir: String, blankNames: Boolean = false): DataFrame = {
-    val c = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 1)
+      s: SparkSession, dir: String, blankNames: Boolean = false,
+      keyMod: Option[Long] = None): DataFrame = {
+    val c = keyMod.foldLeft(
+      t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 1))(
+      (df, m) => df.filter(col("c_custkey") % m === 0))
     val nameCol =
       if (blankNames)
         when(col("c_custkey") % 11 === 0, lit("")).otherwise(col("c_name"))
@@ -222,6 +226,12 @@ object SparkEntry {
         withMerge = false)),
     "manifest_incr_agg" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_incr_agg",
+        withMerge = false)),
+    "manifest_merge_small" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_merge_small",
+        withMerge = false)),
+    "manifest_delta_small" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_delta_small",
         withMerge = false)),
     "manifest_delete" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete", withMerge = true)),
@@ -571,6 +581,31 @@ object SparkEntry {
           "id", Seq("segment"), Seq("acctbal_d"), 0L, cur, prep)
         .select(col("segment"), col("n_rows"),
           col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"))
+    }),
+    "manifest_merge_small" -> ((s, dir) => {
+      // The rewrite-vs-delta comparison pair, rewrite side: a SMALL batch
+      // (custkey%97==0, ~1% of keys) merged in full-rewrite mode — every
+      // touched bucket rewrites whole even though the batch grazes it.
+      // Same oracle as manifest_delta_small; the bench medians of the
+      // pair put a driver-visible number on the LSM write-path claim.
+      val root =
+        manifestFixture(s, dir, "manifest_merge_small", withMerge = false)
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema)
+        .project(upsertSource(s, dir, keyMod = Some(97L)))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_delta_small" -> ((s, dir) => {
+      // ...delta side: the same small batch writes only its own rows.
+      val root =
+        manifestFixture(s, dir, "manifest_delta_small", withMerge = false)
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema)
+        .project(upsertSource(s, dir, keyMod = Some(97L)))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema,
+        delta = true)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_delete" -> ((s, dir) => {
       // targeted GDPR-style erasure of a FIXED key list (bounded, not a
@@ -1377,6 +1412,30 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_merge_small" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN ($inSrc AND c_custkey % 97 = 0) THEN c_acctbal
+                ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc AND c_custkey % 97 = 0)
+                  THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer
+           WHERE ($inTgt) OR ($inSrc AND c_custkey % 97 = 0)""",
+      "manifest_delta_small" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN ($inSrc AND c_custkey % 97 = 0) THEN c_acctbal
+                ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc AND c_custkey % 97 = 0)
+                  THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer
+           WHERE ($inTgt) OR ($inSrc AND c_custkey % 97 = 0)""",
       "manifest_incr_agg" ->
         s"""WITH m AS (
              SELECT c_custkey AS id,
