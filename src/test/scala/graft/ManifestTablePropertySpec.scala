@@ -52,17 +52,19 @@ class ManifestTablePropertySpec extends SparkSpec {
           s"model=${model.toSeq.sorted}")
     }
 
-    for (step <- 0 until 25) {
-      rnd.nextInt(4) match {
+    for (step <- 0 until 30) {
+      rnd.nextInt(6) match {
         case 0 | 1 => // merge a random batch (intra-batch dups: last wins)
           val rows = Seq.fill(1 + rnd.nextInt(8))(
             (rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
+          // randomly delta-mode: readers must reconcile identically
+          val delta = rnd.nextBoolean()
           ManifestTable.merge(m.project(raw(rows)), batchId, m, root,
-            schema, numBuckets = 4, streamId = "p")
+            schema, numBuckets = 4, streamId = "p", delta = delta)
           rows.foreach { case (id, v) => model(id) = v }
           lastMerge = Some((batchId, rows))
           batchId += 1
-          check(s"merge#$step($rows)")
+          check(s"merge#$step(delta=$delta, $rows)")
         case 2 => // replay the LAST merge with a corrupted payload
           lastMerge.foreach { case (bid, _) =>
             val garbage = Seq((rnd.nextInt(30).toLong, -999L))
@@ -84,8 +86,25 @@ class ManifestTablePropertySpec extends SparkSpec {
             deleteToken += 1
             check(s"delete#$step($victims)")
           }
+        case 4 => // compact delta-carrying buckets: row-invisible
+          if (ManifestTable.currentVersion(spark, root).isDefined) {
+            ManifestTable.compact(spark, root, schema, "id", deleteToken)
+            deleteToken += 1
+            check(s"compact#$step")
+          }
+        case 5 => // vacuum: current state must survive GC
+          ManifestTable.vacuum(spark, root)
+          check(s"vacuum#$step")
       }
     }
     assert(model.nonEmpty, "degenerate run: model ended empty")
+    // the full maintained-view algebra agrees with the model too
+    val cur = ManifestTable.currentVersion(spark, root).get
+    // (bootstrap at the current version — pure fullAgg sanity)
+    val view = graft.store.IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, root, schema), Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](2).longValue)
+      .toMap
+    assert(view == model.toMap, s"fullAgg diverged at v$cur")
   }
 }
