@@ -17,16 +17,30 @@ import graft.sources.CsvLine
   *  - [[GraftExtensions.register]] to add the functions to an already-built
   *    session (tests, notebooks).
   *
-  * After registration: `SELECT simhash64(text), format_list(tags) FROM docs`.
+  * After registration: `SELECT simhash64(text), format_list(tags) FROM docs`,
+  * and the manifest table reads straight from SQL as TABLE FUNCTIONS:
+  * `SELECT * FROM graft_table('/path', 'id BIGINT, name STRING')`,
+  * `graft_table_at(root, ddl, version)` for time travel, and
+  * `graft_changes(root, ddl, keyColumn, fromVersion, toVersion)` for the
+  * CDC feed — all resolve to the same pruned/reconciled plans as the
+  * Scala API (the function builder returns the LogicalPlan the DataFrame
+  * reader would produce).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    GraftExtensions.tableDefinitions.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -75,10 +89,64 @@ object GraftExtensions {
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "l2_normalize" -> (es => L2Normalize(es.head)))
 
+  private def strArg(e: Expression, what: String): String =
+    e.eval(null) match {
+      case null => throw new IllegalArgumentException(s"$what must not be null")
+      case v => v.toString
+    }
+
+  private def longArg(e: Expression): Long =
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
+
+  /** Table functions over [[graft.store.ManifestTable]]: each builder
+    * evaluates its FOLDABLE string/int arguments and returns the analyzed
+    * LogicalPlan of the corresponding Scala-API read, so SQL users get
+    * the identical pruned/reconciled plans. */
+  val tableDefinitions: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_table" -> (es => {
+      require(es.size == 2,
+        "usage: graft_table(root, 'id BIGINT, name STRING, ...')")
+      val spark = SparkSession.active
+      graft.store.ManifestTable.read(spark, strArg(es(0), "root"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            strArg(es(1), "schema DDL")))
+        .queryExecution.analyzed
+    }),
+    "graft_table_at" -> (es => {
+      require(es.size == 3,
+        "usage: graft_table_at(root, schemaDDL, version)")
+      val spark = SparkSession.active
+      graft.store.ManifestTable.readAt(spark, strArg(es(0), "root"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            strArg(es(1), "schema DDL")),
+          longArg(es(2)))
+        .queryExecution.analyzed
+    }),
+    "graft_changes" -> (es => {
+      require(es.size == 5,
+        "usage: graft_changes(root, schemaDDL, keyColumn, fromV, toV)")
+      val spark = SparkSession.active
+      graft.store.ManifestTable.changes(spark, strArg(es(0), "root"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            strArg(es(1), "schema DDL")),
+          strArg(es(2), "key column"), longArg(es(3)), longArg(es(4)))
+        .queryExecution.analyzed
+    }))
+
   /** Registers all graft SQL functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    tableDefinitions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+  }
 }

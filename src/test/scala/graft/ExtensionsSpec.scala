@@ -45,6 +45,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(nv(0) - 0.6f) < 1e-6 && math.abs(nv(1) - 0.8f) < 1e-6)
   }
 
+  test("manifest table reads, time travel and CDC feed from pure SQL") {
+    GraftExtensions.register(spark)
+    val root = "target/test-tmp/ext_graft_table"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val m = new graft.mapping.Mapping()
+    m.auto("id"); m.auto("name")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING")
+    m.complete(schema)
+    def raw(rows: (Long, String)*) = rows.zipWithIndex
+      .map { case ((i, n), l) => (Seq(i.toString, n), l.toLong) }
+      .toDF("_raw", "_line")
+    graft.store.ManifestTable.merge(m.project(raw(1L -> "a", 2L -> "b")),
+      0L, m, root, schema, numBuckets = 2, streamId = "S")
+    graft.store.ManifestTable.merge(m.project(raw(2L -> "B", 3L -> "c")),
+      1L, m, root, schema, streamId = "S", delta = true)
+
+    val ddl = "'id BIGINT, name STRING'"
+    // current state — including the delta reconcile — via SQL only
+    val now = spark.sql(
+      s"""SELECT id, name FROM graft_table('$root', $ddl) ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // time travel to v0
+    val v0 = spark.sql(
+      s"""SELECT id, name FROM graft_table_at('$root', $ddl, 0)
+         ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v0 == Seq((1L, "a"), (2L, "b")))
+    // the CDC feed, composed with ordinary SQL
+    val feed = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         FROM graft_changes('$root', $ddl, 'id', 0, 1)
+         GROUP BY _change_type ORDER BY _change_type""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(feed == Seq(("insert", 1L), ("update_postimage", 1L),
+      ("update_preimage", 1L)), s"bad feed: $feed")
+  }
+
   test("to_csv_line renders and round-trips from SQL") {
     val row = spark.sql(
       """SELECT to_csv_line('a', 'has,comma', 'quote"inside') AS line""")
