@@ -772,6 +772,41 @@ class ManifestTableSpec extends SparkSpec {
     assert(mf.entries.groupBy(_.bucket)(bucketOf(3L, 2)).size == 1)
   }
 
+  test("OCC: racing DELTA merges both land; loser reconciles the " +
+      "winner's delta") {
+    val root = freshRoot("manifest_occ_delta")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 4L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2, streamId = "A")
+    // while A's delta merge sits between write and commit, B's delta
+    // merge (same key!) commits first — A must lose the rename, recompute
+    // against the state INCLUDING B's delta, and re-land
+    var fired = false
+    ManifestTable.testBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        ManifestTable.merge(m.project(raw((2L, "fromB", "222"))), 0L, m,
+          root, schema, streamId = "B", delta = true)
+      }
+    }
+    try ManifestTable.merge(m.project(raw((2L, "fromA", "111"),
+        (5L, "new", "5"))), 1L, m, root, schema, streamId = "A",
+      delta = true)
+    finally ManifestTable.testBeforeCommit = () => ()
+    val rows = ManifestTable.read(spark, root, schema).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // A retried AFTER B: A's value for key 2 wins; B's commit is a real
+    // version in history
+    assert(rows.size == 5 && rows(2L) == (("fromA", 111L)) &&
+      rows(5L) == (("new", 5L)), s"bad state: $rows")
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    // time travel shows B's intermediate state
+    val atV1 = ManifestTable.readAt(spark, root, schema, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atV1(2L) == "fromB")
+  }
+
   test("OCC: delete racing a merge retries over the merged state") {
     val root = freshRoot("manifest_occ_delete")
     val m = mapping
