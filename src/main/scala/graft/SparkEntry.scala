@@ -226,7 +226,7 @@ object SparkEntry {
         withMerge = false)),
     "manifest_incr_agg" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_incr_agg",
-        withMerge = false)),
+        withMerge = true)),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
         withMerge = false)),
@@ -568,12 +568,12 @@ object SparkEntry {
       // refresh cost tracks the change rate (the feed itself reads only
       // commit-touched buckets). The result must equal a full recompute
       // over the merged state, which is what the DuckDB oracle states.
-      // Sums go through DECIMAL so incremental addition is exact.
+      // Sums go through DECIMAL so incremental addition is exact. The
+      // MERGE producing the changes is part of the fixture (its cost is
+      // manifest_merge's number); the timed region is the maintenance
+      // itself: bootstrap agg at v0 + feed read + view algebra.
       val root =
-        manifestFixture(s, dir, "manifest_incr_agg", withMerge = false)
-      val m = upsertMapping
-      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
-      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+        manifestFixture(s, dir, "manifest_incr_agg", withMerge = true)
       val cur = graft.store.ManifestTable.currentVersion(s, root).get
       val prep = (df: DataFrame) =>
         df.withColumn("acctbal_d", col("acctbal").cast("decimal(30,2)"))
