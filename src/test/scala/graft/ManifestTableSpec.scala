@@ -310,6 +310,18 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows == Seq(
       Row(1L, "a", 1L, null), // old file: new column reads as null
       Row(2L, "b", 2L, "x")))
+    // the DELTA path evolves the same way: a wider delta lands on top of
+    // the old-schema base and the reconcile reads both under the wider
+    // schema (old files null-fill the new column)
+    ManifestTable.merge(
+      Seq((Seq("1", "a2", "11", "y"), 0L)).toDF("_raw", "_line")
+        .transform(widerMapping.project),
+      2L, widerMapping, root, wider, delta = true)
+    val rows2 = ManifestTable.read(spark, root, wider)
+      .orderBy("id").collect().toSeq
+    assert(rows2 == Seq(
+      Row(1L, "a2", 11L, "y"),
+      Row(2L, "b", 2L, "x")), s"delta evolution broke: $rows2")
   }
 
   test("a crashed attempt's side-dirs stay invisible; vacuum GCs them") {
