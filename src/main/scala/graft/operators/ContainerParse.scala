@@ -32,7 +32,8 @@ object ContainerParse {
       height: Int,
       durationSeconds: Double,
       nSamples: Int,
-      sampleOffsets: Seq[Long])
+      sampleOffsets: Seq[Long],
+      sampleSizes: Seq[Long] = Nil)
 
   /** Sniffs the container by magic and parses accordingly. */
   def parseVideo(payload: Array[Byte]): Option[VideoMeta] =
@@ -134,8 +135,16 @@ object ContainerParse {
         new String(Array(b.get(s + 12), b.get(s + 13), b.get(s + 14),
           b.get(s + 15)), "ISO-8859-1")
       }.getOrElse("")
-      val nSamples = find(b, stS, stE, "stsz")
-        .map { case (s, _) => b.getInt(s + 8) }.getOrElse(0)
+      val (nSamples, sampleSizes) = find(b, stS, stE, "stsz")
+        .map { case (s, _) =>
+          val uniform = b.getInt(s + 4)
+          val n = b.getInt(s + 8)
+          val sizes: Seq[Long] =
+            if (uniform != 0) Seq.fill(n)(uniform.toLong & 0xffffffffL)
+            else (0 until n).map(i =>
+              b.getInt(s + 12 + 4 * i).toLong & 0xffffffffL)
+          (n, sizes)
+        }.getOrElse((0, Nil))
       val offsets: Seq[Long] =
         find(b, stS, stE, "stco").map { case (s, _) =>
           val n = b.getInt(s + 4)
@@ -146,7 +155,7 @@ object ContainerParse {
         }).getOrElse(Nil)
 
       Some(VideoMeta("mp4", codec, width, height, durationSec, nSamples,
-        offsets))
+        offsets, sampleSizes))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------------ MKV

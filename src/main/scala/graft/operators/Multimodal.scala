@@ -393,6 +393,43 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL frame sampling for parseable containers: every `stride`-th
+    * sample with its ACTUAL byte range out of the MP4 sample tables —
+    * exact (offset, size) when the sample↔chunk mapping is 1:1
+    * (stsz count == stco count, the common video layout and what our
+    * fixtures build); chunk-granularity rows with a NULL byte_len
+    * otherwise (offset still real); no rows for unparseable payloads.
+    * This is [[sampleFrames]] with the fixed-size-frame assumption
+    * replaced by the container's own index — the demuxer access pattern,
+    * minus only the codec. */
+  def sampleFramesReal(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("byte_len", LongType)))
+    val encoder = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        ContainerParse.parseVideo(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(m)
+              if m.sampleOffsets.nonEmpty &&
+                m.sampleOffsets.size == m.sampleSizes.size =>
+            (0 until m.sampleOffsets.size by stride).map(i =>
+              Row(id, i, m.sampleOffsets(i), m.sampleSizes(i)))
+          case Some(m) =>
+            (0 until m.sampleOffsets.size by stride).map(i =>
+              Row(id, i, m.sampleOffsets(i), null))
+          case None => Nil
+        }
+      }
+    }(encoder)
+  }
+
   /** Resize plumbing for codec-less formats: recompute metadata for a
     * target size; payload passes through untouched (the stub for the
     * codec's resample call). Pure column expressions — no data movement. */

@@ -275,6 +275,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
   }
 
+  test("sampleFramesReal: exact byte ranges from the MP4 sample tables") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, miniMp4()),
+      (2L, "junk".getBytes)).toDF("media_id", "payload")
+    // fixture: 3 samples, sizes 100/120/80, chunk offsets 1000/2000/3000,
+    // one sample per chunk — stride 2 keeps samples 0 and 2, exactly
+    val out = Multimodal.sampleFramesReal(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((1L, 0, 1000L, 100L), (1L, 2, 3000L, 80L)),
+      s"bad ranges: $out")
+  }
+
   test("corrupt/truncated containers never throw") {
     import graft.operators.ContainerParse
     val good = miniMp4()
