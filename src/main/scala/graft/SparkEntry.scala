@@ -83,6 +83,10 @@ object SparkEntry {
     "foo",
     "")
 
+  /** Shared 30-token banner for the exact-substring dedup query. */
+  private val SubstringBanner =
+    (1 to 30).map(i => s"banner$i").mkString(" ")
+
   // --------------------------------------------------------- upsert fixtures
 
   /** Target state derived from `customer`: rows with custkey%3!=0 exist,
@@ -661,6 +665,21 @@ object SparkEntry {
 
     "curate_corpus" -> ((s, dir) =>
       Curate(t(s, dir, "documents"), minQuality = 0.6, langs = Seq("en"))),
+    "dedup_substrings" -> ((s, dir) => {
+      // Exact-substring dedup: every doc_id%40==0 doc gets the same
+      // 30-token banner prepended — longer than k=10, so its overlapping
+      // duplicate windows must cut it everywhere except the first
+      // occurrence; natural cross-doc repeats in the synthetic corpus
+      // dedup the same way on both sides (the oracle replays the
+      // mechanism by true window text, making the 64-bit window hash
+      // collision-checked too).
+      val d = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 40 === 0,
+            concat(lit(SubstringBanner + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      Curate.dedupSubstrings(d, k = 10)
+    }),
     "revenue_by_region" -> ((s, dir) => {
       // TPC-H Q5-shaped star join: facts shuffle once on the customer
       // key; the nation/region dimensions BROADCAST (explicitly — at
@@ -1602,6 +1621,39 @@ object SparkEntry {
              CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS dsir_score
            FROM gb LEFT JOIN w ON gb.bucket = w.bucket
            GROUP BY gb.doc_id""",
+      "dedup_substrings" ->
+        s"""WITH base AS (SELECT doc_id,
+             CASE WHEN doc_id % 40 = 0 THEN '$SubstringBanner ' || text
+                  ELSE text END AS text
+             FROM documents WHERE doc_id % 20 = 0),
+           t AS (SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS tk
+             FROM base),
+           t2 AS (SELECT * FROM t WHERE len(tk) > 0),
+           wp AS (SELECT doc_id, tk, unnest(range(0,
+               CASE WHEN len(tk) < 10 THEN 1 ELSE len(tk) - 9 END)) AS pos
+             FROM t2),
+           w AS (SELECT doc_id, pos,
+             CASE WHEN len(tk) < 10 THEN array_to_string(tk, ' ')
+                  ELSE array_to_string(list_slice(tk, pos + 1, pos + 10), ' ')
+             END AS w
+             FROM wp),
+           f AS (SELECT w, count(*) AS n,
+               min(doc_id * 1000000 + pos) AS fokey
+             FROM w GROUP BY w),
+           cut0 AS (SELECT w.doc_id, w.pos FROM w JOIN f ON w.w = f.w
+             WHERE f.n > 1 AND (w.doc_id * 1000000 + w.pos) <> f.fokey),
+           cuts AS (SELECT DISTINCT doc_id,
+               pos + unnest(range(0, 10)) AS dp
+             FROM cut0),
+           dps AS (SELECT doc_id, list(dp) AS dps FROM cuts GROUP BY doc_id),
+           o AS (SELECT t2.doc_id,
+             array_to_string(list_filter(t2.tk, (x, i) ->
+               dps.dps IS NULL OR NOT list_contains(dps.dps, i - 1)),
+               ' ') AS text
+             FROM t2 LEFT JOIN dps ON t2.doc_id = dps.doc_id)
+           SELECT doc_id, text FROM o WHERE text <> ''""",
       "dedup_lines" ->
         s"""WITH p AS (SELECT doc_id,
              'SHARED HEADER' || chr(10) || text || chr(10) || 'FOOTER-'

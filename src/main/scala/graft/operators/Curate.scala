@@ -197,6 +197,74 @@ object Curate {
         "\n").as(textCol))
   }
 
+  /** EXACT-SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" mode, window-approximated): any
+    * `k`-token window whose normalized text occurs more than once in the
+    * corpus — across documents OR within one — survives only at its
+    * FIRST occurrence (minimum packed (doc, pos)); every other
+    * occurrence's token span is cut, and overlapping duplicate windows
+    * merge naturally because cutting works per token position. A
+    * duplicated passage LONGER than k is covered by its overlapping
+    * windows, so the whole passage disappears from non-canonical docs
+    * while single shared phrases shorter than k are left alone.
+    *
+    * Operates in NORMALIZED token space (lowercase, punctuation
+    * collapsed — the same normalization the near-dup family uses), which
+    * is the standard working representation for training-data dedup; the
+    * output text is the surviving normalized tokens. Docs cut to nothing
+    * are dropped (same contract as [[dedupLines]]).
+    *
+    * Scale shape: the duplicate-window exchange carries ONLY
+    * (xxhash64(window), packed position) with a map-side partial min —
+    * the text never shuffles to find duplicates; cut positions flow back
+    * as (doc, pos) ints and the rebuild is one aggregate-free projection
+    * over a semi-joined slim frame. Same packing assumption as
+    * [[dedupLines]] (documents under 1M tokens); the 64-bit hash's
+    * collision risk is the oracle's to check (it compares by true window
+    * text). */
+  def dedupSubstrings(
+      docs: DataFrame,
+      k: Int = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window must be positive, got $k")
+    // one split per doc, bound to a column so the window transform
+    // references the attribute instead of re-evaluating the split
+    val toks = docs.select(col(idCol),
+      filter(split(lower(regexp_replace(col(textCol),
+        "[^a-z0-9]+", " ")), " "), t => t =!= "").as("_t"))
+      .filter(size(col("_t")) > 0)
+    // k-gram windows with start positions; short docs fall back to one
+    // whole-doc window (the shingle convention — equal short docs dedup)
+    val wins = toks.select(col(idCol), col("_t"),
+      posexplode(
+        when(size(col("_t")) < k, array(array_join(col("_t"), " ")))
+          .otherwise(transform(
+            sequence(lit(0), size(col("_t")) - k),
+            st => array_join(slice(col("_t"), st + 1, lit(k)), " ")))))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("col")).as("_wh"),
+        (col(idCol).cast("long") * 1000000L + col("pos")).as("_okey"))
+    // slim exchange: (window hash) -> (count, first packed occurrence)
+    val firsts = wins.groupBy(col("_wh").as("_fwh"))
+      .agg(count(lit(1)).as("_n"), min(col("_okey")).as("_fokey"))
+    val cuts = wins
+      .join(firsts, col("_wh") === col("_fwh") && col("_n") > 1 &&
+        col("_okey") =!= col("_fokey"), "inner")
+      .select(col(idCol), explode(
+        sequence(col("pos"), col("pos") + lit(k - 1))).as("_dp"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_dp")).as("_dps"))
+    toks.join(cuts, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(col("_t"),
+          (_, i) => !array_contains(
+            coalesce(col("_dps"), array().cast("array<int>")), i)),
+          " ").as(textCol))
+      .filter(col(textCol) =!= "")
+  }
+
   /** Deterministic mixture sampling to a size budget — drawing a
     * training mix: each source gets `weight(source) × budget` units
     * (tokens, chars, bytes — whatever `sizeCol` counts), filled by its

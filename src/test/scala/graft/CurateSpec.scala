@@ -186,6 +186,64 @@ class CurateSpec extends SparkSpec {
       out.select("text").head.getString(0).startsWith("PAYLOAD-"))
   }
 
+  test("exact-substring dedup cuts duplicated passages, keeps the first") {
+    // doc 1 and doc 2 share an 8-token passage (longer than k=4, so its
+    // overlapping windows cover it fully); doc 3 shares only a 3-token
+    // phrase (shorter than k — untouched); doc 4 repeats a passage
+    // WITHIN itself.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"intro one two $passage outro aaa"),
+      (2L, s"different start here $passage and a different end"),
+      (3L, "nothing shared except alpha beta gamma standing alone xx yy"),
+      (4L, "p q r s t u v w " + "p q r s t u v w " + "tail x y z"))
+      .toDF("doc_id", "text")
+    val out = Curate.dedupSubstrings(docs, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is canonical everywhere: unchanged (normalized space)
+    assert(out(1L) == s"intro one two $passage outro aaa")
+    // doc 2 lost exactly the shared passage
+    assert(out(2L) == "different start here and a different end",
+      s"doc 2: ${out(2L)}")
+    // doc 3 untouched: the shared run is shorter than k
+    assert(out(3L) ==
+      "nothing shared except alpha beta gamma standing alone xx yy")
+    // doc 4's self-repeat survives once
+    assert(out(4L) == "p q r s t u v w tail x y z", s"doc 4: ${out(4L)}")
+    // deterministic under repartition
+    val again = Curate.dedupSubstrings(docs.repartition(7), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
+  test("exact-substring dedup: duplicate-window exchange is slim") {
+    val docs = (1L to 6L).map(i =>
+      (i, ("shared passage common to all docs here " * 3) +
+        s"unique tail $i " + ("PAYLOAD" * 200)))
+      .toDF("doc_id", "text")
+    val out = Curate.dedupSubstrings(docs, k = 5)
+    // the min-aggregate that finds first occurrences must see only the
+    // (hash, packed-pos) pair, never window text or document text
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val aggs = flatten(out.queryExecution.executedPlan).collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if h.aggregateExpressions.exists(_.toString.contains("min")) => h
+    }
+    assert(aggs.nonEmpty, "expected the first-occurrence min aggregate")
+    aggs.foreach { h =>
+      val names = h.child.output.map(_.name)
+      assert(!names.contains("text") && !names.exists(_.contains("_t")),
+        s"duplicate-window exchange must be slim: $names")
+    }
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")
