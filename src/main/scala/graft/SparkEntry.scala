@@ -757,6 +757,14 @@ object SparkEntry {
         .map(i => s"src$i" -> (if (i % 2 == 0) 0.08 else 0.02)).toMap
       Curate.mixtureSample(d, weights, budget = 20000L, salt = "mix1")
     }),
+    "cap_per_source" -> ((s, dir) => {
+      // Per-domain cap: at most 5 docs per source, largest first — the
+      // window ranks a slim (id, source, n_chars) frame; text joins back
+      // by id (same discipline as mixture_sample, plan-asserted there).
+      Curate.capPerKey(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        n = 5)
+    }),
     "hash_split" -> ((s, dir) => {
       // Deterministic 90/10 train/validation split: a doc's fate depends
       // only on md5(doc_id || salt), reproducible in any engine — DuckDB
@@ -1682,6 +1690,12 @@ object SparkEntry {
              WHEN CAST(substring(source, 4) AS INT) >= 18 THEN 0.0
              WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 1600.0
              ELSE 400.0 END""",
+      "cap_per_source" ->
+        s"""WITH r AS (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+             FROM documents)
+           SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 5""",
       "hash_split" -> {
         val cut = f"${(0.9 * 4294967296.0).toLong}%08x"
         s"""SELECT doc_id,

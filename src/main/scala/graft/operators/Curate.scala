@@ -315,6 +315,34 @@ object Curate {
     docs.join(kept, Seq(idCol))
   }
 
+  /** Per-key document cap — the web-corpus staple "at most N pages per
+    * domain / per source", keeping the best ones: rows rank within their
+    * key by `orderBy` descending (ties broken by id ascending, so the
+    * result is deterministic and engine-reproducible) and ranks > n are
+    * dropped. Same scale shape as [[mixtureSample]]: the ranking window
+    * sees only the SLIM (id, key, order) projection — content joins back
+    * by id after the cut, so the text never rides the per-key sort.
+    * Parallelism of the ranking is bounded by key cardinality (domains:
+    * millions — fine; a single hot key degenerates to one sorted
+    * partition of ids, never of content). */
+  def capPerKey(
+      docs: DataFrame,
+      n: Int,
+      keyCol: String = "source",
+      orderCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    val kept = docs
+      .select(col(idCol), col(keyCol), col(orderCol))
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= n)
+      .select(col(idCol), col("_rank").as("rank"))
+    docs.join(kept, Seq(idCol))
+  }
+
   /** Deterministic hash split — how large pipelines take reproducible
     * train/validation/test cuts and downsamples: a row's fate depends
     * only on (id, salt), never on partitioning, row order, or cluster

@@ -244,6 +244,25 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("per-key cap keeps the best n per key, deterministically") {
+    val docs = (1L to 20L).map { i =>
+      (i, if (i <= 12) "big" else "small", (i % 7) * 10L, s"text$i")
+    }.toDF("doc_id", "source", "n_chars", "text")
+    val out = Curate.capPerKey(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.count(_._2 == "big") == 3 &&
+      out.count(_._2 == "small") == 3)
+    // largest n_chars win; ties (i%7 collides) break by LOWEST doc_id
+    val bigIds = out.filter(_._2 == "big").map(_._1)
+    val expectBig = (1L to 12L).sortBy(i => (-(i % 7) * 10L, i)).take(3).toSet
+    assert(bigIds == expectBig, s"got $bigIds want $expectBig")
+    // deterministic under repartition and content is preserved
+    val again = Curate.capPerKey(docs.repartition(5), n = 3)
+    assert(again.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == out)
+    assert(again.columns.contains("text") && again.columns.contains("rank"))
+  }
+
   test("redaction applies inside curation") {
     val docs = Seq(
       (1L, "the contact for the data team is help@example.com and it is fine")
