@@ -997,7 +997,9 @@ object ManifestTable {
   }
 
   /** Deletes everything no longer referenced: data directories absent
-    * from the CURRENT manifest, manifests below it, loser/crashed side
+    * from the RETAINED manifests (the newest `keepLast` committed
+    * versions — the table's time-travel window; default 1 = current
+    * only), manifests below the retained window, loser/crashed side
     * directories, and decided temp manifests. An IN-FLIGHT commit's
     * artifacts — temp manifests AND data/history/stats dirs at versions
     * above current — are kept (one consistent rule), so a writer racing
@@ -1006,14 +1008,29 @@ object ManifestTable {
     * just deleted. Per retired version the side-dir GC runs BEFORE its
     * manifest is dropped, so committedSideDirs' vacuumed-version fallback
     * (accept the survivor) stays sound even across a crash mid-vacuum.
-    * Maintenance only — run when no reader holds an older manifest
-    * (readers resolve the manifest once per query; a reader that resolved
-    * a SUPERSEDED version races vacuum by design — time-travel retention
-    * is the caller's policy). */
-  def vacuum(spark: SparkSession, root: String): Unit =
+    * Maintenance only — run when no reader holds a manifest OLDER than
+    * the retained window (readers resolve the manifest once per query;
+    * `keepLast` IS the retention policy that makes the race benign for
+    * readers within the window). */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit =
     currentManifest(spark, root).foreach { m =>
-      val live: Set[String] =
-        m.entries.map(_.relPath.split("/")(1)).toSet // data/<dir>/_bucket=k
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      val retained: Seq[Manifest] = {
+        val dir = new Path(s"$root/manifest")
+        val fs = fsOf(spark, dir)
+        fs.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .filter { n =>
+            val v = n.stripPrefix("m")
+            n.startsWith("m") && v.nonEmpty && v.forall(_.isDigit)
+          }
+          .map(_.stripPrefix("m").toLong).sorted.takeRight(keepLast)
+          .map(readManifest(spark, root, _))
+      }
+      val keepManifests = retained.map(r => s"m${r.version}").toSet
+      val live: Set[String] = retained
+        .flatMap(_.entries.map(_.relPath.split("/")(1)))
+        .toSet // data/<dir>/_bucket=k
       val dataDir = new Path(s"$root/data")
       val dfs = fsOf(spark, dataDir)
       if (dfs.exists(dataDir))
@@ -1055,11 +1072,12 @@ object ManifestTable {
             }
           }
       }
-      // Then retire old manifests and decided temp files. Temp manifests
-      // at versions ABOVE current belong to in-flight commits — keep.
+      // Then retire manifests below the retained window and decided temp
+      // files. Temp manifests at versions ABOVE current belong to
+      // in-flight commits — keep.
       mfs.listStatus(manDir).foreach { st =>
         val n = st.getPath.getName
-        val keep = n == s"m${m.version}" ||
+        val keep = keepManifests(n) ||
           "^\\.tmp-m(\\d+)".r.findFirstMatchIn(n)
             .exists(_.group(1).toLong > m.version)
         if (!keep) mfs.delete(st.getPath, true)

@@ -784,6 +784,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(mf.entries.groupBy(_.bucket)(bucketOf(3L, 2)).size == 1)
   }
 
+  test("vacuum retention window: keepLast versions stay time-travelable") {
+    val root = freshRoot("manifest_vacuum_retain")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 6L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2, streamId = "A")
+    ManifestTable.merge(m.project(raw((1L, "v1", "11"))), 1L, m, root,
+      schema, streamId = "A")
+    ManifestTable.merge(m.project(raw((1L, "v2", "22"))), 2L, m, root,
+      schema, streamId = "A")
+    ManifestTable.vacuum(spark, root, keepLast = 2)
+    // the retained window reads fine — including the older snapshot,
+    // whose untouched buckets still point into v0's data dirs
+    assert(ManifestTable.readAt(spark, root, schema, 2L)
+      .filter($"id" === 1L).head.getString(1) == "v2")
+    assert(ManifestTable.readAt(spark, root, schema, 1L)
+      .filter($"id" === 1L).head.getString(1) == "v1")
+    assert(ManifestTable.readAt(spark, root, schema, 1L).count() == 6L)
+    // v0 is outside the window: manifest gone, loud failure
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, schema, 0L)
+    }
+    // only v2's bucket-of-1 rewrite became unreferenced; everything the
+    // retained manifests point at survives
+    val liveDirs = Seq(1L, 2L).flatMap(v =>
+      ManifestTable.readManifest(spark, root, v).entries
+        .map(_.relPath.split("/")(1))).toSet
+    val onDisk = new java.io.File(s"$root/data").list().toSet
+    assert(onDisk == liveDirs, s"disk $onDisk vs live $liveDirs")
+  }
+
   test("OCC: racing DELTA merges both land; loser reconciles the " +
       "winner's delta") {
     val root = freshRoot("manifest_occ_delta")
