@@ -77,6 +77,34 @@ object IncrementalAgg {
       .filter(col("n_rows") > 0)
   }
 
+  /** One step of a FOLLOWER loop: advances a maintained view from its
+    * recorded version to the table's current one purely from the feed,
+    * returning the refreshed view and the version it now reflects (the
+    * state to carry into the next poll). No commits since last poll →
+    * the same state comes back untouched (zero work beyond the version
+    * probe). This is the driver loop a periodic refresh job or a
+    * foreachBatch hook runs: poll, refresh, publish. */
+  def refresh(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      state: (DataFrame, Long),
+      prep: DataFrame => DataFrame = identity,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): (DataFrame, Long) = {
+    val (view, seen) = state
+    ManifestTable.currentVersion(spark, root) match {
+      case Some(cur) if cur > seen =>
+        val feed = prep(ManifestTable.changes(spark, root, schema,
+          keyColumn, seen, cur, keyComparator))
+        (applyChanges(view, feed, groupCols, sumCols), cur)
+      case _ => state
+    }
+  }
+
   /** Convenience: bootstrap the view at `fromVersion` and maintain it to
     * `toVersion` purely from the feed — the shape a periodic refresh job
     * runs. `prep` transforms both the snapshot and the feed rows before

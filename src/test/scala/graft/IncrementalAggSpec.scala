@@ -75,6 +75,38 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewOf(maintained) == Set(("a", 1L, 100L), ("b", 2L, 8L)))
   }
 
+  test("follower loop: refresh steps track the table across commits") {
+    val root = "target/test-tmp/incr_agg_follow"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "10"), (2L, "b", "5"))
+      .transform(m.project), 0L, m, root, schema, numBuckets = 2,
+      streamId = "S")
+    // bootstrap at v0
+    var state = (IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, root, schema), Seq("grp"), Seq("v")), 0L)
+    // no new commits: the step is a no-op returning the same state
+    val same = IncrementalAgg.refresh(spark, root, schema, "id",
+      Seq("grp"), Seq("v"), state)
+    assert(same._2 == 0L && (same._1 eq state._1))
+    // two commits land between polls; one refresh catches both up
+    ManifestTable.merge(raw((1L, "a", "100"), (3L, "c", "7"))
+      .transform(m.project), 1L, m, root, schema, streamId = "S",
+      delta = true)
+    ManifestTable.delete(spark, root, schema, "id", Seq(2L), token = 5L)
+    state = IncrementalAgg.refresh(spark, root, schema, "id",
+      Seq("grp"), Seq("v"), state)
+    assert(state._2 == 2L)
+    assert(viewOf(state._1) == Set(("a", 1L, 100L), ("c", 1L, 7L)))
+    // another commit, another step — the carried state keeps tracking
+    ManifestTable.merge(raw((4L, "c", "3")).transform(m.project), 2L, m,
+      root, schema, streamId = "S")
+    state = IncrementalAgg.refresh(spark, root, schema, "id",
+      Seq("grp"), Seq("v"), state)
+    assert(state._2 == 3L)
+    assert(viewOf(state._1) == Set(("a", 1L, 100L), ("c", 2L, 10L)))
+  }
+
   test("NULL group keys and NULL sum values maintain correctly") {
     // fullAgg/applyChanges contract: NULL group is a real group (NULL-safe
     // join), NULL values count 0 toward sums.
