@@ -21,10 +21,11 @@ object ContainerParse {
 
   /** Container-level metadata. `sampleOffsets` are absolute payload
     * offsets: MP4 chunk offsets (stco/co64) of the video track; for MKV,
-    * the Segment-relative offsets of Cluster elements (the unit a frame
-    * sampler seeks to). `nSamples` is the MP4 stsz sample count (a frame
-    * count for one-sample-per-frame video tracks); 0 for MKV, whose
-    * per-frame index would need Cues/Block parsing. */
+    * the Cues seek index's cluster positions (rebased from
+    * Segment-relative to absolute), falling back to top-level Cluster
+    * element offsets for files written without Cues. `nSamples` is the
+    * MP4 stsz sample count (a frame count for one-sample-per-frame video
+    * tracks) or the MKV cue-point count; 0 for Cues-less MKV. */
   final case class VideoMeta(
       container: String,
       codec: String,
@@ -227,6 +228,11 @@ object ContainerParse {
   private val PixelWidth = 0xB0L
   private val PixelHeight = 0xBAL
   private val Cluster = 0x1F43B675L
+  private val Cues = 0x1C53BB6BL
+  private val CuePoint = 0xBBL
+  private val CueTime = 0xB3L
+  private val CueTrackPositions = 0xB7L
+  private val CueClusterPosition = 0xF1L
 
   def parseMkv(payload: Array[Byte]): Option[VideoMeta] =
     try {
@@ -275,8 +281,33 @@ object ContainerParse {
           }
         }
       if (width == 0 && height == 0 && codec.isEmpty) return None
-      val clusters = seg.collect {
-        case (id, s, _) if id == Cluster => s.toLong }
-      Some(VideoMeta("mkv", codec, width, height, durationSec, 0, clusters))
+      // Prefer the Cues seek index (CueClusterPosition is relative to the
+      // Segment payload start — rebase to absolute offsets, same space as
+      // MP4's stco); fall back to top-level Cluster element offsets for
+      // files written without Cues.
+      val cues: Seq[(Long, Long)] = seg
+        .collectFirst { case (id, s, e) if id == Cues => (s, e) }
+        .map { case (s, e) =>
+          ebmlChildren(payload, s, e).collect {
+            case (CuePoint, ps, pe) =>
+              val kids = ebmlChildren(payload, ps, pe)
+              val time = kids.collectFirst {
+                case (CueTime, cs, ce) => ebmlUint(payload, cs, ce) }
+              val cpos = kids.flatMap {
+                case (CueTrackPositions, ts, te) =>
+                  ebmlChildren(payload, ts, te).collectFirst {
+                    case (CueClusterPosition, cs, ce) =>
+                      segS + ebmlUint(payload, cs, ce)
+                  }
+                case _ => None
+              }.headOption
+              (time, cpos)
+          }.collect { case (Some(t), Some(p)) => (t, p) }
+        }.getOrElse(Nil)
+      val offsets: Seq[Long] =
+        if (cues.nonEmpty) cues.map(_._2)
+        else seg.collect { case (id, s, _) if id == Cluster => s.toLong }
+      Some(VideoMeta("mkv", codec, width, height, durationSec,
+        cues.size, offsets))
     } catch { case scala.util.control.NonFatal(_) => None }
 }

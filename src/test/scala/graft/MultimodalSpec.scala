@@ -214,8 +214,8 @@ class MultimodalSpec extends SparkSpec {
 
   /** Hand-built minimal MKV: EBML header + Segment(Info(TimestampScale,
     * Duration), Tracks(TrackEntry(video, V_MPEG4/ISO/AVC, 1280×720)),
-    * two Clusters). */
-  private def miniMkv(): Array[Byte] = {
+    * optional Cues(two CuePoints), two Clusters). */
+  private def miniMkv(withCues: Boolean = false): Array[Byte] = {
     val header = ebml(id(0x1a, 0x45, 0xdf, 0xa3), Array[Byte]())
     val info = ebml(id(0x15, 0x49, 0xa9, 0x66),
       ebml(id(0x2a, 0xd7, 0xb1), be32(1000000).drop(1)), // 3-byte uint
@@ -228,10 +228,17 @@ class MultimodalSpec extends SparkSpec {
       ebml(id(0x86), "V_MPEG4/ISO/AVC".getBytes("UTF-8")),
       video)
     val tracks = ebml(id(0x16, 0x54, 0xae, 0x6b), trackEntry)
+    def cue(timeMs: Int, clusterPos: Int) = ebml(id(0xbb),
+      ebml(id(0xb3), be16(timeMs)),
+      ebml(id(0xb7), ebml(id(0xf1), be16(clusterPos))))
+    val cues = ebml(id(0x1c, 0x53, 0xbb, 0x6b), cue(0, 100), cue(750, 200))
     val cluster1 = ebml(id(0x1f, 0x43, 0xb6, 0x75), Array.fill(4)(1.toByte))
     val cluster2 = ebml(id(0x1f, 0x43, 0xb6, 0x75), Array.fill(4)(2.toByte))
-    val segment = ebml(id(0x18, 0x53, 0x80, 0x67),
-      info, tracks, cluster1, cluster2)
+    val segment =
+      if (withCues) ebml(id(0x18, 0x53, 0x80, 0x67),
+        info, tracks, cues, cluster1, cluster2)
+      else ebml(id(0x18, 0x53, 0x80, 0x67),
+        info, tracks, cluster1, cluster2)
     header ++ segment
   }
 
@@ -251,8 +258,22 @@ class MultimodalSpec extends SparkSpec {
     assert(m.container == "mkv" && m.codec == "V_MPEG4/ISO/AVC")
     assert(m.width == 1280 && m.height == 720)
     assert(math.abs(m.durationSeconds - 1.5) < 1e-9)
-    assert(m.sampleOffsets.size == 2,
-      s"expected two cluster offsets, got ${m.sampleOffsets}")
+    assert(m.nSamples == 0 && m.sampleOffsets.size == 2,
+      s"expected two fallback cluster offsets, got ${m.sampleOffsets}")
+  }
+
+  test("MKV Cues parsing: the seek index wins over cluster fallback") {
+    import graft.operators.ContainerParse
+    val bytes = miniMkv(withCues = true)
+    val m = ContainerParse.parseVideo(bytes).get
+    // CueClusterPosition is Segment-relative; the writer's Segment
+    // payload starts right after the EBML header (7 bytes) plus the
+    // Segment id (4) + size (3)
+    val segStart = (ebml(id(0x1a, 0x45, 0xdf, 0xa3),
+      Array[Byte]()).length + 7).toLong
+    assert(m.nSamples == 2, s"expected two cue points, got $m")
+    assert(m.sampleOffsets == Seq(segStart + 100, segStart + 200),
+      s"cues must rebase to absolute offsets: ${m.sampleOffsets}")
   }
 
   test("extractVideoMeta: batched Spark surface, nulls for junk") {
