@@ -1101,14 +1101,14 @@ object SparkEntry {
       val e = events(s, dir)
       val bytes = e.agg(
         expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
       val exact = e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("exact_count"))
       val types = exact.select("event_type").collect().map(_.getString(0))
       val estCol = element_at(
-        map(types.flatMap(ty =>
+        map(types.toIndexedSeq.flatMap(ty =>
           Seq(lit(ty), lit(cms.estimateCount(ty)))): _*),
         col("event_type"))
       val slack = lit(math.ceil(0.001 * cms.totalCount).toLong)

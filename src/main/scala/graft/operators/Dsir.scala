@@ -54,8 +54,8 @@ object Dsir {
     // gram totals: scalar aggs (bounded collect of one row each);
     // coalesce so an EMPTY corpus (sum = NULL) degrades to the smoothed
     // uniform model instead of throwing
-    val tTot = t.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
-    val bTot = b.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val tTot = t.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val bTot = b.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     t.withColumnRenamed("c", "tc")
       .join(b.withColumnRenamed("c", "bc"), Seq("bucket"), "full_outer")
       .select(col("bucket"),

@@ -182,7 +182,7 @@ object Similarity {
     while (t <= rounds) {
       val d = lit(1.0) - maxCosine(col("embedding"), cents)
       val d2 = d * d
-      val total = corpus.agg(sum(d2)).head.getDouble(0)
+      val total = corpus.agg(sum(d2)).head().getDouble(0)
       if (total > 0.0) {
         // deterministic uniform in [0,1): top 53 bits of xxhash64
         val u = shiftrightunsigned(

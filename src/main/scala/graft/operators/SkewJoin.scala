@@ -27,7 +27,7 @@ object SkewJoin {
     val bigCols = big.columns
     val bigSalted = big.withColumn(
       "_salt",
-      pmod(xxhash64(bigCols.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(bigCols.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val smallReplicated = small.withColumn(
       "_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted
