@@ -630,9 +630,14 @@ object ManifestTable {
     * manifest at or below the current version AND the dir is the one the
     * WINNING attempt wrote (`v<N>-<sideId>`; format-1/2 manifests match
     * the old unsuffixed `v<N>` names) — so a crashed or racing loser's
-    * leftovers are invisible. For versions whose manifest was vacuumed,
-    * the surviving dir is accepted: vacuum GCs mismatched dirs BEFORE
-    * dropping a version's manifest, so at most the winner's survives. */
+    * leftovers are invisible. Among a version's committed dirs the
+    * HIGHEST REVISION wins (`-r<k>` suffix — [[redactHistory]] rewrites
+    * produce them; rev 0 is the original), so a completed redaction
+    * supersedes the original even before vacuum GCs it, and a torn
+    * redaction (no _SUCCESS) is never resolved. For versions whose
+    * manifest was vacuumed, the surviving dir is accepted: vacuum GCs
+    * mismatched dirs BEFORE dropping a version's manifest, so at most
+    * the winner's revisions survive. */
   private def committedSideDirs(
       spark: SparkSession, root: String, kind: String): Seq[String] =
     currentVersion(spark, root) match {
@@ -645,8 +650,9 @@ object ManifestTable {
           val mfs = fsOf(spark, new Path(s"$root/manifest"))
           fs.listStatus(dir).toSeq
             .map(_.getPath.getName)
-            .flatMap(n => parseSideDirName(n).map { case (v, a) => (v, a, n) })
-            .filter { case (v, a, n) =>
+            .flatMap(n => parseSideDirName(n).map {
+              case (v, a, r) => (v, a, r, n) })
+            .filter { case (v, a, _, n) =>
               v <= cur &&
               fs.exists(new Path(s"$root/$kind/$n/_SUCCESS")) && {
                 val mp = new Path(s"$root/manifest/m$v")
@@ -654,31 +660,88 @@ object ManifestTable {
                 else readManifest(spark, root, v).sideId == a
               }
             }
+            .groupBy(_._1).toSeq
+            .map { case (v, cands) => (v, cands.maxBy(_._3)._4) }
             .sortBy(_._1)
-            .map { case (_, _, n) => s"$root/$kind/$n" }
+            .map { case (_, n) => s"$root/$kind/$n" }
         }
     }
 
-  /** `v<digits>` or `v<digits>-<attempt>` → (version, attempt);
-    * format-1/2 unsuffixed names parse with an empty attempt. */
-  private def parseSideDirName(n: String): Option[(Long, String)] =
+  /** `v<digits>`, `v<digits>-<attempt>` or `v<digits>-<attempt>-r<rev>`
+    * → (version, attempt, revision); format-1/2 unsuffixed names parse
+    * with an empty attempt, originals with revision 0 (attempt ids are
+    * hex — they never contain '-'). */
+  private def parseSideDirName(n: String): Option[(Long, String, Int)] =
     if (!n.startsWith("v")) None
     else {
       val (digits, suffix) = n.stripPrefix("v").span(_.isDigit)
       if (digits.isEmpty) None
-      else if (suffix.isEmpty) Some((digits.toLong, ""))
-      else if (suffix.startsWith("-") && suffix.length > 1)
-        Some((digits.toLong, suffix.drop(1)))
-      else None
+      else if (suffix.isEmpty) Some((digits.toLong, "", 0))
+      else if (suffix.startsWith("-") && suffix.length > 1) {
+        def isRev(s: String) = s.startsWith("r") &&
+          s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit)
+        suffix.drop(1).split("-", -1) match {
+          // attempt ids are hex-only, so a lone `r<digits>` segment is a
+          // REVISION of a format-1/2 unsuffixed original, not an attempt
+          case Array(r) if isRev(r) =>
+            Some((digits.toLong, "", r.drop(1).toInt))
+          case Array(a) => Some((digits.toLong, a, 0))
+          case Array(a, r) if isRev(r) =>
+            Some((digits.toLong, a, r.drop(1).toInt))
+          case _ => None
+        }
+      } else None
     }
 
   /** All committed keep_history rows across versions (empty frame when
     * none). Survives `vacuum` — history records facts, not superseded
-    * state. */
+    * state; [[redactHistory]] is the targeted way to reach it. */
   def historyOf(spark: SparkSession, root: String): DataFrame = {
     val dirs = committedSideDirs(spark, root, "history")
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs: _*)
+  }
+
+  /** GDPR-style erasure for the HISTORY side-channel: [[delete]] removes
+    * a key's live rows, but its old values survive in keep_history rows —
+    * this removes those too. Every committed history dir containing a
+    * matching key is rewritten WITHOUT those rows as the dir's next
+    * REVISION (`...-r<k+1>`, same version + winning attempt id), then the
+    * superseded revision is deleted; dirs without matches are untouched
+    * (cost tracks where the key actually appears). Readers resolve the
+    * highest committed revision, so a crash between the revision write
+    * and the old dir's delete leaves both visible-consistent (the new one
+    * wins) and `vacuum` GCs the leftover; a torn revision write (no
+    * _SUCCESS) is invisible and vacuumed. Idempotent: a re-run finds no
+    * matching rows and rewrites nothing. Returns the number of dirs
+    * rewritten. NULL keys never match (same semantics as [[delete]]). */
+  def redactHistory(
+      spark: SparkSession,
+      root: String,
+      keyColumn: String,
+      keys: Seq[Any],
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Int = {
+    require(keys.nonEmpty, "redactHistory needs at least one key")
+    val dirs = committedSideDirs(spark, root, "history")
+    var rewritten = 0
+    dirs.foreach { d =>
+      val df = spark.read.parquet(d)
+      val matches = coalesce(
+        keyComparator(col(keyColumn)).isin(
+          keys.map(k => keyComparator(lit(k))): _*),
+        lit(false))
+      if (df.filter(matches).limit(1).count() > 0) {
+        val name = d.substring(d.lastIndexOf('/') + 1)
+        val (v, a, r) = parseSideDirName(name).get
+        val next =
+          s"$root/history/v$v${if (a.isEmpty) "" else s"-$a"}-r${r + 1}"
+        df.filter(!matches).write.mode("overwrite").parquet(next)
+        fsOf(spark, new Path(d)).delete(new Path(d), true)
+        rewritten += 1
+      }
+    }
+    rewritten
   }
 
   /** All committed per-merge import stats (one row per recorded version;
@@ -1041,7 +1104,7 @@ object ManifestTable {
           // manifest pointing at vacuumed data — silent loss. Unparseable
           // names are kept too (unknown ≠ garbage).
           val inFlight = parseSideDirName(st.getPath.getName) match {
-            case Some((v, _)) => v > m.version
+            case Some((v, _, _)) => v > m.version
             case None => true
           }
           if (!live(st.getPath.getName) && !inFlight)
@@ -1062,15 +1125,28 @@ object ManifestTable {
       Seq("history", "stats").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
-        if (kfs.exists(kd))
-          kfs.listStatus(kd).foreach { st =>
-            parseSideDirName(st.getPath.getName).foreach { case (v, _) =>
-              sideIdOf.get(v).foreach { s =>
-                val want = if (s.isEmpty) s"v$v" else s"v$v-$s"
-                if (st.getPath.getName != want) kfs.delete(st.getPath, true)
-              }
+        if (kfs.exists(kd)) {
+          val names = kfs.listStatus(kd).toSeq.map(_.getPath.getName)
+          // Per version: keep exactly the dir readers resolve — the
+          // winning attempt's HIGHEST _SUCCESS revision (a completed
+          // redaction supersedes the original; a torn one is garbage).
+          val keep: Set[String] = names
+            .flatMap(n => parseSideDirName(n).map {
+              case (v, a, r) => (v, a, r, n) })
+            .filter { case (v, a, _, n) =>
+              sideIdOf.get(v).contains(a) &&
+                kfs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
+            }
+            .groupBy(_._1).values.map(_.maxBy(_._3)._4).toSet
+          names.foreach { n =>
+            parseSideDirName(n).foreach { case (v, _, _) =>
+              // versions with no manifest left alone (in-flight above
+              // current, or manifest vacuumed in an earlier pass)
+              if (sideIdOf.contains(v) && !keep(n))
+                kfs.delete(new Path(s"$root/$kind/$n"), true)
             }
           }
+        }
       }
       // Then retire manifests below the retained window and decided temp
       // files. Temp manifests at versions ABOVE current belong to

@@ -784,6 +784,53 @@ class ManifestTableSpec extends SparkSpec {
     assert(mf.entries.groupBy(_.bucket)(bucketOf(3L, 2)).size == 1)
   }
 
+  test("history redaction: GDPR erasure reaches the keep_history rows") {
+    val root = freshRoot("manifest_redact")
+    val m = {
+      val mm = new Mapping()
+      mm.auto("id"); mm.auto("name")
+      mm.auto("score", opts = graft.mapping.ColOpts(keepHistory = true))
+      mm.complete(schema)
+      mm
+    }
+    ManifestTable.merge(
+      m.project(raw((1L, "a", "1"), (2L, "b", "2"), (3L, "c", "3"))),
+      0L, m, root, schema, numBuckets = 2, streamId = "A")
+    // two updating merges → two history dirs, both holding id 1 and 2
+    ManifestTable.merge(m.project(raw((1L, "a", "10"), (2L, "b", "20"))),
+      1L, m, root, schema, streamId = "A")
+    ManifestTable.merge(m.project(raw((1L, "a", "100"), (2L, "b", "200"))),
+      2L, m, root, schema, streamId = "A")
+    def historyIds() = ManifestTable.historyOf(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(historyIds() == Seq(1L, 1L, 2L, 2L))
+
+    // live delete removes the row; history still remembers — that's the
+    // gap redactHistory closes
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), token = 7L)
+    assert(historyIds() == Seq(1L, 1L, 2L, 2L))
+    assert(ManifestTable.redactHistory(spark, root, "id", Seq(1L)) == 2)
+    assert(historyIds() == Seq(2L, 2L),
+      "id 1 must be gone from every history dir")
+    // idempotent: nothing left to rewrite
+    assert(ManifestTable.redactHistory(spark, root, "id", Seq(1L)) == 0)
+
+    // a TORN redaction (no _SUCCESS) is invisible to readers and GC'd
+    val torn = new java.io.File(s"$root/history")
+      .list().filter(_.startsWith("v1")).head
+    val tornNext = s"$root/history/${torn.split("-r")(0)}-r9"
+    new java.io.File(tornNext).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tornNext/part-junk.parquet"), "garbage")
+    assert(historyIds() == Seq(2L, 2L))
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(tornNext).exists(),
+      "vacuum must GC the torn redaction revision")
+    assert(historyIds() == Seq(2L, 2L))
+    // and the live table still reads in full after all maintenance
+    assert(ManifestTable.read(spark, root, schema).count() == 2L)
+  }
+
   test("vacuum retention window: keepLast versions stay time-travelable") {
     val root = freshRoot("manifest_vacuum_retain")
     val m = mapping
