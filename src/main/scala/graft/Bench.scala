@@ -40,7 +40,15 @@ object Bench {
       System.err.println(s"[bench] warmup entry failed: ${e.getMessage}") }
 
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to the named queries — for
+    // iterating on one regression without paying the full 82-query run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.map { case (name, fn) =>
       val setup = SparkEntry.benchSetups.get(name)
       val runs = (1 to reps).map { _ =>
         try setup.foreach(f => f(spark, sfDir))

@@ -89,18 +89,31 @@ object GraftExtensions {
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "l2_normalize" -> (es => L2Normalize(es.head)))
 
+  /** The table functions take LITERAL arguments only (they run at plan
+    * time). A non-foldable argument (a column reference, a subquery)
+    * must fail as a usage error, not surface as an opaque NPE from
+    * eval(null) mid-analysis. */
+  private def foldableArg(e: Expression, what: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal, got non-foldable: ${e.sql}")
+    e.eval(null)
+  }
+
   private def strArg(e: Expression, what: String): String =
-    e.eval(null) match {
+    foldableArg(e, what) match {
       case null => throw new IllegalArgumentException(s"$what must not be null")
-      case v => v.toString
+      case v: org.apache.spark.unsafe.types.UTF8String => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got ${e.dataType.sql}: $other")
     }
 
-  private def longArg(e: Expression): Long =
-    e.eval(null) match {
+  private def longArg(e: Expression, what: String): Long =
+    foldableArg(e, what) match {
       case i: Int => i.toLong
       case l: Long => l
       case other => throw new IllegalArgumentException(
-        s"expected integer literal, got $other")
+        s"$what must be an integer literal, got " +
+          s"${e.dataType.sql}: ${String.valueOf(other)}")
     }
 
   /** Table functions over [[graft.store.ManifestTable]]: each builder
@@ -124,7 +137,7 @@ object GraftExtensions {
       graft.store.ManifestTable.readAt(spark, strArg(es(0), "root"),
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")),
-          longArg(es(2)))
+          longArg(es(2), "version"))
         .queryExecution.analyzed
     }),
     "graft_changes" -> (es => {
@@ -134,7 +147,8 @@ object GraftExtensions {
       graft.store.ManifestTable.changes(spark, strArg(es(0), "root"),
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")),
-          strArg(es(2), "key column"), longArg(es(3)), longArg(es(4)))
+          strArg(es(2), "key column"), longArg(es(3), "fromVersion"),
+          longArg(es(4), "toVersion"))
         .queryExecution.analyzed
     }))
 

@@ -137,9 +137,20 @@ object ContainerParse {
           b.get(s + 15)), "ISO-8859-1")
       }.getOrElse("")
       val (nSamples, sampleSizes) = find(b, stS, stE, "stsz")
-        .map { case (s, _) =>
+        .map { case (s, e) =>
           val uniform = b.getInt(s + 4)
           val n = b.getInt(s + 8)
+          // n is payload-controlled: bound it BEFORE materializing. A
+          // malformed uniform-size box declaring n ≈ Int.MaxValue would
+          // otherwise drive a multi-GB Seq.fill — and OutOfMemoryError
+          // is not NonFatal, so it would kill the executor instead of
+          // failing this row. Non-uniform: the box must physically hold
+          // its 4-byte-per-sample table. Uniform: every sample occupies
+          // ≥ 1 byte of this very file, so n can never exceed its size.
+          val bound =
+            if (uniform != 0) b.capacity().toLong else (e - s - 12L) / 4
+          if (n < 0 || n > bound)
+            throw new IllegalArgumentException(s"stsz declares $n samples")
           val sizes: Seq[Long] =
             if (uniform != 0) Seq.fill(n)(uniform.toLong & 0xffffffffL)
             else (0 until n).map(i =>

@@ -248,20 +248,28 @@ object Curate {
     // slim exchange: (window hash) -> (count, first packed occurrence)
     val firsts = wins.groupBy(col("_wh").as("_fwh"))
       .agg(count(lit(1)).as("_n"), min(col("_okey")).as("_fokey"))
+    // cut SPANS per doc (start-sorted), not exploded positions: the
+    // aggregate exchanges one struct per duplicated window instead of k
+    // rows per window, and the rebuild below walks tokens+spans once —
+    // the per-token array_contains HOF this replaces rescanned the cut
+    // set for every token: quadratic on a long mostly-duplicated doc
+    // (the boilerplate-heavy case this operator exists for).
     val cuts = wins
       .join(firsts, col("_wh") === col("_fwh") && col("_n") > 1 &&
         col("_okey") =!= col("_fokey"), "inner")
-      .select(col(idCol), explode(
-        sequence(col("pos"), col("pos") + lit(k - 1))).as("_dp"))
-      .distinct()
+      .select(col(idCol),
+        struct(col("pos").as("s"), (col("pos") + lit(k - 1)).as("e"))
+          .as("_span"))
       .groupBy(col(idCol))
-      .agg(collect_set(col("_dp")).as("_dps"))
+      .agg(array_sort(collect_set(col("_span"))).as("_spans"))
+    val B = org.apache.spark.sql.graft.Bridge
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
     toks.join(cuts, Seq(idCol), "left")
       .select(col(idCol),
-        array_join(filter(col("_t"),
-          (_, i) => !array_contains(
-            coalesce(col("_dps"), array().cast("array<int>")), i)),
-          " ").as(textCol))
+        B.column(DropSpans(
+          B.expression(col("_t")),
+          B.expression(coalesce(col("_spans"), emptySpans))))
+          .as(textCol))
       .filter(col(textCol) =!= "")
   }
 

@@ -117,7 +117,9 @@ object ManifestTable {
       lastBatches: Map[String, Long] = Map.empty,
       lastDelete: Option[Long] = None,
       sideId: String = "",
-      keyColumn: String = "")
+      keyColumn: String = "",
+      keyExpr: String = "",
+      lastCompact: Option[Long] = None)
 
   private val BucketCol = "_bucket"
 
@@ -161,9 +163,16 @@ object ManifestTable {
     * \t keyColumn` where lastBatches is comma-joined `enc(streamId):
     * batchId` pairs (URL-encoding never emits ':' or ','); formats ≤3
     * carried a single `lastBatchStream \t lastBatchId` token instead.
-    * Then one tab-separated entry per live FILE (format 4 appends the
-    * writing version `seq`; a bucket may have several entries) with
-    * URL-encoded key stats (keys may contain tabs/newlines). */
+    * Format 5 appends `\t enc(keyExpr) \t lastCompact`: `keyExpr` is the
+    * SQL of the writing mapping's comparator applied to the key column
+    * (empty = identity), so readers reconcile delta files in NORMALIZED
+    * key space without being handed the comparator function;
+    * `lastCompact` is [[compact]]'s own replay token — separate from
+    * `lastDelete` so an automated compaction token can never collide
+    * with (and silently swallow) a user's delete token. Then one tab-separated entry
+    * per live FILE (format 4+ appends the writing version `seq`; a
+    * bucket may have several entries) with URL-encoded key stats (keys
+    * may contain tabs/newlines). */
   def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
     val p = new Path(s"$root/manifest/m$version")
     val fs = fsOf(spark, p)
@@ -177,6 +186,7 @@ object ManifestTable {
     // earlier code aren't bricked by the upgrade; writes always produce
     // format 4 (per-stream batch tokens).
     val format = lines.head match {
+      case "graft-manifest 5" => 5
       case "graft-manifest 4" => 4
       case "graft-manifest 3" => 3
       case "graft-manifest 2" => 2
@@ -203,13 +213,17 @@ object ManifestTable {
         val ld = if (h.length < 4 || h(3).isEmpty) None else Some(h(3).toLong)
         (lb, ld, if (h.length < 5) "" else h(4), "")
       }
+    val keyExpr = if (format >= 5) dec(h(5)) else ""
+    val lastCompact =
+      if (format >= 5 && h.length > 6 && h(6).nonEmpty) Some(h(6).toLong)
+      else None
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
         if (f.length > 5) f(5).toLong else 0L)
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
-      keyColumn)
+      keyColumn, keyExpr, lastCompact)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -261,6 +275,57 @@ object ManifestTable {
     spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
+  /** Renders `keyComparator(col(keyColumn))` as re-parseable SQL for the
+    * manifest's `keyExpr` field: Some("") for the identity comparator,
+    * Some(sql) when the comparator is a built-in expression tree that
+    * parses back, None when it cannot be recorded (a Scala-UDF
+    * comparator's SQL would not round-trip). The recorded SQL is what
+    * lets a bare `read()`/`readAt()`/SQL table function reconcile delta
+    * files in NORMALIZED key space without being handed the comparator
+    * function — a raw-key reconcile is unsound when raw keys differ
+    * under a normalizing comparator (an update's delta row carries the
+    * SOURCE raw key, so the stale base row would survive the anti-join
+    * AND the delta row would too: duplicate normalized keys). */
+  private def comparatorSql(
+      df: DataFrame,
+      keyColumn: String,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ScalaUDF}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val probe = df.limit(0)
+    def analyzed(c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      probe.select(c).queryExecution.analyzed match {
+        case Project(Seq(a: Alias), _) => a.child
+        case Project(Seq(e), _) => e
+        case other => throw new IllegalStateException(
+          s"unexpected probe plan: $other")
+      }
+    scala.util.Try {
+      analyzed(keyComparator(col(keyColumn))) match {
+        case a: AttributeReference if a.name == keyColumn => ""
+        case e =>
+          require(e.deterministic && !e.exists(_.isInstanceOf[ScalaUDF]),
+            "comparator has no recordable SQL form")
+          val sql = e.sql
+          // Round-trip NOW: recording SQL that fails to parse or
+          // re-resolve would brick every delta read of this table.
+          probe.select(org.apache.spark.sql.functions.expr(sql))
+            .queryExecution.analyzed
+          sql
+      }
+    }.toOption
+  }
+
+  /** The reconcile-key normalizer a manifest records: parses `keyExpr`
+    * back to a column (resolved by name against whichever frame it is
+    * applied to), or identity when none was recorded. */
+  private def recordedKey(m: Manifest)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (m.keyExpr.isEmpty) identity
+    else _ => org.apache.spark.sql.functions.expr(m.keyExpr)
+
   /** Reads `entries` reconciled to the LIVE row per key: buckets with a
     * single file scan directly (zero overhead — the all-compacted fast
     * path is a plain parquet union, the same plan as before deltas
@@ -273,12 +338,13 @@ object ManifestTable {
     * per-key max_by aggregate here would sort-shuffle the entire touched
     * fragment instead. NULL-keyed rows (create-bootstrap only — a merge
     * never writes them, so every delta row has a key) survive naturally:
-    * a NULL key matches nothing in an anti-join. The reconcile key
-    * defaults to the raw key column, which is exact because the upsert
-    * keeps the table unique per NORMALIZED key and an update's delta row
-    * carries the target's original raw key — pass the
-    * comparator-normalized key when you have the comparator (lookup
-    * does). */
+    * a NULL key matches nothing in an anti-join. The reconcile must run
+    * in NORMALIZED key space whenever the table's comparator is not
+    * identity (an update's delta row carries the source's RAW key, which
+    * may differ from the base row's raw key under e.g. a trim/lower
+    * comparator): read paths pass the manifest-recorded `keyExpr`
+    * normalizer ([[recordedKey]]), callers holding the mapping pass its
+    * comparator directly. */
   private def reconciledRead(
       spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -339,7 +405,8 @@ object ManifestTable {
       manifest: Option[Manifest]): DataFrame =
     manifest match {
       case Some(m) if m.entries.nonEmpty =>
-        reconciledRead(spark, root, schema, m.entries, m.keyColumn)
+        reconciledRead(spark, root, schema, m.entries, m.keyColumn,
+          recordedKey(m))
       case _ => emptyFrame(spark, schema)
     }
 
@@ -350,14 +417,16 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 4" +:
+    val body = (s"graft-manifest 5" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
           .map { case (s, b) => s"${enc(s)}:$b" }.mkString(","),
         m.lastDelete.map(_.toString).getOrElse(""),
         m.sideId,
-        enc(m.keyColumn)).mkString("\t") +:
+        enc(m.keyColumn),
+        enc(m.keyExpr),
+        m.lastCompact.map(_.toString).getOrElse("")).mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}\t${e.seq}"))
       .mkString("", "\n", "\n")
@@ -461,7 +530,9 @@ object ManifestTable {
       numBuckets, keyComparator)
     if (!tryCommitManifest(spark, root,
         Manifest(0L, numBuckets, entries, sideId = attempt,
-          keyColumn = keyColumn))) {
+          keyColumn = keyColumn,
+          keyExpr = comparatorSql(df, keyColumn, keyComparator)
+            .getOrElse("")))) {
       cleanupAttempt(spark, root, 0L, attempt)
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $root")
@@ -510,6 +581,15 @@ object ManifestTable {
       streamId: String = "",
       delta: Boolean = false): Seq[FileEntry] = {
     val spark = projected.sparkSession
+    // Record the comparator as SQL so bare reads reconcile deltas in
+    // normalized-key space; a delta merge REQUIRES it (otherwise a later
+    // read() would silently return duplicate keys — see comparatorSql).
+    val keyExprRec =
+      comparatorSql(projected, mapping.keyColumnName, mapping.keyComparator)
+    if (delta) require(keyExprRec.isDefined,
+      "merge(delta = true) needs a key comparator expressible as SQL " +
+        "(built-in expressions only — a UDF comparator cannot be recorded " +
+        "in the manifest for readers to reconcile delta files with)")
     while (true) {
       val prior = currentManifest(spark, root)
       if (prior.exists(_.lastBatches.get(streamId).contains(batchId)))
@@ -608,7 +688,10 @@ object ManifestTable {
                 prior.map(_.lastBatches).getOrElse(Map.empty) +
                   (streamId -> batchId),
                 prior.flatMap(_.lastDelete),
-                attempt, key)))
+                attempt, key,
+                keyExprRec.getOrElse(
+                  prior.map(_.keyExpr).getOrElse("")),
+                prior.flatMap(_.lastCompact))))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -799,7 +882,7 @@ object ManifestTable {
         })
         if (hit.isEmpty) emptyFrame(spark, schema)
         else reconciledRead(spark, root, schema, hit, keyColumn,
-            keyComparator)
+            if (m.keyExpr.nonEmpty) recordedKey(m) else keyComparator)
           .filter(keyComparator(col(keyColumn)).isin(
             keys.map(k => keyComparator(lit(k))): _*))
       case _ => emptyFrame(spark, schema)
@@ -841,16 +924,20 @@ object ManifestTable {
       if (touchedEntries.isEmpty) {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             prior.entries, prior.lastBatches, Some(token), attempt,
-            prior.keyColumn)))
+            prior.keyColumn, prior.keyExpr, prior.lastCompact)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
         // NULL key, and a bare `!NULL` filter would silently DROP
         // null-keyed rows that happen to share a bucket with a deleted key.
-        // The fragment read reconciles delta files first, so a rewritten
-        // bucket comes out compacted as a side effect.
+        // The fragment read reconciles delta files first (on the
+        // manifest-recorded normalizer when one exists — the caller's
+        // comparator may be the identity default on a comparator-keyed
+        // table), so a rewritten bucket comes out compacted as a side
+        // effect.
         val fragment = reconciledRead(spark, root, schema, touchedEntries,
-            keyColumn, keyComparator)
+            keyColumn,
+            if (prior.keyExpr.nonEmpty) recordedKey(prior) else keyComparator)
           .filter(!coalesce(
             keyComparator(col(keyColumn)).isin(
               keys.map(k => keyComparator(lit(k))): _*),
@@ -861,7 +948,7 @@ object ManifestTable {
           keyComparator, seq = version)
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, prior.lastBatches, Some(token), attempt,
-            keyColumn)))
+            keyColumn, prior.keyExpr, prior.lastCompact)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -901,7 +988,8 @@ object ManifestTable {
       val written = writeBuckets(all, bucket, keyColumn, root,
         s"v$version-$attempt", newNumBuckets, keyComparator, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
-          written, prior.lastBatches, Some(token), attempt, keyColumn)))
+          written, prior.lastBatches, Some(token), attempt, keyColumn,
+          prior.keyExpr, prior.lastCompact)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -920,10 +1008,13 @@ object ManifestTable {
     * files stay on disk for time travel until `vacuum`.
     *
     * Commits through the same atomic no-overwrite manifest swap
-    * (conflicts retry); `token` shares the maintenance token space with
-    * [[delete]]/[[rebucket]] (guarded by `lastDelete`). Returns the
-    * rewritten entries (empty when no bucket met the threshold —
-    * idempotent: a second call right after finds nothing to do). */
+    * (conflicts retry); `token` is compaction's OWN replay token
+    * (`lastCompact` — deliberately not shared with
+    * [[delete]]/[[rebucket]]'s `lastDelete` space, so an automated
+    * compaction token can never equal a user's delete token and make
+    * the delete silently no-op as a "replay"). Returns the rewritten
+    * entries (empty when no bucket met the threshold — idempotent: a
+    * second call right after finds nothing to do). */
   def compact(
       spark: SparkSession,
       root: String,
@@ -936,7 +1027,7 @@ object ManifestTable {
     require(minFilesPerBucket >= 2, "minFilesPerBucket must be >= 2")
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
-      if (prior.lastDelete.contains(token)) return Nil
+      if (prior.lastCompact.contains(token)) return Nil
       val byBucket = prior.entries.groupBy(_.bucket)
       val (tiered, thin) =
         byBucket.values.toSeq.partition(_.size >= minFilesPerBucket)
@@ -945,13 +1036,14 @@ object ManifestTable {
       val version = prior.version + 1
       val n = prior.numBuckets
       val fragment = reconciledRead(spark, root, schema, tiered.flatten,
-        keyColumn, keyComparator)
+        keyColumn,
+        if (prior.keyExpr.nonEmpty) recordedKey(prior) else keyComparator)
       val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
       val written = writeBuckets(fragment, bucket, keyColumn, root,
         s"v$version-$attempt", tiered.size, keyComparator, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, n,
-          thin.flatten ++ written, prior.lastBatches, Some(token), attempt,
-          keyColumn)))
+          thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
+          attempt, keyColumn, prior.keyExpr, Some(token))))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1012,9 +1104,13 @@ object ManifestTable {
       val changed = (prevBy.keySet ++ curBy.keySet).toSeq.sorted
         .filter(b => prevBy.get(b).map(_.toSet) != curBy.get(b).map(_.toSet))
       // Each side reconciles its delta files first, so the diff compares
-      // LIVE rows per snapshot, not raw file contents.
+      // LIVE rows per snapshot, not raw file contents. The normalizer is
+      // the manifest-recorded one when present (callers like the
+      // graft_changes SQL function can only pass identity).
+      val rk: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (cur.keyExpr.nonEmpty) recordedKey(cur) else keyComparator
       def frag(entries: Seq[FileEntry], kc: String): DataFrame =
-        reconciledRead(spark, root, schema, entries, kc, keyComparator)
+        reconciledRead(spark, root, schema, entries, kc, rk)
       // Presence markers ride each side through the join — an all-null
       // data row is still "present", so presence can't be derived from
       // the data columns' post-join nullability.
@@ -1027,11 +1123,13 @@ object ManifestTable {
       // One full-outer join on the normalized key over the touched
       // fragments classifies every row; a rebucket that moved rows
       // without changing them diffs to nothing. Null-keyed rows must NOT
-      // match (a null-safe join would cross-join them all).
-      val k = (df: DataFrame) => keyComparator(df(keyColumn))
-      val b = before.alias("b")
-      val a = after.alias("a")
-      val joined = b.join(a, k(b) === k(a), "full_outer")
+      // match (a null-safe join would cross-join them all). The
+      // normalized key is precomputed per side because a recorded
+      // normalizer resolves by NAME — applied inside the join condition
+      // it would be ambiguous between the two sides.
+      val b = before.withColumn("_nk", rk(col(keyColumn))).alias("b")
+      val a = after.withColumn("_nk", rk(col(keyColumn))).alias("a")
+      val joined = b.join(a, b("_nk") === a("_nk"), "full_outer")
       val changedRow = cols.map(c => !(b(c) <=> a(c)))
         .reduce(_ || _)
       val marked = joined.select(

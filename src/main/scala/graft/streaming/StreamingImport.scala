@@ -125,7 +125,9 @@ object StreamingImport {
       // Maintenance token derived from (streamId, batchId): idempotent on
       // the replay of THIS batch; a re-run after a later maintenance op is
       // harmless (compaction is row-invisible) and only the most recent
-      // batch ever replays.
+      // batch ever replays. Compaction has its OWN manifest token field
+      // (lastCompact), so this derived value can never collide with a
+      // user-chosen delete/rebucket token and suppress a GDPR erasure.
       val token = (streamId.hashCode.toLong << 32) | (batchId & 0xffffffffL)
       ManifestTable.compact(batch.sparkSession, targetRoot, targetSchema,
         mapping.keyColumnName, token,

@@ -244,6 +244,46 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("exact-substring dedup stays linear on a long mostly-duplicated " +
+      "doc (50k tokens, ~80% cut)") {
+    // The adversarial shape for cut application: one long document where
+    // most token positions fall inside duplicated windows. The per-token
+    // array_contains rebuild this operator used to have is O(tokens ×
+    // cuts) — minutes here in an interpreted HOF; the merge-walk is one
+    // pass and finishes with the rest of the suite's small queries.
+    val rnd = new scala.util.Random(11)
+    // ~40k duplicated tokens (100 shared 400-token passages), ~10k
+    // unique; tokens are pure alphanumerics so the operator's tokenizer
+    // keeps them whole
+    val passages = (0 until 100).map(p =>
+      (0 until 400).map(t => s"shared${p}x$t").mkString(" "))
+    def uniq(tag: String, n: Int) =
+      (0 until n)
+        .map(i => s"${tag}u${i}n${math.abs(rnd.nextInt(1000000))}")
+        .mkString(" ")
+    val docA = passages.zipWithIndex
+      .map { case (p, i) => s"${uniq(s"a$i", 100)} $p" }.mkString(" ")
+    val docB = passages.zipWithIndex
+      .map { case (p, i) => s"${uniq(s"b$i", 100)} $p" }.mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Curate.dedupSubstrings(docs, k = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // doc 1 is canonical (smaller packed occurrence): fully kept
+    assert(out(1L).split(" ").length == docA.split(" ").length)
+    // doc 2 lost every shared passage but kept every unique run; the
+    // window convention also cuts up to k-1 unique tokens adjacent to
+    // each passage boundary, so bound rather than count exactly
+    val keptB = out(2L).split(" ")
+    assert(keptB.forall(!_.startsWith("shared")),
+      "every duplicated token must be cut from the later doc")
+    assert(keptB.length > 100 * (100 - 20) && keptB.length <= 100 * 100,
+      s"unique runs must survive, got ${keptB.length}")
+    // generous ceiling that a quadratic rebuild still cannot meet
+    assert(secs < 60.0, f"cut application took $secs%.1f s — quadratic?")
+  }
+
   test("per-key cap keeps the best n per key, deterministically") {
     val docs = (1L to 20L).map { i =>
       (i, if (i <= 12) "big" else "small", (i % 7) * 10L, s"text$i")

@@ -84,6 +84,37 @@ class ExtensionsSpec extends SparkSpec {
       ("update_preimage", 1L)), s"bad feed: $feed")
   }
 
+  test("table functions reject non-literal and mistyped arguments loudly") {
+    GraftExtensions.register(spark)
+    // non-foldable argument (a bare column ref is caught upstream by the
+    // analyzer; rand() resolves but can't fold) → usage error naming the
+    // parameter, not an opaque NPE/UnresolvedException out of eval(null)
+    val e1 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_table(cast(rand() AS STRING), 'id BIGINT')")
+        .collect()
+    }
+    assert(e1.getMessage.contains("literal") ||
+      Option(e1.getCause).exists(_.getMessage.contains("literal")),
+      s"expected a must-be-a-literal usage error, got: ${e1.getMessage}")
+    // string where the version integer belongs
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_table_at('/nowhere', 'id BIGINT', 'seven')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("integer literal") ||
+      Option(e2.getCause).exists(_.getMessage.contains("integer literal")),
+      s"expected an integer-literal usage error, got: ${e2.getMessage}")
+    // integer where the root string belongs
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table(42, 'id BIGINT')").collect()
+    }
+    assert(e3.getMessage.contains("string literal") ||
+      Option(e3.getCause).exists(_.getMessage.contains("string literal")),
+      s"expected a string-literal usage error, got: ${e3.getMessage}")
+  }
+
   test("to_csv_line renders and round-trips from SQL") {
     val row = spark.sql(
       """SELECT to_csv_line('a', 'has,comma', 'quote"inside') AS line""")

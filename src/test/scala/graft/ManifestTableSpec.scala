@@ -653,6 +653,125 @@ class ManifestTableSpec extends SparkSpec {
     assert(replayed.isEmpty)
   }
 
+  test("format-4 manifests (no keyExpr) stay readable") {
+    val root = freshRoot("manifest_format4")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
+      7L, m, root, schema, streamId = "s1")
+    val mf = ManifestTable.currentManifest(spark, root).get
+    val enc = (s: String) => java.net.URLEncoder.encode(
+      s, java.nio.charset.StandardCharsets.UTF_8)
+    val body = (Seq(
+      "graft-manifest 4",
+      Seq(mf.numBuckets.toString, s"${enc("s1")}:7", "", mf.sideId,
+        enc(mf.keyColumn)).mkString("\t")) ++
+      mf.entries.map(e =>
+        s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
+          s"${e.relPath}\t${e.seq}"))
+      .mkString("", "\n", "\n")
+    Files.deleteIfExists(Paths.get(s"$root/manifest/.m0.crc"))
+    Files.write(Paths.get(s"$root/manifest/m0"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = ManifestTable.currentManifest(spark, root).get
+    assert(back.keyExpr.isEmpty && back.keyColumn == "id")
+    assert(ManifestTable.read(spark, root, schema).count() == 2L)
+    // the next merge upgrades the table to format 5 in place
+    ManifestTable.merge(m.project(raw((3L, "c", "3"))),
+      8L, m, root, schema, streamId = "s1")
+    assert(ManifestTable.read(spark, root, schema).count() == 3L)
+  }
+
+  test("delta reconcile is sound under a normalizing key comparator " +
+      "(recorded keyExpr drives the bare read)") {
+    val root = freshRoot("manifest_delta_cmp")
+    val strSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val m = new Mapping("k") {
+      override def keyComparator = c => trim(lower(c))
+    }
+    m.auto("k", c => c); m.auto("v")
+    m.complete(strSchema)
+    // base rows with UPPER-case raw keys
+    ManifestTable.merge(
+      m.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("ABC", "x"), Seq("DEF", "y")), headerLines = -1)),
+      0L, m, root, strSchema, numBuckets = 2, streamId = "A")
+    assert(ManifestTable.currentManifest(spark, root).get.keyExpr.nonEmpty,
+      "a non-identity built-in comparator must be recorded as keyExpr")
+    // the delta batch updates abc under a DIFFERENT raw key ("  abc " vs
+    // "ABC"): a raw-key reconcile would keep the stale base row AND the
+    // delta row — duplicate normalized keys on a bare read()
+    ManifestTable.merge(
+      m.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("  abc ", "x2")), headerLines = -1)),
+      1L, m, root, strSchema, streamId = "A", delta = true)
+    val rows = ManifestTable.read(spark, root, strSchema).collect().toSeq
+    assert(rows.size == 2,
+      s"stale base row leaked past the delta reconcile: $rows")
+    val byNorm = rows.map(r =>
+      (r.getString(0).trim.toLowerCase, r.getString(1))).toMap
+    assert(byNorm == Map("abc" -> "x2", "def" -> "y"), s"got $rows")
+    // lookup with the identity default also reconciles on the recorded
+    // normalizer (the comparator still matters for probe rendering, so
+    // pass it for the probe — the point is the reconcile underneath)
+    val hit = ManifestTable.lookup(spark, root, strSchema, "k",
+      Seq("ABC"), keyComparator = c => trim(lower(c))).collect().toSeq
+    assert(hit.map(_.getString(1)) == Seq("x2"), s"lookup saw $hit")
+    // the change feed diffs in normalized space: the delta commit is ONE
+    // update (pre+post), never a spurious insert+delete pair
+    val feed = ManifestTable.changes(spark, root, strSchema, "k", 0L, 1L)
+      .select("_change_type").as[String].collect().sorted.toSeq
+    assert(feed == Seq("update_postimage", "update_preimage"),
+      s"feed classified the cross-case update as $feed")
+  }
+
+  test("compaction token cannot suppress a delete (separate token spaces)") {
+    // streamId "" hashes to 0, so StreamingImport's derived compaction
+    // token equals the bare batchId — exactly the small ints callers
+    // pass as delete tokens. With a shared token space the later delete
+    // would silently no-op as a "replay": a skipped GDPR erasure.
+    val root = freshRoot("manifest_token_spaces")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 6L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2, streamId = "")
+    ManifestTable.merge(m.project(raw((1L, "u", "10"))), 4L, m, root,
+      schema, streamId = "", delta = true)
+    assert(ManifestTable.compact(spark, root, schema, "id", token = 4L)
+      .nonEmpty)
+    // the compaction replay guard still works within its own space ...
+    ManifestTable.merge(m.project(raw((2L, "u2", "20"))), 5L, m, root,
+      schema, streamId = "", delta = true)
+    assert(ManifestTable.compact(spark, root, schema, "id", token = 4L)
+      .isEmpty, "compact must treat its own repeated token as a replay")
+    // ... and the user's delete with the SAME numeric token still runs
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), token = 4L)
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 1L).count() == 0,
+      "delete was swallowed by the compaction token")
+  }
+
+  test("delta merge refuses a comparator with no SQL form") {
+    val root = freshRoot("manifest_delta_udf_cmp")
+    val strSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val norm = udf((s: String) => if (s == null) null else s.toLowerCase)
+    val m = new Mapping("k") {
+      override def keyComparator = c => norm(c)
+    }
+    m.auto("k", c => c); m.auto("v")
+    m.complete(strSchema)
+    val batch = m.project(graft.sources.Sources.rows(spark,
+      Seq(Seq("ABC", "x")), headerLines = -1))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.merge(batch, 0L, m, root, strSchema, delta = true)
+    }
+    assert(e.getMessage.contains("comparator"))
+    // rewrite mode still works — no reconcile is ever needed
+    ManifestTable.merge(batch, 0L, m, root, strSchema)
+    assert(ManifestTable.read(spark, root, strSchema).count() == 1L)
+  }
+
   test("change feed reads only commit-touched buckets (inputFiles)") {
     val root = freshRoot("manifest_changes_pruned")
     val m = mapping

@@ -329,4 +329,54 @@ class MultimodalSpec extends SparkSpec {
       ContainerParse.parseVideo(b)
     }
   }
+
+  test("adversarial stsz sample counts fail the row, not the JVM") {
+    import graft.operators.ContainerParse
+    // a few-hundred-byte payload declaring ~Int.MaxValue UNIFORM samples
+    // must parse to None — materializing the declared count would be a
+    // multi-GB allocation, and OutOfMemoryError would kill the executor
+    def mp4WithStsz(stszBody: Array[Byte]): Array[Byte] = {
+      val base = miniMp4()
+      // rebuild with the hostile stsz: simplest is to locate the benign
+      // one (uniform=0, n=3) and splice a same-length replacement when
+      // possible; otherwise rebuild the tree here
+      val ftyp = box("ftyp", "isom".getBytes, be32(512),
+        "isomiso2".getBytes)
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0),
+        be32(0), be32(0), be32(1000), be32(2500),
+        be32(0x00010000), be16(0x0100), be16(0), be32(0), be32(0),
+        Array.fill(36)(0.toByte), Array.fill(24)(0.toByte), be32(2))
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+        be32(0), be32(0), be32(1), be32(0), be32(2500),
+        Array.fill(8)(0.toByte), be16(0), be16(0), be16(0), be16(0),
+        Array.fill(36)(0.toByte), be32(640 << 16), be32(360 << 16))
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+        "vide".getBytes, Array.fill(12)(0.toByte), Array[Byte](0))
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
+        box("avc1", Array.fill(70)(0.toByte)))
+      val stsz = box("stsz", Array[Byte](0, 0, 0, 0), stszBody)
+      val stco = box("stco", Array[Byte](0, 0, 0, 0), be32(1), be32(1000))
+      val stbl = box("stbl", stsd, stsz, stco)
+      val moov = box("moov", mvhd,
+        box("trak", tkhd, box("mdia", hdlr, box("minf", stbl))))
+      require(base.nonEmpty) // keep the benign builder exercised
+      ftyp ++ moov
+    }
+    // uniform sample size 100, declared count Int.MaxValue
+    val hostileUniform =
+      mp4WithStsz(be32(100) ++ be32(Int.MaxValue))
+    assert(ContainerParse.parseVideo(hostileUniform).isEmpty)
+    // non-uniform with a count far beyond the box's actual table
+    val hostileTable =
+      mp4WithStsz(be32(0) ++ be32(Int.MaxValue) ++ be32(100))
+    assert(ContainerParse.parseVideo(hostileTable).isEmpty)
+    // negative count
+    val negative = mp4WithStsz(be32(100) ++ be32(-5))
+    assert(ContainerParse.parseVideo(negative).isEmpty)
+    // and a sane uniform-size file still parses
+    val sane = mp4WithStsz(be32(100) ++ be32(3))
+    val meta = ContainerParse.parseVideo(sane)
+    assert(meta.exists(m => m.nSamples == 3 &&
+      m.sampleSizes == Seq(100L, 100L, 100L)))
+  }
 }
