@@ -12,10 +12,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: ONE JSON line. `queries` keeps the original name→seconds
   * contract (now the median), rounded to 1 ms. The full per-rep detail
-  * (name→{med,min,runs[]}) is written to BENCH_STATS.json in the working
-  * directory instead of the line — the r5 stdout artifact was
+  * (name→{med,min,runs[],cpu[]}) is written to BENCH_STATS.json in the
+  * working directory instead of the line — the r5 stdout artifact was
   * front-truncated past ~2.5 KB, so the line carries only what must
   * survive capture and points at the file (`stats_file`).
+  *
+  * `cpu` is the PROCESS CPU-time delta (seconds) over the same rep:
+  * ambient machine load is adjudicable from the artifact instead of
+  * prose — a contended run shows wall time far above cpu/threads while
+  * an expensive plan shows them tracking (the r6 `decontaminate` "6×
+  * regression" was exactly this ambiguity: unreproducible on the same
+  * code+fixture at any thread count, wall-only evidence).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,6 +55,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.toSeq.map { case (name, fn) =>
       val setup = SparkEntry.benchSetups.get(name)
       val runs = (1 to reps).map { _ =>
@@ -56,15 +66,17 @@ object Bench {
           System.err.println(
             s"[bench] $name setup failed: ${String.valueOf(e.getMessage).take(300)}")
         }
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
         }
-        r3((System.nanoTime() - t0) / 1e9)
+        (r3((System.nanoTime() - t0) / 1e9),
+          r3((osBean.getProcessCpuTime - c0) / 1e9))
       }
-      val sorted = runs.sorted
+      val sorted = runs.map(_._1).sorted
       val med =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else r3((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
@@ -73,7 +85,8 @@ object Bench {
     val qs = results.map { case (k, med, _, _) => s""""$k":$med""" }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, med, min, runs) =>
-      s""""$k":{"med":$med,"min":$min,"runs":[${runs.mkString(",")}]}"""
+      s""""$k":{"med":$med,"min":$min,"runs":[${runs.map(_._1).mkString(",")}],""" +
+        s""""cpu":[${runs.map(_._2).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val statsPath = java.nio.file.Paths.get("BENCH_STATS.json")

@@ -239,6 +239,15 @@ object SparkEntry {
         withMerge = false)),
     "manifest_delete" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete", withMerge = true)),
+    "manifest_read" -> ((s, dir) => {
+      // create + merge + DELETE all land here, OUTSIDE the timed region:
+      // the query then times ONLY the committed read-back, splitting
+      // manifest_delete's delete-vs-read cost in the artifact itself.
+      val root = resetManifestFixture(s, dir, "manifest_read",
+        withMerge = true)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+    }),
     "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)))
 
   /** Planted-neighbor recovery harness for the approximate ANN paths: the
@@ -619,6 +628,18 @@ object SparkEntry {
       val root = manifestFixture(s, dir, "manifest_delete", withMerge = true)
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_read" -> ((s, dir) => {
+      // the read-back HALF of manifest_delete, timed alone: benchSetups
+      // pre-applies create + merge + delete, so the bench number is the
+      // committed-snapshot read cost and manifest_delete minus this is
+      // the delete cost — both halves hash-green against the same
+      // oracle. (Verify runs this closure standalone: the guarded
+      // fixture build + token-replayed delete make it self-contained.)
+      val root = manifestFixture(s, dir, "manifest_read", withMerge = true)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "upsert_reject_nonnull" -> ((s, dir) =>
@@ -1474,6 +1495,16 @@ object SparkEntry {
                AS DOUBLE) AS sum_acctbal
            FROM m GROUP BY segment""",
       "manifest_delete" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      "manifest_read" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

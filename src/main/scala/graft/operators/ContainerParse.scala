@@ -233,17 +233,101 @@ object ContainerParse {
   private val InfoDuration = 0x4489L
   private val Tracks = 0x1654AE6BL
   private val TrackEntry = 0xAEL
+  private val TrackNumber = 0xD7L
   private val TrackType = 0x83L
   private val CodecID = 0x86L
   private val VideoEl = 0xE0L
   private val PixelWidth = 0xB0L
   private val PixelHeight = 0xBAL
   private val Cluster = 0x1F43B675L
+  private val SimpleBlock = 0xA3L
+  private val BlockGroup = 0xA0L
+  private val BlockEl = 0xA1L
   private val Cues = 0x1C53BB6BL
   private val CuePoint = 0xBBL
   private val CueTime = 0xB3L
   private val CueTrackPositions = 0xB7L
   private val CueClusterPosition = 0xF1L
+
+  /** Per-frame absolute byte ranges out of one (Simple)Block body
+    * [s, e): decodes the block header — track-number vint, 2-byte
+    * relative timestamp, flags — and the three lacing schemes of RFC
+    * 8794 §6.2.4 (Xiph: 255-saturated size bytes; EBML: first size as a
+    * vint, then signed-vint deltas; fixed: equal split), returning
+    * `Some(Nil)` for another track's block and `None` for a malformed
+    * one (caller skips it — one bad block must not drop the row). */
+  private def blockFrames(b: Array[Byte], s: Int, e: Int,
+      videoTrack: Long): Option[Seq[(Long, Long)]] = {
+    val (trackOpt, tLen) = vint(b, s, keepMarker = false).getOrElse(return None)
+    val track = trackOpt.getOrElse(return None)
+    if (track != videoTrack) return Some(Nil)
+    val flagsPos = s + tLen + 2 // skip the int16 relative timestamp
+    if (flagsPos >= e) return None
+    val lacing = (b(flagsPos) >> 1) & 0x3
+    if (lacing == 0) // no lacing: the rest of the body is ONE frame
+      return Some(Seq((flagsPos + 1L, (e - flagsPos - 1).toLong)))
+    if (flagsPos + 1 >= e) return None
+    val count = (b(flagsPos + 1) & 0xff) + 1
+    var p = flagsPos + 2
+    // sizes of the first count-1 frames; the last is the remainder
+    val head = Array.newBuilder[Long]
+    lacing match {
+      case 1 => // Xiph: each size = sum of bytes until one < 255
+        var i = 0
+        while (i < count - 1) {
+          var sz = 0L; var more = true
+          while (more) {
+            if (p >= e) return None
+            val v = b(p) & 0xff; sz += v; more = v == 255; p += 1
+          }
+          head += sz; i += 1
+        }
+      case 3 => // EBML: first size plain vint, then signed-vint deltas
+        if (count > 1) {
+          val (szOpt, len) = vint(b, p, keepMarker = false)
+            .getOrElse(return None)
+          var prev = szOpt.getOrElse(return None)
+          p += len; head += prev
+          var i = 1
+          while (i < count - 1) {
+            val (dOpt, dLen) = vint(b, p, keepMarker = false)
+              .getOrElse(return None)
+            val raw = dOpt.getOrElse(return None)
+            prev += raw - ((1L << (7 * dLen - 1)) - 1) // un-bias signed vint
+            if (prev < 0) return None
+            p += dLen; head += prev; i += 1
+          }
+        }
+      case _ => // fixed-size: no lace sizes; equal split of the rest
+        val rest = e - p
+        if (count == 0 || rest < 0 || rest % count != 0) return None
+        val each = rest.toLong / count
+        (0 until count - 1).foreach(_ => head += each)
+    }
+    val sizes = head.result()
+    val used = sizes.sum
+    val last = (e - p) - used
+    if (last < 0) return None
+    var off = p.toLong
+    val out = Seq.newBuilder[(Long, Long)]
+    (sizes :+ last).foreach { sz => out += ((off, sz)); off += sz }
+    Some(out.result())
+  }
+
+  /** All video-track frame ranges in a Cluster body [s, e):
+    * SimpleBlocks directly, Blocks through their BlockGroup. */
+  private def clusterFrames(b: Array[Byte], s: Int, e: Int,
+      videoTrack: Long): Seq[(Long, Long)] =
+    ebmlChildren(b, s, e).flatMap {
+      case (SimpleBlock, bs, be) =>
+        blockFrames(b, bs, be, videoTrack).getOrElse(Nil)
+      case (BlockGroup, gs, ge) =>
+        ebmlChildren(b, gs, ge).collect {
+          case (BlockEl, bs, be) =>
+            blockFrames(b, bs, be, videoTrack).getOrElse(Nil)
+        }.flatten
+      case _ => Nil
+    }
 
   def parseMkv(payload: Array[Byte]): Option[VideoMeta] =
     try {
@@ -268,6 +352,7 @@ object ContainerParse {
       val durationSec = durTicks * scale / 1e9
 
       var codec = ""; var width = 0; var height = 0
+      var videoTrack: Option[Long] = None
       seg.collectFirst { case (id, s, e) if id == Tracks => (s, e) }
         .foreach { case (s, e) =>
           ebmlChildren(payload, s, e).foreach {
@@ -278,6 +363,8 @@ object ContainerParse {
               if (isVideo && width == 0) kids.foreach {
                 case (CodecID, cs, ce) =>
                   codec = new String(payload, cs, ce - cs, "UTF-8")
+                case (TrackNumber, cs, ce) =>
+                  videoTrack = Some(ebmlUint(payload, cs, ce))
                 case (VideoEl, cs, ce) =>
                   ebmlChildren(payload, cs, ce).foreach {
                     case (PixelWidth, ws, we) =>
@@ -292,6 +379,21 @@ object ContainerParse {
           }
         }
       if (width == 0 && height == 0 && codec.isEmpty) return None
+      // Sample-exact path (MP4 parity): when the payload carries the
+      // Clusters themselves AND the video TrackEntry declares its
+      // TrackNumber, decode every (Simple)Block's lacing into per-frame
+      // absolute byte ranges — the same (offset, size) space stsz/stco
+      // yield. Cues/cluster granularity remains the fallback for
+      // metadata-only payloads (moov-equivalent without media data).
+      val frames: Seq[(Long, Long)] = videoTrack match {
+        case Some(tn) => seg.collect {
+          case (Cluster, cs, ce) => clusterFrames(payload, cs, ce, tn)
+        }.flatten
+        case None => Nil
+      }
+      if (frames.nonEmpty)
+        return Some(VideoMeta("mkv", codec, width, height, durationSec,
+          frames.size, frames.map(_._1), frames.map(_._2)))
       // Prefer the Cues seek index (CueClusterPosition is relative to the
       // Segment payload start — rebase to absolute offsets, same space as
       // MP4's stco); fall back to top-level Cluster element offsets for

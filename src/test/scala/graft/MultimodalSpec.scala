@@ -330,6 +330,91 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Laced MKV: TrackEntry carries TrackNumber=1; two Clusters hold all
+    * three lacing schemes plus a no-lacing SimpleBlock and an
+    * interleaved other-track block. Each frame is filled with a
+    * distinct byte so the parsed (offset, size) ranges are checked
+    * value-for-value against the payload itself. */
+  private def lacedMkv(): Array[Byte] = {
+    val header = ebml(id(0x1a, 0x45, 0xdf, 0xa3), Array[Byte]())
+    val info = ebml(id(0x15, 0x49, 0xa9, 0x66),
+      ebml(id(0x2a, 0xd7, 0xb1), be32(1000000).drop(1)),
+      ebml(id(0x44, 0x89),
+        java.nio.ByteBuffer.allocate(8).putDouble(1500.0).array()))
+    val video = ebml(id(0xe0),
+      ebml(id(0xb0), be16(1280)), ebml(id(0xba), be16(720)))
+    val trackEntry = ebml(id(0xae),
+      ebml(id(0xd7), Array[Byte](1)), // TrackNumber = 1
+      ebml(id(0x83), Array[Byte](1)),
+      ebml(id(0x86), "V_MPEG4/ISO/AVC".getBytes("UTF-8")),
+      video)
+    val tracks = ebml(id(0x16, 0x54, 0xae, 0x6b), trackEntry)
+    def fill(n: Int, c: Char) = Array.fill(n)(c.toByte)
+    // header of a (Simple)Block body: track-1 vint, int16 ts, flags
+    def blockHdr(track: Int, flags: Int) =
+      Array((0x80 | track).toByte, 0.toByte, 0.toByte, flags.toByte)
+    // no lacing: one 5-byte frame 'a'
+    val sbPlain = ebml(id(0xa3), blockHdr(1, 0x80), fill(5, 'a'))
+    // Xiph lacing, 3 frames: 3×'b', 300×'c' (coded 255+45), rest 7×'d'
+    val sbXiph = ebml(id(0xa3), blockHdr(1, 0x80 | 0x02),
+      Array(2.toByte, 3.toByte, 255.toByte, 45.toByte),
+      fill(3, 'b'), fill(300, 'c'), fill(7, 'd'))
+    // another track's block interleaves — must NOT contribute frames
+    val sbOther = ebml(id(0xa3), blockHdr(2, 0x80), fill(9, 'z'))
+    val cluster1 = ebml(id(0x1f, 0x43, 0xb6, 0x75),
+      ebml(id(0xe7), Array[Byte](0)), sbPlain, sbXiph, sbOther)
+    // EBML lacing inside a BlockGroup/Block, 3 frames: 4×'e' (vint
+    // 0x84), +2 delta (signed 1-byte vint 0xC1 = 65 → 65-63 = +2) →
+    // 6×'f', rest 5×'g'
+    val blkEbml = ebml(id(0xa1), blockHdr(1, 0x06),
+      Array(2.toByte, 0x84.toByte, 0xC1.toByte),
+      fill(4, 'e'), fill(6, 'f'), fill(5, 'g'))
+    // fixed-size lacing, 2 equal frames: 4×'h', 4×'i'
+    val sbFixed = ebml(id(0xa3), blockHdr(1, 0x80 | 0x04),
+      Array(1.toByte), fill(4, 'h'), fill(4, 'i'))
+    val cluster2 = ebml(id(0x1f, 0x43, 0xb6, 0x75),
+      ebml(id(0xe7), Array[Byte](1)),
+      ebml(id(0xa0), blkEbml), sbFixed)
+    header ++ ebml(id(0x18, 0x53, 0x80, 0x67),
+      info, tracks, cluster1, cluster2)
+  }
+
+  test("MKV lacing-aware Block parsing: per-frame byte ranges, all " +
+    "three lacing schemes, other-track blocks excluded") {
+    import graft.operators.ContainerParse
+    val bytes = lacedMkv()
+    val m = ContainerParse.parseVideo(bytes).get
+    assert(m.container == "mkv" && m.codec == "V_MPEG4/ISO/AVC")
+    assert(m.width == 1280 && m.height == 720)
+    // 9 video-track frames, sample-exact like MP4; the track-2 block
+    // contributes nothing
+    assert(m.nSamples == 9, s"expected 9 frames, got $m")
+    assert(m.sampleSizes == Seq(5L, 3L, 300L, 7L, 4L, 6L, 5L, 4L, 4L),
+      s"bad frame sizes: ${m.sampleSizes}")
+    // every parsed range must cover exactly its distinct fill byte
+    val expected = "abcdefghi"
+    m.sampleOffsets.zip(m.sampleSizes).zipWithIndex.foreach {
+      case ((off, len), i) =>
+        val slice = bytes.slice(off.toInt, (off + len).toInt)
+        assert(slice.length == len.toInt &&
+          slice.forall(_ == expected(i).toByte),
+          s"frame $i range ($off, $len) does not cover its fill bytes")
+    }
+    // sampleFramesReal now emits exact (offset, size) rows for MKV too
+    import spark.implicits._
+    val media = Seq((7L, bytes)).toDF("media_id", "payload")
+    val rows = Multimodal.sampleFramesReal(media, stride = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (0, m.sampleOffsets(0), 5L),
+      (4, m.sampleOffsets(4), 4L),
+      (8, m.sampleOffsets(8), 4L)), s"bad sampled rows: $rows")
+    // truncation fuzz: no prefix of the laced file may throw
+    (0 until bytes.length by 5).foreach { n =>
+      ContainerParse.parseVideo(bytes.take(n))
+    }
+  }
+
   test("adversarial stsz sample counts fail the row, not the JVM") {
     import graft.operators.ContainerParse
     // a few-hundred-byte payload declaring ~Int.MaxValue UNIFORM samples
