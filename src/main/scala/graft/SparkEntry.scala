@@ -198,6 +198,25 @@ object SparkEntry {
     else resetManifestFixture(s, dir, name, withMerge)
   }
 
+  /** Deletes each segment's top-3 acctbal rows from the named manifest
+    * table — the manifest_incr_minmax fixture's guaranteed lost
+    * extremum. Ids derive deterministically from the committed state
+    * (row_number by acctbal DESC, id — ties broken by id, NULLs
+    * excluded); the fixed token makes a re-issue a replay no-op, so the
+    * query closure can call this unconditionally after [[benchSetups]]
+    * already applied it. */
+  private def deleteTopAcctbal(s: SparkSession, root: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy(desc("acctbal"), col("id"))
+    val topIds = graft.store.ManifestTable.read(s, root, upsertSchema)
+      .filter(col("acctbal").isNotNull)
+      .select(col("id"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3).select("id")
+      .collect().map(_.getLong(0)).toSeq // ≤ 3 × |segments|, bounded
+    graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+      topIds, token = 2L)
+  }
+
   /** The jsonl_source fixture (documents re-dumped as JSON-lines), built
     * once per process — rebuilding per call made the bench time the dump,
     * not the source read. */
@@ -231,6 +250,11 @@ object SparkEntry {
     "manifest_incr_agg" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_incr_agg",
         withMerge = true)),
+    "manifest_incr_minmax" -> ((s, dir) => {
+      val root = resetManifestFixture(s, dir, "manifest_incr_minmax",
+        withMerge = true)
+      deleteTopAcctbal(s, root)
+    }),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
         withMerge = false)),
@@ -594,6 +618,30 @@ object SparkEntry {
           "id", Seq("segment"), Seq("acctbal_d"), 0L, cur, prep)
         .select(col("segment"), col("n_rows"),
           col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"))
+    }),
+    "manifest_incr_minmax" -> ((s, dir) => {
+      // Min/max view maintenance under a guaranteed LOST EXTREMUM: the
+      // fixture deletes each segment's top-3 acctbal rows, so the
+      // maintained min/max CANNOT come from the feed alone — the
+      // suspect-group partial recompute (IncrementalAgg.applyChanges:
+      // re-read ONLY the groups that lost an extremal row, broadcast
+      // semi-join) must run and still hash-equal the DuckDB full
+      // recompute. Deleted ids derive deterministically from the merged
+      // state (row_number by acctbal DESC, id); after benchSetups
+      // pre-applied the delete, the token makes the re-issue a replay
+      // no-op, so the timed region is the maintenance itself.
+      val root =
+        manifestFixture(s, dir, "manifest_incr_minmax", withMerge = true)
+      deleteTopAcctbal(s, root)
+      val cur = graft.store.ManifestTable.currentVersion(s, root).get
+      val prep = (df: DataFrame) =>
+        df.withColumn("acctbal_d", col("acctbal").cast("decimal(30,2)"))
+      graft.store.IncrementalAgg.maintainedView(s, root, upsertSchema,
+          "id", Seq("segment"), Seq("acctbal_d"), 0L, cur, prep,
+          minMaxCols = Seq("acctbal"))
+        .select(col("segment"), col("n_rows"),
+          col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"),
+          col("min_acctbal"), col("max_acctbal"))
     }),
     "manifest_merge_small" -> ((s, dir) => {
       // The rewrite-vs-delta comparison pair, rewrite side: a SMALL batch
@@ -1494,6 +1542,22 @@ object SparkEntry {
              CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
                AS DOUBLE) AS sum_acctbal
            FROM m GROUP BY segment""",
+      "manifest_incr_minmax" ->
+        s"""WITH m AS (
+             SELECT c_custkey AS id,
+               CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+               CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment
+             FROM customer WHERE ($inTgt) OR ($inSrc)),
+           d AS (
+             SELECT id FROM (
+               SELECT id, row_number() OVER (PARTITION BY segment
+                 ORDER BY acctbal DESC, id) AS rn
+               FROM m WHERE acctbal IS NOT NULL) WHERE rn <= 3)
+           SELECT segment, count(*) AS n_rows,
+             CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
+               AS DOUBLE) AS sum_acctbal,
+             min(acctbal) AS min_acctbal, max(acctbal) AS max_acctbal
+           FROM m WHERE id NOT IN (SELECT id FROM d) GROUP BY segment""",
       "manifest_delete" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * RATE, not the table size. At 100 TB with a per-mille daily churn the
   * refresh reads gigabytes, not the table.
   *
-  * Maintained aggregates are the self-inverse ones — `n_rows` (count) and
-  * per-column sums — because every feed row carries enough to ADD and
-  * UNDO: insert/update_postimage contribute +1/+x, delete/update_preimage
-  * contribute −1/−x (averages derive as sum/n at read time; min/max are
-  * NOT maintainable under deletes without re-reading the group — use a
-  * full recompute for those). NULL values count 0 toward sums (document
+  * The self-inverse aggregates — `n_rows` (count) and per-column sums —
+  * maintain from the feed alone: insert/update_postimage contribute
+  * +1/+x, delete/update_preimage contribute −1/−x (averages derive as
+  * sum/n at read time). Min/max are NOT self-inverse — a delete of the
+  * attaining row can't be undone from the feed — so `minMaxCols`
+  * maintenance re-reads exactly the groups the feed shows LOST an
+  * extremal row (see [[applyChanges]]); all other groups maintain
+  * feed-only. NULL values count 0 toward sums (document
   * or pre-`coalesce` if SQL-null-sum semantics matter); groups whose
   * count reaches 0 leave the view. Pass EXACT-addition column types
   * (integers, DECIMAL) for sums: float addition is order-sensitive, so
@@ -26,16 +28,21 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** Ground-truth / bootstrap aggregate of a snapshot: one hash aggregate
-    * producing `groupCols`, `n_rows`, and `sum_<c>` per sum column. */
+    * producing `groupCols`, `n_rows`, `sum_<c>` per sum column and
+    * `min_<c>`/`max_<c>` per min/max column (SQL semantics: NULLs
+    * ignored, all-NULL group → NULL). */
   def fullAgg(
       snapshot: DataFrame,
       groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    val aggs = sumCols.map(c => sum(coalesce(col(c),
+        lit(0).cast(snapshot.schema(c).dataType))).as(s"sum_$c")) ++
+      minMaxCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     snapshot.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(coalesce(col(c),
-          lit(0).cast(snapshot.schema(c).dataType))).as(s"sum_$c")): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
   /** Applies a change-feed window to a maintained view: returns the view
@@ -43,28 +50,62 @@ object IncrementalAgg {
     * frame (or a previous applyChanges output); `feed` a
     * [[ManifestTable.changes]] output over the base schema. One bounded
     * aggregate over the feed + one join against the view — the base
-    * table is never read. */
+    * table is never read for counts and sums.
+    *
+    * With `minMaxCols`, min/max are maintained too — the non-self-inverse
+    * aggregates. Inserts only IMPROVE an extremum (`least`/`greatest`
+    * against the insert-side extremes, no re-read); a group needs a
+    * PARTIAL RECOMPUTE only when the feed deleted a value that ties or
+    * beats the group's candidate extremum — the delete may have removed
+    * the attaining row. Exactly those SUSPECT groups are re-read from
+    * `snapshot` (the base at the feed's END version, passed lazily and
+    * never evaluated when no group is suspect) through a broadcast
+    * semi-join, so the re-read cost tracks the number of groups that
+    * LOST an extremal row, not the table or even the view size. */
   def applyChanges(
       view: DataFrame,
       feed: DataFrame,
       groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil,
+      snapshot: () => DataFrame = null): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    require(minMaxCols.isEmpty || snapshot != null,
+      "min/max maintenance needs the end-version snapshot for the " +
+        "lost-extremum partial recompute")
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
+    val valueCols = (sumCols ++ minMaxCols).distinct
+    val aggs = sumCols.map(c => sum(
+        coalesce(col(c), lit(0).cast(feed.schema(c).dataType)) *
+          col("_sign")).as(s"_d_$c")) ++
+      minMaxCols.flatMap(c => Seq(
+        min(when(col("_sign") === 1L, col(c))).as(s"_imin_$c"),
+        max(when(col("_sign") === 1L, col(c))).as(s"_imax_$c"),
+        min(when(col("_sign") === -1L, col(c))).as(s"_dmin_$c"),
+        max(when(col("_sign") === -1L, col(c))).as(s"_dmax_$c")))
     val deltas = feed
-      .select((groupCols ++ sumCols).map(col) :+ sign.as("_sign"): _*)
+      .select((groupCols ++ valueCols).map(col) :+ sign.as("_sign"): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("_sign")).as("_dn"),
-        sumCols.map(c => sum(
-          coalesce(col(c), lit(0).cast(feed.schema(c).dataType)) *
-            col("_sign")).as(s"_d_$c")): _*)
+      .agg(sum(col("_sign")).as("_dn"), aggs: _*)
     // NULL-safe join on the group key: a NULL group is a real group.
     val v = view.alias("v")
     val d = deltas.alias("d")
     val cond = groupCols.map(g => v(g) <=> d(g)).reduce(_ && _)
-    v.join(d, cond, "full_outer")
+    // candidate extremum = old extremum improved by the inserts (least/
+    // greatest skip NULLs); the candidate is WRONG only if a deleted
+    // value ties or beats it — the suspect condition below.
+    val candMin = minMaxCols.map(c => least(v(s"min_$c"), d(s"_imin_$c")))
+    val candMax =
+      minMaxCols.map(c => greatest(v(s"max_$c"), d(s"_imax_$c")))
+    val suspect =
+      if (minMaxCols.isEmpty) lit(false)
+      else minMaxCols.zipWithIndex.map { case (c, i) =>
+        coalesce(d(s"_dmin_$c") <= candMin(i), lit(false)) ||
+          coalesce(d(s"_dmax_$c") >= candMax(i), lit(false))
+      }.reduce(_ || _)
+    val maintained = v.join(d, cond, "full_outer")
       .select(
         groupCols.map(g => coalesce(v(g), d(g)).as(g)) ++
           Seq((coalesce(v("n_rows"), lit(0L)) +
@@ -73,8 +114,27 @@ object IncrementalAgg {
             val z = lit(0).cast(view.schema(s"sum_$c").dataType)
             (coalesce(v(s"sum_$c"), z) + coalesce(d(s"_d_$c"), z))
               .as(s"sum_$c")
-          }: _*)
+          } ++
+          minMaxCols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(candMin(i).as(s"min_$c"), candMax(i).as(s"max_$c"))
+          } :+ suspect.as("_suspect"): _*)
       .filter(col("n_rows") > 0)
+    if (minMaxCols.isEmpty) maintained.drop("_suspect")
+    else {
+      val suspects = maintained.filter(col("_suspect"))
+        .select(groupCols.map(col): _*)
+      if (suspects.isEmpty) maintained.drop("_suspect")
+      else {
+        val snap = snapshot().alias("s")
+        val b = broadcast(suspects).alias("k")
+        val semiCond = groupCols
+          .map(g => snap(g) <=> b(g)).reduce(_ && _)
+        val recomputed = fullAgg(snap.join(b, semiCond, "left_semi"),
+          groupCols, sumCols, minMaxCols)
+        maintained.filter(!col("_suspect")).drop("_suspect")
+          .unionByName(recomputed)
+      }
+    }
   }
 
   /** One step of a FOLLOWER loop: advances a maintained view from its
@@ -94,13 +154,16 @@ object IncrementalAgg {
       state: (DataFrame, Long),
       prep: DataFrame => DataFrame = identity,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): (DataFrame, Long) = {
+        identity,
+      minMaxCols: Seq[String] = Nil): (DataFrame, Long) = {
     val (view, seen) = state
     ManifestTable.currentVersion(spark, root) match {
       case Some(cur) if cur > seen =>
         val feed = prep(ManifestTable.changes(spark, root, schema,
           keyColumn, seen, cur, keyComparator))
-        (applyChanges(view, feed, groupCols, sumCols), cur)
+        (applyChanges(view, feed, groupCols, sumCols, minMaxCols,
+          () => prep(ManifestTable.readAt(spark, root, schema, cur))),
+          cur)
       case _ => state
     }
   }
@@ -120,12 +183,14 @@ object IncrementalAgg {
       toVersion: Long,
       prep: DataFrame => DataFrame = identity,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): DataFrame = {
+        identity,
+      minMaxCols: Seq[String] = Nil): DataFrame = {
     val base = fullAgg(
       prep(ManifestTable.readAt(spark, root, schema, fromVersion)),
-      groupCols, sumCols)
+      groupCols, sumCols, minMaxCols)
     val feed = prep(ManifestTable.changes(spark, root, schema, keyColumn,
       fromVersion, toVersion, keyComparator))
-    applyChanges(base, feed, groupCols, sumCols)
+    applyChanges(base, feed, groupCols, sumCols, minMaxCols,
+      () => prep(ManifestTable.readAt(spark, root, schema, toVersion)))
   }
 }

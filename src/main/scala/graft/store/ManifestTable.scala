@@ -778,7 +778,8 @@ object ManifestTable {
 
   /** All committed keep_history rows across versions (empty frame when
     * none). Survives `vacuum` — history records facts, not superseded
-    * state; [[redactHistory]] is the targeted way to reach it. */
+    * state; [[redactHistory]] (per-key erasure) and [[expireHistory]]
+    * (retention window) are the ways to shrink it. */
   def historyOf(spark: SparkSession, root: String): DataFrame = {
     val dirs = committedSideDirs(spark, root, "history")
     if (dirs.isEmpty) spark.emptyDataFrame
@@ -825,6 +826,56 @@ object ManifestTable {
       }
     }
     rewritten
+  }
+
+  /** Retention for the HISTORY side-channel — the complement of
+    * [[redactHistory]]: redaction is targeted erasure of a KEY, expiry
+    * retires whole history versions that aged out of a compliance
+    * window. A committed history version expires when it falls outside
+    * the newest `keepLast` history-bearing versions OR its commit time
+    * is before `olderThanMillis` — each given criterion is an EXPIRY
+    * GUARANTEE (compliance semantics: "older than 90 days must be
+    * gone" holds even for the newest `keepLast`), so passing both
+    * expires the union. Commit time is the version's manifest-file
+    * mtime while the manifest exists and the resolved dir's own mtime
+    * after `vacuum` retired it. Expiry drops EVERY revision of an
+    * expired version (a crashed redaction's superseded leftovers go
+    * with it); versions above current (in-flight commits) and torn
+    * revisions are untouched — those are vacuum's job. Idempotent;
+    * returns the number of versions expired. Live state, time travel
+    * and the change feed are unaffected — only [[historyOf]] shrinks. */
+  def expireHistory(
+      spark: SparkSession,
+      root: String,
+      keepLast: Int = Int.MaxValue,
+      olderThanMillis: Long = Long.MinValue): Int = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val dirs = committedSideDirs(spark, root, "history")
+    val fs = fsOf(spark, new Path(s"$root/history"))
+    val mfs = fsOf(spark, new Path(s"$root/manifest"))
+    val byVersion = dirs.map { d =>
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      (parseSideDirName(name).get._1, d)
+    }.sortBy(-_._1) // newest first
+    val expired = byVersion.zipWithIndex.collect {
+      case ((v, d), rank) if {
+        val mp = new Path(s"$root/manifest/m$v")
+        val commitTime =
+          if (mfs.exists(mp)) mfs.getFileStatus(mp).getModificationTime
+          else fs.getFileStatus(new Path(d)).getModificationTime
+        rank >= keepLast || commitTime < olderThanMillis
+      } => v
+    }.toSet
+    if (expired.nonEmpty) {
+      val hd = new Path(s"$root/history")
+      // every revision/leftover of an expired version goes with it
+      fs.listStatus(hd).foreach { st =>
+        parseSideDirName(st.getPath.getName).foreach { case (v, _, _) =>
+          if (expired(v)) fs.delete(st.getPath, true)
+        }
+      }
+    }
+    expired.size
   }
 
   /** All committed per-merge import stats (one row per recorded version;

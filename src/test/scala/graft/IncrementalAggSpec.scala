@@ -107,6 +107,72 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewOf(state._1) == Set(("a", 1L, 100L), ("c", 2L, 10L)))
   }
 
+  private def viewMm(df: DataFrame): Set[(String, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+      r.getAs[Number](4).longValue)).toSet
+
+  test("min/max maintenance: delete of the attaining row triggers a " +
+      "partial recompute that equals the full recompute") {
+    val root = "target/test-tmp/incr_agg_minmax"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val m = mapping
+    ManifestTable.merge(raw(
+      (1L, "a", "10"), (2L, "a", "5"), (3L, "a", "7"),
+      (4L, "b", "1"), (5L, "b", "9")).transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    // delete id 1 — group a LOSES its max (10); group b is untouched
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), token = 9L)
+    val cur = ManifestTable.currentVersion(spark, root).get
+    val maintained = IncrementalAgg.maintainedView(spark, root, schema,
+      "id", Seq("grp"), Seq("v"), 0L, cur, minMaxCols = Seq("v"))
+    val recomputed = IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, root, schema), Seq("grp"), Seq("v"),
+      Seq("v"))
+    assert(viewMm(maintained) == viewMm(recomputed))
+    assert(viewMm(maintained) ==
+      Set(("a", 2L, 12L, 5L, 7L), ("b", 2L, 10L, 1L, 9L)),
+      s"group a's max must fall back to 7: ${viewMm(maintained)}")
+  }
+
+  test("min/max maintenance: inserts and non-extremal deletes never " +
+      "read the snapshot") {
+    // the lazy-snapshot contract: improving inserts and deletes of
+    // interior values maintain feed-only — the thunk must not evaluate
+    val view = IncrementalAgg.fullAgg(
+      Seq((1L, "a", 10L), (2L, "a", 3L), (3L, "b", 5L))
+        .toDF("id", "grp", "v"), Seq("grp"), Seq("v"), Seq("v"))
+    val feed = Seq(
+      (4L, "a", Some(20L), "insert"), // improves a's max
+      (2L, "a", Some(3L), "delete"), // interior? 3 is a's MIN — suspect!
+      (5L, "c", Some(7L), "insert")) // new group
+      .toDF("id", "grp", "v", "_change_type")
+    // deleting a's min IS extremal: expect exactly one snapshot read
+    var reads = 0
+    val snap = () => {
+      reads += 1
+      Seq((1L, "a", 10L), (4L, "a", 20L), (3L, "b", 5L), (5L, "c", 7L))
+        .toDF("id", "grp", "v")
+    }
+    val out = IncrementalAgg.applyChanges(view, feed, Seq("grp"),
+      Seq("v"), Seq("v"), snap)
+    assert(viewMm(out) == Set(("a", 2L, 30L, 10L, 20L),
+      ("b", 1L, 5L, 5L, 5L), ("c", 1L, 7L, 7L, 7L)))
+    assert(reads == 1, "suspect group a must trigger one snapshot read")
+
+    // now a feed with no extremal loss at all: the thunk must stay cold
+    val feed2 = Seq(
+      (6L, "b", Some(9L), "insert"),
+      (7L, "b", Some(4L), "insert"))
+      .toDF("id", "grp", "v", "_change_type")
+    var reads2 = 0
+    val out2 = IncrementalAgg.applyChanges(out, feed2, Seq("grp"),
+      Seq("v"), Seq("v"), () => { reads2 += 1; sys.error("must not") })
+    assert(viewMm(out2) == Set(("a", 2L, 30L, 10L, 20L),
+      ("b", 3L, 18L, 4L, 9L), ("c", 1L, 7L, 7L, 7L)))
+    assert(reads2 == 0, "no lost extremum → snapshot never read")
+  }
+
   test("NULL group keys and NULL sum values maintain correctly") {
     // fullAgg/applyChanges contract: NULL group is a real group (NULL-safe
     // join), NULL values count 0 toward sums.

@@ -950,6 +950,71 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 2L)
   }
 
+  test("history expiry: count and time retention windows, all revisions") {
+    val root = freshRoot("manifest_expire")
+    val m = {
+      val mm = new Mapping()
+      mm.auto("id"); mm.auto("name")
+      mm.auto("score", opts = graft.mapping.ColOpts(keepHistory = true))
+      mm.complete(schema)
+      mm
+    }
+    ManifestTable.merge(
+      m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
+      0L, m, root, schema, numBuckets = 2, streamId = "A")
+    // bootstrap (version 0) writes an EMPTY history dir at v0; three
+    // updating merges add history-bearing dirs at v1, v2, v3
+    Seq("10", "20", "30").zipWithIndex.foreach { case (s, i) =>
+      ManifestTable.merge(m.project(raw((1L, "a", s))), i + 1L, m, root,
+        schema, streamId = "A")
+    }
+    def historyScores() = ManifestTable.historyOf(spark, root)
+      .select("old_score").collect().map(_.getLong(0)).toSeq.sorted
+    assert(historyScores() == Seq(1L, 10L, 20L))
+
+    // a superseded-revision leftover of v1 (crashed redaction cleanup)
+    // must expire together with its version
+    val v1dir = new java.io.File(s"$root/history")
+      .list().filter(_.startsWith("v1")).head
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/history/$v1dir"),
+      new java.io.File(s"$root/history/$v1dir-r1"))
+
+    // count-based: keep the newest 2 history versions → v0 (the empty
+    // bootstrap dir) and v1 expire, every revision of each
+    assert(ManifestTable.expireHistory(spark, root, keepLast = 2) == 2)
+    assert(historyScores() == Seq(10L, 20L))
+    assert(!new java.io.File(s"$root/history").list()
+      .exists(n => n.startsWith("v0") || n.startsWith("v1")),
+      "every revision of an expired version must be deleted")
+    // idempotent
+    assert(ManifestTable.expireHistory(spark, root, keepLast = 2) == 0)
+
+    // time travel inside the retained window still sees expired-history
+    // versions' LIVE state (expiry only shrinks the side channel)
+    assert(ManifestTable.readAt(spark, root, schema, 1L)
+      .filter($"id" === 1L).head.getLong(2) == 10L)
+
+    // time-based, after vacuum retired the old manifests: commit time
+    // falls back to the history dir's own mtime, and the cutoff rule
+    // expires v2 even though keepLast = 2 would retain it (each
+    // criterion is an expiry guarantee — union, not intersection)
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    val cutoff = System.currentTimeMillis() - 1000L * 3600
+    val v2dir = new java.io.File(s"$root/history")
+      .list().filter(_.startsWith("v2")).head
+    new java.io.File(s"$root/history/$v2dir")
+      .setLastModified(cutoff - 1000L)
+    assert(ManifestTable.expireHistory(spark, root, keepLast = 2,
+      olderThanMillis = cutoff) == 1)
+    assert(historyScores() == Seq(20L))
+
+    // live state and replay bookkeeping are unaffected throughout
+    assert(ManifestTable.read(spark, root, schema).count() == 2L)
+    assert(ManifestTable.expireHistory(spark, root, keepLast = 2,
+      olderThanMillis = cutoff) == 0)
+  }
+
   test("vacuum retention window: keepLast versions stay time-travelable") {
     val root = freshRoot("manifest_vacuum_retain")
     val m = mapping
