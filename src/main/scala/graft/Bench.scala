@@ -55,9 +55,16 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Process CPU time is a HotSpot extension: degrade to wall-only
+    // (cpu 0) on JVMs without it — or when it answers -1 — rather than
+    // aborting the whole benchmark on a ClassCastException.
     val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuTime: Long =
+      osBean.map(_.getProcessCpuTime).filter(_ >= 0).getOrElse(0L)
     val results = selected.toSeq.map { case (name, fn) =>
       val setup = SparkEntry.benchSetups.get(name)
       val runs = (1 to reps).map { _ =>
@@ -66,7 +73,7 @@ object Bench {
           System.err.println(
             s"[bench] $name setup failed: ${String.valueOf(e.getMessage).take(300)}")
         }
-        val c0 = osBean.getProcessCpuTime
+        val c0 = cpuTime
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -74,7 +81,7 @@ object Bench {
               s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
         }
         (r3((System.nanoTime() - t0) / 1e9),
-          r3((osBean.getProcessCpuTime - c0) / 1e9))
+          r3(math.max(0L, cpuTime - c0) / 1e9))
       }
       val sorted = runs.map(_._1).sorted
       val med =

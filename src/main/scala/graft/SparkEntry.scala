@@ -202,10 +202,15 @@ object SparkEntry {
     * table — the manifest_incr_minmax fixture's guaranteed lost
     * extremum. Ids derive deterministically from the committed state
     * (row_number by acctbal DESC, id — ties broken by id, NULLs
-    * excluded); the fixed token makes a re-issue a replay no-op, so the
-    * query closure can call this unconditionally after [[benchSetups]]
-    * already applied it. */
+    * excluded). The fixture's version sequence is deterministic
+    * (create=0, merge=1, this delete=2), so a re-issue after
+    * [[benchSetups]] already applied it returns BEFORE the id-derivation
+    * scan — the bench's timed region must measure the view maintenance,
+    * not a redundant read+window (the delete itself would replay-no-op
+    * on its token, but only after paying that scan). */
   private def deleteTopAcctbal(s: SparkSession, root: String): Unit = {
+    if (graft.store.ManifestTable.currentVersion(s, root).exists(_ >= 2L))
+      return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("segment").orderBy(desc("acctbal"), col("id"))
     val topIds = graft.store.ManifestTable.read(s, root, upsertSchema)
@@ -628,8 +633,9 @@ object SparkEntry {
       // semi-join) must run and still hash-equal the DuckDB full
       // recompute. Deleted ids derive deterministically from the merged
       // state (row_number by acctbal DESC, id); after benchSetups
-      // pre-applied the delete, the token makes the re-issue a replay
-      // no-op, so the timed region is the maintenance itself.
+      // pre-applied the delete, the version guard returns before even
+      // the id-derivation scan, so the timed region is the maintenance
+      // itself.
       val root =
         manifestFixture(s, dir, "manifest_incr_minmax", withMerge = true)
       deleteTopAcctbal(s, root)

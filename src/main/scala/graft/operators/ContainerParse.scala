@@ -36,6 +36,20 @@ object ContainerParse {
       sampleOffsets: Seq[Long],
       sampleSizes: Seq[Long] = Nil)
 
+  /** Constant-value sample-size table (uniform stsz): O(1) memory for
+    * ANY declared sample count, so a hostile header can't drive a
+    * multi-GB materialization and a metadata-only moov (more samples
+    * than the payload's own bytes) still parses. Downstream only ever
+    * indexes/sizes it ([[Multimodal.sampleFramesReal]]). */
+  private[operators] final case class UniformSizes(n: Int, u: Long)
+      extends scala.collection.immutable.IndexedSeq[Long] {
+    def length: Int = n
+    def apply(i: Int): Long =
+      if (i < 0 || i >= n)
+        throw new IndexOutOfBoundsException(s"$i of $n")
+      else u
+  }
+
   /** Sniffs the container by magic and parses accordingly. */
   def parseVideo(payload: Array[Byte]): Option[VideoMeta] =
     Option(payload).filter(_.length >= 12).flatMap { b =>
@@ -141,18 +155,20 @@ object ContainerParse {
           val uniform = b.getInt(s + 4)
           val n = b.getInt(s + 8)
           // n is payload-controlled: bound it BEFORE materializing. A
-          // malformed uniform-size box declaring n ≈ Int.MaxValue would
-          // otherwise drive a multi-GB Seq.fill — and OutOfMemoryError
-          // is not NonFatal, so it would kill the executor instead of
-          // failing this row. Non-uniform: the box must physically hold
-          // its 4-byte-per-sample table. Uniform: every sample occupies
-          // ≥ 1 byte of this very file, so n can never exceed its size.
-          val bound =
-            if (uniform != 0) b.capacity().toLong else (e - s - 12L) / 4
+          // malformed box declaring n ≈ Int.MaxValue would otherwise
+          // drive a multi-GB allocation — and OutOfMemoryError is not
+          // NonFatal, so it would kill the executor instead of failing
+          // this row. Non-uniform: the box must physically hold its
+          // 4-byte-per-sample table. Uniform: any declared count is
+          // O(1) memory through [[UniformSizes]] — no payload-size
+          // bound, because a metadata-only file (moov without mdat) may
+          // legitimately declare more samples than its own byte length.
+          val bound = if (uniform != 0) Int.MaxValue.toLong
+                      else (e - s - 12L) / 4
           if (n < 0 || n > bound)
             throw new IllegalArgumentException(s"stsz declares $n samples")
           val sizes: Seq[Long] =
-            if (uniform != 0) Seq.fill(n)(uniform.toLong & 0xffffffffL)
+            if (uniform != 0) UniformSizes(n, uniform.toLong & 0xffffffffL)
             else (0 until n).map(i =>
               b.getInt(s + 12 + 4 * i).toLong & 0xffffffffL)
           (n, sizes)

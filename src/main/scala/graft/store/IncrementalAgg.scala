@@ -61,7 +61,10 @@ object IncrementalAgg {
     * `snapshot` (the base at the feed's END version, passed lazily and
     * never evaluated when no group is suspect) through a broadcast
     * semi-join, so the re-read cost tracks the number of groups that
-    * LOST an extremal row, not the table or even the view size. */
+    * LOST an extremal row, not the table or even the view size. With
+    * `minMaxCols` this runs ONE bounded action at call time (the
+    * suspect-key collect — bounded by feed-touched groups); without,
+    * it stays a pure plan builder. */
   def applyChanges(
       view: DataFrame,
       feed: DataFrame,
@@ -121,18 +124,28 @@ object IncrementalAgg {
       .filter(col("n_rows") > 0)
     if (minMaxCols.isEmpty) maintained.drop("_suspect")
     else {
-      val suspects = maintained.filter(col("_suspect"))
-        .select(groupCols.map(col): _*)
-      if (suspects.isEmpty) maintained.drop("_suspect")
+      // ONE bounded action: collect the suspect group keys (bounded by
+      // feed-touched groups, i.e. the change rate). The collected keys
+      // ride the final plan as a broadcast literal frame, so the
+      // view⋈deltas join executes exactly once more when the result is
+      // consumed — not once per branch (isEmpty / broadcast build /
+      // !_suspect filter would each have re-run it).
+      val suspectRows = maintained.filter(col("_suspect"))
+        .select(groupCols.map(col): _*).collect()
+      if (suspectRows.isEmpty) maintained.drop("_suspect")
       else {
+        val gSchema = org.apache.spark.sql.types.StructType(
+          groupCols.map(g => view.schema(g).copy(nullable = true)))
+        val k = broadcast(view.sparkSession.createDataFrame(
+          java.util.Arrays.asList(suspectRows: _*), gSchema)).alias("k")
         val snap = snapshot().alias("s")
-        val b = broadcast(suspects).alias("k")
         val semiCond = groupCols
-          .map(g => snap(g) <=> b(g)).reduce(_ && _)
-        val recomputed = fullAgg(snap.join(b, semiCond, "left_semi"),
+          .map(g => snap(g) <=> k(g)).reduce(_ && _)
+        val recomputed = fullAgg(snap.join(k, semiCond, "left_semi"),
           groupCols, sumCols, minMaxCols)
-        maintained.filter(!col("_suspect")).drop("_suspect")
-          .unionByName(recomputed)
+        val m = maintained.drop("_suspect").alias("m")
+        val antiCond = groupCols.map(g => m(g) <=> k(g)).reduce(_ && _)
+        m.join(k, antiCond, "left_anti").unionByName(recomputed)
       }
     }
   }

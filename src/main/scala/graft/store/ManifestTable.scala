@@ -181,10 +181,11 @@ object ManifestTable {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    // Formats 1 (numBuckets only), 2 (tokens, version-named side dirs) and
-    // 3 (single lastBatch token) stay READABLE so tables committed by
-    // earlier code aren't bricked by the upgrade; writes always produce
-    // format 4 (per-stream batch tokens).
+    // Formats 1 (numBuckets only), 2 (tokens, version-named side dirs),
+    // 3 (single lastBatch token) and 4 (per-stream batch tokens) stay
+    // READABLE so tables committed by earlier code aren't bricked by the
+    // upgrade; writes always produce format 5 (recorded keyExpr +
+    // lastCompact token).
     val format = lines.head match {
       case "graft-manifest 5" => 5
       case "graft-manifest 4" => 4
@@ -325,6 +326,41 @@ object ManifestTable {
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (m.keyExpr.isEmpty) identity
     else _ => org.apache.spark.sql.functions.expr(m.keyExpr)
+
+  /** The comparator every key-matching operation must actually use: the
+    * manifest-recorded normalizer when one exists (the caller may
+    * legitimately hold only the identity default — SQL tooling and bare
+    * maintenance calls cannot pass a Scala function), else the caller's.
+    * Using the caller's identity default for bucket targeting or key
+    * filters on a keyExpr-recorded table is UNSOUND: the buckets were
+    * laid out by the normalized key, so a raw-key probe picks the wrong
+    * bucket and a raw-key filter misses trim/case variants — a delete
+    * that "succeeds" (commits its token) while erasing nothing. */
+  private def effectiveKey(
+      m: Manifest,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (m.keyExpr.nonEmpty) recordedKey(m) else keyComparator
+
+  /** Probe keys normalized under [[effectiveKey]]: returns
+    * (bucket, normalizedValue) per key, computed by Spark itself so the
+    * normalization is exactly the one the table's layout used. The
+    * recorded keyExpr resolves BY NAME, so the probe frame exposes each
+    * literal under the key column's name. Bounded by |keys|. */
+  private def normalizedProbes(
+      spark: SparkSession,
+      m: Manifest,
+      keyColumn: String,
+      keys: Seq[Any],
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[(Int, Any)] = {
+    val cmp = effectiveKey(m, keyComparator)
+    spark.range(1)
+      .select(explode(array(keys.map(k => lit(k)): _*)).as(keyColumn))
+      .select(pmod(hash(cmp(col(keyColumn))), lit(m.numBuckets)).as("b"),
+        cmp(col(keyColumn)).as("k"))
+      .collect().map(r => (r.getInt(0), r.get(1))).toSeq
+  }
 
   /** Reads `entries` reconciled to the LIVE row per key: buckets with a
     * single file scan directly (zero overhead — the all-compacted fast
@@ -808,20 +844,37 @@ object ManifestTable {
         identity): Int = {
     require(keys.nonEmpty, "redactHistory needs at least one key")
     val dirs = committedSideDirs(spark, root, "history")
+    // Match under the table's EFFECTIVE comparator ([[effectiveKey]]):
+    // history rows carry the raw keys the merge saw, so a raw-key match
+    // on a keyExpr-recorded table would miss trim/case variants of the
+    // key being erased.
+    val (cmp, probeVals) = currentManifest(spark, root) match {
+      case Some(m) if m.keyExpr.nonEmpty =>
+        (effectiveKey(m, keyComparator),
+          normalizedProbes(spark, m, keyColumn, keys, keyComparator)
+            .map(p => lit(p._2)))
+      case _ => (keyComparator, keys.map(k => keyComparator(lit(k))))
+    }
     var rewritten = 0
     dirs.foreach { d =>
       val df = spark.read.parquet(d)
       val matches = coalesce(
-        keyComparator(col(keyColumn)).isin(
-          keys.map(k => keyComparator(lit(k))): _*),
-        lit(false))
+        cmp(col(keyColumn)).isin(probeVals: _*), lit(false))
       if (df.filter(matches).limit(1).count() > 0) {
         val name = d.substring(d.lastIndexOf('/') + 1)
         val (v, a, r) = parseSideDirName(name).get
         val next =
           s"$root/history/v$v${if (a.isEmpty) "" else s"-$a"}-r${r + 1}"
+        val fs = fsOf(spark, new Path(d))
+        val srcMtime = fs.getFileStatus(new Path(d)).getModificationTime
         df.filter(!matches).write.mode("overwrite").parquet(next)
-        fsOf(spark, new Path(d)).delete(new Path(d), true)
+        // Carry the ORIGINAL commit time onto the revision: a redaction
+        // must not make an old history version look fresh to
+        // [[expireHistory]]'s post-vacuum mtime fallback — "older than
+        // 90 days must be gone" has to hold through a yesterday's
+        // redaction of a 100-day-old version.
+        fs.setTimes(new Path(next), srcMtime, -1)
+        fs.delete(new Path(d), true)
         rewritten += 1
       }
     }
@@ -837,8 +890,11 @@ object ManifestTable {
     * GUARANTEE (compliance semantics: "older than 90 days must be
     * gone" holds even for the newest `keepLast`), so passing both
     * expires the union. Commit time is the version's manifest-file
-    * mtime while the manifest exists and the resolved dir's own mtime
-    * after `vacuum` retired it. Expiry drops EVERY revision of an
+    * mtime while the manifest exists; after `vacuum` retired it, the
+    * MINIMUM mtime across the version's history dirs (all revisions and
+    * leftovers — redaction also carries the source dir's mtime onto its
+    * revision, so a recent redaction cannot refresh an old version's
+    * clock). Expiry drops EVERY revision of an
     * expired version (a crashed redaction's superseded leftovers go
     * with it); versions above current (in-flight commits) and torn
     * revisions are untouched — those are vacuum's job. Idempotent;
@@ -857,12 +913,22 @@ object ManifestTable {
       val name = d.substring(d.lastIndexOf('/') + 1)
       (parseSideDirName(name).get._1, d)
     }.sortBy(-_._1) // newest first
+    // Post-vacuum commit-time fallback: the OLDEST mtime any of the
+    // version's dirs carries (revisions included) — never a single
+    // resolved dir's, which a later rewrite could have freshened.
+    val fallbackMtime: Map[Long, Long] =
+      if (byVersion.isEmpty) Map.empty
+      else fs.listStatus(new Path(s"$root/history")).toSeq
+        .flatMap(st => parseSideDirName(st.getPath.getName)
+          .map(p => (p._1, st.getModificationTime)))
+        .groupBy(_._1).map { case (v, ts) => (v, ts.map(_._2).min) }
     val expired = byVersion.zipWithIndex.collect {
       case ((v, d), rank) if {
         val mp = new Path(s"$root/manifest/m$v")
         val commitTime =
           if (mfs.exists(mp)) mfs.getFileStatus(mp).getModificationTime
-          else fs.getFileStatus(new Path(d)).getModificationTime
+          else fallbackMtime.getOrElse(v,
+            fs.getFileStatus(new Path(d)).getModificationTime)
         rank >= keepLast || commitTime < olderThanMillis
       } => v
     }.toSet
@@ -915,12 +981,12 @@ object ManifestTable {
         // lexicographic containment is conservative-correct, and the
         // probe keys must be normalized the same way (a lower-cased
         // table probed with "Foo" must compare "foo").
+        val cmp = effectiveKey(m, keyComparator)
+        val probes = normalizedProbes(spark, m, keyColumn, keys,
+          keyComparator)
         val rendered = spark.range(1)
-          .select(explode(array(keys.map { k =>
-            val c = keyComparator(lit(k))
-            struct(
-              pmod(hash(c), lit(m.numBuckets)).as("b"),
-              c.cast("string").as("s"))
+          .select(explode(array(probes.map { case (b, k) =>
+            struct(lit(b).as("b"), lit(k).cast("string").as("s"))
           }: _*)).as("k"))
           .select(col("k.b"), col("k.s"))
           .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
@@ -932,10 +998,8 @@ object ManifestTable {
           b == e.bucket && s >= e.minKey && s <= e.maxKey
         })
         if (hit.isEmpty) emptyFrame(spark, schema)
-        else reconciledRead(spark, root, schema, hit, keyColumn,
-            if (m.keyExpr.nonEmpty) recordedKey(m) else keyComparator)
-          .filter(keyComparator(col(keyColumn)).isin(
-            keys.map(k => keyComparator(lit(k))): _*))
+        else reconciledRead(spark, root, schema, hit, keyColumn, cmp)
+          .filter(cmp(col(keyColumn)).isin(probes.map(p => lit(p._2)): _*))
       case _ => emptyFrame(spark, schema)
     }
 
@@ -965,11 +1029,16 @@ object ManifestTable {
       val attempt = newAttemptId()
       val version = prior.version + 1
       val n = prior.numBuckets
-      val rendered = spark.range(1)
-        .select(explode(array(keys.map { k =>
-          pmod(hash(keyComparator(lit(k))), lit(n))
-        }: _*)).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      // Bucket targeting AND the keep-filter run under the table's
+      // EFFECTIVE comparator ([[effectiveKey]]): on a keyExpr-recorded
+      // table the identity-default caller would otherwise probe the
+      // wrong buckets and filter by raw key — committing its token
+      // while erasing nothing, so a corrected retry replays into a
+      // silent no-op.
+      val cmp = effectiveKey(prior, keyComparator)
+      val probes = normalizedProbes(spark, prior, keyColumn, keys,
+        keyComparator)
+      val rendered = probes.map(_._1).toSet
       val (touchedEntries, untouched) =
         prior.entries.partition(e => rendered(e.bucket))
       if (touchedEntries.isEmpty) {
@@ -981,22 +1050,20 @@ object ManifestTable {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
         // NULL key, and a bare `!NULL` filter would silently DROP
         // null-keyed rows that happen to share a bucket with a deleted key.
-        // The fragment read reconciles delta files first (on the
-        // manifest-recorded normalizer when one exists — the caller's
-        // comparator may be the identity default on a comparator-keyed
-        // table), so a rewritten bucket comes out compacted as a side
-        // effect.
+        // The fragment read reconciles delta files first, so a rewritten
+        // bucket comes out compacted as a side effect. The isin list
+        // holds the PRE-normalized probe values (normalizing a literal
+        // through the recorded keyExpr directly is impossible — it
+        // resolves by column name).
         val fragment = reconciledRead(spark, root, schema, touchedEntries,
-            keyColumn,
-            if (prior.keyExpr.nonEmpty) recordedKey(prior) else keyComparator)
+            keyColumn, cmp)
           .filter(!coalesce(
-            keyComparator(col(keyColumn)).isin(
-              keys.map(k => keyComparator(lit(k))): _*),
+            cmp(col(keyColumn)).isin(probes.map(p => lit(p._2)): _*),
             lit(false)))
-        val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
+        val bucket = pmod(hash(cmp(col(keyColumn))), lit(n))
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
-          keyComparator, seq = version)
+          cmp, seq = version)
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, prior.lastBatches, Some(token), attempt,
             keyColumn, prior.keyExpr, prior.lastCompact)))
@@ -1034,10 +1101,11 @@ object ManifestTable {
       val attempt = newAttemptId()
       val version = prior.version + 1
       val all = readManifestState(spark, root, schema, Some(prior))
+      val cmp = effectiveKey(prior, keyComparator)
       val bucket =
-        pmod(hash(keyComparator(col(keyColumn))), lit(newNumBuckets))
+        pmod(hash(cmp(col(keyColumn))), lit(newNumBuckets))
       val written = writeBuckets(all, bucket, keyColumn, root,
-        s"v$version-$attempt", newNumBuckets, keyComparator, seq = version)
+        s"v$version-$attempt", newNumBuckets, cmp, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
           written, prior.lastBatches, Some(token), attempt, keyColumn,
           prior.keyExpr, prior.lastCompact)))
@@ -1086,12 +1154,16 @@ object ManifestTable {
       val attempt = newAttemptId()
       val version = prior.version + 1
       val n = prior.numBuckets
+      // Bucket assignment must use the same comparator the layout was
+      // written with ([[effectiveKey]]): an identity-default compact on
+      // a keyExpr table would migrate rows to raw-key buckets, breaking
+      // every later pruned lookup/delete.
+      val cmp = effectiveKey(prior, keyComparator)
       val fragment = reconciledRead(spark, root, schema, tiered.flatten,
-        keyColumn,
-        if (prior.keyExpr.nonEmpty) recordedKey(prior) else keyComparator)
-      val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(n))
+        keyColumn, cmp)
+      val bucket = pmod(hash(cmp(col(keyColumn))), lit(n))
       val written = writeBuckets(fragment, bucket, keyColumn, root,
-        s"v$version-$attempt", tiered.size, keyComparator, seq = version)
+        s"v$version-$attempt", tiered.size, cmp, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, n,
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
           attempt, keyColumn, prior.keyExpr, Some(token))))
@@ -1167,10 +1239,10 @@ object ManifestTable {
       // the data columns' post-join nullability.
       val before = frag(changed.flatMap(b => prevBy.getOrElse(b, Nil)),
           if (prev.keyColumn.nonEmpty) prev.keyColumn else keyColumn)
-        .withColumn("_pb", lit(true))
+        .withColumn("__graft_pb", lit(true))
       val after = frag(changed.flatMap(b => curBy.getOrElse(b, Nil)),
           if (cur.keyColumn.nonEmpty) cur.keyColumn else keyColumn)
-        .withColumn("_pa", lit(true))
+        .withColumn("__graft_pa", lit(true))
       // One full-outer join on the normalized key over the touched
       // fragments classifies every row; a rebucket that moved rows
       // without changing them diffs to nothing. Null-keyed rows must NOT
@@ -1178,16 +1250,16 @@ object ManifestTable {
       // normalized key is precomputed per side because a recorded
       // normalizer resolves by NAME — applied inside the join condition
       // it would be ambiguous between the two sides.
-      val b = before.withColumn("_nk", rk(col(keyColumn))).alias("b")
-      val a = after.withColumn("_nk", rk(col(keyColumn))).alias("a")
-      val joined = b.join(a, b("_nk") === a("_nk"), "full_outer")
+      val b = before.withColumn("__graft_nk", rk(col(keyColumn))).alias("b")
+      val a = after.withColumn("__graft_nk", rk(col(keyColumn))).alias("a")
+      val joined = b.join(a, b("__graft_nk") === a("__graft_nk"), "full_outer")
       val changedRow = cols.map(c => !(b(c) <=> a(c)))
         .reduce(_ || _)
       val marked = joined.select(
         struct(cols.map(c => b(c)): _*).as("_b"),
         struct(cols.map(c => a(c)): _*).as("_a"),
-        coalesce(b("_pb"), lit(false)).as("_inb"),
-        coalesce(a("_pa"), lit(false)).as("_ina"),
+        coalesce(b("__graft_pb"), lit(false)).as("_inb"),
+        coalesce(a("__graft_pa"), lit(false)).as("_ina"),
         changedRow.as("_chg"))
       // ONE pass classifies every joined row: the four change kinds ride
       // an exploded 4-slot array (unmatched kinds are null slots, dropped

@@ -751,6 +751,55 @@ class ManifestTableSpec extends SparkSpec {
       "delete was swallowed by the compaction token")
   }
 
+  test("delete/lookup/compact with the identity default are sound on a " +
+      "keyExpr-recorded table") {
+    // The caller may legitimately hold only the default (SQL tooling,
+    // bare maintenance jobs): every key-matching op must fall back to
+    // the manifest-recorded normalizer for bucket targeting AND key
+    // filters — a raw-key probe picks the wrong bucket and a raw-key
+    // filter misses case/trim variants, committing a delete token while
+    // erasing nothing.
+    val root = freshRoot("manifest_default_cmp_ops")
+    val strSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val m = new Mapping("k") {
+      override def keyComparator = c => trim(lower(c))
+    }
+    m.auto("k", c => c); m.auto("v")
+    m.complete(strSchema)
+    ManifestTable.merge(
+      m.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("ABC", "x"), Seq("DEF", "y"), Seq("GHI", "z")),
+        headerLines = -1)),
+      0L, m, root, strSchema, numBuckets = 8, streamId = "A")
+    // lookup with the DEFAULT comparator, probing a case/trim variant
+    val hit = ManifestTable.lookup(spark, root, strSchema, "k",
+      Seq(" abc ")).collect().toSeq
+    assert(hit.map(_.getString(1)) == Seq("x"),
+      s"identity-default lookup missed the normalized bucket: $hit")
+    // delete with the DEFAULT comparator and a different-raw variant:
+    // the row must actually be erased (not a token-committing no-op)
+    ManifestTable.delete(spark, root, strSchema, "k", Seq("abc "),
+      token = 1L)
+    val after = ManifestTable.read(spark, root, strSchema)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(after == Seq("y", "z"),
+      s"identity-default delete erased nothing: $after")
+    // compact with the DEFAULT comparator after a delta merge must keep
+    // the comparator-space layout (a raw-key re-bucket would break every
+    // later pruned lookup)
+    ManifestTable.merge(
+      m.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("  def ", "y2")), headerLines = -1)),
+      1L, m, root, strSchema, streamId = "A", delta = true)
+    assert(ManifestTable.compact(spark, root, strSchema, "k", token = 7L)
+      .nonEmpty)
+    val hit2 = ManifestTable.lookup(spark, root, strSchema, "k",
+      Seq("DEF")).collect().toSeq
+    assert(hit2.map(_.getString(1)) == Seq("y2"),
+      s"post-compact identity-default lookup lost the key: $hit2")
+  }
+
   test("delta merge refuses a comparator with no SQL form") {
     val root = freshRoot("manifest_delta_udf_cmp")
     val strSchema = StructType(Seq(
@@ -1013,6 +1062,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 2L)
     assert(ManifestTable.expireHistory(spark, root, keepLast = 2,
       olderThanMillis = cutoff) == 0)
+  }
+
+  test("history expiry survives a fresh redaction (commit time carried " +
+      "onto the revision)") {
+    // "older than 90 days must be gone" has to hold through yesterday's
+    // redaction of a 100-day-old version: the revision rewrite carries
+    // the source dir's mtime, and the post-vacuum fallback takes the
+    // MINIMUM mtime across the version's dirs — a redaction can never
+    // refresh an old version's clock.
+    val root = freshRoot("manifest_expire_redact")
+    val m = {
+      val mm = new Mapping()
+      mm.auto("id"); mm.auto("name")
+      mm.auto("score", opts = graft.mapping.ColOpts(keepHistory = true))
+      mm.complete(schema)
+      mm
+    }
+    ManifestTable.merge(
+      m.project(raw((1L, "a", "1"), (2L, "b", "2"))),
+      0L, m, root, schema, numBuckets = 2, streamId = "A")
+    ManifestTable.merge(m.project(raw((1L, "a", "10"), (2L, "b", "20"))),
+      1L, m, root, schema, streamId = "A") // history v1: old 1 and 2
+    ManifestTable.merge(m.project(raw((1L, "a", "30"))),
+      2L, m, root, schema, streamId = "A") // history v2: old 10
+    val cutoff = System.currentTimeMillis() - 1000L * 3600
+    val old = cutoff - 1000L * 3600 // "100 days ago"
+    val v1dir = new java.io.File(s"$root/history")
+      .list().filter(_.startsWith("v1")).head
+    new java.io.File(s"$root/history/$v1dir").setLastModified(old)
+    // redact key 1 from history NOW: v1 and v2 both rewrite as -r1
+    assert(ManifestTable.redactHistory(spark, root, "id", Seq(1L)) == 2)
+    // vacuum retires the old manifests → expiry must use the fallback
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert(ManifestTable.expireHistory(spark, root,
+      olderThanMillis = cutoff) == 1,
+      "the redacted 'old' version must still expire on its ORIGINAL " +
+        "commit time")
+    // v1 (old, redacted yesterday) expired with key 2's surviving row;
+    // v2's revision stays but redaction already emptied it (its only
+    // history row was key 1's) — so nothing remains
+    val scores = ManifestTable.historyOf(spark, root)
+      .select("old_score").collect().map(_.getLong(0)).toSeq.sorted
+    assert(scores == Nil, s"got $scores")
+    assert(ManifestTable.read(spark, root, schema).count() == 2L)
   }
 
   test("vacuum retention window: keepLast versions stay time-travelable") {

@@ -447,11 +447,23 @@ class MultimodalSpec extends SparkSpec {
       require(base.nonEmpty) // keep the benign builder exercised
       ftyp ++ moov
     }
-    // uniform sample size 100, declared count Int.MaxValue
-    val hostileUniform =
+    // uniform sample size 100, declared count Int.MaxValue: parses in
+    // O(1) memory (constant-value table) — a metadata-only moov may
+    // legitimately declare more samples than its own byte length, so a
+    // payload-size bound would be a correctness regression, and an
+    // eager materialization a multi-GB allocation
+    val hugeUniform =
       mp4WithStsz(be32(100) ++ be32(Int.MaxValue))
-    assert(ContainerParse.parseVideo(hostileUniform).isEmpty)
-    // non-uniform with a count far beyond the box's actual table
+    val hugeMeta = ContainerParse.parseVideo(hugeUniform)
+    assert(hugeMeta.exists(m => m.nSamples == Int.MaxValue &&
+      m.sampleSizes.length == Int.MaxValue &&
+      m.sampleSizes(123456789) == 100L))
+    // metadata-only shape: more samples than the file has bytes
+    val metadataOnly = mp4WithStsz(be32(100) ++ be32(10000))
+    assert(ContainerParse.parseVideo(metadataOnly)
+      .exists(m => m.nSamples == 10000 && m.sampleSizes(9999) == 100L))
+    // non-uniform with a count far beyond the box's actual table must
+    // still fail the row: the table physically cannot hold it
     val hostileTable =
       mp4WithStsz(be32(0) ++ be32(Int.MaxValue) ++ be32(100))
     assert(ContainerParse.parseVideo(hostileTable).isEmpty)
