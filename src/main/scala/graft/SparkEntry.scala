@@ -260,6 +260,8 @@ object SparkEntry {
         withMerge = true)
       deleteTopAcctbal(s, root)
     }),
+    "manifest_count" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_count", withMerge = true)),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
         withMerge = false)),
@@ -696,6 +698,17 @@ object SparkEntry {
         (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
+    "manifest_count" -> ((s, dir) => {
+      // Metadata-only aggregate pushdown: a SELECT count(*) answered
+      // from the manifest's per-file row counts — zero data files read
+      // on this all-compacted fixture (spec-proven by answering after
+      // the data files are physically gone). Hash-checked against
+      // DuckDB's count of the same merged state.
+      val root = manifestFixture(s, dir, "manifest_count", withMerge = true)
+      val n = graft.store.ManifestTable.countRows(s, root, upsertSchema)
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    }),
     "upsert_reject_nonnull" -> ((s, dir) =>
       runUpsert(s, dir, blankNames = true,
         nonNullable = Seq("name")).merged),
@@ -810,6 +823,15 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val w = Dsir.weights(d.filter(col("lang") === "en"), d)
       Dsir.score(d, w)
+    }),
+    "lm_score" -> ((s, dir) => {
+      // CCNet-style perplexity gate: a bigram stupid-backoff LM trained
+      // on the src0 slice scores the whole corpus. Bucketed counts +
+      // integer milli-nat costs (the DSIR discipline), so DuckDB
+      // reproduces every score bit-for-bit.
+      val d = t(s, dir, "documents")
+      val model = NgramLm.train(d.filter(col("source") === "src0"))
+      NgramLm.score(d, model)
     }),
     "dedup_lines" -> ((s, dir) => {
       // Plant cross-document boilerplate: every doc gains a SHARED
@@ -1548,6 +1570,9 @@ object SparkEntry {
              CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
                AS DOUBLE) AS sum_acctbal
            FROM m GROUP BY segment""",
+      "manifest_count" ->
+        s"""SELECT count(*) AS n_rows FROM customer
+           WHERE ($inTgt) OR ($inSrc)""",
       "manifest_incr_minmax" ->
         s"""WITH m AS (
              SELECT c_custkey AS id,
@@ -1730,6 +1755,46 @@ object SparkEntry {
              CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS dsir_score
            FROM gb LEFT JOIN w ON gb.bucket = w.bucket
            GROUP BY gb.doc_id""",
+      "lm_score" ->
+        s"""WITH tok AS (SELECT doc_id, source, ${tokSqlOf("text")} AS tk
+             FROM documents),
+           ru AS (SELECT unnest(tk) AS w FROM tok WHERE source = 'src0'),
+           u AS (SELECT substring(md5(w), 1, 4) AS b, count(*) AS c1
+             FROM ru GROUP BY 1),
+           nt AS (SELECT count(*) AS n FROM ru),
+           rb AS (SELECT unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS g
+             FROM tok WHERE source = 'src0' AND len(tk) >= 2),
+           bi AS (SELECT substring(md5(g), 1, 4) AS b, count(*) AS c2
+             FROM rb GROUP BY 1),
+           fst AS (SELECT doc_id, substring(md5(tk[1]), 1, 4) AS bw
+             FROM tok),
+           fc AS (SELECT doc_id, CAST(round((CASE
+               WHEN u.c1 IS NOT NULL THEN ln(nt.n + 1.0) - ln(u.c1)
+               ELSE ln(nt.n + 1.0) END) * 1000) AS BIGINT) AS cost
+             FROM fst LEFT JOIN u ON fst.bw = u.b, nt),
+           prs AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS g
+             FROM tok WHERE len(tk) >= 2),
+           pb AS (SELECT doc_id,
+               substring(md5(g), 1, 4) AS b2,
+               substring(md5(string_split(g, ' ')[1]), 1, 4) AS bp,
+               substring(md5(string_split(g, ' ')[2]), 1, 4) AS bw
+             FROM prs),
+           pc AS (SELECT doc_id, CAST(round((CASE
+               WHEN bi.c2 IS NOT NULL
+                 THEN ln(greatest(COALESCE(up.c1, 0), bi.c2)) - ln(bi.c2)
+               WHEN uw.c1 IS NOT NULL
+                 THEN ln(2.5 * (nt.n + 1.0)) - ln(uw.c1)
+               ELSE ln(2.5 * (nt.n + 1.0)) END) * 1000) AS BIGINT) AS cost
+             FROM pb LEFT JOIN bi ON pb.b2 = bi.b
+               LEFT JOIN u up ON pb.bp = up.b
+               LEFT JOIN u uw ON pb.bw = uw.b, nt),
+           allc AS (SELECT * FROM fc UNION ALL SELECT * FROM pc)
+           SELECT doc_id, CAST(sum(cost) AS BIGINT) AS lm_cost,
+             count(*) AS n_terms,
+             CAST(sum(cost) AS BIGINT) // count(*) AS avg_cost_milli
+           FROM allc GROUP BY doc_id""",
       "dedup_substrings" ->
         s"""WITH base AS (SELECT doc_id,
              CASE WHEN doc_id % 40 = 0 THEN '$SubstringBanner ' || text

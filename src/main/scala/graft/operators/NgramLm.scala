@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity scoring (Wenzek et al.,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data", 2020): train a bigram model with stupid backoff (Brants et
+  * al. 2007) on a REFERENCE corpus (the "good" text — CCNet uses
+  * Wikipedia), then score every corpus document by its average
+  * per-term negative log-probability. Low scorers read like the
+  * reference; CCNet keeps the head/middle of the distribution and
+  * drops the tail. The reference implementation is a KenLM binary —
+  * this is the same gate re-expressed as two bounded hash aggregates
+  * and three broadcast joins.
+  *
+  * Engine-reproducible by construction (the [[Dsir]] discipline), so a
+  * DuckDB oracle recomputes identical scores:
+  *  - n-grams hash to `16^hexChars` buckets via md5 prefix — no
+  *    engine-specific hash, and the MODEL IS BOUNDED regardless of
+  *    corpus size (the scale story: vocabulary never grows past the
+  *    bucket count, so the model always broadcasts);
+  *  - each term's cost is an INTEGER: round(scale × nats) — a 1-ulp
+  *    libm divergence cannot move a rounded integer off a .5 boundary;
+  *    document costs are exact integer sums and the average is integer
+  *    division, so no float-addition-order sensitivity anywhere;
+  *  - bucket collisions can only make a cost ratio exceed 1 (a bigram
+  *    bucket outweighing its context's unigram bucket); the context
+  *    count is clamped up to the bigram count, so costs stay ≥ 0 and
+  *    both engines clamp identically.
+  *
+  * Cost model, per document (all counts are bucket counts over the
+  * reference; N = reference token count):
+  *  - first token w:  seen → ln((N+1)/c1(w)),  unseen → ln(N+1)
+  *  - each bigram (p,w):
+  *      c2(p,w) > 0   → ln(max(c1(p), c2(p,w)) / c2(p,w))
+  *      else c1(w) > 0 → ln(2.5·(N+1) / c1(w))     (stupid backoff, α=0.4)
+  *      else           → ln(2.5·(N+1))             (OOV)
+  * `avg_cost_milli` = total integer cost div term count — the
+  * log-perplexity in milli-nats (perplexity itself is exp of it;
+  * filtering on either is equivalent, and log space keeps integers).
+  *
+  * Scale shape: training is two hash aggregates over the reference
+  * (output ≤ 16^hexChars rows each — broadcast-sized at any corpus
+  * size) plus one bounded count; scoring is scan → explode →
+  * 3 broadcast joins → one map-side-partial per-doc sum. Nothing about
+  * the corpus is collected, and the only shuffle is the per-doc
+  * aggregate. */
+object NgramLm {
+
+  /** A trained model: bounded unigram/bigram bucket counts (≤
+    * `16^hexChars` rows each), the reference token count, and the
+    * quantization parameters scoring must reuse. */
+  final case class LmModel(
+      uni: DataFrame,
+      bi: DataFrame,
+      nTokens: Long,
+      hexChars: Int,
+      scale: Int)
+
+  /** The corpus tokenization every text operator's oracle mirrors
+    * (`[^a-z0-9]+` → space, lower, trim, split): empty/junk text
+    * yields a single empty token, so every document scores. */
+  private def toks(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  private def bucket(g: Column, hexChars: Int): Column =
+    substring(md5(g), 1, hexChars)
+
+  /** Adjacent-pair bigram strings ("prev w") of a token array; callers
+    * filter to `size ≥ 2` first (sequence(1, 0) would run BACKWARD). */
+  private def pairGrams(tk: Column): Column =
+    transform(sequence(lit(1), size(tk) - 1),
+      i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))
+
+  /** Trains the bounded bigram model on the reference corpus. One
+    * bounded action (the reference token count — a scalar). */
+  def train(
+      reference: DataFrame,
+      text: Column = col("text"),
+      hexChars: Int = 4,
+      scale: Int = 1000): LmModel = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8], got $hexChars")
+    val tk = reference.select(toks(text).as("_tk"))
+    val uniToks = tk.select(explode(col("_tk")).as("_w"))
+    val uni = uniToks.groupBy(bucket(col("_w"), hexChars).as("b"))
+      .agg(count(lit(1)).as("c1"))
+    val n = uniToks.count()
+    val bi = tk.filter(size(col("_tk")) >= 2)
+      .select(explode(pairGrams(col("_tk"))).as("_g"))
+      .groupBy(bucket(col("_g"), hexChars).as("b"))
+      .agg(count(lit(1)).as("c2"))
+    LmModel(uni, bi, n, hexChars, scale)
+  }
+
+  /** Scores every document: (idCol, lm_cost, n_terms, avg_cost_milli).
+    * `lm_cost` is the exact integer sum of per-term costs, `n_terms` =
+    * max(1, token count), `avg_cost_milli` their integer quotient (the
+    * document's log-perplexity in milli-nats). Pure plan — no actions. */
+  def score(
+      corpus: DataFrame,
+      model: LmModel,
+      idCol: String = "doc_id",
+      text: Column = col("text")): DataFrame = {
+    val h = model.hexChars
+    val sc = model.scale
+    val lnN = log(lit(model.nTokens + 1.0))
+    val lnBk = log(lit(2.5 * (model.nTokens + 1.0)))
+    val base = corpus.select(col(idCol), toks(text).as("_tk"))
+    val uni = broadcast(model.uni)
+    val bi = broadcast(model.bi)
+    // Leg 1 — the first token, scored by the unigram model.
+    val firstCost = base
+      .select(col(idCol), bucket(element_at(col("_tk"), 1), h).as("_bw"))
+      .join(uni, col("_bw") === uni("b"), "left")
+      .select(col(idCol),
+        when(uni("c1").isNotNull,
+          round((lnN - log(uni("c1").cast("double"))) * sc).cast("long"))
+          .otherwise(round(lnN * sc).cast("long")).as("_cost"))
+    // Leg 2 — every adjacent pair, scored by the bigram model with
+    // stupid backoff to the unigram model. The context count clamps up
+    // to the bigram count so a cross-bucket collision can't produce a
+    // negative cost (and DuckDB clamps identically).
+    val up = model.uni.select(col("b").as("_bpm"), col("c1").as("_c1p"))
+    val uw = model.uni.select(col("b").as("_bwm"), col("c1").as("_c1w"))
+    val pairCost = base.filter(size(col("_tk")) >= 2)
+      .select(col(idCol), explode(pairGrams(col("_tk"))).as("_g"))
+      // tokens never contain spaces, so the pair splits back exactly
+      .select(col(idCol), bucket(col("_g"), h).as("_b2"),
+        bucket(element_at(split(col("_g"), " "), 1), h).as("_bp"),
+        bucket(element_at(split(col("_g"), " "), 2), h).as("_bw"))
+      .join(bi, col("_b2") === bi("b"), "left")
+      .join(broadcast(up), col("_bp") === col("_bpm"), "left")
+      .join(broadcast(uw), col("_bw") === col("_bwm"), "left")
+      .select(col(idCol),
+        when(bi("c2").isNotNull,
+          round((log(greatest(coalesce(col("_c1p"), lit(0L)), bi("c2"))
+              .cast("double")) - log(bi("c2").cast("double"))) * sc)
+            .cast("long"))
+          .when(col("_c1w").isNotNull,
+            round((lnBk - log(col("_c1w").cast("double"))) * sc)
+              .cast("long"))
+          .otherwise(round(lnBk * sc).cast("long")).as("_cost"))
+    firstCost.unionByName(pairCost)
+      .groupBy(col(idCol))
+      .agg(sum(col("_cost")).as("lm_cost"), count(lit(1)).as("n_terms"))
+      .withColumn("avg_cost_milli", expr("lm_cost div n_terms"))
+  }
+
+  /** CCNet's head/middle/tail banding: thresholds are the exact
+    * interpolated percentiles of `avg_cost_milli` at `headFrac` and
+    * `1 − tailFrac` (one bounded 2-value action), labels in a `band`
+    * column. CCNet trains on head+middle and drops the tail. */
+  def bands(
+      scored: DataFrame,
+      headFrac: Double = 1.0 / 3,
+      tailFrac: Double = 1.0 / 3): DataFrame = {
+    require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1,
+      s"need 0 < headFrac, tailFrac and headFrac + tailFrac < 1")
+    val th = scored.agg(
+      expr(s"percentile(avg_cost_milli, $headFrac)"),
+      expr(s"percentile(avg_cost_milli, ${1 - tailFrac})")).head()
+    val (h, t) = (th.getDouble(0), th.getDouble(1))
+    scored.withColumn("band",
+      when(col("avg_cost_milli") <= h, "head")
+        .when(col("avg_cost_milli") <= t, "middle")
+        .otherwise("tail"))
+  }
+}

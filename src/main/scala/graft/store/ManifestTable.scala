@@ -250,6 +250,31 @@ object ManifestTable {
       Some(readManifest(spark, root, version)))
   }
 
+  /** Row count answered from MANIFEST METADATA wherever possible — the
+    * aggregate-pushdown read every lakehouse needs (`SELECT count(*)`
+    * must not scan 100 TB): buckets whose single live file's recorded
+    * row count is exact answer with ZERO data reads — on an
+    * all-compacted table the whole count comes from the manifest.
+    * Buckets carrying delta files reconcile and count for real (their
+    * per-file counts overcount superseded keys), so the data cost
+    * tracks un-compacted deltas only. Always equals `read().count()`. */
+  def countRows(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType): Long =
+    currentManifest(spark, root) match {
+      case None => 0L
+      case Some(m) =>
+        val (multi, single) = m.entries.groupBy(_.bucket).values.toSeq
+          .partition(_.size > 1)
+        val metaCount = single.flatten.map(_.rows).sum
+        val deltaCount =
+          if (multi.isEmpty) 0L
+          else reconciledRead(spark, root, schema, multi.flatten,
+            m.keyColumn, recordedKey(m)).count()
+        metaCount + deltaCount
+    }
+
   /** All committed snapshots, oldest first: (version, numBuckets,
     * rows) — the bounded metadata listing for `readAt` callers. */
   def versions(spark: SparkSession, root: String): Seq[(Long, Int, Long)] = {

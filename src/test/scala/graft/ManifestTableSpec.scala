@@ -1064,6 +1064,34 @@ class ManifestTableSpec extends SparkSpec {
       olderThanMillis = cutoff) == 0)
   }
 
+  test("countRows: metadata-only on compacted tables, reconciled over " +
+      "deltas") {
+    val root = freshRoot("manifest_count_rows")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 20L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4, streamId = "A")
+    assert(ManifestTable.countRows(spark, root, schema) == 20L)
+    // a delta commit (5 updates + 3 inserts): per-file counts overcount
+    // the superseded keys, so the delta buckets must reconcile
+    ManifestTable.merge(
+      m.project(raw(((1L to 5L) ++ (21L to 23L))
+        .map(i => (i, s"u$i", i.toString)): _*)),
+      1L, m, root, schema, streamId = "A", delta = true)
+    assert(ManifestTable.countRows(spark, root, schema) == 23L)
+    assert(ManifestTable.countRows(spark, root, schema) ==
+      ManifestTable.read(spark, root, schema).count())
+    // compact back to single files, then PHYSICALLY DELETE the data:
+    // the count must still answer — proof no data file is read
+    ManifestTable.compact(spark, root, schema, "id", token = 1L)
+    ManifestTable.vacuum(spark, root)
+    assert(ManifestTable.countRows(spark, root, schema) == 23L)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/data"))
+    assert(ManifestTable.countRows(spark, root, schema) == 23L,
+      "compacted count must come from the manifest alone")
+  }
+
   test("history expiry survives a fresh redaction (commit time carried " +
       "onto the revision)") {
     // "older than 90 days must be gone" has to hold through yesterday's
