@@ -73,8 +73,12 @@ object NgramLm {
     transform(sequence(lit(1), size(tk) - 1),
       i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))
 
-  /** Trains the bounded bigram model on the reference corpus. One
-    * bounded action (the reference token count — a scalar). */
+  /** Trains the bounded bigram model on the reference corpus: two hash
+    * aggregates, each MATERIALIZED driver-side (≤ `16^hexChars` rows —
+    * the count-min/bloom discipline: a bounded model rides the scoring
+    * plan as local data, so [[score]]'s three broadcast builds are
+    * LocalTableScans instead of three re-runs of the training
+    * aggregates over the reference corpus). Three bounded actions. */
   def train(
       reference: DataFrame,
       text: Column = col("text"),
@@ -82,15 +86,20 @@ object NgramLm {
       scale: Int = 1000): LmModel = {
     require(hexChars >= 1 && hexChars <= 8,
       s"hexChars must be in [1, 8], got $hexChars")
+    val spark = reference.sparkSession
+    def local(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
     val tk = reference.select(toks(text).as("_tk"))
     val uniToks = tk.select(explode(col("_tk")).as("_w"))
-    val uni = uniToks.groupBy(bucket(col("_w"), hexChars).as("b"))
-      .agg(count(lit(1)).as("c1"))
+    val uni = local(uniToks
+      .groupBy(bucket(col("_w"), hexChars).as("b"))
+      .agg(count(lit(1)).as("c1")))
     val n = uniToks.count()
-    val bi = tk.filter(size(col("_tk")) >= 2)
+    val bi = local(tk.filter(size(col("_tk")) >= 2)
       .select(explode(pairGrams(col("_tk"))).as("_g"))
       .groupBy(bucket(col("_g"), hexChars).as("b"))
-      .agg(count(lit(1)).as("c2"))
+      .agg(count(lit(1)).as("c2")))
     LmModel(uni, bi, n, hexChars, scale)
   }
 
@@ -108,41 +117,47 @@ object NgramLm {
     val lnN = log(lit(model.nTokens + 1.0))
     val lnBk = log(lit(2.5 * (model.nTokens + 1.0)))
     val base = corpus.select(col(idCol), toks(text).as("_tk"))
-    val uni = broadcast(model.uni)
     val bi = broadcast(model.bi)
-    // Leg 1 — the first token, scored by the unigram model.
-    val firstCost = base
-      .select(col(idCol), bucket(element_at(col("_tk"), 1), h).as("_bw"))
-      .join(uni, col("_bw") === uni("b"), "left")
-      .select(col(idCol),
-        when(uni("c1").isNotNull,
-          round((lnN - log(uni("c1").cast("double"))) * sc).cast("long"))
-          .otherwise(round(lnN * sc).cast("long")).as("_cost"))
-    // Leg 2 — every adjacent pair, scored by the bigram model with
-    // stupid backoff to the unigram model. The context count clamps up
-    // to the bigram count so a cross-bucket collision can't produce a
-    // negative cost (and DuckDB clamps identically).
     val up = model.uni.select(col("b").as("_bpm"), col("c1").as("_c1p"))
     val uw = model.uni.select(col("b").as("_bwm"), col("c1").as("_c1w"))
-    val pairCost = base.filter(size(col("_tk")) >= 2)
-      .select(col(idCol), explode(pairGrams(col("_tk"))).as("_g"))
-      // tokens never contain spaces, so the pair splits back exactly
-      .select(col(idCol), bucket(col("_g"), h).as("_b2"),
-        bucket(element_at(split(col("_g"), " "), 1), h).as("_bp"),
-        bucket(element_at(split(col("_g"), " "), 2), h).as("_bw"))
+    // ONE corpus scan: the first token (unigram-scored) and every
+    // adjacent pair (bigram-scored) ride a single exploded term array —
+    // tokens never contain spaces, so a term's kind is recoverable from
+    // its split arity, and a unigram term NULLs its bigram-side join
+    // keys (a md5-collision hit on the bigram table would otherwise
+    // misprice it).
+    val terms = base.select(col(idCol), explode(concat(
+        array(element_at(col("_tk"), 1)),
+        when(size(col("_tk")) >= 2, pairGrams(col("_tk")))
+          .otherwise(array().cast("array<string>")))).as("_g"))
+    val sp = split(col("_g"), " ")
+    val keyed = terms.select(col(idCol),
+      (size(sp) === 1).as("_u"),
+      when(size(sp) > 1, bucket(col("_g"), h)).as("_b2"),
+      when(size(sp) > 1, bucket(element_at(sp, 1), h)).as("_bp"),
+      bucket(element_at(sp, -1), h).as("_bw"))
+    // The context count clamps up to the bigram count so a cross-bucket
+    // collision can't produce a negative cost (DuckDB clamps
+    // identically).
+    keyed
       .join(bi, col("_b2") === bi("b"), "left")
       .join(broadcast(up), col("_bp") === col("_bpm"), "left")
       .join(broadcast(uw), col("_bw") === col("_bwm"), "left")
       .select(col(idCol),
-        when(bi("c2").isNotNull,
-          round((log(greatest(coalesce(col("_c1p"), lit(0L)), bi("c2"))
-              .cast("double")) - log(bi("c2").cast("double"))) * sc)
-            .cast("long"))
-          .when(col("_c1w").isNotNull,
-            round((lnBk - log(col("_c1w").cast("double"))) * sc)
+        when(col("_u"),
+          when(col("_c1w").isNotNull,
+            round((lnN - log(col("_c1w").cast("double"))) * sc)
               .cast("long"))
-          .otherwise(round(lnBk * sc).cast("long")).as("_cost"))
-    firstCost.unionByName(pairCost)
+            .otherwise(round(lnN * sc).cast("long")))
+          .otherwise(
+            when(bi("c2").isNotNull,
+              round((log(greatest(coalesce(col("_c1p"), lit(0L)),
+                  bi("c2")).cast("double")) -
+                log(bi("c2").cast("double"))) * sc).cast("long"))
+              .when(col("_c1w").isNotNull,
+                round((lnBk - log(col("_c1w").cast("double"))) * sc)
+                  .cast("long"))
+              .otherwise(round(lnBk * sc).cast("long"))).as("_cost"))
       .groupBy(col(idCol))
       .agg(sum(col("_cost")).as("lm_cost"), count(lit(1)).as("n_terms"))
       .withColumn("avg_cost_milli", expr("lm_cost div n_terms"))

@@ -276,7 +276,11 @@ object ManifestTable {
     }
 
   /** All committed snapshots, oldest first: (version, numBuckets,
-    * rows) — the bounded metadata listing for `readAt` callers. */
+    * rows) — the bounded metadata listing for `readAt` callers. `rows`
+    * is the FILE-row total: exact live rows for all-compacted versions,
+    * an upper bound when a version carries delta files (a delta-updated
+    * key is counted in both its base and delta file) — [[countRows]]
+    * gives the exact live count of the current version. */
   def versions(spark: SparkSession, root: String): Seq[(Long, Int, Long)] = {
     val dir = new Path(s"$root/manifest")
     val fs = fsOf(spark, dir)
