@@ -824,6 +824,24 @@ object SparkEntry {
       val w = Dsir.weights(d.filter(col("lang") === "en"), d)
       Dsir.score(d, w)
     }),
+    "bpe_encode" -> ((s, dir) => {
+      // BPE subword encoding under a FIXED literal merge table (rank =
+      // list position), so DuckDB can replay the exact merge semantics
+      // with a recursive CTE: per word, repeatedly merge the FIRST
+      // occurrence of the lowest-ranked adjacent pair. The merges chain
+      // ("table" resolves e</w> → le</w> → ta → tab → table</w>), so a
+      // green hash proves rank priority, first-occurrence choice, and
+      // the chained-merge fixpoint all match. Training itself is
+      // driver-side over a bounded word dict (BpeSpec pins the classic
+      // Sennrich merge sequence).
+      val model = Bpe.BpeModel(Seq(("e", "</w>"), ("l", "e</w>"),
+        ("t", "a"), ("ta", "b"), ("tab", "le</w>"), ("a", "t")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Bpe.encode(col("text"), model).as("_t"))
+        .select(col("doc_id"),
+          size(col("_t")).cast(LongType).as("n_bpe"),
+          concat_ws(" ", col("_t")).as("bpe_text"))
+    }),
     "lm_score" -> ((s, dir) => {
       // CCNet-style perplexity gate: a bigram stupid-backoff LM trained
       // on the src0 slice scores the whole corpus. Bucketed counts +
@@ -1755,6 +1773,58 @@ object SparkEntry {
              CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS dsir_score
            FROM gb LEFT JOIN w ON gb.bucket = w.bucket
            GROUP BY gb.doc_id""",
+      "bpe_encode" ->
+        s"""WITH RECURSIVE
+           tok AS (SELECT doc_id, ${tokSqlOf("text")} AS tk
+             FROM documents),
+           words AS (SELECT doc_id,
+               unnest(range(1, len(tk) + 1)) AS wi, unnest(tk) AS w
+             FROM tok),
+           nz AS (SELECT doc_id, wi, w FROM words WHERE w <> ''),
+           enc AS (
+             SELECT doc_id, wi, list_append(
+                 list_transform(range(1, length(w) + 1),
+                   i -> substring(w, i, 1)), '</w>') AS t
+             FROM nz
+             UNION ALL
+             SELECT doc_id, wi, list_concat(list_concat(
+                 t[1:ix-1], [t[ix] || t[ix+1]]), t[ix+2:]) AS t
+             FROM (
+               SELECT doc_id, wi, t,
+                 list_min(list_transform(range(1, len(t)), j ->
+                   CASE t[j] || ' ' || t[j+1]
+                     WHEN 'e </w>' THEN 0 WHEN 'l e</w>' THEN 1
+                     WHEN 't a' THEN 2 WHEN 'ta b' THEN 3
+                     WHEN 'tab le</w>' THEN 4 WHEN 'a t' THEN 5
+                     ELSE NULL END)) AS br,
+                 list_filter(range(1, len(t)), i ->
+                   CASE t[i] || ' ' || t[i+1]
+                     WHEN 'e </w>' THEN 0 WHEN 'l e</w>' THEN 1
+                     WHEN 't a' THEN 2 WHEN 'ta b' THEN 3
+                     WHEN 'tab le</w>' THEN 4 WHEN 'a t' THEN 5
+                     ELSE NULL END IS NOT DISTINCT FROM
+                   list_min(list_transform(range(1, len(t)), j ->
+                     CASE t[j] || ' ' || t[j+1]
+                       WHEN 'e </w>' THEN 0 WHEN 'l e</w>' THEN 1
+                       WHEN 't a' THEN 2 WHEN 'ta b' THEN 3
+                       WHEN 'tab le</w>' THEN 4 WHEN 'a t' THEN 5
+                       ELSE NULL END)))[1] AS ix
+               FROM enc) s
+             WHERE br IS NOT NULL),
+           fin AS (SELECT doc_id, wi, t FROM enc
+             WHERE list_min(list_transform(range(1, len(t)), j ->
+               CASE t[j] || ' ' || t[j+1]
+                 WHEN 'e </w>' THEN 0 WHEN 'l e</w>' THEN 1
+                 WHEN 't a' THEN 2 WHEN 'ta b' THEN 3
+                 WHEN 'tab le</w>' THEN 4 WHEN 'a t' THEN 5
+                 ELSE NULL END)) IS NULL),
+           agg AS (SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS n_bpe,
+               string_agg(array_to_string(t, ' '), ' ' ORDER BY wi)
+                 AS bpe_text
+             FROM fin GROUP BY doc_id)
+           SELECT d.doc_id, COALESCE(a.n_bpe, 0) AS n_bpe,
+             COALESCE(a.bpe_text, '') AS bpe_text
+           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
       "lm_score" ->
         s"""WITH tok AS (SELECT doc_id, source, ${tokSqlOf("text")} AS tk
              FROM documents),
