@@ -262,6 +262,11 @@ object SparkEntry {
     }),
     "manifest_count" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_count", withMerge = true)),
+    "manifest_mv" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_mv", withMerge = false)
+      val p = new org.apache.hadoop.fs.Path("target/qtmp/manifest_mv_view")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
         withMerge = false)),
@@ -697,6 +702,36 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_mv" -> ((s, dir) => {
+      // PERSISTENT materialized view: bootstraps a view TABLE from the
+      // base at v0 (target only), advances the base with the standard
+      // merge batch, refreshes — the refresh reads the feed's touched
+      // buckets, prune-looks-up the touched groups, and merges only
+      // their view buckets; the marker rides the view table's replay
+      // ledger. The committed view hash-equals DuckDB's full group-by
+      // of the merged base state (update preimages remove old values,
+      // so the min/max lost-extremum path runs too).
+      val root = manifestFixture(s, dir, "manifest_mv", withMerge = false)
+      val viewRoot = "target/qtmp/manifest_mv_view"
+      val p = new org.apache.hadoop.fs.Path(viewRoot)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val vd = graft.store.MaterializedView.View(
+        baseRoot = root, baseSchema = upsertSchema, baseKey = "id",
+        viewRoot = viewRoot, groupCol = "segment",
+        sumCols = Seq("acctbal_d"), minMaxCols = Seq("acctbal"),
+        prep = df => df.withColumn("acctbal_d",
+          col("acctbal").cast("decimal(30,2)")),
+        numBuckets = 8)
+      graft.store.MaterializedView.create(s, vd)
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+      graft.store.MaterializedView.refresh(s, vd)
+      graft.store.MaterializedView.read(s, vd)
+        .select(col("segment"), col("n_rows"),
+          col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"),
+          col("min_acctbal"), col("max_acctbal"))
     }),
     "manifest_count" -> ((s, dir) => {
       // Metadata-only aggregate pushdown: a SELECT count(*) answered
@@ -1591,6 +1626,17 @@ object SparkEntry {
       "manifest_count" ->
         s"""SELECT count(*) AS n_rows FROM customer
            WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_mv" ->
+        s"""WITH m AS (
+             SELECT c_custkey AS id,
+               CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+               CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment
+             FROM customer WHERE ($inTgt) OR ($inSrc))
+           SELECT segment, count(*) AS n_rows,
+             CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
+               AS DOUBLE) AS sum_acctbal,
+             min(acctbal) AS min_acctbal, max(acctbal) AS max_acctbal
+           FROM m GROUP BY segment""",
       "manifest_incr_minmax" ->
         s"""WITH m AS (
              SELECT c_custkey AS id,

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mapping.Mapping
+import graft.store.{IncrementalAgg, ManifestTable, MaterializedView}
+
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("v", LongType)))
+
+  private def mapping = {
+    val m = new Mapping()
+    m.auto("id"); m.auto("grp"); m.auto("v")
+    m.complete(schema)
+    m
+  }
+
+  private def raw(rows: (Long, String, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((id, g, v), i) => (Seq(id.toString, g, v), i.toLong) }
+      .toDF("_raw", "_line")
+
+  private def fresh(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def vOf(df: DataFrame): Set[(String, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+      r.getAs[Number](4).longValue)).toSet
+
+  private def viewDef(base: String, view: String) = MaterializedView.View(
+    baseRoot = base, baseSchema = schema, baseKey = "id",
+    viewRoot = view, groupCol = "grp", sumCols = Seq("v"),
+    minMaxCols = Seq("v"), numBuckets = 4)
+
+  test("persistent view tracks the base across merges and deletes, " +
+      "hash-equal to a full recompute at every step") {
+    val base = fresh("mv_base"); val view = fresh("mv_view")
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "10"), (2L, "a", "5"),
+      (3L, "b", "7"), (4L, "c", "1")).transform(m.project),
+      0L, m, base, schema, numBuckets = 4, streamId = "S")
+    val vd = viewDef(base, view)
+    val captured = MaterializedView.create(spark, vd)
+    def recompute() = IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, base, schema), Seq("grp"), Seq("v"),
+      Seq("v"))
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()))
+    assert(MaterializedView.appliedVersion(spark, vd) == captured)
+
+    // merge: moves id 2 a→b (group a LOSES its min 5 — suspect path),
+    // creates id 5
+    ManifestTable.merge(raw((2L, "b", "20"), (5L, "a", "2"))
+      .transform(m.project), 1L, m, base, schema, streamId = "S")
+    assert(MaterializedView.refresh(spark, vd).isDefined)
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()),
+      "after update-heavy merge")
+
+    // delete erases group c entirely: the group must LEAVE the table
+    ManifestTable.delete(spark, base, schema, "id", Seq(4L), token = 9L)
+    assert(MaterializedView.refresh(spark, vd).isDefined)
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()),
+      "after group-erasing delete")
+    assert(!MaterializedView.read(spark, vd).collect()
+      .exists(_.getString(0) == "c"), "vanished group must leave")
+
+    // already current → no-op; a replayed refresh must not corrupt
+    assert(MaterializedView.refresh(spark, vd).isEmpty)
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()))
+  }
+
+  test("refresh writes only the touched groups' buckets") {
+    val base = fresh("mv_base_slim"); val view = fresh("mv_view_slim")
+    val m = mapping
+    // 40 groups spread over the view's 4 buckets
+    ManifestTable.merge(
+      raw((1L to 40L).map(i => (i, s"g$i", i.toString)): _*)
+        .transform(m.project),
+      0L, m, base, schema, numBuckets = 4, streamId = "S")
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    val before = ManifestTable.currentManifest(spark, view).get.entries
+      .map(e => e.bucket -> e.relPath).toMap
+    // touch ONE group
+    ManifestTable.merge(raw((1L, "g1", "100")).transform(m.project),
+      1L, m, base, schema, streamId = "S")
+    assert(MaterializedView.refresh(spark, vd).isDefined)
+    val after = ManifestTable.currentManifest(spark, view).get.entries
+      .map(e => e.bucket -> e.relPath).toMap
+    val changed = after.count { case (b, p) => before.get(b) != Some(p) }
+    assert(changed == 1,
+      s"one touched group must rewrite exactly its bucket: $changed")
+    assert(vOf(MaterializedView.read(spark, vd)) ==
+      vOf(IncrementalAgg.fullAgg(
+        ManifestTable.read(spark, base, schema), Seq("grp"), Seq("v"),
+        Seq("v"))))
+  }
+
+  test("the view is a real manifest table: time travel shows the view " +
+      "BEFORE a refresh") {
+    val base = fresh("mv_base_tt"); val view = fresh("mv_view_tt")
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "10")).transform(m.project),
+      0L, m, base, schema, numBuckets = 2, streamId = "S")
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    val vSchema = MaterializedView.read(spark, vd).schema
+    val v1 = ManifestTable.currentVersion(spark, view).get
+    ManifestTable.merge(raw((2L, "a", "5")).transform(m.project),
+      1L, m, base, schema, streamId = "S")
+    MaterializedView.refresh(spark, vd)
+    // current view sees both rows; the pre-refresh snapshot still reads
+    val now = ManifestTable.read(spark, view, vSchema)
+      .filter($"grp" === "a").head
+    assert(now.getLong(1) == 2L && now.getAs[Number](2).longValue == 15L)
+    val then_ = ManifestTable.readAt(spark, view, vSchema, v1)
+      .filter($"grp" === "a").head
+    assert(then_.getLong(1) == 1L &&
+      then_.getAs[Number](2).longValue == 10L)
+  }
+}
