@@ -267,6 +267,12 @@ object SparkEntry {
       val p = new org.apache.hadoop.fs.Path("target/qtmp/manifest_mv_view")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }),
+    "manifest_index" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_index", withMerge = true)
+      val p = new org.apache.hadoop.fs.Path(
+        "target/qtmp/manifest_index_idx")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
         withMerge = false)),
@@ -732,6 +738,27 @@ object SparkEntry {
         .select(col("segment"), col("n_rows"),
           col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"),
           col("min_acctbal"), col("max_acctbal"))
+    }),
+    "manifest_index" -> ((s, dir) => {
+      // Secondary index maintained from the CDC feed: bootstrap the
+      // (segment → sorted ids) inverted table, DELETE ten keys from the
+      // base, refresh — the refresh reads only the feed + the touched
+      // index rows and rewrites only their buckets. The committed index
+      // exploded back to (segment, id) hash-equals DuckDB's recompute
+      // of the post-delete state.
+      val root = manifestFixture(s, dir, "manifest_index", withMerge = true)
+      val idxRoot = "target/qtmp/manifest_index_idx"
+      val p = new org.apache.hadoop.fs.Path(idxRoot)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ix = graft.store.SecondaryIndex.Index(
+        baseRoot = root, baseSchema = upsertSchema, baseKey = "id",
+        indexRoot = idxRoot, valueCol = "segment", numBuckets = 4)
+      graft.store.SecondaryIndex.create(s, ix)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 5L)
+      graft.store.SecondaryIndex.refresh(s, ix)
+      graft.store.SecondaryIndex.read(s, ix)
+        .select(col("segment"), explode(col("keys")).as("id"))
     }),
     "manifest_count" -> ((s, dir) => {
       // Metadata-only aggregate pushdown: a SELECT count(*) answered
@@ -1626,6 +1653,12 @@ object SparkEntry {
       "manifest_count" ->
         s"""SELECT count(*) AS n_rows FROM customer
            WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_index" ->
+        s"""SELECT CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END
+             AS segment, c_custkey AS id
+           FROM customer
+           WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (${(1 to 10).map(_ * 13).mkString(", ")})""",
       "manifest_mv" ->
         s"""WITH m AS (
              SELECT c_custkey AS id,

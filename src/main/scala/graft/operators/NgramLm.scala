@@ -163,6 +163,58 @@ object NgramLm {
       .withColumn("avg_cost_milli", expr("lm_cost div n_terms"))
   }
 
+  /** The same total cost as [[score]]'s `lm_cost`, as a pure scalar
+    * COLUMN: the model rides the plan as two literal maps and the
+    * per-term costs fold over the exploded-free term array in one
+    * expression — no join, no aggregate, no shuffle. This is the shape
+    * for scoring a STREAM (stateless, composes with any watermark) or
+    * inline in a larger projection. Sized for SMALL models: a literal
+    * map materializes in the plan, so keep `hexChars ≤ 2` (≤ 256
+    * entries per map) when training for inline use — [[score]]'s
+    * broadcast path is the right tool above that. Results are identical
+    * to [[score]] (spec-pinned). */
+  def costExpr(
+      uniMap: Map[String, Long],
+      biMap: Map[String, Long],
+      nTokens: Long,
+      text: Column = col("text"),
+      hexChars: Int = 2,
+      scale: Int = 1000): Column = {
+    val uM = typedLit(uniMap)
+    val bM = typedLit(biMap)
+    val lnN = log(lit(nTokens + 1.0))
+    val lnBk = log(lit(2.5 * (nTokens + 1.0)))
+    val tk = toks(text)
+    val firstCost = {
+      val c1 = element_at(uM, bucket(element_at(tk, 1), hexChars))
+      when(c1.isNotNull,
+        round((lnN - log(c1.cast("double"))) * scale).cast("long"))
+        .otherwise(round(lnN * scale).cast("long"))
+    }
+    val pairCosts = when(size(tk) >= 2,
+      aggregate(pairGrams(tk), lit(0L), (acc, g) => {
+        val sp = split(g, " ")
+        val c2 = element_at(bM, bucket(g, hexChars))
+        val c1p = element_at(uM, bucket(element_at(sp, 1), hexChars))
+        val c1w = element_at(uM, bucket(element_at(sp, 2), hexChars))
+        acc + when(c2.isNotNull,
+          round((log(greatest(coalesce(c1p, lit(0L)), c2)
+              .cast("double")) - log(c2.cast("double"))) * scale)
+            .cast("long"))
+          .when(c1w.isNotNull,
+            round((lnBk - log(c1w.cast("double"))) * scale).cast("long"))
+          .otherwise(round(lnBk * scale).cast("long"))
+      })).otherwise(lit(0L))
+    firstCost + pairCosts
+  }
+
+  /** Collects a trained model's bounded tables into the literal-map
+    * form [[costExpr]] needs: (uniMap, biMap, nTokens). */
+  def collectModel(model: LmModel): (Map[String, Long], Map[String, Long], Long) =
+    (model.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      model.bi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      model.nTokens)
+
   /** CCNet's head/middle/tail banding: thresholds are the exact
     * interpolated percentiles of `avg_cost_milli` at `headFrac` and
     * `1 − tailFrac` (one bounded 2-value action), labels in a `band`

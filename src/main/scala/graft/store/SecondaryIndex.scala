@@ -1,0 +1,169 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.mapping.Mapping
+
+/** SECONDARY INDEX for the manifest table: an inverted (value → sorted
+  * key list) table — itself a [[ManifestTable]] — over a non-key
+  * column, maintained from the base's change feed. A point predicate on
+  * the indexed column becomes TWO PRUNED LOOKUPS (index value → keys,
+  * then keys → base rows) instead of a full scan; at 100 TB that is
+  * the difference between reading two buckets and reading the table.
+  *
+  * Maintenance reads NOTHING but the feed and the touched index rows:
+  * each affected key's window-FINAL assignment (its value at the feed's
+  * end, or gone) and window-START assignment (the value the index
+  * currently holds for it) both derive from the feed alone — pre-images
+  * carry the old value, post-images the new — so refresh cost tracks
+  * the change rate, never the base or index size. Exactly-once via the
+  * index table's own replay ledger, the [[MaterializedView]] discipline
+  * (deletions of emptied values run BEFORE the marker-carrying merge).
+  *
+  * NULL values are not indexed (standard index semantics: an `=`
+  * predicate never matches NULL). Key lists are SORTED, so the index
+  * contents are deterministic and engine-reproducible. */
+object SecondaryIndex {
+
+  val StreamId = "secondary-index"
+
+  final case class Index(
+      baseRoot: String,
+      baseSchema: StructType,
+      baseKey: String,
+      indexRoot: String,
+      valueCol: String,
+      numBuckets: Int = 16)
+
+  private def idxMapping(schema: StructType, valueCol: String): Mapping = {
+    val m = new Mapping(valueCol)
+    schema.fieldNames.foreach(f => m.field(f, parser = c => c))
+    m.complete(schema)
+    m
+  }
+
+  private def grouped(base: DataFrame, ix: Index): DataFrame =
+    base.filter(col(ix.valueCol).isNotNull)
+      .groupBy(col(ix.valueCol))
+      .agg(sort_array(collect_list(col(ix.baseKey))).as("keys"))
+
+  /** Bootstraps the index from the base's current version. Returns the
+    * captured base version. */
+  def create(spark: SparkSession, ix: Index): Long = {
+    val cur = ManifestTable.currentVersion(spark, ix.baseRoot).getOrElse(
+      throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
+    val full = grouped(
+      ManifestTable.readAt(spark, ix.baseRoot, ix.baseSchema, cur), ix)
+    val schema = full.schema
+    ManifestTable.create(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema),
+      ix.valueCol, ix.indexRoot, ix.numBuckets)
+    ManifestTable.merge(idxMapping(schema, ix.valueCol).project(full),
+      cur, idxMapping(schema, ix.valueCol), ix.indexRoot, schema,
+      streamId = StreamId)
+    cur
+  }
+
+  private def indexSchema(spark: SparkSession, ix: Index): StructType =
+    grouped(ManifestTable.read(spark, ix.baseRoot, ix.baseSchema)
+      .limit(0), ix).schema
+
+  /** The committed (value, sorted keys) index contents. */
+  def read(spark: SparkSession, ix: Index): DataFrame =
+    ManifestTable.read(spark, ix.indexRoot, indexSchema(spark, ix))
+
+  /** How far the index has applied the base's history. */
+  def appliedVersion(spark: SparkSession, ix: Index): Long =
+    ManifestTable.currentManifest(spark, ix.indexRoot)
+      .flatMap(_.lastBatches.get(StreamId))
+      .getOrElse(throw new IllegalStateException(
+        s"no secondary index at ${ix.indexRoot}"))
+
+  /** Advances the index to the base's current version. Returns the new
+    * applied version, or None when already current. */
+  def refresh(spark: SparkSession, ix: Index): Option[Long] = {
+    val cur = ManifestTable.currentVersion(spark, ix.baseRoot).getOrElse(
+      throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
+    val seen = appliedVersion(spark, ix)
+    if (cur <= seen) return None
+    val schema = indexSchema(spark, ix)
+    val m = idxMapping(schema, ix.valueCol)
+    val feed = ManifestTable.changes(spark, ix.baseRoot, ix.baseSchema,
+      ix.baseKey, seen, cur)
+      .select(col(ix.baseKey).as("_k"), col(ix.valueCol).as("_v"),
+        col("_change_type").as("_t"), col("_version").as("_ver"))
+    // Window-FINAL assignment per affected key: the state-carrying row
+    // at the key's highest version (post/insert outranks delete
+    // outranks pre within a commit). NULL = the key ends unindexed.
+    val postRank = when(col("_t").isin("insert", "update_postimage"),
+      lit(2)).when(col("_t") === "delete", lit(1)).otherwise(lit(0))
+    val finalSt = feed.groupBy(col("_k"))
+      .agg(max_by(struct(col("_t"), col("_v")),
+        struct(col("_ver"), postRank)).as("_f"))
+      .select(col("_k"),
+        when(col("_f._t").isin("insert", "update_postimage"),
+          col("_f._v")).as("_newv"))
+    // Window-START assignment: the key's value the index currently
+    // holds = the earliest pre-image/delete value (an insert-first key
+    // was never indexed). Pre outranks delete outranks insert here.
+    val preRank = when(col("_t") === "update_preimage", lit(0))
+      .when(col("_t") === "delete", lit(1)).otherwise(lit(2))
+    val oldSt = feed.groupBy(col("_k"))
+      .agg(min_by(struct(col("_t"), col("_v")),
+        struct(col("_ver"), preRank)).as("_o"))
+      .select(col("_k"),
+        when(col("_o._t").isin("delete", "update_preimage"),
+          col("_o._v")).as("_oldv"))
+    // Touched values — bounded by the change rate.
+    val touched = finalSt.select(col("_newv").as("_v"))
+      .unionByName(oldSt.select(col("_oldv").as("_v")))
+      .filter(col("_v").isNotNull).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (touched.isEmpty) {
+      ManifestTable.merge(m.project(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)),
+        cur, m, ix.indexRoot, schema, streamId = StreamId)
+      return Some(cur)
+    }
+    // New key lists for the touched values: the current lists minus the
+    // affected keys, plus each affected key's final assignment.
+    val affected = broadcast(finalSt.select(col("_k")))
+    val oldPairs = ManifestTable.lookup(spark, ix.indexRoot, schema,
+        ix.valueCol, touched)
+      .select(col(ix.valueCol).as("_v"), explode(col("keys")).as("_k"))
+      .join(affected, Seq("_k"), "left_anti")
+    val newPairs = oldPairs.unionByName(
+      finalSt.filter(col("_newv").isNotNull)
+        .select(col("_newv").as("_v"), col("_k")))
+    val regrouped = newPairs.groupBy(col("_v").as(ix.valueCol))
+      .agg(sort_array(collect_list(col("_k"))).as("keys"))
+    val keptVals = regrouped.select(col(ix.valueCol)).collect()
+      .map(_.get(0)).toSet
+    val emptied = touched.filterNot(keptVals)
+    if (emptied.nonEmpty)
+      ManifestTable.delete(spark, ix.indexRoot, schema, ix.valueCol,
+        emptied, token = cur)
+    ManifestTable.merge(m.project(regrouped), cur, m, ix.indexRoot,
+      schema, streamId = StreamId)
+    Some(cur)
+  }
+
+  /** Point query on the indexed column: index lookup → keys → base
+    * lookup. Two pruned reads; the key-list collect is bounded by the
+    * value's selectivity. */
+  def lookupBy(spark: SparkSession, ix: Index, value: Any): DataFrame = {
+    val schema = indexSchema(spark, ix)
+    val keys = ManifestTable.lookup(spark, ix.indexRoot, schema,
+        ix.valueCol, Seq(value))
+      .select(explode(col("keys")).as("_k")).collect().map(_.get(0)).toSeq
+    if (keys.isEmpty)
+      ManifestTable.read(spark, ix.baseRoot, ix.baseSchema).limit(0)
+    else ManifestTable.lookup(spark, ix.baseRoot, ix.baseSchema,
+      ix.baseKey, keys)
+  }
+}

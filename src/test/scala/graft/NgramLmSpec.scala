@@ -75,6 +75,29 @@ class NgramLmSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("inline costExpr equals the join-based score for every doc " +
+      "(the streaming shape)") {
+    val model = NgramLm.train(refDf, hexChars = 2)
+    val corpus = (Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "dog lazy the over jumps fox brown quick the",
+      "zygote quasar nebula proton entropy vortex",
+      "", "one", "the the the the"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val joined = NgramLm.score(corpus, model).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("lm_cost"))).toMap
+    val (uM, bM, n) = NgramLm.collectModel(model)
+    val inline = corpus.select(col("doc_id"),
+      NgramLm.costExpr(uM, bM, n, hexChars = 2).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inline == joined, s"inline $inline vs joined $joined")
+    // and the inline plan is join- and exchange-free (streaming-safe)
+    val plan = corpus.select(NgramLm.costExpr(uM, bM, n, hexChars = 2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("bands partition the corpus into head/middle/tail by threshold") {
     val model = NgramLm.train(refDf)
     // three cohorts with clearly separated perplexity
