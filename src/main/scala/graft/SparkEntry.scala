@@ -184,6 +184,17 @@ object SparkEntry {
     root
   }
 
+  /** Deletes and returns a derived-table root (view/index side tables):
+    * ONE definition shared by each query closure and its benchSetups
+    * entry, so the reset and the query can never target different
+    * paths. */
+  private def resetSideRoot(s: SparkSession, name: String): String = {
+    val root = s"target/qtmp/$name"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
   /** The manifest fixture's root, building it only if this process hasn't
     * yet (Verify's single pass builds it inside the query; Bench builds it
     * via [[benchSetups]] so the build is never timed). The committed table
@@ -264,14 +275,11 @@ object SparkEntry {
       resetManifestFixture(s, dir, "manifest_count", withMerge = true)),
     "manifest_mv" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_mv", withMerge = false)
-      val p = new org.apache.hadoop.fs.Path("target/qtmp/manifest_mv_view")
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      resetSideRoot(s, "manifest_mv_view")
     }),
     "manifest_index" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_index", withMerge = true)
-      val p = new org.apache.hadoop.fs.Path(
-        "target/qtmp/manifest_index_idx")
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      resetSideRoot(s, "manifest_index_idx")
     }),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
@@ -719,9 +727,7 @@ object SparkEntry {
       // of the merged base state (update preimages remove old values,
       // so the min/max lost-extremum path runs too).
       val root = manifestFixture(s, dir, "manifest_mv", withMerge = false)
-      val viewRoot = "target/qtmp/manifest_mv_view"
-      val p = new org.apache.hadoop.fs.Path(viewRoot)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val viewRoot = resetSideRoot(s, "manifest_mv_view")
       val vd = graft.store.MaterializedView.View(
         baseRoot = root, baseSchema = upsertSchema, baseKey = "id",
         viewRoot = viewRoot, groupCol = "segment",
@@ -747,9 +753,7 @@ object SparkEntry {
       // exploded back to (segment, id) hash-equals DuckDB's recompute
       // of the post-delete state.
       val root = manifestFixture(s, dir, "manifest_index", withMerge = true)
-      val idxRoot = "target/qtmp/manifest_index_idx"
-      val p = new org.apache.hadoop.fs.Path(idxRoot)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val idxRoot = resetSideRoot(s, "manifest_index_idx")
       val ix = graft.store.SecondaryIndex.Index(
         baseRoot = root, baseSchema = upsertSchema, baseKey = "id",
         indexRoot = idxRoot, valueCol = "segment", numBuckets = 4)
@@ -1905,7 +1909,8 @@ object SparkEntry {
              COALESCE(a.bpe_text, '') AS bpe_text
            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
       "lm_score" ->
-        s"""WITH tok AS (SELECT doc_id, source, ${tokSqlOf("text")} AS tk
+        s"""WITH tok AS (SELECT doc_id, source,
+             ${tokSqlOf("coalesce(text, '')")} AS tk
              FROM documents),
            ru AS (SELECT unnest(tk) AS w FROM tok WHERE source = 'src0'),
            u AS (SELECT substring(md5(w), 1, 4) AS b, count(*) AS c1

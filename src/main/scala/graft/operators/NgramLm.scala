@@ -59,10 +59,15 @@ object NgramLm {
       scale: Int)
 
   /** The corpus tokenization every text operator's oracle mirrors
-    * (`[^a-z0-9]+` → space, lower, trim, split): empty/junk text
-    * yields a single empty token, so every document scores. */
+    * (`[^a-z0-9]+` → space, lower, trim, split): NULL and empty/junk
+    * text both yield a single empty token, so every document scores —
+    * and scores IDENTICALLY through [[score]], [[costExpr]] and the
+    * oracle (a bare split(NULL) would route NULL text through the
+    * bigram OOV branch in [[score]] only, breaking all three
+    * contracts). */
   private def toks(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    split(trim(regexp_replace(lower(coalesce(text, lit(""))),
+      "[^a-z0-9]+", " ")), " ")
 
   private def bucket(g: Column, hexChars: Int): Column =
     substring(md5(g), 1, hexChars)

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.mapping.Mapping
-
 /** A PERSISTENT incrementally-maintained aggregate view: the
   * [[IncrementalAgg]] maintained view stored AS a [[ManifestTable]], so
   * the view itself gets atomic commits, OCC, time travel, pruned
@@ -14,22 +12,26 @@ import graft.mapping.Mapping
   *
   *  - the base feed reads only commit-touched buckets
   *    ([[ManifestTable.changes]]);
-  *  - the view read is a PRUNED LOOKUP of just the feed-touched groups;
+  *  - the view read covers only the feed-touched groups (a PRUNED
+  *    LOOKUP on the no-crash fast path);
   *  - the view write MERGES only those groups' buckets (untouched view
   *    buckets carry into the new manifest verbatim).
   *
   * Exactly-once refresh rides the manifest's replay machinery: the
   * refresh MERGE commits with `(streamId = "materialized-view",
   * batchId = base version)`, so the view table itself records how far
-  * it has applied the base's history — there is no side ledger to lose,
-  * and a crashed refresh replays idempotently (group deletions run
-  * BEFORE the marker-carrying merge and are token-guarded, so the
-  * retry re-issues them as no-ops and completes the merge).
+  * it has applied the base's history — there is no side ledger to lose.
+  * A refresh that crashes between its (token-guarded) group deletions
+  * and the marker-carrying merge replays correctly EVEN IF THE BASE
+  * ADVANCED in between: the retry reads the touched groups' rows from
+  * the view's snapshot AT the marker ([[DerivedTable.markerVersion]] —
+  * the state the extended feed window's deltas apply to), so the
+  * half-applied deletions cannot double-count.
   *
   * Constraints: one group column, non-NULL group values (a manifest
   * merge never writes NULL-keyed rows — pre-`coalesce` in `prep` if
-  * NULL groups matter); exact-addition sum types (the
-  * [[IncrementalAgg]] contract). */
+  * NULL groups matter; [[create]] enforces this up front), and
+  * exact-addition sum types (the [[IncrementalAgg]] contract). */
 object MaterializedView {
 
   /** The view's stream id in the base-version replay ledger. */
@@ -46,31 +48,22 @@ object MaterializedView {
       prep: DataFrame => DataFrame = identity,
       numBuckets: Int = 16)
 
-  private def viewMapping(schema: StructType, groupCol: String): Mapping = {
-    val m = new Mapping(groupCol)
-    schema.fieldNames.foreach(f => m.field(f, parser = c => c))
-    m.complete(schema)
-    m
-  }
-
   /** Bootstraps the view table from the base's CURRENT version: one
     * full aggregate, written as a fresh manifest table whose replay
-    * ledger records that version. Returns the captured base version. */
+    * ledger records that version. Rejects NULL groups up front — a
+    * silent drop here would surface as a refresh-time brick later.
+    * Returns the captured base version. */
   def create(spark: SparkSession, v: View): Long = {
     val cur = ManifestTable.currentVersion(spark, v.baseRoot).getOrElse(
       throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
     val full = IncrementalAgg.fullAgg(
       v.prep(ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)),
       Seq(v.groupCol), v.sumCols, v.minMaxCols)
-    val schema = full.schema
-    ManifestTable.create(
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        schema),
-      v.groupCol, v.viewRoot, v.numBuckets)
-    ManifestTable.merge(viewMapping(schema, v.groupCol).project(full),
-      cur, viewMapping(schema, v.groupCol), v.viewRoot, schema,
-      streamId = StreamId)
+    require(full.filter(col(v.groupCol).isNull).limit(1).count() == 0L,
+      s"NULL ${v.groupCol} group in the base — a manifest table cannot " +
+        "key on NULL; pre-coalesce NULL groups in prep")
+    DerivedTable.bootstrap(spark, full, v.groupCol, v.viewRoot,
+      v.numBuckets, StreamId, cur)
     cur
   }
 
@@ -83,10 +76,7 @@ object MaterializedView {
   /** How far the view has applied the base's history (the base version
     * its last refresh captured). */
   def appliedVersion(spark: SparkSession, v: View): Long =
-    ManifestTable.currentManifest(spark, v.viewRoot)
-      .flatMap(_.lastBatches.get(StreamId))
-      .getOrElse(throw new IllegalStateException(
-        s"no materialized view at ${v.viewRoot}"))
+    DerivedTable.appliedVersion(spark, v.viewRoot, StreamId)
 
   private def viewSchema(spark: SparkSession, v: View): StructType =
     IncrementalAgg.fullAgg(
@@ -106,49 +96,62 @@ object MaterializedView {
     val seen = appliedVersion(spark, v)
     if (cur <= seen) return None
     val schema = viewSchema(spark, v)
+    // The feed backs several bounded actions below (touched collect,
+    // suspect detection, kept collect, the merge write) — persist it so
+    // the touched buckets' diff join runs once, not once per action.
     val feed = v.prep(ManifestTable.changes(spark, v.baseRoot,
-      v.baseSchema, v.baseKey, seen, cur))
-    // Feed-touched groups: bounded by the change rate. NULL groups are
-    // rejected loudly — the manifest table cannot key on them.
-    val touchedRows = feed.select(col(v.groupCol)).distinct().collect()
-    if (touchedRows.isEmpty) {
-      // version moved with no net row changes (e.g. rebucket): just
-      // advance the marker with an empty merge
-      ManifestTable.merge(
-        viewMapping(schema, v.groupCol).project(
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            schema)),
-        cur, viewMapping(schema, v.groupCol), v.viewRoot, schema,
-        streamId = StreamId)
-      return Some(cur)
-    }
-    require(!touchedRows.exists(_.isNullAt(0)),
-      s"NULL ${v.groupCol} group reached the materialized view — " +
-        "pre-coalesce NULL groups in prep")
-    val touched = touchedRows.map(_.get(0)).toSeq
-    // Pruned read of exactly the touched groups' current view rows.
-    val old = ManifestTable.lookup(spark, v.viewRoot, schema, v.groupCol,
-      touched)
-    val maintained = IncrementalAgg.applyChanges(old, feed,
-      Seq(v.groupCol), v.sumCols, v.minMaxCols,
-      () => v.prep(
-        ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)))
-    // Groups whose count reached zero leave the view table. The delete
-    // runs BEFORE the marker-carrying merge: a crash in between replays
-    // the delete as a token no-op and completes the merge — never the
-    // reverse order, which would lose the deletions forever behind the
-    // already-advanced marker.
-    val kept = maintained.select(col(v.groupCol)).collect()
-      .map(_.get(0)).toSet
-    val vanished = touched.filterNot(kept)
-    if (vanished.nonEmpty)
-      ManifestTable.delete(spark, v.viewRoot, schema, v.groupCol,
-        vanished, token = cur)
-    ManifestTable.merge(
-      viewMapping(schema, v.groupCol).project(maintained),
-      cur, viewMapping(schema, v.groupCol), v.viewRoot, schema,
-      streamId = StreamId)
-    Some(cur)
+      v.baseSchema, v.baseKey, seen, cur)).persist()
+    try {
+      // Feed-touched groups: bounded by the change rate. NULL groups
+      // are rejected loudly — the manifest table cannot key on them.
+      val touchedRows = feed.select(col(v.groupCol)).distinct().collect()
+      if (touchedRows.isEmpty) {
+        // version moved with no net row changes (e.g. rebucket)
+        DerivedTable.advanceMarker(spark, v.viewRoot, schema, v.groupCol,
+          StreamId, cur)
+        return Some(cur)
+      }
+      require(!touchedRows.exists(_.isNullAt(0)),
+        s"NULL ${v.groupCol} group reached the materialized view — " +
+          "pre-coalesce NULL groups in prep")
+      val touched = touchedRows.map(_.get(0)).toSeq
+      // The touched groups' rows AS OF THE MARKER — the snapshot the
+      // feed window's deltas apply to. On the fast path (no crashed
+      // refresh since) that snapshot IS the current version and the
+      // read is a pruned lookup; after a crash-with-base-advance it is
+      // an earlier retained version and correctness wins over pruning.
+      val vSeen = DerivedTable.markerVersion(spark, v.viewRoot, StreamId,
+        seen)
+      val old =
+        if (ManifestTable.currentVersion(spark, v.viewRoot)
+            .contains(vSeen))
+          ManifestTable.lookup(spark, v.viewRoot, schema, v.groupCol,
+            touched)
+        else ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)
+          .filter(col(v.groupCol).isin(touched: _*))
+      val maintained = IncrementalAgg.applyChanges(old, feed,
+        Seq(v.groupCol), v.sumCols, v.minMaxCols,
+        () => v.prep(
+          ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)))
+        .persist()
+      try {
+        // Groups whose count reached zero leave the view table. The
+        // delete runs BEFORE the marker-carrying merge and is
+        // token-guarded: a crashed refresh's retry re-issues it as a
+        // no-op and completes the merge — never the reverse order,
+        // which would lose the deletions forever behind the
+        // already-advanced marker.
+        val kept = maintained.select(col(v.groupCol)).collect()
+          .map(_.get(0)).toSet
+        val vanished = touched.filterNot(kept)
+        if (vanished.nonEmpty)
+          ManifestTable.delete(spark, v.viewRoot, schema, v.groupCol,
+            vanished, token = cur)
+        val m = DerivedTable.identityMapping(schema, v.groupCol)
+        ManifestTable.merge(m.project(maintained), cur, m, v.viewRoot,
+          schema, streamId = StreamId)
+        Some(cur)
+      } finally maintained.unpersist()
+    } finally feed.unpersist()
   }
 }

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.mapping.Mapping
-
 /** SECONDARY INDEX for the manifest table: an inverted (value → sorted
   * key list) table — itself a [[ManifestTable]] — over a non-key
   * column, maintained from the base's change feed. A point predicate on
@@ -37,13 +35,6 @@ object SecondaryIndex {
       valueCol: String,
       numBuckets: Int = 16)
 
-  private def idxMapping(schema: StructType, valueCol: String): Mapping = {
-    val m = new Mapping(valueCol)
-    schema.fieldNames.foreach(f => m.field(f, parser = c => c))
-    m.complete(schema)
-    m
-  }
-
   private def grouped(base: DataFrame, ix: Index): DataFrame =
     base.filter(col(ix.valueCol).isNotNull)
       .groupBy(col(ix.valueCol))
@@ -56,15 +47,8 @@ object SecondaryIndex {
       throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
     val full = grouped(
       ManifestTable.readAt(spark, ix.baseRoot, ix.baseSchema, cur), ix)
-    val schema = full.schema
-    ManifestTable.create(
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        schema),
-      ix.valueCol, ix.indexRoot, ix.numBuckets)
-    ManifestTable.merge(idxMapping(schema, ix.valueCol).project(full),
-      cur, idxMapping(schema, ix.valueCol), ix.indexRoot, schema,
-      streamId = StreamId)
+    DerivedTable.bootstrap(spark, full, ix.valueCol, ix.indexRoot,
+      ix.numBuckets, StreamId, cur)
     cur
   }
 
@@ -78,10 +62,7 @@ object SecondaryIndex {
 
   /** How far the index has applied the base's history. */
   def appliedVersion(spark: SparkSession, ix: Index): Long =
-    ManifestTable.currentManifest(spark, ix.indexRoot)
-      .flatMap(_.lastBatches.get(StreamId))
-      .getOrElse(throw new IllegalStateException(
-        s"no secondary index at ${ix.indexRoot}"))
+    DerivedTable.appliedVersion(spark, ix.indexRoot, StreamId)
 
   /** Advances the index to the base's current version. Returns the new
     * applied version, or None when already current. */
@@ -91,11 +72,15 @@ object SecondaryIndex {
     val seen = appliedVersion(spark, ix)
     if (cur <= seen) return None
     val schema = indexSchema(spark, ix)
-    val m = idxMapping(schema, ix.valueCol)
+    val m = DerivedTable.identityMapping(schema, ix.valueCol)
+    // Persisted: the feed backs the touched collect, the kept-values
+    // collect and the merge write — one diff join, not three.
     val feed = ManifestTable.changes(spark, ix.baseRoot, ix.baseSchema,
       ix.baseKey, seen, cur)
       .select(col(ix.baseKey).as("_k"), col(ix.valueCol).as("_v"),
         col("_change_type").as("_t"), col("_version").as("_ver"))
+      .persist()
+    try {
     // Window-FINAL assignment per affected key: the state-carrying row
     // at the key's highest version (post/insert outranks delete
     // outranks pre within a commit). NULL = the key ends unindexed.
@@ -124,10 +109,8 @@ object SecondaryIndex {
       .filter(col("_v").isNotNull).distinct().collect()
       .map(_.get(0)).toSeq
     if (touched.isEmpty) {
-      ManifestTable.merge(m.project(spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          schema)),
-        cur, m, ix.indexRoot, schema, streamId = StreamId)
+      DerivedTable.advanceMarker(spark, ix.indexRoot, schema,
+        ix.valueCol, StreamId, cur)
       return Some(cur)
     }
     // New key lists for the touched values: the current lists minus the
@@ -151,6 +134,7 @@ object SecondaryIndex {
     ManifestTable.merge(m.project(regrouped), cur, m, ix.indexRoot,
       schema, streamId = StreamId)
     Some(cur)
+    } finally feed.unpersist()
   }
 
   /** Point query on the indexed column: index lookup → keys → base

@@ -79,6 +79,65 @@ class MaterializedViewSpec extends SparkSpec {
     assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()))
   }
 
+  test("a refresh that crashed after its deletions replays correctly " +
+      "even when the base advanced in between") {
+    // The hard interleaving: refresh deletes a vanished group from the
+    // view table, crashes BEFORE the marker-carrying merge, and the
+    // base then re-inserts a row of that group. The retry's feed window
+    // covers both base commits, but the view's CURRENT state already
+    // lost the group — applying the window's net delta to it would
+    // drop the re-inserted group (n = 0 - 2 + 1 ≤ 0). The retry must
+    // read the touched groups from the view's snapshot AT the marker.
+    val base = fresh("mv_base_crash"); val view = fresh("mv_view_crash")
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "1"), (2L, "c", "3"),
+      (3L, "c", "4")).transform(m.project),
+      0L, m, base, schema, numBuckets = 2, streamId = "S")
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    val vSchema = MaterializedView.read(spark, vd).schema
+    // base commit 1: group c loses BOTH rows
+    ManifestTable.delete(spark, base, schema, "id", Seq(2L, 3L),
+      token = 9L)
+    // simulate the crashed refresh: exactly its group deletion (same
+    // token = the base version it was applying), no marker merge
+    val crashedCur = ManifestTable.currentVersion(spark, base).get
+    ManifestTable.delete(spark, view, vSchema, "grp", Seq("c"),
+      token = crashedCur)
+    // base commit 2 (after the crash): group c comes BACK
+    ManifestTable.merge(raw((4L, "c", "7")).transform(m.project),
+      1L, m, base, schema, streamId = "S")
+    // the retried refresh must land on the recompute, c included
+    assert(MaterializedView.refresh(spark, vd).isDefined)
+    val recomputed = IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, base, schema), Seq("grp"), Seq("v"),
+      Seq("v"))
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recomputed),
+      s"crash-retry lost the re-inserted group: " +
+        s"${vOf(MaterializedView.read(spark, vd))} vs " +
+        s"${vOf(recomputed)}")
+  }
+
+  test("create rejects NULL groups up front instead of silently " +
+      "dropping them") {
+    val base = fresh("mv_base_null"); val view = fresh("mv_view_null")
+    val m = mapping
+    // id 2's grp is EMPTY → projected NULL
+    ManifestTable.merge(raw((1L, "a", "1"), (2L, "", "2"))
+      .transform(m.project), 0L, m, base, schema, numBuckets = 2,
+      streamId = "S")
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, viewDef(base, view))
+    }
+    assert(e.getMessage.contains("NULL"))
+    // prep-side coalesce is the documented path and works
+    val vd = viewDef(base, fresh("mv_view_null_ok")).copy(prep = df =>
+      df.withColumn("grp", coalesce(col("grp"), lit("(none)"))))
+    MaterializedView.create(spark, vd)
+    assert(MaterializedView.read(spark, vd).collect()
+      .map(_.getString(0)).toSet == Set("a", "(none)"))
+  }
+
   test("refresh writes only the touched groups' buckets") {
     val base = fresh("mv_base_slim"); val view = fresh("mv_view_slim")
     val m = mapping

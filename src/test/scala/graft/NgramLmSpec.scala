@@ -53,6 +53,24 @@ class NgramLmSpec extends SparkSpec {
     assert(rows(2)._3 == 1L)
   }
 
+  test("NULL text scores exactly like empty text, identically through " +
+      "score and costExpr") {
+    val model = NgramLm.train(refDf, hexChars = 2)
+    val corpus = Seq((0L, None: Option[String]), (1L, Some("")))
+      .toDF("doc_id", "text")
+    val scored = NgramLm.score(corpus, model).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("lm_cost"),
+        r.getAs[Long]("n_terms"))).sortBy(_._1)
+    assert(scored(0)._2 == scored(1)._2 && scored(0)._3 == 1L,
+      s"NULL and empty text must cost the same: $scored")
+    val (uM, bM, n) = NgramLm.collectModel(model)
+    val inline = corpus.select(col("doc_id"),
+      NgramLm.costExpr(uM, bM, n, hexChars = 2).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inline(0L) == scored(0)._2,
+      s"costExpr must match score on NULL text: $inline vs $scored")
+  }
+
   test("scores are deterministic under repartition") {
     val model = NgramLm.train(refDf)
     val corpus = (0 until 40)
