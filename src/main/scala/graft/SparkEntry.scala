@@ -195,6 +195,29 @@ object SparkEntry {
     root
   }
 
+  /** Derived tables bootstrapped in THIS process — the [[fixtureReady]]
+    * discipline for view/index side tables: a query closure must
+    * rebuild its side table unless this process already did (a side
+    * table surviving from an EARLIER process is stale garbage — its
+    * base fixture has been reset under it). */
+  private val sideReady = scala.collection.mutable.HashSet.empty[String]
+
+  /** The manifest_mv / manifest_index derived-table definitions —
+    * shared by the query closures and their benchSetups bootstraps. */
+  private def mvViewDef = graft.store.MaterializedView.View(
+    baseRoot = "target/qtmp/manifest_mv", baseSchema = upsertSchema,
+    baseKey = "id", viewRoot = "target/qtmp/manifest_mv_view",
+    groupCol = "segment", sumCols = Seq("acctbal_d"),
+    minMaxCols = Seq("acctbal"),
+    prep = df => df.withColumn("acctbal_d",
+      col("acctbal").cast("decimal(30,2)")),
+    numBuckets = 8)
+
+  private def ixDef = graft.store.SecondaryIndex.Index(
+    baseRoot = "target/qtmp/manifest_index", baseSchema = upsertSchema,
+    baseKey = "id", indexRoot = "target/qtmp/manifest_index_idx",
+    valueCol = "segment", numBuckets = 4)
+
   /** The manifest fixture's root, building it only if this process hasn't
     * yet (Verify's single pass builds it inside the query; Bench builds it
     * via [[benchSetups]] so the build is never timed). The committed table
@@ -276,10 +299,14 @@ object SparkEntry {
     "manifest_mv" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_mv", withMerge = false)
       resetSideRoot(s, "manifest_mv_view")
+      graft.store.MaterializedView.create(s, mvViewDef)
+      sideReady += "manifest_mv_view"
     }),
     "manifest_index" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_index", withMerge = true)
       resetSideRoot(s, "manifest_index_idx")
+      graft.store.SecondaryIndex.create(s, ixDef)
+      sideReady += "manifest_index_idx"
     }),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
@@ -718,24 +745,23 @@ object SparkEntry {
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_mv" -> ((s, dir) => {
-      // PERSISTENT materialized view: bootstraps a view TABLE from the
-      // base at v0 (target only), advances the base with the standard
-      // merge batch, refreshes — the refresh reads the feed's touched
-      // buckets, prune-looks-up the touched groups, and merges only
-      // their view buckets; the marker rides the view table's replay
-      // ledger. The committed view hash-equals DuckDB's full group-by
-      // of the merged base state (update preimages remove old values,
-      // so the min/max lost-extremum path runs too).
+      // PERSISTENT materialized view: the timed region is the base
+      // MERGE + the view refresh + the committed view read — the
+      // refresh reads the feed's touched buckets, prune-looks-up the
+      // touched groups, and merges only their view buckets, with the
+      // marker riding the view table's replay ledger. The bootstrap
+      // (base fixture + view create) is benchSetups' job, guarded here
+      // so Verify's standalone run stays self-contained. The committed
+      // view hash-equals DuckDB's full group-by of the merged base
+      // state (update preimages remove old values, so the min/max
+      // lost-extremum path runs too).
       val root = manifestFixture(s, dir, "manifest_mv", withMerge = false)
-      val viewRoot = resetSideRoot(s, "manifest_mv_view")
-      val vd = graft.store.MaterializedView.View(
-        baseRoot = root, baseSchema = upsertSchema, baseKey = "id",
-        viewRoot = viewRoot, groupCol = "segment",
-        sumCols = Seq("acctbal_d"), minMaxCols = Seq("acctbal"),
-        prep = df => df.withColumn("acctbal_d",
-          col("acctbal").cast("decimal(30,2)")),
-        numBuckets = 8)
-      graft.store.MaterializedView.create(s, vd)
+      val vd = mvViewDef
+      if (!sideReady.contains("manifest_mv_view")) {
+        resetSideRoot(s, "manifest_mv_view")
+        graft.store.MaterializedView.create(s, vd)
+        sideReady += "manifest_mv_view"
+      }
       val m = upsertMapping
       val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
       graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
@@ -746,18 +772,19 @@ object SparkEntry {
           col("min_acctbal"), col("max_acctbal"))
     }),
     "manifest_index" -> ((s, dir) => {
-      // Secondary index maintained from the CDC feed: bootstrap the
-      // (segment → sorted ids) inverted table, DELETE ten keys from the
-      // base, refresh — the refresh reads only the feed + the touched
-      // index rows and rewrites only their buckets. The committed index
-      // exploded back to (segment, id) hash-equals DuckDB's recompute
-      // of the post-delete state.
+      // Secondary index maintained from the CDC feed: the timed region
+      // is the base DELETE + the index refresh + the committed index
+      // read (bootstrap in benchSetups, guarded for Verify). The
+      // refresh reads only the feed + the touched index rows and
+      // rewrites only their buckets; the exploded (segment, id) result
+      // hash-equals DuckDB's recompute of the post-delete state.
       val root = manifestFixture(s, dir, "manifest_index", withMerge = true)
-      val idxRoot = resetSideRoot(s, "manifest_index_idx")
-      val ix = graft.store.SecondaryIndex.Index(
-        baseRoot = root, baseSchema = upsertSchema, baseKey = "id",
-        indexRoot = idxRoot, valueCol = "segment", numBuckets = 4)
-      graft.store.SecondaryIndex.create(s, ix)
+      val ix = ixDef
+      if (!sideReady.contains("manifest_index_idx")) {
+        resetSideRoot(s, "manifest_index_idx")
+        graft.store.SecondaryIndex.create(s, ix)
+        sideReady += "manifest_index_idx"
+      }
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 5L)
       graft.store.SecondaryIndex.refresh(s, ix)
