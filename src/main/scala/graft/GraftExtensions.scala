@@ -20,9 +20,11 @@ import graft.sources.CsvLine
   * After registration: `SELECT simhash64(text), format_list(tags) FROM docs`,
   * and the manifest table reads straight from SQL as TABLE FUNCTIONS:
   * `SELECT * FROM graft_table('/path', 'id BIGINT, name STRING')`,
-  * `graft_table_at(root, ddl, version)` for time travel, and
+  * `graft_table_at(root, ddl, version)` for time travel,
   * `graft_changes(root, ddl, keyColumn, fromVersion, toVersion)` for the
-  * CDC feed — all resolve to the same pruned/reconciled plans as the
+  * CDC feed, `graft_count(root, ddl)` for the metadata-only row count,
+  * and `graft_lookup(root, ddl, keyColumn, key)` for the pruned point
+  * read — all resolve to the same pruned/reconciled plans as the
   * Scala API (the function builder returns the LogicalPlan the DataFrame
   * reader would produce).
   */
@@ -149,6 +151,34 @@ object GraftExtensions {
             strArg(es(1), "schema DDL")),
           strArg(es(2), "key column"), longArg(es(3), "fromVersion"),
           longArg(es(4), "toVersion"))
+        .queryExecution.analyzed
+    }),
+    "graft_count" -> (es => {
+      // metadata-only count (ManifestTable.countRows): the one-row
+      // result materializes at plan time — zero data reads on a
+      // compacted table, reconcile only over delta buckets
+      require(es.size == 2, "usage: graft_count(root, schemaDDL)")
+      val spark = SparkSession.active
+      val n = graft.store.ManifestTable.countRows(spark,
+        strArg(es(0), "root"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")))
+      import spark.implicits._
+      Seq(n).toDF("n_rows").queryExecution.analyzed
+    }),
+    "graft_lookup" -> (es => {
+      // pruned point read: only the key's bucket files, range-narrowed
+      require(es.size == 4,
+        "usage: graft_lookup(root, schemaDDL, keyColumn, key)")
+      val spark = SparkSession.active
+      val key = foldableArg(es(3), "key") match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
+      graft.store.ManifestTable.lookup(spark, strArg(es(0), "root"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            strArg(es(1), "schema DDL")),
+          strArg(es(2), "key column"), Seq(key))
         .queryExecution.analyzed
     }))
 

@@ -82,6 +82,15 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(feed == Seq(("insert", 1L), ("update_postimage", 1L),
       ("update_preimage", 1L)), s"bad feed: $feed")
+    // the metadata-only count (reconciled over the delta bucket)
+    val n = spark.sql(s"SELECT n_rows FROM graft_count('$root', $ddl)")
+      .head().getLong(0)
+    assert(n == 3L, s"graft_count: $n")
+    // pruned point read, delta-reconciled
+    val hit = spark.sql(
+      s"SELECT name FROM graft_lookup('$root', $ddl, 'id', 2)")
+      .collect().map(_.getString(0)).toSeq
+    assert(hit == Seq("B"), s"graft_lookup: $hit")
   }
 
   test("table functions reject non-literal and mistyped arguments loudly") {

@@ -165,6 +165,51 @@ class MaterializedViewSpec extends SparkSpec {
         Seq("v"))))
   }
 
+  test("continuous-import follower: view AND secondary index stay " +
+      "consistent after every delta-mode micro-batch") {
+    // The full pipeline composition: StreamingImport's micro-batches
+    // land in the base as LSM delta merges (with periodic compaction),
+    // and after each batch both derived tables refresh from the CDC
+    // feed — each refresh must land exactly on the full recompute.
+    val base = fresh("mv_follow_base"); val view = fresh("mv_follow_view")
+    val idx = fresh("mv_follow_idx")
+    val m = mapping
+    graft.streaming.StreamingImport.applyBatch(
+      raw((1L, "a", "1"), (2L, "b", "2"), (3L, "a", "3")),
+      0L, m, base, schema, numBuckets = 4, streamId = "F",
+      delta = true, compactEvery = 2)
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    val ix = graft.store.SecondaryIndex.Index(base, schema, "id", idx,
+      "grp", numBuckets = 4)
+    graft.store.SecondaryIndex.create(spark, ix)
+    val batches = Seq(
+      Seq((1L, "b", "10"), (4L, "c", "4")), // move + insert
+      Seq((2L, "b", "20"), (5L, "a", "5")), // update in place + insert
+      Seq((3L, "c", "30"), (1L, "a", "11")), // two moves (one back)
+      Seq((4L, "c", "40"))) // update in place
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingImport.applyBatch(
+        raw(b: _*), i + 1L, m, base, schema, streamId = "F",
+        delta = true, compactEvery = 2)
+      assert(MaterializedView.refresh(spark, vd).isDefined)
+      assert(graft.store.SecondaryIndex.refresh(spark, ix).isDefined)
+      val recomputed = IncrementalAgg.fullAgg(
+        ManifestTable.read(spark, base, schema), Seq("grp"), Seq("v"),
+        Seq("v"))
+      assert(vOf(MaterializedView.read(spark, vd)) == vOf(recomputed),
+        s"view diverged after batch ${i + 1}")
+      val idxContents = graft.store.SecondaryIndex.read(spark, ix)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val idxExpected = ManifestTable.read(spark, base, schema)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (g, ks) =>
+          (g, ks.map(_._2).toSeq.sorted) }
+      assert(idxContents == idxExpected,
+        s"index diverged after batch ${i + 1}")
+    }
+  }
+
   test("the view is a real manifest table: time travel shows the view " +
       "BEFORE a refresh") {
     val base = fresh("mv_base_tt"); val view = fresh("mv_view_tt")
