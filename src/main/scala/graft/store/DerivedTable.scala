@@ -80,12 +80,27 @@ private[store] object DerivedTable {
       spark: SparkSession,
       root: String,
       streamId: String,
-      appliedBase: Long): Long =
-    ManifestTable.versions(spark, root).map(_._1)
-      .find(v => ManifestTable.readManifest(spark, root, v)
-        .lastBatches.get(streamId).contains(appliedBase))
-      .getOrElse(throw new IllegalStateException(
-        s"derived table $root: the version carrying marker " +
-          s"$appliedBase was vacuumed — keep the last refresh's " +
-          "version in the time-travel window"))
+      appliedBase: Long): Long = {
+    // Versions carrying a given marker are CONTIGUOUS at the top of the
+    // history (earlier versions carry older markers), so walk BACKWARD
+    // from current: cost is bounded by the ops since the last completed
+    // refresh (normally zero — current IS the marker version), not the
+    // table's whole version history.
+    var v = ManifestTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no derived table at $root"))
+    var res = -1L
+    var stop = false
+    while (!stop && v >= 0) {
+      val carries =
+        try ManifestTable.readManifest(spark, root, v)
+          .lastBatches.get(streamId).contains(appliedBase)
+        catch { case scala.util.control.NonFatal(_) => false } // vacuumed
+      if (carries) { res = v; v -= 1 } else stop = true
+    }
+    if (res < 0) throw new IllegalStateException(
+      s"derived table $root: the version carrying marker " +
+        s"$appliedBase was vacuumed — keep the last refresh's " +
+        "version in the time-travel window")
+    res
+  }
 }
