@@ -155,8 +155,12 @@ object GraftExtensions {
     }),
     "graft_count" -> (es => {
       // metadata-only count (ManifestTable.countRows): the one-row
-      // result materializes at plan time — zero data reads on a
-      // compacted table, reconcile only over delta buckets
+      // result materializes AT PLAN TIME — zero data reads on a
+      // compacted table, reconcile only over delta buckets. The count
+      // is therefore frozen when the query resolves: a temp view over
+      // graft_count keeps the value from view-creation time (every
+      // sibling function returns a lazy plan; a lazy count here would
+      // have to scan the data, defeating the point).
       require(es.size == 2, "usage: graft_count(root, schemaDDL)")
       val spark = SparkSession.active
       val n = graft.store.ManifestTable.countRows(spark,
@@ -167,18 +171,29 @@ object GraftExtensions {
       Seq(n).toDF("n_rows").queryExecution.analyzed
     }),
     "graft_lookup" -> (es => {
-      // pruned point read: only the key's bucket files, range-narrowed
+      // pruned point read: only the key's bucket files, range-narrowed.
+      // The probe must carry the KEY COLUMN'S type before it is hashed
+      // for bucket targeting: Spark's hash is type-dependent, so e.g.
+      // an SQL integer literal probing a BIGINT key column would hash
+      // to the wrong bucket and silently miss.
       require(es.size == 4,
         "usage: graft_lookup(root, schemaDDL, keyColumn, key)")
       val spark = SparkSession.active
-      val key = foldableArg(es(3), "key") match {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val kc = strArg(es(2), "key column")
+      require(schema.fieldNames.contains(kc),
+        s"key column $kc not in the schema DDL")
+      val raw = foldableArg(es(3), "key") match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString
         case v => v
       }
+      val key = spark.range(1)
+        .select(org.apache.spark.sql.functions.lit(raw)
+          .cast(schema(kc).dataType))
+        .head().get(0)
       graft.store.ManifestTable.lookup(spark, strArg(es(0), "root"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            strArg(es(1), "schema DDL")),
-          strArg(es(2), "key column"), Seq(key))
+          schema, kc, Seq(key))
         .queryExecution.analyzed
     }))
 

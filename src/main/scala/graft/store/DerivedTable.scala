@@ -73,34 +73,40 @@ private[store] object DerivedTable {
     * marker-carrying merge leaves LATER versions with the same marker;
     * reading the derived state at this version instead of current is
     * what makes the retry see the pre-crash contents and recompute
-    * correctly even when the base advanced in between. Throws if the
-    * version was vacuumed (vacuum's keepLast must cover the refresh
-    * cadence on a derived table). */
+    * correctly even when the base advanced in between. The walk stops
+    * at the oldest RETAINED marker-carrying version — vacuum's keepLast
+    * must cover the refresh cadence on a derived table, or a vacuumed
+    * marker merge degrades the walk to a newer (possibly
+    * partially-refreshed) version. */
   def markerVersion(
       spark: SparkSession,
       root: String,
       streamId: String,
-      appliedBase: Long): Long = {
+      appliedBase: Long,
+      current: ManifestTable.Manifest): Long = {
     // Versions carrying a given marker are CONTIGUOUS at the top of the
     // history (earlier versions carry older markers), so walk BACKWARD
-    // from current: cost is bounded by the ops since the last completed
-    // refresh (normally zero — current IS the marker version), not the
-    // table's whole version history.
-    var v = ManifestTable.currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no derived table at $root"))
-    var res = -1L
+    // from the caller-provided current manifest (which always carries
+    // the marker — `appliedBase` was read from it): cost is bounded by
+    // the ops since the last completed refresh (normally zero — current
+    // IS the marker version), not the table's whole version history.
+    require(current.lastBatches.get(streamId).contains(appliedBase),
+      s"current manifest of $root does not carry marker $appliedBase")
+    var res = current.version
+    var v = current.version - 1
     var stop = false
     while (!stop && v >= 0) {
+      // ONLY a missing manifest means "vacuumed — stop the walk". A
+      // transient read failure must PROPAGATE: swallowing it would
+      // return a too-high version, and the caller's fast path would
+      // then read a half-refreshed current state — exactly the
+      // corruption the marker walk exists to prevent.
       val carries =
         try ManifestTable.readManifest(spark, root, v)
           .lastBatches.get(streamId).contains(appliedBase)
-        catch { case scala.util.control.NonFatal(_) => false } // vacuumed
+        catch { case _: java.io.FileNotFoundException => false }
       if (carries) { res = v; v -= 1 } else stop = true
     }
-    if (res < 0) throw new IllegalStateException(
-      s"derived table $root: the version carrying marker " +
-        s"$appliedBase was vacuumed — keep the last refresh's " +
-        "version in the time-travel window")
     res
   }
 }

@@ -58,13 +58,15 @@ object MaterializedView {
       throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
     val full = IncrementalAgg.fullAgg(
       v.prep(ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)),
-      Seq(v.groupCol), v.sumCols, v.minMaxCols)
-    require(full.filter(col(v.groupCol).isNull).limit(1).count() == 0L,
-      s"NULL ${v.groupCol} group in the base — a manifest table cannot " +
-        "key on NULL; pre-coalesce NULL groups in prep")
-    DerivedTable.bootstrap(spark, full, v.groupCol, v.viewRoot,
-      v.numBuckets, StreamId, cur)
-    cur
+      Seq(v.groupCol), v.sumCols, v.minMaxCols).persist()
+    try {
+      require(full.filter(col(v.groupCol).isNull).limit(1).count() == 0L,
+        s"NULL ${v.groupCol} group in the base — a manifest table " +
+          "cannot key on NULL; pre-coalesce NULL groups in prep")
+      DerivedTable.bootstrap(spark, full, v.groupCol, v.viewRoot,
+        v.numBuckets, StreamId, cur)
+      cur
+    } finally full.unpersist()
   }
 
   /** The view's committed contents. */
@@ -93,7 +95,14 @@ object MaterializedView {
   def refresh(spark: SparkSession, v: View): Option[Long] = {
     val cur = ManifestTable.currentVersion(spark, v.baseRoot).getOrElse(
       throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
-    val seen = appliedVersion(spark, v)
+    // ONE current-manifest read serves the marker, the marker-version
+    // walk start and the fast-path check below.
+    val curView = ManifestTable.currentManifest(spark, v.viewRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"no materialized view at ${v.viewRoot}"))
+    val seen = curView.lastBatches.getOrElse(StreamId,
+      throw new IllegalStateException(
+        s"no materialized view at ${v.viewRoot}"))
     if (cur <= seen) return None
     val schema = viewSchema(spark, v)
     // The feed backs several bounded actions below (touched collect,
@@ -121,10 +130,9 @@ object MaterializedView {
       // read is a pruned lookup; after a crash-with-base-advance it is
       // an earlier retained version and correctness wins over pruning.
       val vSeen = DerivedTable.markerVersion(spark, v.viewRoot, StreamId,
-        seen)
+        seen, curView)
       val old =
-        if (ManifestTable.currentVersion(spark, v.viewRoot)
-            .contains(vSeen))
+        if (curView.version == vSeen)
           ManifestTable.lookup(spark, v.viewRoot, schema, v.groupCol,
             touched)
         else ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)

@@ -115,6 +115,18 @@ object SecondaryIndex {
     }
     // New key lists for the touched values: the current lists minus the
     // affected keys, plus each affected key's final assignment.
+    //
+    // CRASH-SAFETY INVARIANT (why reading the CURRENT index state is
+    // sound here, where MaterializedView must read its marker
+    // snapshot): the only pre-marker write a crashed refresh can leave
+    // behind is the delete of EMPTIED values — and a value empties only
+    // when every one of its member keys was affected, i.e. every one
+    // has a pre-image (or delete) in the retry's feed window. Affected
+    // keys are excluded from oldPairs and fully re-derived from the
+    // feed, so the missing index row contributes nothing that is not
+    // reconstructed. Any future pre-marker write that is NOT such a
+    // delete (partial deletes, eager row updates) breaks this invariant
+    // and must switch this read to DerivedTable.markerVersion.
     val affected = broadcast(finalSt.select(col("_k")))
     val oldPairs = ManifestTable.lookup(spark, ix.indexRoot, schema,
         ix.valueCol, touched)

@@ -57,8 +57,12 @@ class ExtensionsSpec extends SparkSpec {
     def raw(rows: (Long, String)*) = rows.zipWithIndex
       .map { case ((i, n), l) => (Seq(i.toString, n), l.toLong) }
       .toDF("_raw", "_line")
+    // 16 buckets: hashInt(2) and hashLong(2) land in DIFFERENT buckets
+    // mod 16 (6 vs 8), so the graft_lookup assertion below would MISS
+    // if the SQL integer literal were not cast to the BIGINT key type
+    // before bucket targeting (they collide mod 2, which hid the bug).
     graft.store.ManifestTable.merge(m.project(raw(1L -> "a", 2L -> "b")),
-      0L, m, root, schema, numBuckets = 2, streamId = "S")
+      0L, m, root, schema, numBuckets = 16, streamId = "S")
     graft.store.ManifestTable.merge(m.project(raw(2L -> "B", 3L -> "c")),
       1L, m, root, schema, streamId = "S", delta = true)
 
