@@ -172,6 +172,11 @@ object GraftExtensions {
     }),
     "graft_lookup" -> (es => {
       // pruned point read: only the key's bucket files, range-narrowed.
+      // Like graft_count, the manifest is resolved AT PLAN TIME (the
+      // bucket pruning needs the current file list), so a temp view or
+      // cached plan over graft_lookup freezes the file set at
+      // view-creation time — re-issue the query to see later commits;
+      // don't wrap it in long-lived views.
       // The probe must carry the KEY COLUMN'S type before it is hashed
       // for bucket targeting: Spark's hash is type-dependent, so e.g.
       // an SQL integer literal probing a BIGINT key column would hash

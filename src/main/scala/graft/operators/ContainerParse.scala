@@ -34,7 +34,17 @@ object ContainerParse {
       durationSeconds: Double,
       nSamples: Int,
       sampleOffsets: Seq[Long],
-      sampleSizes: Seq[Long] = Nil)
+      // May be a [[UniformSizes]] over a hostile header's declared count
+      // (≈2^31): index/size it only — putting it element-wise into a Row,
+      // or any toSeq/toArray/iterator drain, materializes gigabytes.
+      sampleSizes: Seq[Long] = Nil) {
+    // Keep toString O(1): the default case-class render would drain
+    // sampleOffsets/sampleSizes element by element.
+    override def toString: String =
+      s"VideoMeta($container,$codec,${width}x$height,${durationSeconds}s," +
+        s"nSamples=$nSamples,offsets=${sampleOffsets.length}," +
+        s"sizes=${sampleSizes.length})"
+  }
 
   /** Constant-value sample-size table (uniform stsz): O(1) memory for
     * ANY declared sample count, so a hostile header can't drive a
@@ -48,6 +58,10 @@ object ContainerParse {
       if (i < 0 || i >= n)
         throw new IndexOutOfBoundsException(s"$i of $n")
       else u
+    // The inherited Seq toString drains all n elements — at the hostile
+    // ceiling that is a ~2^31-step loop, the exact DoS the O(1)
+    // representation exists to avoid.
+    override def toString: String = s"UniformSizes($n x $u)"
   }
 
   /** Sniffs the container by magic and parses accordingly. */

@@ -13,6 +13,15 @@ import graft.mapping.Mapping
   * atomic commit point. */
 private[store] object DerivedTable {
 
+  /** The token space a refresh's vanished-group deletions commit under:
+    * separate from the user-facing `lastDelete` space, so a
+    * machine-chosen token (a base version) can never collide with a
+    * user's delete token on the same derived table — and its presence
+    * in the ledger is the crash signature [[markerVersion]] checks (a
+    * delete token AHEAD of the applied marker can only come from a
+    * refresh that crashed before its marker-carrying merge). */
+  def deleteStream(streamId: String): String = streamId + "#delete"
+
   /** Identity mapping over `schema` keyed by `keyCol` — derived tables
     * hold already-typed aggregate/index rows, so every column maps
     * as-is. */
@@ -75,9 +84,13 @@ private[store] object DerivedTable {
     * what makes the retry see the pre-crash contents and recompute
     * correctly even when the base advanced in between. The walk stops
     * at the oldest RETAINED marker-carrying version — vacuum's keepLast
-    * must cover the refresh cadence on a derived table, or a vacuumed
-    * marker merge degrades the walk to a newer (possibly
-    * partially-refreshed) version. */
+    * must cover the refresh cadence on a derived table. When the ledger
+    * proves a refresh crashed in flight (a [[deleteStream]] token ahead
+    * of the applied marker) AND the walk bottomed out on a vacuumed
+    * manifest — i.e. the true marker version may have been retired and
+    * the result could be a half-refreshed snapshot — this FAILS LOUDLY
+    * instead of silently returning that snapshot; restore from a longer
+    * keepLast or re-bootstrap the derived table. */
   def markerVersion(
       spark: SparkSession,
       root: String,
@@ -95,6 +108,7 @@ private[store] object DerivedTable {
     var res = current.version
     var v = current.version - 1
     var stop = false
+    var vacuumStopped = false
     while (!stop && v >= 0) {
       // ONLY a missing manifest means "vacuumed — stop the walk". A
       // transient read failure must PROPAGATE: swallowing it would
@@ -104,9 +118,29 @@ private[store] object DerivedTable {
       val carries =
         try ManifestTable.readManifest(spark, root, v)
           .lastBatches.get(streamId).contains(appliedBase)
-        catch { case _: java.io.FileNotFoundException => false }
+        catch {
+          case _: java.io.FileNotFoundException =>
+            vacuumStopped = true; false
+        }
       if (carries) { res = v; v -= 1 } else stop = true
     }
+    // In-flight-crash signature: refresh deletions committed AFTER the
+    // last completed refresh. Benign walks also end on a vacuumed
+    // manifest (keepLast=1 leaves only the current version), but with a
+    // crash in flight a vacuumed stop means the true marker version may
+    // itself have been retired — returning `res` could silently serve a
+    // snapshot with half-applied deletions, so refuse.
+    val crashInFlight = current.lastBatches
+      .get(deleteStream(streamId)).exists(_ > appliedBase)
+    if (crashInFlight && vacuumStopped)
+      throw new IllegalStateException(
+        s"derived table at $root: a refresh crashed in flight (delete " +
+          s"token ${current.lastBatches(deleteStream(streamId))} is " +
+          s"ahead of applied marker $appliedBase) and vacuum retired " +
+          "manifests below the retained history — the pre-crash marker " +
+          s"snapshot may be gone (walk stopped at version $res). " +
+          "Vacuum keepLast must cover the refresh cadence on derived " +
+          "tables; restore from backup or re-bootstrap the derived table.")
     res
   }
 }

@@ -1042,7 +1042,15 @@ object ManifestTable {
     * a replay with the same token is a no-op. NULL-keyed rows never
     * match a delete key (SQL semantics) and are kept when their bucket
     * is rewritten. Cost: |touched buckets| file rewrites, never a table
-    * scan. */
+    * scan.
+    *
+    * `tokenStream` gives an AUTOMATED caller (a derived-table refresh)
+    * its own token space: the token records under
+    * `lastBatches(tokenStream)` and `lastDelete` carries through
+    * untouched — so a machine-chosen token (a base version) can never
+    * collide with, and silently swallow, a user's delete token on the
+    * same table (the collision class [[compact]]'s separate
+    * `lastCompact` token already avoids). */
   def delete(
       spark: SparkSession,
       root: String,
@@ -1051,10 +1059,19 @@ object ManifestTable {
       keys: Seq[Any],
       token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): Seq[FileEntry] = {
+        identity,
+      tokenStream: Option[String] = None): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
-      if (prior.lastDelete.contains(token)) return Nil
+      val replayed = tokenStream match {
+        case Some(s) => prior.lastBatches.get(s).contains(token)
+        case None => prior.lastDelete.contains(token)
+      }
+      if (replayed) return Nil
+      val batches = tokenStream.fold(prior.lastBatches)(s =>
+        prior.lastBatches + (s -> token))
+      val deleteToken =
+        if (tokenStream.isEmpty) Some(token) else prior.lastDelete
       val attempt = newAttemptId()
       val version = prior.version + 1
       val n = prior.numBuckets
@@ -1072,7 +1089,7 @@ object ManifestTable {
         prior.entries.partition(e => rendered(e.bucket))
       if (touchedEntries.isEmpty) {
         if (tryCommitManifest(spark, root, Manifest(version, n,
-            prior.entries, prior.lastBatches, Some(token), attempt,
+            prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact)))
           return Nil
       } else {
@@ -1094,7 +1111,7 @@ object ManifestTable {
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
           cmp, seq = version)
         if (tryCommitManifest(spark, root, Manifest(version, n,
-            untouched ++ written, prior.lastBatches, Some(token), attempt,
+            untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact)))
           return written
         cleanupAttempt(spark, root, version, attempt)
@@ -1324,7 +1341,15 @@ object ManifestTable {
     * Maintenance only — run when no reader holds a manifest OLDER than
     * the retained window (readers resolve the manifest once per query;
     * `keepLast` IS the retention policy that makes the race benign for
-    * readers within the window). */
+    * readers within the window).
+    *
+    * On a DERIVED table root ([[MaterializedView]]/[[SecondaryIndex]]),
+    * `keepLast` must also cover the refresh cadence: crash recovery
+    * reads the derived state at the last completed refresh's marker
+    * version ([[DerivedTable.markerVersion]]), and vacuuming below it
+    * makes a crashed-refresh retry fail loudly instead of recovering.
+    * keepLast >= 1 + the max ops (deletes + merges) a single refresh can
+    * commit is safe; prefer a generous window on derived tables. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit =
     currentManifest(spark, root).foreach { m =>
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")

@@ -37,6 +37,12 @@ object MaterializedView {
   /** The view's stream id in the base-version replay ledger. */
   val StreamId = "materialized-view"
 
+  /** The token space refresh's vanished-group deletions commit under
+    * (see [[DerivedTable.deleteStream]]): user deletes on the view root
+    * keep their own `lastDelete` space and can never collide with a
+    * refresh token. */
+  val DeleteStream: String = DerivedTable.deleteStream(StreamId)
+
   final case class View(
       baseRoot: String,
       baseSchema: StructType,
@@ -145,16 +151,17 @@ object MaterializedView {
       try {
         // Groups whose count reached zero leave the view table. The
         // delete runs BEFORE the marker-carrying merge and is
-        // token-guarded: a crashed refresh's retry re-issues it as a
-        // no-op and completes the merge — never the reverse order,
-        // which would lose the deletions forever behind the
-        // already-advanced marker.
+        // token-guarded (in the refresh's OWN token space — a user
+        // delete on the view root can never collide with it): a crashed
+        // refresh's retry re-issues it as a no-op and completes the
+        // merge — never the reverse order, which would lose the
+        // deletions forever behind the already-advanced marker.
         val kept = maintained.select(col(v.groupCol)).collect()
           .map(_.get(0)).toSet
         val vanished = touched.filterNot(kept)
         if (vanished.nonEmpty)
           ManifestTable.delete(spark, v.viewRoot, schema, v.groupCol,
-            vanished, token = cur)
+            vanished, token = cur, tokenStream = Some(DeleteStream))
         val m = DerivedTable.identityMapping(schema, v.groupCol)
         ManifestTable.merge(m.project(maintained), cur, m, v.viewRoot,
           schema, streamId = StreamId)

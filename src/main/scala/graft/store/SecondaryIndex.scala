@@ -27,6 +27,10 @@ object SecondaryIndex {
 
   val StreamId = "secondary-index"
 
+  /** The token space refresh's emptied-value deletions commit under —
+    * separate from user deletes' `lastDelete` space. */
+  val DeleteStream: String = DerivedTable.deleteStream(StreamId)
+
   final case class Index(
       baseRoot: String,
       baseSchema: StructType,
@@ -142,7 +146,7 @@ object SecondaryIndex {
     val emptied = touched.filterNot(keptVals)
     if (emptied.nonEmpty)
       ManifestTable.delete(spark, ix.indexRoot, schema, ix.valueCol,
-        emptied, token = cur)
+        emptied, token = cur, tokenStream = Some(DeleteStream))
     ManifestTable.merge(m.project(regrouped), cur, m, ix.indexRoot,
       schema, streamId = StreamId)
     Some(cur)
@@ -150,16 +154,35 @@ object SecondaryIndex {
   }
 
   /** Point query on the indexed column: index lookup → keys → base
-    * lookup. Two pruned reads; the key-list collect is bounded by the
-    * value's selectivity. */
-  def lookupBy(spark: SparkSession, ix: Index, value: Any): DataFrame = {
+    * lookup. Two pruned reads on the common (selective) path; the
+    * key-list collect is CAPPED at `maxDriverKeys` — a heavily-skewed
+    * value whose list exceeds it must not turn the lookup into an
+    * unbounded driver collect, so it degrades to a DISTRIBUTED
+    * semi-join of the exploded key frame against the base scan instead.
+    * That fallback is the right plan at that selectivity anyway:
+    * millions of keys hash across ~every bucket, so the "pruned" read
+    * would have touched the whole table regardless. */
+  def lookupBy(spark: SparkSession, ix: Index, value: Any,
+      maxDriverKeys: Int = 100000): DataFrame = {
     val schema = indexSchema(spark, ix)
-    val keys = ManifestTable.lookup(spark, ix.indexRoot, schema,
-        ix.valueCol, Seq(value))
-      .select(explode(col("keys")).as("_k")).collect().map(_.get(0)).toSeq
-    if (keys.isEmpty)
+    val hit = ManifestTable.lookup(spark, ix.indexRoot, schema,
+      ix.valueCol, Seq(value))
+    // 0 or 1 rows by construction — the bounded probe is the list SIZE,
+    // never the list itself.
+    val nKeys = hit.select(size(col("keys")).as("n")).collect()
+      .map(_.getInt(0)).sum
+    if (nKeys == 0)
       ManifestTable.read(spark, ix.baseRoot, ix.baseSchema).limit(0)
-    else ManifestTable.lookup(spark, ix.baseRoot, ix.baseSchema,
-      ix.baseKey, keys)
+    else if (nKeys <= maxDriverKeys) {
+      val keys = hit.select(explode(col("keys")).as("_k")).collect()
+        .map(_.get(0)).toSeq
+      ManifestTable.lookup(spark, ix.baseRoot, ix.baseSchema,
+        ix.baseKey, keys)
+    } else {
+      val keyFrame = hit.select(explode(col("keys")).as(ix.baseKey))
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+      ManifestTable.read(spark, ix.baseRoot, ix.baseSchema)
+        .join(keyFrame, Seq(ix.baseKey), "left_semi")
+    }
   }
 }

@@ -100,10 +100,12 @@ class MaterializedViewSpec extends SparkSpec {
     ManifestTable.delete(spark, base, schema, "id", Seq(2L, 3L),
       token = 9L)
     // simulate the crashed refresh: exactly its group deletion (same
-    // token = the base version it was applying), no marker merge
+    // token = the base version it was applying, in the refresh's own
+    // token space), no marker merge
     val crashedCur = ManifestTable.currentVersion(spark, base).get
     ManifestTable.delete(spark, view, vSchema, "grp", Seq("c"),
-      token = crashedCur)
+      token = crashedCur,
+      tokenStream = Some(MaterializedView.DeleteStream))
     // base commit 2 (after the crash): group c comes BACK
     ManifestTable.merge(raw((4L, "c", "7")).transform(m.project),
       1L, m, base, schema, streamId = "S")
@@ -116,6 +118,60 @@ class MaterializedViewSpec extends SparkSpec {
       s"crash-retry lost the re-inserted group: " +
         s"${vOf(MaterializedView.read(spark, vd))} vs " +
         s"${vOf(recomputed)}")
+  }
+
+  test("refresh deletions live in their own token space: a user delete " +
+      "with a numerically-equal token still applies") {
+    val base = fresh("mv_base_tok"); val view = fresh("mv_view_tok")
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "1"), (2L, "c", "3"))
+      .transform(m.project), 0L, m, base, schema, numBuckets = 2,
+      streamId = "S")
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    val vSchema = MaterializedView.read(spark, vd).schema
+    // base loses group c → refresh issues a vanished-group delete whose
+    // token is the base version (here: 1)
+    ManifestTable.delete(spark, base, schema, "id", Seq(2L), token = 9L)
+    val cur = ManifestTable.currentVersion(spark, base).get
+    assert(MaterializedView.refresh(spark, vd).contains(cur))
+    assert(ManifestTable.currentManifest(spark, view).get.lastBatches
+      .get(MaterializedView.DeleteStream).contains(cur),
+      "refresh delete must record under its own stream")
+    // a USER delete on the view root with the SAME numeric token must
+    // not be swallowed as a replay of the refresh's delete
+    ManifestTable.delete(spark, view, vSchema, "grp", Seq("a"),
+      token = cur)
+    assert(ManifestTable.read(spark, view, vSchema).count() == 0L,
+      "user delete with a token equal to the refresh token was " +
+        "silently swallowed")
+  }
+
+  test("markerVersion fails loudly when a crash is in flight and " +
+      "vacuum retired the marker snapshot") {
+    val base = fresh("mv_base_vac"); val view = fresh("mv_view_vac")
+    val m = mapping
+    ManifestTable.merge(raw((1L, "a", "1"), (2L, "c", "3"))
+      .transform(m.project), 0L, m, base, schema, numBuckets = 2,
+      streamId = "S")
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    val vSchema = MaterializedView.read(spark, vd).schema
+    ManifestTable.delete(spark, base, schema, "id", Seq(2L), token = 9L)
+    // crashed refresh: its vanished-group delete committed, no marker
+    // merge — then an (operator-error) default vacuum retires the
+    // pre-crash view manifests
+    val crashedCur = ManifestTable.currentVersion(spark, base).get
+    ManifestTable.delete(spark, view, vSchema, "grp", Seq("c"),
+      token = crashedCur,
+      tokenStream = Some(MaterializedView.DeleteStream))
+    ManifestTable.vacuum(spark, view, keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      MaterializedView.refresh(spark, vd)
+    }
+    assert(e.getMessage.contains("vacuum") &&
+      e.getMessage.contains("crash"),
+      s"expected the loud vacuumed-marker failure, got: ${e.getMessage}")
   }
 
   test("create rejects NULL groups up front instead of silently " +

@@ -458,6 +458,14 @@ class MultimodalSpec extends SparkSpec {
     assert(hugeMeta.exists(m => m.nSamples == Int.MaxValue &&
       m.sampleSizes.length == Int.MaxValue &&
       m.sampleSizes(123456789) == 100L))
+    // rendering the meta must stay O(1): the default case-class/Seq
+    // toString would drain all 2^31 elements — the latent DoS the
+    // constant-size table exists to avoid
+    val rendered = hugeMeta.get.toString
+    assert(rendered.length < 200,
+      s"VideoMeta toString must not materialize the tables: $rendered")
+    assert(hugeMeta.get.sampleSizes.toString ==
+      s"UniformSizes(${Int.MaxValue} x 100)")
     // metadata-only shape: more samples than the file has bytes
     val metadataOnly = mp4WithStsz(be32(100) ++ be32(10000))
     assert(ContainerParse.parseVideo(metadataOnly)

@@ -111,5 +111,12 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(hit == (1L to 40L).filter(_ % 5 == 3).toSeq, s"$hit")
     // a value that was never indexed returns empty, not an error
     assert(SecondaryIndex.lookupBy(spark, ix, "nope").count() == 0L)
+    // a skewed value whose key list exceeds the driver cap degrades to
+    // the distributed semi-join path — same rows, no driver collect
+    val skewed = SecondaryIndex.lookupBy(spark, ix, "g3",
+        maxDriverKeys = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(skewed == hit,
+      s"fallback path diverged from the pruned path: $skewed")
   }
 }
