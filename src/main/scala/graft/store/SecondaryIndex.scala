@@ -1,15 +1,16 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** SECONDARY INDEX for the manifest table: an inverted (value → sorted
-  * key list) table — itself a [[ManifestTable]] — over a non-key
-  * column, maintained from the base's change feed. A point predicate on
-  * the indexed column becomes TWO PRUNED LOOKUPS (index value → keys,
-  * then keys → base rows) instead of a full scan; at 100 TB that is
-  * the difference between reading two buckets and reading the table.
+  * key list) table — itself a [[ManifestTable]] — over one or more
+  * non-key columns, maintained from the base's change feed. A point
+  * predicate on the indexed column(s) becomes TWO PRUNED LOOKUPS
+  * (index value → keys, then keys → base rows) instead of a full scan;
+  * at 100 TB that is the difference between reading two buckets and
+  * reading the table.
   *
   * Maintenance reads NOTHING but the feed and the touched index rows:
   * each affected key's window-FINAL assignment (its value at the feed's
@@ -21,8 +22,14 @@ import org.apache.spark.sql.types.StructType
   * (deletions of emptied values run BEFORE the marker-carrying merge).
   *
   * NULL values are not indexed (standard index semantics: an `=`
-  * predicate never matches NULL). Key lists are SORTED, so the index
-  * contents are deterministic and engine-reproducible. */
+  * predicate never matches NULL); for a COMPOSITE index a row is
+  * indexed iff every component is non-NULL. Composite index tables
+  * store the value columns plus a synthetic manifest key
+  * ([[DerivedTable.KeyCol]], the injective tuple encoding) and key on
+  * that; single-column indexes keep the value column itself as the key
+  * — their on-disk layout is unchanged from before composite support.
+  * Key lists are SORTED, so the index contents are deterministic and
+  * engine-reproducible. */
 object SecondaryIndex {
 
   val StreamId = "secondary-index"
@@ -36,12 +43,47 @@ object SecondaryIndex {
       baseSchema: StructType,
       baseKey: String,
       indexRoot: String,
-      valueCol: String,
-      numBuckets: Int = 16)
+      valueCols: Seq[String],
+      numBuckets: Int = 16) {
+    require(valueCols.nonEmpty, "need at least one value column")
+  }
+
+  object Index {
+    /** Single-value-column convenience, the pre-composite shape. */
+    def apply(baseRoot: String, baseSchema: StructType, baseKey: String,
+        indexRoot: String, valueCol: String, numBuckets: Int): Index =
+      Index(baseRoot, baseSchema, baseKey, indexRoot, Seq(valueCol),
+        numBuckets)
+  }
+
+  private def composite(ix: Index): Boolean = ix.valueCols.size > 1
+
+  /** The index table's manifest key column. */
+  private def keyCol(ix: Index): String =
+    if (composite(ix)) DerivedTable.KeyCol else ix.valueCols.head
+
+  /** Appends the synthetic key column for composite indexes. */
+  private def withKey(ix: Index, df: DataFrame): DataFrame =
+    if (!composite(ix)) df
+    else df.withColumn(DerivedTable.KeyCol,
+      DerivedTable.encodeKey(ix.valueCols.map(col)))
+
+  /** The indexed-value tuple as ONE column: the value itself when
+    * single, a struct of the components (NULL when any component is
+    * NULL — such rows are unindexed) when composite. */
+  private def valueExpr(ix: Index): Column =
+    if (!composite(ix)) col(ix.valueCols.head)
+    else when(ix.valueCols.map(col(_).isNotNull).reduce(_ && _),
+      struct(ix.valueCols.map(col): _*))
+
+  /** The encoded probe/manifest key of a `_v`-shaped column. */
+  private def encOf(ix: Index, c: Column): Column =
+    if (!composite(ix)) c
+    else DerivedTable.encodeKey(ix.valueCols.map(f => c.getField(f)))
 
   private def grouped(base: DataFrame, ix: Index): DataFrame =
-    base.filter(col(ix.valueCol).isNotNull)
-      .groupBy(col(ix.valueCol))
+    base.filter(ix.valueCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(ix.valueCols.map(col): _*)
       .agg(sort_array(collect_list(col(ix.baseKey))).as("keys"))
 
   /** Bootstraps the index from the base's current version. Returns the
@@ -51,18 +93,27 @@ object SecondaryIndex {
       throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
     val full = grouped(
       ManifestTable.readAt(spark, ix.baseRoot, ix.baseSchema, cur), ix)
-    DerivedTable.bootstrap(spark, full, ix.valueCol, ix.indexRoot,
-      ix.numBuckets, StreamId, cur)
+    DerivedTable.bootstrap(spark, withKey(ix, full), keyCol(ix),
+      ix.indexRoot, ix.numBuckets, StreamId, cur)
     cur
   }
 
-  private def indexSchema(spark: SparkSession, ix: Index): StructType =
-    grouped(ManifestTable.read(spark, ix.baseRoot, ix.baseSchema)
-      .limit(0), ix).schema
+  /** The index table's STORED schema (incl. the synthetic key column of
+    * a composite index). Plan-time only, and metadata-free: built over
+    * an empty LOCAL frame of the declared base schema — no manifest
+    * read, no data read. */
+  private def indexSchema(spark: SparkSession, ix: Index): StructType = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      ix.baseSchema)
+    withKey(ix, grouped(empty, ix)).schema
+  }
 
-  /** The committed (value, sorted keys) index contents. */
+  /** The committed (value columns, sorted keys) index contents (the
+    * synthetic key column of a composite index is dropped). */
   def read(spark: SparkSession, ix: Index): DataFrame =
     ManifestTable.read(spark, ix.indexRoot, indexSchema(spark, ix))
+      .drop(DerivedTable.KeyCol)
 
   /** How far the index has applied the base's history. */
   def appliedVersion(spark: SparkSession, ix: Index): Long =
@@ -76,12 +127,13 @@ object SecondaryIndex {
     val seen = appliedVersion(spark, ix)
     if (cur <= seen) return None
     val schema = indexSchema(spark, ix)
-    val m = DerivedTable.identityMapping(schema, ix.valueCol)
+    val key = keyCol(ix)
+    val m = DerivedTable.identityMapping(schema, key)
     // Persisted: the feed backs the touched collect, the kept-values
     // collect and the merge write — one diff join, not three.
     val feed = ManifestTable.changes(spark, ix.baseRoot, ix.baseSchema,
       ix.baseKey, seen, cur)
-      .select(col(ix.baseKey).as("_k"), col(ix.valueCol).as("_v"),
+      .select(col(ix.baseKey).as("_k"), valueExpr(ix).as("_v"),
         col("_change_type").as("_t"), col("_version").as("_ver"))
       .persist()
     try {
@@ -107,14 +159,17 @@ object SecondaryIndex {
       .select(col("_k"),
         when(col("_o._t").isin("delete", "update_preimage"),
           col("_o._v")).as("_oldv"))
-    // Touched values — bounded by the change rate.
+    // Touched values — bounded by the change rate. Collected as the
+    // ENCODED probe key (raw value for single-column indexes), the
+    // form every lookup/delete below consumes.
     val touched = finalSt.select(col("_newv").as("_v"))
       .unionByName(oldSt.select(col("_oldv").as("_v")))
-      .filter(col("_v").isNotNull).distinct().collect()
+      .filter(col("_v").isNotNull)
+      .select(encOf(ix, col("_v")).as("_p")).distinct().collect()
       .map(_.get(0)).toSeq
     if (touched.isEmpty) {
       DerivedTable.advanceMarker(spark, ix.indexRoot, schema,
-        ix.valueCol, StreamId, cur)
+        key, StreamId, cur)
       return Some(cur)
     }
     // New key lists for the touched values: the current lists minus the
@@ -133,19 +188,25 @@ object SecondaryIndex {
     // and must switch this read to DerivedTable.markerVersion.
     val affected = broadcast(finalSt.select(col("_k")))
     val oldPairs = ManifestTable.lookup(spark, ix.indexRoot, schema,
-        ix.valueCol, touched)
-      .select(col(ix.valueCol).as("_v"), explode(col("keys")).as("_k"))
+        key, touched)
+      .select(valueExpr(ix).as("_v"), explode(col("keys")).as("_k"))
       .join(affected, Seq("_k"), "left_anti")
     val newPairs = oldPairs.unionByName(
       finalSt.filter(col("_newv").isNotNull)
         .select(col("_newv").as("_v"), col("_k")))
-    val regrouped = newPairs.groupBy(col("_v").as(ix.valueCol))
+    val regroupedV = newPairs.groupBy(col("_v"))
       .agg(sort_array(collect_list(col("_k"))).as("keys"))
-    val keptVals = regrouped.select(col(ix.valueCol)).collect()
+    // Unpack the tuple back into the stored per-component columns.
+    val regrouped = withKey(ix,
+      if (!composite(ix))
+        regroupedV.select(col("_v").as(ix.valueCols.head), col("keys"))
+      else regroupedV.select(ix.valueCols.map(f =>
+        col("_v").getField(f).as(f)) :+ col("keys"): _*))
+    val keptVals = regrouped.select(col(key)).collect()
       .map(_.get(0)).toSet
     val emptied = touched.filterNot(keptVals)
     if (emptied.nonEmpty)
-      ManifestTable.delete(spark, ix.indexRoot, schema, ix.valueCol,
+      ManifestTable.delete(spark, ix.indexRoot, schema, key,
         emptied, token = cur, tokenStream = Some(DeleteStream))
     ManifestTable.merge(m.project(regrouped), cur, m, ix.indexRoot,
       schema, streamId = StreamId)
@@ -153,7 +214,47 @@ object SecondaryIndex {
     } finally feed.unpersist()
   }
 
-  /** Point query on the indexed column: index lookup → keys → base
+  /** Encodes caller-supplied probe tuples to manifest-key probes: raw
+    * values pass through for a single-column index; for a composite
+    * index each probe is a Seq of component values, encoded through the
+    * SAME Spark expression the index rows use (a tiny local frame — no
+    * hand-rolled driver-side reimplementation to drift). */
+  private def probeKeys(
+      spark: SparkSession, ix: Index, values: Seq[Any]): Seq[Any] = {
+    if (!composite(ix)) values
+    else {
+      val vSchema = StructType(ix.valueCols.map(f =>
+        ix.baseSchema(f).copy(nullable = true)))
+      val rows = values.map {
+        case s: Seq[_] =>
+          require(s.size == ix.valueCols.size,
+            s"probe arity ${s.size} != ${ix.valueCols.size} value cols")
+          org.apache.spark.sql.Row(s: _*)
+        case other => throw new IllegalArgumentException(
+          s"composite index probe must be a Seq of " +
+            s"${ix.valueCols.size} component values, got $other")
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), vSchema)
+        .select(DerivedTable.encodeKey(ix.valueCols.map(col)).as("_p"))
+        .collect().map(_.get(0)).toSeq
+    }
+  }
+
+  /** Pruned multi-value point lookup on the index alone: reads only the
+    * probed values' index buckets and explodes to (value, key) pairs —
+    * the bounded read a fixed probe set wants, without touching the
+    * base table. For a composite index each probe is a Seq of
+    * component values. */
+  def lookupValues(spark: SparkSession, ix: Index, values: Seq[Any])
+      : DataFrame = {
+    val schema = indexSchema(spark, ix)
+    ManifestTable.lookup(spark, ix.indexRoot, schema, keyCol(ix),
+        probeKeys(spark, ix, values))
+      .select(ix.valueCols.map(col) :+
+        explode(col("keys")).as(ix.baseKey): _*)
+  }
+
+  /** Point query on the indexed column(s): index lookup → keys → base
     * lookup. Two pruned reads on the common (selective) path; the
     * key-list collect is CAPPED at `maxDriverKeys` — a heavily-skewed
     * value whose list exceeds it must not turn the lookup into an
@@ -161,12 +262,13 @@ object SecondaryIndex {
     * semi-join of the exploded key frame against the base scan instead.
     * That fallback is the right plan at that selectivity anyway:
     * millions of keys hash across ~every bucket, so the "pruned" read
-    * would have touched the whole table regardless. */
+    * would have touched the whole table regardless. For a composite
+    * index pass a Seq of component values. */
   def lookupBy(spark: SparkSession, ix: Index, value: Any,
       maxDriverKeys: Int = 100000): DataFrame = {
     val schema = indexSchema(spark, ix)
     val hit = ManifestTable.lookup(spark, ix.indexRoot, schema,
-      ix.valueCol, Seq(value))
+      keyCol(ix), probeKeys(spark, ix, Seq(value)))
     // 0 or 1 rows by construction — the bounded probe is the list SIZE,
     // never the list itself.
     val nKeys = hit.select(size(col("keys")).as("n")).collect()

@@ -40,7 +40,7 @@ class MaterializedViewSpec extends SparkSpec {
 
   private def viewDef(base: String, view: String) = MaterializedView.View(
     baseRoot = base, baseSchema = schema, baseKey = "id",
-    viewRoot = view, groupCol = "grp", sumCols = Seq("v"),
+    viewRoot = view, groupCols = Seq("grp"), sumCols = Seq("v"),
     minMaxCols = Seq("v"), numBuckets = 4)
 
   test("persistent view tracks the base across merges and deletes, " +
@@ -264,6 +264,92 @@ class MaterializedViewSpec extends SparkSpec {
       assert(idxContents == idxExpected,
         s"index diverged after batch ${i + 1}")
     }
+  }
+
+  test("multi-column group: refresh, cross-group moves and vanished " +
+      "composite groups land on the full recompute") {
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("sub", StringType), StructField("v", LongType)))
+    val m2 = new Mapping()
+    m2.auto("id"); m2.auto("grp"); m2.auto("sub"); m2.auto("v")
+    m2.complete(schema2)
+    def raw2(rows: (Long, String, String, Long)*): DataFrame =
+      rows.zipWithIndex.map { case ((id, g, s, v), i) =>
+        (Seq(id.toString, g, s, v.toString), i.toLong) }
+        .toDF("_raw", "_line")
+    val base = fresh("mv_base_multi"); val view = fresh("mv_view_multi")
+    ManifestTable.merge(raw2((1L, "a", "x", 10L), (2L, "a", "y", 5L),
+      (3L, "b", "x", 7L), (4L, "b", "y", 1L)).transform(m2.project),
+      0L, m2, base, schema2, numBuckets = 4, streamId = "S")
+    val vd = MaterializedView.View(
+      baseRoot = base, baseSchema = schema2, baseKey = "id",
+      viewRoot = view, groupCols = Seq("grp", "sub"),
+      sumCols = Seq("v"), minMaxCols = Seq("v"), numBuckets = 4)
+    MaterializedView.create(spark, vd)
+    def recompute() = IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, base, schema2), Seq("grp", "sub"),
+      Seq("v"), Seq("v"))
+    def asSet(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue,
+        r.getAs[Number](5).longValue)).toSet
+    // the read surface hides the synthetic key column
+    assert(MaterializedView.read(spark, vd).columns.toSeq ==
+      recompute().columns.toSeq,
+      "synthetic composite key column leaked into the read surface")
+    assert(asSet(MaterializedView.read(spark, vd)) == asSet(recompute()))
+    // move id 2 (a,y)→(b,x) — (a,y) VANISHES, (b,x) gains — and id 1
+    // loses (a,x)'s max in place
+    ManifestTable.merge(raw2((2L, "b", "x", 20L), (1L, "a", "x", 2L))
+      .transform(m2.project), 1L, m2, base, schema2, streamId = "S")
+    assert(MaterializedView.refresh(spark, vd).isDefined)
+    assert(asSet(MaterializedView.read(spark, vd)) == asSet(recompute()),
+      "after composite-group moves")
+    assert(!MaterializedView.read(spark, vd).collect().exists(r =>
+      r.getString(0) == "a" && r.getString(1) == "y"),
+      "vanished composite group must leave the view table")
+    // groups sharing a component must stay distinct: delete all of
+    // grp=b — BOTH (b,*) groups leave, (a,x) survives
+    ManifestTable.delete(spark, base, schema2, "id", Seq(2L, 3L, 4L),
+      token = 9L)
+    assert(MaterializedView.refresh(spark, vd).isDefined)
+    assert(asSet(MaterializedView.read(spark, vd)) == asSet(recompute()),
+      "after erasing every group of one component value")
+    assert(MaterializedView.read(spark, vd).count() == 1L)
+    // replay safety unchanged under composite keys
+    assert(MaterializedView.refresh(spark, vd).isEmpty)
+  }
+
+  test("composite-key encoding is injective where naive concat " +
+      "collides") {
+    // ("ab", "c") vs ("a", "bc") — same naive concat; the
+    // escaped encoding must keep them distinct groups end-to-end.
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("sub", StringType), StructField("v", LongType)))
+    val rows = Seq(
+      (1L, "ab", "c", 10L), (2L, "a", "bc", 5L),
+      (3L, "a", "c", 3L))
+    val base = fresh("mv_base_inj"); val view = fresh("mv_view_inj")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)): _*), schema2)
+    val m2 = new Mapping()
+    m2.auto("id"); m2.auto("grp"); m2.auto("sub"); m2.auto("v")
+    m2.complete(schema2)
+    ManifestTable.merge(df, 0L, m2, base, schema2, numBuckets = 2,
+      streamId = "S")
+    val vd = MaterializedView.View(
+      baseRoot = base, baseSchema = schema2, baseKey = "id",
+      viewRoot = view, groupCols = Seq("grp", "sub"),
+      sumCols = Seq("v"), numBuckets = 2)
+    MaterializedView.create(spark, vd)
+    val got = MaterializedView.read(spark, vd).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Number](3).longValue)).toMap
+    assert(got == rows.map(r => ((r._2, r._3), r._4)).toMap,
+      s"control-character groups collided or corrupted: $got")
   }
 
   test("the view is a real manifest table: time travel shows the view " +

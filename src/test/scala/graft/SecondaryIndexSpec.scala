@@ -95,6 +95,67 @@ class SecondaryIndexSpec extends SparkSpec {
       s"intermediate value b must never appear: ${contents(ix)}")
   }
 
+  test("composite index: refresh, partial-NULL rows and composite " +
+      "lookups behave like a two-column WHERE") {
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("sub", StringType), StructField("v", LongType)))
+    val m2 = new Mapping()
+    m2.auto("id"); m2.auto("grp"); m2.auto("sub"); m2.auto("v")
+    m2.complete(schema2)
+    def raw2(rows: (Long, String, String, Long)*): DataFrame =
+      rows.zipWithIndex.map { case ((id, g, s, v), i) =>
+        (Seq(id.toString, g, s, v.toString), i.toLong) }
+        .toDF("_raw", "_line")
+    val base = fresh("six_base_c"); val idx = fresh("six_idx_c")
+    // id 4 has an empty (→ NULL) sub: NOT indexed (a row is indexed
+    // iff every component is non-NULL)
+    ManifestTable.merge(raw2((1L, "a", "x", 1L), (2L, "a", "y", 2L),
+      (3L, "b", "x", 3L), (4L, "a", "", 4L)).transform(m2.project),
+      0L, m2, base, schema2, numBuckets = 4, streamId = "S")
+    val ix = SecondaryIndex.Index(base, schema2, "id", idx,
+      Seq("grp", "sub"), numBuckets = 4)
+    SecondaryIndex.create(spark, ix)
+    def expected2(): Map[(String, String), Seq[Long]] =
+      ManifestTable.read(spark, base, schema2)
+        .filter($"grp".isNotNull && $"sub".isNotNull).collect()
+        .map(r => ((r.getString(1), r.getString(2)), r.getLong(0)))
+        .groupBy(_._1).map { case (gs, ks) =>
+          (gs, ks.map(_._2).toSeq.sorted) }
+    def contents2(): Map[(String, String), Seq[Long]] =
+      SecondaryIndex.read(spark, ix).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getSeq[Long](2)))
+        .toMap
+    // the synthetic key column stays internal
+    assert(SecondaryIndex.read(spark, ix).columns.toSeq ==
+      Seq("grp", "sub", "keys"))
+    assert(contents2() == expected2())
+    // moves across ONE component, NULL-ing a component (drops out of
+    // the index), filling a NULL component (drops in)
+    ManifestTable.merge(raw2((2L, "a", "x", 20L), (3L, "b", "", 3L),
+      (4L, "a", "z", 4L)).transform(m2.project),
+      1L, m2, base, schema2, streamId = "S")
+    assert(SecondaryIndex.refresh(spark, ix).isDefined)
+    assert(contents2() == expected2(), "after component-level moves")
+    assert(!contents2().keys.exists(_ == ("b", "x")),
+      "emptied composite value must vanish")
+    // composite point lookup = two-column WHERE on the base
+    val hit = SecondaryIndex.lookupBy(spark, ix, Seq("a", "x"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(hit == Seq(1L, 2L), s"$hit")
+    // index-only multi-probe
+    val pairs = SecondaryIndex.lookupValues(spark, ix,
+        Seq(Seq("a", "x"), Seq("a", "z"), Seq("no", "pe")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(pairs == Set(("a", "x", 1L), ("a", "x", 2L), ("a", "z", 4L)),
+      s"$pairs")
+    // probe arity is validated loudly
+    intercept[IllegalArgumentException] {
+      SecondaryIndex.lookupBy(spark, ix, Seq("a"))
+    }
+  }
+
   test("lookupBy is two pruned reads and returns exactly the matching " +
       "base rows") {
     val base = fresh("six_base3"); val idx = fresh("six_idx3")

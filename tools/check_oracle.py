@@ -9,7 +9,10 @@ out = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/target/verify_out'
 con = duckdb.connect()
 for f in glob.glob(f'{sf}/*.parquet'):
     name = os.path.basename(f).replace('.parquet','')
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # driver testdata is one file per table; MakeScale output is a
+    # directory of part files per table
+    src = f'{f}/*.parquet' if os.path.isdir(f) else f
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = []
