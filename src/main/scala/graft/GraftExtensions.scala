@@ -109,6 +109,11 @@ object GraftExtensions {
         s"$what must be a string literal, got ${e.dataType.sql}: $other")
     }
 
+  /** Comma-separated column-name list; '' → empty (for optional
+    * min/max column lists). */
+  private def csvArg(e: Expression, what: String): Seq[String] =
+    strArg(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   private def longArg(e: Expression, what: String): Long =
     foldableArg(e, what) match {
       case i: Int => i.toLong
@@ -169,6 +174,150 @@ object GraftExtensions {
           strArg(es(1), "schema DDL")))
       import spark.implicits._
       Seq(n).toDF("n_rows").queryExecution.analyzed
+    }),
+    // ---- procedure-style maintenance surface ----------------------
+    // Spark SQL has no CALL statement, so maintenance operations are
+    // table functions that EXECUTE AT PLAN TIME and return their
+    // outcome as a one-row result — the graft_count discipline, but
+    // with a write. Each call is one committed action; wrapping one in
+    // a temp view would re-run it at every view resolution — don't.
+    // The SQL surface covers identity-prep views and auto-mapped
+    // merges; anything needing a custom `prep` transform or import
+    // policies stays on the Scala API.
+    "graft_merge" -> (es => {
+      // Upserts the rows of a SQL query into a manifest table (creating
+      // the table on first merge), under an auto-derived identity
+      // mapping: standard update policy, every column mapped as-is.
+      // Returns (version, applied) — applied=false when (streamId,
+      // batchId) replays a committed batch (exactly-once under
+      // at-least-once delivery).
+      require(es.size == 6 || es.size == 7,
+        "usage: graft_merge(root, schemaDDL, keyColumn, batchSql, " +
+          "streamId, batchId[, numBuckets])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val kc = strArg(es(2), "key column")
+      require(schema.fieldNames.contains(kc),
+        s"key column $kc not in the schema DDL")
+      val batch = spark.sql(strArg(es(3), "batch SQL"))
+        .selectExpr(schema.fieldNames.map(f => s"`$f`").toIndexedSeq: _*)
+      val m = graft.store.DerivedTable.identityMapping(schema, kc)
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      graft.store.ManifestTable.merge(
+        batch, longArg(es(5), "batchId"), m, root, schema,
+        numBuckets = if (es.size == 7) longArg(es(6), "numBuckets").toInt
+          else 16,
+        streamId = strArg(es(4), "streamId"))
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after))).toDF("version", "applied")
+        .queryExecution.analyzed
+    }),
+    "graft_refresh_view" -> (es => {
+      // Ensure-semantics for a persistent materialized view: CREATES
+      // the view table (full aggregate of the base's current version)
+      // when `viewRoot` has none, else advances it from the CDC feed.
+      // Returns (applied_version, action ∈ created|refreshed|noop).
+      // Grouping/sum/min-max columns are comma-separated lists; pass ''
+      // for no min/max columns.
+      require(es.size == 7 || es.size == 8,
+        "usage: graft_refresh_view(baseRoot, schemaDDL, baseKey, " +
+          "viewRoot, groupCols, sumCols, minMaxCols[, numBuckets])")
+      val spark = SparkSession.active
+      val vd = graft.store.MaterializedView.View(
+        baseRoot = strArg(es(0), "base root"),
+        baseSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        baseKey = strArg(es(2), "base key"),
+        viewRoot = strArg(es(3), "view root"),
+        groupCols = csvArg(es(4), "group columns"),
+        sumCols = csvArg(es(5), "sum columns"),
+        minMaxCols = csvArg(es(6), "min/max columns"),
+        numBuckets = if (es.size == 8) longArg(es(7), "numBuckets").toInt
+          else 16)
+      val (v, action) =
+        if (graft.store.ManifestTable.currentVersion(spark, vd.viewRoot)
+            .isEmpty)
+          (graft.store.MaterializedView.create(spark, vd), "created")
+        else graft.store.MaterializedView.refresh(spark, vd) match {
+          case Some(nv) => (nv, "refreshed")
+          case None =>
+            (graft.store.MaterializedView.appliedVersion(spark, vd),
+              "noop")
+        }
+      import spark.implicits._
+      Seq((v, action)).toDF("applied_version", "action")
+        .queryExecution.analyzed
+    }),
+    "graft_view" -> (es => {
+      // The committed contents of a materialized view (lazy plan, same
+      // as every read function). Same arguments as graft_refresh_view
+      // minus numBuckets (reads never need it).
+      require(es.size == 7,
+        "usage: graft_view(baseRoot, schemaDDL, baseKey, viewRoot, " +
+          "groupCols, sumCols, minMaxCols)")
+      val spark = SparkSession.active
+      val vd = graft.store.MaterializedView.View(
+        baseRoot = strArg(es(0), "base root"),
+        baseSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        baseKey = strArg(es(2), "base key"),
+        viewRoot = strArg(es(3), "view root"),
+        groupCols = csvArg(es(4), "group columns"),
+        sumCols = csvArg(es(5), "sum columns"),
+        minMaxCols = csvArg(es(6), "min/max columns"))
+      graft.store.MaterializedView.read(spark, vd)
+        .queryExecution.analyzed
+    }),
+    "graft_refresh_index" -> (es => {
+      // Ensure-semantics for a secondary index (create-or-advance),
+      // mirroring graft_refresh_view. Composite indexes take a
+      // comma-separated value-column list.
+      require(es.size == 5 || es.size == 6,
+        "usage: graft_refresh_index(baseRoot, schemaDDL, baseKey, " +
+          "indexRoot, valueCols[, numBuckets])")
+      val spark = SparkSession.active
+      val ix = graft.store.SecondaryIndex.Index(
+        baseRoot = strArg(es(0), "base root"),
+        baseSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        baseKey = strArg(es(2), "base key"),
+        indexRoot = strArg(es(3), "index root"),
+        valueCols = csvArg(es(4), "value columns"),
+        numBuckets = if (es.size == 6) longArg(es(5), "numBuckets").toInt
+          else 16)
+      val (v, action) =
+        if (graft.store.ManifestTable.currentVersion(spark, ix.indexRoot)
+            .isEmpty)
+          (graft.store.SecondaryIndex.create(spark, ix), "created")
+        else graft.store.SecondaryIndex.refresh(spark, ix) match {
+          case Some(nv) => (nv, "refreshed")
+          case None =>
+            (graft.store.SecondaryIndex.appliedVersion(spark, ix),
+              "noop")
+        }
+      import spark.implicits._
+      Seq((v, action)).toDF("applied_version", "action")
+        .queryExecution.analyzed
+    }),
+    "graft_index" -> (es => {
+      // The committed (value columns, sorted key list) index contents.
+      require(es.size == 5,
+        "usage: graft_index(baseRoot, schemaDDL, baseKey, indexRoot, " +
+          "valueCols)")
+      val spark = SparkSession.active
+      val ix = graft.store.SecondaryIndex.Index(
+        baseRoot = strArg(es(0), "base root"),
+        baseSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        baseKey = strArg(es(2), "base key"),
+        indexRoot = strArg(es(3), "index root"),
+        valueCols = csvArg(es(4), "value columns"))
+      graft.store.SecondaryIndex.read(spark, ix)
+        .queryExecution.analyzed
     }),
     "graft_lookup" -> (es => {
       // pruned point read: only the key's bucket files, range-narrowed.

@@ -11,7 +11,7 @@ import graft.mapping.Mapping
   * table's own replay ledger (`lastBatches(streamId)`) — no side ledger
   * to lose, and the merge that advances the marker is the refresh's
   * atomic commit point. */
-private[store] object DerivedTable {
+private[graft] object DerivedTable {
 
   /** The token space a refresh's vanished-group deletions commit under:
     * separate from the user-facing `lastDelete` space, so a

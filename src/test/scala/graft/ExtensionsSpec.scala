@@ -128,6 +128,69 @@ class ExtensionsSpec extends SparkSpec {
       s"expected a string-literal usage error, got: ${e3.getMessage}")
   }
 
+  test("SQL-only maintenance: merge, ensure-refresh view + index, and " +
+      "read back, without touching the Scala API") {
+    GraftExtensions.register(spark)
+    val base = "target/test-tmp/ext_sql_base"
+    val view = "target/test-tmp/ext_sql_view"
+    val idx = "target/test-tmp/ext_sql_idx"
+    Seq(base, view, idx).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))
+    val ddl = "id BIGINT, grp STRING, v BIGINT"
+    // batch rows come in as temp views — the standard SQL-user shape
+    Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("ext_sql_b0")
+    Seq((2L, "b", 20L), (4L, "c", 1L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("ext_sql_b1")
+    def one(sql: String) = spark.sql(sql).head
+
+    // bootstrap the base table from SQL
+    val m0 = one(s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',
+      'SELECT * FROM ext_sql_b0', 'S', 0, 4)""")
+    assert(m0.getBoolean(1), "first merge must apply")
+    // ensure-create both derived tables
+    assert(one(s"""SELECT * FROM graft_refresh_view('$base', '$ddl',
+      'id', '$view', 'grp', 'v', 'v', 4)""").getString(1) == "created")
+    assert(one(s"""SELECT * FROM graft_refresh_index('$base', '$ddl',
+      'id', '$idx', 'grp', 4)""").getString(1) == "created")
+    // merge batch 1 (a cross-group move + an insert), refresh both
+    val m1 = one(s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',
+      'SELECT * FROM ext_sql_b1', 'S', 1)""")
+    assert(m1.getBoolean(1) && m1.getLong(0) > m0.getLong(0))
+    assert(one(s"""SELECT * FROM graft_refresh_view('$base', '$ddl',
+      'id', '$view', 'grp', 'v', 'v')""").getString(1) == "refreshed")
+    assert(one(s"""SELECT * FROM graft_refresh_index('$base', '$ddl',
+      'id', '$idx', 'grp')""").getString(1) == "refreshed")
+    // the view read matches a SQL recompute over the base read
+    val got = spark.sql(s"""SELECT grp, n_rows, sum_v FROM
+      graft_view('$base', '$ddl', 'id', '$view', 'grp', 'v', 'v')""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    val want = spark.sql(s"""SELECT grp, count(*), sum(v)
+      FROM graft_table('$base', '$ddl') GROUP BY grp""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(got == want, s"$got vs $want")
+    val idxGot = spark.sql(s"""SELECT grp, id FROM (SELECT grp,
+      explode(keys) AS id FROM graft_index('$base', '$ddl', 'id',
+      '$idx', 'grp'))""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val idxWant = spark.sql(
+      s"""SELECT grp, id FROM graft_table('$base', '$ddl')
+         WHERE grp IS NOT NULL""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(idxGot == idxWant, s"$idxGot vs $idxWant")
+    // replayed merge (same stream/batch token) must not apply; the
+    // follow-up refreshes are noops
+    assert(!one(s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',
+      'SELECT * FROM ext_sql_b1', 'S', 1)""").getBoolean(1),
+      "replayed batch must be a no-op")
+    assert(one(s"""SELECT * FROM graft_refresh_view('$base', '$ddl',
+      'id', '$view', 'grp', 'v', 'v')""").getString(1) == "noop")
+    assert(one(s"""SELECT * FROM graft_refresh_index('$base', '$ddl',
+      'id', '$idx', 'grp')""").getString(1) == "noop")
+  }
+
   test("to_csv_line renders and round-trips from SQL") {
     val row = spark.sql(
       """SELECT to_csv_line('a', 'has,comma', 'quote"inside') AS line""")
