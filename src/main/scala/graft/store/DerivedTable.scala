@@ -61,7 +61,8 @@ private[graft] object DerivedTable {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   /** Bootstraps the derived table: empty create + one marker-carrying
-    * merge of the full contents. */
+    * merge of the full contents. `rangeBounds` lays the table out by
+    * range on the key ([[ManifestTable.create]]). */
   def bootstrap(
       spark: SparkSession,
       full: DataFrame,
@@ -69,10 +70,11 @@ private[graft] object DerivedTable {
       root: String,
       numBuckets: Int,
       streamId: String,
-      baseVersion: Long): Unit = {
+      baseVersion: Long,
+      rangeBounds: Seq[String] = Nil): Unit = {
     val schema = full.schema
     ManifestTable.create(emptyFrame(spark, schema), keyCol, root,
-      numBuckets)
+      numBuckets, rangeBounds = rangeBounds)
     val m = identityMapping(schema, keyCol)
     ManifestTable.merge(m.project(full), baseVersion, m, root, schema,
       streamId = streamId)

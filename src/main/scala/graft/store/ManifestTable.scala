@@ -119,7 +119,8 @@ object ManifestTable {
       sideId: String = "",
       keyColumn: String = "",
       keyExpr: String = "",
-      lastCompact: Option[Long] = None)
+      lastCompact: Option[Long] = None,
+      rangeBounds: Seq[String] = Nil)
 
   private val BucketCol = "_bucket"
 
@@ -169,7 +170,9 @@ object ManifestTable {
     * key space without being handed the comparator function;
     * `lastCompact` is [[compact]]'s own replay token — separate from
     * `lastDelete` so an automated compaction token can never collide
-    * with (and silently swallow) a user's delete token. Then one tab-separated entry
+    * with (and silently swallow) a user's delete token. Format 6 appends
+    * `\t` + the comma-joined URL-encoded RANGE-LAYOUT boundary list
+    * (empty = hash-bucketed; see [[create]]'s `rangeBounds`). Then one tab-separated entry
     * per live FILE (format 4+ appends the writing version `seq`; a
     * bucket may have several entries) with URL-encoded key stats (keys
     * may contain tabs/newlines). */
@@ -182,11 +185,13 @@ object ManifestTable {
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     // Formats 1 (numBuckets only), 2 (tokens, version-named side dirs),
-    // 3 (single lastBatch token) and 4 (per-stream batch tokens) stay
-    // READABLE so tables committed by earlier code aren't bricked by the
-    // upgrade; writes always produce format 5 (recorded keyExpr +
-    // lastCompact token).
+    // 3 (single lastBatch token), 4 (per-stream batch tokens) and 5
+    // (recorded keyExpr + lastCompact) stay READABLE so tables committed
+    // by earlier code aren't bricked by the upgrade; writes always
+    // produce format 6 (appends the range-layout boundary list — empty
+    // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 6" => 6
       case "graft-manifest 5" => 5
       case "graft-manifest 4" => 4
       case "graft-manifest 3" => 3
@@ -218,13 +223,17 @@ object ManifestTable {
     val lastCompact =
       if (format >= 5 && h.length > 6 && h(6).nonEmpty) Some(h(6).toLong)
       else None
+    val rangeBounds =
+      if (format >= 6 && h.length > 7 && h(7).nonEmpty)
+        h(7).split(",", -1).toSeq.map(dec)
+      else Nil
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
         if (f.length > 5) f(5).toLong else 0L)
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
-      keyColumn, keyExpr, lastCompact)
+      keyColumn, keyExpr, lastCompact, rangeBounds)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -371,6 +380,28 @@ object ManifestTable {
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (m.keyExpr.nonEmpty) recordedKey(m) else keyComparator
 
+  /** The table's bucket-assignment expression over a normalized key
+    * column: `pmod(hash(norm(key)), n)` for hash-layout tables (the
+    * default), or — when the manifest records RANGE boundaries — the
+    * count of boundaries ≤ the key's string rendering (a searchsorted
+    * over `numBuckets - 1` sorted boundary literals, codegen-friendly).
+    * Range layout keeps each bucket a contiguous slice of the rendered
+    * key space, so the per-file min/max stats become TIGHT and a range
+    * predicate prunes to the overlapping buckets only ([[lookupRange]]);
+    * the price is that layout quality depends on creation-time
+    * boundaries (rebucket to re-balance). A NULL key renders NULL and
+    * lands in bucket 0 (matching no range probe, like the hash layout's
+    * seed bucket). */
+  private def bucketExpr(
+      numBuckets: Int, rangeBounds: Seq[String],
+      norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (rangeBounds.isEmpty) pmod(hash(norm), lit(numBuckets))
+    else {
+      val rendered = norm.cast("string")
+      coalesce(size(filter(
+        array(rangeBounds.map(lit): _*), b => rendered >= b)), lit(0))
+    }
+
   /** Probe keys normalized under [[effectiveKey]]: returns
     * (bucket, normalizedValue) per key, computed by Spark itself so the
     * normalization is exactly the one the table's layout used. The
@@ -386,7 +417,8 @@ object ManifestTable {
     val cmp = effectiveKey(m, keyComparator)
     spark.range(1)
       .select(explode(array(keys.map(k => lit(k)): _*)).as(keyColumn))
-      .select(pmod(hash(cmp(col(keyColumn))), lit(m.numBuckets)).as("b"),
+      .select(bucketExpr(m.numBuckets, m.rangeBounds,
+          cmp(col(keyColumn))).as("b"),
         cmp(col(keyColumn)).as("k"))
       .collect().map(r => (r.getInt(0), r.get(1))).toSeq
   }
@@ -482,7 +514,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 5" +:
+    val body = (s"graft-manifest 6" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -491,7 +523,8 @@ object ManifestTable {
         m.sideId,
         enc(m.keyColumn),
         enc(m.keyExpr),
-        m.lastCompact.map(_.toString).getOrElse("")).mkString("\t") +:
+        m.lastCompact.map(_.toString).getOrElse(""),
+        m.rangeBounds.map(enc).mkString(",")).mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}\t${e.seq}"))
       .mkString("", "\n", "\n")
@@ -580,24 +613,49 @@ object ManifestTable {
     * `merge` to amend) — including when a racing `create` wins version 0
     * first (no retry here: two bootstraps are a caller bug, not a merge
     * to reconcile). */
+  /** `rangeBounds` (optional) lays the table out by RANGE instead of
+    * hash: sorted boundary strings in the NORMALIZED-rendered key space
+    * (`cast(norm(key) as string)`); bucket k holds keys in
+    * [bounds(k-1), bounds(k)), so `numBuckets` must equal
+    * `rangeBounds.size + 1`. Use it when range predicates on the key
+    * must prune ([[lookupRange]]) — the rendered-string order must match
+    * the key's semantic order (strings, ISO dates; zero-pad or otherwise
+    * encode numerics via the comparator), which is REQUIRED here: the
+    * key's normalized form must be a string type. */
   def create(
       df: DataFrame,
       keyColumn: String,
       root: String,
       numBuckets: Int = 16,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): Unit = {
+        identity,
+      rangeBounds: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
+    if (rangeBounds.nonEmpty) {
+      require(rangeBounds.size == numBuckets - 1,
+        s"range layout needs numBuckets - 1 = ${numBuckets - 1} " +
+          s"boundaries, got ${rangeBounds.size}")
+      require(rangeBounds == rangeBounds.sorted,
+        "range boundaries must be sorted")
+      require(df.limit(0).select(keyComparator(col(keyColumn)))
+          .schema.head.dataType ==
+          org.apache.spark.sql.types.StringType,
+        "range layout requires a STRING-typed normalized key (its " +
+          "string rendering IS the range order; encode numerics " +
+          "order-preservingly in the comparator)")
+    }
     val attempt = newAttemptId()
-    val bucket = pmod(hash(keyComparator(col(keyColumn))), lit(numBuckets))
+    val bucket = bucketExpr(numBuckets, rangeBounds,
+      keyComparator(col(keyColumn)))
     val entries = writeBuckets(df, bucket, keyColumn, root, s"v0-$attempt",
       numBuckets, keyComparator)
     if (!tryCommitManifest(spark, root,
         Manifest(0L, numBuckets, entries, sideId = attempt,
           keyColumn = keyColumn,
           keyExpr = comparatorSql(df, keyColumn, keyComparator)
-            .getOrElse("")))) {
+            .getOrElse(""),
+          rangeBounds = rangeBounds))) {
       cleanupAttempt(spark, root, 0L, attempt)
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $root")
@@ -666,8 +724,11 @@ object ManifestTable {
       // across two bucket layouts).
       val n = prior.map(_.numBuckets).getOrElse(numBuckets)
       val key = mapping.keyColumnName
+      // Like numBuckets, the range layout is a table property fixed at
+      // creation — a merge carries it through.
+      val bounds = prior.map(_.rangeBounds).getOrElse(Nil)
       val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => pmod(hash(mapping.keyComparator(c)), lit(n))
+        c => bucketExpr(n, bounds, mapping.keyComparator(c))
       // should_import rows (flagged by the pipeline) still flow through the
       // upsert — that's where they're counted — but must not mark buckets
       // touched: an all-ignored batch rewrites nothing.
@@ -756,7 +817,8 @@ object ManifestTable {
                 attempt, key,
                 keyExprRec.getOrElse(
                   prior.map(_.keyExpr).getOrElse("")),
-                prior.flatMap(_.lastCompact))))
+                prior.flatMap(_.lastCompact),
+                bounds)))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -1032,6 +1094,63 @@ object ManifestTable {
       case _ => emptyFrame(spark, schema)
     }
 
+  /** Pruned RANGE lookup on the key: `lo <= norm(key) <= hi`, reading
+    * only the files whose per-file [minKey, maxKey] stats intersect the
+    * probe interval. On a RANGE-layout table ([[create]]'s
+    * `rangeBounds`) buckets are contiguous key slices, so the stats are
+    * tight and the read touches just the overlapping buckets — the
+    * classic range-index scan; on a hash-layout table every bucket
+    * spans ~the whole key space and the stats rarely exclude anything,
+    * so this degrades to a filtered full read (correct, not pruned).
+    *
+    * Stat-based pruning compares in RENDERED-STRING space and is only
+    * sound when that matches the normalized key's semantic order, so it
+    * is applied iff the normalized key is a string type (the invariant
+    * a range-layout table already enforces at creation); for non-string
+    * keys no file is excluded and the predicate does the work (parquet
+    * row-group stats still prune within files — the scan carries the
+    * key-typed predicate). Endpoints are inclusive and must be non-NULL.
+    *
+    * Excluding a file by stats is exact even with un-compacted deltas: a
+    * delta override carries its key, so an override OF an in-range key
+    * renders in-range and can only live in a file whose stats intersect
+    * the probe — never in an excluded one. */
+  def lookupRange(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      lo: Any,
+      hi: Any,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
+    require(lo != null && hi != null, "range endpoints must be non-NULL")
+    currentManifest(spark, root) match {
+      case Some(m) if m.entries.nonEmpty =>
+        val cmp = effectiveKey(m, keyComparator)
+        // Normalize + render both endpoints through Spark itself (the
+        // normalizedProbes discipline: the recorded keyExpr resolves by
+        // name, and a driver-side rendering could differ).
+        val probe = spark.range(1)
+          .select(explode(array(lit(lo), lit(hi))).as(keyColumn))
+          .select(cmp(col(keyColumn)).as("k"),
+            cmp(col(keyColumn)).cast("string").as("s"))
+        val stringKeyed = probe.schema.head.dataType ==
+          org.apache.spark.sql.types.StringType
+        val rows = probe.collect()
+        val (normLo, loS) = (rows(0).get(0), rows(0).getString(1))
+        val (normHi, hiS) = (rows(1).get(0), rows(1).getString(1))
+        val hit =
+          if (!stringKeyed) m.entries
+          else m.entries.filter(e => !(e.maxKey < loS || e.minKey > hiS))
+        if (hit.isEmpty) emptyFrame(spark, schema)
+        else reconciledRead(spark, root, schema, hit, keyColumn, cmp)
+          .filter(cmp(col(keyColumn)) >= lit(normLo) &&
+            cmp(col(keyColumn)) <= lit(normHi))
+      case _ => emptyFrame(spark, schema)
+    }
+  }
+
   /** Targeted key deletion (GDPR-style erasure): removes the rows whose
     * key is in `keys`, rewriting ONLY the buckets those keys hash to —
     * the untouched rest of the table carries into the new manifest
@@ -1090,7 +1209,8 @@ object ManifestTable {
       if (touchedEntries.isEmpty) {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             prior.entries, batches, deleteToken, attempt,
-            prior.keyColumn, prior.keyExpr, prior.lastCompact)))
+            prior.keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
@@ -1106,13 +1226,14 @@ object ManifestTable {
           .filter(!coalesce(
             cmp(col(keyColumn)).isin(probes.map(p => lit(p._2)): _*),
             lit(false)))
-        val bucket = pmod(hash(cmp(col(keyColumn))), lit(n))
+        val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
           cmp, seq = version)
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, batches, deleteToken, attempt,
-            keyColumn, prior.keyExpr, prior.lastCompact)))
+            keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -1139,7 +1260,8 @@ object ManifestTable {
       newNumBuckets: Int,
       token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): Unit = {
+        identity,
+      newRangeBounds: Seq[String] = Nil): Unit = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(
         throw new IllegalStateException(s"no table at $root"))
@@ -1148,13 +1270,21 @@ object ManifestTable {
       val version = prior.version + 1
       val all = readManifestState(spark, root, schema, Some(prior))
       val cmp = effectiveKey(prior, keyComparator)
-      val bucket =
-        pmod(hash(cmp(col(keyColumn))), lit(newNumBuckets))
+      // Rebucketing a table re-lays it out under the new count as a
+      // HASH layout; re-balancing a range table means choosing new
+      // boundaries, which only the caller can do (pass them through
+      // newRangeBounds).
+      if (newRangeBounds.nonEmpty)
+        require(newRangeBounds.size == newNumBuckets - 1,
+          s"range layout needs ${newNumBuckets - 1} boundaries, got " +
+            s"${newRangeBounds.size}")
+      val bucket = bucketExpr(newNumBuckets, newRangeBounds,
+        cmp(col(keyColumn)))
       val written = writeBuckets(all, bucket, keyColumn, root,
         s"v$version-$attempt", newNumBuckets, cmp, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
           written, prior.lastBatches, Some(token), attempt, keyColumn,
-          prior.keyExpr, prior.lastCompact)))
+          prior.keyExpr, prior.lastCompact, newRangeBounds)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1207,12 +1337,13 @@ object ManifestTable {
       val cmp = effectiveKey(prior, keyComparator)
       val fragment = reconciledRead(spark, root, schema, tiered.flatten,
         keyColumn, cmp)
-      val bucket = pmod(hash(cmp(col(keyColumn))), lit(n))
+      val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
       val written = writeBuckets(fragment, bucket, keyColumn, root,
         s"v$version-$attempt", tiered.size, cmp, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, n,
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
-          attempt, keyColumn, prior.keyExpr, Some(token))))
+          attempt, keyColumn, prior.keyExpr, Some(token),
+          prior.rangeBounds)))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }

@@ -38,14 +38,31 @@ object SecondaryIndex {
     * separate from user deletes' `lastDelete` space. */
   val DeleteStream: String = DerivedTable.deleteStream(StreamId)
 
+  /** `rangeLayout = true` lays the index table out by RANGE on the
+    * (single, string-typed) value column instead of hash: boundaries
+    * are sampled from the bootstrap distribution at [[create]], each
+    * index bucket holds a contiguous slice of the value space, and
+    * `value BETWEEN a AND b` becomes a bucket-pruned scan
+    * ([[lookupRange]]) — the classic sorted secondary index. Point
+    * lookups, refresh and the whole maintenance protocol are layout-
+    * agnostic (bucket targeting routes through the manifest's recorded
+    * layout), so everything else behaves identically. */
   final case class Index(
       baseRoot: String,
       baseSchema: StructType,
       baseKey: String,
       indexRoot: String,
       valueCols: Seq[String],
-      numBuckets: Int = 16) {
+      numBuckets: Int = 16,
+      rangeLayout: Boolean = false) {
     require(valueCols.nonEmpty, "need at least one value column")
+    require(!rangeLayout || valueCols.size == 1,
+      "range layout is single-value-column only")
+    require(!rangeLayout || baseSchema(valueCols.head).dataType ==
+        org.apache.spark.sql.types.StringType,
+      "range layout requires a STRING value column (its rendering IS " +
+        "the range order; pre-encode numerics order-preservingly in a " +
+        "derived base column)")
   }
 
   object Index {
@@ -86,6 +103,26 @@ object SecondaryIndex {
       .groupBy(ix.valueCols.map(col): _*)
       .agg(sort_array(collect_list(col(ix.baseKey))).as("keys"))
 
+  /** Range-layout boundaries from the bootstrap value distribution: a
+    * DETERMINISTIC bounded sample (the `sampleCap` hash-smallest
+    * rendered values — a TakeOrdered, never a full sort or an unbounded
+    * collect) quantiled into numBuckets even slices. The same strategy
+    * Spark's own RangePartitioner uses (sample, then split), sized so
+    * driver memory stays bounded at any index cardinality; a skewed or
+    * drifted distribution re-balances via [[ManifestTable.rebucket]]
+    * with fresh bounds. */
+  private def sampleBounds(
+      full: DataFrame, ix: Index, sampleCap: Int = 100000): Seq[String] = {
+    val rendered = col(ix.valueCols.head).cast("string")
+    val arr = full.select(rendered.as("r")).filter(col("r").isNotNull)
+      .orderBy(xxhash64(col("r")), col("r")).limit(sampleCap)
+      .collect().map(_.getString(0)).sorted
+    require(arr.nonEmpty,
+      "range layout needs at least one non-NULL indexed value at create")
+    (1 until ix.numBuckets)
+      .map(i => arr((i.toLong * arr.length / ix.numBuckets).toInt))
+  }
+
   /** Bootstraps the index from the base's current version. Returns the
     * captured base version. */
   def create(spark: SparkSession, ix: Index): Long = {
@@ -93,8 +130,9 @@ object SecondaryIndex {
       throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
     val full = grouped(
       ManifestTable.readAt(spark, ix.baseRoot, ix.baseSchema, cur), ix)
+    val bounds = if (ix.rangeLayout) sampleBounds(full, ix) else Nil
     DerivedTable.bootstrap(spark, withKey(ix, full), keyCol(ix),
-      ix.indexRoot, ix.numBuckets, StreamId, cur)
+      ix.indexRoot, ix.numBuckets, StreamId, cur, rangeBounds = bounds)
     cur
   }
 
@@ -267,24 +305,53 @@ object SecondaryIndex {
   def lookupBy(spark: SparkSession, ix: Index, value: Any,
       maxDriverKeys: Int = 100000): DataFrame = {
     val schema = indexSchema(spark, ix)
-    val hit = ManifestTable.lookup(spark, ix.indexRoot, schema,
-      keyCol(ix), probeKeys(spark, ix, Seq(value)))
     // 0 or 1 rows by construction — the bounded probe is the list SIZE,
     // never the list itself.
-    val nKeys = hit.select(size(col("keys")).as("n")).collect()
-      .map(_.getInt(0)).sum
-    if (nKeys == 0)
-      ManifestTable.read(spark, ix.baseRoot, ix.baseSchema).limit(0)
-    else if (nKeys <= maxDriverKeys) {
-      val keys = hit.select(explode(col("keys")).as("_k")).collect()
-        .map(_.get(0)).toSeq
-      ManifestTable.lookup(spark, ix.baseRoot, ix.baseSchema,
-        ix.baseKey, keys)
-    } else {
-      val keyFrame = hit.select(explode(col("keys")).as(ix.baseKey))
-        .repartition(spark.sessionState.conf.numShufflePartitions)
-      ManifestTable.read(spark, ix.baseRoot, ix.baseSchema)
-        .join(keyFrame, Seq(ix.baseKey), "left_semi")
-    }
+    val hit = ManifestTable.lookup(spark, ix.indexRoot, schema,
+      keyCol(ix), probeKeys(spark, ix, Seq(value)))
+    fetchBase(spark, ix, hit, maxDriverKeys)
+  }
+
+  /** Range query on a single-column index: `lo <= value <= hi`
+    * (inclusive), resolved as a PRUNED index range scan
+    * ([[ManifestTable.lookupRange]] — on a `rangeLayout` index only the
+    * buckets overlapping [lo, hi] are read) followed by the same
+    * capped-collect-or-semi-join base fetch as [[lookupBy]]. A wide
+    * range whose key union exceeds `maxDriverKeys` degrades to the
+    * distributed semi-join — the right plan at that selectivity. */
+  def lookupRange(spark: SparkSession, ix: Index, lo: Any, hi: Any,
+      maxDriverKeys: Int = 100000): DataFrame = {
+    require(!composite(ix), "range lookup is single-value-column only")
+    val schema = indexSchema(spark, ix)
+    val hit = ManifestTable.lookupRange(spark, ix.indexRoot, schema,
+      keyCol(ix), lo, hi)
+    fetchBase(spark, ix, hit, maxDriverKeys)
+  }
+
+  /** Index rows → base rows: collects the matched key lists when their
+    * total size fits `maxDriverKeys` (two pruned reads), else joins the
+    * exploded key frame against the base scan — a heavily-skewed value
+    * set must not become an unbounded driver collect, and at that
+    * cardinality the keys hash across ~every bucket anyway. */
+  private def fetchBase(spark: SparkSession, ix: Index, hit: DataFrame,
+      maxDriverKeys: Int): DataFrame = {
+    hit.persist()
+    try {
+      val nKeys = hit.select(size(col("keys")).as("n")).collect()
+        .map(_.getInt(0).toLong).sum
+      if (nKeys == 0)
+        ManifestTable.read(spark, ix.baseRoot, ix.baseSchema).limit(0)
+      else if (nKeys <= maxDriverKeys) {
+        val keys = hit.select(explode(col("keys")).as("_k")).collect()
+          .map(_.get(0)).toSeq
+        ManifestTable.lookup(spark, ix.baseRoot, ix.baseSchema,
+          ix.baseKey, keys)
+      } else {
+        val keyFrame = hit.select(explode(col("keys")).as(ix.baseKey))
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+        ManifestTable.read(spark, ix.baseRoot, ix.baseSchema)
+          .join(keyFrame, Seq(ix.baseKey), "left_semi")
+      }
+    } finally hit.unpersist()
   }
 }

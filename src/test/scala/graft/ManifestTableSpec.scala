@@ -1224,4 +1224,86 @@ class ManifestTableSpec extends SparkSpec {
       s"delete must apply over the merged state, got $ids")
     assert(ManifestTable.currentVersion(spark, root).contains(2L))
   }
+
+  test("range layout: contiguous buckets, pruned range + point lookups, " +
+      "and bounds carried through merge, delta, delete and compact") {
+    val root = freshRoot("mt_range")
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val rm = { val m = new Mapping("k")
+      m.auto("k"); m.auto("v"); m.complete(rSchema); m }
+    def rows(ks: String*): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(
+        ks.map(k => Row(k, k.head.toLong)): _*), rSchema)
+    // keys a..t, boundaries f/l/q -> buckets [a,f) [f,l) [l,q) [q,..]
+    ManifestTable.create(rows(('a' to 't').map(_.toString): _*), "k",
+      root, numBuckets = 4, rangeBounds = Seq("f", "l", "q"))
+    val man = ManifestTable.currentManifest(spark, root).get
+    assert(man.rangeBounds == Seq("f", "l", "q"),
+      "bounds must round-trip through the manifest")
+    // each bucket holds a CONTIGUOUS slice: per-file stats never overlap
+    // across buckets
+    val byBucket = man.entries.sortBy(_.bucket)
+    assert(byBucket.map(_.bucket) == Seq(0, 1, 2, 3))
+    byBucket.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.maxKey < hi.minKey,
+        s"buckets must slice the key space: $lo vs $hi") }
+    // validation: unsorted or mis-sized bounds, non-string key
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(rows("a"), "k", freshRoot("mt_range_bad1"),
+        numBuckets = 4, rangeBounds = Seq("q", "f"))
+    }
+    intercept[IllegalArgumentException] {
+      Seq((1L, 2L)).toDF("k", "v").transform(df =>
+        { ManifestTable.create(df, "k", freshRoot("mt_range_bad2"),
+            numBuckets = 2, rangeBounds = Seq("5")); df })
+    }
+    // range lookup [g, m]: rows g..m, reading ONLY buckets 1 and 2
+    val all = ManifestTable.read(spark, root, rSchema)
+    val got = ManifestTable.lookupRange(spark, root, rSchema, "k",
+      "g", "m")
+    assert(got.collect().map(_.getString(0)).sorted.toSeq ==
+      ('g' to 'm').map(_.toString))
+    assert(got.inputFiles.toSet.subsetOf(all.inputFiles.toSet) &&
+      got.inputFiles.length == 2,
+      s"[g,m] spans exactly buckets [f,l) and [l,q): " +
+        s"${got.inputFiles.length} files read of ${all.inputFiles.length}")
+    // point lookup routes through range bucketing too
+    assert(ManifestTable.lookup(spark, root, rSchema, "k", Seq("h"))
+      .collect().map(_.getString(0)).toSeq == Seq("h"))
+    // merge keeps the layout: new key "ga" lands in bucket 1 only
+    val before = ManifestTable.currentManifest(spark, root).get.entries
+      .map(e => e.bucket -> e.relPath).toMap
+    ManifestTable.merge(rows("ga"), 0L, rm, root, rSchema, streamId = "S")
+    val after = ManifestTable.currentManifest(spark, root).get
+    assert(after.rangeBounds == Seq("f", "l", "q"),
+      "merge must carry bounds forward")
+    val changed = after.entries.filter(e =>
+      before.get(e.bucket) != Some(e.relPath)).map(_.bucket)
+    assert(changed == Seq(1), s"ga touches bucket 1 only: $changed")
+    // delta merge + compact keep layout and reconcile under range probes
+    ManifestTable.merge(rows("gb"), 1L, rm, root, rSchema,
+      streamId = "S", delta = true)
+    assert(ManifestTable.lookupRange(spark, root, rSchema, "k", "g", "h")
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("g", "ga", "gb", "h"))
+    ManifestTable.compact(spark, root, rSchema, "k", token = 7L)
+    val compacted = ManifestTable.currentManifest(spark, root).get
+    assert(compacted.rangeBounds == Seq("f", "l", "q") &&
+      compacted.entries.groupBy(_.bucket).values.forall(_.size == 1))
+    // delete rewrites only the key's range bucket and keeps bounds
+    ManifestTable.delete(spark, root, rSchema, "k", Seq("ga"), token = 9L)
+    val postDel = ManifestTable.currentManifest(spark, root).get
+    assert(postDel.rangeBounds == Seq("f", "l", "q"))
+    assert(ManifestTable.lookupRange(spark, root, rSchema, "k", "g", "h")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("g", "gb", "h"))
+    // a NON-string key skips stat pruning but still answers ranges
+    val root2 = freshRoot("mt_range_numeric")
+    val m2 = mapping
+    ManifestTable.merge(raw((1L, "a", "1"), (5L, "b", "2"),
+      (9L, "c", "3")).transform(m2.project), 0L, m2, root2, schema,
+      numBuckets = 4, streamId = "S")
+    assert(ManifestTable.lookupRange(spark, root2, schema, "id", 2L, 9L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 9L))
+  }
 }

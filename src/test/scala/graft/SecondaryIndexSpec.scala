@@ -156,6 +156,52 @@ class SecondaryIndexSpec extends SparkSpec {
     }
   }
 
+  test("range-layout index: BETWEEN equals the full-scan filter, " +
+      "prunes index files, and survives refresh") {
+    val base = fresh("six_base_r"); val idx = fresh("six_idx_r")
+    val m = mapping
+    // values v05..v28 spread over ids 1..24
+    ManifestTable.merge(
+      raw((1L to 24L).map(i => (i, f"v${i + 4}%02d", i.toString)): _*)
+        .transform(m.project),
+      0L, m, base, schema, numBuckets = 8, streamId = "S")
+    val ix = SecondaryIndex.Index(base, schema, "id", idx, Seq("grp"),
+      numBuckets = 4, rangeLayout = true)
+    SecondaryIndex.create(spark, ix)
+    def wantRange(lo: String, hi: String): Seq[Long] =
+      ManifestTable.read(spark, base, schema)
+        .filter($"grp" >= lo && $"grp" <= hi)
+        .select("id").as[Long].collect().sorted.toSeq
+    val got = SecondaryIndex.lookupRange(spark, ix, "v08", "v13")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == wantRange("v08", "v13") && got.nonEmpty, s"$got")
+    // the index-side read must be PRUNED: the range touches fewer
+    // bucket files than the full index
+    val idxSchema = StructType(Seq(StructField("grp", StringType),
+      StructField("keys", ArrayType(LongType))))
+    val pruned = ManifestTable.lookupRange(spark, idx, idxSchema,
+      "grp", "v08", "v13")
+    val full = ManifestTable.read(spark, idx, idxSchema)
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet) &&
+      pruned.inputFiles.length < full.inputFiles.length,
+      s"range scan must not read the whole index: " +
+        s"${pruned.inputFiles.length} of ${full.inputFiles.length}")
+    // maintenance keeps the layout: move one key into range, one out
+    ManifestTable.merge(raw((1L, "v09", "1"), (10L, "zz", "10"))
+      .transform(m.project), 1L, m, base, schema, streamId = "S")
+    assert(SecondaryIndex.refresh(spark, ix).isDefined)
+    assert(SecondaryIndex.lookupRange(spark, ix, "v08", "v13")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      wantRange("v08", "v13"))
+    // the degraded-collect path returns the same rows
+    assert(SecondaryIndex.lookupRange(spark, ix, "v08", "v13",
+        maxDriverKeys = 1)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      wantRange("v08", "v13"))
+    // an empty range is empty, not an error
+    assert(SecondaryIndex.lookupRange(spark, ix, "x", "y").count() == 0L)
+  }
+
   test("lookupBy is two pruned reads and returns exactly the matching " +
       "base rows") {
     val base = fresh("six_base3"); val idx = fresh("six_idx3")
