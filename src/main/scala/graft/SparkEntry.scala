@@ -273,6 +273,22 @@ object SparkEntry {
     baseKey = "id", indexRoot = "target/qtmp/manifest_index_fixed_idx",
     valueCols = Seq("name"), numBuckets = 8)
 
+  /** RANGE-layout index on the near-unique `name` column: bucket
+    * boundaries are sampled from the bootstrap value distribution, each
+    * index bucket holds a contiguous name slice, and
+    * `name BETWEEN lo AND hi` becomes a bucket-PRUNED index scan
+    * ([[graft.store.SecondaryIndex.lookupRange]]). The probe interval
+    * is ABSOLUTE (~200 names at every SF): a range lookup's cost must
+    * be bounded by the hits, never the table — the classic sorted
+    * secondary index contract. */
+  private def ixRangeDef = graft.store.SecondaryIndex.Index(
+    baseRoot = "target/qtmp/manifest_index_range", baseSchema = upsertSchema,
+    baseKey = "id", indexRoot = "target/qtmp/manifest_index_range_idx",
+    valueCols = Seq("name"), numBuckets = 8, rangeLayout = true)
+
+  private val RangeProbeLo = "Customer#000000100"
+  private val RangeProbeHi = "Customer#000000299"
+
   /** MULTI-column group view: (segment, nation) rollup, with NULL
     * nations pre-coalesced in prep (the documented path — a manifest
     * table cannot key on NULL, and the composite key must be total).
@@ -377,6 +393,19 @@ object SparkEntry {
       resetSideRoot(s, "manifest_index_idx")
       graft.store.SecondaryIndex.create(s, ixDef)
       sideReady += "manifest_index_idx"
+    }),
+    "manifest_index_range" -> ((s, dir) => {
+      // create + merge + index bootstrap + base DELETE + refresh all
+      // land here, OUTSIDE the timed region: the query then times ONLY
+      // the bucket-pruned range lookup itself.
+      val root = resetManifestFixture(s, dir, "manifest_index_range",
+        withMerge = true)
+      resetSideRoot(s, "manifest_index_range_idx")
+      graft.store.SecondaryIndex.create(s, ixRangeDef)
+      sideReady += "manifest_index_range_idx"
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 5L)
+      graft.store.SecondaryIndex.refresh(s, ixRangeDef)
     }),
     "manifest_merge_fixed" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_fixed",
@@ -997,6 +1026,29 @@ object SparkEntry {
       graft.store.SecondaryIndex.refresh(s, ix)
       graft.store.SecondaryIndex.read(s, ix)
         .select(col("segment"), explode(col("keys")).as("id"))
+    }),
+    "manifest_index_range" -> ((s, dir) => {
+      // BETWEEN on a RANGE-layout index: benchSetups pre-applies
+      // create + merge + index bootstrap + base delete + refresh, so
+      // the bench number is the bucket-pruned range lookup alone —
+      // index buckets overlapping [lo, hi] plus the matched base
+      // buckets, never a full scan of either table. (Verify runs this
+      // closure standalone: the guarded fixture build, token-replayed
+      // delete and no-op refresh make it self-contained.)
+      val root = manifestFixture(s, dir, "manifest_index_range",
+        withMerge = true)
+      val ix = ixRangeDef
+      if (!sideReady.contains("manifest_index_range_idx")) {
+        resetSideRoot(s, "manifest_index_range_idx")
+        graft.store.SecondaryIndex.create(s, ix)
+        sideReady += "manifest_index_range_idx"
+      }
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 5L) // replay no-op after setup
+      graft.store.SecondaryIndex.refresh(s, ix) // no-op after setup
+      graft.store.SecondaryIndex.lookupRange(s, ix,
+        RangeProbeLo, RangeProbeHi)
+        .select(col("id"), col("name"))
     }),
     "manifest_count" -> ((s, dir) => {
       // Metadata-only aggregate pushdown: a SELECT count(*) answered
@@ -1950,6 +2002,12 @@ object SparkEntry {
            FROM customer
            WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (${(1 to 10).map(_ * 13).mkString(", ")})""",
+      "manifest_index_range" ->
+        s"""SELECT c_custkey AS id, c_name AS name
+           FROM customer
+           WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (${(1 to 10).map(_ * 13).mkString(", ")})
+             AND c_name BETWEEN '$RangeProbeLo' AND '$RangeProbeHi'""",
       "manifest_mv" ->
         s"""WITH m AS (
              SELECT c_custkey AS id,
