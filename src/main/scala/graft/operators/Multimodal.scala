@@ -16,11 +16,15 @@ import org.apache.spark.sql.types._
   * features). VIDEO parses for real at the CONTAINER level —
   * [[extractVideoMeta]] reads dimensions, duration, codec id and
   * frame/cluster offsets straight from MP4 box / MKV EBML structure
-  * ([[ContainerParse]], pure JVM) — so the stub boundary is exactly
-  * frame DECODE and compressed-audio decode: those codecs are not
-  * available in this environment and keep the clearly-marked
-  * deterministic STUB ([[stubDecode]]) behind the same batched plumbing
-  * — swap it for a codec call to productionize.
+  * ([[ContainerParse]], pure JVM) — and MJPEG tracks decode frames for
+  * real end-to-end ([[extractFrameFeatures]]: sample byte ranges out of
+  * the container index, each sample a self-contained JPEG through the
+  * same ImageIO path images use). The remaining stub boundary is
+  * exactly INTER-FRAME video codecs (H.264/VP9/AV1) and
+  * compressed-audio decode: those codecs are not available in this
+  * environment and keep the clearly-marked deterministic STUB
+  * ([[stubDecode]]) behind the same batched plumbing — swap it for a
+  * codec call to productionize.
   */
 object Multimodal {
 
@@ -425,6 +429,66 @@ object Multimodal {
             (0 until m.sampleOffsets.size by stride).map(i =>
               Row(id, i, m.sampleOffsets(i), null))
           case None => Nil
+        }
+      }
+    }(encoder)
+  }
+
+  /** Codec ids whose video samples are self-contained JPEG images —
+    * the one video codec family the in-JVM ImageIO path decodes for
+    * real. MP4 stsd fourccs (Motion-JPEG A/B, plain JPEG samples) plus
+    * Matroska's V_MJPEG. */
+  private val MjpegCodecs =
+    Set("jpeg", "mjpa", "mjpb", "mjpg", "v_mjpeg")
+
+  /** REAL frame decode for MJPEG video tracks, end-to-end: container
+    * parse → per-sample byte ranges ([[sampleFramesReal]]'s index
+    * access pattern) → ImageIO JPEG decode → the same pixel-derived
+    * feature grid images get ([[imageFeatures]]). Every MJPEG sample is
+    * a self-contained JPEG, so the existing in-JVM image codec IS the
+    * frame decoder — no stub anywhere on this path.
+    *
+    * Junk discipline (one bad row must not kill a 100 TB job):
+    * unparseable payloads, non-MJPEG codecs (no in-JVM decoder — the
+    * remaining honest stub boundary) and containers without an exact
+    * per-sample index emit NO rows (count them against
+    * [[extractVideoMeta]]'s output); a sample whose byte range escapes
+    * the payload or whose bytes fail JPEG decode emits its row with
+    * NULL features. */
+  def extractFrameFeatures(
+      media: DataFrame, stride: Int = 2, batchSize: Int = 64): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          ContainerParse.parseVideo(payload) match {
+            case Some(m)
+                if MjpegCodecs(m.codec.toLowerCase) &&
+                  m.sampleOffsets.nonEmpty &&
+                  m.sampleOffsets.size == m.sampleSizes.size =>
+              (0 until m.sampleOffsets.size by stride).map { i =>
+                val off = m.sampleOffsets(i)
+                val len = m.sampleSizes(i)
+                // Overflow-safe bounds check: a hostile header's
+                // off + len could wrap Long, so compare subtractively.
+                val feats =
+                  if (off < 0 || len <= 0 || len > payload.length ||
+                    off > payload.length - len) None
+                  else decodeImage(java.util.Arrays.copyOfRange(
+                    payload, off.toInt, (off + len).toInt))
+                    .map(imageFeatures)
+                Row(r.getLong(idIdx), i, feats.map(_.toSeq).orNull)
+              }
+            case _ => Nil
+          }
         }
       }
     }(encoder)

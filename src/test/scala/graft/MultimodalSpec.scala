@@ -168,7 +168,15 @@ class MultimodalSpec extends SparkSpec {
   /** Hand-built minimal MP4: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr,
     * minf(stbl(stsd, stsz, stco))))) + mdat. 640×360 'avc1', timescale
     * 1000, duration 2500 ms, 3 samples, chunk offsets 1000/2000/3000. */
-  private def miniMp4(): Array[Byte] = {
+  private def miniMp4(): Array[Byte] =
+    mp4With("avc1", Seq(100, 120, 80), Seq(1000, 2000, 3000),
+      Array.fill(16)(0x42.toByte))
+
+  /** The miniMp4 skeleton with codec, sample tables and mdat body as
+    * parameters (sizes/offsets list lengths must match). */
+  private def mp4With(codec: String, sizes: Seq[Int], offsets: Seq[Int],
+      mdatBody: Array[Byte]): Array[Byte] = {
+    require(sizes.size == offsets.size)
     val ftyp = box("ftyp", "isom".getBytes, be32(512),
       "isomiso2".getBytes)
     val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), // v0
@@ -186,18 +194,45 @@ class MultimodalSpec extends SparkSpec {
     val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
       "vide".getBytes, Array.fill(12)(0.toByte), Array[Byte](0))
     val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
-      box("avc1", Array.fill(70)(0.toByte)))
+      box(codec, Array.fill(70)(0.toByte)))
     val stsz = box("stsz", Array[Byte](0, 0, 0, 0),
-      be32(0), be32(3), be32(100), be32(120), be32(80))
-    val stco = box("stco", Array[Byte](0, 0, 0, 0), be32(3),
-      be32(1000), be32(2000), be32(3000))
+      be32(0), be32(sizes.size),
+      sizes.map(be32).toArray.flatten)
+    val stco = box("stco", Array[Byte](0, 0, 0, 0), be32(offsets.size),
+      offsets.map(be32).toArray.flatten)
     val stbl = box("stbl", stsd, stsz, stco)
     val minf = box("minf", stbl)
     val mdia = box("mdia", hdlr, minf)
     val trak = box("trak", tkhd, mdia)
     val moov = box("moov", mvhd, trak)
-    val mdat = box("mdat", Array.fill(16)(0x42.toByte))
+    val mdat = box("mdat", mdatBody)
     ftyp ++ moov ++ mdat
+  }
+
+  /** MJPEG-in-MP4: codec 'mjpa', the given JPEGs back-to-back in mdat,
+    * sample tables pointing at their REAL byte ranges. Two-pass: the
+    * header length is independent of the offset VALUES (fixed-width
+    * be32 entries), so build once with zeros to measure, rebuild with
+    * the true offsets. */
+  private def mjpegMp4(jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val body = jpegs.flatten.toArray
+    def build(offsets: Seq[Int]) =
+      mp4With("mjpa", jpegs.map(_.length), offsets, body)
+    val probe = build(jpegs.map(_ => 0))
+    val mdatBodyStart = probe.length - body.length
+    build(jpegs.scanLeft(mdatBodyStart)(_ + _.length).init)
+  }
+
+  /** Deterministic real JPEG bytes: the synthetic pixel pattern for
+    * `seed`, encoded by the in-JVM ImageIO JPEG writer. */
+  private def testJpeg(seed: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, Multimodal.syntheticRgb(seed.toLong, x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
   }
 
   /** Minimal EBML writer: id bytes verbatim + 8-byte-marker size. */
@@ -308,6 +343,57 @@ class MultimodalSpec extends SparkSpec {
       .toSet
     assert(out == Set((1L, 0, 1000L, 100L), (1L, 2, 3000L, 80L)),
       s"bad ranges: $out")
+  }
+
+  test("MJPEG-in-MP4: real frame decode end-to-end, features " +
+      "pixel-recomputed from the source JPEGs") {
+    import spark.implicits._
+    val jpegs = Seq(testJpeg(1), testJpeg(2), testJpeg(3))
+    val good = mjpegMp4(jpegs)
+    val m = graft.operators.ContainerParse.parseVideo(good).get
+    assert(m.codec == "mjpa" && m.nSamples == 3 &&
+      m.sampleOffsets.size == m.sampleSizes.size,
+      s"fixture must parse with exact per-sample ranges: $m")
+    // corrupt the MIDDLE frame only: SOI marker survives, innards
+    // zeroed (same length, so the sample tables stay truthful)
+    val corrupt = {
+      val j1 = jpegs(1).clone()
+      java.util.Arrays.fill(j1, 2, j1.length, 0.toByte)
+      mjpegMp4(Seq(jpegs(0), j1, jpegs(2)))
+    }
+    val media = Seq(
+      (1L, good),
+      (2L, corrupt),
+      (3L, miniMp4()),      // avc1: no in-JVM codec -> no rows
+      (4L, "junk junk junk junk".getBytes)) // unparseable -> no rows
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractFrameFeatures(media, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(out.keySet ==
+      Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (2L, 1), (2L, 2)),
+      s"MJPEG rows only: ${out.keySet}")
+    // pixel-recomputed oracle: each frame's features must equal the
+    // image path's features over the SAME source JPEG bytes
+    jpegs.zipWithIndex.foreach { case (j, i) =>
+      val want = Multimodal.imageFeatures(Multimodal.decodeImage(j).get)
+        .toSeq
+      assert(out((1L, i)).getSeq[Float](2) == want, s"frame $i")
+    }
+    assert(out((1L, 0)).getSeq[Float](2) != out((1L, 1)).getSeq[Float](2),
+      "distinct frames must yield distinct features — the decode is real")
+    // the corrupt frame fails its row, not the payload: neighbors decode
+    assert(out((2L, 1)).isNullAt(2), "undecodable frame -> NULL features")
+    assert(!out((2L, 0)).isNullAt(2) && !out((2L, 2)).isNullAt(2))
+    assert(out((2L, 0)).getSeq[Float](2) == out((1L, 0)).getSeq[Float](2))
+    // stride applies to the sample index
+    val strided = Multimodal.extractFrameFeatures(
+      media.filter($"media_id" === 1L), stride = 2)
+      .collect().map(_.getInt(1)).toSet
+    assert(strided == Set(0, 2))
+    // partition-local: no exchange
+    val plan = Multimodal.extractFrameFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
   }
 
   test("corrupt/truncated containers never throw") {
