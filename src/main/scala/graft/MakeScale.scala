@@ -31,11 +31,10 @@ import org.apache.spark.sql.functions._
   *  - customer acctbal: ±10.00 hash jitter (2-decimal aligned) so
   *    per-copy segment aggregates differ.
   *
-  * The events table's TIMESTAMP(NANOS) column is intentionally written
-  * back as plain INT64 nanos: Spark reads the original only via the
-  * `nanosAsLong` legacy conf (same long values), and every consumer in
-  * [[SparkEntry]] already treats it as a long — annotated-nanos output
-  * isn't writable from Spark at all.
+  * The events table's `ts` column is copied verbatim: whatever physical
+  * timestamp form the source fixture has (INT64 nanos or
+  * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ), the copy round-trips the
+  * same values and [[SparkEntry.events]] branches on the read schema.
   */
 object MakeScale {
 
@@ -54,7 +53,7 @@ object MakeScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,13 +19,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads via the nanos-as-long legacy mode. ns epochs exceed
-    * double precision, so the µs conversion must be integral (`div`). */
+  /** The events fixture's `ts` column has shipped in two physical forms:
+    * TIMESTAMP(NANOS) (readable only as INT64 ns via the legacy
+    * `nanosAsLong` conf — which this environment's Spark 4.1.2 ignores)
+    * and plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads
+    * as TIMESTAMP_NTZ. Branch on the actual read schema instead of a conf:
+    * LongType → integral ns→µs conversion (`div`, ns epochs exceed double
+    * precision); TIMESTAMP_NTZ → reinterpret as an instant in the session
+    * zone (UTC everywhere in this repo), matching what `timestamp_micros`
+    * produced on the long path so downstream queries see one type. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Pick a sample string per row from a literal vector, by key modulo —
