@@ -41,8 +41,10 @@ object Bench {
     // parquet read + aggregate path, then the flagship upsert on the
     // TINY sf0.001 fixture — which Janino-compiles the parser expression
     // family shared by the whole upsert group.
-    spark.read.parquet(s"$sfDir/customer.parquet")
+    try spark.read.parquet(s"$sfDir/customer.parquet")
       .selectExpr("count(distinct c_custkey)").collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup read failed: ${e.getMessage}") }
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup entry failed: ${e.getMessage}") }
@@ -66,6 +68,10 @@ object Bench {
     }
     def cpuTime: Long =
       osBean.map(_.getProcessCpuTime).filter(_ >= 0).getOrElse(0L)
+    // A query that throws must never masquerade as a timing: any rep
+    // failure marks the query `"err"` in the JSON line (excluded from
+    // `total`, listed under `errors`) — BENCH_r08 recorded the events
+    // family's time-to-exception as an apparent 6x speedup.
     val results = selected.toSeq.map { case (name, fn) =>
       val setup = SparkEntry.benchSetups.get(name)
       val runs = (1 to reps).map { _ =>
@@ -76,31 +82,37 @@ object Bench {
         }
         val c0 = cpuTime
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
+            false
         }
         (r3((System.nanoTime() - t0) / 1e9),
-          r3(math.max(0L, cpuTime - c0) / 1e9))
+          r3(math.max(0L, cpuTime - c0) / 1e9), ok)
       }
+      val failed = runs.exists(!_._3)
       val sorted = runs.map(_._1).sorted
       val med =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else r3((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
-      (name, med, sorted.head, runs)
+      (name, med, sorted.head, runs, failed)
     }
-    val qs = results.map { case (k, med, _, _) => s""""$k":$med""" }
-      .mkString("{", ",", "}")
-    val stats = results.map { case (k, med, min, runs) =>
-      s""""$k":{"med":$med,"min":$min,"runs":[${runs.map(_._1).mkString(",")}],""" +
+    val qs = results.map { case (k, med, _, _, failed) =>
+      if (failed) s""""$k":"err"""" else s""""$k":$med"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, _, true) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val stats = results.map { case (k, med, min, runs, failed) =>
+      s""""$k":{"med":$med,"min":$min,"err":$failed,""" +
+        s""""runs":[${runs.map(_._1).mkString(",")}],""" +
         s""""cpu":[${runs.map(_._2).mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val total = r3(results.collect { case (_, med, _, _, false) => med }.sum)
     val statsPath = java.nio.file.Paths.get("BENCH_STATS.json")
     java.nio.file.Files.writeString(statsPath,
-      s"""{"reps":$reps,"sf":"$sfDir","queries_stats":$stats}""" + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"stats_file":"BENCH_STATS.json","sf":"$sfDir"}""")
+      s"""{"reps":$reps,"sf":"$sfDir","errors":$errors,"queries_stats":$stats}""" + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errors,"stats_file":"BENCH_STATS.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

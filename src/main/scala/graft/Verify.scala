@@ -25,10 +25,16 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Failures are recorded in the artifact, not just stderr: r8's events
+    // break made 8 queries silently vanish from the correctness report
+    // (declared 95 oracles, 87 rows) because a failed query simply had no
+    // dump directory. failed_queries.json makes declared != dumped loud.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -48,6 +54,12 @@ object Verify {
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILURE SUMMARY: ${failed.size} of " +
+        s"${selected.size} queries failed: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

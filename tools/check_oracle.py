@@ -16,7 +16,18 @@ for f in glob.glob(f'{sf}/*.parquet'):
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fails = []
+# Absence-loudness (round-9): Verify records every query whose Spark side
+# threw in failed_queries.json; surface them here so declared != dumped can
+# never pass silently, and check declared == dumped + failed completeness.
+failed_q = {}
+fq_path = f'{out}/failed_queries.json'
+if os.path.exists(fq_path):
+    failed_q = json.load(open(fq_path))
+    for n, msg in sorted(failed_q.items()):
+        fails.append((n, f'SPARK QUERY FAILED: {msg[:200]}'))
 for name, sql in sorted(oracle.items()):
+    if name in failed_q:
+        continue  # already reported above from failed_queries.json
     mydir = f'{out}/{name}'
     if not os.path.isdir(mydir):
         fails.append((name, 'NO SPARK OUTPUT')); continue
@@ -49,4 +60,5 @@ for name, sql in sorted(oracle.items()):
         print(f'OK    {name} ({len(got)} rows)')
 for n, msg in fails:
     print(f'FAIL  {n}: {msg}')
-print(f'\n{len(oracle)-len(fails)}/{len(oracle)} oracle queries match')
+declared = len(set(oracle) | set(failed_q))
+print(f'\n{declared-len(fails)}/{declared} oracle queries match')
