@@ -102,6 +102,54 @@ private[graft] object DerivedTable {
       baseVersion, m, root, schema, streamId = streamId)
   }
 
+  /** Deletes the keys of a (single-column) key frame from a derived
+    * table in DRIVER-BOUNDED chunks: at most `maxDriverKeys` keys are
+    * ever resident on the driver at once, so a refresh whose vanished
+    * set exploded (a bulk base delete) cannot OOM the driver or build a
+    * million-literal probe plan. Chunks are DETERMINISTIC (keys sorted
+    * by string rendering), so a crashed multi-chunk delete replays
+    * chunk-for-chunk: a chunk whose token is already in the ledger is
+    * provably the SAME chunk and no-ops.
+    *
+    * Token discipline: the FINAL chunk commits under `baseVersion`
+    * itself — after the refresh's marker-carrying merge the recorded
+    * delete token equals the marker, preserving [[markerVersion]]'s
+    * crash signature (`token > marker` ⇔ in flight). Non-final chunks
+    * use `baseVersion * 1e6 + i`: distinct per chunk, > the pre-refresh
+    * marker (so a crash mid-chunks still reads as in-flight), and
+    * always overwritten by the final chunk's `baseVersion` on
+    * completion. */
+  def deleteChunked(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      keyCol: String,
+      keyFrame: DataFrame,
+      baseVersion: Long,
+      tokenStream: String,
+      maxDriverKeys: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    // The key itself tiebreaks equal renderings, so the chunking order
+    // (and hence each token's chunk content) is total and stable.
+    val it = keyFrame.orderBy(col(keyCol).cast("string"), col(keyCol))
+      .toLocalIterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var chunk = 0
+    def flush(last: Boolean): Unit = {
+      val token =
+        if (last) baseVersion else baseVersion * 1000000L + chunk
+      ManifestTable.delete(spark, root, schema, keyCol, buf.toSeq,
+        token = token, tokenStream = Some(tokenStream))
+      chunk += 1
+      buf.clear()
+    }
+    while (it.hasNext) {
+      buf += it.next().get(0)
+      if (buf.size >= maxDriverKeys && it.hasNext) flush(last = false)
+    }
+    if (buf.nonEmpty) flush(last = true)
+  }
+
   /** The derived table's version as of its LAST completed refresh — the
     * smallest version whose ledger records `appliedBase`. A refresh
     * that crashed between its (token-guarded) deletions and its

@@ -63,15 +63,18 @@ object IncrementalAgg {
     * semi-join, so the re-read cost tracks the number of groups that
     * LOST an extremal row, not the table or even the view size. With
     * `minMaxCols` this runs ONE bounded action at call time (the
-    * suspect-key collect — bounded by feed-touched groups); without,
-    * it stays a pure plan builder. */
+    * suspect-key collect — bounded by feed-touched groups AND capped at
+    * `maxSuspectGroups`; past the cap the keys stay distributed and the
+    * recompute runs through a distributed semi-join instead of a
+    * broadcast literal frame); without, it stays a pure plan builder. */
   def applyChanges(
       view: DataFrame,
       feed: DataFrame,
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
-      snapshot: () => DataFrame = null): DataFrame = {
+      snapshot: () => DataFrame = null,
+      maxSuspectGroups: Int = 100000): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(minMaxCols.isEmpty || snapshot != null,
       "min/max maintenance needs the end-version snapshot for the " +
@@ -125,15 +128,18 @@ object IncrementalAgg {
     if (minMaxCols.isEmpty) maintained.drop("_suspect")
     else {
       // ONE bounded action: collect the suspect group keys (bounded by
-      // feed-touched groups, i.e. the change rate). The collected keys
+      // feed-touched groups, i.e. the change rate) — CAPPED at
+      // `maxSuspectGroups` so a bulk delete touching millions of groups
+      // can never become a driver OOM. Under the cap the collected keys
       // ride the final plan as a broadcast literal frame, so the
       // view⋈deltas join executes exactly once more when the result is
       // consumed — not once per branch (isEmpty / broadcast build /
       // !_suspect filter would each have re-run it).
       val suspectRows = maintained.filter(col("_suspect"))
-        .select(groupCols.map(col): _*).collect()
+        .select(groupCols.map(col): _*).limit(maxSuspectGroups + 1)
+        .collect()
       if (suspectRows.isEmpty) maintained.drop("_suspect")
-      else {
+      else if (suspectRows.length <= maxSuspectGroups) {
         val gSchema = org.apache.spark.sql.types.StructType(
           groupCols.map(g => view.schema(g).copy(nullable = true)))
         val k = broadcast(view.sparkSession.createDataFrame(
@@ -146,6 +152,29 @@ object IncrementalAgg {
         val m = maintained.drop("_suspect").alias("m")
         val antiCond = groupCols.map(g => m(g) <=> k(g)).reduce(_ && _)
         m.join(k, antiCond, "left_anti").unionByName(recomputed)
+      } else {
+        // Over the cap the suspect keys stay DISTRIBUTED: materialize
+        // them once on the executors (localCheckpoint — also cuts the
+        // lineage, so joining them back against plans derived from
+        // `maintained` is not a self-join), then recompute exactly the
+        // suspect groups from the snapshot through a distributed
+        // semi-join and keep every other maintained group via the
+        // _suspect flag itself. Same two executions of the view⋈deltas
+        // join as the literal path (one for the key materialization,
+        // one at consumption), zero unbounded driver state. A lost
+        // executor invalidates the checkpoint and fails the job — a
+        // refresh is retryable, so that is the right trade at this
+        // scale.
+        val kFrame = maintained.filter(col("_suspect"))
+          .select(groupCols.map(g => col(g).as(s"_sk_$g")): _*)
+          .localCheckpoint()
+        val snap = snapshot().alias("s")
+        val semiCond = groupCols
+          .map(g => snap(g) <=> kFrame(s"_sk_$g")).reduce(_ && _)
+        val recomputed = fullAgg(snap.join(kFrame, semiCond, "left_semi"),
+          groupCols, sumCols, minMaxCols)
+        maintained.filter(!col("_suspect")).drop("_suspect")
+          .unionByName(recomputed)
       }
     }
   }

@@ -125,8 +125,20 @@ object MaterializedView {
     * the merge's batch token makes re-running a completed refresh a
     * no-op). Cost ∝ the feed's touched groups, never the view or base
     * size; the min/max lost-extremum recompute reads only suspect
-    * groups from the base snapshot ([[IncrementalAgg.applyChanges]]). */
-  def refresh(spark: SparkSession, v: View): Option[Long] = {
+    * groups from the base snapshot ([[IncrementalAgg.applyChanges]]).
+    *
+    * DRIVER-BOUNDED at any change rate: the driver only ever holds at
+    * most `maxDriverKeys` group keys. Under the cap the touched keys
+    * collect and drive PRUNED lookups (the selective fast path); past
+    * it — a bulk backfill touching millions of groups — everything
+    * degrades to distributed semi-joins against the marker snapshot,
+    * which is the right plan at that selectivity anyway (millions of
+    * keys hash across ~every view bucket, so the "pruned" read would
+    * have touched the whole view regardless). Vanished-group deletions
+    * cross the driver in [[DerivedTable.deleteChunked]] chunks of the
+    * same bound. */
+  def refresh(spark: SparkSession, v: View,
+      maxDriverKeys: Int = 100000): Option[Long] = {
     val cur = ManifestTable.currentVersion(spark, v.baseRoot).getOrElse(
       throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
     // ONE current-manifest read serves the marker, the marker-version
@@ -140,71 +152,94 @@ object MaterializedView {
     if (cur <= seen) return None
     val schema = viewSchema(spark, v)
     val key = keyCol(v)
-    // The feed backs several bounded actions below (touched collect,
-    // suspect detection, kept collect, the merge write) — persist it so
-    // the touched buckets' diff join runs once, not once per action.
+    // The feed backs several bounded actions below (touched count,
+    // suspect detection, the merge write) — persist it so the touched
+    // buckets' diff join runs once, not once per action.
     val feed = v.prep(ManifestTable.changes(spark, v.baseRoot,
       v.baseSchema, v.baseKey, seen, cur)).persist()
     try {
-      // Feed-touched groups: bounded by the change rate. NULL groups
-      // are rejected loudly — the manifest table cannot key on them.
-      // Collected WITH the encoded key (position 0) so the lookup /
-      // delete probes below never re-encode driver-side.
+      // Feed-touched groups: kept DISTRIBUTED (the driver sees a count,
+      // never the keys) — selected WITH the encoded key so lookup /
+      // delete probes below never re-encode. localCheckpoint (not a
+      // bare persist): it backs the count, the NULL audit, the `old`
+      // restriction AND the vanished anti-join — the last joins it
+      // against a plan derived from it, which the analyzer would
+      // reject as an ambiguous self-join unless the lineage is cut.
+      // Eagerly materialized once, executor-resident, bounded by the
+      // touched-group count; a lost executor fails the (retryable)
+      // refresh.
       val composite = v.groupCols.size > 1
       val sel =
         if (composite) col(DerivedTable.KeyCol) +: v.groupCols.map(col)
         else v.groupCols.map(col)
-      val touchedRows = withKey(v, feed)
-        .select(sel: _*).dropDuplicates(key).collect()
-      if (touchedRows.isEmpty) {
-        // version moved with no net row changes (e.g. rebucket)
-        DerivedTable.advanceMarker(spark, v.viewRoot, schema, key,
-          StreamId, cur)
-        return Some(cur)
-      }
-      val gOff = if (composite) 1 else 0
-      require(!touchedRows.exists(r =>
-          v.groupCols.indices.exists(i => r.isNullAt(gOff + i))),
-        s"NULL ${v.groupCols.mkString("/")} group reached the " +
-          "materialized view — pre-coalesce NULL groups in prep")
-      val touched = touchedRows.map(_.get(0)).toSeq
-      // The touched groups' rows AS OF THE MARKER — the snapshot the
-      // feed window's deltas apply to. On the fast path (no crashed
-      // refresh since) that snapshot IS the current version and the
-      // read is a pruned lookup; after a crash-with-base-advance it is
-      // an earlier retained version and correctness wins over pruning.
-      val vSeen = DerivedTable.markerVersion(spark, v.viewRoot, StreamId,
-        seen, curView)
-      val old =
-        if (curView.version == vSeen)
-          ManifestTable.lookup(spark, v.viewRoot, schema, key, touched)
-        else ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)
-          .filter(col(key).isin(touched: _*))
-      val maintained = IncrementalAgg.applyChanges(
-        old.drop(DerivedTable.KeyCol), feed,
-        v.groupCols, v.sumCols, v.minMaxCols,
-        () => v.prep(
-          ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)))
-      val keyed = withKey(v, maintained).persist()
+      val touchedDf = withKey(v, feed)
+        .select(sel: _*).dropDuplicates(key).localCheckpoint()
       try {
-        // Groups whose count reached zero leave the view table. The
-        // delete runs BEFORE the marker-carrying merge and is
-        // token-guarded (in the refresh's OWN token space — a user
-        // delete on the view root can never collide with it): a crashed
-        // refresh's retry re-issues it as a no-op and completes the
-        // merge — never the reverse order, which would lose the
-        // deletions forever behind the already-advanced marker.
-        val kept = keyed.select(col(key)).collect()
-          .map(_.get(0)).toSet
-        val vanished = touched.filterNot(kept)
-        if (vanished.nonEmpty)
-          ManifestTable.delete(spark, v.viewRoot, schema, key,
-            vanished, token = cur, tokenStream = Some(DeleteStream))
-        val m = DerivedTable.identityMapping(schema, key)
-        ManifestTable.merge(m.project(keyed), cur, m, v.viewRoot,
-          schema, streamId = StreamId)
-        Some(cur)
-      } finally keyed.unpersist()
+        val nTouched = touchedDf.count()
+        if (nTouched == 0) {
+          // version moved with no net row changes (e.g. rebucket)
+          DerivedTable.advanceMarker(spark, v.viewRoot, schema, key,
+            StreamId, cur)
+          return Some(cur)
+        }
+        // NULL groups are rejected loudly — the manifest table cannot
+        // key on them. Distributed probe: no key list on the driver.
+        require(touchedDf.filter(v.groupCols.map(col(_).isNull)
+            .reduce(_ || _)).limit(1).count() == 0L,
+          s"NULL ${v.groupCols.mkString("/")} group reached the " +
+            "materialized view — pre-coalesce NULL groups in prep")
+        // The touched groups' rows AS OF THE MARKER — the snapshot the
+        // feed window's deltas apply to. On the fast path (no crashed
+        // refresh since) that snapshot IS the current version and the
+        // read is a pruned lookup; after a crash-with-base-advance it
+        // is an earlier retained version and correctness wins over
+        // pruning.
+        val vSeen = DerivedTable.markerVersion(spark, v.viewRoot,
+          StreamId, seen, curView)
+        val old =
+          if (nTouched > maxDriverKeys)
+            // Cap exceeded: distributed semi-join on the snapshot read.
+            ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)
+              .join(touchedDf.select(col(key)), Seq(key), "left_semi")
+          else if (curView.version == vSeen) {
+            val touched = touchedDf.select(col(key)).collect()
+              .map(_.get(0)).toSeq
+            ManifestTable.lookup(spark, v.viewRoot, schema, key, touched)
+          } else
+            // Crash path under the cap: snapshot read restricted by a
+            // BROADCAST semi-join (an isin literal list here became a
+            // giant-In plan as the touched count grew).
+            ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)
+              .join(broadcast(touchedDf.select(col(key))), Seq(key),
+                "left_semi")
+        val maintained = IncrementalAgg.applyChanges(
+          old.drop(DerivedTable.KeyCol), feed,
+          v.groupCols, v.sumCols, v.minMaxCols,
+          () => v.prep(
+            ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)),
+          maxSuspectGroups = maxDriverKeys)
+        val keyed = withKey(v, maintained).persist()
+        try {
+          // Groups whose count reached zero leave the view table. The
+          // delete runs BEFORE the marker-carrying merge and is
+          // token-guarded (in the refresh's OWN token space — a user
+          // delete on the view root can never collide with it): a
+          // crashed refresh's retry re-issues it as a no-op and
+          // completes the merge — never the reverse order, which would
+          // lose the deletions forever behind the already-advanced
+          // marker. Vanished = touched ∖ kept, computed DISTRIBUTED
+          // (the old kept-keys collect pulled every touched group to
+          // the driver) and deleted in driver-bounded chunks.
+          val vanishedDf = touchedDf.select(col(key))
+            .join(keyed.select(col(key)), Seq(key), "left_anti")
+          DerivedTable.deleteChunked(spark, v.viewRoot, schema, key,
+            vanishedDf, cur, DeleteStream, maxDriverKeys)
+          val m = DerivedTable.identityMapping(schema, key)
+          ManifestTable.merge(m.project(keyed), cur, m, v.viewRoot,
+            schema, streamId = StreamId)
+          Some(cur)
+        } finally keyed.unpersist()
+      } finally touchedDf.unpersist()
     } finally feed.unpersist()
   }
 }

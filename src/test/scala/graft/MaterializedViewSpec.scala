@@ -352,6 +352,51 @@ class MaterializedViewSpec extends SparkSpec {
       s"control-character groups collided or corrupted: $got")
   }
 
+  test("driver-cap fallback: a commit touching many more groups than " +
+      "maxDriverKeys refreshes through the distributed path, chunked " +
+      "deletes included, and lands on the full recompute") {
+    val base = fresh("mv_base_cap"); val view = fresh("mv_view_cap")
+    val m = mapping
+    // 40 groups, 1 row each
+    ManifestTable.merge(
+      raw((1L to 40L).map(i => (i, s"g$i", (i * 10).toString)): _*)
+        .transform(m.project),
+      0L, m, base, schema, numBuckets = 4, streamId = "S")
+    val vd = viewDef(base, view)
+    MaterializedView.create(spark, vd)
+    def recompute() = IncrementalAgg.fullAgg(
+      ManifestTable.read(spark, base, schema), Seq("grp"), Seq("v"),
+      Seq("v"))
+    // Bulk update: every group's only row shrinks — all 40 groups are
+    // touched AND all 40 are min/max-suspect (each lost its attaining
+    // row), so with maxDriverKeys = 5 the touched restriction, the
+    // suspect recompute and the vanished diff all run distributed.
+    ManifestTable.merge(
+      raw((1L to 40L).map(i => (i, s"g$i", i.toString)): _*)
+        .transform(m.project), 1L, m, base, schema, streamId = "S")
+    assert(MaterializedView.refresh(spark, vd, maxDriverKeys = 5)
+      .isDefined)
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()),
+      "fallback refresh diverged from the recompute")
+    // Bulk delete: 30 of 40 groups vanish — 6 delete chunks at cap 5.
+    ManifestTable.delete(spark, base, schema, "id", (1L to 30L), token = 9L)
+    val cur = ManifestTable.currentVersion(spark, base).get
+    assert(MaterializedView.refresh(spark, vd, maxDriverKeys = 5)
+      .contains(cur))
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()),
+      "fallback refresh after bulk delete diverged")
+    assert(MaterializedView.read(spark, vd).count() == 10L)
+    // The FINAL delete chunk's token must be the base version itself,
+    // so the completed refresh does not read as a crash in flight
+    // (markerVersion's `token > marker` signature).
+    assert(ManifestTable.currentManifest(spark, view).get.lastBatches
+      .get(MaterializedView.DeleteStream).contains(cur),
+      "multi-chunk delete must finish on the base-version token")
+    // replay safety: already current, contents stable
+    assert(MaterializedView.refresh(spark, vd, maxDriverKeys = 5).isEmpty)
+    assert(vOf(MaterializedView.read(spark, vd)) == vOf(recompute()))
+  }
+
   test("the view is a real manifest table: time travel shows the view " +
       "BEFORE a refresh") {
     val base = fresh("mv_base_tt"); val view = fresh("mv_view_tt")
