@@ -114,6 +114,25 @@ object GraftExtensions {
   private def csvArg(e: Expression, what: String): Seq[String] =
     strArg(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** A procedure-style function (a plan-time WRITE) resolving inside a
+    * view body is a standing footgun: the view's stored text re-analyzes
+    * on every reference, so each SELECT from the view would silently
+    * re-run the side effect. The analyzer tracks view-resolution depth
+    * in its AnalysisContext — depth > 0 means "this resolution is a view
+    * body", and we refuse. (CREATE VIEW itself analyzes the body at
+    * depth 0, so creation executes the action once and succeeds; the
+    * first read of the view then fails with this error instead of
+    * silently re-merging.) */
+  private def refuseInView(fn: String): Unit = {
+    val depth = org.apache.spark.sql.catalyst.analysis.AnalysisContext
+      .get.nestedViewDepth
+    if (depth > 0) throw new IllegalStateException(
+      s"$fn executes its maintenance action at plan time and cannot be " +
+        s"wrapped in a view: every reference to the view would re-run " +
+        s"the action. Call $fn directly — one statement, one committed " +
+        "action.")
+  }
+
   private def longArg(e: Expression, what: String): Long =
     foldableArg(e, what) match {
       case i: Int => i.toLong
@@ -180,11 +199,15 @@ object GraftExtensions {
     // table functions that EXECUTE AT PLAN TIME and return their
     // outcome as a one-row result — the graft_count discipline, but
     // with a write. Each call is one committed action; wrapping one in
-    // a temp view would re-run it at every view resolution — don't.
-    // The SQL surface covers identity-prep views and auto-mapped
-    // merges; anything needing a custom `prep` transform or import
-    // policies stays on the Scala API.
+    // a view would re-run it at every view resolution, so resolving a
+    // maintenance function INSIDE a view body fails loudly
+    // ([[refuseInView]] — Spark re-analyzes a view's stored text on
+    // every reference, and a silently re-merging SELECT is the worst
+    // kind of surprise). The SQL surface covers identity-prep views
+    // and auto-mapped merges; anything needing a custom `prep`
+    // transform or import policies stays on the Scala API.
     "graft_merge" -> (es => {
+      refuseInView("graft_merge")
       // Upserts the rows of a SQL query into a manifest table (creating
       // the table on first merge), under an auto-derived identity
       // mapping: standard update policy, every column mapped as-is.
@@ -223,6 +246,7 @@ object GraftExtensions {
       // Returns (applied_version, action ∈ created|refreshed|noop).
       // Grouping/sum/min-max columns are comma-separated lists; pass ''
       // for no min/max columns.
+      refuseInView("graft_refresh_view")
       require(es.size == 7 || es.size == 8,
         "usage: graft_refresh_view(baseRoot, schemaDDL, baseKey, " +
           "viewRoot, groupCols, sumCols, minMaxCols[, numBuckets])")
@@ -276,6 +300,7 @@ object GraftExtensions {
       // Ensure-semantics for a secondary index (create-or-advance),
       // mirroring graft_refresh_view. Composite indexes take a
       // comma-separated value-column list.
+      refuseInView("graft_refresh_index")
       require(es.size == 5 || es.size == 6,
         "usage: graft_refresh_index(baseRoot, schemaDDL, baseKey, " +
           "indexRoot, valueCols[, numBuckets])")

@@ -191,6 +191,35 @@ class ExtensionsSpec extends SparkSpec {
       'id', '$idx', 'grp')""").getString(1) == "noop")
   }
 
+  test("maintenance functions refuse to resolve inside a view body: a " +
+      "temp-view wrapper cannot silently re-run the merge per SELECT") {
+    GraftExtensions.register(spark)
+    val base = "target/test-tmp/ext_sql_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Seq((1L, "a", 10L)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("ext_sql_gb")
+    val ddl = "id BIGINT, grp STRING, v BIGINT"
+    val mergeSql = s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',
+      'SELECT * FROM ext_sql_gb', 'S', 0, 2)"""
+    // direct call: fine (and commits version 1)
+    assert(spark.sql(mergeSql).head.getBoolean(1))
+    // wrapped in a view: the view body's (re-)resolution must fail
+    // loudly instead of re-running the merge on every SELECT
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ext_guard_v AS $mergeSql")
+    val before = graft.store.ManifestTable
+      .currentVersion(spark, base).get
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM ext_guard_v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot be wrapped in a view")),
+      s"expected the loud in-view refusal, got: ${msgs(e)}")
+    assert(graft.store.ManifestTable.currentVersion(spark, base)
+      .contains(before),
+      "the refused view read must not have committed another merge")
+  }
+
   test("to_csv_line renders and round-trips from SQL") {
     val row = spark.sql(
       """SELECT to_csv_line('a', 'has,comma', 'quote"inside') AS line""")
