@@ -301,9 +301,9 @@ object GraftExtensions {
       // mirroring graft_refresh_view. Composite indexes take a
       // comma-separated value-column list.
       refuseInView("graft_refresh_index")
-      require(es.size == 5 || es.size == 6,
+      require(es.size >= 5 && es.size <= 7,
         "usage: graft_refresh_index(baseRoot, schemaDDL, baseKey, " +
-          "indexRoot, valueCols[, numBuckets])")
+          "indexRoot, valueCols[, numBuckets[, numShards]])")
       val spark = SparkSession.active
       val ix = graft.store.SecondaryIndex.Index(
         baseRoot = strArg(es(0), "base root"),
@@ -312,8 +312,10 @@ object GraftExtensions {
         baseKey = strArg(es(2), "base key"),
         indexRoot = strArg(es(3), "index root"),
         valueCols = csvArg(es(4), "value columns"),
-        numBuckets = if (es.size == 6) longArg(es(5), "numBuckets").toInt
-          else 16)
+        numBuckets = if (es.size >= 6) longArg(es(5), "numBuckets").toInt
+          else 16,
+        numShards = if (es.size == 7) longArg(es(6), "numShards").toInt
+          else 1)
       val (v, action) =
         if (graft.store.ManifestTable.currentVersion(spark, ix.indexRoot)
             .isEmpty)
@@ -330,9 +332,9 @@ object GraftExtensions {
     }),
     "graft_index" -> (es => {
       // The committed (value columns, sorted key list) index contents.
-      require(es.size == 5,
+      require(es.size == 5 || es.size == 6,
         "usage: graft_index(baseRoot, schemaDDL, baseKey, indexRoot, " +
-          "valueCols)")
+          "valueCols[, numShards])")
       val spark = SparkSession.active
       val ix = graft.store.SecondaryIndex.Index(
         baseRoot = strArg(es(0), "base root"),
@@ -340,7 +342,9 @@ object GraftExtensions {
           strArg(es(1), "schema DDL")),
         baseKey = strArg(es(2), "base key"),
         indexRoot = strArg(es(3), "index root"),
-        valueCols = csvArg(es(4), "value columns"))
+        valueCols = csvArg(es(4), "value columns"),
+        numShards = if (es.size == 6) longArg(es(5), "numShards").toInt
+          else 1)
       graft.store.SecondaryIndex.read(spark, ix)
         .queryExecution.analyzed
     }),

@@ -264,6 +264,17 @@ object SparkEntry {
     baseKey = "id", indexRoot = "target/qtmp/manifest_index_idx",
     valueCols = Seq("segment"), numBuckets = 4)
 
+  /** HOT-VALUE sharded variant: `segment` has ~2 values over the whole
+    * customer table — exactly the skew that would otherwise pack every
+    * key into two unbounded array rows. 8 shards per value keep each
+    * stored row at ~1/8 of its value's keys and let refresh touch only
+    * a changed key's own (value, shard) row. */
+  private def ixShardedDef = graft.store.SecondaryIndex.Index(
+    baseRoot = "target/qtmp/manifest_index_sharded",
+    baseSchema = upsertSchema, baseKey = "id",
+    indexRoot = "target/qtmp/manifest_index_sharded_idx",
+    valueCols = Seq("segment"), numBuckets = 4, numShards = 8)
+
   /** The `*_fixed` scale-validation variants: sum-only view (so the
     * refresh has NO suspect-group recompute path and its cost is purely
     * feed-bounded) and a near-unique value column for the index (name:
@@ -404,6 +415,13 @@ object SparkEntry {
       resetSideRoot(s, "manifest_index_idx")
       graft.store.SecondaryIndex.create(s, ixDef)
       sideReady += "manifest_index_idx"
+    }),
+    "manifest_index_sharded" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_index_sharded",
+        withMerge = true)
+      resetSideRoot(s, "manifest_index_sharded_idx")
+      graft.store.SecondaryIndex.create(s, ixShardedDef)
+      sideReady += "manifest_index_sharded_idx"
     }),
     "manifest_index_range" -> ((s, dir) => {
       // create + merge + index bootstrap + base DELETE + refresh all
@@ -1031,6 +1049,27 @@ object SparkEntry {
         resetSideRoot(s, "manifest_index_idx")
         graft.store.SecondaryIndex.create(s, ix)
         sideReady += "manifest_index_idx"
+      }
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 5L)
+      graft.store.SecondaryIndex.refresh(s, ix)
+      graft.store.SecondaryIndex.read(s, ix)
+        .select(col("segment"), explode(col("keys")).as("id"))
+    }),
+    "manifest_index_sharded" -> ((s, dir) => {
+      // Same maintenance shape as manifest_index, but the index is
+      // HOT-VALUE SHARDED (segment ≈ 2 values over the whole table →
+      // two unbounded array rows without sharding): the timed region is
+      // the base DELETE + feed refresh (touching only the deleted keys'
+      // (value, shard) rows) + the shard-merged read-back. Result is
+      // shard-transparent, so the oracle is manifest_index's.
+      val root = manifestFixture(s, dir, "manifest_index_sharded",
+        withMerge = true)
+      val ix = ixShardedDef
+      if (!sideReady.contains("manifest_index_sharded_idx")) {
+        resetSideRoot(s, "manifest_index_sharded_idx")
+        graft.store.SecondaryIndex.create(s, ix)
+        sideReady += "manifest_index_sharded_idx"
       }
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 5L)
@@ -2008,6 +2047,12 @@ object SparkEntry {
         s"""SELECT count(*) AS n_rows FROM customer
            WHERE ($inTgt) OR ($inSrc)""",
       "manifest_index" ->
+        s"""SELECT CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END
+             AS segment, c_custkey AS id
+           FROM customer
+           WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (${(1 to 10).map(_ * 13).mkString(", ")})""",
+      "manifest_index_sharded" ->
         s"""SELECT CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END
              AS segment, c_custkey AS id
            FROM customer

@@ -29,7 +29,22 @@ import org.apache.spark.sql.types.StructType
   * that; single-column indexes keep the value column itself as the key
   * — their on-disk layout is unchanged from before composite support.
   * Key lists are SORTED, so the index contents are deterministic and
-  * engine-reproducible. */
+  * engine-reproducible.
+  *
+  * HOT-VALUE SHARDING (`numShards > 1`): a skewed value (think
+  * `lang='en'` over a web corpus) would otherwise materialize ONE row
+  * holding millions of keys — an array bumping into hard row-size
+  * limits, whose refresh regroups the full list whenever a single
+  * member changes. A sharded index stores (value, shard) → keys with
+  * `shard = hash(baseKey) mod numShards`: per-row size is ~1/numShards
+  * of the value's key count, and a changed key touches only its OWN
+  * (value, shard) row — refresh cost tracks the change, never the hot
+  * value's list size. Lookups fan out over the value's numShards rows
+  * (still a pruned read; the shard is part of the encoded manifest
+  * key) and [[read]] merges shards back, so the API surface is
+  * shard-transparent. Size numShards ≈ hottest value's expected key
+  * count / target row size; range layout keys the table on the raw
+  * value string and is therefore incompatible with sharding. */
 object SecondaryIndex {
 
   val StreamId = "secondary-index"
@@ -54,7 +69,8 @@ object SecondaryIndex {
       indexRoot: String,
       valueCols: Seq[String],
       numBuckets: Int = 16,
-      rangeLayout: Boolean = false) {
+      rangeLayout: Boolean = false,
+      numShards: Int = 1) {
     require(valueCols.nonEmpty, "need at least one value column")
     require(!rangeLayout || valueCols.size == 1,
       "range layout is single-value-column only")
@@ -63,6 +79,11 @@ object SecondaryIndex {
       "range layout requires a STRING value column (its rendering IS " +
         "the range order; pre-encode numerics order-preservingly in a " +
         "derived base column)")
+    require(numShards >= 1, "numShards must be >= 1")
+    require(numShards == 1 || !rangeLayout,
+      "range layout and hot-value sharding are mutually exclusive: " +
+        "a range table keys on the raw value string, a sharded one on " +
+        "the (value, shard) encoding")
   }
 
   object Index {
@@ -74,16 +95,30 @@ object SecondaryIndex {
   }
 
   private def composite(ix: Index): Boolean = ix.valueCols.size > 1
+  private def sharded(ix: Index): Boolean = ix.numShards > 1
 
-  /** The index table's manifest key column. */
+  /** The stored shard column of a sharded index. */
+  val ShardCol = "_shard"
+
+  /** The index table's manifest key column: the value itself only for
+    * the plain single-column unsharded shape; any composite or sharded
+    * index keys on the synthetic tuple encoding. */
   private def keyCol(ix: Index): String =
-    if (composite(ix)) DerivedTable.KeyCol else ix.valueCols.head
+    if (composite(ix) || sharded(ix)) DerivedTable.KeyCol
+    else ix.valueCols.head
 
-  /** Appends the synthetic key column for composite indexes. */
+  /** A base key's shard: stable hash mod numShards — Spark-computed,
+    * so index writes and probe encodings can never disagree. */
+  private def shardExpr(ix: Index, key: Column): Column =
+    pmod(xxhash64(key), lit(ix.numShards.toLong)).cast("int")
+
+  /** Appends the synthetic key column (composite and/or sharded
+    * indexes; expects [[ShardCol]] to be present when sharded). */
   private def withKey(ix: Index, df: DataFrame): DataFrame =
-    if (!composite(ix)) df
+    if (!composite(ix) && !sharded(ix)) df
     else df.withColumn(DerivedTable.KeyCol,
-      DerivedTable.encodeKey(ix.valueCols.map(col)))
+      DerivedTable.encodeKey(ix.valueCols.map(col) ++
+        (if (sharded(ix)) Seq(col(ShardCol)) else Nil)))
 
   /** The indexed-value tuple as ONE column: the value itself when
     * single, a struct of the components (NULL when any component is
@@ -93,15 +128,28 @@ object SecondaryIndex {
     else when(ix.valueCols.map(col(_).isNotNull).reduce(_ && _),
       struct(ix.valueCols.map(col): _*))
 
-  /** The encoded probe/manifest key of a `_v`-shaped column. */
-  private def encOf(ix: Index, c: Column): Column =
-    if (!composite(ix)) c
-    else DerivedTable.encodeKey(ix.valueCols.map(f => c.getField(f)))
+  /** The encoded probe/manifest key of a (`_v`-shaped value, shard)
+    * pair — the exact encoding [[withKey]] stores. */
+  private def probeExpr(ix: Index, v: Column, s: Column): Column = {
+    val comps =
+      if (!composite(ix)) Seq(v)
+      else ix.valueCols.map(f => v.getField(f))
+    if (!composite(ix) && !sharded(ix)) v
+    else DerivedTable.encodeKey(
+      comps ++ (if (sharded(ix)) Seq(s) else Nil))
+  }
 
-  private def grouped(base: DataFrame, ix: Index): DataFrame =
-    base.filter(ix.valueCols.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(ix.valueCols.map(col): _*)
+  private def grouped(base: DataFrame, ix: Index): DataFrame = {
+    val nn = base.filter(ix.valueCols.map(col(_).isNotNull)
+      .reduce(_ && _))
+    val keyed =
+      if (!sharded(ix)) nn
+      else nn.withColumn(ShardCol, shardExpr(ix, col(ix.baseKey)))
+    val groups =
+      ix.valueCols ++ (if (sharded(ix)) Seq(ShardCol) else Nil)
+    keyed.groupBy(groups.map(col): _*)
       .agg(sort_array(collect_list(col(ix.baseKey))).as("keys"))
+  }
 
   /** Range-layout boundaries from the bootstrap value distribution: a
     * DETERMINISTIC bounded sample (the `sampleCap` hash-smallest
@@ -148,18 +196,33 @@ object SecondaryIndex {
   }
 
   /** The committed (value columns, sorted keys) index contents (the
-    * synthetic key column of a composite index is dropped). */
-  def read(spark: SparkSession, ix: Index): DataFrame =
-    ManifestTable.read(spark, ix.indexRoot, indexSchema(spark, ix))
-      .drop(DerivedTable.KeyCol)
+    * synthetic key and shard columns are internal and dropped; a
+    * sharded index's rows merge back to one sorted list per value —
+    * a READ-side aggregation, the stored rows stay bounded). */
+  def read(spark: SparkSession, ix: Index): DataFrame = {
+    val raw = ManifestTable.read(spark, ix.indexRoot,
+      indexSchema(spark, ix)).drop(DerivedTable.KeyCol)
+    if (!sharded(ix)) raw
+    else raw.groupBy(ix.valueCols.map(col): _*)
+      .agg(sort_array(flatten(collect_list(col("keys")))).as("keys"))
+  }
 
   /** How far the index has applied the base's history. */
   def appliedVersion(spark: SparkSession, ix: Index): Long =
     DerivedTable.appliedVersion(spark, ix.indexRoot, StreamId)
 
   /** Advances the index to the base's current version. Returns the new
-    * applied version, or None when already current. */
-  def refresh(spark: SparkSession, ix: Index): Option[Long] = {
+    * applied version, or None when already current.
+    *
+    * DRIVER-BOUNDED at any change rate (the [[MaterializedView]]
+    * discipline): at most `maxDriverKeys` index keys are ever
+    * driver-resident. Under the cap the touched values collect and
+    * drive PRUNED lookups; past it — a bulk backfill — the touched
+    * restriction, the kept/emptied diff and the value deletions all
+    * run distributed (semi-/anti-joins, chunked deletes), which is the
+    * right plan at that selectivity anyway. */
+  def refresh(spark: SparkSession, ix: Index,
+      maxDriverKeys: Int = 100000): Option[Long] = {
     val cur = ManifestTable.currentVersion(spark, ix.baseRoot).getOrElse(
       throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
     val seen = appliedVersion(spark, ix)
@@ -167,11 +230,15 @@ object SecondaryIndex {
     val schema = indexSchema(spark, ix)
     val key = keyCol(ix)
     val m = DerivedTable.identityMapping(schema, key)
-    // Persisted: the feed backs the touched collect, the kept-values
-    // collect and the merge write — one diff join, not three.
+    // Persisted: the feed backs the touched materialization, the
+    // kept-values diff and the merge write — one diff join, not three.
+    // `_s` = the key's shard (constant per key; lit 0 when unsharded,
+    // where it rides along inert and folds away).
     val feed = ManifestTable.changes(spark, ix.baseRoot, ix.baseSchema,
       ix.baseKey, seen, cur)
       .select(col(ix.baseKey).as("_k"), valueExpr(ix).as("_v"),
+        (if (sharded(ix)) shardExpr(ix, col(ix.baseKey))
+         else lit(0)).as("_s"),
         col("_change_type").as("_t"), col("_version").as("_ver"))
       .persist()
     try {
@@ -182,8 +249,9 @@ object SecondaryIndex {
       lit(2)).when(col("_t") === "delete", lit(1)).otherwise(lit(0))
     val finalSt = feed.groupBy(col("_k"))
       .agg(max_by(struct(col("_t"), col("_v")),
-        struct(col("_ver"), postRank)).as("_f"))
-      .select(col("_k"),
+        struct(col("_ver"), postRank)).as("_f"),
+        max(col("_s")).as("_s"))
+      .select(col("_k"), col("_s"),
         when(col("_f._t").isin("insert", "update_postimage"),
           col("_f._v")).as("_newv"))
     // Window-START assignment: the key's value the index currently
@@ -193,23 +261,31 @@ object SecondaryIndex {
       .when(col("_t") === "delete", lit(1)).otherwise(lit(2))
     val oldSt = feed.groupBy(col("_k"))
       .agg(min_by(struct(col("_t"), col("_v")),
-        struct(col("_ver"), preRank)).as("_o"))
-      .select(col("_k"),
+        struct(col("_ver"), preRank)).as("_o"),
+        max(col("_s")).as("_s"))
+      .select(col("_k"), col("_s"),
         when(col("_o._t").isin("delete", "update_preimage"),
           col("_o._v")).as("_oldv"))
-    // Touched values — bounded by the change rate. Collected as the
-    // ENCODED probe key (raw value for single-column indexes), the
-    // form every lookup/delete below consumes.
-    val touched = finalSt.select(col("_newv").as("_v"))
-      .unionByName(oldSt.select(col("_oldv").as("_v")))
+    // Touched (value, shard) rows — bounded by the change rate (each
+    // affected key contributes its one shard per value), as the
+    // ENCODED probe key (raw value for plain single-column indexes),
+    // the form every lookup/delete below consumes. localCheckpoint:
+    // eagerly materialized once on the executors AND lineage-cut, so
+    // the emptied-values anti-join below (touched ⋈ a plan derived
+    // from touched) is not an ambiguous self-join; the driver only
+    // sees a count unless the change fits under the cap.
+    val touchedDf = finalSt.select(col("_newv").as("_v"), col("_s"))
+      .unionByName(oldSt.select(col("_oldv").as("_v"), col("_s")))
       .filter(col("_v").isNotNull)
-      .select(encOf(ix, col("_v")).as("_p")).distinct().collect()
-      .map(_.get(0)).toSeq
-    if (touched.isEmpty) {
+      .select(probeExpr(ix, col("_v"), col("_s")).as("_p"))
+      .distinct().localCheckpoint()
+    val nTouched = touchedDf.count()
+    if (nTouched == 0) {
       DerivedTable.advanceMarker(spark, ix.indexRoot, schema,
         key, StreamId, cur)
       return Some(cur)
     }
+    val small = nTouched <= maxDriverKeys
     // New key lists for the touched values: the current lists minus the
     // affected keys, plus each affected key's final assignment.
     //
@@ -224,56 +300,89 @@ object SecondaryIndex {
     // reconstructed. Any future pre-marker write that is NOT such a
     // delete (partial deletes, eager row updates) breaks this invariant
     // and must switch this read to DerivedTable.markerVersion.
-    val affected = broadcast(finalSt.select(col("_k")))
-    val oldPairs = ManifestTable.lookup(spark, ix.indexRoot, schema,
-        key, touched)
-      .select(valueExpr(ix).as("_v"), explode(col("keys")).as("_k"))
+    // The affected-keys frame rides a broadcast hint only under the
+    // cap — a bulk backfill's key set must shuffle, not build on the
+    // driver.
+    val affectedKeys = finalSt.select(col("_k"))
+    val affected =
+      if (small) broadcast(affectedKeys) else affectedKeys
+    // Touched rows of the CURRENT index: a pruned per-key lookup when
+    // the probe set fits the driver; past the cap, a semi-join against
+    // the index read — at that cardinality the probes hash across
+    // ~every bucket anyway.
+    val touchedRows =
+      if (small) {
+        val touched = touchedDf.collect().map(_.get(0)).toSeq
+        ManifestTable.lookup(spark, ix.indexRoot, schema, key, touched)
+      } else ManifestTable.read(spark, ix.indexRoot, schema)
+        .join(touchedDf.select(col("_p").as(key)), Seq(key), "left_semi")
+    val oldPairs = touchedRows
+      .select(valueExpr(ix).as("_v"),
+        (if (sharded(ix)) col(ShardCol) else lit(0)).as("_s"),
+        explode(col("keys")).as("_k"))
       .join(affected, Seq("_k"), "left_anti")
     val newPairs = oldPairs.unionByName(
       finalSt.filter(col("_newv").isNotNull)
-        .select(col("_newv").as("_v"), col("_k")))
-    val regroupedV = newPairs.groupBy(col("_v"))
+        .select(col("_newv").as("_v"), col("_s"), col("_k")))
+    val regroupedV = newPairs.groupBy(col("_v"), col("_s"))
       .agg(sort_array(collect_list(col("_k"))).as("keys"))
     // Unpack the tuple back into the stored per-component columns.
+    val vCols =
+      if (!composite(ix)) Seq(col("_v").as(ix.valueCols.head))
+      else ix.valueCols.map(f => col("_v").getField(f).as(f))
+    val sCols =
+      if (sharded(ix)) Seq(col("_s").cast("int").as(ShardCol)) else Nil
     val regrouped = withKey(ix,
-      if (!composite(ix))
-        regroupedV.select(col("_v").as(ix.valueCols.head), col("keys"))
-      else regroupedV.select(ix.valueCols.map(f =>
-        col("_v").getField(f).as(f)) :+ col("keys"): _*))
-    val keptVals = regrouped.select(col(key)).collect()
-      .map(_.get(0)).toSet
-    val emptied = touched.filterNot(keptVals)
-    if (emptied.nonEmpty)
-      ManifestTable.delete(spark, ix.indexRoot, schema, key,
-        emptied, token = cur, tokenStream = Some(DeleteStream))
-    ManifestTable.merge(m.project(regrouped), cur, m, ix.indexRoot,
-      schema, streamId = StreamId)
-    Some(cur)
+      regroupedV.select(vCols ++ sCols :+ col("keys"): _*)).persist()
+    try {
+      // Emptied values = touched ∖ kept, computed DISTRIBUTED and
+      // deleted in driver-bounded chunks (deletions BEFORE the
+      // marker-carrying merge, per the crash-safety invariant above).
+      val emptiedDf = touchedDf.select(col("_p").as(key))
+        .join(regrouped.select(col(key)), Seq(key), "left_anti")
+      DerivedTable.deleteChunked(spark, ix.indexRoot, schema, key,
+        emptiedDf, cur, DeleteStream, maxDriverKeys)
+      ManifestTable.merge(m.project(regrouped), cur, m, ix.indexRoot,
+        schema, streamId = StreamId)
+      Some(cur)
+    } finally regrouped.unpersist()
     } finally feed.unpersist()
   }
 
   /** Encodes caller-supplied probe tuples to manifest-key probes: raw
-    * values pass through for a single-column index; for a composite
-    * index each probe is a Seq of component values, encoded through the
-    * SAME Spark expression the index rows use (a tiny local frame — no
-    * hand-rolled driver-side reimplementation to drift). */
+    * values pass through for a plain single-column index; for a
+    * composite index each probe is a Seq of component values, encoded
+    * through the SAME Spark expression the index rows use (a tiny
+    * local frame — no hand-rolled driver-side reimplementation to
+    * drift). On a sharded index every probe FANS OUT over all
+    * numShards encoded keys — a value's members live across its shard
+    * rows. */
   private def probeKeys(
       spark: SparkSession, ix: Index, values: Seq[Any]): Seq[Any] = {
-    if (!composite(ix)) values
+    if (!composite(ix) && !sharded(ix)) values
     else {
       val vSchema = StructType(ix.valueCols.map(f =>
         ix.baseSchema(f).copy(nullable = true)))
-      val rows = values.map {
-        case s: Seq[_] =>
-          require(s.size == ix.valueCols.size,
-            s"probe arity ${s.size} != ${ix.valueCols.size} value cols")
-          org.apache.spark.sql.Row(s: _*)
-        case other => throw new IllegalArgumentException(
-          s"composite index probe must be a Seq of " +
-            s"${ix.valueCols.size} component values, got $other")
+      val rows = values.map { v =>
+        if (composite(ix)) v match {
+          case s: Seq[_] =>
+            require(s.size == ix.valueCols.size,
+              s"probe arity ${s.size} != ${ix.valueCols.size} value cols")
+            org.apache.spark.sql.Row(s: _*)
+          case other => throw new IllegalArgumentException(
+            s"composite index probe must be a Seq of " +
+              s"${ix.valueCols.size} component values, got $other")
+        } else org.apache.spark.sql.Row(v)
       }
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), vSchema)
-        .select(DerivedTable.encodeKey(ix.valueCols.map(col)).as("_p"))
+      val df = spark
+        .createDataFrame(java.util.Arrays.asList(rows: _*), vSchema)
+      val fanned =
+        if (!sharded(ix)) df
+        else df.withColumn(ShardCol, explode(
+          array((0 until ix.numShards).map(i => lit(i)): _*)))
+      fanned
+        .select(DerivedTable.encodeKey(ix.valueCols.map(col) ++
+          (if (sharded(ix)) Seq(col(ShardCol)) else Nil)).as("_p"))
         .collect().map(_.get(0)).toSeq
     }
   }
@@ -322,6 +431,9 @@ object SecondaryIndex {
   def lookupRange(spark: SparkSession, ix: Index, lo: Any, hi: Any,
       maxDriverKeys: Int = 100000): DataFrame = {
     require(!composite(ix), "range lookup is single-value-column only")
+    require(!sharded(ix),
+      "range lookup needs the raw-value key order; a sharded index " +
+        "keys on the (value, shard) encoding")
     val schema = indexSchema(spark, ix)
     val hit = ManifestTable.lookupRange(spark, ix.indexRoot, schema,
       keyCol(ix), lo, hi)

@@ -202,6 +202,77 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(SecondaryIndex.lookupRange(spark, ix, "x", "y").count() == 0L)
   }
 
+  test("hot-value sharding: a value owning a million keys stores " +
+      "bounded rows, refresh touches only the changed key's shards, " +
+      "and the lookup surface is shard-transparent") {
+    val base = fresh("six_base_hot"); val idx = fresh("six_idx_hot")
+    val m = mapping
+    val n = 1000000L
+    val nShards = 16
+    // one pathological value ("en") owning ~all keys, a small one ("fr")
+    val df = spark.range(n).select(col("id"),
+      when(col("id") < n - 10, lit("en")).otherwise(lit("fr")).as("grp"),
+      col("id").as("v"))
+    ManifestTable.merge(df, 0L, m, base, schema, numBuckets = 8,
+      streamId = "S")
+    val ix = SecondaryIndex.Index(base, schema, "id", idx, Seq("grp"),
+      numBuckets = 8, numShards = nShards)
+    SecondaryIndex.create(spark, ix)
+    // STORED shape: no row may hold more than ~2x the even shard share
+    // of the hot value — the unbounded-array row is the failure mode
+    val stored = StructType(Seq(
+      StructField("grp", StringType),
+      StructField("_shard", IntegerType),
+      StructField("keys", ArrayType(LongType)),
+      StructField("_gkey", StringType)))
+    val sizes = ManifestTable.read(spark, idx, stored)
+      .select(size(col("keys"))).as[Int].collect()
+    assert(sizes.sum == n, s"index must cover every key: ${sizes.sum}")
+    assert(sizes.max <= 2 * n / nShards,
+      s"a shard row exceeded twice the even share: max ${sizes.max}")
+    // lookups are shard-transparent
+    assert(SecondaryIndex.lookupBy(spark, ix, "fr")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (n - 10 until n).toSeq)
+    assert(SecondaryIndex.lookupValues(spark, ix, Seq("fr"))
+      .count() == 10L)
+    // the merged read equals the ground truth for the small value
+    assert(SecondaryIndex.read(spark, ix).filter($"grp" === "fr")
+      .select(explode($"keys")).as[Long].collect().sorted.toSeq ==
+      (n - 10 until n).toSeq)
+    // refresh: move ONE key en→fr. Cost must track the CHANGE (the two
+    // touched (value, shard) rows' buckets), never the hot value's
+    // million-key list — the index table rewrites at most 2 of its 8
+    // bucket files.
+    val before = ManifestTable.currentManifest(spark, idx).get.entries
+      .map(e => e.bucket -> e.relPath).toMap
+    ManifestTable.merge(
+      spark.range(1).select(col("id"), lit("fr").as("grp"),
+        col("id").as("v")),
+      1L, m, base, schema, streamId = "S")
+    assert(SecondaryIndex.refresh(spark, ix).isDefined)
+    val after = ManifestTable.currentManifest(spark, idx).get.entries
+      .map(e => e.bucket -> e.relPath).toMap
+    val changed = after.count { case (b, p) => before.get(b) != Some(p) }
+    assert(changed <= 2,
+      s"moving one key must rewrite at most its two shard rows' " +
+        s"buckets, rewrote $changed of ${after.size}")
+    assert(SecondaryIndex.lookupBy(spark, ix, "fr").count() == 11L)
+    // per-row bound survives maintenance
+    val sizes2 = ManifestTable.read(spark, idx, stored)
+      .select(size(col("keys"))).as[Int].collect()
+    assert(sizes2.sum == n && sizes2.max <= 2 * n / nShards)
+    // emptying a value removes ALL its shard rows
+    ManifestTable.delete(spark, base, schema, "id",
+      (n - 10 until n) :+ 0L, token = 9L)
+    assert(SecondaryIndex.refresh(spark, ix).isDefined)
+    assert(SecondaryIndex.lookupBy(spark, ix, "fr").count() == 0L)
+    assert(SecondaryIndex.read(spark, ix).filter($"grp" === "fr")
+      .count() == 0L)
+    // replay: already current
+    assert(SecondaryIndex.refresh(spark, ix).isEmpty)
+  }
+
   test("lookupBy is two pruned reads and returns exactly the matching " +
       "base rows") {
     val base = fresh("six_base3"); val idx = fresh("six_idx3")
