@@ -129,8 +129,21 @@ private[graft] object DerivedTable {
       tokenStream: String,
       maxDriverKeys: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    // The key itself tiebreaks equal renderings, so the chunking order
-    // (and hence each token's chunk content) is total and stable.
+    // Common case first: the whole set fits one chunk (usually a
+    // handful of vanished groups, often zero) — ONE bounded
+    // limit-collect, no sort job, and the single delete keeps the
+    // pre-chunking token behavior (token = baseVersion).
+    val head = keyFrame.limit(maxDriverKeys + 1).collect()
+    if (head.isEmpty) return
+    if (head.length <= maxDriverKeys) {
+      ManifestTable.delete(spark, root, schema, keyCol,
+        head.map(_.get(0)).toIndexedSeq, token = baseVersion,
+        tokenStream = Some(tokenStream))
+      return
+    }
+    // Past the cap: deterministic sorted chunks. The key itself
+    // tiebreaks equal renderings, so the chunking order (and hence
+    // each token's chunk content) is total and stable across retries.
     val it = keyFrame.orderBy(col(keyCol).cast("string"), col(keyCol))
       .toLocalIterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[Any]

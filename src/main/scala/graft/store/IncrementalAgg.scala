@@ -63,10 +63,12 @@ object IncrementalAgg {
     * semi-join, so the re-read cost tracks the number of groups that
     * LOST an extremal row, not the table or even the view size. With
     * `minMaxCols` this runs ONE bounded action at call time (the
-    * suspect-key collect — bounded by feed-touched groups AND capped at
-    * `maxSuspectGroups`; past the cap the keys stay distributed and the
-    * recompute runs through a distributed semi-join instead of a
-    * broadcast literal frame); without, it stays a pure plan builder. */
+    * suspect-key collect — bounded by feed-touched groups; callers
+    * whose feed may touch unboundedly many groups pass
+    * `suspectsBounded = false` and the keys stay distributed, the
+    * recompute running through a distributed semi-join instead of a
+    * broadcast literal frame); without, it stays a pure plan
+    * builder. */
   def applyChanges(
       view: DataFrame,
       feed: DataFrame,
@@ -74,7 +76,7 @@ object IncrementalAgg {
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
       snapshot: () => DataFrame = null,
-      maxSuspectGroups: Int = 100000): DataFrame = {
+      suspectsBounded: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(minMaxCols.isEmpty || snapshot != null,
       "min/max maintenance needs the end-version snapshot for the " +
@@ -127,54 +129,59 @@ object IncrementalAgg {
       .filter(col("n_rows") > 0)
     if (minMaxCols.isEmpty) maintained.drop("_suspect")
     else {
-      // ONE bounded action: collect the suspect group keys (bounded by
-      // feed-touched groups, i.e. the change rate) — CAPPED at
-      // `maxSuspectGroups` so a bulk delete touching millions of groups
-      // can never become a driver OOM. Under the cap the collected keys
-      // ride the final plan as a broadcast literal frame, so the
-      // view⋈deltas join executes exactly once more when the result is
-      // consumed — not once per branch (isEmpty / broadcast build /
-      // !_suspect filter would each have re-run it).
-      val suspectRows = maintained.filter(col("_suspect"))
-        .select(groupCols.map(col): _*).limit(maxSuspectGroups + 1)
-        .collect()
-      if (suspectRows.isEmpty) maintained.drop("_suspect")
-      else if (suspectRows.length <= maxSuspectGroups) {
-        val gSchema = org.apache.spark.sql.types.StructType(
-          groupCols.map(g => view.schema(g).copy(nullable = true)))
-        val k = broadcast(view.sparkSession.createDataFrame(
-          java.util.Arrays.asList(suspectRows: _*), gSchema)).alias("k")
-        val snap = snapshot().alias("s")
-        val semiCond = groupCols
-          .map(g => snap(g) <=> k(g)).reduce(_ && _)
-        val recomputed = fullAgg(snap.join(k, semiCond, "left_semi"),
-          groupCols, sumCols, minMaxCols)
-        val m = maintained.drop("_suspect").alias("m")
-        val antiCond = groupCols.map(g => m(g) <=> k(g)).reduce(_ && _)
-        m.join(k, antiCond, "left_anti").unionByName(recomputed)
+      if (suspectsBounded) {
+        // ONE bounded action: collect the suspect group keys (bounded
+        // by feed-touched groups, i.e. the change rate — the caller
+        // certifies that fits the driver; MaterializedView gates this
+        // flag on its own maxDriverKeys touched count). The collected
+        // keys ride the final plan as a broadcast literal frame, so the
+        // view⋈deltas join executes exactly once more when the result
+        // is consumed — not once per branch (isEmpty / broadcast build
+        // / !_suspect filter would each have re-run it).
+        val suspectRows = maintained.filter(col("_suspect"))
+          .select(groupCols.map(col): _*).collect()
+        if (suspectRows.isEmpty) maintained.drop("_suspect")
+        else {
+          val gSchema = org.apache.spark.sql.types.StructType(
+            groupCols.map(g => view.schema(g).copy(nullable = true)))
+          val k = broadcast(view.sparkSession.createDataFrame(
+            java.util.Arrays.asList(suspectRows: _*), gSchema)).alias("k")
+          val snap = snapshot().alias("s")
+          val semiCond = groupCols
+            .map(g => snap(g) <=> k(g)).reduce(_ && _)
+          val recomputed = fullAgg(snap.join(k, semiCond, "left_semi"),
+            groupCols, sumCols, minMaxCols)
+          val m = maintained.drop("_suspect").alias("m")
+          val antiCond = groupCols.map(g => m(g) <=> k(g)).reduce(_ && _)
+          m.join(k, antiCond, "left_anti").unionByName(recomputed)
+        }
       } else {
-        // Over the cap the suspect keys stay DISTRIBUTED: materialize
-        // them once on the executors (localCheckpoint — also cuts the
-        // lineage, so joining them back against plans derived from
-        // `maintained` is not a self-join), then recompute exactly the
-        // suspect groups from the snapshot through a distributed
-        // semi-join and keep every other maintained group via the
-        // _suspect flag itself. Same two executions of the view⋈deltas
-        // join as the literal path (one for the key materialization,
-        // one at consumption), zero unbounded driver state. A lost
-        // executor invalidates the checkpoint and fails the job — a
-        // refresh is retryable, so that is the right trade at this
-        // scale.
+        // Unbounded change rate (a bulk backfill): the suspect keys
+        // stay DISTRIBUTED — materialize them once on the executors
+        // (localCheckpoint: eager, and cuts the lineage so joining
+        // them back against plans derived from `maintained` is not a
+        // self-join), recompute exactly the suspect groups from the
+        // snapshot through a distributed semi-join, and keep every
+        // other maintained group via the _suspect flag itself. Same
+        // two executions of the view⋈deltas join as the literal path
+        // (one for the key materialization, one at consumption), zero
+        // unbounded driver state. A lost executor invalidates the
+        // checkpoint and fails the job — a refresh is retryable, so
+        // that is the right trade at this scale.
         val kFrame = maintained.filter(col("_suspect"))
           .select(groupCols.map(g => col(g).as(s"_sk_$g")): _*)
           .localCheckpoint()
-        val snap = snapshot().alias("s")
-        val semiCond = groupCols
-          .map(g => snap(g) <=> kFrame(s"_sk_$g")).reduce(_ && _)
-        val recomputed = fullAgg(snap.join(kFrame, semiCond, "left_semi"),
-          groupCols, sumCols, minMaxCols)
-        maintained.filter(!col("_suspect")).drop("_suspect")
-          .unionByName(recomputed)
+        if (kFrame.isEmpty) maintained.drop("_suspect")
+        else {
+          val snap = snapshot().alias("s")
+          val semiCond = groupCols
+            .map(g => snap(g) <=> kFrame(s"_sk_$g")).reduce(_ && _)
+          val recomputed = fullAgg(
+            snap.join(kFrame, semiCond, "left_semi"),
+            groupCols, sumCols, minMaxCols)
+          maintained.filter(!col("_suspect")).drop("_suspect")
+            .unionByName(recomputed)
+        }
       }
     }
   }

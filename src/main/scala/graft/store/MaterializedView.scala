@@ -175,16 +175,27 @@ object MaterializedView {
       val touchedDf = withKey(v, feed)
         .select(sel: _*).dropDuplicates(key).localCheckpoint()
       try {
-        val nTouched = touchedDf.count()
-        if (nTouched == 0) {
+        // ONE bounded action decides everything below: up to cap+1
+        // touched rows come back (the driver never holds more), giving
+        // emptiness, the small/large branch, the NULL audit and — on
+        // the small path — the probe keys themselves, without separate
+        // count/audit/collect jobs.
+        val headRows = touchedDf.limit(maxDriverKeys + 1).collect()
+        if (headRows.isEmpty) {
           // version moved with no net row changes (e.g. rebucket)
           DerivedTable.advanceMarker(spark, v.viewRoot, schema, key,
             StreamId, cur)
           return Some(cur)
         }
+        val small = headRows.length <= maxDriverKeys
         // NULL groups are rejected loudly — the manifest table cannot
-        // key on them. Distributed probe: no key list on the driver.
-        require(touchedDf.filter(v.groupCols.map(col(_).isNull)
+        // key on them. Driver-side over the full set when it fits,
+        // distributed probe past the cap.
+        val gOff = if (composite) 1 else 0
+        require(
+          if (small) !headRows.exists(r =>
+            v.groupCols.indices.exists(i => r.isNullAt(gOff + i)))
+          else touchedDf.filter(v.groupCols.map(col(_).isNull)
             .reduce(_ || _)).limit(1).count() == 0L,
           s"NULL ${v.groupCols.mkString("/")} group reached the " +
             "materialized view — pre-coalesce NULL groups in prep")
@@ -197,13 +208,12 @@ object MaterializedView {
         val vSeen = DerivedTable.markerVersion(spark, v.viewRoot,
           StreamId, seen, curView)
         val old =
-          if (nTouched > maxDriverKeys)
+          if (!small)
             // Cap exceeded: distributed semi-join on the snapshot read.
             ManifestTable.readAt(spark, v.viewRoot, schema, vSeen)
               .join(touchedDf.select(col(key)), Seq(key), "left_semi")
           else if (curView.version == vSeen) {
-            val touched = touchedDf.select(col(key)).collect()
-              .map(_.get(0)).toSeq
+            val touched = headRows.map(_.get(0)).toIndexedSeq
             ManifestTable.lookup(spark, v.viewRoot, schema, key, touched)
           } else
             // Crash path under the cap: snapshot read restricted by a
@@ -217,7 +227,7 @@ object MaterializedView {
           v.groupCols, v.sumCols, v.minMaxCols,
           () => v.prep(
             ManifestTable.readAt(spark, v.baseRoot, v.baseSchema, cur)),
-          maxSuspectGroups = maxDriverKeys)
+          suspectsBounded = small)
         val keyed = withKey(v, maintained).persist()
         try {
           // Groups whose count reached zero leave the view table. The

@@ -279,13 +279,15 @@ object SecondaryIndex {
       .filter(col("_v").isNotNull)
       .select(probeExpr(ix, col("_v"), col("_s")).as("_p"))
       .distinct().localCheckpoint()
-    val nTouched = touchedDf.count()
-    if (nTouched == 0) {
+    // ONE bounded action: up to cap+1 probe keys decide emptiness, the
+    // small/large branch, and on the small path ARE the probes.
+    val headProbes = touchedDf.limit(maxDriverKeys + 1).collect()
+    if (headProbes.isEmpty) {
       DerivedTable.advanceMarker(spark, ix.indexRoot, schema,
         key, StreamId, cur)
       return Some(cur)
     }
-    val small = nTouched <= maxDriverKeys
+    val small = headProbes.length <= maxDriverKeys
     // New key lists for the touched values: the current lists minus the
     // affected keys, plus each affected key's final assignment.
     //
@@ -312,7 +314,7 @@ object SecondaryIndex {
     // ~every bucket anyway.
     val touchedRows =
       if (small) {
-        val touched = touchedDf.collect().map(_.get(0)).toSeq
+        val touched = headProbes.map(_.get(0)).toIndexedSeq
         ManifestTable.lookup(spark, ix.indexRoot, schema, key, touched)
       } else ManifestTable.read(spark, ix.indexRoot, schema)
         .join(touchedDf.select(col("_p").as(key)), Seq(key), "left_semi")
