@@ -378,6 +378,43 @@ object GraftExtensions {
       graft.store.ManifestTable.lookup(spark, strArg(es(0), "root"),
           schema, kc, Seq(key))
         .queryExecution.analyzed
+    }),
+    "graft_index_lookup" -> (es => {
+      // Point query THROUGH a secondary index: index lookup → keys →
+      // base lookup, the two-pruned-reads plan a non-key `=` predicate
+      // wants. Same plan-time-manifest caveat as graft_lookup (the
+      // bucket targeting resolves the current file lists when the
+      // query plans — don't wrap in long-lived views). Single value
+      // column only from SQL (composite probes stay on the Scala API);
+      // the probe literal is cast to the value column's declared type
+      // so typed indexes probe correctly.
+      require(es.size == 6 || es.size == 7,
+        "usage: graft_index_lookup(baseRoot, schemaDDL, baseKey, " +
+          "indexRoot, valueCol, value[, numShards])")
+      val spark = SparkSession.active
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val vc = strArg(es(4), "value column")
+      require(schema.fieldNames.contains(vc),
+        s"value column $vc not in the schema DDL")
+      val ix = graft.store.SecondaryIndex.Index(
+        baseRoot = strArg(es(0), "base root"),
+        baseSchema = schema,
+        baseKey = strArg(es(2), "base key"),
+        indexRoot = strArg(es(3), "index root"),
+        valueCols = Seq(vc),
+        numShards = if (es.size == 7) longArg(es(6), "numShards").toInt
+          else 1)
+      val raw = foldableArg(es(5), "value") match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
+      val value = spark.range(1)
+        .select(org.apache.spark.sql.functions.lit(raw)
+          .cast(schema(vc).dataType))
+        .head().get(0)
+      graft.store.SecondaryIndex.lookupBy(spark, ix, value)
+        .queryExecution.analyzed
     }))
 
   /** Registers all graft SQL functions on an existing session. */

@@ -180,6 +180,23 @@ class ExtensionsSpec extends SparkSpec {
          WHERE grp IS NOT NULL""").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(idxGot == idxWant, s"$idxGot vs $idxWant")
+    // point query through the index from SQL: two pruned reads
+    val viaIdx = spark.sql(s"""SELECT id FROM graft_index_lookup('$base',
+      '$ddl', 'id', '$idx', 'grp', 'b')""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val direct = spark.sql(s"""SELECT id FROM graft_table('$base', '$ddl')
+      WHERE grp = 'b'""").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIdx == direct && viaIdx.nonEmpty, s"$viaIdx vs $direct")
+    // sharded index, same SQL surface: create/refresh/lookup with the
+    // trailing numShards argument
+    val sIdx = "target/test-tmp/ext_sql_idx_sharded"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sIdx))
+    assert(one(s"""SELECT * FROM graft_refresh_index('$base', '$ddl',
+      'id', '$sIdx', 'grp', 4, 4)""").getString(1) == "created")
+    val viaShards = spark.sql(s"""SELECT id FROM graft_index_lookup(
+      '$base', '$ddl', 'id', '$sIdx', 'grp', 'b', 4)""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaShards == direct, s"sharded lookup diverged: $viaShards")
     // replayed merge (same stream/batch token) must not apply; the
     // follow-up refreshes are noops
     assert(!one(s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',

@@ -1306,4 +1306,53 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.lookupRange(spark, root2, schema, "id", 2L, 9L)
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 9L))
   }
+
+  test("deleteChunked: single chunk keeps the plain token, multi-chunk " +
+      "finishes on the base-version token, and replays are no-ops") {
+    val root = freshRoot("manifest_chunked_del")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 25L).map(i => (i, s"n$i", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    val stream = "test#delete"
+    def keysDf(ks: Seq[Long]) = ks.toDF("id")
+    // single-chunk path (3 keys, cap 5): one delete, token = baseVersion
+    graft.store.DerivedTable.deleteChunked(spark, root, schema, "id",
+      keysDf(Seq(1L, 2L, 3L)), baseVersion = 7L, tokenStream = stream,
+      maxDriverKeys = 5)
+    assert(ManifestTable.read(spark, root, schema).count() == 22L)
+    assert(ManifestTable.currentManifest(spark, root).get
+      .lastBatches.get(stream).contains(7L))
+    // multi-chunk path (12 keys, cap 5 → 3 chunks): all keys erased and
+    // the FINAL recorded token is the base version itself — a completed
+    // chunked delete must not read as in-flight (token > marker)
+    graft.store.DerivedTable.deleteChunked(spark, root, schema, "id",
+      keysDf((4L to 15L)), baseVersion = 8L, tokenStream = stream,
+      maxDriverKeys = 5)
+    assert(ManifestTable.read(spark, root, schema)
+      .select("id").as[Long].collect().sorted.toSeq == (16L to 25L))
+    assert(ManifestTable.currentManifest(spark, root).get
+      .lastBatches.get(stream).contains(8L),
+      "final chunk must commit under the base version")
+    // replay of the whole chunked delete: contents unchanged, and the
+    // final chunk (token already in the ledger) no-ops
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    graft.store.DerivedTable.deleteChunked(spark, root, schema, "id",
+      keysDf((4L to 15L)), baseVersion = 8L, tokenStream = stream,
+      maxDriverKeys = 5)
+    assert(ManifestTable.read(spark, root, schema)
+      .select("id").as[Long].collect().sorted.toSeq == (16L to 25L))
+    assert(ManifestTable.currentManifest(spark, root).get
+      .lastBatches.get(stream).contains(8L))
+    // mid chunks may rewrite (distinct tokens), but the ledger ends on
+    // the same completed token and no rows changed
+    assert(ManifestTable.currentVersion(spark, root).get >= vBefore)
+    // empty frame: nothing happens at all
+    val v2 = ManifestTable.currentVersion(spark, root).get
+    graft.store.DerivedTable.deleteChunked(spark, root, schema, "id",
+      keysDf(Nil), baseVersion = 9L, tokenStream = stream,
+      maxDriverKeys = 5)
+    assert(ManifestTable.currentVersion(spark, root).get == v2)
+  }
 }

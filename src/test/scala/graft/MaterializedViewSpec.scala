@@ -236,8 +236,10 @@ class MaterializedViewSpec extends SparkSpec {
       delta = true, compactEvery = 2)
     val vd = viewDef(base, view)
     MaterializedView.create(spark, vd)
+    // the index rides SHARDED here: the follower loop must hold with
+    // hot-value sub-bucketing under delta merges + compaction too
     val ix = graft.store.SecondaryIndex.Index(base, schema, "id", idx,
-      "grp", numBuckets = 4)
+      Seq("grp"), numBuckets = 4, numShards = 4)
     graft.store.SecondaryIndex.create(spark, ix)
     val batches = Seq(
       Seq((1L, "b", "10"), (4L, "c", "4")), // move + insert
