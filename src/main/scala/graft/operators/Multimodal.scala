@@ -11,20 +11,26 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real through the in-JVM `javax.imageio` codecs
   * (PNG/JPEG/BMP/GIF): [[extractImageFeatures]] produces pixel-derived
   * features and [[resizeImages]] resamples payload bytes. AUDIO decodes
-  * for real for PCM WAV through the in-JVM `javax.sound.sampled` reader
-  * ([[extractAudioFeatures]]: sample-accurate RMS/peak/zero-crossing
-  * features). VIDEO parses for real at the CONTAINER level —
-  * [[extractVideoMeta]] reads dimensions, duration, codec id and
-  * frame/cluster offsets straight from MP4 box / MKV EBML structure
-  * ([[ContainerParse]], pure JVM) — and MJPEG tracks decode frames for
-  * real end-to-end ([[extractFrameFeatures]]: sample byte ranges out of
-  * the container index, each sample a self-contained JPEG through the
-  * same ImageIO path images use). The remaining stub boundary is
-  * exactly INTER-FRAME video codecs (H.264/VP9/AV1) and
-  * compressed-audio decode: those codecs are not available in this
-  * environment and keep the clearly-marked deterministic STUB
-  * ([[stubDecode]]) behind the same batched plumbing — swap it for a
-  * codec call to productionize.
+  * for real through [[decodeWav]]: 8/16-bit PCM WAV via the in-JVM
+  * `javax.sound.sampled` reader, the G.711 telephony codecs (μ-law /
+  * A-law, format tags 7/6) through graft's OWN ITU-T expansion tables
+  * (differentially spec-checked sample-for-sample against the JDK's
+  * codec), and IMA ADPCM (format tag 0x11, which the JDK reader
+  * refuses) through graft's own bounded RIFF walk + step-table state
+  * machine ([[decodeImaAdpcmWav]]) —
+  * [[extractAudioFeatures]] yields sample-accurate RMS/peak/
+  * zero-crossing features over all of them. VIDEO parses for real at
+  * the CONTAINER level — [[extractVideoMeta]] reads dimensions,
+  * duration, codec id and frame/cluster offsets straight from MP4 box /
+  * MKV EBML structure ([[ContainerParse]], pure JVM) — and MJPEG tracks
+  * decode frames for real end-to-end ([[extractFrameFeatures]]: sample
+  * byte ranges out of the container index, each sample a self-contained
+  * JPEG through the same ImageIO path images use). The remaining stub
+  * boundary is exactly INTER-FRAME video codecs (H.264/VP9/AV1) and
+  * PERCEPTUAL audio codecs (MP3/AAC/Vorbis): those need codec libraries
+  * this environment doesn't have and keep the clearly-marked
+  * deterministic STUB ([[stubDecode]]) behind the same batched
+  * plumbing — swap it for a codec call to productionize.
   */
 object Multimodal {
 
@@ -221,24 +227,53 @@ object Multimodal {
     (r << 16) | (g << 8) | b
   }
 
-  /** REAL audio decode for PCM WAV via the in-JVM
-    * `javax.sound.sampled` reader — the audio analogue of the imageio
-    * path: RIFF header parsed, frames streamed, normalized mono samples
-    * out. Handles 8/16-bit signed PCM (any channel count, any rate);
-    * compressed formats (MP3/OGG/AAC) still need external codecs and
-    * stay on [[stubDecode]]. Returns (format, mono samples in [-1,1]). */
+  /** G.711 μ-law expansion (ITU-T G.711, the classic public-domain
+    * table math): one companded byte → a 14-bit-range linear sample. */
+  private def ulawExpand(b: Byte): Int = {
+    val u = ~b & 0xff
+    var t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    t -= 0x84
+    if ((u & 0x80) != 0) -t else t
+  }
+
+  /** G.711 A-law expansion (ITU-T G.711): after the 0x55 toggle, the
+    * segment/mantissa unpack; bit 7 set means positive. */
+  private def alawExpand(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL audio decode for WAV via the in-JVM `javax.sound.sampled`
+    * reader — the audio analogue of the imageio path: RIFF header
+    * parsed, frames streamed, normalized mono samples out. Handles
+    * 8/16-bit signed PCM (any channel count, any rate) plus the
+    * telephony codecs: G.711 μ-law / A-law (format tags 7/6 — the JDK
+    * reader parses the container, OUR tables expand the companded
+    * bytes) and IMA ADPCM (format tag 0x11 — the JDK reader refuses it,
+    * so [[decodeImaAdpcmWav]]'s own RIFF walk takes over). Perceptual
+    * codecs (MP3/OGG/AAC) still need external libraries and stay on
+    * [[stubDecode]]. Returns (format, mono samples in [-1,1]). */
   def decodeWav(payload: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
     if (payload == null) return None
+    val viaJavax: Option[(javax.sound.sampled.AudioFormat, Array[Double])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        val ok = fmt.getEncoding ==
+        val enc = fmt.getEncoding
+        val companded =
+          enc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.ALAW
+        val ok = (enc ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          (bits == 8 || bits == 16)
+          (bits == 8 || bits == 16)) || (companded && bits == 8)
         if (!ok) None
         else {
           val bytes = in.readAllBytes()
@@ -247,6 +282,8 @@ object Multimodal {
           val frameBytes = ch * bytesPerSample
           val nFrames = bytes.length / frameBytes
           val mono = new Array[Double](nFrames)
+          val isUlaw =
+            enc == javax.sound.sampled.AudioFormat.Encoding.ULAW
           var f = 0
           while (f < nFrames) {
             var acc = 0.0
@@ -254,7 +291,10 @@ object Multimodal {
             while (c < ch) {
               val o = f * frameBytes + c * bytesPerSample
               val s =
-                if (bits == 8) bytes(o).toDouble / 128.0
+                if (companded)
+                  (if (isUlaw) ulawExpand(bytes(o))
+                   else alawExpand(bytes(o))).toDouble / 32768.0
+                else if (bits == 8) bytes(o).toDouble / 128.0
                 else {
                   val (lo, hi) =
                     if (fmt.isBigEndian) (bytes(o + 1), bytes(o))
@@ -270,6 +310,134 @@ object Multimodal {
           Some((fmt, mono))
         }
       } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    viaJavax.orElse(decodeImaAdpcmWav(payload))
+  }
+
+  // IMA ADPCM step/index tables (the public IMA/DVI specification).
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  private val AdpcmIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble through the standard decoder state machine:
+    * returns the new (predictor, stepIndex). */
+  @inline private def adpcmStep(
+      nibble: Int, predictor: Int, index: Int): (Int, Int) = {
+    val step = AdpcmSteps(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p0 = if ((nibble & 8) != 0) predictor - diff else predictor + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + AdpcmIndexAdj(nibble & 7)))
+    (p, i)
+  }
+
+  /** IMA ADPCM WAV decode through graft's OWN bounded RIFF walk (the
+    * JDK reader refuses format tag 0x11): per-channel block headers
+    * carry (predictor, step index), nibbles decode through the standard
+    * step-table state machine, channels interleave in 4-byte words.
+    * Every offset is bounds-checked against the payload (the
+    * ContainerParse discipline — a hostile header caps out, never
+    * allocates past the data), junk returns None. */
+  def decodeImaAdpcmWav(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
+    if (payload == null || payload.length < 44) return None
+    try {
+      def u16(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long =
+        (u16(o).toLong) | (u16(o + 2).toLong << 16)
+      def tag(o: Int): String =
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      // chunk walk
+      var off = 12
+      var fmtOff = -1; var fmtLen = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = tag(off)
+        val len = math.min(u32(off + 4),
+          (payload.length - off - 8).toLong).toInt
+        if (id == "fmt ") { fmtOff = off + 8; fmtLen = len }
+        else if (id == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len + (len & 1)
+      }
+      if (fmtOff < 0 || dataOff < 0 || fmtLen < 16) return None
+      val tagFmt = u16(fmtOff)
+      if (tagFmt != 0x11) return None // IMA/DVI ADPCM only
+      val ch = u16(fmtOff + 2)
+      val rate = u32(fmtOff + 4).toInt
+      val blockAlign = u16(fmtOff + 12)
+      if (ch < 1 || ch > 8 || rate <= 0 || blockAlign < 4 * ch ||
+        blockAlign > dataLen) return None
+      val samplesPerBlock =
+        if (fmtLen >= 20 && u16(fmtOff + 16) >= 2) u16(fmtOff + 18)
+        else (blockAlign - 4 * ch) * 2 / ch + 1
+      if (samplesPerBlock < 1 ||
+        samplesPerBlock > (blockAlign - 4 * ch) * 2 / ch + 1) return None
+      val nBlocks = dataLen / blockAlign
+      val mono = new Array[Double](nBlocks * samplesPerBlock)
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      val chSamples = Array.ofDim[Int](ch, samplesPerBlock)
+      var b = 0
+      while (b < nBlocks) {
+        val base = dataOff + b * blockAlign
+        var c = 0
+        while (c < ch) {
+          val h = base + 4 * c
+          pred(c) = (((payload(h + 1) << 8) |
+            (payload(h) & 0xff)).toShort).toInt
+          idx(c) = math.max(0, math.min(88, payload(h + 2) & 0xff))
+          chSamples(c)(0) = pred(c)
+          c += 1
+        }
+        // nibble area: 4-byte words round-robin across channels
+        var produced = 1 // per-channel samples emitted so far
+        var w = base + 4 * ch
+        val blockEnd = base + blockAlign
+        while (produced < samplesPerBlock && w + 4 * ch <= blockEnd) {
+          var c2 = 0
+          while (c2 < ch) {
+            val wordBase = w + 4 * c2
+            var k = 0
+            while (k < 8) {
+              val byte0 = payload(wordBase + (k >> 1)) & 0xff
+              val nib = if ((k & 1) == 0) byte0 & 0xf else byte0 >> 4
+              val (p, i2) = adpcmStep(nib, pred(c2), idx(c2))
+              pred(c2) = p; idx(c2) = i2
+              if (produced + k < samplesPerBlock)
+                chSamples(c2)(produced + k) = p
+              k += 1
+            }
+            c2 += 1
+          }
+          produced += 8
+          w += 4 * ch
+        }
+        var s = 0
+        while (s < samplesPerBlock) {
+          var acc = 0.0
+          var c3 = 0
+          while (c3 < ch) { acc += chSamples(c3)(s) / 32768.0; c3 += 1 }
+          mono(b * samplesPerBlock + s) = acc / ch
+          s += 1
+        }
+        b += 1
+      }
+      if (mono.isEmpty) None
+      else Some((new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, ch, true, false), mono))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -359,6 +527,138 @@ object Multimodal {
         lit(0).as("width"),
         lit(0).as("height"),
         lit(1).as("n_frames")))
+  }
+
+  /** Deterministic G.711 WAV fixtures: the same id-derived sine waves
+    * as [[syntheticWavs]], companded to μ-law/A-law by the JDK'S OWN
+    * codec (`AudioSystem` conversion) and written as fmt-tag-7/6 WAVs —
+    * so specs can differentially check graft's expansion tables against
+    * an independent public implementation, not against themselves. */
+  def syntheticG711Wavs(
+      spark: SparkSession, n: Int, aLaw: Boolean,
+      sampleRate: Int = 8000, nSamples: Int = 4000): DataFrame = {
+    import spark.implicits._
+    val sr = sampleRate
+    val ns = nSamples
+    spark.range(n.toLong).as[Long].map { id =>
+      (id, g711Wav(id, aLaw, sr, ns))
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit(if (aLaw) "wav-alaw" else "wav-ulaw").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("n_frames")))
+  }
+
+  /** One JDK-companded G.711 WAV payload (driver-side helper for the
+    * differential spec; also the row builder of [[syntheticG711Wavs]]). */
+  def g711Wav(id: Long, aLaw: Boolean, sr: Int, ns: Int): Array[Byte] = {
+    val freq = 200.0 + 100.0 * (id % 8)
+    val amp = 0.2 + 0.1 * (id % 5)
+    val pcm = new Array[Byte](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767.0).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val pcmFmt = new javax.sound.sampled.AudioFormat(
+      sr.toFloat, 16, 1, true, false)
+    val enc =
+      if (aLaw) javax.sound.sampled.AudioFormat.Encoding.ALAW
+      else javax.sound.sampled.AudioFormat.Encoding.ULAW
+    val target = new javax.sound.sampled.AudioFormat(
+      enc, sr.toFloat, 8, 1, 1, sr.toFloat, false)
+    val pcmAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), pcmFmt, ns.toLong)
+    val g711 = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(target, pcmAis)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(g711,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The inverse quantizer of [[adpcmStep]]: pick the nibble whose
+    * decoded step lands closest below/at the target difference — the
+    * standard IMA encoder. State updates run through adpcmStep itself,
+    * so encoder and decoder can never drift. */
+  @inline private def adpcmEncodeNibble(
+      sample: Int, predictor: Int, index: Int): Int = {
+    val step = AdpcmSteps(index)
+    var diff = sample - predictor
+    var nib = 0
+    if (diff < 0) { nib = 8; diff = -diff }
+    if (diff >= step) { nib |= 4; diff -= step }
+    if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) nib |= 1
+    nib
+  }
+
+  /** Deterministic IMA ADPCM WAV fixtures (mono, blockAlign 256 →
+    * 505 samples/block): graft's own encoder + RIFF writer, the same
+    * sine family as [[syntheticWavs]] so the lossy decode's RMS/ZCR
+    * stay analytically checkable. */
+  def syntheticAdpcmWavs(
+      spark: SparkSession, n: Int, sampleRate: Int = 8000,
+      nBlocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val sr = sampleRate
+    val nb = nBlocks
+    spark.range(n.toLong).as[Long].map { id =>
+      (id, imaAdpcmWav(id, sr, nb))
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("wav-ima").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("n_frames")))
+  }
+
+  /** One IMA ADPCM WAV payload (mono; driver-side helper). */
+  def imaAdpcmWav(id: Long, sr: Int, nBlocks: Int): Array[Byte] = {
+    val blockAlign = 256
+    val spb = (blockAlign - 4) * 2 + 1 // 505 samples per mono block
+    val ns = nBlocks * spb
+    val freq = 200.0 + 100.0 * (id % 8)
+    val amp = 0.2 + 0.1 * (id % 5)
+    val samples = Array.tabulate(ns)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767.0).toInt)
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var index = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * blockAlign
+      var pred = samples(b * spb)
+      data(base) = (pred & 0xff).toByte
+      data(base + 1) = ((pred >> 8) & 0xff).toByte
+      data(base + 2) = index.toByte
+      data(base + 3) = 0
+      var s = 1
+      while (s < spb) {
+        val nib = adpcmEncodeNibble(samples(b * spb + s), pred, index)
+        val (p, i2) = adpcmStep(nib, pred, index)
+        pred = p; index = i2
+        val o = base + 4 + ((s - 1) >> 1)
+        if (((s - 1) & 1) == 0) data(o) = (nib & 0xf).toByte
+        else data(o) = (data(o) | (nib << 4)).toByte
+        s += 1
+      }
+      b += 1
+    }
+    // minimal RIFF/WAVE wrapper: fmt (tag 0x11, cbSize 2,
+    // samplesPerBlock) + data
+    val fmtLen = 20
+    val riffLen = 4 + (8 + fmtLen) + (8 + data.length)
+    val out = java.nio.ByteBuffer
+      .allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      .putShort(0x11).putShort(1).putInt(sr)
+      .putInt(sr * blockAlign / spb) // avg byte rate (informational)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    out.array()
   }
 
   // ------------------------------------------------- real video containers

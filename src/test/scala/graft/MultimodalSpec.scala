@@ -143,6 +143,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("G.711 mu-law and A-law decode: graft's expansion tables match " +
+      "the JDK codec sample-for-sample, and features stay analytic") {
+    // DIFFERENTIAL check: the fixtures compand through the JDK's own
+    // G.711 encoder; graft decodes with its OWN tables. Cross-check
+    // the raw sample streams against the JDK's expansion directly.
+    for (aLaw <- Seq(false, true)) {
+      val payload = Multimodal.g711Wav(3L, aLaw, 8000, 2000)
+      val ours = Multimodal.decodeWav(payload).get._2
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, true, false)
+      val jdk = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(pcmFmt, ais).readAllBytes()
+      assert(ours.length == jdk.length / 2)
+      var maxDiff = 0.0
+      var i = 0
+      while (i < ours.length) {
+        val ref = ((jdk(2 * i + 1) << 8) | (jdk(2 * i) & 0xff)).toDouble /
+          32768.0
+        maxDiff = math.max(maxDiff, math.abs(ours(i) - ref))
+        i += 1
+      }
+      assert(maxDiff <= 4.0 / 32768.0,
+        s"aLaw=$aLaw: expansion diverges from the JDK codec by $maxDiff")
+    }
+    // and the batched feature path sees companded WAVs like any other
+    val media = Multimodal.syntheticG711Wavs(spark, 4, aLaw = false)
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.size == 4 && feats.values.forall(_ != null))
+    feats.foreach { case (id, f) =>
+      val Seq(rate, ch, _, rms, _, zcr) = f.toSeq
+      val amp = 0.2 + 0.1 * (id % 5)
+      val freq = 200.0 + 100.0 * (id % 8)
+      assert(rate == 8000.0f && ch == 1.0f)
+      // mu-law is logarithmic 8-bit: ~2% signal-level tolerance
+      assert(math.abs(rms - amp / math.sqrt(2)) < 0.02,
+        s"id=$id rms=$rms want ~${amp / math.sqrt(2)}")
+      assert(math.abs(zcr - 2 * freq / 8000.0) < 0.01,
+        s"id=$id zcr=$zcr")
+    }
+  }
+
+  test("IMA ADPCM decode: graft's own RIFF walk + step tables recover " +
+      "the signal, and hostile headers cap out instead of throwing") {
+    val media = Multimodal.syntheticAdpcmWavs(spark, 4)
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.size == 4 && feats.values.forall(_ != null))
+    feats.foreach { case (id, f) =>
+      val Seq(rate, ch, n, rms, _, zcr) = f.toSeq
+      val amp = 0.2 + 0.1 * (id % 5)
+      val freq = 200.0 + 100.0 * (id % 8)
+      assert(rate == 8000.0f && ch == 1.0f && n == 8 * 505.0f,
+        s"id=$id header mismatch: $f")
+      // ADPCM is lossy (4-bit residuals): 5% on RMS, looser on ZCR
+      assert(math.abs(rms - amp / math.sqrt(2)) < 0.05 * amp + 0.01,
+        s"id=$id rms=$rms want ~${amp / math.sqrt(2)}")
+      assert(math.abs(zcr - 2 * freq / 8000.0) < 0.02, s"id=$id zcr=$zcr")
+    }
+    // junk safety: truncations and bit flips must never throw (a short
+    // payload may legally decode its surviving whole blocks)
+    val good = Multimodal.imaAdpcmWav(1L, 8000, 8)
+    for (cut <- Seq(3, 11, 20, 43, 100, good.length - 1))
+      Multimodal.decodeImaAdpcmWav(good.take(cut))
+    val flipped = good.clone()
+    flipped(21) = (flipped(21) ^ 0x5a).toByte // fmt chunk corruption
+    Multimodal.decodeImaAdpcmWav(flipped) // must not throw
+    // block-align lying past the data: bounded, returns None
+    val lying = good.clone()
+    lying(32) = 0xff.toByte; lying(33) = 0x7f.toByte
+    assert(Multimodal.decodeImaAdpcmWav(lying).isEmpty)
+  }
+
   test("non-WAV bytes yield null audio features") {
     import spark.implicits._
     val junk = Seq((1L, "definitely not riff".getBytes))
