@@ -407,20 +407,50 @@ object ManifestTable {
     * normalization is exactly the one the table's layout used. The
     * recorded keyExpr resolves BY NAME, so the probe frame exposes each
     * literal under the key column's name. Bounded by |keys|. */
+  /** Probe-count threshold below which probe predicates inline as
+    * literal `isin` lists (which push down to parquet row-group
+    * pruning); above it the plan switches to broadcast semi-/anti-
+    * joins against a [[probeFrame]] — N literal expression nodes cost
+    * the ANALYZER O(N) per query (measured: ~22 s of pure planning at
+    * 100k literals vs ~2 s of execution), while a LocalRelation of the
+    * same keys is one plan node at any size, and at that probe count
+    * an In pushdown prunes nothing anyway. */
+  private val InlineProbeLimit = 1000
+
+  /** The probe keys as ONE LocalRelation (single plan node regardless
+    * of key count), typed off the first key the way `lit` would. */
+  private def probeFrame(
+      spark: SparkSession, colName: String, keys: Seq[Any]): DataFrame = {
+    val dt =
+      org.apache.spark.sql.catalyst.expressions.Literal(keys.head).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(colName, dt,
+        nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        keys.map(k => org.apache.spark.sql.Row(k)): _*), schema)
+  }
+
+  /** (bucket, normalized key, rendered string) per probe key — one
+    * local query over ONE [[probeFrame]], Spark-computed so the bucket
+    * targeting, the value the final predicate compares, and the string
+    * the manifest range stats compare against can never drift from
+    * what the write path computed. */
   private def normalizedProbes(
       spark: SparkSession,
       m: Manifest,
       keyColumn: String,
       keys: Seq[Any],
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : Seq[(Int, Any)] = {
+      : Seq[(Int, Any, String)] = {
+    if (keys.isEmpty) return Nil
     val cmp = effectiveKey(m, keyComparator)
-    spark.range(1)
-      .select(explode(array(keys.map(k => lit(k)): _*)).as(keyColumn))
+    probeFrame(spark, keyColumn, keys)
       .select(bucketExpr(m.numBuckets, m.rangeBounds,
           cmp(col(keyColumn))).as("b"),
-        cmp(col(keyColumn)).as("k"))
-      .collect().map(r => (r.getInt(0), r.get(1))).toSeq
+        cmp(col(keyColumn)).as("k"),
+        cmp(col(keyColumn)).cast("string").as("s"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getString(2))).toSeq
   }
 
   /** Reads `entries` reconciled to the LIVE row per key: buckets with a
@@ -1075,22 +1105,45 @@ object ManifestTable {
         val cmp = effectiveKey(m, keyComparator)
         val probes = normalizedProbes(spark, m, keyColumn, keys,
           keyComparator)
-        val rendered = spark.range(1)
-          .select(explode(array(probes.map { case (b, k) =>
-            struct(lit(b).as("b"), lit(k).cast("string").as("s"))
-          }: _*)).as("k"))
-          .select(col("k.b"), col("k.s"))
-          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
         // With delta files, a hit bucket must keep ALL of its live files
         // that can contain the probe key — range-excluded files provably
         // lack the key, so reconciling over the remaining subset is exact
-        // (last-seq-wins on the normalized key).
-        val hit = m.entries.filter(e => rendered.exists { case (b, s) =>
-          b == e.bucket && s >= e.minKey && s <= e.maxKey
-        })
+        // (last-seq-wins on the normalized key). Per-bucket SORTED probe
+        // strings + a binary search per entry: O(E log N), not O(E·N) —
+        // at 100k probes the linear scan was real driver time.
+        val byBucket: Map[Int, Array[String]] = probes
+          .groupBy(_._1).map { case (b, ps) =>
+            b -> ps.map(_._3).toArray.sorted
+          }
+        def anyInRange(sorted: Array[String], lo: String, hi: String)
+            : Boolean = {
+          var l = 0; var r = sorted.length
+          while (l < r) { // first index with sorted(i) >= lo
+            val mid = (l + r) >>> 1
+            if (sorted(mid) < lo) l = mid + 1 else r = mid
+          }
+          l < sorted.length && sorted(l) <= hi
+        }
+        val hit = m.entries.filter(e => byBucket.get(e.bucket)
+          .exists(anyInRange(_, e.minKey, e.maxKey)))
         if (hit.isEmpty) emptyFrame(spark, schema)
-        else reconciledRead(spark, root, schema, hit, keyColumn, cmp)
-          .filter(cmp(col(keyColumn)).isin(probes.map(p => lit(p._2)): _*))
+        else {
+          val base = reconciledRead(spark, root, schema, hit, keyColumn,
+            cmp)
+          // Small probe sets inline as literals (the In predicate
+          // pushes into the parquet scan's row-group pruning); big sets
+          // become a broadcast semi-join on the normalized key — same
+          // rows, one plan node instead of O(N) analyzer work.
+          if (probes.size <= InlineProbeLimit)
+            base.filter(cmp(col(keyColumn))
+              .isin(probes.map(p => lit(p._2)): _*))
+          else {
+            val pf = broadcast(probeFrame(spark, "_probe_k",
+              probes.map(_._2)))
+            base.join(pf, cmp(col(keyColumn)) === pf("_probe_k"),
+              "left_semi")
+          }
+        }
       case _ => emptyFrame(spark, schema)
     }
 
@@ -1220,12 +1273,22 @@ object ManifestTable {
         // bucket comes out compacted as a side effect. The isin list
         // holds the PRE-normalized probe values (normalizing a literal
         // through the recorded keyExpr directly is impossible — it
-        // resolves by column name).
-        val fragment = reconciledRead(spark, root, schema, touchedEntries,
-            keyColumn, cmp)
-          .filter(!coalesce(
-            cmp(col(keyColumn)).isin(probes.map(p => lit(p._2)): _*),
-            lit(false)))
+        // resolves by column name). Big probe sets switch to a
+        // broadcast ANTI-join (NULL keys never match the condition and
+        // are kept — same semantics, no O(N) analyzer cost).
+        val reconciled = reconciledRead(spark, root, schema,
+          touchedEntries, keyColumn, cmp)
+        val fragment =
+          if (probes.size <= InlineProbeLimit)
+            reconciled.filter(!coalesce(
+              cmp(col(keyColumn)).isin(probes.map(p => lit(p._2)): _*),
+              lit(false)))
+          else {
+            val pf = broadcast(probeFrame(spark, "_probe_k",
+              probes.map(_._2)))
+            reconciled.join(pf,
+              cmp(col(keyColumn)) === pf("_probe_k"), "left_anti")
+          }
         val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
