@@ -423,6 +423,13 @@ object SparkEntry {
       graft.store.SecondaryIndex.create(s, ixShardedDef)
       sideReady += "manifest_index_sharded_idx"
     }),
+    "manifest_bloom" -> ((s, dir) => {
+      val root = resetManifestFixture(s, dir, "manifest_bloom",
+        withMerge = true)
+      graft.store.BloomSkip.buildBlooms(s, root, upsertSchema,
+        Seq("name"))
+      sideReady += "manifest_bloom_blooms"
+    }),
     "manifest_index_range" -> ((s, dir) => {
       // create + merge + index bootstrap + base DELETE + refresh all
       // land here, OUTSIDE the timed region: the query then times ONLY
@@ -1076,6 +1083,25 @@ object SparkEntry {
       graft.store.SecondaryIndex.refresh(s, ix)
       graft.store.SecondaryIndex.read(s, ix)
         .select(col("segment"), explode(col("keys")).as("id"))
+    }),
+    "manifest_bloom" -> ((s, dir) => {
+      // Bloom FILE SKIPPING on a non-key column: per-file xxhash64
+      // Bloom sidecars over `name` let a point predicate read only the
+      // buckets whose filters cannot rule the value out — no secondary
+      // index table, no maintenance, just a build pass over new files.
+      // benchSetups pre-builds fixture + filters, so the timed region
+      // is the pruned point read alone. (Pruning is BUCKET-granular on
+      // purpose: dropping one file of an LSM bucket could resurrect an
+      // overridden row — see BloomSkip.)
+      val root = manifestFixture(s, dir, "manifest_bloom",
+        withMerge = true)
+      if (!sideReady.contains("manifest_bloom_blooms")) {
+        graft.store.BloomSkip.buildBlooms(s, root, upsertSchema,
+          Seq("name"))
+        sideReady += "manifest_bloom_blooms"
+      }
+      graft.store.BloomSkip.lookupByColumn(s, root, upsertSchema,
+        "name", "Customer#000000042")
     }),
     "manifest_index_range" -> ((s, dir) => {
       // BETWEEN on a RANGE-layout index: benchSetups pre-applies
@@ -2058,6 +2084,16 @@ object SparkEntry {
            FROM customer
            WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (${(1 to 10).map(_ * 13).mkString(", ")})""",
+      "manifest_bloom" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_name = 'Customer#000000042'""",
       "manifest_index_range" ->
         s"""SELECT c_custkey AS id, c_name AS name
            FROM customer

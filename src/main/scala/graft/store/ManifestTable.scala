@@ -933,6 +933,45 @@ object ManifestTable {
       } else None
     }
 
+  /** Committed bloom sidecar directories ([[BloomSkip]]) — same
+    * resolution rules as history/stats. */
+  private[store] def committedBloomDirs(
+      spark: SparkSession, root: String): Seq[String] =
+    committedSideDirs(spark, root, "bloom")
+
+  /** Writes a [[BloomSkip]] sidecar for `m`'s version: the next
+    * revision of `bloom/v<version>-<sideId>` (first build writes the
+    * unrevisioned dir). The parquet `_SUCCESS` marker is the commit
+    * point — a crashed half-write is invisible to
+    * [[committedBloomDirs]]. */
+  private[store] def writeBloomSidecar(
+      spark: SparkSession, root: String, m: Manifest,
+      df: DataFrame): Unit = {
+    val base = s"v${m.version}" +
+      (if (m.sideId.isEmpty) "" else s"-${m.sideId}")
+    val dir = new Path(s"$root/bloom")
+    val fs = fsOf(spark, dir)
+    val rev =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap(parseSideDirName)
+        .collect { case (v, a, r) if v == m.version && a == m.sideId =>
+          r + 1 }
+        .maxOption.getOrElse(0)
+    val name = if (rev == 0) base else s"$base-r$rev"
+    df.coalesce(1).write.mode("errorifexists")
+      .parquet(s"$root/bloom/$name")
+  }
+
+  /** Reconciled read over an entry SUBSET under the table's recorded
+    * comparator ([[BloomSkip]]'s bucket-pruned scan). */
+  private[store] def reconciledEntriesRead(
+      spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      m: Manifest, entries: Seq[FileEntry]): DataFrame =
+    reconciledRead(spark, root, schema, entries, m.keyColumn,
+      recordedKey(m))
+
   /** All committed keep_history rows across versions (empty frame when
     * none). Survives `vacuum` — history records facts, not superseded
     * state; [[redactHistory]] (per-key erasure) and [[expireHistory]]

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mapping.Mapping
+import graft.store.{BloomSkip, ManifestTable}
+
+class BloomSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", LongType)))
+
+  private def mapping = {
+    val m = new Mapping()
+    m.auto("id"); m.auto("name"); m.auto("score")
+    m.complete(schema)
+    m
+  }
+
+  private def raw(rows: (Long, String, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((id, n, s), i) => (Seq(id.toString, n, s), i.toLong) }
+      .toDF("_raw", "_line")
+
+  private def fresh(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  test("bloom lookup equals the full-scan filter and reads fewer files") {
+    val root = fresh("bloom_basic")
+    val m = mapping
+    // 200 near-unique names over 16 buckets
+    ManifestTable.merge(
+      raw((1L to 200L).map(i => (i, f"name$i%03d", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 16, streamId = "S")
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("name")) == 16)
+    // repeated build: incremental no-op
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("name")) == 0)
+    val hit = BloomSkip.lookupByColumn(spark, root, schema, "name",
+      "name042")
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((42L, "name042")))
+    // pruning: the bloomed read touches fewer files than the full scan
+    val full = ManifestTable.read(spark, root, schema)
+    assert(hit.inputFiles.length < full.inputFiles.length,
+      s"${hit.inputFiles.length} of ${full.inputFiles.length}")
+    // absent value: empty, and (usually) zero files past the filters
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
+      "nope").count() == 0L)
+    // NULL probe is a usage error, not a silent empty
+    intercept[IllegalArgumentException] {
+      BloomSkip.lookupByColumn(spark, root, schema, "name", null)
+    }
+  }
+
+  test("typed probes hash like the column: a BIGINT column probed with " +
+      "an Int finds its rows") {
+    val root = fresh("bloom_typed")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 50L).map(i => (i, s"n$i", (i * 7).toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    BloomSkip.buildBlooms(spark, root, schema, Seq("score"))
+    // score is LongType; probe with an Int — the cast discipline must
+    // land on the same xxhash64 input as the build
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "score", 21)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("delta overrides stay invisible: bucket-granular skipping can " +
+      "never resurrect an overridden row") {
+    val root = fresh("bloom_delta")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 40L).map(i => (i, s"orig$i", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    // blooms cover the BASE files only
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("name")) == 4)
+    // delta override: id 7's name changes orig7 -> changed7
+    ManifestTable.merge(raw((7L, "changed7", "7")).transform(m.project),
+      1L, m, root, schema, streamId = "S", delta = true)
+    // probe the OLD value: the base file's bloom says "maybe" but the
+    // bucket reconciles with its (un-bloomed) delta — the overridden
+    // row must not come back
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "orig7")
+      .count() == 0L, "bloom skipping resurrected an overridden row")
+    // the NEW value lives in an uncovered delta file: conservative read
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
+        "changed7").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // incremental build covers exactly the delta file; both probes
+    // still exact afterwards
+    val built = BloomSkip.buildBlooms(spark, root, schema, Seq("name"))
+    assert(built >= 1, s"expected the delta file covered, built $built")
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "orig7")
+      .count() == 0L)
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
+        "changed7").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // ... and rows the override did NOT touch still read through the
+    // same bucket
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "orig8")
+      .collect().map(_.getLong(0)).toSeq == Seq(8L))
+  }
+
+  test("blooms survive unrelated merges and compaction rebuilds are " +
+      "incremental") {
+    val root = fresh("bloom_compact")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 60L).map(i => (i, s"v$i", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    BloomSkip.buildBlooms(spark, root, schema, Seq("name"))
+    // full (non-delta) merge rewrites some buckets: their new files are
+    // uncovered until the next build, reads stay exact meanwhile
+    ManifestTable.merge(raw((2L, "w2", "2")).transform(m.project),
+      1L, m, root, schema, streamId = "S")
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "w2")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "v2")
+      .count() == 0L)
+    val built = BloomSkip.buildBlooms(spark, root, schema, Seq("name"))
+    assert(built >= 1 && built <= 2,
+      s"rebuild must cover only the rewritten bucket's file: $built")
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "v3")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+}
