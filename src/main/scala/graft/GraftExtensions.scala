@@ -379,6 +379,52 @@ object GraftExtensions {
           schema, kc, Seq(key))
         .queryExecution.analyzed
     }),
+    "graft_bloom_build" -> (es => {
+      // Procedure-style (the graft_merge discipline, incl. the in-view
+      // refusal): builds per-file Bloom sidecars for the named columns
+      // over every current file not yet covered. Returns
+      // (filters_built) — 0 means already covered.
+      refuseInView("graft_bloom_build")
+      require(es.size == 3 || es.size == 4,
+        "usage: graft_bloom_build(root, schemaDDL, cols[, fpp])")
+      val spark = SparkSession.active
+      val n = graft.store.BloomSkip.buildBlooms(spark,
+        strArg(es(0), "root"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        csvArg(es(2), "columns"),
+        fpp = if (es.size == 4) foldableArg(es(3), "fpp") match {
+          case d: Double => d
+          case other => throw new IllegalArgumentException(
+            s"fpp must be a double literal, got $other")
+        } else 0.03)
+      import spark.implicits._
+      Seq(n).toDF("filters_built").queryExecution.analyzed
+    }),
+    "graft_bloom_lookup" -> (es => {
+      // Bloom-pruned point read on a non-key column (graft_lookup's
+      // plan-time-manifest caveat applies). The probe literal is cast
+      // to the column's declared type so the hash matches the build.
+      require(es.size == 4,
+        "usage: graft_bloom_lookup(root, schemaDDL, column, value)")
+      val spark = SparkSession.active
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val c = strArg(es(2), "column")
+      require(schema.fieldNames.contains(c),
+        s"column $c not in the schema DDL")
+      val raw = foldableArg(es(3), "value") match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
+      val value = spark.range(1)
+        .select(org.apache.spark.sql.functions.lit(raw)
+          .cast(schema(c).dataType))
+        .head().get(0)
+      graft.store.BloomSkip.lookupByColumn(spark,
+        strArg(es(0), "root"), schema, c, value)
+        .queryExecution.analyzed
+    }),
     "graft_index_lookup" -> (es => {
       // Point query THROUGH a secondary index: index lookup → keys →
       // base lookup, the two-pruned-reads plan a non-key `=` predicate

@@ -197,6 +197,15 @@ class ExtensionsSpec extends SparkSpec {
       '$base', '$ddl', 'id', '$sIdx', 'grp', 'b', 4)""")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(viaShards == direct, s"sharded lookup diverged: $viaShards")
+    // bloom skipping from SQL: build filters, then a pruned point read
+    assert(one(s"""SELECT * FROM graft_bloom_build('$base', '$ddl',
+      'grp')""").getInt(0) > 0)
+    assert(one(s"""SELECT * FROM graft_bloom_build('$base', '$ddl',
+      'grp')""").getInt(0) == 0, "second build must be a no-op")
+    val viaBloom = spark.sql(s"""SELECT id FROM graft_bloom_lookup(
+      '$base', '$ddl', 'grp', 'b')""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == direct, s"bloom lookup diverged: $viaBloom")
     // replayed merge (same stream/batch token) must not apply; the
     // follow-up refreshes are noops
     assert(!one(s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',
