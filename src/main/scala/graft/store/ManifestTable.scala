@@ -933,11 +933,41 @@ object ManifestTable {
       } else None
     }
 
-  /** Committed bloom sidecar directories ([[BloomSkip]]) — same
-    * resolution rules as history/stats. */
+  /** Committed bloom sidecar directories ([[BloomSkip]]) — the
+    * history/stats commit rules (version ≤ current, `_SUCCESS`, attempt
+    * = the version's recorded winner) EXCEPT that ALL revisions of a
+    * version are kept, not just the highest: bloom revisions are
+    * ADDITIVE (each incremental build covers files the earlier ones
+    * did not — e.g. a second build over different columns), where a
+    * history revision SUPERSEDES its original (redaction rewrite).
+    * Sorted oldest→newest so [[BloomSkip.bloomsOf]]'s newest-wins
+    * resolution is well-defined. */
   private[store] def committedBloomDirs(
       spark: SparkSession, root: String): Seq[String] =
-    committedSideDirs(spark, root, "bloom")
+    currentVersion(spark, root) match {
+      case None => Nil
+      case Some(cur) =>
+        val dir = new Path(s"$root/bloom")
+        val fs = fsOf(spark, dir)
+        if (!fs.exists(dir)) Nil
+        else {
+          val mfs = fsOf(spark, new Path(s"$root/manifest"))
+          fs.listStatus(dir).toSeq
+            .map(_.getPath.getName)
+            .flatMap(n => parseSideDirName(n).map {
+              case (v, a, r) => (v, a, r, n) })
+            .filter { case (v, a, _, n) =>
+              v <= cur &&
+              fs.exists(new Path(s"$root/bloom/$n/_SUCCESS")) && {
+                val mp = new Path(s"$root/manifest/m$v")
+                if (!mfs.exists(mp)) true // vacuumed: losers GC'd first
+                else readManifest(spark, root, v).sideId == a
+              }
+            }
+            .sortBy { case (v, _, r, _) => (v, r) }
+            .map { case (_, _, _, n) => s"$root/bloom/$n" }
+        }
+    }
 
   /** Writes a [[BloomSkip]] sidecar for `m`'s version: the next
     * revision of `bloom/v<version>-<sideId>` (first build writes the
@@ -1630,22 +1660,28 @@ object ManifestTable {
         }
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
-      Seq("history", "stats").foreach { kind =>
+      Seq("history", "stats", "bloom").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {
           val names = kfs.listStatus(kd).toSeq.map(_.getPath.getName)
-          // Per version: keep exactly the dir readers resolve — the
-          // winning attempt's HIGHEST _SUCCESS revision (a completed
-          // redaction supersedes the original; a torn one is garbage).
-          val keep: Set[String] = names
+          // Per version: keep exactly the dirs readers resolve. For
+          // history/stats that is the winning attempt's HIGHEST
+          // _SUCCESS revision (a completed redaction supersedes the
+          // original; a torn one is garbage); bloom revisions are
+          // ADDITIVE ([[committedBloomDirs]]) — every _SUCCESS
+          // revision of the winning attempt stays.
+          val committed = names
             .flatMap(n => parseSideDirName(n).map {
               case (v, a, r) => (v, a, r, n) })
             .filter { case (v, a, _, n) =>
               sideIdOf.get(v).contains(a) &&
                 kfs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
             }
-            .groupBy(_._1).values.map(_.maxBy(_._3)._4).toSet
+          val keep: Set[String] =
+            if (kind == "bloom") committed.map(_._4).toSet
+            else committed.groupBy(_._1).values
+              .map(_.maxBy(_._3)._4).toSet
           names.foreach { n =>
             parseSideDirName(n).foreach { case (v, _, _) =>
               // versions with no manifest left alone (in-flight above

@@ -111,6 +111,45 @@ class BloomSkipSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(8L))
   }
 
+  test("bloom revisions are additive: a second build over DIFFERENT " +
+      "columns at the same version must not shadow the first, and " +
+      "vacuum keeps every committed revision") {
+    val root = fresh("bloom_revs")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 60L).map(i => (i, s"n$i", (i * 3).toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("name")) == 4)
+    // same version, different column → a REVISION sidecar
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("score")) == 4)
+    def bothWork(): Unit = {
+      assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "n9")
+        .collect().map(_.getLong(0)).toSeq == Seq(9L),
+        "name filters lost")
+      assert(BloomSkip.lookupByColumn(spark, root, schema, "score", 27L)
+        .collect().map(_.getLong(0)).toSeq == Seq(9L),
+        "score filters lost")
+      // both columns still PRUNE (filters resolvable, not just correct)
+      val full = ManifestTable.read(spark, root, schema)
+      assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
+        "zzz-absent").inputFiles.length < full.inputFiles.length)
+      assert(BloomSkip.lookupByColumn(spark, root, schema, "score",
+        -1L).inputFiles.length < full.inputFiles.length)
+    }
+    bothWork()
+    // a torn sidecar (no _SUCCESS) is invisible and vacuumed away;
+    // committed revisions all survive
+    val cur = ManifestTable.currentVersion(spark, root).get
+    val torn = new java.io.File(s"$root/bloom/v$cur-torn123abc45")
+    torn.mkdirs()
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert(!torn.exists(), "torn bloom dir must be vacuumed")
+    assert(new java.io.File(s"$root/bloom").listFiles().length == 2,
+      "both committed bloom revisions must survive vacuum")
+    bothWork()
+  }
+
   test("blooms survive unrelated merges and compaction rebuilds are " +
       "incremental") {
     val root = fresh("bloom_compact")
