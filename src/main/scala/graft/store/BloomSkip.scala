@@ -210,17 +210,31 @@ object BloomSkip {
       root: String,
       schema: org.apache.spark.sql.types.StructType,
       column: String,
-      value: Any): DataFrame = {
-    require(value != null, "= never matches NULL; probe must be non-NULL")
+      value: Any): DataFrame =
+    lookupByColumnIn(spark, root, schema, column, Seq(value))
+
+  /** IN-list variant of [[lookupByColumn]]: one pass over the filters
+    * answers every probe (a file survives if ANY probe might be
+    * present), one bucket-pruned read serves the whole list. */
+  def lookupByColumnIn(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      column: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "need at least one probe value")
+    require(values.forall(_ != null),
+      "= never matches NULL; probes must be non-NULL")
     val m = ManifestTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (m.entries.isEmpty)
       return ManifestTable.read(spark, root, schema).limit(0)
-    // probe hash through the SAME expression the build used, typed to
-    // the declared column (one-row local query)
-    val h = spark.range(1)
-      .select(xxhash64(lit(value).cast(schema(column).dataType)))
-      .head().getLong(0)
+    // probe hashes through the SAME expression the build used, typed
+    // to the declared column (one local query over all probes)
+    val typed = values.map(v => lit(v).cast(schema(column).dataType))
+    val hs = spark.range(1)
+      .select(explode(array(typed.map(xxhash64(_)): _*)))
+      .collect().map(_.getLong(0))
     // distributed membership test: only DEFINITELY-ABSENT paths cross
     // back to the driver (bounded by the file count, no filter bytes)
     val absent = bloomsOf(spark, root).filter(col("column") === column)
@@ -229,8 +243,9 @@ object BloomSkip {
           org.apache.spark.sql.Encoders.STRING,
           org.apache.spark.sql.Encoders.BINARY))
       .map { case (rp, bits) =>
-        (rp, BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bits)).mightContainLong(h))
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bits))
+        (rp, hs.exists(bf.mightContainLong))
       }(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaBoolean))
@@ -245,6 +260,6 @@ object BloomSkip {
       if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
       else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
         keep)
-    base.filter(col(column) === lit(value).cast(schema(column).dataType))
+    base.filter(col(column).isin(typed: _*))
   }
 }

@@ -55,6 +55,12 @@ class BloomSkipSpec extends SparkSpec {
     // absent value: empty, and (usually) zero files past the filters
     assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
       "nope").count() == 0L)
+    // IN-list probe: one filter pass, one pruned read for the whole list
+    val multi = BloomSkip.lookupByColumnIn(spark, root, schema, "name",
+      Seq("name007", "name180", "nope"))
+    assert(multi.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7L, 180L))
+    assert(multi.inputFiles.length < full.inputFiles.length)
     // NULL probe is a usage error, not a silent empty
     intercept[IllegalArgumentException] {
       BloomSkip.lookupByColumn(spark, root, schema, "name", null)
