@@ -1,0 +1,238 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.mapping.Mapping
+import graft.store.ManifestTable
+import graft.streaming.CdcSource
+
+/** The manifest table's change feed as a first-class Structured Streaming
+  * source: offsets are manifest versions, each micro-batch IS
+  * `ManifestTable.changes` for its offset range, checkpointed restart
+  * resumes without loss or duplication, and admission control bounds how
+  * many commits one batch may span. */
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", LongType)))
+
+  private def mapping = {
+    val m = new Mapping()
+    m.auto("id"); m.auto("name"); m.auto("score")
+    m.complete(schema)
+    m
+  }
+
+  private def raw(rows: (Long, String, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((id, n, s), i) => (Seq(id.toString, n, s), i.toLong) }
+      .toDF("_raw", "_line")
+
+  private def freshDir(name: String): String = {
+    val dir = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  private def mergeRows(root: String, batchId: Long,
+      rows: (Long, String, String)*): Unit =
+    ManifestTable.merge(mapping.project(raw(rows: _*)), batchId, mapping,
+      root, schema, numBuckets = 4)
+
+  /** Runs one stream over the table, collecting (batchId, rows) per
+    * non-empty micro-batch, until no offsets remain; returns the batches. */
+  private def runStream(
+      root: String, ckpt: String,
+      options: Map[String, String] = Map.empty)
+      : Seq[(Long, Seq[Row])] = {
+    val batches = ArrayBuffer[(Long, Seq[Row])]()
+    val q = CdcSource.readStream(spark, root, schema, options)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val rows = df.collect().toSeq
+        batches.synchronized { batches += ((id, rows)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    batches.toSeq.filter(_._2.nonEmpty)
+  }
+
+  private def sortedRows(rows: Seq[Row]): Seq[Seq[Any]] =
+    rows.map(_.toSeq.toList).sortBy(_.mkString("|"))
+
+  test("earliest stream replays the full history and matches the batch feed") {
+    val root = freshDir("cdc_earliest")
+    val ckpt = freshDir("cdc_earliest_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"), (2L, "b", "20"), (3L, "c", "30"))
+    mergeRows(root, 1L, (2L, "B", "20"), (4L, "d", "40"))
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), token = 99L)
+
+    val got = runStream(root, ckpt,
+      Map("startingVersion" -> "earliest")).flatMap(_._2)
+    val want = ManifestTable.changes(spark, root, schema, "id", -1L, 2L)
+      .collect().toSeq
+    assert(sortedRows(got) == sortedRows(want))
+    // the feed shape survived the stream: v0 inserts, v1 update pre+post
+    // and insert, v2 delete
+    val byType = got.groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.size).toMap
+    assert(byType == Map(
+      "insert" -> 4, "update_preimage" -> 1, "update_postimage" -> 1,
+      "delete" -> 1))
+  }
+
+  test("default latest start emits nothing until the next commit") {
+    val root = freshDir("cdc_latest")
+    val ckpt = freshDir("cdc_latest_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"), (2L, "b", "20"))
+
+    assert(runStream(root, ckpt).isEmpty, "history must not replay")
+
+    mergeRows(root, 1L, (1L, "A", "11"), (3L, "c", "30"))
+    val got = runStream(root, ckpt).flatMap(_._2)
+    val want = ManifestTable.changes(spark, root, schema, "id", 0L, 1L)
+      .collect().toSeq
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.forall(_.getAs[Long]("_version") == 1L))
+  }
+
+  test("checkpointed restart resumes exactly after the last batch") {
+    val root = freshDir("cdc_restart")
+    val ckpt = freshDir("cdc_restart_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"))
+    val first = runStream(root, ckpt, Map("startingVersion" -> "earliest"))
+    assert(first.flatMap(_._2).map(_.getAs[Long]("_version")).toSet == Set(0L))
+
+    // two commits while the stream is down; the restarted query must emit
+    // exactly their changes — no replay of v0, no skipped version
+    mergeRows(root, 1L, (2L, "b", "20"))
+    mergeRows(root, 2L, (1L, "A2", "12"))
+    val resumed = runStream(root, ckpt, Map("startingVersion" -> "earliest"))
+    val got = resumed.flatMap(_._2)
+    val want = ManifestTable.changes(spark, root, schema, "id", 0L, 2L)
+      .collect().toSeq
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.map(_.getAs[Long]("_version")).toSet == Set(1L, 2L))
+  }
+
+  test("maxVersionsPerBatch paces a backlog one commit per micro-batch") {
+    val root = freshDir("cdc_paced")
+    val ckpt = freshDir("cdc_paced_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"))
+    mergeRows(root, 1L, (2L, "b", "20"))
+    mergeRows(root, 2L, (3L, "c", "30"))
+
+    val batches = runStream(root, ckpt,
+      Map("startingVersion" -> "earliest", "maxVersionsPerBatch" -> "1"))
+    // 3 commits → 3 non-empty micro-batches, each spanning ONE version
+    assert(batches.size == 3, s"expected 3 paced batches, got $batches")
+    val versionsPerBatch = batches.map(_._2
+      .map(_.getAs[Long]("_version")).distinct)
+    assert(versionsPerBatch == Seq(Seq(0L), Seq(1L), Seq(2L)))
+  }
+
+  test("stream over a delta-merge table sees reconciled changes") {
+    val root = freshDir("cdc_delta")
+    val ckpt = freshDir("cdc_delta_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"), (2L, "b", "20"))
+    // delta merge: only the batch's rows are written; the feed must still
+    // emit the reconciled update image, not raw file contents
+    ManifestTable.merge(mapping.project(raw((2L, "B", "21"))), 1L, mapping,
+      root, schema, delta = true)
+
+    val got = runStream(root, ckpt,
+      Map("startingVersion" -> "1")).flatMap(_._2)
+    val want = ManifestTable.changes(spark, root, schema, "id", 0L, 1L)
+      .collect().toSeq
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.map(_.getAs[String]("_change_type")).sorted ==
+      Seq("update_postimage", "update_preimage"))
+  }
+
+  test("option and schema misuse fail loudly") {
+    val root = freshDir("cdc_errs")
+    mergeRows(root, 0L, (1L, "a", "10"))
+
+    // missing .schema(...)
+    val e1 = intercept[Exception] {
+      spark.readStream
+        .format(classOf[graft.streaming.CdcSourceProvider].getName)
+        .option("root", root).load()
+    }
+    assert(e1.getMessage.contains("schema"))
+
+    // reserved CDC column in the table schema
+    val bad = StructType(schema.fields :+ StructField("_version", LongType))
+    val e2 = intercept[Exception] {
+      CdcSource.readStream(spark, root, bad)
+    }
+    assert(e2.getMessage.contains("_version"))
+
+    // junk startingVersion surfaces at stream start
+    val ckpt = freshDir("cdc_errs_ckpt")
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = CdcSource.readStream(spark, root, schema,
+        Map("startingVersion" -> "yesterday"))
+        .writeStream.format("noop").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e3.getMessage.contains("startingVersion") ||
+      e3.getCause != null &&
+        String.valueOf(e3.getCause.getMessage).contains("startingVersion"))
+  }
+
+  test("foreachBatch follower keeps a derived manifest table exactly-once") {
+    val root = freshDir("cdc_follower_base")
+    val viewRoot = freshDir("cdc_follower_view")
+    val ckpt = freshDir("cdc_follower_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"), (2L, "b", "20"))
+
+    // the follower: every CDC micro-batch merges net row images into a
+    // downstream manifest table, idempotent via the table's replay ledger
+    // keyed by the STREAM's batchId
+    def startFollower() = {
+      val vm = mapping
+      CdcSource.readStream(spark, root, schema,
+          Map("startingVersion" -> "earliest"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          val s = df.sparkSession
+          import org.apache.spark.sql.functions._
+          val net = df.filter(col("_change_type")
+              .isin("insert", "update_postimage"))
+            .select("id", "name", "score")
+          if (!net.isEmpty) {
+            val projected = vm.project(
+              net.select(array(col("id").cast("string"), col("name"),
+                col("score").cast("string")).as("_raw"),
+                monotonically_increasing_id().as("_line")))
+            ManifestTable.merge(projected, id, vm, viewRoot, schema,
+              numBuckets = 4, streamId = "cdc-follower")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    val q1 = startFollower()
+    try q1.processAllAvailable() finally q1.stop()
+    mergeRows(root, 1L, (2L, "B", "21"), (3L, "c", "30"))
+    val q2 = startFollower()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = ManifestTable.read(spark, viewRoot, schema)
+      .collect().toSeq
+    val want = ManifestTable.read(spark, root, schema).collect().toSeq
+    assert(sortedRows(got) == sortedRows(want))
+  }
+}
