@@ -147,35 +147,49 @@ object GraftExtensions {
     * LogicalPlan of the corresponding Scala-API read, so SQL users get
     * the identical pruned/reconciled plans. */
   val tableDefinitions: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    // The 1-arg/DDL-less forms read format-7 manifests' RECORDED schema
+    // (self-describing tables); the DDL forms remain for older tables
+    // and deliberate column projection.
     "graft_table" -> (es => {
-      require(es.size == 2,
-        "usage: graft_table(root, 'id BIGINT, name STRING, ...')")
+      require(es.size == 1 || es.size == 2,
+        "usage: graft_table(root[, 'id BIGINT, name STRING, ...'])")
       val spark = SparkSession.active
-      graft.store.ManifestTable.read(spark, strArg(es(0), "root"),
+      val root = strArg(es(0), "root")
+      val df =
+        if (es.size == 1) graft.store.ManifestTable.read(spark, root)
+        else graft.store.ManifestTable.read(spark, root,
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")))
-        .queryExecution.analyzed
+      df.queryExecution.analyzed
     }),
     "graft_table_at" -> (es => {
-      require(es.size == 3,
-        "usage: graft_table_at(root, schemaDDL, version)")
+      require(es.size == 2 || es.size == 3,
+        "usage: graft_table_at(root[, schemaDDL], version)")
       val spark = SparkSession.active
-      graft.store.ManifestTable.readAt(spark, strArg(es(0), "root"),
+      val root = strArg(es(0), "root")
+      val df =
+        if (es.size == 2) graft.store.ManifestTable.readAt(spark, root,
+          longArg(es(1), "version"))
+        else graft.store.ManifestTable.readAt(spark, root,
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")),
           longArg(es(2), "version"))
-        .queryExecution.analyzed
+      df.queryExecution.analyzed
     }),
     "graft_changes" -> (es => {
-      require(es.size == 5,
-        "usage: graft_changes(root, schemaDDL, keyColumn, fromV, toV)")
+      require(es.size == 3 || es.size == 5,
+        "usage: graft_changes(root[, schemaDDL, keyColumn], fromV, toV)")
       val spark = SparkSession.active
-      graft.store.ManifestTable.changes(spark, strArg(es(0), "root"),
+      val root = strArg(es(0), "root")
+      val df =
+        if (es.size == 3) graft.store.ManifestTable.changes(spark, root,
+          longArg(es(1), "fromVersion"), longArg(es(2), "toVersion"))
+        else graft.store.ManifestTable.changes(spark, root,
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")),
           strArg(es(2), "key column"), longArg(es(3), "fromVersion"),
           longArg(es(4), "toVersion"))
-        .queryExecution.analyzed
+      df.queryExecution.analyzed
     }),
     "graft_count" -> (es => {
       // metadata-only count (ManifestTable.countRows): the one-row
@@ -185,12 +199,15 @@ object GraftExtensions {
       // graft_count keeps the value from view-creation time (every
       // sibling function returns a lazy plan; a lazy count here would
       // have to scan the data, defeating the point).
-      require(es.size == 2, "usage: graft_count(root, schemaDDL)")
+      require(es.size == 1 || es.size == 2,
+        "usage: graft_count(root[, schemaDDL])")
       val spark = SparkSession.active
-      val n = graft.store.ManifestTable.countRows(spark,
-        strArg(es(0), "root"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          strArg(es(1), "schema DDL")))
+      val root = strArg(es(0), "root")
+      val n =
+        if (es.size == 1) graft.store.ManifestTable.countRows(spark, root)
+        else graft.store.ManifestTable.countRows(spark, root,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            strArg(es(1), "schema DDL")))
       import spark.implicits._
       Seq(n).toDF("n_rows").queryExecution.analyzed
     }),

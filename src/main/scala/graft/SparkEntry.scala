@@ -394,6 +394,8 @@ object SparkEntry {
     "manifest_merge_delta" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_merge_delta",
         withMerge = false)),
+    "manifest_evolve" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_evolve", withMerge = false)),
     "manifest_incr_agg" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_incr_agg",
         withMerge = true)),
@@ -801,6 +803,29 @@ object SparkEntry {
       val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
       graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_evolve" -> ((s, dir) => {
+      // Add-only SCHEMA EVOLUTION under the driver gate: the table
+      // bootstraps at the 5-column schema; the merge carries a NEW vip
+      // column (evolveSchema = true) — untouched old rows NULL-fill it,
+      // created/updated rows take source values — and the read-back is
+      // SCHEMA-LESS, resolved from the manifest-recorded (format 7)
+      // schema the evolution just widened.
+      val root = manifestFixture(s, dir, "manifest_evolve",
+        withMerge = false)
+      val m = upsertMapping
+      m.auto("vip")
+      val evolved = upsertSchema.add(StructField("vip", StringType))
+      val src = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 1)
+      val source = Sources.fromColumns(src,
+        Seq(col("c_custkey"), col("c_name"), col("c_acctbal"), lit("NEW"),
+          col("c_nationkey"),
+          when(col("c_custkey") % 2 === 0, "Y").otherwise("N")),
+        order = col("c_custkey"))
+      val projected = m.complete(evolved).project(source)
+      graft.store.ManifestTable.merge(projected, 0L, m, root, evolved,
+        evolveSchema = true)
+      graft.store.ManifestTable.read(s, root)
     }),
     "manifest_merge_delta" -> ((s, dir) => {
       // The LSM write path: the same MERGE as manifest_merge but in
@@ -1990,6 +2015,21 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      // manifest_merge + the evolved vip column: rows the batch touched
+      // (in src) carry the source value, rows only the bootstrap wrote
+      // NULL-fill — the add-only evolution contract.
+      "manifest_evolve" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation,
+           CASE WHEN $inSrc THEN
+             (CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END)
+           ELSE NULL END AS vip
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
       "manifest_merge_fixed" ->
         s"""SELECT c_custkey AS id, c_name AS name,

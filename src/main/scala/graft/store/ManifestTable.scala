@@ -120,7 +120,8 @@ object ManifestTable {
       keyColumn: String = "",
       keyExpr: String = "",
       lastCompact: Option[Long] = None,
-      rangeBounds: Seq[String] = Nil)
+      rangeBounds: Seq[String] = Nil,
+      schemaJson: String = "")
 
   private val BucketCol = "_bucket"
 
@@ -172,7 +173,12 @@ object ManifestTable {
     * `lastDelete` so an automated compaction token can never collide
     * with (and silently swallow) a user's delete token. Format 6 appends
     * `\t` + the comma-joined URL-encoded RANGE-LAYOUT boundary list
-    * (empty = hash-bucketed; see [[create]]'s `rangeBounds`). Then one tab-separated entry
+    * (empty = hash-bucketed; see [[create]]'s `rangeBounds`). Format 7
+    * appends `\t enc(schemaJson)` — the table's own StructType as JSON,
+    * making the table SELF-DESCRIBING (schema-less reads, SQL without a
+    * DDL argument, streaming sources that infer their schema) and giving
+    * [[merge]]'s add-only schema evolution its compatibility baseline.
+    * Then one tab-separated entry
     * per live FILE (format 4+ appends the writing version `seq`; a
     * bucket may have several entries) with URL-encoded key stats (keys
     * may contain tabs/newlines). */
@@ -191,6 +197,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 7" => 7
       case "graft-manifest 6" => 6
       case "graft-manifest 5" => 5
       case "graft-manifest 4" => 4
@@ -227,13 +234,15 @@ object ManifestTable {
       if (format >= 6 && h.length > 7 && h(7).nonEmpty)
         h(7).split(",", -1).toSeq.map(dec)
       else Nil
+    val schemaJson =
+      if (format >= 7 && h.length > 8 && h(8).nonEmpty) dec(h(8)) else ""
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
         if (f.length > 5) f(5).toLong else 0L)
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
-      keyColumn, keyExpr, lastCompact, rangeBounds)
+      keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -243,6 +252,11 @@ object ManifestTable {
   def read(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     readManifestState(spark, root, schema, currentManifest(spark, root))
+
+  /** Schema-less read of a SELF-DESCRIBING table (format 7+ manifests
+    * record their schema). Loud error on pre-format-7 tables. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    read(spark, root, requireSchema(spark, root))
 
   /** TIME TRAVEL: the table as of committed version `version` — data
     * directories are immutable and every manifest survives until
@@ -257,6 +271,20 @@ object ManifestTable {
       s"no committed manifest m$version under $root (vacuumed?)")
     readManifestState(spark, root, schema,
       Some(readManifest(spark, root, version)))
+  }
+
+  /** Schema-less time travel: the snapshot under the schema ITS OWN
+    * manifest recorded — travel across a schema evolution shows each
+    * version with the columns it actually had. */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val p = new Path(s"$root/manifest/m$version")
+    require(fsOf(spark, p).exists(p),
+      s"no committed manifest m$version under $root (vacuumed?)")
+    val m = readManifest(spark, root, version)
+    val schema = schemaOf(m).getOrElse(throw new IllegalArgumentException(
+      s"manifest m$version at $root records no schema (pre-format-7) — " +
+        "pass the schema explicitly"))
+    readManifestState(spark, root, schema, Some(m))
   }
 
   /** Row count answered from MANIFEST METADATA wherever possible — the
@@ -283,6 +311,10 @@ object ManifestTable {
             m.keyColumn, recordedKey(m)).count()
         metaCount + deltaCount
     }
+
+  /** Schema-less [[countRows]] over a self-describing table. */
+  def countRows(spark: SparkSession, root: String): Long =
+    countRows(spark, root, requireSchema(spark, root))
 
   /** All committed snapshots, oldest first: (version, numBuckets,
     * rows) — the bounded metadata listing for `readAt` callers. `rows`
@@ -356,6 +388,63 @@ object ManifestTable {
       }
     }.toOption
   }
+
+  private def schemaOf(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
+    if (m.schemaJson.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The current manifest's recorded table schema (format 7+; None for
+    * tables last written by an earlier format). With a recorded schema
+    * the table is SELF-DESCRIBING: the schema-less [[read]]/[[readAt]]/
+    * [[countRows]]/[[changes]] overloads, the 1-arg SQL table functions
+    * and the CDC streaming source all derive their schema from it. */
+  def recordedSchema(spark: SparkSession, root: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    currentManifest(spark, root).flatMap(schemaOf)
+
+  private def requireSchema(spark: SparkSession, root: String)
+      : org.apache.spark.sql.types.StructType =
+    recordedSchema(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"table at $root records no schema (last written by a pre-format-7 " +
+        "writer?) — pass the schema explicitly, or run any merge to " +
+        "upgrade the manifest"))
+
+  /** Add-only compatibility of a caller schema against the recorded one:
+    * every recorded column must be present with its recorded type (an
+    * operation that rewrites buckets under a schema missing a recorded
+    * column would silently ERASE that column's values; a re-typed one
+    * would corrupt them), and NEW columns are allowed only when
+    * `allowAdd` (merge's opt-in `evolveSchema`; maintenance rewrites
+    * pass true — materializing NULLs for a column a later merge added
+    * is harmless). */
+  private def checkSchemaCompatible(
+      m: Manifest,
+      schema: org.apache.spark.sql.types.StructType,
+      op: String,
+      allowAdd: Boolean): Unit =
+    schemaOf(m).foreach { r =>
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      val dropped = r.fields.filterNot(f => byName.contains(f.name))
+      require(dropped.isEmpty,
+        s"$op schema drops recorded column(s) " +
+          dropped.map(_.name).mkString(", ") +
+          " — schema evolution is add-only (a bucket rewrite under the " +
+          "narrower schema would silently erase their values)")
+      val conflicts =
+        r.fields.filter(f => byName.get(f.name).exists(_ != f.dataType))
+      require(conflicts.isEmpty,
+        s"$op schema re-types recorded column(s): " +
+          conflicts.map(f =>
+            s"${f.name} ${f.dataType.sql} -> ${byName(f.name).sql}")
+            .mkString(", ") +
+          " — type changes need a new table (rewrite + swap)")
+      val added = schema.fieldNames.filterNot(r.fieldNames.contains).toSeq
+      if (added.nonEmpty && !allowAdd) throw new IllegalArgumentException(
+        s"$op schema adds column(s) ${added.mkString(", ")} beyond the " +
+          "table's recorded schema — pass evolveSchema = true to evolve " +
+          "(existing rows read the new columns as NULL)")
+    }
 
   /** The reconcile-key normalizer a manifest records: parses `keyExpr`
     * back to a column (resolved by name against whichever frame it is
@@ -544,7 +633,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 6" +:
+    val body = (s"graft-manifest 7" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -554,7 +643,8 @@ object ManifestTable {
         enc(m.keyColumn),
         enc(m.keyExpr),
         m.lastCompact.map(_.toString).getOrElse(""),
-        m.rangeBounds.map(enc).mkString(",")).mkString("\t") +:
+        m.rangeBounds.map(enc).mkString(","),
+        enc(m.schemaJson)).mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}\t${e.seq}"))
       .mkString("", "\n", "\n")
@@ -685,7 +775,8 @@ object ManifestTable {
           keyColumn = keyColumn,
           keyExpr = comparatorSql(df, keyColumn, keyComparator)
             .getOrElse(""),
-          rangeBounds = rangeBounds))) {
+          rangeBounds = rangeBounds,
+          schemaJson = df.schema.json))) {
       cleanupAttempt(spark, root, 0L, attempt)
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $root")
@@ -732,7 +823,8 @@ object ManifestTable {
       rejectWhen: Option[org.apache.spark.sql.Column] = None,
       recordStats: Boolean = false,
       streamId: String = "",
-      delta: Boolean = false): Seq[FileEntry] = {
+      delta: Boolean = false,
+      evolveSchema: Boolean = false): Seq[FileEntry] = {
     val spark = projected.sparkSession
     // Record the comparator as SQL so bare reads reconcile deltas in
     // normalized-key space; a delta merge REQUIRES it (otherwise a later
@@ -747,6 +839,13 @@ object ManifestTable {
       val prior = currentManifest(spark, root)
       if (prior.exists(_.lastBatches.get(streamId).contains(batchId)))
         return Nil
+      // Schema evolution is ADD-ONLY against the recorded schema: a
+      // merge may introduce new columns (opt-in — old rows read them as
+      // NULL), but never drop or re-type recorded ones: the fragment
+      // read under a narrower/changed schema would silently erase or
+      // corrupt values on the rewrite.
+      prior.foreach(m =>
+        checkSchemaCompatible(m, schema, "merge", allowAdd = evolveSchema))
       val attempt = newAttemptId()
       val version = prior.map(_.version + 1).getOrElse(0L)
       // numBuckets is a TABLE property: fixed at creation, the parameter is
@@ -848,7 +947,8 @@ object ManifestTable {
                 keyExprRec.getOrElse(
                   prior.map(_.keyExpr).getOrElse("")),
                 prior.flatMap(_.lastCompact),
-                bounds)))
+                bounds,
+                schema.json)))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -1309,6 +1409,9 @@ object ManifestTable {
         case None => prior.lastDelete.contains(token)
       }
       if (replayed) return Nil
+      // Rewrite guard: a stale (pre-evolution) caller schema would erase
+      // the newer columns' values in every rewritten bucket.
+      checkSchemaCompatible(prior, schema, "delete", allowAdd = true)
       val batches = tokenStream.fold(prior.lastBatches)(s =>
         prior.lastBatches + (s -> token))
       val deleteToken =
@@ -1332,7 +1435,7 @@ object ManifestTable {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
-            prior.rangeBounds)))
+            prior.rangeBounds, prior.schemaJson)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
@@ -1365,7 +1468,7 @@ object ManifestTable {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact,
-            prior.rangeBounds)))
+            prior.rangeBounds, prior.schemaJson)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -1398,6 +1501,7 @@ object ManifestTable {
       val prior = currentManifest(spark, root).getOrElse(
         throw new IllegalStateException(s"no table at $root"))
       if (prior.lastDelete.contains(token)) return
+      checkSchemaCompatible(prior, schema, "rebucket", allowAdd = true)
       val attempt = newAttemptId()
       val version = prior.version + 1
       val all = readManifestState(spark, root, schema, Some(prior))
@@ -1416,7 +1520,8 @@ object ManifestTable {
         s"v$version-$attempt", newNumBuckets, cmp, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
           written, prior.lastBatches, Some(token), attempt, keyColumn,
-          prior.keyExpr, prior.lastCompact, newRangeBounds)))
+          prior.keyExpr, prior.lastCompact, newRangeBounds,
+          prior.schemaJson)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1455,6 +1560,7 @@ object ManifestTable {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       if (prior.lastCompact.contains(token)) return Nil
+      checkSchemaCompatible(prior, schema, "compact", allowAdd = true)
       val byBucket = prior.entries.groupBy(_.bucket)
       val (tiered, thin) =
         byBucket.values.toSeq.partition(_.size >= minFilesPerBucket)
@@ -1475,7 +1581,7 @@ object ManifestTable {
       if (tryCommitManifest(spark, root, Manifest(version, n,
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
           attempt, keyColumn, prior.keyExpr, Some(token),
-          prior.rangeBounds)))
+          prior.rangeBounds, prior.schemaJson)))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1502,6 +1608,22 @@ object ManifestTable {
     * merge never writes them) have no key to match on and surface as
     * delete+insert when their bucket happens to be rewritten.
     */
+  /** Schema-less change feed over a self-describing table: schema and
+    * key column come from the `toVersion` manifest — under add-only
+    * evolution that is the WIDEST schema in the window, and earlier
+    * snapshots' files null-fill the columns they predate. */
+  def changes(
+      spark: SparkSession,
+      root: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val m = readManifest(spark, root, toVersion)
+    val schema = schemaOf(m).getOrElse(throw new IllegalArgumentException(
+      s"manifest m$toVersion at $root records no schema (pre-format-7) — " +
+        "pass the schema explicitly"))
+    changes(spark, root, schema, m.keyColumn, fromVersion, toVersion)
+  }
+
   def changes(
       spark: SparkSession,
       root: String,

@@ -195,6 +195,20 @@ object CdcSource {
       .options(options)
       .option("root", root)
       .load()
+
+  /** Schema-inferred variants for self-describing (format 7+) tables. */
+  def readStream(spark: SparkSession, root: String): DataFrame =
+    readStream(spark, root, Map.empty[String, String])
+
+  def readStream(
+      spark: SparkSession,
+      root: String,
+      options: Map[String, String]): DataFrame =
+    spark.readStream
+      .format(classOf[CdcSourceProvider].getName)
+      .options(options)
+      .option("root", root)
+      .load()
 }
 
 /** Registers `graft-cdc` (via META-INF/services) and builds [[CdcSource]]
@@ -204,10 +218,22 @@ final class CdcSourceProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-cdc"
 
-  private def tableSchemaOf(schema: Option[StructType]): StructType =
-    schema.getOrElse(throw new IllegalArgumentException(
-      "graft-cdc requires the TABLE schema via .schema(...) — the source " +
-        s"appends ${CdcSource.ChangeTypeCol} and ${CdcSource.VersionCol}"))
+  /** User schema, else the table's manifest-recorded one (format 7
+    * self-describing tables). Fixed at stream definition like any
+    * streaming schema: columns a later evolution adds don't appear until
+    * the stream is redefined (older-schema reads of newer files are a
+    * plain projection). */
+  private def tableSchemaOf(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: Option[StructType]): StructType =
+    schema
+      .orElse(normalized(parameters).get("root").flatMap(root =>
+        ManifestTable.recordedSchema(sqlContext.sparkSession, root)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-cdc requires the TABLE schema via .schema(...) (or a " +
+          "format-7 table whose manifest records it) — the source " +
+          s"appends ${CdcSource.ChangeTypeCol} and ${CdcSource.VersionCol}"))
 
   private def normalized(parameters: Map[String, String]): Map[String, String] =
     parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -217,7 +243,8 @@ final class CdcSourceProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), CdcSource.outputSchema(tableSchemaOf(schema)))
+    (shortName(),
+      CdcSource.outputSchema(tableSchemaOf(sqlContext, parameters, schema)))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -234,7 +261,7 @@ final class CdcSourceProvider extends StreamSourceProvider
       n
     }
     new CdcSource(sqlContext.sparkSession, metadataPath,
-      tableSchemaOf(schema), root, p.get("key"), p.get("startingversion"),
-      maxVersions)
+      tableSchemaOf(sqlContext, parameters, schema), root, p.get("key"),
+      p.get("startingversion"), maxVersions)
   }
 }

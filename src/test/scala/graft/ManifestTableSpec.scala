@@ -301,10 +301,13 @@ class ManifestTableSpec extends SparkSpec {
       mm.complete(wider)
       mm
     }
+    // widening is opt-in (format 7 records the schema; adds refuse
+    // without the flag — SchemaEvolutionSpec pins that); once evolved,
+    // the recorded schema IS the wider one and later merges need no flag
     ManifestTable.merge(
       Seq((Seq("2", "b", "2", "x"), 0L)).toDF("_raw", "_line")
         .transform(widerMapping.project),
-      1L, widerMapping, root, wider)
+      1L, widerMapping, root, wider, evolveSchema = true)
     val rows = ManifestTable.read(spark, root, wider)
       .orderBy("id").collect().toSeq
     assert(rows == Seq(

@@ -162,11 +162,13 @@ class StreamingCdcSpec extends SparkSpec {
     val root = freshDir("cdc_errs")
     mergeRows(root, 0L, (1L, "a", "10"))
 
-    // missing .schema(...)
+    // missing .schema(...) AND no manifest to infer from (the fixture
+    // table is format 7 and self-describes — SchemaEvolutionSpec pins
+    // that inference; a table with no manifest cannot)
     val e1 = intercept[Exception] {
       spark.readStream
         .format(classOf[graft.streaming.CdcSourceProvider].getName)
-        .option("root", root).load()
+        .option("root", freshDir("cdc_errs_missing")).load()
     }
     assert(e1.getMessage.contains("schema"))
 
