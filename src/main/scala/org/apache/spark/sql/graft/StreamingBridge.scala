@@ -20,4 +20,19 @@ object StreamingBridge {
     spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
       .internalCreateDataFrame(batch.queryExecution.toRdd, schema,
         isStreaming = true)
+
+  /** The sink-side mirror: a v1 `Sink.addBatch` frame rides the engine's
+    * incremental execution and must not be re-planned as a streaming
+    * relation by downstream batch operators — re-root its physical rows
+    * as a plain batch frame. Rows are defensively copied: `toRdd`
+    * iterators may reuse their UnsafeRow buffer, and the merge re-reads
+    * the frame across several operators. */
+  def asBatch(
+      spark: SparkSession,
+      data: DataFrame,
+      schema: StructType): DataFrame =
+    spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(
+        data.queryExecution.toRdd.map(_.copy()), schema,
+        isStreaming = false)
 }
