@@ -173,6 +173,45 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq(Seq("update_postimage", 2L), Seq("update_preimage", 2L)))
   }
 
+  test("randomized evolution sequence tracks a model table") {
+    // 6 merges, each randomly (seeded) widening by one column or not,
+    // over random key subsets — the committed table must always equal a
+    // driver-side model of upsert + add-only evolution. Exercises
+    // repeated widening, delta interleaving and NULL-fill layering that
+    // the directed tests above pin one step at a time.
+    val root = freshRoot("schema_evolve_prop")
+    val rnd = new scala.util.Random(42)
+    var cols = Vector("id", "name") // grows: c2, c3, ...
+    val model = scala.collection.mutable.Map[Long, Map[String, String]]()
+    (0 until 6).foreach { step =>
+      if (step > 0 && rnd.nextBoolean()) cols :+= s"c$step"
+      val sch = StructType(StructField("id", LongType) +:
+        cols.drop(1).map(c => StructField(c, StringType)))
+      val m = new Mapping()
+      cols.foreach(c => m.auto(c))
+      m.complete(sch)
+      val keys = (1L to 8L).filter(_ => rnd.nextBoolean())
+      if (keys.nonEmpty) {
+        val rows = keys.map(k =>
+          (Seq(k.toString) ++ cols.drop(1).map(c => s"$c-v$step-$k"),
+            k)).toDF("_raw", "_line")
+        ManifestTable.merge(m.project(rows), step.toLong, m, root, sch,
+          numBuckets = 4, delta = step % 2 == 1, evolveSchema = true)
+        keys.foreach { k =>
+          val prev = model.getOrElse(k, Map.empty)
+          model(k) = prev ++
+            cols.drop(1).map(c => c -> s"$c-v$step-$k").toMap
+        }
+      }
+    }
+    val want = model.map { case (k, vals) =>
+      Seq[Any](k) ++ cols.drop(1).map(c => vals.getOrElse(c, null))
+    }.toSet
+    val got = ManifestTable.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == cols)
+    assert(rows(got) == want.map(_.toList: Seq[Any]))
+  }
+
   test("CDC stream infers its schema from the manifest") {
     val root = freshRoot("schema_cdc_infer")
     val ckpt = freshRoot("schema_cdc_infer_ckpt")

@@ -192,6 +192,36 @@ class StreamingCdcSpec extends SparkSpec {
         String.valueOf(e3.getCause.getMessage).contains("startingVersion"))
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    val root = freshDir("cdc_availnow")
+    val ckpt = freshDir("cdc_availnow_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"))
+    mergeRows(root, 1L, (2L, "b", "20"))
+
+    val batches = ArrayBuffer[Row]()
+    def runOnce(): Unit = {
+      val q = CdcSource.readStream(spark, root,
+          Map("startingVersion" -> "earliest"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batches.synchronized { batches ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    }
+    runOnce()
+    assert(batches.map(_.getAs[Long]("_version")).toSet == Set(0L, 1L))
+
+    // the catch-up-job pattern: new commits, re-run, only the delta
+    batches.clear()
+    mergeRows(root, 2L, (3L, "c", "30"))
+    runOnce()
+    assert(batches.map(_.getAs[Long]("_version")).toSet == Set(2L))
+  }
+
   test("foreachBatch follower keeps a derived manifest table exactly-once") {
     val root = freshDir("cdc_follower_base")
     val viewRoot = freshDir("cdc_follower_view")
