@@ -133,6 +133,73 @@ class StreamingSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC follower propagates deletes and nets mixed batches") {
+    val baseRoot = freshDir("sink_del_base")
+    val derivedRoot = freshDir("sink_del_derived")
+    val ckpt = freshDir("sink_del_ckpt")
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val qb = mem.toDF().toDF("id", "name", "score")
+      .writeStream.format(sinkFormat)
+      .option("root", baseRoot).option("key", "id").option("numBuckets", "4")
+      .option("checkpointLocation", freshDir("sink_del_base_ckpt"))
+      .start()
+    try {
+      mem.addData((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      qb.processAllAvailable()
+    } finally qb.stop()
+
+    // the COMPLETE declarative follower: keep the CDC columns through
+    // the sink (versionColumn nets per key, deleteWhen routes deletes,
+    // dropColumns keeps them out of the table) — no foreachBatch.
+    def runFollower(): Unit = {
+      val q = CdcSource.readStream(spark, baseRoot,
+          Map("startingVersion" -> "earliest"))
+        .filter(col("_change_type") =!= "update_preimage")
+        .writeStream.format(sinkFormat)
+        .option("root", derivedRoot).option("key", "id")
+        .option("numBuckets", "4")
+        .option("versionColumn", "_version")
+        .option("deleteWhen", "_change_type = 'delete'")
+        .option("dropColumns", "_change_type,_version")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runFollower()
+    assert(state(derivedRoot) == Set(
+      Seq(1L, "a", 10L), Seq(2L, "b", 20L), Seq(3L, "c", 30L)))
+
+    // while the follower is down: delete 2, REINSERT 2 (later commit),
+    // delete 3, update 1 — one catch-up batch must net per key
+    val schema3 = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", LongType)))
+    ManifestTable.delete(spark, baseRoot, schema3, "id", Seq(2L), token = 11L)
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val qb2 = mem2.toDF().toDF("id", "name", "score")
+      .writeStream.format(sinkFormat)
+      .option("root", baseRoot).option("key", "id")
+      .option("checkpointLocation", freshDir("sink_del_base_ckpt2"))
+      .start()
+    try {
+      mem2.addData((2L, "b-back", 22L), (1L, "a2", 11L))
+      qb2.processAllAvailable()
+    } finally qb2.stop()
+    ManifestTable.delete(spark, baseRoot, schema3, "id", Seq(3L), token = 12L)
+
+    runFollower()
+    val wantState = Set[Seq[Any]](Seq(1L, "a2", 11L), Seq(2L, "b-back", 22L))
+    assert(state(derivedRoot) == wantState)
+    assert(state(baseRoot) == wantState, "follower must mirror the base")
+
+    // idempotent catch-up: nothing new → nothing changes
+    val vBefore = ManifestTable.currentVersion(spark, derivedRoot)
+    runFollower()
+    assert(state(derivedRoot) == wantState)
+    assert(ManifestTable.currentVersion(spark, derivedRoot) == vBefore)
+  }
+
   test("declarative pipeline: CDC source -> transform -> table sink") {
     val baseRoot = freshDir("sink_pipe_base")
     val derivedRoot = freshDir("sink_pipe_derived")
