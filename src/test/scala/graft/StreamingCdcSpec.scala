@@ -222,6 +222,34 @@ class StreamingCdcSpec extends SparkSpec {
     assert(batches.map(_.getAs[Long]("_version")).toSet == Set(2L))
   }
 
+  test("a stream lagging behind vacuum fails loudly, never skips commits") {
+    val root = freshDir("cdc_vacuumed")
+    val ckpt = freshDir("cdc_vacuumed_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"))
+    val first = runStream(root, ckpt, Map("startingVersion" -> "earliest"))
+    assert(first.nonEmpty)
+
+    // 3 commits while down, then vacuum to keepLast=1: the feed for the
+    // backlog needs manifests the vacuum dropped — the stream must FAIL,
+    // not silently resume from the surviving head
+    mergeRows(root, 1L, (2L, "b", "20"))
+    mergeRows(root, 2L, (3L, "c", "30"))
+    mergeRows(root, 3L, (4L, "d", "40"))
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = CdcSource.readStream(spark, root, schema)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("manifest") || m.contains("m1")),
+      s"unexpected failure chain: ${msgs(e)}")
+  }
+
   test("foreachBatch follower keeps a derived manifest table exactly-once") {
     val root = freshDir("cdc_follower_base")
     val viewRoot = freshDir("cdc_follower_view")

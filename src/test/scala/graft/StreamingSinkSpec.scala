@@ -200,6 +200,33 @@ class StreamingSinkSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, derivedRoot) == vBefore)
   }
 
+  test("streaming aggregate materializes into a manifest table (update mode)") {
+    val root = freshDir("sink_agg")
+    val ckpt = freshDir("sink_agg_ckpt")
+    val mem = MemoryStream[(String, Long)]
+    // update-mode aggregation: each micro-batch emits only CHANGED
+    // groups; the sink upserts them — a continuously maintained
+    // aggregate table with per-batch cost ∝ changed groups
+    val q = mem.toDF().toDF("grp", "x")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+      .writeStream.format(sinkFormat)
+      .outputMode("update")
+      .option("root", root).option("key", "grp").option("numBuckets", "4")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      assert(state(root) == Set(Seq("a", 2L, 3L), Seq("b", 1L, 10L)))
+
+      mem.addData(("b", 5L), ("c", 7L))
+      q.processAllAvailable()
+      assert(state(root) == Set(
+        Seq("a", 2L, 3L), Seq("b", 2L, 15L), Seq("c", 1L, 7L)))
+    } finally q.stop()
+  }
+
   test("declarative pipeline: CDC source -> transform -> table sink") {
     val baseRoot = freshDir("sink_pipe_base")
     val derivedRoot = freshDir("sink_pipe_derived")
