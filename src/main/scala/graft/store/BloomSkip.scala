@@ -164,10 +164,14 @@ object BloomSkip {
     // suffix match against the manifest's own entries
     val pairs = perFile.collect().flatMap { r =>
       val f = r.getString(0)
-      // exact parent-directory match: `_bucket=1` must never claim
-      // `_bucket=11`'s file, so compare the full leaf-dir suffix
+      // Format-8 entries are FILE-granular: the scan's file path itself
+      // carries the entry's relPath as a suffix. Legacy entries are
+      // leaf DIRECTORIES: match the file's parent instead. Both via
+      // exact "/"-anchored suffix so `_bucket=1` never claims
+      // `_bucket=11`'s file.
       val parent = f.substring(0, math.max(0, f.lastIndexOf('/')))
-      val rel = todo.map(_.relPath).find(rp => parent.endsWith("/" + rp))
+      val rel = todo.map(_.relPath).find(rp =>
+        f.endsWith("/" + rp) || parent.endsWith("/" + rp))
       rel.toSeq.flatMap(rp => cols.zipWithIndex.collect {
         case (c, i) if !covered((rp, c)) =>
           ((rp, c), r.getAs[Array[Byte]](i + 1))

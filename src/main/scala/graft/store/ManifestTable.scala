@@ -88,17 +88,23 @@ import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
 object ManifestTable {
 
   /** One live file of a bucket in a committed manifest. `relPath` is
-    * relative to the table root and points at a `_bucket=<k>` leaf
-    * directory. Key stats are min/max of the NORMALIZED key rendered as a
-    * string (the same `keyComparator` space the bucket hash uses), so
-    * comparator-aware lookups can prune against them. `seq` is the table
-    * version that wrote the file: a bucket may carry a base file plus
-    * DELTA files from later `merge(delta = true)` commits, reconciled
+    * relative to the table root: format 8 records the concrete data
+    * FILE (with `bytes` its size, so scan planning never lists the
+    * filesystem — [[GraftFileIndex]]); pre-8 entries point at the
+    * `_bucket=<k>` leaf directory and list lazily. Key stats are
+    * min/max of the NORMALIZED key rendered as a string (the same
+    * `keyComparator` space the bucket hash uses), so comparator-aware
+    * lookups can prune against them. `seq` is the table version that
+    * wrote the file: a bucket may carry a base file plus DELTA files
+    * from later `merge(delta = true)` commits, reconciled
     * last-seq-wins per key on read; [[compact]] folds them back to one
-    * file per bucket. */
+    * file per bucket. `named` marks a file stamped with Spark's
+    * bucket-id name suffix at write — when every live file is, the
+    * read side reports a real `BucketSpec` (see [[GraftScan]]). */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
-      relPath: String, seq: Long = 0L)
+      relPath: String, seq: Long = 0L, bytes: Long = 0L,
+      named: Boolean = false)
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
@@ -111,7 +117,11 @@ object ManifestTable {
     * `create()`-bootstrapped table starts at version 0 with NO batch
     * tokens, so a stream's batch 0 still applies. `sideId` is the id of
     * the attempt that won this version's commit — history/stats side
-    * directories are resolved through it. */
+    * directories are resolved through it. `udfKey` (format 8) records
+    * that the table was laid out by a comparator whose SQL could NOT be
+    * recorded — readers must then never key-prune or claim bucketing
+    * from an empty `keyExpr` (pre-8 manifests can't make the
+    * distinction, so `format` rides along for the same guard). */
   final case class Manifest(
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
       lastBatches: Map[String, Long] = Map.empty,
@@ -121,7 +131,9 @@ object ManifestTable {
       keyExpr: String = "",
       lastCompact: Option[Long] = None,
       rangeBounds: Seq[String] = Nil,
-      schemaJson: String = "")
+      schemaJson: String = "",
+      udfKey: Boolean = false,
+      format: Int = 8)
 
   private val BucketCol = "_bucket"
 
@@ -197,6 +209,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 8" => 8
       case "graft-manifest 7" => 7
       case "graft-manifest 6" => 6
       case "graft-manifest 5" => 5
@@ -236,13 +249,17 @@ object ManifestTable {
       else Nil
     val schemaJson =
       if (format >= 7 && h.length > 8 && h(8).nonEmpty) dec(h(8)) else ""
+    val udfKey = format >= 8 && h.length > 9 && h(9) == "1"
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
-        if (f.length > 5) f(5).toLong else 0L)
+        if (f.length > 5) f(5).toLong else 0L,
+        if (f.length > 6) f(6).toLong else 0L,
+        f.length > 7 && f(7) == "1")
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
-      keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson)
+      keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
+      format)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -307,7 +324,7 @@ object ManifestTable {
         val metaCount = single.flatten.map(_.rows).sum
         val deltaCount =
           if (multi.isEmpty) 0L
-          else reconciledRead(spark, root, schema, multi.flatten,
+          else reconciledRead(spark, root, schema, m, multi.flatten,
             m.keyColumn, recordedKey(m)).count()
         metaCount + deltaCount
     }
@@ -542,6 +559,25 @@ object ManifestTable {
       .collect().map(r => (r.getInt(0), r.get(1), r.getString(2))).toSeq
   }
 
+  /** (bucket, rendered normalized string) per probe value — the
+    * [[normalizedProbes]] discipline exposed to [[GraftFileIndex]]'s
+    * plan-time pruning, which resolves its layout parameters from the
+    * manifest rather than holding one. */
+  private[store] def bucketedProbes(
+      spark: SparkSession,
+      numBuckets: Int,
+      rangeBounds: Seq[String],
+      keyColumn: String,
+      cmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      keys: Seq[Any]): Seq[(Int, String)] =
+    probeFrame(spark, keyColumn, keys)
+      .select(bucketExpr(numBuckets, rangeBounds,
+          cmp(col(keyColumn))).as("b"),
+        cmp(col(keyColumn)).cast("string").as("s"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq
+
   /** Reads `entries` reconciled to the LIVE row per key: buckets with a
     * single file scan directly (zero overhead — the all-compacted fast
     * path is a plain parquet union, the same plan as before deltas
@@ -564,6 +600,7 @@ object ManifestTable {
   private def reconciledRead(
       spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
+      m: Manifest,
       entries: Seq[FileEntry],
       keyColumn: String,
       reconcileKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -571,10 +608,14 @@ object ManifestTable {
     if (entries.isEmpty) return emptyFrame(spark, schema)
     val (multi, single) = entries.groupBy(_.bucket).values.toSeq
       .partition(_.size > 1)
+    // Every file set becomes a relation through the manifest-backed
+    // native scan (GraftScan/GraftFileIndex): planning stats and
+    // FileStatuses come from the manifest, key predicates prune files at
+    // plan time, and provably Spark-bucketed layouts report a BucketSpec.
     val plain =
       if (single.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .parquet(single.flatten.map(e => s"$root/${e.relPath}"): _*))
+      else Some(GraftScan.frame(spark, root, m, single.flatten, schema,
+        reconcileKey))
     val reconciled =
       if (multi.isEmpty) None
       else {
@@ -582,8 +623,7 @@ object ManifestTable {
           "bucket has delta files but the manifest records no key column")
         val levels = multi.flatten.groupBy(_.seq).toSeq.sortBy(-_._1)
           .map { case (_, es) =>
-            spark.read.schema(schema)
-              .parquet(es.map(e => s"$root/${e.relPath}"): _*)
+            GraftScan.frame(spark, root, m, es, schema, reconcileKey)
           }
         // keys are table-unique, so the chain is safe across buckets; the
         // override key set only ever accumulates DELTA levels (small) —
@@ -621,7 +661,7 @@ object ManifestTable {
       manifest: Option[Manifest]): DataFrame =
     manifest match {
       case Some(m) if m.entries.nonEmpty =>
-        reconciledRead(spark, root, schema, m.entries, m.keyColumn,
+        reconciledRead(spark, root, schema, m, m.entries, m.keyColumn,
           recordedKey(m))
       case _ => emptyFrame(spark, schema)
     }
@@ -633,7 +673,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 7" +:
+    val body = (s"graft-manifest 8" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -644,9 +684,11 @@ object ManifestTable {
         enc(m.keyExpr),
         m.lastCompact.map(_.toString).getOrElse(""),
         m.rangeBounds.map(enc).mkString(","),
-        enc(m.schemaJson)).mkString("\t") +:
+        enc(m.schemaJson),
+        if (m.udfKey) "1" else "0").mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
-        s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t${e.relPath}\t${e.seq}"))
+        s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
+          s"${e.relPath}\t${e.seq}\t${e.bytes}\t${if (e.named) "1" else "0"}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
@@ -705,6 +747,47 @@ object ManifestTable {
       .sortWithinPartitions(col(BucketCol),
         keyComparator(col(keyColumn)))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
+    // Stamp each bucket's (single) part file with Spark's bucket-id name
+    // suffix (`_<bucket>%05d` before the first extension dot — the exact
+    // convention `BucketingUtils` parses) and capture its byte size:
+    // bucket-id names let the read side report a real `BucketSpec`
+    // (co-bucketed joins and groupBy(key) with no Exchange), and
+    // manifest-recorded file paths + sizes let scan PLANNING synthesize
+    // its FileStatuses from the manifest alone — zero listStatus calls
+    // against a 400k-bucket table (GraftFileIndex). The rename is a
+    // metadata op on HDFS/ABFS-class stores; on raw S3 it is a copy —
+    // front the table with a rename-capable store, as the manifest
+    // commit already requires. A bucket that unexpectedly holds several
+    // part files (never written by this code) stays directory-granular
+    // and unnamed, which simply forfeits the two optimizations.
+    val dataPath = new Path(dataDir)
+    val fs = fsOf(spark, dataPath)
+    val perBucket: Map[Int, (String, Long, Boolean)] =
+      if (!fs.exists(dataPath)) Map.empty
+      else fs.listStatus(dataPath).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$BucketCol="))
+        .map { d =>
+          val k = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+          val parts = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          val relDir = s"data/$dataDirName/$BucketCol=$k"
+          parts match {
+            case Seq(one) =>
+              val name = one.getPath.getName
+              val dot = name.indexOf('.')
+              val stamped =
+                if (dot < 0) f"${name}_$k%05d"
+                else f"${name.substring(0, dot)}_$k%05d${name.substring(dot)}"
+              val dst = new Path(d.getPath, stamped)
+              if (fs.rename(one.getPath, dst))
+                k -> (s"$relDir/$stamped", one.getLen, true)
+              else k -> (relDir, one.getLen, false)
+            case many =>
+              k -> (relDir, many.map(_.getLen).sum, false)
+          }
+        }.toMap
     // Explicit schema (+ the partition column) so an all-rows-rejected
     // empty write doesn't fail schema inference.
     val writtenSchema = org.apache.spark.sql.types.StructType(
@@ -721,10 +804,13 @@ object ManifestTable {
         max(keyComparator(col(keyColumn)).cast("string")).as("maxKey"))
       .collect()
       .map { r =>
-        FileEntry(r.getInt(0), r.getLong(1),
+        val k = r.getInt(0)
+        val (relPath, bytes, named) = perBucket.getOrElse(k,
+          (s"data/$dataDirName/$BucketCol=$k", 0L, false))
+        FileEntry(k, r.getLong(1),
           Option(r.getString(2)).getOrElse(""),
           Option(r.getString(3)).getOrElse(""),
-          s"data/$dataDirName/$BucketCol=${r.getInt(0)}", seq)
+          relPath, seq, bytes, named)
       }.toSeq
   }
 
@@ -770,13 +856,14 @@ object ManifestTable {
       keyComparator(col(keyColumn)))
     val entries = writeBuckets(df, bucket, keyColumn, root, s"v0-$attempt",
       numBuckets, keyComparator)
+    val keyExprRec = comparatorSql(df, keyColumn, keyComparator)
     if (!tryCommitManifest(spark, root,
         Manifest(0L, numBuckets, entries, sideId = attempt,
           keyColumn = keyColumn,
-          keyExpr = comparatorSql(df, keyColumn, keyComparator)
-            .getOrElse(""),
+          keyExpr = keyExprRec.getOrElse(""),
           rangeBounds = rangeBounds,
-          schemaJson = df.schema.json))) {
+          schemaJson = df.schema.json,
+          udfKey = keyExprRec.isEmpty))) {
       cleanupAttempt(spark, root, 0L, attempt)
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $root")
@@ -882,7 +969,8 @@ object ManifestTable {
       // 2-3. target fragment = touched buckets only (reconciled, in case
       // earlier delta merges left multi-file buckets); standard one-join
       // merge.
-      val fragment = reconciledRead(spark, root, schema, touchedEntries,
+      val fragment = reconciledRead(spark, root, schema,
+        prior.getOrElse(Manifest(-1L, n, Nil)), touchedEntries,
         key, mapping.keyComparator)
       val res = Upsert(fragment, projected, mapping, mode, nonNullable,
         rejectWhen, ignore)
@@ -948,7 +1036,9 @@ object ManifestTable {
                   prior.map(_.keyExpr).getOrElse("")),
                 prior.flatMap(_.lastCompact),
                 bounds,
-                schema.json)))
+                schema.json,
+                udfKey = keyExprRec.isEmpty ||
+                  prior.exists(_.udfKey))))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -1099,7 +1189,7 @@ object ManifestTable {
       spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       m: Manifest, entries: Seq[FileEntry]): DataFrame =
-    reconciledRead(spark, root, schema, entries, m.keyColumn,
+    reconciledRead(spark, root, schema, m, entries, m.keyColumn,
       recordedKey(m))
 
   /** All committed keep_history rows across versions (empty frame when
@@ -1297,8 +1387,8 @@ object ManifestTable {
           .exists(anyInRange(_, e.minKey, e.maxKey)))
         if (hit.isEmpty) emptyFrame(spark, schema)
         else {
-          val base = reconciledRead(spark, root, schema, hit, keyColumn,
-            cmp)
+          val base = reconciledRead(spark, root, schema, m, hit,
+            keyColumn, cmp)
           // Small probe sets inline as literals (the In predicate
           // pushes into the parquet scan's row-group pruning); big sets
           // become a broadcast semi-join on the normalized key — same
@@ -1366,7 +1456,7 @@ object ManifestTable {
           if (!stringKeyed) m.entries
           else m.entries.filter(e => !(e.maxKey < loS || e.minKey > hiS))
         if (hit.isEmpty) emptyFrame(spark, schema)
-        else reconciledRead(spark, root, schema, hit, keyColumn, cmp)
+        else reconciledRead(spark, root, schema, m, hit, keyColumn, cmp)
           .filter(cmp(col(keyColumn)) >= lit(normLo) &&
             cmp(col(keyColumn)) <= lit(normHi))
       case _ => emptyFrame(spark, schema)
@@ -1435,7 +1525,7 @@ object ManifestTable {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
-            prior.rangeBounds, prior.schemaJson)))
+            prior.rangeBounds, prior.schemaJson, prior.udfKey)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
@@ -1448,7 +1538,7 @@ object ManifestTable {
         // resolves by column name). Big probe sets switch to a
         // broadcast ANTI-join (NULL keys never match the condition and
         // are kept — same semantics, no O(N) analyzer cost).
-        val reconciled = reconciledRead(spark, root, schema,
+        val reconciled = reconciledRead(spark, root, schema, prior,
           touchedEntries, keyColumn, cmp)
         val fragment =
           if (probes.size <= InlineProbeLimit)
@@ -1468,7 +1558,7 @@ object ManifestTable {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact,
-            prior.rangeBounds, prior.schemaJson)))
+            prior.rangeBounds, prior.schemaJson, prior.udfKey)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -1521,7 +1611,7 @@ object ManifestTable {
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
           written, prior.lastBatches, Some(token), attempt, keyColumn,
           prior.keyExpr, prior.lastCompact, newRangeBounds,
-          prior.schemaJson)))
+          prior.schemaJson, prior.udfKey)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1573,15 +1663,15 @@ object ManifestTable {
       // a keyExpr table would migrate rows to raw-key buckets, breaking
       // every later pruned lookup/delete.
       val cmp = effectiveKey(prior, keyComparator)
-      val fragment = reconciledRead(spark, root, schema, tiered.flatten,
-        keyColumn, cmp)
+      val fragment = reconciledRead(spark, root, schema, prior,
+        tiered.flatten, keyColumn, cmp)
       val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
       val written = writeBuckets(fragment, bucket, keyColumn, root,
         s"v$version-$attempt", tiered.size, cmp, seq = version)
       if (tryCommitManifest(spark, root, Manifest(version, n,
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
           attempt, keyColumn, prior.keyExpr, Some(token),
-          prior.rangeBounds, prior.schemaJson)))
+          prior.rangeBounds, prior.schemaJson, prior.udfKey)))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1663,15 +1753,18 @@ object ManifestTable {
       // graft_changes SQL function can only pass identity).
       val rk: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         if (cur.keyExpr.nonEmpty) recordedKey(cur) else keyComparator
-      def frag(entries: Seq[FileEntry], kc: String): DataFrame =
-        reconciledRead(spark, root, schema, entries, kc, rk)
+      def frag(mf: Manifest, entries: Seq[FileEntry], kc: String)
+          : DataFrame =
+        reconciledRead(spark, root, schema, mf, entries, kc, rk)
       // Presence markers ride each side through the join — an all-null
       // data row is still "present", so presence can't be derived from
       // the data columns' post-join nullability.
-      val before = frag(changed.flatMap(b => prevBy.getOrElse(b, Nil)),
+      val before = frag(prev,
+          changed.flatMap(b => prevBy.getOrElse(b, Nil)),
           if (prev.keyColumn.nonEmpty) prev.keyColumn else keyColumn)
         .withColumn("__graft_pb", lit(true))
-      val after = frag(changed.flatMap(b => curBy.getOrElse(b, Nil)),
+      val after = frag(cur,
+          changed.flatMap(b => curBy.getOrElse(b, Nil)),
           if (cur.keyColumn.nonEmpty) cur.keyColumn else keyColumn)
         .withColumn("__graft_pa", lit(true))
       // One full-outer join on the normalized key over the touched
