@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // The batch-read face of the manifest table
+    // (spark.read.format("graft")) plans through this strategy.
+    ext.injectPlannerStrategy(session =>
+      new graft.store.GraftReadStrategy(session))
   }
 }
 
@@ -480,7 +484,9 @@ object GraftExtensions {
         .queryExecution.analyzed
     }))
 
-  /** Registers all graft SQL functions on an existing session. */
+  /** Registers all graft SQL functions on an existing session, plus the
+    * `format("graft")` read strategy (extensions can only be injected at
+    * build time; `experimental.extraStrategies` is the runtime seam). */
   def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -490,5 +496,10 @@ object GraftExtensions {
       spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.store.GraftReadStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          new graft.store.GraftReadStrategy(spark)
   }
 }

@@ -382,6 +382,52 @@ object SparkEntry {
       root
     }
 
+  /** The write-face fixture: bootstrap via `df.write.format("graft")`,
+    * then one typed append batch (plain last-wins upsert under the
+    * writer's auto mapping — no column policies). Built once per
+    * process; the query then times the format read-back. */
+  private def writeFormatFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val key = s"manifest_write_format@$dir"
+      val root = "target/qtmp/manifest_write_format"
+      if (!fixtureReady(key)) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        upsertTarget(s, dir).write.format("graft")
+          .option("key", "id").option("numBuckets", "32").save(root)
+        t(s, dir, "customer")
+          .filter(col("c_custkey") % 7 =!= 1)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal"), lit("NEW").as("segment"),
+            col("c_nationkey").cast(LongType).as("nation"))
+          .write.format("graft").mode("append").option("key", "id")
+          .save(root)
+        fixtureReady += key
+      }
+      root
+    }
+
+  /** Per-customer orders rollup stored as a manifest table CO-BUCKETED
+    * with the customer fixtures (same key name, same 32 buckets), for
+    * the shuffle-free bucketed-join query. Decimal-summed so the stored
+    * total is partitioning-independent. */
+  private def ordersSideTable(s: SparkSession, dir: String): String =
+    synchronized {
+      val key = s"manifest_scan_orders@$dir"
+      val root = "target/qtmp/manifest_scan_orders"
+      if (!fixtureReady(key)) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val agg = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(30,2)")).as("total_d"))
+        graft.store.ManifestTable.create(agg, "id", root, numBuckets = 32)
+        fixtureReady += key
+      }
+      root
+    }
+
   /** Per-query fixture hooks Bench invokes OUTSIDE the timed region
     * before each rep, so the rep times the operation (a real incremental
     * MERGE / targeted DELETE against a fresh table), not fixture creation
@@ -1016,6 +1062,47 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_scan_pruned" -> ((s, dir) => {
+      // The batch-read FORMAT face (`spark.read.format("graft")`) with a
+      // plain DataFrame key filter: the filter reaches GraftFileIndex at
+      // plan time, so only the probe keys' bucket files are read — the
+      // declarative twin of the lookup() API. Values hash-equal the
+      // DuckDB merged-state recompute restricted to the same keys; the
+      // file-count evidence lives in GraftFormatSpec/GraftFileIndexSpec.
+      val root = manifestFixture(s, dir, "manifest_scan", withMerge = true)
+      GraftExtensions.register(s) // Verify's session has no extensions
+      s.read.format("graft").load(root)
+        .filter(col("id").isin(2L, 5L, 170L, 1202L))
+        .select(col("id"), col("name"), col("acctbal"), col("segment"),
+          col("nation"))
+    }),
+    "manifest_write_format" -> ((s, dir) => {
+      // The batch WRITE face (`df.write.format("graft")`): bootstrap +
+      // typed append-merge through the writer, read back through the
+      // format — the full df.read/df.write symmetry, hash-checked
+      // against DuckDB's last-wins recompute. (The append's auto
+      // mapping carries no column policies, unlike the upsert_basic
+      // family — source values win wholesale.)
+      GraftExtensions.register(s)
+      val root = writeFormatFixture(s, dir)
+      s.read.format("graft").load(root)
+    }),
+    "manifest_bucket_join" -> ((s, dir) => {
+      // CO-BUCKETED join: two manifest tables laid out on the same key
+      // with the same bucket count join WITHOUT a shuffle (the format-8
+      // bucket-id file names let the scan report Spark's own BucketSpec
+      // — GraftFileIndexSpec pins the zero-Exchange plan). The driver
+      // gate here is the VALUES: join of the merged customer state with
+      // a per-customer orders rollup, hash-equal to DuckDB's join.
+      val rootA = manifestFixture(s, dir, "manifest_scan", withMerge = true)
+      val rootB = ordersSideTable(s, dir)
+      GraftExtensions.register(s)
+      val a = s.read.format("graft").load(rootA)
+      val b = s.read.format("graft").load(rootB)
+      a.join(b, "id")
+        .select(col("id"), col("name"), col("segment"), col("n_orders"),
+          col("total_d").cast(DoubleType).as("total_price"))
     }),
     "manifest_mv" -> ((s, dir) => {
       // PERSISTENT materialized view: the timed region is the base
@@ -2204,6 +2291,35 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      "manifest_scan_pruned" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey IN (2, 5, 170, 1202)""",
+      "manifest_write_format" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inSrc THEN 'NEW' ELSE 'LEGACY' END AS segment,
+           CASE WHEN $inSrc THEN CAST(c_nationkey AS BIGINT)
+                ELSE $tgtNation END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_bucket_join" ->
+        s"""WITH m AS (
+             SELECT c_custkey AS id, c_name AS name,
+               CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment
+             FROM customer WHERE ($inTgt) OR ($inSrc)),
+           o AS (
+             SELECT o_custkey AS id, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 AS total_price
+             FROM orders GROUP BY 1)
+           SELECT m.id, m.name, m.segment, o.n_orders, o.total_price
+           FROM m JOIN o USING (id)""",
       "upsert_create_only" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inTgt THEN $drifted ELSE c_acctbal END AS acctbal,

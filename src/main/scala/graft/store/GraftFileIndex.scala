@@ -259,6 +259,12 @@ private[store] object GraftScan {
       schema: StructType): Option[BucketSpec] =
     if (m.rangeBounds.isEmpty && recordedIdentity(m) &&
         m.keyColumn.nonEmpty && m.numBuckets > 0 &&
+        // BucketSpec itself refuses counts above
+        // spark.sql.sources.bucketing.maxBuckets (default 100k) — a
+        // wider table (100 TB / 256 MB ≈ 400k buckets) must fall back
+        // to an unbucketed scan, not fail planning.
+        m.numBuckets <= org.apache.spark.sql.internal.SQLConf.get
+          .bucketingMaxBuckets &&
         schema.fieldNames.contains(m.keyColumn) &&
         entries.nonEmpty && entries.forall(_.named))
       Some(BucketSpec(m.numBuckets, Seq(m.keyColumn), Seq(m.keyColumn)))

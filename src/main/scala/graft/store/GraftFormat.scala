@@ -1,0 +1,294 @@
+package graft.store
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read.format("graft").load(root)` — the batch-read face of the
+  * manifest table, completing the trio with the `graft-cdc` streaming
+  * source and the `graft-table` streaming sink. Options:
+  *
+  *   - `versionAsOf` — time travel to a committed version.
+  *
+  * The schema comes from the manifest (self-describing format-7+
+  * tables; each travelled version shows ITS OWN recorded schema) or
+  * from an explicit `.schema(...)`.
+  *
+  * Mechanically this is the Delta-style V2-to-internal-plan handoff:
+  * the provider resolves to a thin [[GraftTable]], and
+  * [[GraftReadStrategy]] (injected by [[graft.GraftExtensions]], or
+  * added to `spark.experimental.extraStrategies` by
+  * `GraftExtensions.register`) swaps the scan relation at PLANNING time
+  * for the SAME reconciled/pruned plan `ManifestTable.read` builds —
+  * one read path, whichever door a query comes in through. The
+  * query's own projects and filters are rebased INTO the swapped
+  * subtree and re-optimized, so column pruning, parquet pushdown and
+  * GraftFileIndex's manifest-level key pruning all still fire. The
+  * scan also reports manifest-derived statistics (bytes, and exact row
+  * counts on all-compacted tables), so broadcast decisions see real
+  * sizes rather than defaults. */
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
+
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** `df.write.format("graft")` — the BATCH write face (the streaming
+    * twin is `writeStream.format("graft-table")`). Options: `key`
+    * (default `id`), `numBuckets` (creation only, default 16), `delta`
+    * (LSM write path on append), `evolveSchema` (opt-in add-only
+    * widening on append), `streamId`/`batchId` (explicit idempotency
+    * token for exactly-once callers — by default every save() applies,
+    * SQL INSERT semantics). SaveModes: ErrorIfExists/Ignore create;
+    * Append runs the incremental key-matched MERGE (cost ∝ touched
+    * buckets); Overwrite commits INSERT-OVERWRITE state in one version
+    * (old files stay for time travel; cost = the new data only). */
+  override def createRelation(
+      sqlContextArg: org.apache.spark.sql.SQLContext,
+      saveMode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = data.sparkSession
+    val jmap = new java.util.HashMap[String, String]()
+    parameters.foreach { case (k, v) => jmap.put(k, v) }
+    val opts = new CaseInsensitiveStringMap(jmap)
+    val root = rootOf(opts)
+    val key = Option(opts.get("key")).getOrElse("id")
+    val numBuckets = Option(opts.get("numBuckets")).map(_.toInt).getOrElse(16)
+    require(data.schema.fieldNames.contains(key),
+      s"key column '$key' not in the written schema " +
+        s"(${data.schema.fieldNames.mkString(", ")}) — set .option(\"key\", ...)")
+    val exists = ManifestTable.currentVersion(spark, root).isDefined
+    saveMode match {
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"table exists at $root (SaveMode.ErrorIfExists) — use " +
+            "append (merge), overwrite (replace), or ignore")
+        ManifestTable.create(data, key, root, numBuckets)
+      case SaveMode.Ignore =>
+        if (!exists) ManifestTable.create(data, key, root, numBuckets)
+      case SaveMode.Overwrite =>
+        ManifestTable.replace(data, key, root, numBuckets)
+      case SaveMode.Append =>
+        if (!exists) ManifestTable.create(data, key, root, numBuckets)
+        else {
+          val schema = data.schema
+          val m = new graft.mapping.Mapping(keyColumnName = key)
+          schema.fieldNames.foreach(n => m.auto(n))
+          m.complete(schema)
+          // Default token = the version this merge will claim: every
+          // bare save() applies (SQL INSERT semantics); exactly-once
+          // callers pass their own streamId/batchId.
+          val streamId = Option(opts.get("streamId"))
+            .getOrElse("graft-batch-write")
+          val batchId = Option(opts.get("batchId")).map(_.toLong)
+            .getOrElse(ManifestTable.currentVersion(spark, root)
+              .getOrElse(-1L) + 1L)
+          ManifestTable.merge(data, batchId, m, root, schema,
+            numBuckets = numBuckets, streamId = streamId,
+            delta = opts.getBoolean("delta", false),
+            evolveSchema = opts.getBoolean("evolveSchema", false))
+        }
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext =
+        sqlContextArg
+      override def schema: StructType = data.schema
+    }
+  }
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft reads need a table root: spark.read.format(\"graft\")" +
+        ".load(root) or .option(\"path\", root)"))
+
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"versionAsOf must be an integer version, got '$v'")
+      }
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    versionOf(options) match {
+      case Some(v) =>
+        val m = ManifestTable.readManifest(spark, root, v)
+        if (m.schemaJson.isEmpty) throw new IllegalArgumentException(
+          s"manifest m$v at $root records no schema (pre-format-7) — " +
+            "pass .schema(...) explicitly")
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType]
+      case None =>
+        ManifestTable.recordedSchema(spark, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"table at $root records no schema (pre-format-7, or no " +
+              "table) — pass .schema(...) explicitly"))
+    }
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    GraftTable(rootOf(options), versionOf(options), schema)
+  }
+}
+
+/** Thin V2 table handle; the real plan is substituted by
+  * [[GraftReadStrategy]]. */
+private[store] case class GraftTable(
+    root: String,
+    versionAsOf: Option[Long],
+    tableSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft.`$root`" + versionAsOf.map(v => s"@v$v").getOrElse("")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        GraftBatchScan(root, versionAsOf, tableSchema)
+    }
+}
+
+/** Carrier scan: holds what the strategy needs and reports
+  * manifest-derived statistics; never executes itself.
+  *
+  * The substituted plans are MEMOIZED per scan instance: AQE re-plans
+  * the captured logical plan after every stage, re-invoking the
+  * strategy — a fresh `ManifestTable.read` each time would mint new
+  * expression ids, its query stages would never semantically match the
+  * ones already materialized, and the adaptive loop would wait forever
+  * (reproduced by a self-join under AQE). Same scan + same filters →
+  * the identical plan object, so re-planning converges. */
+private[store] case class GraftBatchScan(
+    root: String,
+    versionAsOf: Option[Long],
+    tableSchema: StructType) extends Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = tableSchema
+  override def description(): String =
+    s"GraftScan $root" + versionAsOf.map(v => s" @v$v").getOrElse("")
+
+  @transient private lazy val baseDf: org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
+    versionAsOf match {
+      case Some(v) => ManifestTable.readAt(spark, root, tableSchema, v)
+      case None => ManifestTable.read(spark, root, tableSchema)
+    }
+  }
+
+  /** Substituted-plan output attributes, by name (stable per scan). */
+  @transient private[store] lazy val outputByName
+      : Map[String, Expression] =
+    baseDf.queryExecution.analyzed.output
+      .map(a => (a.name, a: Expression)).toMap
+
+  @transient private lazy val planCache =
+    new java.util.concurrent.ConcurrentHashMap[Expression, LogicalPlan]()
+  @transient private lazy val unfiltered: LogicalPlan =
+    baseDf.queryExecution.optimizedPlan
+
+  /** The read plan with `cond` (already rebased onto [[outputByName]])
+    * pushed through the subtree's own optimization — filter pushdown
+    * into the reconcile levels, GraftFileIndex key pruning, parquet
+    * row-group pushdown all fire even though the main optimizer has
+    * already run by the time the strategy swaps. */
+  private[store] def substituted(cond: Option[Expression]): LogicalPlan =
+    cond match {
+      case None => unfiltered
+      case Some(c) =>
+        planCache.computeIfAbsent(c.canonicalized, _ =>
+          baseDf.filter(org.apache.spark.sql.graft.Bridge.column(c))
+            .queryExecution.optimizedPlan)
+    }
+
+  override def toBatch: Batch = throw new IllegalStateException(
+    "the graft batch source plans through GraftReadStrategy — build the " +
+      "session with GraftExtensions (spark.sql.extensions / " +
+      "withExtensions) or call GraftExtensions.register(spark) first")
+
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val m = versionAsOf match {
+      case Some(v) => Some(ManifestTable.readManifest(spark, root, v))
+      case None => ManifestTable.currentManifest(spark, root)
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = m match {
+        case Some(mf) if mf.entries.nonEmpty &&
+            mf.entries.forall(_.bytes > 0) =>
+          OptionalLong.of(mf.entries.map(_.bytes).sum)
+        case Some(mf) if mf.entries.isEmpty => OptionalLong.of(0L)
+        case _ => OptionalLong.empty()
+      }
+      // Exact only when every bucket is compacted: a delta-updated key
+      // is counted in both its base and delta file.
+      override def numRows(): OptionalLong = m match {
+        case Some(mf)
+            if mf.entries.groupBy(_.bucket).values.forall(_.size == 1) =>
+          OptionalLong.of(mf.entries.map(_.rows).sum)
+        case _ => OptionalLong.empty()
+      }
+    }
+  }
+}
+
+/** Plans a [[GraftBatchScan]] relation as the `ManifestTable.read` /
+  * `readAt` plan with the query's own filters and projects rebased into
+  * the subtree (then re-optimized), so the native scan path's pruning
+  * and pushdown fire exactly as they do for the Scala/SQL-function
+  * reads. */
+class GraftReadStrategy(spark: SparkSession) extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PhysicalOperation(projects, filters, rel: DataSourceV2ScanRelation)
+        if rel.scan.isInstanceOf[GraftBatchScan] =>
+      val scan = rel.scan.asInstanceOf[GraftBatchScan]
+      // Rebase the outer expressions (which reference the V2 relation's
+      // attribute ids) onto the substituted plan's output, BY NAME; the
+      // project list re-aliases back to the original ids so everything
+      // above the swap keeps resolving. All inputs here are stable
+      // across AQE re-planning, so the produced plan is too (see the
+      // GraftBatchScan memo note).
+      val byName = scan.outputByName
+      def rb(e: Expression): Expression = e.transform {
+        case a: Attribute => byName(a.name)
+      }
+      val inner = scan.substituted(
+        if (filters.isEmpty) None else Some(filters.map(rb).reduce(And)))
+      val outList: Seq[NamedExpression] =
+        (if (projects.nonEmpty) projects else rel.output).map {
+          case a: AttributeReference =>
+            Alias(byName(a.name), a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          case ne => rb(ne).asInstanceOf[NamedExpression]
+        }
+      planLater(Project(outList, inner)) :: Nil
+    case _ => Nil
+  }
+}

@@ -870,6 +870,56 @@ object ManifestTable {
     }
   }
 
+  /** INSERT-OVERWRITE semantics: commits `df` as the table's new state
+    * in ONE new version — no old bucket is read or rewritten (their
+    * files stay live for time travel until `vacuum`), so the cost is
+    * exactly the new data's write. Layout (bucket count, range bounds)
+    * and the key comparator carry over from the existing table; the
+    * recorded schema becomes `df`'s own (an overwrite rewrites nothing
+    * old, so the add-only evolution guard — which protects REWRITES of
+    * committed rows — does not apply; each retained version still reads
+    * under its own schema). Creates the table when none exists. OCC:
+    * conflicts retry against the new current state; stream replay
+    * tokens and delete/compact tokens carry through untouched. */
+  def replace(
+      df: DataFrame,
+      keyColumn: String,
+      root: String,
+      numBuckets: Int = 16,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Unit = {
+    val spark = df.sparkSession
+    while (true) {
+      currentManifest(spark, root) match {
+        case None =>
+          try {
+            create(df, keyColumn, root, numBuckets, keyComparator)
+            return
+          } catch {
+            case _: java.util.ConcurrentModificationException => () // retry
+          }
+        case Some(prior) =>
+          require(prior.keyColumn.isEmpty || prior.keyColumn == keyColumn,
+            s"table at $root keys on '${prior.keyColumn}', not '$keyColumn'")
+          val attempt = newAttemptId()
+          val version = prior.version + 1
+          val n = prior.numBuckets
+          val cmp = effectiveKey(prior, keyComparator)
+          val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+          val written = writeBuckets(df, bucket, keyColumn, root,
+            s"v$version-$attempt", n, cmp, seq = version)
+          val keyExprRec = comparatorSql(df, keyColumn, cmp)
+          if (tryCommitManifest(spark, root, Manifest(version, n, written,
+              prior.lastBatches, prior.lastDelete, attempt, keyColumn,
+              keyExprRec.getOrElse(prior.keyExpr), prior.lastCompact,
+              prior.rangeBounds, df.schema.json,
+              keyExprRec.isEmpty || prior.udfKey)))
+            return
+          cleanupAttempt(spark, root, version, attempt)
+      }
+    }
+  }
+
   /** One incremental MERGE of a projected source into the table.
     * `(streamId, batchId)` is the merge's IDEMPOTENCY TOKEN, not the
     * table version: foreachBatch passes its batchId (plus the checkpoint
