@@ -60,13 +60,13 @@ import graft.store.ManifestTable.{FileEntry, Manifest}
 private[store] final class GraftFileIndex(
     spark: SparkSession,
     root: String,
-    numBuckets: Int,
-    rangeBounds: Seq[String],
     keyColumn: String,
-    cmp: Column => Column,
-    canPrune: Boolean,
+    keyType: Option[org.apache.spark.sql.types.DataType],
+    probeEval: Option[Seq[Any] => Seq[(Int, String)]],
     rangePrunable: Boolean,
     entries: Seq[FileEntry]) extends FileIndex {
+
+  private def canPrune: Boolean = probeEval.isDefined
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
   override def partitionSchema: StructType = StructType(Nil)
@@ -123,29 +123,34 @@ private[store] final class GraftFileIndex(
   private val predCache =
     mutable.HashMap.empty[Expression, Option[FileEntry => Boolean]]
 
-  private def external(dt: org.apache.spark.sql.types.DataType, v: Any): Any =
-    CatalystTypeConverters.createToScalaConverter(dt)(v)
+  /** Only prune on a literal whose type IS the key column's type (the
+    * analyzer coerces comparisons, so this is the normal case): the
+    * compiled probe projection takes exactly key-typed internal
+    * values. */
+  private def keyTyped(dt: org.apache.spark.sql.types.DataType): Boolean =
+    keyType.contains(dt)
 
   private def isKeyAttr(e: Expression): Boolean = e match {
     case a: AttributeReference => a.name == keyColumn
     case _ => false
   }
 
-  /** Survival predicate for a set of equality probe values: bucket match
-    * plus min/max stat containment, probes normalized and rendered by
-    * Spark itself (the [[ManifestTable.lookup]] discipline — the bucket
-    * targeting and the string the stats compare against must be exactly
-    * what the write path computed). Sound under ANY comparator: a row
-    * whose RAW key equals the probe necessarily normalizes like it. */
+  /** Survival predicate for a set of equality probe values (catalyst
+    * INTERNAL representation, same type as the key column): bucket
+    * match plus min/max stat containment, probes normalized and
+    * rendered by the pre-compiled projection
+    * ([[ManifestTable.probeEvaluator]] — the bucket targeting and the
+    * string the stats compare against must be exactly what the write
+    * path computed; no session/analyzer access here, this runs on AQE
+    * stage threads). Sound under ANY comparator: a row whose RAW key
+    * equals the probe necessarily normalizes like it. */
   private def probePredicate(values: Seq[Any]): Option[FileEntry => Boolean] = {
     val nonNull = values.filter(_ != null)
     if (nonNull.isEmpty) return Some(_ => false) // `= NULL` matches no row
     // Per-bucket SORTED probe strings + binary search per entry — the
     // same O(E log P) shape as lookup(); a linear probes.exists is real
     // driver time at 400k entries × a big IN list.
-    val byBucket: Map[Int, Array[String]] = ManifestTable
-      .bucketedProbes(spark, numBuckets, rangeBounds, keyColumn, cmp,
-        nonNull)
+    val byBucket: Map[Int, Array[String]] = probeEval.get(nonNull)
       .filter(_._2 != null) // a NULL-normalized probe equals no stored key
       .groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2).toArray.sorted }
     def anyInRange(sorted: Array[String], lo: String, hi: String): Boolean = {
@@ -170,48 +175,51 @@ private[store] final class GraftFileIndex(
     predCache.getOrElseUpdate(f.canonicalized, computePredicate(f))
 
   private def str(v: Any): Option[String] =
-    Option(v).map(_.toString)
+    Option(v).map(_.toString) // UTF8String renders as its string value
 
   private def computePredicate(f: Expression): Option[FileEntry => Boolean] =
     f match {
-      case EqualTo(a, Literal(v, dt)) if isKeyAttr(a) =>
-        probePredicate(Seq(external(dt, v)))
-      case EqualTo(Literal(v, dt), a) if isKeyAttr(a) =>
-        probePredicate(Seq(external(dt, v)))
-      case EqualNullSafe(a, Literal(v, dt)) if isKeyAttr(a) && v != null =>
-        probePredicate(Seq(external(dt, v)))
-      case EqualNullSafe(Literal(v, dt), a) if isKeyAttr(a) && v != null =>
-        probePredicate(Seq(external(dt, v)))
-      case In(a, list) if isKeyAttr(a) && list.forall(_.isInstanceOf[Literal]) =>
-        probePredicate(list.map { case Literal(v, dt) => external(dt, v) })
-      case InSet(a, hset) if isKeyAttr(a) =>
-        probePredicate(hset.toSeq.map(external(a.dataType, _)))
+      case EqualTo(a, Literal(v, dt)) if isKeyAttr(a) && keyTyped(dt) =>
+        probePredicate(Seq(v))
+      case EqualTo(Literal(v, dt), a) if isKeyAttr(a) && keyTyped(dt) =>
+        probePredicate(Seq(v))
+      case EqualNullSafe(a, Literal(v, dt))
+          if isKeyAttr(a) && keyTyped(dt) && v != null =>
+        probePredicate(Seq(v))
+      case EqualNullSafe(Literal(v, dt), a)
+          if isKeyAttr(a) && keyTyped(dt) && v != null =>
+        probePredicate(Seq(v))
+      case In(a, list) if isKeyAttr(a) && list.forall {
+            case Literal(_, dt) => keyTyped(dt); case _ => false } =>
+        probePredicate(list.map { case Literal(v, _) => v })
+      case InSet(a, hset) if isKeyAttr(a) && keyTyped(a.dataType) =>
+        probePredicate(hset.toSeq)
       // Range shapes: the key is a recorded-identity STRING, so a
       // string-literal endpoint compares in exactly the stats space.
       case GreaterThan(a, Literal(v, StringType))
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(lo => e => e.maxKey >= lo)
+        str(v).map(lo => e => e.maxKey >= lo)
       case GreaterThanOrEqual(a, Literal(v, StringType))
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(lo => e => e.maxKey >= lo)
+        str(v).map(lo => e => e.maxKey >= lo)
       case LessThan(a, Literal(v, StringType))
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(hi => e => e.minKey <= hi)
+        str(v).map(hi => e => e.minKey <= hi)
       case LessThanOrEqual(a, Literal(v, StringType))
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(hi => e => e.minKey <= hi)
+        str(v).map(hi => e => e.minKey <= hi)
       case GreaterThan(Literal(v, StringType), a)
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(hi => e => e.minKey <= hi)
+        str(v).map(hi => e => e.minKey <= hi)
       case GreaterThanOrEqual(Literal(v, StringType), a)
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(hi => e => e.minKey <= hi)
+        str(v).map(hi => e => e.minKey <= hi)
       case LessThan(Literal(v, StringType), a)
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(lo => e => e.maxKey >= lo)
+        str(v).map(lo => e => e.maxKey >= lo)
       case LessThanOrEqual(Literal(v, StringType), a)
           if isKeyAttr(a) && rangePrunable =>
-        str(external(StringType, v)).map(lo => e => e.maxKey >= lo)
+        str(v).map(lo => e => e.maxKey >= lo)
       case And(l, r) =>
         (computePredicate(l), computePredicate(r)) match {
           case (Some(pl), Some(pr)) => Some(e => pl(e) && pr(e))
@@ -285,9 +293,18 @@ private[store] object GraftScan {
       cmp: Column => Column): DataFrame = {
     val rangeOk = recordedIdentity(m) &&
       schema.find(_.name == m.keyColumn).exists(_.dataType == StringType)
-    val idx = new GraftFileIndex(spark, root, m.numBuckets, m.rangeBounds,
-      m.keyColumn, cmp, canPrune = provenLayout(m),
-      rangePrunable = rangeOk, entries)
+    val keyType = schema.find(_.name == m.keyColumn).map(_.dataType)
+    // The probe projection is compiled HERE — relation construction is a
+    // thread where running the analyzer is legal — and handed to the
+    // index as a pure evaluator; listFiles (AQE stage threads) must
+    // never need the analyzer or the SessionCatalog.
+    val probeEval =
+      if (provenLayout(m) && keyType.isDefined)
+        ManifestTable.probeEvaluator(spark, m.numBuckets, m.rangeBounds,
+          m.keyColumn, keyType.get, cmp)
+      else None
+    val idx = new GraftFileIndex(spark, root, m.keyColumn, keyType,
+      probeEval, rangePrunable = rangeOk, entries)
     val rel = HadoopFsRelation(
       location = idx,
       partitionSchema = StructType(Nil),

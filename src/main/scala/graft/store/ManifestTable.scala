@@ -559,24 +559,54 @@ object ManifestTable {
       .collect().map(r => (r.getInt(0), r.get(1), r.getString(2))).toSeq
   }
 
-  /** (bucket, rendered normalized string) per probe value — the
-    * [[normalizedProbes]] discipline exposed to [[GraftFileIndex]]'s
-    * plan-time pruning, which resolves its layout parameters from the
-    * manifest rather than holding one. */
-  private[store] def bucketedProbes(
+  /** Compiles the (bucket, rendered normalized string) probe projection
+    * for [[GraftFileIndex]]'s plan-time pruning — the
+    * [[normalizedProbes]] discipline, split in two phases for thread
+    * safety: this builder runs the ANALYZER once (at relation
+    * construction, on a thread where analysis is legal) and returns a
+    * pure evaluator over catalyst-internal key values. `listFiles` is
+    * invoked during scan planning AND execution (AQE stage threads,
+    * `selectedPartitions`) — a Dataset built there deadlocks: the probe
+    * analysis needs the SessionCatalog monitor, which a plan-time table
+    * function (graft_refresh_view under resolution) can hold while
+    * waiting on this very query. The evaluator touches no session
+    * state; a fresh SafeProjection per call keeps it thread-safe.
+    * Returns None when the projection cannot be built (then the index
+    * simply does not prune — conservative). */
+  private[store] def probeEvaluator(
       spark: SparkSession,
       numBuckets: Int,
       rangeBounds: Seq[String],
       keyColumn: String,
-      cmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      keys: Seq[Any]): Seq[(Int, String)] =
-    probeFrame(spark, keyColumn, keys)
-      .select(bucketExpr(numBuckets, rangeBounds,
-          cmp(col(keyColumn))).as("b"),
-        cmp(col(keyColumn)).cast("string").as("s"))
-      .collect()
-      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
-      .toSeq
+      keyType: org.apache.spark.sql.types.DataType,
+      cmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Option[Seq[Any] => Seq[(Int, String)]] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BindReferences, GenericInternalRow, SafeProjection}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, Project}
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyColumn, keyType))))
+    val proj = empty.select(
+      bucketExpr(numBuckets, rangeBounds, cmp(col(keyColumn))).as("b"),
+      cmp(col(keyColumn)).cast("string").as("s"))
+    proj.queryExecution.analyzed match {
+      case Project(exprs, l: LocalRelation) =>
+        val bound = exprs.map(BindReferences.bindReference(_, l.output))
+        (values: Seq[Any]) => {
+          val p = SafeProjection.create(bound)
+          values.map { v =>
+            val r = p(new GenericInternalRow(Array[Any](v)))
+            (r.getInt(0),
+              if (r.isNullAt(1)) null else r.getUTF8String(1).toString)
+          }
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected probe plan shape: $other")
+    }
+  }.toOption
 
   /** Reads `entries` reconciled to the LIVE row per key: buckets with a
     * single file scan directly (zero overhead — the all-compacted fast
@@ -762,32 +792,51 @@ object ManifestTable {
     // and unnamed, which simply forfeits the two optimizations.
     val dataPath = new Path(dataDir)
     val fs = fsOf(spark, dataPath)
+    def stampBucket(d: org.apache.hadoop.fs.FileStatus)
+        : (Int, (String, Long, Boolean)) = {
+      val k = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      val parts = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      val relDir = s"data/$dataDirName/$BucketCol=$k"
+      parts match {
+        case Seq(one) =>
+          val name = one.getPath.getName
+          val dot = name.indexOf('.')
+          val stamped =
+            if (dot < 0) f"${name}_$k%05d"
+            else f"${name.substring(0, dot)}_$k%05d${name.substring(dot)}"
+          val dst = new Path(d.getPath, stamped)
+          if (fs.rename(one.getPath, dst))
+            k -> (s"$relDir/$stamped", one.getLen, true)
+          else k -> (relDir, one.getLen, false)
+        case many =>
+          k -> (relDir, many.map(_.getLen).sum, false)
+      }
+    }
     val perBucket: Map[Int, (String, Long, Boolean)] =
       if (!fs.exists(dataPath)) Map.empty
-      else fs.listStatus(dataPath).toSeq
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(s"$BucketCol="))
-        .map { d =>
-          val k = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-          val parts = fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
-            !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          val relDir = s"data/$dataDirName/$BucketCol=$k"
-          parts match {
-            case Seq(one) =>
-              val name = one.getPath.getName
-              val dot = name.indexOf('.')
-              val stamped =
-                if (dot < 0) f"${name}_$k%05d"
-                else f"${name.substring(0, dot)}_$k%05d${name.substring(dot)}"
-              val dst = new Path(d.getPath, stamped)
-              if (fs.rename(one.getPath, dst))
-                k -> (s"$relDir/$stamped", one.getLen, true)
-              else k -> (relDir, one.getLen, false)
-            case many =>
-              k -> (relDir, many.map(_.getLen).sum, false)
-          }
-        }.toMap
+      else {
+        val dirs = fs.listStatus(dataPath).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"$BucketCol="))
+        // The list+stamp loop is driver-side metadata RPC: ~nothing for
+        // an incremental merge's few touched buckets, but a bootstrap/
+        // rebucket touches EVERY bucket (400k at 100 TB) — run it on a
+        // bounded pool so the commit isn't serialized on FS latency.
+        if (dirs.size <= 64) dirs.map(stampBucket).toMap
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+          try {
+            import scala.jdk.CollectionConverters._
+            pool.invokeAll(dirs.map(d =>
+                new java.util.concurrent.Callable[(Int, (String, Long, Boolean))] {
+                  override def call() = stampBucket(d)
+                }).asJava)
+              .asScala.map(_.get()).toMap
+          } finally pool.shutdown()
+        }
+      }
     // Explicit schema (+ the partition column) so an all-rows-rejected
     // empty write doesn't fail schema inference.
     val writtenSchema = org.apache.spark.sql.types.StructType(
