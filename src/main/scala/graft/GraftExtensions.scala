@@ -260,6 +260,25 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_restore" -> (es => {
+      refuseInView("graft_restore")
+      // Point-in-time rollback ([[ManifestTable.restore]]): a
+      // metadata-only forward commit re-referencing toVersion's files.
+      // Returns (version, applied) — applied=false when the token
+      // replays an already-committed restore.
+      require(es.size == 3,
+        "usage: graft_restore(root, toVersion, token)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      graft.store.ManifestTable.restore(spark, root,
+        longArg(es(1), "toVersion"), longArg(es(2), "token"))
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after))).toDF("version", "applied")
+        .queryExecution.analyzed
+    }),
     "graft_refresh_view" -> (es => {
       // Ensure-semantics for a persistent materialized view: CREATES
       // the view table (full aggregate of the base's current version)

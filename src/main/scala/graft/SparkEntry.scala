@@ -539,6 +539,16 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L)
     }),
+    "manifest_restore" -> ((s, dir) => {
+      // create + merge + delete OUTSIDE the timed region: the rep times
+      // the metadata-only rewind + the committed read. Compared against
+      // manifest_read (same final read, no rewind) the bench artifact
+      // shows restore's own cost ≈ one manifest write.
+      val root = resetManifestFixture(s, dir, "manifest_restore",
+        withMerge = true)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+    }),
     "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)))
 
   /** Planted-neighbor recovery harness for the approximate ANN paths: the
@@ -1061,6 +1071,24 @@ object SparkEntry {
       val root = manifestFixture(s, dir, "manifest_read", withMerge = true)
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_restore" -> ((s, dir) => {
+      // Point-in-time RESTORE: erase 10 keys, then rewind the table to
+      // the pre-delete version. The restore commit is METADATA-ONLY —
+      // one manifest write re-referencing v1's files, no data read or
+      // rewritten, same cost at 100 TB as at 100 rows — and the bench
+      // number pins it: benchSetups pre-applies create + merge + delete,
+      // so the timed region is the rewind + committed read (the delete
+      // here replays into a no-op after setup; standalone in Verify it
+      // applies and the restore undoes it). Hash-equal to the merged
+      // state as if the delete never happened.
+      val root =
+        manifestFixture(s, dir, "manifest_restore", withMerge = true)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.ManifestTable.restore(s, root, toVersion = 1L,
+        token = 2L, tokenStream = Some("__restore"))
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_scan_pruned" -> ((s, dir) => {
@@ -2291,6 +2319,17 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      // restore rewinds the delete: the expected state is the merged
+      // state as if the erasure never happened — manifest_merge's shape
+      "manifest_restore" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
       "manifest_scan_pruned" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

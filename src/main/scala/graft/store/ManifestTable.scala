@@ -1716,6 +1716,70 @@ object ManifestTable {
     }
   }
 
+  /** Point-in-time RESTORE: rewinds the table's live state to what
+    * `toVersion` committed, as a NEW commit going FORWARD — the lineage
+    * is never truncated (cf. Delta Lake's RESTORE). Metadata-only: the
+    * new manifest re-references `toVersion`'s files verbatim, so no
+    * data is read, moved, or rewritten and the cost is one manifest
+    * write regardless of table size — restoring a 100 TB table costs
+    * the same as restoring 100 rows. Versions above the restore point
+    * stay readable through [[readAt]] until [[vacuum]] retires them,
+    * and the CDC feed derives the restore commit's NET data difference
+    * from the file-set diff like any other commit ([[changes]]), so
+    * maintained views/indexes follow the rewind through their normal
+    * change-driven refresh — no special-casing downstream.
+    *
+    * A table is restorable exactly as far back as vacuum's `keepLast`
+    * window keeps manifests (manifest retention IS the restore window).
+    * The restored manifest carries the TARGET's layout and recorded
+    * schema — a rewind undoes add-only evolution too, since the
+    * restored files simply don't have the newer columns — but the
+    * CURRENT head's replay state (`lastBatches`, `lastCompact`): a
+    * streaming batch that committed before the restore stays "seen",
+    * so a post-restore retry of it no-ops instead of double-applying
+    * (the same choice Delta makes with transaction versions; rewinding
+    * tokens would turn every at-least-once retry into a double-write).
+    * `token` rides the [[delete]]/[[rebucket]] maintenance token space
+    * (`lastDelete`), or a caller-named `lastBatches` stream via
+    * `tokenStream` when the maintenance slot must stay undisturbed. */
+  def restore(
+      spark: SparkSession,
+      root: String,
+      toVersion: Long,
+      token: Long,
+      tokenStream: Option[String] = None): Unit = {
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val replayed = tokenStream match {
+        case Some(s) => prior.lastBatches.get(s).contains(token)
+        case None => prior.lastDelete.contains(token)
+      }
+      if (replayed) return
+      require(toVersion <= prior.version,
+        s"cannot restore $root to v$toVersion: current is v${prior.version}")
+      val target = readManifest(spark, root, toVersion)
+      // Re-committing pre-8 entries under the format-8 header writes
+      // restore always produces would lie to readers (dir-shaped
+      // relPaths, no recorded bytes/named flags) — refuse rather than
+      // mis-describe; such tables predate restore anyway.
+      require(target.format >= 8 || target.entries.isEmpty,
+        s"restore target m$toVersion is format ${target.format} (< 8)")
+      val batches = tokenStream.fold(prior.lastBatches)(s =>
+        prior.lastBatches + (s -> token))
+      val deleteToken =
+        if (tokenStream.isEmpty) Some(token) else prior.lastDelete
+      if (tryCommitManifest(spark, root, Manifest(prior.version + 1,
+          target.numBuckets, target.entries, batches, deleteToken,
+          newAttemptId(), target.keyColumn, target.keyExpr,
+          prior.lastCompact, target.rangeBounds, target.schemaJson,
+          target.udfKey)))
+        return
+      // nothing to clean on an OCC loss: restore writes no attempt
+      // artifacts, only the temp manifest tryCommitManifest removes
+    }
+  }
+
   /** Per-bucket COMPACTION: folds every bucket carrying
     * `minFilesPerBucket` or more live files (a base plus accumulated
     * delta files from `merge(delta = true)`) back into ONE file,

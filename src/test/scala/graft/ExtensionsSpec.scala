@@ -215,6 +215,17 @@ class ExtensionsSpec extends SparkSpec {
       'id', '$view', 'grp', 'v', 'v')""").getString(1) == "noop")
     assert(one(s"""SELECT * FROM graft_refresh_index('$base', '$ddl',
       'id', '$idx', 'grp')""").getString(1) == "noop")
+    // point-in-time restore from SQL: rewind to the bootstrap commit —
+    // metadata-only, and the replay token makes a retry a no-op
+    val r0 = one(
+      s"SELECT * FROM graft_restore('$base', ${m0.getLong(0)}, 99)")
+    assert(r0.getBoolean(1) && r0.getLong(0) > m1.getLong(0))
+    val restored = spark.sql(s"SELECT id FROM graft_table('$base', '$ddl')")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(restored == Seq(1L, 2L, 3L), s"restored state: $restored")
+    assert(!one(
+      s"SELECT * FROM graft_restore('$base', ${m0.getLong(0)}, 99)")
+      .getBoolean(1), "replayed restore must be a no-op")
   }
 
   test("maintenance functions refuse to resolve inside a view body: a " +

@@ -1358,4 +1358,123 @@ class ManifestTableSpec extends SparkSpec {
       maxDriverKeys = 5)
     assert(ManifestTable.currentVersion(spark, root).get == v2)
   }
+
+  test("RESTORE rewinds metadata-only; CDC emits the net diff; replay " +
+      "no-ops; lineage stays time-travelable") {
+    val root = freshRoot("manifest_restore")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 8L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4)
+    ManifestTable.merge(m.project(raw((3L, "RENAMED", "99"))),
+      1L, m, root, schema)
+    ManifestTable.delete(spark, root, schema, "id", Seq(2L, 5L), token = 1L)
+    val v1State = ManifestTable.readAt(spark, root, 1L)
+      .orderBy("id").collect().toSeq
+    val filesBefore = fileDigests(s"$root/data")
+
+    ManifestTable.restore(spark, root, toVersion = 1L, token = 2L)
+
+    // metadata-only: not one data byte written, entries are v1's verbatim
+    assert(fileDigests(s"$root/data") == filesBefore,
+      "restore touched data files")
+    val head = ManifestTable.currentManifest(spark, root).get
+    assert(head.version == 3L)
+    assert(head.entries.toSet ==
+      ManifestTable.readManifest(spark, root, 1L).entries.toSet)
+    assert(ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq == v1State)
+    // lineage above the restore point stays readable (forward restore,
+    // not history truncation): v2 still shows the deletion applied
+    assert(ManifestTable.readAt(spark, root, 2L)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    // the restore commit's CDC delta is the NET difference: exactly the
+    // two erased rows coming back, nothing for untouched keys
+    val diff = ManifestTable.changes(spark, root, 2L, 3L)
+      .select("id", "_change_type").collect().toSet
+    assert(diff == Set(Row(2L, "insert"), Row(5L, "insert")), s"$diff")
+    // replay token no-ops; a fresh token re-restores
+    ManifestTable.restore(spark, root, toVersion = 0L, token = 2L)
+    assert(ManifestTable.currentVersion(spark, root).get == 3L)
+    // restoring past the head is refused loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, toVersion = 99L, token = 3L)
+    }
+  }
+
+  test("RESTORE keeps replay state: a pre-restore batch retry still " +
+      "no-ops, delete tokens survive via tokenStream") {
+    val root = freshRoot("manifest_restore_tokens")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 4L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2)
+    ManifestTable.merge(m.project(raw((2L, "UPD", "42"))),
+      1L, m, root, schema)
+    ManifestTable.delete(spark, root, schema, "id", Seq(4L), token = 7L)
+    // restore to v0 through a NAMED token stream: lastDelete keeps the
+    // delete's token so ITS replay detection survives the restore too
+    ManifestTable.restore(spark, root, toVersion = 0L, token = 1L,
+      tokenStream = Some("__restore"))
+    val head = ManifestTable.currentManifest(spark, root).get
+    assert(head.lastDelete.contains(7L),
+      "tokenStream restore must not clobber the maintenance token")
+    assert(head.lastBatches.get("__restore").contains(1L))
+    // batch 1 committed BEFORE the restore: an at-least-once retry of it
+    // must still be seen as replayed — not re-applied onto the rewound
+    // state (Delta's RESTORE + txn-version choice)
+    val re = ManifestTable.merge(m.project(raw((2L, "UPD", "42"))),
+      1L, m, root, schema)
+    assert(re.isEmpty, "pre-restore batch was re-applied after restore")
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 2L).select("name").as[String].head() == "n2")
+    // the delete's token replays as seen as well
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), token = 7L)
+    assert(ManifestTable.read(spark, root, schema).count() == 4L)
+  }
+
+  test("RESTORE then vacuum: the restored files are live in the head " +
+      "manifest and survive keepLast=1") {
+    val root = freshRoot("manifest_restore_vacuum")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 8L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4)
+    ManifestTable.delete(spark, root, schema, "id", Seq(3L), token = 1L)
+    ManifestTable.restore(spark, root, toVersion = 0L, token = 2L)
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    // head (the restore commit) reads green off the ORIGINAL v0 files;
+    // the delete's rewrite and the retired manifests are gone
+    assert(ManifestTable.read(spark, root, schema)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 8L))
+    intercept[Exception] { ManifestTable.readAt(spark, root, 1L) }
+  }
+
+  test("RESTORE rewinds add-only schema evolution with the entries") {
+    val root = freshRoot("manifest_restore_schema")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L, "a", "1"))), 0L, m, root, schema)
+    val wider = StructType(schema.fields :+
+      StructField("extra", StringType))
+    val widerMapping = {
+      val mm = new Mapping()
+      mm.auto("id"); mm.auto("name"); mm.auto("score"); mm.auto("extra")
+      mm.complete(wider)
+      mm
+    }
+    ManifestTable.merge(
+      Seq((Seq("2", "b", "2", "x"), 0L)).toDF("_raw", "_line")
+        .transform(widerMapping.project),
+      1L, widerMapping, root, wider, evolveSchema = true)
+    assert(ManifestTable.recordedSchema(spark, root).get.fieldNames
+      .contains("extra"))
+    ManifestTable.restore(spark, root, toVersion = 0L, token = 1L)
+    // the recorded schema IS v0's again — the restored files never had
+    // the evolved column, so readers must not be promised it
+    assert(ManifestTable.recordedSchema(spark, root).get.fieldNames.toSeq ==
+      schema.fieldNames.toSeq)
+    assert(ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq == Seq(Row(1L, "a", 1L)))
+  }
 }
