@@ -465,6 +465,45 @@ object GraftExtensions {
         strArg(es(0), "root"), schema, c, value)
         .queryExecution.analyzed
     }),
+    "graft_zone_build" -> (es => {
+      // Procedure-style: builds per-file min/max zone sidecars for the
+      // named columns over every current file not yet covered. Returns
+      // (zones_built) — 0 means already covered.
+      refuseInView("graft_zone_build")
+      require(es.size == 3,
+        "usage: graft_zone_build(root, schemaDDL, cols)")
+      val spark = SparkSession.active
+      val n = graft.store.ZoneSkip.buildZones(spark,
+        strArg(es(0), "root"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        csvArg(es(2), "columns"))
+      import spark.implicits._
+      Seq(n).toDF("zones_built").queryExecution.analyzed
+    }),
+    "graft_zone_lookup" -> (es => {
+      // Zone-pruned RANGE read on a non-key column — BETWEEN semantics,
+      // either bound NULL = unbounded on that side (graft_lookup's
+      // plan-time-manifest caveat applies). Bounds are cast to the
+      // column's declared type so probe and zone share one domain.
+      require(es.size == 5,
+        "usage: graft_zone_lookup(root, schemaDDL, column, lo, hi)")
+      val spark = SparkSession.active
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val c = strArg(es(2), "column")
+      require(schema.fieldNames.contains(c),
+        s"column $c not in the schema DDL")
+      def bound(e: Expression, what: String): Any =
+        foldableArg(e, what) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+      graft.store.ZoneSkip.lookupRange(spark,
+        strArg(es(0), "root"), schema, c,
+        bound(es(3), "lo"), bound(es(4), "hi"))
+        .queryExecution.analyzed
+    }),
     "graft_index_lookup" -> (es => {
       // Point query THROUGH a secondary index: index lookup → keys →
       // base lookup, the two-pruned-reads plan a non-key `=` predicate

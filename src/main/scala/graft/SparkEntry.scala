@@ -539,6 +539,14 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L)
     }),
+    "manifest_zone_range" -> ((s, dir) => {
+      // fixture + zone build OUTSIDE the timed region: the rep times
+      // the covered-check (one sidecar read) + the pruned range read.
+      val root = resetManifestFixture(s, dir, "manifest_zone_range",
+        withMerge = true)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+    }),
     "manifest_restore" -> ((s, dir) => {
       // create + merge + delete OUTSIDE the timed region: the rep times
       // the metadata-only rewind + the committed read. Compared against
@@ -1072,6 +1080,21 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_zone_range" -> ((s, dir) => {
+      // Per-file min/max ZONE MAPS — the range-predicate complement to
+      // bloom skipping: build the acctbal sidecar (incremental no-op
+      // once covered), then the zone-pruned BETWEEN read. The driver
+      // gate is the VALUES (hash-equal to DuckDB's merged-state
+      // recompute restricted to the range); on this hash-bucketed
+      // fixture every bucket spans most of the acctbal domain, so the
+      // pruning evidence lives in ZoneSkipSpec's clustered fixtures.
+      val root =
+        manifestFixture(s, dir, "manifest_zone_range", withMerge = true)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+      graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
+        1000.0, 5000.0)
     }),
     "manifest_restore" -> ((s, dir) => {
       // Point-in-time RESTORE: erase 10 keys, then rewind the table to
@@ -2319,6 +2342,19 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      // the merged state restricted to the probed acctbal range (BETWEEN
+      // never matches NULL — both engines agree)
+      "manifest_zone_range" ->
+        s"""SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc))
+           WHERE acctbal BETWEEN 1000 AND 5000""",
       // restore rewinds the delete: the expected state is the merged
       // state as if the erasure never happened — manifest_merge's shape
       "manifest_restore" ->

@@ -1222,21 +1222,21 @@ object ManifestTable {
       } else None
     }
 
-  /** Committed bloom sidecar directories ([[BloomSkip]]) — the
-    * history/stats commit rules (version ≤ current, `_SUCCESS`, attempt
-    * = the version's recorded winner) EXCEPT that ALL revisions of a
-    * version are kept, not just the highest: bloom revisions are
-    * ADDITIVE (each incremental build covers files the earlier ones
-    * did not — e.g. a second build over different columns), where a
-    * history revision SUPERSEDES its original (redaction rewrite).
-    * Sorted oldest→newest so [[BloomSkip.bloomsOf]]'s newest-wins
-    * resolution is well-defined. */
-  private[store] def committedBloomDirs(
-      spark: SparkSession, root: String): Seq[String] =
+  /** Committed ADDITIVE sidecar directories ([[BloomSkip]]'s `bloom`
+    * kind, [[ZoneSkip]]'s `zones` kind) — the history/stats commit
+    * rules (version ≤ current, `_SUCCESS`, attempt = the version's
+    * recorded winner) EXCEPT that ALL revisions of a version are kept,
+    * not just the highest: these revisions are ADDITIVE (each
+    * incremental build covers files the earlier ones did not — e.g. a
+    * second build over different columns), where a history revision
+    * SUPERSEDES its original (redaction rewrite). Sorted oldest→newest
+    * so the readers' newest-wins resolution is well-defined. */
+  private[store] def committedAdditiveDirs(
+      spark: SparkSession, root: String, kind: String): Seq[String] =
     currentVersion(spark, root) match {
       case None => Nil
       case Some(cur) =>
-        val dir = new Path(s"$root/bloom")
+        val dir = new Path(s"$root/$kind")
         val fs = fsOf(spark, dir)
         if (!fs.exists(dir)) Nil
         else {
@@ -1247,28 +1247,32 @@ object ManifestTable {
               case (v, a, r) => (v, a, r, n) })
             .filter { case (v, a, _, n) =>
               v <= cur &&
-              fs.exists(new Path(s"$root/bloom/$n/_SUCCESS")) && {
+              fs.exists(new Path(s"$root/$kind/$n/_SUCCESS")) && {
                 val mp = new Path(s"$root/manifest/m$v")
                 if (!mfs.exists(mp)) true // vacuumed: losers GC'd first
                 else readManifest(spark, root, v).sideId == a
               }
             }
             .sortBy { case (v, _, r, _) => (v, r) }
-            .map { case (_, _, _, n) => s"$root/bloom/$n" }
+            .map { case (_, _, _, n) => s"$root/$kind/$n" }
         }
     }
 
-  /** Writes a [[BloomSkip]] sidecar for `m`'s version: the next
-    * revision of `bloom/v<version>-<sideId>` (first build writes the
-    * unrevisioned dir). The parquet `_SUCCESS` marker is the commit
-    * point — a crashed half-write is invisible to
-    * [[committedBloomDirs]]. */
-  private[store] def writeBloomSidecar(
+  private[store] def committedBloomDirs(
+      spark: SparkSession, root: String): Seq[String] =
+    committedAdditiveDirs(spark, root, "bloom")
+
+  /** Writes an additive sidecar (`kind` ∈ bloom/zones) for `m`'s
+    * version: the next revision of `<kind>/v<version>-<sideId>` (first
+    * build writes the unrevisioned dir). The parquet `_SUCCESS` marker
+    * is the commit point — a crashed half-write is invisible to
+    * [[committedAdditiveDirs]]. */
+  private[store] def writeAdditiveSidecar(
       spark: SparkSession, root: String, m: Manifest,
-      df: DataFrame): Unit = {
+      df: DataFrame, kind: String): Unit = {
     val base = s"v${m.version}" +
       (if (m.sideId.isEmpty) "" else s"-${m.sideId}")
-    val dir = new Path(s"$root/bloom")
+    val dir = new Path(s"$root/$kind")
     val fs = fsOf(spark, dir)
     val rev =
       if (!fs.exists(dir)) 0
@@ -1279,8 +1283,13 @@ object ManifestTable {
         .maxOption.getOrElse(0)
     val name = if (rev == 0) base else s"$base-r$rev"
     df.coalesce(1).write.mode("errorifexists")
-      .parquet(s"$root/bloom/$name")
+      .parquet(s"$root/$kind/$name")
   }
+
+  private[store] def writeBloomSidecar(
+      spark: SparkSession, root: String, m: Manifest,
+      df: DataFrame): Unit =
+    writeAdditiveSidecar(spark, root, m, df, "bloom")
 
   /** Reconciled read over an entry SUBSET under the table's recorded
     * comparator ([[BloomSkip]]'s bucket-pruned scan). */
@@ -2038,7 +2047,7 @@ object ManifestTable {
         }
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
-      Seq("history", "stats", "bloom").foreach { kind =>
+      Seq("history", "stats", "bloom", "zones").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {
@@ -2046,8 +2055,8 @@ object ManifestTable {
           // Per version: keep exactly the dirs readers resolve. For
           // history/stats that is the winning attempt's HIGHEST
           // _SUCCESS revision (a completed redaction supersedes the
-          // original; a torn one is garbage); bloom revisions are
-          // ADDITIVE ([[committedBloomDirs]]) — every _SUCCESS
+          // original; a torn one is garbage); bloom/zone revisions are
+          // ADDITIVE ([[committedAdditiveDirs]]) — every _SUCCESS
           // revision of the winning attempt stays.
           val committed = names
             .flatMap(n => parseSideDirName(n).map {
@@ -2057,7 +2066,8 @@ object ManifestTable {
                 kfs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
             }
           val keep: Set[String] =
-            if (kind == "bloom") committed.map(_._4).toSet
+            if (kind == "bloom" || kind == "zones")
+              committed.map(_._4).toSet
             else committed.groupBy(_._1).values
               .map(_.maxBy(_._3)._4).toSet
           names.foreach { n =>

@@ -1,0 +1,249 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-FILE column min/max ZONE MAPS for the manifest table: the
+  * RANGE-predicate complement to [[BloomSkip]] (equality/IN) — a
+  * `WHERE price BETWEEN x AND y` reads only the buckets whose files'
+  * recorded ranges intersect the probe, instead of scanning the table.
+  * Same zero-maintenance contract: data files are IMMUTABLE, so a
+  * file's (min, max) never goes stale; a build covers exactly the
+  * current files no committed sidecar covers yet, and repeated builds
+  * are incremental no-ops. Parquet footers carry the same statistics
+  * per row group, but only AFTER every file is opened — a zone sidecar
+  * answers at PLANNING time from one tiny parquet, which is the
+  * difference between touching 400k files and touching 40 at 100 TB.
+  *
+  * STORAGE: `zones/v<version>-<attempt>[-r<rev>]` sidecars — rows of
+  * (relPath, column, kind, minS, maxS, nonNull) — committed/resolved/
+  * vacuumed through the additive side-dir rules shared with bloom
+  * ([[ManifestTable.committedAdditiveDirs]]); readers keep the newest
+  * row per (file, column).
+  *
+  * PRUNING IS BUCKET-GRANULAR, inherited from [[BloomSkip]] and a
+  * correctness requirement with LSM delta files: dropping ONE file of
+  * a bucket can resurrect a row a later delta overrode. A bucket skips
+  * iff EVERY live file is covered and every range misses the probe.
+  *
+  * ORDER DISCIPLINE: min/max are computed BY SPARK over the column's
+  * native type and stored as canonical strings — integrals exactly,
+  * fractionals through an exact widening to double (`Double.toString`
+  * round-trips), strings verbatim. The driver-side prune compares in
+  * the SAME order Spark's `>=`/`<=` will post-filter by: numeric order
+  * for the numeric kinds, CODE-POINT order for strings (Spark compares
+  * UTF-8 bytes, which is code-point order; naive `String.compareTo`
+  * is UTF-16 code-unit order and DIVERGES above U+FFFF — using it
+  * could wrongly skip a file holding supplementary characters). */
+object ZoneSkip {
+
+  /** Comparison domain of a column's zone entries. */
+  private[store] def kindOf(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "long"
+    case FloatType | DoubleType => "double"
+    case StringType | DateType => "string" // ISO dates sort lexically
+    case other => throw new IllegalArgumentException(
+      s"zone maps support integral/fractional/string/date columns, " +
+        s"not ${other.sql}")
+  }
+
+  /** The rendering expression whose min/max the build stores: exact in
+    * the kind's comparison domain. Rendering BEFORE aggregating (vs
+    * aggregating natively then casting) is deliberate for dates:
+    * min-of-ISO-strings == ISO-string-of-min, and one code path per
+    * kind keeps build and probe in the same domain by construction. */
+  private def rendered(c: org.apache.spark.sql.Column,
+      kind: String): org.apache.spark.sql.Column = kind match {
+    case "long" => c.cast(LongType)
+    case "double" => c.cast(DoubleType)
+    case "string" => c.cast(StringType)
+  }
+
+  /** UTF-8 byte order == code point order; this matches Spark's string
+    * comparison where UTF-16 `compareTo` does not (surrogates). */
+  private[store] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def cmp(kind: String, a: String, b: String): Int = kind match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => codePointCompare(a, b)
+  }
+
+  private val zoneSchema = StructType(Seq(
+    StructField("relPath", StringType),
+    StructField("column", StringType),
+    StructField("kind", StringType),
+    StructField("minS", StringType),
+    StructField("maxS", StringType),
+    StructField("nonNull", BooleanType)))
+
+  /** All committed zone rows, newest sidecar winning per
+    * (file, column). Lazy frame; empty when no sidecar. */
+  def zonesOf(spark: SparkSession, root: String): DataFrame = {
+    val dirs = ManifestTable.committedAdditiveDirs(spark, root, "zones")
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        zoneSchema)
+    else {
+      val all = dirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(d).withColumn("_ord", lit(i))
+      }.reduce(_ unionByName _)
+      all.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("relPath"), col("column"))
+            .orderBy(col("_ord").desc)))
+        .filter(col("_rn") === 1)
+        .drop("_ord", "_rn")
+    }
+  }
+
+  /** Builds zone entries for every (current file, column) pair no
+    * committed sidecar covers yet: ONE scan of the uncovered files,
+    * one per-file min/max aggregate, one sidecar write. Returns the
+    * number of (file, column) entries written (0 = already covered). */
+  def buildZones(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "need at least one column to zone-map")
+    val kinds = cols.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"column $c not in the schema")
+      c -> kindOf(schema(c).dataType)
+    }.toMap
+    val m = ManifestTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    if (m.entries.isEmpty) return 0
+    val covered = zonesOf(spark, root)
+      .select(col("relPath"), col("column")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val todo = m.entries.filter(e =>
+      cols.exists(c => !covered((e.relPath, c))))
+    if (todo.isEmpty) return 0
+    val paths = todo.map(e => s"$root/${e.relPath}")
+    val byFile = spark.read.schema(schema).parquet(paths: _*)
+      .withColumn("_file", input_file_name())
+    // per column: min, max (rendered into the kind's domain as strings
+    // — exact, see `rendered`), and a non-null witness
+    val aggs = cols.flatMap { c =>
+      val r = rendered(col(c), kinds(c))
+      Seq(min(r).cast(StringType).as(s"_min_$c"),
+        max(r).cast(StringType).as(s"_max_$c"),
+        max(col(c).isNotNull).as(s"_nn_$c"))
+    }
+    val perFile = byFile.groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    // absolute file → relPath by "/"-anchored suffix (format-8 entries
+    // are files; legacy leaf-dir entries match on the parent) — the
+    // BloomSkip discipline, incl. OR-merging several part files of one
+    // leaf dir (here: min-of-mins / max-of-maxs / nonNull-or)
+    val pairs = perFile.flatMap { r =>
+      val f = r.getString(0)
+      val parent = f.substring(0, math.max(0, f.lastIndexOf('/')))
+      val rel = todo.map(_.relPath).find(rp =>
+        f.endsWith("/" + rp) || parent.endsWith("/" + rp))
+      rel.toSeq.flatMap(rp => cols.zipWithIndex.collect {
+        case (c, i) if !covered((rp, c)) =>
+          ((rp, c), (r.getAs[String](1 + 3 * i),
+            r.getAs[String](2 + 3 * i),
+            !r.isNullAt(3 + 3 * i) && r.getBoolean(3 + 3 * i)))
+      })
+    }
+    val rows = pairs.groupBy(_._1).map { case ((rp, c), vs) =>
+      val k = kinds(c)
+      val mins = vs.flatMap(v => Option(v._2._1))
+      val maxs = vs.flatMap(v => Option(v._2._2))
+      val nonNull = vs.exists(_._2._3)
+      org.apache.spark.sql.Row(rp, c, k,
+        if (mins.isEmpty) null else mins.minBy(identity)(
+          Ordering.fromLessThan[String](cmp(k, _, _) < 0)),
+        if (maxs.isEmpty) null else maxs.maxBy(identity)(
+          Ordering.fromLessThan[String](cmp(k, _, _) < 0)),
+        nonNull)
+    }.toSeq
+    if (rows.isEmpty) return 0
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), zoneSchema)
+    ManifestTable.writeAdditiveSidecar(spark, root, m, df, "zones")
+    rows.length
+  }
+
+  /** Range read on a zone-mapped (non-key) column: reads only the
+    * buckets whose files' recorded ranges can intersect [lo, hi].
+    * Either bound may be null (unbounded side); inclusivity per bound.
+    * Exact at any reconciliation state — a bucket skips only when ALL
+    * its live files are covered and ALL definitely miss the range
+    * (range predicates never match NULL rows, so an all-null covered
+    * file counts as a definite miss). The kept buckets re-filter in
+    * the scan, so an uncovered or intersecting file costs correctness
+    * nothing. */
+  def lookupRange(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      column: String,
+      lo: Any,
+      hi: Any,
+      loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
+    require(lo != null || hi != null, "need at least one bound")
+    require(schema.fieldNames.contains(column),
+      s"column $column not in the schema")
+    val kind = kindOf(schema(column).dataType)
+    val m = ManifestTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    if (m.entries.isEmpty)
+      return ManifestTable.read(spark, root, schema).limit(0)
+    // bounds rendered BY SPARK through the same expression the build
+    // aggregated, so probe and zone can never disagree on a
+    // representation (e.g. a date literal rendering as ISO)
+    val dt = schema(column).dataType
+    def render(v: Any): Option[String] = Option(v).map { x =>
+      val r = spark.range(1)
+        .select(rendered(lit(x).cast(dt), kind).cast(StringType))
+        .head().getString(0)
+      require(r != null, s"bound $x renders to NULL as ${dt.sql}")
+      r
+    }
+    val loS = render(lo)
+    val hiS = render(hi)
+    val zones = zonesOf(spark, root).filter(col("column") === column)
+      .select("relPath", "kind", "minS", "maxS", "nonNull").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+      .toMap // bounded by the table's file count, tiny rows
+    def definitelyAbsent(rp: String): Boolean = zones.get(rp).exists {
+      case (k, mn, mx, nonNull) =>
+        k == kind && ( // a stale-kind row (schema re-typed) never prunes
+          !nonNull || mn == null || mx == null ||
+          loS.exists(l => cmp(k, mx, l) < (if (loInclusive) 0 else 1)) ||
+          hiS.exists(h => cmp(k, mn, h) > (if (hiInclusive) 0 else -1)))
+    }
+    val byBucket = m.entries.groupBy(_.bucket)
+    val keep = byBucket.filter { case (_, es) =>
+      !es.forall(e => definitelyAbsent(e.relPath))
+    }.values.flatten.toSeq
+    val base =
+      if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
+      else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
+        keep)
+    val c = col(column)
+    val preds =
+      loS.map(_ => if (loInclusive) c >= lit(lo).cast(dt)
+        else c > lit(lo).cast(dt)).toSeq ++
+      hiS.map(_ => if (hiInclusive) c <= lit(hi).cast(dt)
+        else c < lit(hi).cast(dt))
+    base.filter(preds.reduce(_ && _))
+  }
+}

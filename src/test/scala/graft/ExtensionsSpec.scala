@@ -206,6 +206,24 @@ class ExtensionsSpec extends SparkSpec {
       '$base', '$ddl', 'grp', 'b')""")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(viaBloom == direct, s"bloom lookup diverged: $viaBloom")
+    // zone skipping from SQL: min/max sidecars, then a pruned range read
+    assert(one(s"""SELECT * FROM graft_zone_build('$base', '$ddl',
+      'v')""").getInt(0) > 0)
+    assert(one(s"""SELECT * FROM graft_zone_build('$base', '$ddl',
+      'v')""").getInt(0) == 0, "second zone build must be a no-op")
+    val viaZone = spark.sql(s"""SELECT id FROM graft_zone_lookup(
+      '$base', '$ddl', 'v', 5, 10)""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val directRange = spark.sql(s"""SELECT id FROM graft_table('$base',
+      '$ddl') WHERE v BETWEEN 5 AND 10""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaZone == directRange && viaZone.nonEmpty,
+      s"zone lookup diverged: $viaZone vs $directRange")
+    // one-sided range: hi = NULL means unbounded above
+    assert(spark.sql(s"""SELECT id FROM graft_zone_lookup('$base',
+      '$ddl', 'v', 20, NULL)""").collect().map(_.getLong(0)).toSeq ==
+      spark.sql(s"""SELECT id FROM graft_table('$base', '$ddl')
+        WHERE v >= 20""").collect().map(_.getLong(0)).toSeq)
     // replayed merge (same stream/batch token) must not apply; the
     // follow-up refreshes are noops
     assert(!one(s"""SELECT * FROM graft_merge('$base', '$ddl', 'id',
