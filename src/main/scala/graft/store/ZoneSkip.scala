@@ -41,23 +41,31 @@ object ZoneSkip {
   /** Comparison domain of a column's zone entries. */
   private[store] def kindOf(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "long"
+    case TimestampType | TimestampNTZType => "long" // micros since epoch
     case FloatType | DoubleType => "double"
     case StringType | DateType => "string" // ISO dates sort lexically
     case other => throw new IllegalArgumentException(
-      s"zone maps support integral/fractional/string/date columns, " +
-        s"not ${other.sql}")
+      s"zone maps support integral/fractional/string/date/timestamp " +
+        s"columns, not ${other.sql}")
   }
 
   /** The rendering expression whose min/max the build stores: exact in
     * the kind's comparison domain. Rendering BEFORE aggregating (vs
     * aggregating natively then casting) is deliberate for dates:
     * min-of-ISO-strings == ISO-string-of-min, and one code path per
-    * kind keeps build and probe in the same domain by construction. */
+    * type keeps build and probe in the same domain by construction.
+    * Timestamps render as exact epoch micros (`unix_micros` — a string
+    * rendering would drop sub-second digits and over-prune); NTZ pins
+    * through the session zone, UTC repo-wide. */
   private def rendered(c: org.apache.spark.sql.Column,
-      kind: String): org.apache.spark.sql.Column = kind match {
-    case "long" => c.cast(LongType)
-    case "double" => c.cast(DoubleType)
-    case "string" => c.cast(StringType)
+      dt: DataType): org.apache.spark.sql.Column = dt match {
+    case TimestampType => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _ => kindOf(dt) match {
+      case "long" => c.cast(LongType)
+      case "double" => c.cast(DoubleType)
+      case "string" => c.cast(StringType)
+    }
   }
 
   /** UTF-8 byte order == code point order; this matches Spark's string
@@ -137,7 +145,7 @@ object ZoneSkip {
     // per column: min, max (rendered into the kind's domain as strings
     // — exact, see `rendered`), and a non-null witness
     val aggs = cols.flatMap { c =>
-      val r = rendered(col(c), kinds(c))
+      val r = rendered(col(c), schema(c).dataType)
       Seq(min(r).cast(StringType).as(s"_min_$c"),
         max(r).cast(StringType).as(s"_max_$c"),
         max(col(c).isNotNull).as(s"_nn_$c"))
@@ -211,7 +219,7 @@ object ZoneSkip {
     val dt = schema(column).dataType
     def render(v: Any): Option[String] = Option(v).map { x =>
       val r = spark.range(1)
-        .select(rendered(lit(x).cast(dt), kind).cast(StringType))
+        .select(rendered(lit(x).cast(dt), dt).cast(StringType))
         .head().getString(0)
       require(r != null, s"bound $x renders to NULL as ${dt.sql}")
       r

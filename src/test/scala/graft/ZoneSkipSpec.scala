@@ -158,6 +158,30 @@ class ZoneSkipSpec extends SparkSpec {
       "code-point vs UTF-16 ordering divergence lost a row")
   }
 
+  test("timestamps zone as exact epoch micros (sub-second bounds hold)") {
+    val tSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    val root = fresh("zone_ts")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123456")),
+      (2L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123457")),
+      (3L, java.sql.Timestamp.valueOf("2021-07-15 12:00:00")))
+      .toDF("id", "ts")
+    ManifestTable.create(df, "id", root, numBuckets = 4)
+    assert(ZoneSkip.buildZones(spark, root, tSchema, Seq("ts")) ==
+      ManifestTable.currentManifest(spark, root).get.entries.size)
+    // a MICROsecond-tight range: a string rendering of the zone would
+    // have truncated .123457 and over-pruned
+    assert(ZoneSkip.lookupRange(spark, root, tSchema, "ts",
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123457"), null)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // string bounds parse through the column's type (session UTC)
+    assert(ZoneSkip.lookupRange(spark, root, tSchema, "ts",
+        "2020-06-01 00:00:00", "2022-01-01 00:00:00")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("NULL discipline: ranges never match NULL rows, all-null covered " +
       "files count as definite misses") {
     val nSchema = StructType(Seq(
