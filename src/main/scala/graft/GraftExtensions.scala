@@ -105,6 +105,20 @@ object GraftExtensions {
     e.eval(null)
   }
 
+  /** Foldable argument as its EXTERNAL Scala value, typed by the
+    * literal's OWN SQL type. `foldableArg` alone yields Catalyst
+    * internals — a `TIMESTAMP '...'` evals to a Long of epoch MICROS
+    * (which `lit(x).cast(timestamp)` would silently re-interpret as
+    * SECONDS) and a `DATE '...'` to an Int of epoch days (where the
+    * int→date cast outright fails) — so every probe/bound that flows
+    * into a `lit` must come through here instead. */
+  private def typedArg(e: Expression, what: String): Any = {
+    val v = foldableArg(e, what)
+    if (v == null) null
+    else org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(e.dataType)(v)
+  }
+
   private def strArg(e: Expression, what: String): String =
     foldableArg(e, what) match {
       case null => throw new IllegalArgumentException(s"$what must not be null")
@@ -407,10 +421,7 @@ object GraftExtensions {
       val kc = strArg(es(2), "key column")
       require(schema.fieldNames.contains(kc),
         s"key column $kc not in the schema DDL")
-      val raw = foldableArg(es(3), "key") match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case v => v
-      }
+      val raw = typedArg(es(3), "key")
       val key = spark.range(1)
         .select(org.apache.spark.sql.functions.lit(raw)
           .cast(schema(kc).dataType))
@@ -453,10 +464,7 @@ object GraftExtensions {
       val c = strArg(es(2), "column")
       require(schema.fieldNames.contains(c),
         s"column $c not in the schema DDL")
-      val raw = foldableArg(es(3), "value") match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case v => v
-      }
+      val raw = typedArg(es(3), "value")
       val value = spark.range(1)
         .select(org.apache.spark.sql.functions.lit(raw)
           .cast(schema(c).dataType))
@@ -494,14 +502,9 @@ object GraftExtensions {
       val c = strArg(es(2), "column")
       require(schema.fieldNames.contains(c),
         s"column $c not in the schema DDL")
-      def bound(e: Expression, what: String): Any =
-        foldableArg(e, what) match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case v => v
-        }
       graft.store.ZoneSkip.lookupRange(spark,
         strArg(es(0), "root"), schema, c,
-        bound(es(3), "lo"), bound(es(4), "hi"))
+        typedArg(es(3), "lo"), typedArg(es(4), "hi"))
         .queryExecution.analyzed
     }),
     "graft_index_lookup" -> (es => {
@@ -530,10 +533,7 @@ object GraftExtensions {
         valueCols = Seq(vc),
         numShards = if (es.size == 7) longArg(es(6), "numShards").toInt
           else 1)
-      val raw = foldableArg(es(5), "value") match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case v => v
-      }
+      val raw = typedArg(es(5), "value")
       val value = spark.range(1)
         .select(org.apache.spark.sql.functions.lit(raw)
           .cast(schema(vc).dataType))

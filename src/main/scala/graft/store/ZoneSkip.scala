@@ -42,8 +42,12 @@ object ZoneSkip {
   private[store] def kindOf(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "long"
     case TimestampType | TimestampNTZType => "long" // micros since epoch
+    case DateType => "long" // days since epoch: ISO strings LOOK sortable
+    // but Spark renders years > 9999 with a '+' prefix and BCE years with
+    // '-', so lexical order diverges from chronological there — epoch
+    // days are monotone and exact at any year
     case FloatType | DoubleType => "double"
-    case StringType | DateType => "string" // ISO dates sort lexically
+    case StringType => "string"
     case other => throw new IllegalArgumentException(
       s"zone maps support integral/fractional/string/date/timestamp " +
         s"columns, not ${other.sql}")
@@ -61,9 +65,14 @@ object ZoneSkip {
       dt: DataType): org.apache.spark.sql.Column = dt match {
     case TimestampType => unix_micros(c)
     case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case DateType => unix_date(c).cast(LongType)
     case _ => kindOf(dt) match {
       case "long" => c.cast(LongType)
-      case "double" => c.cast(DoubleType)
+      // `+ 0.0` collapses -0.0 to 0.0 (and nothing else): Spark's
+      // >=/<= treat the two as EQUAL while Double.compare orders
+      // -0.0 < 0.0, so an un-normalized "-0.0" max probed with an
+      // inclusive lo of 0.0 would wrongly mark the file absent
+      case "double" => c.cast(DoubleType) + lit(0.0d)
       case "string" => c.cast(StringType)
     }
   }
@@ -82,9 +91,30 @@ object ZoneSkip {
 
   private def cmp(kind: String, a: String, b: String): Int = kind match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
-    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    // + 0.0 mirrors `rendered`'s -0.0 normalization so sidecars written
+    // BEFORE that normalization still compare in Spark's order
+    case "double" =>
+      java.lang.Double.compare(a.toDouble + 0.0d, b.toDouble + 0.0d)
     case "string" => codePointCompare(a, b)
   }
+
+  /** Renders one probe bound into its kind's string domain WITHOUT a
+    * Spark job: the literal-only tree projects over a one-row
+    * LocalRelation, which constant-folds to a `LocalTableScan` whose
+    * collect is driver-side — unlike the `spark.range(1)` it replaces
+    * (RangeExec = one scheduler round-trip per bound on every lookup's
+    * hot path). The tree is exactly `rendered(lit(v) cast dt)`, the
+    * build's own rendering, so probe and zone share one domain by
+    * construction. */
+  private[graft] def renderBound(
+      spark: SparkSession, v: Any, dt: DataType): Option[String] =
+    Option(v).map { x =>
+      val r = spark.createDataFrame(Seq(Tuple1(1)))
+        .select(rendered(lit(x).cast(dt), dt).cast(StringType))
+        .head().getString(0)
+      require(r != null, s"bound $x renders to NULL as ${dt.sql}")
+      r
+    }
 
   private val zoneSchema = StructType(Seq(
     StructField("relPath", StringType),
@@ -133,11 +163,17 @@ object ZoneSkip {
     val m = ManifestTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (m.entries.isEmpty) return 0
-    val covered = zonesOf(spark, root)
-      .select(col("relPath"), col("column")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+    // coverage is KIND-aware: a row whose kind no longer matches the
+    // column's current domain (schema re-typed, or a date column zoned
+    // under the legacy lexical-string kind) never prunes, so treat it
+    // as uncovered and rebuild — the newer sidecar row wins on read
+    val coveredRows = zonesOf(spark, root)
+      .select(col("relPath"), col("column"), col("kind")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    def covered(rp: String, c: String): Boolean =
+      coveredRows.get((rp, c)).contains(kinds(c))
     val todo = m.entries.filter(e =>
-      cols.exists(c => !covered((e.relPath, c))))
+      cols.exists(c => !covered(e.relPath, c)))
     if (todo.isEmpty) return 0
     val paths = todo.map(e => s"$root/${e.relPath}")
     val byFile = spark.read.schema(schema).parquet(paths: _*)
@@ -162,7 +198,7 @@ object ZoneSkip {
       val rel = todo.map(_.relPath).find(rp =>
         f.endsWith("/" + rp) || parent.endsWith("/" + rp))
       rel.toSeq.flatMap(rp => cols.zipWithIndex.collect {
-        case (c, i) if !covered((rp, c)) =>
+        case (c, i) if !covered(rp, c) =>
           ((rp, c), (r.getAs[String](1 + 3 * i),
             r.getAs[String](2 + 3 * i),
             !r.isNullAt(3 + 3 * i) && r.getBoolean(3 + 3 * i)))
@@ -213,19 +249,13 @@ object ZoneSkip {
       throw new IllegalStateException(s"no manifest table at $root"))
     if (m.entries.isEmpty)
       return ManifestTable.read(spark, root, schema).limit(0)
-    // bounds rendered BY SPARK through the same expression the build
+    // bounds rendered through the SAME expression tree the build
     // aggregated, so probe and zone can never disagree on a
-    // representation (e.g. a date literal rendering as ISO)
+    // representation — evaluated DRIVER-SIDE ([[renderBound]]): a zone
+    // lookup launches zero extra Spark jobs for its bounds
     val dt = schema(column).dataType
-    def render(v: Any): Option[String] = Option(v).map { x =>
-      val r = spark.range(1)
-        .select(rendered(lit(x).cast(dt), dt).cast(StringType))
-        .head().getString(0)
-      require(r != null, s"bound $x renders to NULL as ${dt.sql}")
-      r
-    }
-    val loS = render(lo)
-    val hiS = render(hi)
+    val loS = renderBound(spark, lo, dt)
+    val hiS = renderBound(spark, hi, dt)
     val zones = zonesOf(spark, root).filter(col("column") === column)
       .select("relPath", "kind", "minS", "maxS", "nonNull").collect()
       .map(r => r.getString(0) ->

@@ -246,6 +246,53 @@ class ExtensionsSpec extends SparkSpec {
       .getBoolean(1), "replayed restore must be a no-op")
   }
 
+  test("temporal SQL literals keep their type: TIMESTAMP/DATE bounds " +
+      "and probes do not collapse to internal longs/ints") {
+    GraftExtensions.register(spark)
+    val root = "target/test-tmp/ext_temporal"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123456"),
+        java.sql.Date.valueOf("2020-01-05")),
+      (2L, java.sql.Timestamp.valueOf("2020-03-15 06:30:00"),
+        java.sql.Date.valueOf("2020-03-15")),
+      (3L, java.sql.Timestamp.valueOf("2021-07-01 12:00:00"),
+        java.sql.Date.valueOf("2021-07-01")))
+      .toDF("id", "ts", "day")
+    graft.store.ManifestTable.create(df, "id", root, numBuckets = 4)
+    val ddl = "id BIGINT, ts TIMESTAMP, day DATE"
+    assert(spark.sql(s"""SELECT * FROM graft_zone_build('$root', '$ddl',
+      'ts,day')""").head.getInt(0) > 0)
+    // a TIMESTAMP literal bound evals internally to epoch MICROS: fed
+    // untyped into lit().cast(timestamp) it re-reads as SECONDS — a
+    // garbage instant ~50k years out that silently filters everything
+    val viaTs = spark.sql(s"""SELECT id FROM graft_zone_lookup('$root',
+      '$ddl', 'ts', TIMESTAMP '2020-01-01 00:00:00.123456',
+      TIMESTAMP '2020-06-01 00:00:00')""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaTs == Seq(1L, 2L),
+      s"timestamp-literal bounds filtered wrongly: $viaTs")
+    // a DATE literal evals to an Int of epoch days, where the untyped
+    // int→date cast outright fails
+    val viaDay = spark.sql(s"""SELECT id FROM graft_zone_lookup('$root',
+      '$ddl', 'day', DATE '2020-01-01', DATE '2020-12-31')""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaDay == Seq(1L, 2L),
+      s"date-literal bounds filtered wrongly: $viaDay")
+    // bloom probes share the fix
+    assert(spark.sql(s"""SELECT * FROM graft_bloom_build('$root', '$ddl',
+      'day')""").head.getInt(0) > 0)
+    assert(spark.sql(s"""SELECT id FROM graft_bloom_lookup('$root',
+      '$ddl', 'day', DATE '2020-03-15')""")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // and graft_lookup probing a TIMESTAMP-typed key-adjacent column
+    // stays consistent with the direct read
+    val direct = spark.sql(s"""SELECT id FROM graft_table('$root', '$ddl')
+      WHERE ts = TIMESTAMP '2021-07-01 12:00:00'""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(direct == Seq(3L))
+  }
+
   test("maintenance functions refuse to resolve inside a view body: a " +
       "temp-view wrapper cannot silently re-run the merge per SELECT") {
     GraftExtensions.register(spark)

@@ -182,6 +182,60 @@ class ZoneSkipSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("negative zero: a file whose max renders as -0.0 still matches " +
+      "an inclusive 0.0 bound (Spark orders -0.0 == 0.0)") {
+    val zSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("price", DoubleType)))
+    val root = fresh("zone_negzero")
+    val df = Seq((1L, -0.0), (2L, -5.0), (3L, -3.25), (4L, -1.0))
+      .toDF("id", "price")
+    ManifestTable.create(df, "id", root, numBuckets = 4)
+    assert(ZoneSkip.buildZones(spark, root, zSchema, Seq("price")) ==
+      ManifestTable.currentManifest(spark, root).get.entries.size)
+    val full = ManifestTable.read(spark, root, zSchema)
+    // Spark: -0.0 >= 0.0 is TRUE; Double.compare says -0.0 < 0.0 — an
+    // un-normalized zone would mark id 1's file definitely-absent
+    assert(full.filter(col("price") >= 0.0).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L), "fixture expectation")
+    assert(ZoneSkip.lookupRange(spark, root, zSchema, "price", 0.0, null)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "-0.0 max vs 0.0 inclusive bound dropped the row")
+    // and the mirrored shape: probing [-0.0, ..] must not skip a
+    // file whose max is +0.0
+    assert(ZoneSkip.lookupRange(spark, root, zSchema, "price", -0.0, 0.0)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("extreme dates: years above 9999 order chronologically, not " +
+      "lexically (epoch-day zones; '+10000-…' would sort below '9000-…')") {
+    import java.time.LocalDate
+    val dSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("day", DateType)))
+    val root = fresh("zone_extreme_dates")
+    val df = Seq(
+      (1L, Date.valueOf(LocalDate.of(9999, 12, 31))),
+      (2L, Date.valueOf(LocalDate.of(10000, 1, 5))),
+      (3L, Date.valueOf(LocalDate.of(2020, 1, 1))))
+      .toDF("id", "day")
+    ManifestTable.create(df, "id", root, numBuckets = 4)
+    assert(ZoneSkip.buildZones(spark, root, dSchema, Seq("day")) ==
+      ManifestTable.currentManifest(spark, root).get.entries.size)
+    // lexically, Spark renders year 10000 as "+10000-01-05", which sorts
+    // BELOW "9000-01-01" — a string-kind zone would skip id 2's file
+    assert(ZoneSkip.lookupRange(spark, root, dSchema, "day",
+        Date.valueOf(LocalDate.of(9000, 1, 1)), null)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "far-future date row lost to lexical date ordering")
+    // pruning still real across the epoch-day domain
+    assert(ZoneSkip.lookupRange(spark, root, dSchema, "day",
+      Date.valueOf(LocalDate.of(10001, 1, 1)), null).count() == 0L)
+    assert(ZoneSkip.lookupRange(spark, root, dSchema, "day",
+        "2019-06-01", "2020-06-01")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("NULL discipline: ranges never match NULL rows, all-null covered " +
       "files count as definite misses") {
     val nSchema = StructType(Seq(
@@ -200,6 +254,31 @@ class ZoneSkipSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZoneSkip.lookupRange(spark, root, nSchema, "v", null, null)
     }
+  }
+
+  test("bound rendering is driver-side: zero Spark jobs, exact domains") {
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(ZoneSkip.renderBound(spark,
+          java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123456"),
+          TimestampType)
+        .contains("1577836800123456"), "timestamps render as epoch micros")
+      assert(ZoneSkip.renderBound(spark, -0.0d, DoubleType)
+        .contains("0.0"), "-0.0 normalizes to 0.0")
+      assert(ZoneSkip.renderBound(spark,
+          Date.valueOf("1970-01-11"), DateType)
+        .contains("10"), "dates render as epoch days")
+      assert(ZoneSkip.renderBound(spark, "42", LongType).contains("42"))
+      assert(ZoneSkip.renderBound(spark, null, LongType).isEmpty)
+      org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+      assert(jobs == 0, s"bound rendering launched $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("zone revisions are additive; vacuum keeps every committed " +
