@@ -95,6 +95,67 @@ object BloomSkip {
     B.column(BloomAgg(B.expression(c), n, fpp).toAggregateExpression())
   }
 
+  /** Catalyst aggregate: serialized-filter BINARY inputs → their OR
+    * (`mergeInPlace`). The second, cheap pass of the distributed build:
+    * when a legacy leaf-dir entry holds several part files, their
+    * per-file filters must OR together — a duplicate row winning
+    * arbitrarily would under-cover the file and turn "definitely
+    * absent" into a false negative. Buffers use the same (n, fpp) as
+    * the build's [[BloomAgg]], so bit widths are merge-compatible. */
+  private[store] case class BloomMergeAgg(
+      child: Expression,
+      expectedItems: Long,
+      fpp: Double,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[BloomFilter]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): BloomFilter =
+      BloomFilter.create(expectedItems, fpp)
+
+    override def update(b: BloomFilter, in: InternalRow): BloomFilter = {
+      child.eval(in) match {
+        case null => b
+        case bytes: Array[Byte] =>
+          b.mergeInPlace(BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes)))
+          b
+      }
+    }
+
+    override def merge(b: BloomFilter, o: BloomFilter): BloomFilter = {
+      b.mergeInPlace(o); b
+    }
+
+    override def eval(b: BloomFilter): Any = serialize(b)
+
+    override def serialize(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "bloom_merge_agg"
+    override protected def withNewChildInternal(c: Expression): BloomMergeAgg =
+      copy(child = c)
+    override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg =
+      copy(inputAggBufferOffset = o)
+  }
+
+  private def bloomMergeAgg(c: org.apache.spark.sql.Column, n: Long,
+      fpp: Double): org.apache.spark.sql.Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(BloomMergeAgg(B.expression(c), n, fpp).toAggregateExpression())
+  }
+
   /** All committed bloom rows: (relPath, column, bits), newest sidecar
     * winning per (file, column). Lazy frame; empty when no sidecar. */
   def bloomsOf(spark: SparkSession, root: String): DataFrame = {
@@ -123,36 +184,61 @@ object BloomSkip {
 
   /** Builds filters for every (current file, column) pair no committed
     * sidecar covers yet: ONE scan of the uncovered files, one
-    * per-file-per-column aggregate, one sidecar write. Returns the
-    * number of (file, column) filters written (0 = already covered —
-    * repeated calls are incremental no-ops). `expectedItems` sizes each
-    * filter (default: the largest uncovered file's row count). */
+    * per-file-per-column aggregate, one per-entry OR-merge, one sidecar
+    * write — ALL DISTRIBUTED. No filter bytes ever cross the driver: at
+    * production sizes (~1 MB filter per 1-2 M-row file, 400k files) a
+    * bootstrap build is hundreds of GB of filters, which flow scan →
+    * shuffle → sidecar parquet entirely executor-side; the driver
+    * handles only entry metadata (the same class of object as the
+    * manifest itself). Returns the number of (file, column) filters
+    * written (0 = already covered — repeated calls are incremental
+    * no-ops). `expectedItems` sizes each filter (default: the largest
+    * uncovered file's row count). */
   def buildBlooms(
       spark: SparkSession,
       root: String,
       schema: org.apache.spark.sql.types.StructType,
       cols: Seq[String],
       fpp: Double = 0.03,
-      expectedItems: Long = 0L): Int = {
+      expectedItems: Long = 0L): Int =
+    planBuild(spark, root, schema, cols, fpp, expectedItems) match {
+      case None => 0
+      case Some((sidecar, m)) =>
+        val dir = ManifestTable.writeBloomSidecar(spark, root, m, sidecar)
+        // written-count from the sidecar's own parquet footers: one
+        // metadata-only count, no recompute, no driver-side rows
+        spark.read.parquet(dir).count().toInt
+    }
+
+  /** The distributed build plan: `Some((sidecarFrame, manifest))` when
+    * uncovered (file, column) pairs exist. Exposed (package-private)
+    * so specs can assert the WRITE INPUT is the distributed pipeline —
+    * scan → per-file bloom_agg → per-entry bloom_merge_agg — and not a
+    * re-parallelized driver collection (no LocalTableScan). */
+  private[graft] def planBuild(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String],
+      fpp: Double = 0.03,
+      expectedItems: Long = 0L): Option[(DataFrame, ManifestTable.Manifest)] = {
     require(cols.nonEmpty, "need at least one column to bloom")
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"column $c not in the schema"))
     val m = ManifestTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
-    if (m.entries.isEmpty) return 0
+    if (m.entries.isEmpty) return None
     val covered = bloomsOf(spark, root)
       .select(col("relPath"), col("column")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     val todo = m.entries.filter(e =>
       cols.exists(c => !covered((e.relPath, c))))
-    if (todo.isEmpty) return 0
+    if (todo.isEmpty) return None
     val n =
       if (expectedItems > 0) expectedItems
       else math.max(1024L, todo.map(_.rows).max)
     // one scan over the uncovered files; per-file grouping via the
-    // scan's own file names (absolute → relative suffix match driver-side
-    // is avoided: keep the absolute path and strip the root prefix in
-    // Spark, so renames of the root between build and read are moot)
+    // scan's own file names
     val paths = todo.map(e => s"$root/${e.relPath}")
     val byFile = spark.read.schema(schema).parquet(paths: _*)
       .withColumn("_file", input_file_name())
@@ -160,49 +246,63 @@ object BloomSkip {
       bloomAgg(xxhash64(col(c)), n, fpp).as(s"_b_$c"))
     val perFile = byFile.groupBy(col("_file"))
       .agg(aggs.head, aggs.tail: _*)
-    // unpivot to (file, column, bits); map absolute file → relPath by
-    // suffix match against the manifest's own entries
-    val pairs = perFile.collect().flatMap { r =>
-      val f = r.getString(0)
-      // Format-8 entries are FILE-granular: the scan's file path itself
-      // carries the entry's relPath as a suffix. Legacy entries are
-      // leaf DIRECTORIES: match the file's parent instead. Both via
-      // exact "/"-anchored suffix so `_bucket=1` never claims
-      // `_bucket=11`'s file.
-      val parent = f.substring(0, math.max(0, f.lastIndexOf('/')))
-      val rel = todo.map(_.relPath).find(rp =>
-        f.endsWith("/" + rp) || parent.endsWith("/" + rp))
-      rel.toSeq.flatMap(rp => cols.zipWithIndex.collect {
-        case (c, i) if !covered((rp, c)) =>
-          ((rp, c), r.getAs[Array[Byte]](i + 1))
-      })
+    // absolute file → entry relPath INSIDE the query (runs on the
+    // per-file aggregate — one row per file, not per data row). The
+    // uncovered entry list broadcasts; the match is O(1) per row:
+    // strip the qualified root prefix, then the suffix either IS a
+    // format-8 file entry's relPath or its parent is a legacy leaf-dir
+    // entry's. "/"-anchored so `_bucket=1` never claims `_bucket=11`.
+    val rootPath = {
+      val rp = new Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.makeQualified(rp).toUri.getPath
     }
-    // an entry is a LEAF DIRECTORY: if a writer ever leaves several part
-    // files in one, their filters must OR together — a duplicate row
-    // winning arbitrarily would under-cover the file and turn "definitely
-    // absent" into a false negative
-    val rows = pairs.groupBy(_._1).map { case ((rp, c), vs) =>
-      val merged = vs.map(v => BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(v._2)))
-        .reduce { (a, b) => a.mergeInPlace(b); a }
-      val bos = new java.io.ByteArrayOutputStream()
-      merged.writeTo(bos)
-      org.apache.spark.sql.Row(rp, c, fpp, bos.toByteArray)
-    }.toSeq
-    if (rows.isEmpty) return 0
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("relPath",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("column",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("fpp",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("bits", BinaryType)))
-    val df = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), outSchema)
-    ManifestTable.writeBloomSidecar(spark, root, m, df)
-    rows.length
+    val relsB = spark.sparkContext.broadcast(todo.map(_.relPath).toSet)
+    val resolveRel = udf { f: String =>
+      if (f == null) null
+      else {
+        val p = new Path(f).toUri.getPath
+        if (!p.startsWith(rootPath + "/")) null
+        else {
+          val rel = p.substring(rootPath.length + 1)
+          if (relsB.value(rel)) rel
+          else {
+            val cut = rel.lastIndexOf('/')
+            val parent = if (cut <= 0) "" else rel.substring(0, cut)
+            if (parent.nonEmpty && relsB.value(parent)) parent else null
+          }
+        }
+      }
+    }
+    // unpivot to (relPath, column, bits), drop already-covered pairs
+    // (an entry lands in `todo` when ANY requested column is uncovered)
+    // via an anti-join against the committed rows — still no driver
+    // materialization of filter bytes
+    val unpivoted = perFile
+      .withColumn("_rel", resolveRel(col("_file")))
+      .filter(col("_rel").isNotNull)
+      .select(col("_rel").as("relPath"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"_b_$c").as("bits"))): _*))
+        .as("kv"))
+      .select(col("relPath"), col("kv.column").as("column"),
+        col("kv.bits").as("bits"))
+      .join(bloomsOf(spark, root).select("relPath", "column"),
+        Seq("relPath", "column"), "left_anti")
+    // per-entry OR-merge (legacy multi-part-file leaf dirs), then the
+    // sidecar frame in its storage schema
+    val sidecar = unpivoted
+      .groupBy(col("relPath"), col("column"))
+      .agg(bloomMergeAgg(col("bits"), n, fpp).as("bits"))
+      .select(col("relPath"), col("column"), lit(fpp).as("fpp"),
+        col("bits"))
+    Some((sidecar, m))
   }
+
+  /** Test seam for [[BloomMergeAgg]]: OR-merges `bits` per `relPath`. */
+  private[graft] def mergeForTest(
+      df: DataFrame, n: Long, fpp: Double): DataFrame =
+    df.groupBy(col("relPath"))
+      .agg(bloomMergeAgg(col("bits"), n, fpp).as("bits"))
 
   /** Point read on a bloomed (non-key) column: reads only the buckets
     * whose every-file filters cannot rule the value out. Exact results

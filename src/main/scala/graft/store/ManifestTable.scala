@@ -1269,7 +1269,7 @@ object ManifestTable {
     * [[committedAdditiveDirs]]. */
   private[store] def writeAdditiveSidecar(
       spark: SparkSession, root: String, m: Manifest,
-      df: DataFrame, kind: String): Unit = {
+      df: DataFrame, kind: String, singleFile: Boolean = true): String = {
     val base = s"v${m.version}" +
       (if (m.sideId.isEmpty) "" else s"-${m.sideId}")
     val dir = new Path(s"$root/$kind")
@@ -1282,14 +1282,20 @@ object ManifestTable {
           r + 1 }
         .maxOption.getOrElse(0)
     val name = if (rev == 0) base else s"$base-r$rev"
-    df.coalesce(1).write.mode("errorifexists")
-      .parquet(s"$root/$kind/$name")
+    val out = s"$root/$kind/$name"
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("errorifexists").parquet(out)
+    out
   }
 
+  /** Bloom sidecars write WITHOUT the single-file coalesce: the frame
+    * carries ~1 MB of filter bits per covered file, and a bootstrap
+    * build over a wide table must not funnel hundreds of GB through
+    * one task — readers union the directory either way. */
   private[store] def writeBloomSidecar(
       spark: SparkSession, root: String, m: Manifest,
-      df: DataFrame): Unit =
-    writeAdditiveSidecar(spark, root, m, df, "bloom")
+      df: DataFrame): String =
+    writeAdditiveSidecar(spark, root, m, df, "bloom", singleFile = false)
 
   /** Reconciled read over an entry SUBSET under the table's recorded
     * comparator ([[BloomSkip]]'s bucket-pruned scan). */

@@ -156,6 +156,70 @@ class BloomSkipSpec extends SparkSpec {
     bothWork()
   }
 
+  test("the build is distributed end-to-end: the sidecar write input " +
+      "is the scan→bloom_agg→bloom_merge_agg pipeline, never " +
+      "re-parallelized driver rows") {
+    val root = fresh("bloom_distributed")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 200L).map(i => (i, f"name$i%03d", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 16, streamId = "S")
+    val (frame, _) = BloomSkip.planBuild(spark, root, schema,
+      Seq("name", "score")).get
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_agg"),
+      s"per-file aggregate missing from the build plan:\n$plan")
+    assert(plan.contains("bloom_merge_agg"),
+      s"per-entry OR-merge missing from the build plan:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      "the write input must be the distributed pipeline, not a " +
+        s"driver-side collection re-parallelized:\n$plan")
+    // the real build through the same plan: counts, incrementality and
+    // lookups behave as before
+    assert(BloomSkip.buildBlooms(spark, root, schema,
+      Seq("name", "score")) == 32)
+    assert(BloomSkip.buildBlooms(spark, root, schema,
+      Seq("name", "score")) == 0)
+    assert(BloomSkip.planBuild(spark, root, schema,
+      Seq("name", "score")).isEmpty, "covered build must plan nothing")
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
+        "name042").collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "score", 7L)
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // partial coverage: a later build over one NEW column re-covers
+    // every file for that column only (the anti-join path)
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("id")) == 16)
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "id", 9L)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("bloom_merge_agg ORs serialized filters: a split entry keeps " +
+      "both halves' values visible (no false negatives)") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(vs: Long*): Array[Byte] = {
+      val f = BloomFilter.create(1024, 0.03)
+      vs.foreach(f.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      bos.toByteArray
+    }
+    // two part files of one leaf-dir entry, disjoint value sets
+    val rows = Seq(("e1", ser(1L, 2L)), ("e1", ser(3L, 4L)),
+      ("e2", ser(9L)))
+    val merged = BloomSkip.mergeForTest(
+      rows.toDF("relPath", "bits"), 1024L, 0.03)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+    val e1 = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(merged("e1")))
+    assert(Seq(1L, 2L, 3L, 4L).forall(e1.mightContainLong),
+      "OR-merge lost a part file's values — a false negative at scale")
+    val e2 = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(merged("e2")))
+    assert(e2.mightContainLong(9L) && !e2.mightContainLong(1L))
+  }
+
   test("blooms survive unrelated merges and compaction rebuilds are " +
       "incremental") {
     val root = fresh("bloom_compact")
