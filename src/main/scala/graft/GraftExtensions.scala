@@ -293,6 +293,32 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_cluster_by" -> (es => {
+      refuseInView("graft_cluster_by")
+      // Maintenance re-clustering ([[ManifestTable.clusterBy]]): same
+      // buckets, files re-laid out ordered by a non-key column so zone
+      // maps prune. Returns (version, applied) — applied=false when the
+      // token replays an already-committed clusterBy.
+      require(es.size == 5 || es.size == 6,
+        "usage: graft_cluster_by(root, schemaDDL, keyColumn, " +
+          "clusterColumn, token[, filesPerBucket])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      graft.store.ManifestTable.clusterBy(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        strArg(es(2), "key column"),
+        strArg(es(3), "cluster column"),
+        longArg(es(4), "token"),
+        filesPerBucket =
+          if (es.size == 6) longArg(es(5), "filesPerBucket").toInt else 4)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after))).toDF("version", "applied")
+        .queryExecution.analyzed
+    }),
     "graft_refresh_view" -> (es => {
       // Ensure-semantics for a persistent materialized view: CREATES
       // the view table (full aggregate of the base's current version)

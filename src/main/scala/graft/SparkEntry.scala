@@ -547,6 +547,18 @@ object SparkEntry {
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
     }),
+    "manifest_zone_clustered" -> ((s, dir) => {
+      // fixture + clusterBy + zone build OUTSIDE the timed region: the
+      // rep times the replayed-token no-op + covered-check + the
+      // file-granular pruned range read over the clustered layout —
+      // directly comparable to manifest_zone_range's bucket-wide read.
+      val root = resetManifestFixture(s, dir, "manifest_zone_clustered",
+        withMerge = true)
+      graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
+        "acctbal", token = 2L, filesPerBucket = 4)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+    }),
     "manifest_restore" -> ((s, dir) => {
       // create + merge + delete OUTSIDE the timed region: the rep times
       // the metadata-only rewind + the committed read. Compared against
@@ -1091,6 +1103,25 @@ object SparkEntry {
       // pruning evidence lives in ZoneSkipSpec's clustered fixtures.
       val root =
         manifestFixture(s, dir, "manifest_zone_range", withMerge = true)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+      graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
+        1000.0, 5000.0)
+    }),
+    "manifest_zone_clustered" -> ((s, dir) => {
+      // clusterBy + zones: the companion maintenance op that makes zone
+      // maps prune PRODUCTION layouts. The hash-bucketed fixture spreads
+      // acctbal over every bucket (manifest_zone_range reads ~all
+      // buckets); clusterBy re-lays each bucket's rows into files
+      // holding disjoint acctbal ranges — content identical, key layout
+      // intact — and the single-seq buckets upgrade zone pruning to
+      // FILE granularity. Same probe, same oracle as
+      // manifest_zone_range: the VALUES gate proves the re-layout
+      // changed nothing; the file-count evidence lives in ClusterBySpec.
+      val root = manifestFixture(s, dir, "manifest_zone_clustered",
+        withMerge = true)
+      graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
+        "acctbal", token = 2L, filesPerBucket = 4)
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
       graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
@@ -2345,6 +2376,19 @@ object SparkEntry {
       // the merged state restricted to the probed acctbal range (BETWEEN
       // never matches NULL — both engines agree)
       "manifest_zone_range" ->
+        s"""SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc))
+           WHERE acctbal BETWEEN 1000 AND 5000""",
+      // clusterBy is a pure re-layout: the expected values are exactly
+      // manifest_zone_range's (same merged state, same BETWEEN)
+      "manifest_zone_clustered" ->
         s"""SELECT * FROM (
            SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

@@ -355,11 +355,11 @@ object BloomSkip {
         org.apache.spark.sql.Encoders.scalaBoolean))
       .filter(!col("_2")).select(col("_1")).collect()
       .map(_.getString(0)).toSet
-    // bucket-granular skip: every live file covered AND absent
-    val byBucket = m.entries.groupBy(_.bucket)
-    val keep = byBucket.filter { case (_, es) =>
-      !es.forall(e => absent(e.relPath))
-    }.values.flatten.toSeq
+    // bucket-granular in general (every live file covered AND absent);
+    // FILE-granular on single-seq buckets (clusterBy'd layouts) — see
+    // ManifestTable.pruneAbsent
+    val keep = ManifestTable.pruneAbsent(m.entries,
+      e => absent(e.relPath))
     val base =
       if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
       else ManifestTable.reconciledEntriesRead(spark, root, schema, m,

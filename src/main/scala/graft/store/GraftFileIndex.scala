@@ -275,7 +275,14 @@ private[store] object GraftScan {
           .bucketingMaxBuckets &&
         schema.fieldNames.contains(m.keyColumn) &&
         entries.nonEmpty && entries.forall(_.named))
-      Some(BucketSpec(m.numBuckets, Seq(m.keyColumn), Seq(m.keyColumn)))
+      // The within-file KEY sort is only claimable while the writer's
+      // key-sorted invariant provably holds table-wide: a clusterBy
+      // re-layout sorts files by the CLUSTER column instead, and a
+      // false sort claim would let a sort-merge join skip its Sort on
+      // unsorted data. Bucketing (the zero-Exchange property) survives
+      // either way — clustering respects bucket assignment.
+      Some(BucketSpec(m.numBuckets, Seq(m.keyColumn),
+        if (m.clusterCol.isEmpty) Seq(m.keyColumn) else Nil))
     else None
 
   /** One pruned, stats-backed relation over `entries`. `cmp` must be the

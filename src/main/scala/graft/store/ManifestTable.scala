@@ -122,6 +122,16 @@ object ManifestTable {
     * recorded — readers must then never key-prune or claim bucketing
     * from an empty `keyExpr` (pre-8 manifests can't make the
     * distinction, so `format` rides along for the same guard). */
+  /** `clusterCol` (format 9) records that [[clusterBy]] re-laid the
+    * table's files out ordered by that non-key column. Two readers
+    * consult it: the scan must NOT claim within-file key sort while it
+    * is set (files are cluster-sorted — a false sort claim would let a
+    * sort-merge join skip its Sort on unsorted data), and zone lookups
+    * learn which column the layout was built to prune. Any later
+    * rewrite that breaks the clustering for SOME buckets (merge,
+    * delete, compact) keeps the marker — conservative: the sort claim
+    * stays off; only [[rebucket]]'s whole-table key-sorted re-layout
+    * clears it. */
   final case class Manifest(
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
       lastBatches: Map[String, Long] = Map.empty,
@@ -133,7 +143,8 @@ object ManifestTable {
       rangeBounds: Seq[String] = Nil,
       schemaJson: String = "",
       udfKey: Boolean = false,
-      format: Int = 8)
+      clusterCol: String = "",
+      format: Int = 9)
 
   private val BucketCol = "_bucket"
 
@@ -209,6 +220,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 9" => 9
       case "graft-manifest 8" => 8
       case "graft-manifest 7" => 7
       case "graft-manifest 6" => 6
@@ -250,6 +262,8 @@ object ManifestTable {
     val schemaJson =
       if (format >= 7 && h.length > 8 && h(8).nonEmpty) dec(h(8)) else ""
     val udfKey = format >= 8 && h.length > 9 && h(9) == "1"
+    val clusterCol =
+      if (format >= 9 && h.length > 10 && h(10).nonEmpty) dec(h(10)) else ""
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
@@ -259,7 +273,7 @@ object ManifestTable {
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
       keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
-      format)
+      clusterCol, format)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -703,7 +717,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 8" +:
+    val body = (s"graft-manifest 9" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -715,7 +729,8 @@ object ManifestTable {
         m.lastCompact.map(_.toString).getOrElse(""),
         m.rangeBounds.map(enc).mkString(","),
         enc(m.schemaJson),
-        if (m.udfKey) "1" else "0").mkString("\t") +:
+        if (m.udfKey) "1" else "0",
+        enc(m.clusterCol)).mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
           s"${e.relPath}\t${e.seq}\t${e.bytes}\t${if (e.named) "1" else "0"}"))
@@ -962,7 +977,8 @@ object ManifestTable {
               prior.lastBatches, prior.lastDelete, attempt, keyColumn,
               keyExprRec.getOrElse(prior.keyExpr), prior.lastCompact,
               prior.rangeBounds, df.schema.json,
-              keyExprRec.isEmpty || prior.udfKey)))
+              keyExprRec.isEmpty || prior.udfKey,
+              clusterCol = prior.clusterCol)))
             return
           cleanupAttempt(spark, root, version, attempt)
       }
@@ -1137,7 +1153,8 @@ object ManifestTable {
                 bounds,
                 schema.json,
                 udfKey = keyExprRec.isEmpty ||
-                  prior.exists(_.udfKey))))
+                  prior.exists(_.udfKey),
+                clusterCol = prior.map(_.clusterCol).getOrElse(""))))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -1296,6 +1313,30 @@ object ManifestTable {
       spark: SparkSession, root: String, m: Manifest,
       df: DataFrame): String =
     writeAdditiveSidecar(spark, root, m, df, "bloom", singleFile = false)
+
+  /** Sidecar-driven entry pruning at the right granularity. Default is
+    * BUCKET-granular — with LSM delta files, dropping ONE file of a
+    * bucket can resurrect a row a later delta overrode (the overriding
+    * row need not match the probed value; only its victim did), so a
+    * bucket drops only when EVERY live file is definitely absent. But
+    * when a bucket's live files all share one `seq` (true after
+    * [[clusterBy]]/[[compact]]/any single-commit bucket write), the
+    * bucket holds each key EXACTLY ONCE across its files — no
+    * cross-file overrides exist, and pruning safely drops to FILE
+    * granularity: exactly what makes a clusterBy'd layout's per-file
+    * zones worth building. (Key-predicate pruning in
+    * [[GraftFileIndex]] is file-granular even across seq levels for a
+    * different reason: an overriding row always carries the SAME key
+    * as its victim, so a file containing the probed key is never
+    * dropped.) */
+  private[store] def pruneAbsent(
+      entries: Seq[FileEntry],
+      definitelyAbsent: FileEntry => Boolean): Seq[FileEntry] =
+    entries.groupBy(_.bucket).values.flatMap { es =>
+      if (es.map(_.seq).distinct.size == 1) es.filterNot(definitelyAbsent)
+      else if (es.forall(definitelyAbsent)) Nil
+      else es
+    }.toSeq
 
   /** Reconciled read over an entry SUBSET under the table's recorded
     * comparator ([[BloomSkip]]'s bucket-pruned scan). */
@@ -1639,7 +1680,8 @@ object ManifestTable {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
-            prior.rangeBounds, prior.schemaJson, prior.udfKey)))
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
@@ -1672,7 +1714,8 @@ object ManifestTable {
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact,
-            prior.rangeBounds, prior.schemaJson, prior.udfKey)))
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -1726,6 +1769,164 @@ object ManifestTable {
           written, prior.lastBatches, Some(token), attempt, keyColumn,
           prior.keyExpr, prior.lastCompact, newRangeBounds,
           prior.schemaJson, prior.udfKey)))
+        return // rebucket re-lays out key-sorted: clusterCol resets
+      cleanupAttempt(spark, root, version, attempt)
+    }
+  }
+
+  /** Cluster-layout variant of [[writeBuckets]]: same bucket
+    * assignment, but each bucket's rows SPLIT across multiple files,
+    * each holding a contiguous range of `clusterCol`. The split needs
+    * no quantile pass: `repartitionByRange(files, bucket, cluster)`
+    * samples its own boundaries, partitions are contiguous in
+    * (bucket, cluster) order, and the `partitionBy(bucket)` write cuts
+    * any bucket-spanning partition at the bucket edge — so within a
+    * bucket, file cluster-ranges are disjoint by construction, which
+    * is exactly what per-file zone maps need to prune. Every part
+    * file gets the Spark bucket-id name suffix (many files per bucket
+    * is the NORMAL bucketed-table shape, so the BucketSpec
+    * zero-Exchange property survives clustering); one FileEntry per
+    * part file, stats per file. */
+  private def writeClusteredBuckets(
+      df: DataFrame,
+      bucket: org.apache.spark.sql.Column,
+      keyColumn: String,
+      clusterCol: String,
+      root: String,
+      dataDirName: String,
+      numFiles: Int,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      seq: Long = 0L): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val dataDir = s"$root/data/$dataDirName"
+    df.withColumn(BucketCol, bucket)
+      .repartitionByRange(math.max(1, numFiles), col(BucketCol),
+        col(clusterCol))
+      .sortWithinPartitions(col(BucketCol), col(clusterCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
+    val dataPath = new Path(dataDir)
+    val fs = fsOf(spark, dataPath)
+    // stamp EVERY part file with the bucket-id suffix; map the stamped
+    // NAME (uuid-unique across the write) to its entry skeleton
+    def stampBucket(d: org.apache.hadoop.fs.FileStatus)
+        : Seq[(String, (Int, String, Long))] = {
+      val k = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      val relDir = s"data/$dataDirName/$BucketCol=$k"
+      fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map { one =>
+          val name = one.getPath.getName
+          val dot = name.indexOf('.')
+          val stamped =
+            if (dot < 0) f"${name}_$k%05d"
+            else f"${name.substring(0, dot)}_$k%05d${name.substring(dot)}"
+          val dst = new Path(d.getPath, stamped)
+          if (fs.rename(one.getPath, dst))
+            stamped -> (k, s"$relDir/$stamped", one.getLen)
+          else name -> (k, s"$relDir/$name", one.getLen)
+        }
+    }
+    val dirs =
+      if (!fs.exists(dataPath)) Nil
+      else fs.listStatus(dataPath).toSeq.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$BucketCol="))
+    val byName: Map[String, (Int, String, Long)] =
+      (if (dirs.size <= 64) dirs.flatMap(stampBucket)
+      else {
+        // the writeBuckets discipline: bounded pool for the metadata RPC
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(dirs.map(d =>
+              new java.util.concurrent.Callable[Seq[(String, (Int, String, Long))]] {
+                override def call() = stampBucket(d)
+              }).asJava)
+            .asScala.flatMap(_.get()).toSeq
+        } finally pool.shutdown()
+      }).toMap
+    val writtenSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        BucketCol, org.apache.spark.sql.types.IntegerType))
+    // per-FILE key stats (normalized space, the writeBuckets rule) —
+    // wide per file under a cluster sort, which only costs pruning
+    // opportunity, never correctness
+    spark.read.schema(writtenSchema)
+      .option("basePath", dataDir).parquet(dataDir)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("_fn"))
+      .agg(count(lit(1)).as("rows"),
+        min(keyComparator(col(keyColumn)).cast("string")).as("minKey"),
+        max(keyComparator(col(keyColumn)).cast("string")).as("maxKey"))
+      .collect()
+      .flatMap { r =>
+        byName.get(r.getString(0)).map { case (k, relPath, bytes) =>
+          FileEntry(k, r.getLong(1),
+            Option(r.getString(2)).getOrElse(""),
+            Option(r.getString(3)).getOrElse(""),
+            relPath, seq, bytes, named = true)
+        }
+      }.toSeq
+  }
+
+  /** Maintenance RE-CLUSTERING: rewrites the table's files ordered by
+    * a chosen NON-KEY column, keeping the bucket layout (and so every
+    * key-lookup/upsert/bucketed-join property) intact. This is what
+    * makes zone maps ([[ZoneSkip]]) prune PRODUCTION tables: on the
+    * key-hash layout a non-key column spans every bucket, so per-file
+    * min/max ranges are all wide and a range probe keeps everything;
+    * after clusterBy each bucket's files hold disjoint cluster-column
+    * ranges, and — because the rewrite leaves every bucket single-seq
+    * (each key exactly once, no cross-file overrides) — zone and bloom
+    * pruning drop to FILE granularity on it, reading a handful of
+    * files per range probe instead of the table.
+    *
+    * Cost is one whole-table rewrite (the [[rebucket]] class — run it
+    * at the cadence layout drift warrants, not per merge); later
+    * incremental merges append key-sorted files that simply don't
+    * prune as tightly until the next clusterBy. Commits through the
+    * same atomic manifest swap; `token` rides the maintenance token
+    * space (`lastDelete`, replays no-op); time travel, CDC and the
+    * sidecar rules are those of any other commit. The manifest records
+    * `clusterCol` so the scan stops claiming within-file KEY sort
+    * (files are cluster-sorted now — see [[Manifest.clusterCol]]).
+    * `filesPerBucket` sizes the split: per-file zone selectivity is
+    * ~1/(numBuckets × filesPerBucket) of the cluster domain. */
+  def clusterBy(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      clusterCol: String,
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      filesPerBucket: Int = 4): Unit = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    require(schema.fieldNames.contains(clusterCol),
+      s"cluster column $clusterCol not in the schema")
+    require(clusterCol != keyColumn,
+      "clusterBy is for NON-key columns (the key layout already " +
+        "prunes key predicates; use rangeBounds for a key-range layout)")
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      if (prior.lastDelete.contains(token)) return
+      checkSchemaCompatible(prior, schema, "clusterBy", allowAdd = true)
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val all = readManifestState(spark, root, schema, Some(prior))
+      val cmp = effectiveKey(prior, keyComparator)
+      val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
+        cmp(col(keyColumn)))
+      val written = writeClusteredBuckets(all, bucket, keyColumn,
+        clusterCol, root, s"v$version-$attempt",
+        prior.numBuckets * filesPerBucket, cmp, seq = version)
+      if (tryCommitManifest(spark, root, Manifest(version,
+          prior.numBuckets, written, prior.lastBatches, Some(token),
+          attempt, keyColumn, prior.keyExpr, prior.lastCompact,
+          prior.rangeBounds, prior.schemaJson, prior.udfKey,
+          clusterCol = clusterCol)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -1788,7 +1989,7 @@ object ManifestTable {
           target.numBuckets, target.entries, batches, deleteToken,
           newAttemptId(), target.keyColumn, target.keyExpr,
           prior.lastCompact, target.rangeBounds, target.schemaJson,
-          target.udfKey)))
+          target.udfKey, clusterCol = target.clusterCol)))
         return
       // nothing to clean on an OCC loss: restore writes no attempt
       // artifacts, only the temp manifest tryCommitManifest removes
@@ -1849,7 +2050,8 @@ object ManifestTable {
       if (tryCommitManifest(spark, root, Manifest(version, n,
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
           attempt, keyColumn, prior.keyExpr, Some(token),
-          prior.rangeBounds, prior.schemaJson, prior.udfKey)))
+          prior.rangeBounds, prior.schemaJson, prior.udfKey,
+          clusterCol = prior.clusterCol)))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }

@@ -268,10 +268,10 @@ object ZoneSkip {
           loS.exists(l => cmp(k, mx, l) < (if (loInclusive) 0 else 1)) ||
           hiS.exists(h => cmp(k, mn, h) > (if (hiInclusive) 0 else -1)))
     }
-    val byBucket = m.entries.groupBy(_.bucket)
-    val keep = byBucket.filter { case (_, es) =>
-      !es.forall(e => definitelyAbsent(e.relPath))
-    }.values.flatten.toSeq
+    // bucket-granular in general; FILE-granular on single-seq buckets
+    // (clusterBy'd layouts) — see ManifestTable.pruneAbsent
+    val keep = ManifestTable.pruneAbsent(m.entries,
+      e => definitelyAbsent(e.relPath))
     val base =
       if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
       else ManifestTable.reconciledEntriesRead(spark, root, schema, m,

@@ -293,6 +293,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(direct == Seq(3L))
   }
 
+  test("clusterBy from SQL: token-replayed re-layout, then a " +
+      "zone-pruned range read over the clustered files") {
+    GraftExtensions.register(spark)
+    val root = "target/test-tmp/ext_cluster"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val df = (1L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+    graft.store.ManifestTable.create(df, "id", root, numBuckets = 4)
+    val ddl = "id BIGINT, v BIGINT"
+    val r = spark.sql(s"""SELECT * FROM graft_cluster_by('$root', '$ddl',
+      'id', 'v', 11, 4)""").head
+    assert(r.getBoolean(1), "first clusterBy must apply")
+    assert(!spark.sql(s"""SELECT * FROM graft_cluster_by('$root', '$ddl',
+      'id', 'v', 11, 4)""").head.getBoolean(1),
+      "token replay must be a no-op")
+    assert(spark.sql(s"""SELECT * FROM graft_zone_build('$root', '$ddl',
+      'v')""").head.getInt(0) > 0)
+    val got = spark.sql(s"""SELECT id FROM graft_zone_lookup('$root',
+      '$ddl', 'v', 500, 990)""").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (50L to 99L), s"clustered zone lookup diverged: $got")
+  }
+
   test("maintenance functions refuse to resolve inside a view body: a " +
       "temp-view wrapper cannot silently re-run the merge per SELECT") {
     GraftExtensions.register(spark)

@@ -84,7 +84,7 @@ class GraftFileIndexSpec extends SparkSpec {
     ManifestTable.merge(m.project(raw((1L to 40L).map(i =>
       (i, s"n$i", i.toString)): _*)), 0L, m, root, schema, numBuckets = 8)
     val mf = ManifestTable.currentManifest(spark, root).get
-    assert(mf.format == 8 && !mf.udfKey)
+    assert(mf.format >= 8 && !mf.udfKey)
     assert(mf.entries.nonEmpty)
     mf.entries.foreach { e =>
       assert(e.relPath.endsWith(".parquet"), s"file-granular: ${e.relPath}")
