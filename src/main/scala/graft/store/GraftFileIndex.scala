@@ -64,6 +64,7 @@ private[store] final class GraftFileIndex(
     keyType: Option[org.apache.spark.sql.types.DataType],
     probeEval: Option[Seq[Any] => Seq[(Int, String)]],
     rangePrunable: Boolean,
+    keyZone: Option[String],
     entries: Seq[FileEntry]) extends FileIndex {
 
   private def canPrune: Boolean = probeEval.isDefined
@@ -177,6 +178,28 @@ private[store] final class GraftFileIndex(
   private def str(v: Any): Option[String] =
     Option(v).map(_.toString) // UTF8String renders as its string value
 
+  /** Numeric-key range predicates against the per-entry KEY ZONES
+    * (`minZ`/`maxZ`, order-true domain — see [[ZoneSkip.keyKind]]).
+    * Inclusive-widened (strictness never over-prunes); an entry with
+    * EMPTY zone stats keeps (legacy manifest — conservative) unless its
+    * lexical stats mark it null-only (`""`/`""`), which no range
+    * matches. Sound per FILE across seq levels for the same reason the
+    * equality path is: the predicate is on the KEY, and an overriding
+    * row carries the same key as its victim. */
+  private def zoneLo(v: Any): Option[FileEntry => Boolean] =
+    keyZone.flatMap { kind =>
+      Option(v).map(x => ZoneSkip.keyRenderInternal(x)).map(s => (e: FileEntry) =>
+        !(e.minKey.isEmpty && e.maxKey.isEmpty) &&
+          (e.maxZ.isEmpty || ZoneSkip.cmp(kind, e.maxZ, s) >= 0))
+    }
+
+  private def zoneHi(v: Any): Option[FileEntry => Boolean] =
+    keyZone.flatMap { kind =>
+      Option(v).map(x => ZoneSkip.keyRenderInternal(x)).map(s => (e: FileEntry) =>
+        !(e.minKey.isEmpty && e.maxKey.isEmpty) &&
+          (e.minZ.isEmpty || ZoneSkip.cmp(kind, e.minZ, s) <= 0))
+    }
+
   private def computePredicate(f: Expression): Option[FileEntry => Boolean] =
     f match {
       case EqualTo(a, Literal(v, dt)) if isKeyAttr(a) && keyTyped(dt) =>
@@ -220,6 +243,34 @@ private[store] final class GraftFileIndex(
       case LessThanOrEqual(Literal(v, StringType), a)
           if isKeyAttr(a) && rangePrunable =>
         str(v).map(lo => e => e.maxKey >= lo)
+      // Numeric-family range shapes against the per-entry key zones —
+      // the literal must carry the key's own type (analyzer-coerced
+      // normal case), so its internal value renders into exactly the
+      // domain the writer aggregated.
+      case GreaterThan(a, Literal(v, dt))
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneLo(v)
+      case GreaterThanOrEqual(a, Literal(v, dt))
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneLo(v)
+      case LessThan(a, Literal(v, dt))
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneHi(v)
+      case LessThanOrEqual(a, Literal(v, dt))
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneHi(v)
+      case GreaterThan(Literal(v, dt), a)
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneHi(v)
+      case GreaterThanOrEqual(Literal(v, dt), a)
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneHi(v)
+      case LessThan(Literal(v, dt), a)
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneLo(v)
+      case LessThanOrEqual(Literal(v, dt), a)
+          if isKeyAttr(a) && keyTyped(dt) && keyZone.isDefined =>
+        zoneLo(v)
       case And(l, r) =>
         (computePredicate(l), computePredicate(r)) match {
           case (Some(pl), Some(pr)) => Some(e => pl(e) && pr(e))
@@ -301,6 +352,11 @@ private[store] object GraftScan {
     val rangeOk = recordedIdentity(m) &&
       schema.find(_.name == m.keyColumn).exists(_.dataType == StringType)
     val keyType = schema.find(_.name == m.keyColumn).map(_.dataType)
+    // numeric-family identity keys range-prune through the per-entry
+    // key zones (minZ/maxZ) the format-9 writer records
+    val keyZone =
+      if (recordedIdentity(m)) keyType.flatMap(ZoneSkip.keyKind)
+      else None
     // The probe projection is compiled HERE — relation construction is a
     // thread where running the analyzer is legal — and handed to the
     // index as a pure evaluator; listFiles (AQE stage threads) must
@@ -311,7 +367,7 @@ private[store] object GraftScan {
           m.keyColumn, keyType.get, cmp)
       else None
     val idx = new GraftFileIndex(spark, root, m.keyColumn, keyType,
-      probeEval, rangePrunable = rangeOk, entries)
+      probeEval, rangePrunable = rangeOk, keyZone, entries)
     val rel = HadoopFsRelation(
       location = idx,
       partitionSchema = StructType(Nil),

@@ -101,10 +101,19 @@ object ManifestTable {
     * file per bucket. `named` marks a file stamped with Spark's
     * bucket-id name suffix at write — when every live file is, the
     * read side reports a real `BucketSpec` (see [[GraftScan]]). */
+  /** `minZ`/`maxZ` (format 9) are the key's per-file ZONE stats in an
+    * ORDER-TRUE numeric domain ([[ZoneSkip.keyKind]] — internal longs /
+    * epoch micros / epoch days / normalized doubles), recorded by the
+    * writer for identity-normalized numeric-family keys. They exist
+    * because `minKey`/`maxKey` are LEXICAL min/max of the rendered key
+    * strings — sound for equality containment, but "10" < "9" makes
+    * them unusable for numeric ranges. Empty = not recorded (legacy
+    * entry, string key, or a comparator-normalized layout) — readers
+    * must then keep the file. */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
       relPath: String, seq: Long = 0L, bytes: Long = 0L,
-      named: Boolean = false)
+      named: Boolean = false, minZ: String = "", maxZ: String = "")
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
@@ -269,7 +278,9 @@ object ManifestTable {
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
         if (f.length > 5) f(5).toLong else 0L,
         if (f.length > 6) f(6).toLong else 0L,
-        f.length > 7 && f(7) == "1")
+        f.length > 7 && f(7) == "1",
+        if (f.length > 8) dec(f(8)) else "",
+        if (f.length > 9) dec(f(9)) else "")
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
       keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
@@ -733,7 +744,8 @@ object ManifestTable {
         enc(m.clusterCol)).mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
-          s"${e.relPath}\t${e.seq}\t${e.bytes}\t${if (e.named) "1" else "0"}"))
+          s"${e.relPath}\t${e.seq}\t${e.bytes}\t" +
+          s"${if (e.named) "1" else "0"}\t${enc(e.minZ)}\t${enc(e.maxZ)}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
@@ -860,12 +872,20 @@ object ManifestTable {
     // Stats in NORMALIZED key space — the space lookup() renders its
     // probe keys in; raw-key stats would wrongly prune a file when the
     // comparator changes rendering (e.g. lower("Foo") vs "foo").
-    spark.read.schema(writtenSchema)
+    // Numeric-family keys additionally record ORDER-TRUE zone stats
+    // (minZ/maxZ — the lexical strings can't serve ranges: "10" < "9")
+    // so GraftFileIndex can prune numeric BETWEEN/>/< at plan time.
+    val rb = spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
-      .groupBy(col(BucketCol))
+    val norm = keyComparator(col(keyColumn))
+    val normDt = rb.limit(0).select(norm).schema.head.dataType
+    val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
+      Seq(min(zr).cast("string").as("minZ"),
+        max(zr).cast("string").as("maxZ")))
+    rb.groupBy(col(BucketCol))
       .agg(count(lit(1)).as("rows"),
-        min(keyComparator(col(keyColumn)).cast("string")).as("minKey"),
-        max(keyComparator(col(keyColumn)).cast("string")).as("maxKey"))
+        (Seq(min(norm.cast("string")).as("minKey"),
+          max(norm.cast("string")).as("maxKey")) ++ zoneAggs): _*)
       .collect()
       .map { r =>
         val k = r.getInt(0)
@@ -874,7 +894,9 @@ object ManifestTable {
         FileEntry(k, r.getLong(1),
           Option(r.getString(2)).getOrElse(""),
           Option(r.getString(3)).getOrElse(""),
-          relPath, seq, bytes, named)
+          relPath, seq, bytes, named,
+          if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
+          if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""))
       }.toSeq
   }
 
@@ -1851,20 +1873,27 @@ object ManifestTable {
         BucketCol, org.apache.spark.sql.types.IntegerType))
     // per-FILE key stats (normalized space, the writeBuckets rule) —
     // wide per file under a cluster sort, which only costs pruning
-    // opportunity, never correctness
-    spark.read.schema(writtenSchema)
+    // opportunity, never correctness; key zones (minZ/maxZ) ride along
+    val rb = spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
-      .groupBy(substring_index(input_file_name(), "/", -1).as("_fn"))
+    val norm = keyComparator(col(keyColumn))
+    val normDt = rb.limit(0).select(norm).schema.head.dataType
+    val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
+      Seq(min(zr).cast("string").as("minZ"),
+        max(zr).cast("string").as("maxZ")))
+    rb.groupBy(substring_index(input_file_name(), "/", -1).as("_fn"))
       .agg(count(lit(1)).as("rows"),
-        min(keyComparator(col(keyColumn)).cast("string")).as("minKey"),
-        max(keyComparator(col(keyColumn)).cast("string")).as("maxKey"))
+        (Seq(min(norm.cast("string")).as("minKey"),
+          max(norm.cast("string")).as("maxKey")) ++ zoneAggs): _*)
       .collect()
       .flatMap { r =>
         byName.get(r.getString(0)).map { case (k, relPath, bytes) =>
           FileEntry(k, r.getLong(1),
             Option(r.getString(2)).getOrElse(""),
             Option(r.getString(3)).getOrElse(""),
-            relPath, seq, bytes, named = true)
+            relPath, seq, bytes, named = true,
+            if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
+            if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""))
         }
       }.toSeq
   }

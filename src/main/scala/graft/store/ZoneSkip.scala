@@ -89,7 +89,48 @@ object ZoneSkip {
     java.lang.Integer.compare(a.length - i, b.length - j)
   }
 
-  private def cmp(kind: String, a: String, b: String): Int = kind match {
+  /** Zone domain for KEY-column per-entry stats ([[ManifestTable]]'s
+    * `minZ`/`maxZ`): only the types whose Catalyst INTERNAL value
+    * renders EXACTLY into the comparison domain with no session state —
+    * integrals (the value), TimestampType (internal epoch micros),
+    * DateType (internal epoch days), float/double (normalized). Strings
+    * are excluded (the lexical `minKey` path already serves them) and
+    * so is TimestampNTZ, whose rendering pins through the SESSION zone:
+    * a manifest written under one zone read under another would
+    * mis-prune. */
+  private[store] def keyKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case TimestampType => Some("long")
+    case DateType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case _ => None
+  }
+
+  /** The write-side rendering matching [[keyKind]] — identical order
+    * semantics to what [[keyRenderInternal]] computes driver-side from
+    * the probe literal's internal value. */
+  private[store] def keyRendered(c: org.apache.spark.sql.Column,
+      dt: DataType): Option[org.apache.spark.sql.Column] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(c.cast(LongType))
+    case TimestampType => Some(unix_micros(c))
+    case DateType => Some(unix_date(c).cast(LongType))
+    case FloatType | DoubleType => Some(c.cast(DoubleType) + lit(0.0d))
+    case _ => None
+  }
+
+  /** Probe-literal rendering into the SAME domain, from the Catalyst
+    * internal value, pure driver-side (listFiles runs on AQE stage
+    * threads — no analyzer, no session): internal integrals/micros/days
+    * are the domain already; floats widen exactly as Spark's cast and
+    * -0.0 normalizes like the build. */
+  private[store] def keyRenderInternal(v: Any): String = v match {
+    case d: Double => (d + 0.0d).toString
+    case f: Float => (f.toDouble + 0.0d).toString
+    case other => String.valueOf(other)
+  }
+
+  private[store] def cmp(kind: String, a: String, b: String): Int = kind match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     // + 0.0 mirrors `rendered`'s -0.0 normalization so sidecars written
     // BEFORE that normalization still compare in Spark's order

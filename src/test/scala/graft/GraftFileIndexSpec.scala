@@ -184,16 +184,74 @@ class GraftFileIndexSpec extends SparkSpec {
     assert(scannedFiles(eq) == 1)
     assert(sortedRows(eq) == Seq(s"m-key|${'m'.toLong}"))
 
-    // hash layout + LONG key: range shapes are not string-orderable —
-    // full read, correct rows
+    // hash layout + LONG key: the format-9 writer records ORDER-TRUE
+    // key zones (minZ/maxZ) per entry, so numeric ranges prune per
+    // FILE — the lexical minKey/maxKey never could ("10" < "9")
     val root2 = freshRoot("gfi_range_hash")
     val m = mapping
     ManifestTable.merge(m.project(raw((1L to 50L).map(i =>
       (i, s"n$i", i.toString)): _*)), 0L, m, root2, schema, numBuckets = 4)
     val t2 = ManifestTable.read(spark, root2, schema)
+    val entries2 = ManifestTable.currentManifest(spark, root2).get.entries
+    assert(entries2.forall(e => e.minZ.nonEmpty && e.maxZ.nonEmpty),
+      "numeric identity keys must record zone stats")
     val r2 = t2.filter(col("id") >= 45L)
-    assert(scannedFiles(r2) == 4, "no unsound pruning on numeric keys")
     assert(r2.count() == 6)
+    val expect45 = entries2.count(_.maxZ.toLong >= 45L)
+    assert(scannedFiles(r2) == expect45,
+      s"id >= 45 must read exactly the ${expect45} zone-intersecting files")
+    // beyond-domain probe: zero files (limit(0) short-circuit or empty
+    // partition list — count is the evidence either way)
+    val none = t2.filter(col("id") > 1000L)
+    assert(none.count() == 0 && scannedFiles(none) == 0)
+    // BETWEEN = And(>=, <=): both bounds prune, values exact
+    // (scannedFiles must be the FIRST action on the frame — the
+    // numFiles driver metric posts on the first materialization)
+    val mid2 = t2.filter(col("id").between(10L, 12L))
+    val expectMid = entries2.count(e =>
+      e.maxZ.toLong >= 10L && e.minZ.toLong <= 12L)
+    assert(scannedFiles(mid2) == expectMid)
+    assert(mid2.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+    // the "10" < "9" trap directly: >= 9 keeps every file holding 9+
+    assert(t2.filter(col("id") >= 9L).count() == 42)
+  }
+
+  test("legacy manifests without key zones read conservatively: numeric " +
+      "ranges keep every file, rows exact") {
+    val root = freshRoot("gfi_legacy_zones")
+    val m = mapping
+    ManifestTable.merge(m.project(raw((1L to 40L).map(i =>
+      (i, s"n$i", i.toString)): _*)), 0L, m, root, schema, numBuckets = 4)
+    // rewrite the committed manifest as a pre-zone FORMAT 8 one: strip
+    // the clusterCol header token and each entry's minZ/maxZ fields —
+    // exactly what a round-9 table on disk looks like
+    val v = ManifestTable.currentVersion(spark, root).get
+    val mf = new java.io.File(s"$root/manifest/m$v")
+    val lines = org.apache.commons.io.FileUtils
+      .readLines(mf, java.nio.charset.StandardCharsets.UTF_8)
+    import scala.jdk.CollectionConverters._
+    val rewritten = lines.asScala.toSeq.zipWithIndex.map {
+      case (_, 0) => "graft-manifest 8"
+      case (l, 1) => // header: format 8 carries 10 tokens (thru udfKey)
+        l.split("\t", -1).take(10).mkString("\t")
+      case (l, _) => // entries: format 8 carries 8 fields (thru named)
+        l.split("\t", -1).take(8).mkString("\t")
+    }
+    org.apache.commons.io.FileUtils.writeLines(mf, "UTF-8",
+      rewritten.asJava)
+    // drop the local-FS checksum sidecar the out-of-band rewrite broke
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/manifest/.m$v.crc"))
+    val mf2 = ManifestTable.currentManifest(spark, root).get
+    assert(mf2.format == 8 &&
+      mf2.entries.forall(e => e.minZ.isEmpty && e.maxZ.isEmpty),
+      "fixture must read back as a zone-less format-8 manifest")
+    val t = ManifestTable.read(spark, root, schema)
+    val r = t.filter(col("id") >= 35L)
+    assert(r.count() == 6, "legacy read must stay exact")
+    assert(scannedFiles(r) == mf2.entries.size,
+      "no zone stats -> conservative full keep")
   }
 
   test("delta buckets reconcile through the native scan, pruned") {
