@@ -1170,6 +1170,35 @@ object SparkEntry {
       val root = writeFormatFixture(s, dir)
       s.read.format("graft").load(root)
     }),
+    "manifest_catalog" -> ((s, dir) => {
+      // The DSv2 TableCatalog face: NAMED tables over the same manifest
+      // state (`CREATE TABLE graft.ns.t USING graft` / `INSERT INTO` /
+      // `SELECT`), no path or DDL strings in the user surface. The
+      // timed region is the whole named-table lifecycle: create, bulk
+      // INSERT (bootstrap merge), a second INSERT of a drifted slice
+      // (key-matched UPSERT — this is a keyed table), and the committed
+      // read back by name. Values hash-equal DuckDB's last-wins
+      // recompute; the pruning/rename/time-travel evidence lives in
+      // GraftCatalogSpec.
+      GraftExtensions.register(s)
+      s.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        "target/qtmp/graft_warehouse")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.bench")
+      s.sql("DROP TABLE IF EXISTS graft.bench.customers")
+      s.sql("""CREATE TABLE graft.bench.customers
+        (id BIGINT, name STRING, acctbal DOUBLE) USING graft
+        TBLPROPERTIES ('key'='id', 'numBuckets'='16')""")
+      s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey AS id", "c_name AS name",
+          "CAST(c_acctbal AS DOUBLE) AS acctbal")
+        .createOrReplaceTempView("catalog_src")
+      s.sql("INSERT INTO graft.bench.customers SELECT * FROM catalog_src")
+      s.sql("""INSERT INTO graft.bench.customers
+        SELECT id, name, acctbal + 1000 FROM catalog_src
+        WHERE id % 10 = 0""")
+      s.sql("SELECT * FROM graft.bench.customers")
+    }),
     "manifest_bucket_join" -> ((s, dir) => {
       // CO-BUCKETED join: two manifest tables laid out on the same key
       // with the same bucket count join WITHOUT a shuffle (the format-8
@@ -2386,6 +2415,14 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc))
            WHERE acctbal BETWEEN 1000 AND 5000""",
+      // the catalog lifecycle's final state: bulk insert, then the
+      // id%10 slice re-upserted with +1000 balances (last-wins)
+      "manifest_catalog" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN c_custkey % 10 = 0
+             THEN CAST(c_acctbal AS DOUBLE) + 1000
+             ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+           FROM customer""",
       // clusterBy is a pure re-layout: the expected values are exactly
       // manifest_zone_range's (same merged state, same BETWEEN)
       "manifest_zone_clustered" ->

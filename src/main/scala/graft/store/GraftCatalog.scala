@@ -1,0 +1,264 @@
+package graft.store
+
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
+  TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 [[TableCatalog]] over manifest tables: NAMED tables instead of
+  * path strings — the gesture a Spark SQL user actually starts with.
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.store.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE NAMESPACE graft.db
+  *   CREATE TABLE graft.db.users (id BIGINT, name STRING) USING graft
+  *     TBLPROPERTIES ('key'='id', 'numBuckets'='32')
+  *   INSERT INTO graft.db.users VALUES (1, 'a')     -- key-matched MERGE
+  *   INSERT OVERWRITE graft.db.users SELECT ...     -- one-commit replace
+  *   SELECT * FROM graft.db.users WHERE id = 1      -- pruned native scan
+  *   SELECT * FROM graft.db.users VERSION AS OF 3   -- time travel
+  *   df.write.saveAsTable("graft.db.events")        -- CTAS
+  * }}}
+  *
+  * LAYOUT: a table named `db.t` lives at `<warehouse>/db/t` — the
+  * catalog is a pure NAME → ROOT mapping plus directory listing; ALL
+  * table metadata (schema, key, layout, versions) stays in the
+  * manifest, where the path-based faces (`graft_table(root)`,
+  * `format("graft").load(root)`, the Scala API) read the SAME state.
+  * A catalog table and a path read of its root are one table, not two
+  * systems — there is no second metastore to drift.
+  *
+  * The table's existence marker is its `manifest/` directory, written
+  * atomically by the first commit; CREATE bootstraps an EMPTY version-0
+  * manifest recording schema + key, so `CREATE TABLE` → `INSERT INTO`
+  * behaves as SQL expects. Reads require [[graft.GraftExtensions]]
+  * (session extensions or `register(spark)`), which inject the
+  * strategy that plans [[GraftBatchScan]].
+  *
+  * At 100 TB the catalog adds ZERO planning overhead over the path
+  * faces: `loadTable` is one manifest-head read (no listing), and
+  * everything after resolution is the same zero-listing
+  * manifest-backed scan. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  override def name(): String = catalogName
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      SparkSession.active.sessionState.conf.warehousePath
+        .stripSuffix("/") + "/graft")
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Name components must be path-safe: the name IS the directory. */
+  private def safe(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("..") &&
+      !part.startsWith("."),
+      s"illegal graft table/namespace name component: '$part'")
+    part
+  }
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.map(safe)).mkString("/"))
+
+  private def rootOf(ident: Identifier): String =
+    ((warehouse +: ident.namespace.map(safe)) :+ safe(ident.name))
+      .mkString("/")
+
+  private def isTable(root: String): Boolean =
+    ManifestTable.currentVersion(spark, root).isDefined
+
+  // -------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    val f = fs(p)
+    if (!f.exists(p)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+    f.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        isTable(s.getPath.toUri.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val schema = ManifestTable.recordedSchema(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"table $ident at $root records no schema (pre-format-7) — " +
+          "read it through graft_table(root, ddl) instead"))
+    GraftTable(root, None, schema)
+  }
+
+  /** `VERSION AS OF` time travel: the snapshot under ITS OWN recorded
+    * schema (travel across an add-only evolution shows each version
+    * with the columns it actually had). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a numeric version, got '$version'")
+      }
+    val m = ManifestTable.readManifest(spark, root, v)
+    require(m.schemaJson.nonEmpty,
+      s"manifest m$v at $root records no schema (pre-format-7)")
+    GraftTable(root, Some(v),
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[StructType])
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables manage their own bucket layout — use " +
+        "TBLPROPERTIES ('numBuckets'='N') instead of PARTITIONED BY")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    val props = properties.asScala
+    def prop(k: String): Option[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+    val key = prop("key").getOrElse("id")
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' not in the schema — declare it, or set " +
+        "TBLPROPERTIES ('key'='<column>')")
+    val numBuckets = prop("numBuckets").map(_.toInt).getOrElse(16)
+    // bootstrap an EMPTY version-0 manifest: schema + key + layout
+    // recorded, zero data files — INSERT INTO then merges normally
+    ManifestTable.create(
+      spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](),
+        schema),
+      key, root, numBuckets)
+    GraftTable(root, None, schema)
+  }
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables: schema evolves add-only through " +
+        "writes (INSERT with evolveSchema / merge(evolveSchema = true)); " +
+        "other alterations are not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isTable(root)) false
+    else fs(new Path(root)).delete(new Path(root), true)
+  }
+
+  override def renameTable(old: Identifier, toRaw: Identifier): Unit = {
+    // `ALTER TABLE cat.ns.a RENAME TO cat.ns.b` hands the TARGET with
+    // the catalog still in its namespace — strip it, or the table
+    // would move into a literal `<warehouse>/cat/...` directory
+    val to =
+      if (toRaw.namespace.headOption.contains(catalogName))
+        Identifier.of(toRaw.namespace.drop(1), toRaw.name)
+      else toRaw
+    val src = new Path(rootOf(old))
+    val dst = new Path(rootOf(to))
+    if (!isTable(src.toString))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException((old.namespace :+ old.name).toSeq)
+    if (isTable(dst.toString))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((to.namespace :+ to.name).toSeq)
+    val f = fs(src)
+    f.mkdirs(dst.getParent)
+    if (!f.rename(src, dst)) throw new java.io.IOException(
+      s"failed to rename $src to $dst")
+  }
+
+  // ---------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val p = new Path(warehouse)
+    val f = fs(p)
+    if (!f.exists(p)) Array.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath.toUri.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val p = nsPath(namespace)
+      val f = fs(p)
+      if (!f.exists(p)) throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+      f.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !isTable(s.getPath.toUri.getPath))
+        .map(s => namespace :+ s.getPath.getName).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs(nsPath(namespace)).exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    if (fs(p).exists(p)) throw new org.apache.spark.sql.catalyst.analysis
+      .NamespaceAlreadyExistsException(namespace)
+    fs(p).mkdirs(p)
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val f = fs(p)
+    if (!f.exists(p)) false
+    else {
+      if (!cascade && f.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty " +
+            "(use CASCADE)")
+      f.delete(p, true)
+    }
+  }
+}

@@ -155,24 +155,90 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   }
 }
 
-/** Thin V2 table handle; the real plan is substituted by
-  * [[GraftReadStrategy]]. */
+/** Thin V2 table handle; the real read plan is substituted by
+  * [[GraftReadStrategy]]. Writes bridge through `V1Write` — the
+  * manifest commit protocol is driver-orchestrated (OCC manifest swap
+  * over a completed bucket write), which is exactly the
+  * `InsertableRelation` shape; a distributed V2 commit protocol would
+  * re-implement what [[ManifestTable.merge]] already guarantees.
+  * INSERT INTO runs the key-matched MERGE (upsert semantics — this is
+  * a keyed table); INSERT OVERWRITE replaces the table state in one
+  * commit (old versions stay readable for time travel). */
 private[store] case class GraftTable(
     root: String,
     versionAsOf: Option[Long],
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"graft.`$root`" + versionAsOf.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
         GraftBatchScan(root, versionAsOf, tableSchema)
     }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      "cannot write to a time-travelled table snapshot")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        // unpartitioned table: the only overwrite Spark plans is the
+        // full one (deleteExpr = true)
+        require(filters.isEmpty || filters.forall(
+            _ == org.apache.spark.sql.sources.AlwaysTrue),
+          s"graft tables only support full INSERT OVERWRITE, got " +
+            filters.mkString(", "))
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              val spark = data.sparkSession
+              val m = ManifestTable.currentManifest(spark, root)
+                .getOrElse(throw new IllegalStateException(
+                  s"no manifest table at $root"))
+              val key = m.keyColumn
+              require(key.nonEmpty && data.schema.fieldNames.contains(key),
+                s"table records key '$key', absent from the insert")
+              if (overwrite)
+                ManifestTable.replace(data, key, root, m.numBuckets)
+              else {
+                val mp = new graft.mapping.Mapping(keyColumnName = key)
+                data.schema.fieldNames.foreach(n => mp.auto(n))
+                mp.complete(data.schema)
+                // every INSERT applies (SQL semantics): token = the
+                // version this merge will claim
+                ManifestTable.merge(data,
+                  ManifestTable.currentVersion(spark, root)
+                    .getOrElse(-1L) + 1L,
+                  mp, root, data.schema,
+                  numBuckets = m.numBuckets,
+                  streamId = "graft-sql-insert")
+              }
+            }
+        }
+    }
+  }
 }
 
 /** Carrier scan: holds what the strategy needs and reports

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.store.ManifestTable
+
+/** The DSv2 TableCatalog face: named tables (`graft.db.t`) over the
+  * same manifest state every path-based face reads. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private val wh = "target/test-tmp/graft_catalog_wh"
+  org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+  spark.conf.set("spark.sql.catalog.graftcat", "graft.store.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case r: ReusedExchangeExec => scans(r.child)
+    case s: FileSourceScanExec => Seq(s)
+    case other =>
+      other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+  }
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("named-table lifecycle from pure SQL: create, insert (upsert), " +
+      "overwrite, time travel, show, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("""CREATE TABLE graftcat.db.users (id BIGINT, name STRING)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    assert(spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).toSeq == Seq("users"))
+    // empty after CREATE
+    assert(spark.sql("SELECT * FROM graftcat.db.users").count() == 0)
+    // INSERT = key-matched merge
+    spark.sql("INSERT INTO graftcat.db.users VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT name FROM graftcat.db.users ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // same key: UPSERT semantics (this is a keyed table)
+    spark.sql("INSERT INTO graftcat.db.users VALUES (2, 'B2'), (3, 'c')")
+    assert(spark.sql("SELECT name FROM graftcat.db.users ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "B2", "c"))
+    // INSERT OVERWRITE replaces in one commit
+    spark.sql("INSERT OVERWRITE graftcat.db.users VALUES (9, 'z')")
+    assert(spark.sql("SELECT id, name FROM graftcat.db.users")
+      .collect().map(_.mkString("|")).toSeq == Seq("9|z"))
+    // every prior version stays readable by NAME
+    val head = ManifestTable.currentVersion(spark, s"$wh/db/users").get
+    assert(spark.sql(
+        s"SELECT name FROM graftcat.db.users VERSION AS OF ${head - 1} " +
+          "ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "B2", "c"))
+    assert(spark.sql(
+      s"SELECT * FROM graftcat.db.users VERSION AS OF 0").count() == 0)
+    spark.sql("DROP TABLE graftcat.db.users")
+    assert(spark.sql("SHOW TABLES IN graftcat.db").count() == 0)
+  }
+
+  test("a catalog table IS the path table: one manifest state, and key " +
+      "predicates prune through the named read") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.events")
+    spark.sql("""CREATE TABLE graftcat.db.events (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='8')""")
+    spark.sql("INSERT INTO graftcat.db.events " +
+      "SELECT id, id * 10 AS v FROM range(1, 201)")
+    // the path faces read the SAME table
+    val root = s"$wh/db/events"
+    val viaPath = ManifestTable.read(spark, root,
+      ManifestTable.recordedSchema(spark, root).get)
+    assert(viaPath.count() == 200)
+    assert(spark.sql("SELECT sum(v) FROM graftcat.db.events")
+      .head.getLong(0) ==
+      viaPath.agg(sum("v")).head.getLong(0))
+    // key equality through the NAMED read prunes to one bucket file
+    val q = spark.sql("SELECT v FROM graftcat.db.events WHERE id = 42")
+    assert(scannedFiles(q) == 1,
+      "named-table key lookup must hit GraftFileIndex pruning")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(420L))
+    // numeric key RANGE prunes through the recorded key zones
+    val r = spark.sql(
+      "SELECT count(*) FROM graftcat.db.events WHERE id > 1000")
+    assert(r.head.getLong(0) == 0L)
+  }
+
+  test("saveAsTable (CTAS) and DataFrame writeTo round-trip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.ctas")
+    (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
+      .write.saveAsTable("graftcat.db.ctas")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.ctas")
+      .head.getLong(0) == 30L)
+    // append through the writer API merges by key
+    Seq((7L, "SEVEN"), (31L, "n31")).toDF("id", "name")
+      .write.mode("append").saveAsTable("graftcat.db.ctas")
+    val got = spark.sql(
+      "SELECT name FROM graftcat.db.ctas WHERE id IN (7, 31) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("SEVEN", "n31"))
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.ctas")
+      .head.getLong(0) == 31L)
+  }
+
+  test("usage errors are loud: bad key, PARTITIONED BY, writes to a " +
+      "travelled snapshot, unknown table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    val e1 = intercept[Exception] {
+      spark.sql("""CREATE TABLE graftcat.db.bad (a BIGINT) USING graft
+        TBLPROPERTIES ('key'='nope')""")
+    }
+    assert(e1.getMessage.contains("key column"))
+    val e2 = intercept[Exception] {
+      spark.sql("""CREATE TABLE graftcat.db.bad2 (a BIGINT, d STRING)
+        USING graft PARTITIONED BY (d)""")
+    }
+    assert(e2.getMessage.contains("bucket layout"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graftcat.db.never_created").collect()
+    }
+  }
+
+  test("rename moves the directory; namespaces list and drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmpns")
+    spark.sql("DROP TABLE IF EXISTS graftcat.tmpns.a")
+    spark.sql("DROP TABLE IF EXISTS graftcat.tmpns.b")
+    spark.sql("""CREATE TABLE graftcat.tmpns.a (id BIGINT) USING graft""")
+    spark.sql("INSERT INTO graftcat.tmpns.a VALUES (5)")
+    spark.sql("ALTER TABLE graftcat.tmpns.a RENAME TO graftcat.tmpns.b")
+    assert(spark.sql("SELECT id FROM graftcat.tmpns.b").head.getLong(0) == 5L)
+    assert(!new java.io.File(s"$wh/tmpns/a").exists())
+    spark.sql("DROP TABLE graftcat.tmpns.b")
+    spark.sql("DROP NAMESPACE graftcat.tmpns")
+    assert(!new java.io.File(s"$wh/tmpns").exists())
+  }
+}
