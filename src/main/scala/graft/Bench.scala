@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: ONE JSON line. `queries` keeps the original name→seconds
   * contract (now the median), rounded to 1 ms. The full per-rep detail
-  * (name→{med,min,runs[],cpu[]}) is written to BENCH_STATS.json in the
+  * (name→{med,min,runs[],cpu[],mf}) is written to BENCH_STATS.json in the
   * working directory instead of the line — the r5 stdout artifact was
   * front-truncated past ~2.5 KB, so the line carries only what must
   * survive capture and points at the file (`stats_file`).
@@ -23,6 +23,24 @@ import org.apache.spark.sql.SparkSession
   * an expensive plan shows them tracking (the r6 `decontaminate` "6×
   * regression" was exactly this ambiguity: unreproducible on the same
   * code+fixture at any thread count, wall-only evidence).
+  *
+  * CONTENTION SENTINEL: three rounds of official artifacts landed on a
+  * contended machine and needed prose adjudication, so the benchmark
+  * now measures the machine itself. A fixed CPU-bound calibration probe
+  * (`bit_xor(xxhash64(id))` over a constant range — pure codegen
+  * compute, no I/O, no fixture state) establishes a baseline (median of
+  * 5 samples after its own warmup) and re-runs every 8 queries; each
+  * query's `mf` is the BETTER of the two probes bracketing its block
+  * over the baseline (one slow sample — a GC, a noise burst — must not
+  * condemn a whole block), and the line's `machine_factor` is the
+  * median over all samples — 1.0 = quiet, 2.0 = the machine was
+  * delivering half its calibrated throughput.
+  * Queries measured while the probe read inflated (mf > 1.5) are
+  * automatically RE-RUN after the main pass and report the better
+  * median (both measurements stay in the stats file, `rechecked` names
+  * them) — adjudication becomes mechanical: compare `calib_base` across
+  * rounds for absolute machine speed, read `mf`/`rechecked` for
+  * within-run interference.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,8 +68,24 @@ object Bench {
       System.err.println(s"[bench] warmup entry failed: ${e.getMessage}") }
 
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+    // ---- contention sentinel -------------------------------------------
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(128L * 1000 * 1000)
+        .selectExpr("bit_xor(xxhash64(id))")
+        .collect() // bit_xor: no ANSI long-sum overflow, same compute
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrate() // probe's own JIT warmup, discarded
+    // baseline = MEDIAN of 5 (min would be optimistic on a probe this
+    // short and flag phantom contention all run)
+    val calibBase = (1 to 5).map(_ => calibrate()).sorted.apply(2)
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleMachine(): Unit = calibSamples += r3(calibrate())
+
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to the named queries — for
-    // iterating on one regression without paying the full 82-query run.
+    // iterating on one regression without paying the full 100+-query run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -68,11 +102,10 @@ object Bench {
     }
     def cpuTime: Long =
       osBean.map(_.getProcessCpuTime).filter(_ >= 0).getOrElse(0L)
-    // A query that throws must never masquerade as a timing: any rep
-    // failure marks the query `"err"` in the JSON line (excluded from
-    // `total`, listed under `errors`) — BENCH_r08 recorded the events
-    // family's time-to-exception as an apparent 6x speedup.
-    val results = selected.toSeq.map { case (name, fn) =>
+
+    def runQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Seq[(Double, Double, Boolean)], Double, Boolean) = {
       val setup = SparkEntry.benchSetups.get(name)
       val runs = (1 to reps).map { _ =>
         try setup.foreach(f => f(spark, sfDir))
@@ -96,23 +129,77 @@ object Bench {
       val med =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else r3((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
-      (name, med, sorted.head, runs, failed)
+      (runs, med, failed)
     }
-    val qs = results.map { case (k, med, _, _, failed) =>
+
+    // A query that throws must never masquerade as a timing: any rep
+    // failure marks the query `"err"` in the JSON line (excluded from
+    // `total`, listed under `errors`) — BENCH_r08 recorded the events
+    // family's time-to-exception as an apparent 6x speedup.
+    sampleMachine()
+    val firstPass = selected.toSeq.zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i > 0 && i % 8 == 0) sampleMachine()
+        val (runs, med, failed) = runQuery(name, fn)
+        (name, fn, runs, med, failed, i / 8)
+    }
+    sampleMachine()
+    // a query's factor = the BETTER of the probes bracketing its block:
+    // a single slow sample (GC, one noisy neighbor burst) must not
+    // condemn every query near it — sustained contention shows on both
+    // sides of the block
+    def factorOf(block: Int): Double = {
+      val before = calibSamples(math.min(block, calibSamples.size - 1))
+      val after = calibSamples(math.min(block + 1, calibSamples.size - 1))
+      r3(math.max(1.0, math.min(before, after) / calibBase))
+    }
+    // RE-RUN queries whose neighborhood probe saw interference; keep the
+    // better median (both stay in the stats file)
+    val results = firstPass.map {
+      case (name, fn, runs, med, failed, block) =>
+        val mf = factorOf(block)
+        if (!failed && mf > 1.5) {
+          System.err.println(
+            s"[bench] $name measured at machine_factor $mf — rechecking")
+          val (runs2, med2, failed2) = runQuery(name, fn)
+          if (!failed2 && med2 < med)
+            (name, runs, med2, failed, mf, Some((runs2, med2)))
+          else (name, runs, med, failed, mf,
+            Some((runs2, if (failed2) med else med2)))
+        } else (name, runs, med, failed, mf, None)
+    }
+    val qs = results.map { case (k, _, med, failed, _, _) =>
       if (failed) s""""$k":"err"""" else s""""$k":$med"""
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, _, true) => s""""$k"""" }
+    val errors = results.collect { case (k, _, _, true, _, _) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val stats = results.map { case (k, med, min, runs, failed) =>
-      s""""$k":{"med":$med,"min":$min,"err":$failed,""" +
+    val rechecked = results
+      .collect { case (k, _, _, _, _, Some(_)) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val stats = results.map { case (k, runs, med, failed, mf, re) =>
+      val base = s""""$k":{"med":$med,"min":${runs.map(_._1).min},""" +
+        s""""err":$failed,"mf":$mf,""" +
         s""""runs":[${runs.map(_._1).mkString(",")}],""" +
-        s""""cpu":[${runs.map(_._2).mkString(",")}]}"""
+        s""""cpu":[${runs.map(_._2).mkString(",")}]"""
+      re match {
+        case Some((runs2, _)) =>
+          base + s""","recheck_runs":[${runs2.map(_._1).mkString(",")}]}"""
+        case None => base + "}"
+      }
     }.mkString("{", ",", "}")
-    val total = r3(results.collect { case (_, med, _, _, false) => med }.sum)
+    val total = r3(results.collect { case (_, _, med, false, _, _) => med }.sum)
+    val sortedSamples = calibSamples.sorted
+    val machineFactor = r3(math.max(1.0,
+      sortedSamples(sortedSamples.size / 2) / calibBase))
+    val calibJson =
+      s""""calib_base":${r3(calibBase)},""" +
+        s""""calib_samples":[${calibSamples.mkString(",")}]"""
     val statsPath = java.nio.file.Paths.get("BENCH_STATS.json")
     java.nio.file.Files.writeString(statsPath,
-      s"""{"reps":$reps,"sf":"$sfDir","errors":$errors,"queries_stats":$stats}""" + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errors,"stats_file":"BENCH_STATS.json","sf":"$sfDir"}""")
+      s"""{"reps":$reps,"sf":"$sfDir","errors":$errors,""" +
+        s""""machine_factor":$machineFactor,$calibJson,""" +
+        s""""rechecked":$rechecked,"queries_stats":$stats}""" + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errors,"machine_factor":$machineFactor,"calib_base":${r3(calibBase)},"rechecked":$rechecked,"stats_file":"BENCH_STATS.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
