@@ -176,12 +176,15 @@ private[store] case class GraftTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        GraftBatchScan(root, versionAsOf, tableSchema)
+        GraftBatchScan(root, versionAsOf, tableSchema,
+          Option(options.get("startingVersion")),
+          Option(options.get("maxVersionsPerBatch")).map(_.toInt))
     }
 
   override def newWriteBuilder(
@@ -191,7 +194,8 @@ private[store] case class GraftTable(
       "cannot write to a time-travelled table snapshot")
     new org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.graft.UpdateAsAppendWriteBuilder {
       private var overwrite = false
       override def truncate()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -210,6 +214,29 @@ private[store] case class GraftTable(
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          /** `df.writeStream.toTable("graft.db.t")`: each micro-batch
+            * runs the key-matched MERGE (key + layout from the
+            * manifest), exactly-once under the ledger keyed by the
+            * query id — the DSv2 streaming protocol shared with
+            * `format("graft-table")`. */
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            require(!overwrite,
+              "streaming INSERT OVERWRITE is not supported — stream " +
+                "upserts (append/update mode) or batch-overwrite")
+            val spark = SparkSession.active
+            val m = ManifestTable.currentManifest(spark, root)
+              .getOrElse(throw new IllegalStateException(
+                s"no manifest table at $root"))
+            import scala.jdk.CollectionConverters._
+            val opts = Map("root" -> root, "key" -> m.keyColumn,
+                "numbuckets" -> m.numBuckets.toString) ++
+              info.options.asScala.map { case (k, v) =>
+                k.toLowerCase -> v }
+            new graft.streaming.GraftStreamingWrite(
+              graft.streaming.TableSink.parse(opts), info.schema(),
+              info.queryId())
+          }
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
@@ -254,11 +281,29 @@ private[store] case class GraftTable(
 private[store] case class GraftBatchScan(
     root: String,
     versionAsOf: Option[Long],
-    tableSchema: StructType) extends Scan with SupportsReportStatistics {
+    tableSchema: StructType,
+    startingVersion: Option[String] = None,
+    maxVersionsPerBatch: Option[Int] = None)
+    extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = tableSchema
   override def description(): String =
     s"GraftScan $root" + versionAsOf.map(v => s" @v$v").getOrElse("")
+
+  /** `spark.readStream.table("graft.db.t")` / `readStream.format
+    * ("graft").load(root)`: the table's commits as a stream of plain
+    * TABLE-schema rows (inserts + update postimages; ranges containing
+    * deletes refuse — stream `format("graft-cdc")` for full CDC). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "cannot stream a time-travelled snapshot (it never changes); " +
+        "use versionAsOf-free reads, or startingVersion to begin the " +
+        "stream at a past commit")
+    new graft.streaming.CdcMicroBatchStream(SparkSession.active, root,
+      tableSchema, keyOverride = None, startingVersion,
+      maxVersionsPerBatch, checkpointLocation, upsertsOnly = true)
+  }
 
   @transient private lazy val baseDf: org.apache.spark.sql.DataFrame = {
     val spark = SparkSession.active

@@ -1,43 +1,54 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.store.ManifestTable
 
 /** Structured Streaming SOURCE over a [[ManifestTable]]'s change feed —
-  * `spark.readStream.format("graft-cdc")` turns the table's CDC diff into
-  * a first-class stream: offsets are manifest VERSIONS (checkpointed by
-  * the engine like any Kafka offset), each micro-batch is exactly
-  * `ManifestTable.changes(from, to)` for its offset range, and a
-  * restarted query resumes from its checkpoint without re-emitting or
-  * skipping a commit. This is the push-based complement to the polling
-  * followers (`IncrementalAgg.refresh` / `MaterializedView.refresh`): a
-  * `foreachBatch` body that merges into a derived ManifestTable gets
-  * end-to-end exactly-once from the derived table's replay ledger, and
-  * any other sink gets standard at-least-once with deterministic replay
-  * (a batch re-runs with the SAME offset range, and the feed over
-  * immutable snapshots is deterministic).
+  * `spark.readStream.format("graft-cdc")` turns the table's CDC diff
+  * into a first-class stream: offsets are manifest VERSIONS
+  * (checkpointed by the engine like any Kafka offset), each micro-batch
+  * is exactly `ManifestTable.changes(from, to)` for its offset range,
+  * and a restarted query resumes from its checkpoint without
+  * re-emitting or skipping a commit.
   *
-  * The v1 `Source` API is the right shape here (the same choice Delta
-  * Lake's streaming source makes): `getBatch` returns the change-feed
-  * DataFrame — a join-shaped plan over the touched buckets of each
-  * commit — directly, so the stream's per-batch cost is the feed's
-  * (∝ data the commits touched, never the table), and no partition-level
-  * reader has to re-implement the reconcile/diff logic.
+  * DSv2 `MicroBatchStream` (round 10 — previously a v1 `Source` whose
+  * join-shaped `getBatch` frame needed the `private[sql]`
+  * internalCreateDataFrame bridge). The v2 shape is stage-then-serve:
+  * the feed for an offset range — a join-shaped plan over the commits'
+  * touched buckets, deterministic over immutable snapshots — runs ONCE
+  * as a regular batch job at planning time and lands as UnsafeRow blob
+  * files under the stream's own checkpoint dir ([[RowBlobStage]]);
+  * input partitions are those files and the readers are `pointTo`
+  * loops. Cost: one extra materialization of each batch, bounded by
+  * the CHANGE rate (never the table — the 100 TB argument is the
+  * feed's, unchanged); committed ranges GC their stage. In exchange
+  * the engine owns restart semantics natively: `initialOffset` is only
+  * consulted on a fresh checkpoint (no hand-rolled pin file), and
+  * admission control paces from the engine's own `startOffset` (no
+  * restart-sync state machine). Exactly-once is unchanged: a replayed
+  * range re-serves its committed stage, or re-stages byte-identical
+  * rows from the immutable snapshots.
   *
   * Options (case-insensitive):
   *  - `root` (required): the table root.
-  *  - `startingVersion`: `latest` (default — only commits made after the
-  *    stream first starts), `earliest` (the full history, including the
-  *    creation commit's inserts), or a version N ≥ 0 (changes made by
-  *    commit N and later). Like Delta's option of the same name, `latest`
-  *    is resolved when the source is first created; a checkpointed
-  *    restart resumes from the checkpoint, not from a re-resolution.
+  *  - `startingVersion`: `latest` (default — only commits made after
+  *    the stream first starts), `earliest` (the full history, including
+  *    the creation commit's inserts), or a version N ≥ 0 (changes made
+  *    by commit N and later). Resolved once per checkpoint (the engine
+  *    persists `initialOffset`); a restart resumes from the checkpoint.
   *  - `key`: key column override — only needed for pre-format-4 tables
   *    whose manifests don't record their key column.
   *  - `maxVersionsPerBatch`: admission control — cap how many table
@@ -45,129 +56,13 @@ import graft.store.ManifestTable
   *    catching up after downtime processes the backlog in bounded bites
   *    instead of one giant batch.
   *
-  * The stream schema must be supplied via `.schema(tableSchema)` (the
-  * TABLE's columns — the source appends `_change_type` and `_version`).
-  * Snapshot retention is the operational contract: the feed for versions
+  * The stream schema is the TABLE's columns (from `.schema(...)` or a
+  * format-7 self-describing manifest) plus `_change_type`/`_version`.
+  * Snapshot retention is the operational contract: the feed for
   * (from, to] needs manifests from..to retained, so `vacuum(keepLast)`
   * must keep at least the stream's maximum lag; a stream that falls
   * behind a vacuum fails loudly on the missing manifest rather than
-  * silently skipping commits.
-  */
-final class CdcSource(
-    spark: SparkSession,
-    metadataPath: String,
-    tableSchema: StructType,
-    root: String,
-    keyOverride: Option[String],
-    startingVersion: Option[String],
-    maxVersionsPerBatch: Option[Int]) extends Source {
-
-  import CdcSource._
-
-  override val schema: StructType = outputSchema(tableSchema)
-
-  /** The version the stream starts AFTER — the first batch covers
-    * (initialFrom, end]. Resolved ONCE per checkpoint and pinned in the
-    * source's metadata dir: `latest` against the table at first start
-    * (missing table → -1, so a table created later streams from its
-    * creation commit); a RESTART reads the pinned value instead of
-    * re-resolving (a re-resolved `latest` would sit above the
-    * checkpoint and make getOffset hide the downtime backlog). The pin
-    * doubles as the restart detector for admission control. */
-  private val (initialFrom: Long, isRestart: Boolean) = {
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdc-start")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pinned =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val text =
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          finally in.close()
-        // A torn pin (crash mid-write) re-resolves — the fresh-start path.
-        text.toLongOption
-      }
-    pinned match {
-      case Some(v) => (v, true)
-      case None =>
-        val v = startingVersion.map(_.toLowerCase) match {
-          case None | Some("latest") =>
-            ManifestTable.currentVersion(spark, root).getOrElse(-1L)
-          case Some("earliest") => -1L
-          case Some(s) =>
-            val n = s.toLongOption.getOrElse(throw new IllegalArgumentException(
-              s"startingVersion must be 'latest', 'earliest' or a version " +
-                s"number, got '$s'"))
-            require(n >= 0L, s"startingVersion $n < 0 (use 'earliest' for " +
-              "the full history)")
-            n - 1L
-        }
-        val out = fs.create(p, true)
-        try out.write(v.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        (v, false)
-    }
-  }
-
-  /** Highest offset the engine has asked for or committed. Admission
-    * control paces from it, but only once it reflects real engine state:
-    * on a fresh checkpoint that is `initialFrom` immediately; on a
-    * RESTART the truth lives in the checkpoint we cannot read, so pacing
-    * waits for the engine to re-establish it through getBatch/commit —
-    * until then getOffset reports the table's real head (pacing
-    * suppressed), because offering anything lower risks offering LESS
-    * than the checkpointed offset and stalling the stream forever. */
-  private var lastEnd: Long = initialFrom
-  private var engineSynced: Boolean = !isRestart
-
-  private def offsetValue(o: OffsetV1): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
-
-  override def getOffset: Option[OffsetV1] = {
-    val cur = ManifestTable.currentVersion(spark, root).getOrElse(-1L)
-    val end = maxVersionsPerBatch match {
-      case Some(n) if engineSynced => math.max(math.min(cur, lastEnd + n), lastEnd)
-      case _ => math.max(cur, lastEnd)
-    }
-    if (end > initialFrom) Some(LongOffset(end)) else None
-  }
-
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(offsetValue).getOrElse(initialFrom)
-    val to = offsetValue(end)
-    lastEnd = math.max(lastEnd, to)
-    engineSynced = true
-    // Key column: manifests (format 4+) record it; the override exists
-    // for older tables. Resolved per batch, not at construction — the
-    // table may not exist yet when the stream starts.
-    val key = keyOverride
-      .orElse(ManifestTable.currentManifest(spark, root)
-        .map(_.keyColumn).filter(_.nonEmpty))
-      .getOrElse(throw new IllegalArgumentException(
-        s"table at $root records no key column (pre-format-4 manifest?) " +
-          "— pass the 'key' option"))
-    val batch = ManifestTable.changes(spark, root, tableSchema, key, from, to)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    // The engine asserts isStreaming on v1 batches; re-root the feed's
-    // physical plan as a streaming frame with the declared schema (the
-    // classic-API bridge Delta's source uses for the same purpose).
-    org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
-  }
-
-  override def commit(end: OffsetV1): Unit = {
-    lastEnd = math.max(lastEnd, offsetValue(end))
-    engineSynced = true
-  }
-
-  override def stop(): Unit = ()
-
-  override def toString: String = s"CdcSource[$root]"
-}
-
+  * silently skipping commits. */
 object CdcSource {
   val ChangeTypeCol = "_change_type"
   val VersionCol = "_version"
@@ -181,6 +76,16 @@ object CdcSource {
     StructType(table.fields ++ Seq(
       StructField(ChangeTypeCol, StringType),
       StructField(VersionCol, LongType)))
+  }
+
+  /** Strips the CDC columns when present (a round-tripped output
+    * schema), else treats the schema as the TABLE's. */
+  private[streaming] def tableSchemaFrom(schema: StructType): StructType = {
+    val names = schema.fieldNames
+    if (names.length >= 2 && names(names.length - 2) == ChangeTypeCol &&
+        names.last == VersionCol)
+      StructType(schema.fields.dropRight(2))
+    else schema
   }
 
   /** Scala-side convenience for the DataStreamReader incantation. */
@@ -211,57 +116,224 @@ object CdcSource {
       .load()
 }
 
-/** Registers `graft-cdc` (via META-INF/services) and builds [[CdcSource]]
-  * from reader options. */
-final class CdcSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+/** Version offset: the manifest version the stream has consumed
+  * THROUGH (a batch covers `(start, end]`). */
+private[streaming] case class CdcOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[streaming] case class CdcInputPartition(
+    path: String, numFields: Int) extends InputPartition
+
+private[streaming] class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdcInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = RowBlobStage.readUnsafe(cp.path, cp.numFields)
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[graft] final class CdcMicroBatchStream(
+    spark: SparkSession,
+    root: String,
+    tableSchema: StructType,
+    keyOverride: Option[String],
+    startingVersion: Option[String],
+    maxVersionsPerBatch: Option[Int],
+    checkpointLocation: String,
+    upsertsOnly: Boolean = false)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** `upsertsOnly` is the `readStream.table("graft.db.t")` face: plain
+    * TABLE-schema rows (inserts + update postimages), REFUSING ranges
+    * that contain deletes — the Delta contract for a plain streaming
+    * table read; full CDC (deletes, preimages, `_change_type`) stays on
+    * `format("graft-cdc")`. */
+  private val outSchema =
+    if (upsertsOnly) tableSchema else CdcSource.outputSchema(tableSchema)
+
+  private def head: Long =
+    ManifestTable.currentVersion(spark, root).getOrElse(-1L)
+
+  /** Called by the engine ONLY on a fresh checkpoint — persisted in the
+    * offset log thereafter, so `latest` pins exactly once by
+    * construction (the v1 source needed a hand-written pin file for
+    * this). */
+  override def initialOffset(): Offset = {
+    val v = startingVersion.map(_.toLowerCase) match {
+      case None | Some("latest") => head
+      case Some("earliest") => -1L
+      case Some(s) =>
+        val n = s.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be 'latest', 'earliest' or a version " +
+            s"number, got '$s'"))
+        require(n >= 0L, s"startingVersion $n < 0 (use 'earliest' for " +
+          "the full history)")
+        n - 1L
+    }
+    CdcOffset(v)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "paced through SupportsAdmissionControl.latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CdcOffset].version
+    val end = maxVersionsPerBatch match {
+      case Some(n) => math.max(math.min(head, from + n), from)
+      case None => math.max(head, from)
+    }
+    CdcOffset(end)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset =
+    CdcOffset(json.trim.toLong)
+
+  private def stageDir(from: Long, to: Long): String =
+    s"$checkpointLocation/graft-cdc-staged/$from-$to"
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[CdcOffset].version
+    val to = end.asInstanceOf[CdcOffset].version
+    if (to <= from) return Array.empty
+    val dir = stageDir(from, to)
+    if (!RowBlobStage.isStaged(spark, dir)) {
+      // Key column: manifests (format 4+) record it; the override exists
+      // for older tables. Resolved per batch, not at construction — the
+      // table may not exist yet when the stream starts.
+      val key = keyOverride
+        .orElse(ManifestTable.currentManifest(spark, root)
+          .map(_.keyColumn).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table at $root records no key column (pre-format-4 " +
+            "manifest?) — pass the 'key' option"))
+      val feed = ManifestTable.changes(spark, root, tableSchema, key,
+        from, to)
+      val batch =
+        if (!upsertsOnly)
+          feed.select(outSchema.fieldNames.map(col).toSeq: _*)
+        else {
+          // change-rate-bounded guard, evaluated once per offset range
+          val deletes = feed
+            .filter(col(CdcSource.ChangeTypeCol) === "delete").limit(1)
+            .count()
+          if (deletes > 0) throw new IllegalStateException(
+            s"streaming table read of $root hit DELETE rows in versions " +
+              s"($from, $to] — a plain readStream.table sees upserts " +
+              "only; stream the full change feed with " +
+              "spark.readStream.format(\"graft-cdc\") instead")
+          feed.filter(col(CdcSource.ChangeTypeCol).isin(
+              "insert", "update_postimage"))
+            .select(outSchema.fieldNames.map(col).toSeq: _*)
+        }
+      RowBlobStage.stage(spark, batch, dir)
+    }
+    RowBlobStage.stagedFiles(spark, dir)
+      .map(p => CdcInputPartition(p, outSchema.size): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory
+
+  /** A committed range's stage is dead weight: the engine replays only
+    * ranges ABOVE the commit point after a restart. */
+  override def commit(end: Offset): Unit = {
+    val committed = end.asInstanceOf[CdcOffset].version
+    val base = new org.apache.hadoop.fs.Path(
+      s"$checkpointLocation/graft-cdc-staged")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.listStatus(base).foreach { s =>
+      s.getPath.getName.split("-") match {
+        case Array(_, t) if t.toLongOption.exists(_ <= committed) =>
+          fs.delete(s.getPath, true)
+        case _ =>
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"CdcMicroBatchStream[$root]"
+}
+
+/** The v2 table handle `readStream.format("graft-cdc")` resolves to. */
+private[streaming] case class CdcStreamTable(
+    root: String,
+    tableSchema: StructType,
+    keyOverride: Option[String],
+    startingVersion: Option[String],
+    maxVersionsPerBatch: Option[Int]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-cdc.`$root`"
+  override def schema(): StructType = CdcSource.outputSchema(tableSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"graft-cdc $root"
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new CdcMicroBatchStream(SparkSession.active, root, tableSchema,
+            keyOverride, startingVersion, maxVersionsPerBatch,
+            checkpointLocation)
+      }
+    }
+}
+
+/** Registers `graft-cdc` (via META-INF/services) as a DSv2
+  * [[TableProvider]]. */
+final class CdcSourceProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-cdc"
+  override def supportsExternalMetadata(): Boolean = true
 
-  /** User schema, else the table's manifest-recorded one (format 7
-    * self-describing tables). Fixed at stream definition like any
-    * streaming schema: columns a later evolution adds don't appear until
-    * the stream is redefined (older-schema reads of newer files are a
-    * plain projection). */
-  private def tableSchemaOf(
-      sqlContext: SQLContext,
-      parameters: Map[String, String],
-      schema: Option[StructType]): StructType =
-    schema
-      .orElse(normalized(parameters).get("root").flatMap(root =>
-        ManifestTable.recordedSchema(sqlContext.sparkSession, root)))
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      "graft-cdc requires option 'root'"))
+
+  /** User schema (the TABLE's columns), else the manifest-recorded one
+    * (format 7 self-describing tables). Fixed at stream definition like
+    * any streaming schema: columns a later evolution adds don't appear
+    * until the stream is redefined. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = rootOf(options)
+    val table = ManifestTable.recordedSchema(SparkSession.active, root)
       .getOrElse(throw new IllegalArgumentException(
         "graft-cdc requires the TABLE schema via .schema(...) (or a " +
           "format-7 table whose manifest records it) — the source " +
           s"appends ${CdcSource.ChangeTypeCol} and ${CdcSource.VersionCol}"))
+    CdcSource.outputSchema(table)
+  }
 
-  private def normalized(parameters: Map[String, String]): Map[String, String] =
-    parameters.map { case (k, v) => k.toLowerCase -> v }
-
-  override def sourceSchema(
-      sqlContext: SQLContext,
-      schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      CdcSource.outputSchema(tableSchemaOf(sqlContext, parameters, schema)))
-
-  override def createSource(
-      sqlContext: SQLContext,
-      metadataPath: String,
-      schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): Source = {
-    val p = normalized(parameters)
-    val root = p.getOrElse("root",
-      throw new IllegalArgumentException("graft-cdc requires option 'root'"))
-    val maxVersions = p.get("maxversionsperbatch").map { v =>
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val maxVersions = Option(options.get("maxversionsperbatch")).map { v =>
       val n = v.toInt
       require(n > 0, s"maxVersionsPerBatch must be > 0, got $n")
       n
     }
-    new CdcSource(sqlContext.sparkSession, metadataPath,
-      tableSchemaOf(sqlContext, parameters, schema), root, p.get("key"),
-      p.get("startingversion"), maxVersions)
+    CdcStreamTable(rootOf(options),
+      CdcSource.tableSchemaFrom(schema),
+      Option(options.get("key")),
+      Option(options.get("startingversion")),
+      maxVersions)
   }
 }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.types.StructType
+
+/** Length-prefixed UnsafeRow blob files: the staging codec behind the
+  * DSv2 streaming faces. Both ends of a stage are THIS repo (the same
+  * session, the same fixed schema), so rows move as raw UnsafeRow bytes
+  * — no parquet round-trip, no per-field conversion — and a reader is
+  * `pointTo` over the blob.
+  *
+  * File format: repeated `[len: int4][bytes: len]`, terminated by
+  * `len = -1`. A staged DIRECTORY commits via `_SUCCESS` after an
+  * atomic rename, so a torn stage (crash mid-write) is invisible and
+  * re-staged. */
+private[streaming] object RowBlobStage {
+
+  val Success = "_SUCCESS"
+
+  def isStaged(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, Success)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Stages `df`'s rows under `dir` (idempotent: an existing committed
+    * stage is reused; a torn one is replaced). Executor tasks write one
+    * blob file per non-empty partition into a temp dir; the driver
+    * renames it over and marks `_SUCCESS`. */
+  def stage(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dirPath, Success))) return
+    val tmp = new Path(dirPath.getParent,
+      s".tmp-${dirPath.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
+    val tmpStr = tmp.toString
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val p = new Path(s"$tmpStr/part-$pid")
+        val pfs = p.getFileSystem(new Configuration())
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(pfs.create(p, true), 1 << 16))
+        try {
+          it.foreach { r =>
+            val b = r.asInstanceOf[UnsafeRow].getBytes
+            out.writeInt(b.length)
+            out.write(b)
+          }
+          out.writeInt(-1)
+        } finally out.close()
+        Iterator.single(1)
+      }
+    }.collect() // partition markers only — never row data
+    if (fs.exists(dirPath)) fs.delete(dirPath, true) // torn predecessor
+    fs.mkdirs(dirPath.getParent)
+    if (!fs.exists(tmp)) fs.mkdirs(tmp) // all-empty-partition stage
+    if (!fs.rename(tmp, dirPath) && !fs.exists(new Path(dirPath, Success)))
+      throw new java.io.IOException(s"failed to commit stage $dir")
+    fs.create(new Path(dirPath, Success), true).close()
+  }
+
+  def stagedFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+  }
+
+  def drop(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Iterator of UnsafeRows from one blob file (executor-side: default
+    * Hadoop configuration — local FS and default-cluster stores). */
+  def readUnsafe(path: String, numFields: Int): Iterator[UnsafeRow] = {
+    val p = new Path(path)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      p.getFileSystem(new Configuration()).open(p), 1 << 16))
+    new Iterator[UnsafeRow] {
+      private var nextLen = in.readInt()
+      if (nextLen < 0) in.close()
+      override def hasNext: Boolean = nextLen >= 0
+      override def next(): UnsafeRow = {
+        val b = new Array[Byte](nextLen)
+        in.readFully(b)
+        val row = new UnsafeRow(numFields)
+        row.pointTo(b, nextLen)
+        nextLen = in.readInt()
+        if (nextLen < 0) in.close()
+        row
+      }
+    }
+  }
+
+  /** External-Row variant (for `spark.createDataFrame` reconstruction —
+    * public API, no internal frame constructors). */
+  def readRows(path: String, schema: StructType): Iterator[Row] = {
+    val conv = CatalystTypeConverters.createToScalaConverter(schema)
+    readUnsafe(path, schema.size).map(u => conv(u).asInstanceOf[Row])
+  }
+}

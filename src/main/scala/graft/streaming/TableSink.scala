@@ -1,9 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{
+  DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.mapping.Mapping
 import graft.operators.{Create, CreateAndUpdate, ImportMode, Update}
@@ -14,13 +24,22 @@ import graft.store.ManifestTable
   * first-class streaming target: every micro-batch runs the incremental
   * key-matched MERGE (write cost ∝ the batch's touched buckets, never
   * the table), exactly-once through the table's replay ledger keyed by
-  * (checkpoint incarnation, batchId) — the same discipline as
-  * [[StreamingImport]], which remains the entry point for CSV-shaped
-  * raw streams with Mapping parse/policy semantics; this sink is its
-  * TYPED complement for frames already in table shape (e.g. a
-  * transformed `graft-cdc` stream: readStream → transforms →
-  * writeStream, a derived manifest table maintained end-to-end by the
-  * engine with no foreachBatch glue).
+  * (checkpoint incarnation, epochId).
+  *
+  * DSv2 `StreamingWrite` (round 10 — previously a v1 `Sink` whose
+  * addBatch frame needed the `private[sql]` re-rooting bridge). The v2
+  * protocol is the Iceberg shape adapted to a driver-orchestrated
+  * commit: executor writers land each partition's rows as UnsafeRow
+  * blob files under `<root>/_streamsink/<queryId>/<epoch>`
+  * ([[RowBlobStage]]'s codec), their commit messages carry the paths,
+  * and the DRIVER's `commit(epochId, ...)` reconstructs the batch as a
+  * plain DataFrame (public `createDataFrame` — no internal
+  * constructors) and applies the SAME netting/delete/merge/compact
+  * pipeline as before, under the ledger. A replayed epoch (restart
+  * before the engine logged the commit) re-lands its rows and the
+  * ledger no-ops the merge — exactly-once unchanged; committed epochs
+  * GC their staging. Cost: one extra materialization per micro-batch,
+  * bounded by the batch (the stream's own change rate).
   *
   * Options (case-insensitive):
   *  - `root` (required): target table root.
@@ -39,125 +58,37 @@ import graft.store.ManifestTable
   *    Both commits replay under the ledger (distinct stream ids), so a
   *    crash between them retries into the same end state. Delete keys
   *    cross the driver (the delete API's probe shape) — bounded by the
-  *    batch's delete rate, the same boundedness argument as the
-  *    derived-table refresh paths.
+  *    batch's delete rate.
   *  - `versionColumn`: net each key to its LAST action in the batch by
   *    this column before applying anything — a micro-batch spanning
-  *    delete@v5 + reinsert@v6 (or update@v5 + delete@v6) lands on the
-  *    end-of-window truth, whichever order the rows arrived. Filter
-  *    `update_preimage` rows upstream when netting a CDC stream: a
-  *    preimage ties its postimage's version and the tie-break is
-  *    arbitrary. Without this option rows apply as upserts-then-deletes
-  *    (delete wins ties) — fine when the transform already nets.
+  *    delete@v5 + reinsert@v6 lands on the end-of-window truth,
+  *    whichever order the rows arrived. Filter `update_preimage` rows
+  *    upstream when netting a CDC stream.
   *  - `dropColumns`: comma-separated columns dropped AFTER
   *    netting/deleteWhen evaluate, BEFORE the merge — so CDC plumbing
-  *    (`_change_type`, `_version`) can steer the sink without ending up
-  *    in the target table.
+  *    (`_change_type`, `_version`) can steer the sink without ending
+  *    up in the target table.
   *
-  * OutputMode must be Append or Update (each micro-batch carries rows
-  * to upsert); Complete mode re-emits the whole result every batch —
-  * that is a rewrite-the-table semantics the merge exists to avoid, so
-  * it refuses at stream definition.
-  */
-final class TableSink(
-    root: String,
-    key: String,
-    mode: ImportMode,
-    numBuckets: Int,
-    delta: Boolean,
-    compactEvery: Int,
-    deleteWhen: Option[String],
-    versionColumn: Option[String],
-    dropColumns: Seq[String],
-    checkpoint: Option[String]) extends Sink {
+  * OutputMode must be Append or Update. Complete mode calls the write
+  * builder's `truncate()`, which this sink deliberately does not
+  * implement — re-emitting the whole result per batch is the
+  * full-table rewrite the merge exists to avoid — so the engine
+  * refuses at stream start. */
+object TableSink {
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    import org.apache.spark.sql.functions._
-    val spark = data.sparkSession
-    val streamSchema = data.schema
-    require(streamSchema.fieldNames.contains(key),
-      s"stream schema ${streamSchema.fieldNames.mkString("[", ", ", "]")} " +
-        s"has no key column '$key' (set the 'key' option)")
-    require(!dropColumns.contains(key),
-      s"dropColumns must not drop the key column '$key'")
-    versionColumn.foreach(vc =>
-      require(streamSchema.fieldNames.contains(vc),
-        s"versionColumn '$vc' is not in the stream schema"))
-    // v1 sink frames ride the engine's incremental execution — re-root
-    // as a plain batch before handing to the merge's multi-pass plan.
-    val batch = org.apache.spark.sql.graft.StreamingBridge
-      .asBatch(spark, data, streamSchema)
-    // Net to each key's LAST action before anything applies — one
-    // max_by aggregate over the batch, no Window.
-    val netted = versionColumn.fold(batch) { vc =>
-      val cols = streamSchema.fieldNames.toSeq
-      batch.groupBy(col(key).as("__graft_net_k"))
-        .agg(max_by(struct(cols.map(col): _*), col(vc))
-          .as("__graft_net_s"))
-        .select(cols.map(c => col(s"__graft_net_s.`$c`").as(c)): _*)
-    }
-    val del = deleteWhen.map(expr)
-    val tableSchema = org.apache.spark.sql.types.StructType(
-      streamSchema.fields.filterNot(f => dropColumns.contains(f.name)))
-    val m = new Mapping(keyColumnName = key)
-    tableSchema.fieldNames.foreach(n => m.auto(n))
-    m.complete(tableSchema)
-    val streamId = checkpoint
-      .map(c => StreamingImport.checkpointIdentity(spark, c))
-      .getOrElse(root)
-    val upserts = del.foldLeft(netted)((df, d) =>
-        df.filter(!coalesce(d, lit(false))))
-      .drop(dropColumns: _*)
-    ManifestTable.merge(upserts, batchId, m, root, tableSchema,
-      TableSink.this.mode,
-      numBuckets = numBuckets, streamId = streamId, delta = delta)
-    del.foreach { d =>
-      // After the merge: with netting each key carries ONE action so
-      // order is moot; without it, delete wins a mixed batch. Keys cross
-      // the driver — the delete API's probe shape, bounded by the
-      // batch's delete rate. Distinct ledger stream id: the merge
-      // already recorded batchId under streamId, and a shared id would
-      // read the delete as replayed.
-      val keys = netted.filter(coalesce(d, lit(false)))
-        .filter(col(key).isNotNull)
-        .select(key).distinct().collect().map(_.get(0)).toSeq
-      if (keys.nonEmpty)
-        ManifestTable.delete(spark, root, tableSchema, key, keys,
-          token = batchId, tokenStream = Some(s"$streamId#delete"))
-    }
-    if (delta && compactEvery > 0 && batchId > 0 &&
-        batchId % compactEvery == 0) {
-      val token = (streamId.hashCode.toLong << 32) | (batchId & 0xffffffffL)
-      ManifestTable.compact(spark, root, tableSchema, key, token)
-    }
-  }
+  private[graft] case class Opts(
+      root: String,
+      key: String,
+      mode: ImportMode,
+      numBuckets: Int,
+      delta: Boolean,
+      compactEvery: Int,
+      deleteWhen: Option[String],
+      versionColumn: Option[String],
+      dropColumns: Seq[String],
+      checkpoint: Option[String])
 
-  override def toString: String = s"GraftTableSink[$root]"
-}
-
-/** Registers `graft-table` (via META-INF/services) and builds
-  * [[TableSink]] from writer options. */
-final class TableSinkProvider extends StreamSinkProvider
-    with DataSourceRegister {
-
-  override def shortName(): String = "graft-table"
-
-  override def createSink(
-      sqlContext: SQLContext,
-      parameters: Map[String, String],
-      partitionColumns: Seq[String],
-      outputMode: OutputMode): Sink = {
-    require(outputMode != OutputMode.Complete(),
-      "graft-table sinks upsert each micro-batch incrementally; Complete " +
-        "mode re-emits the whole result per batch (a full-table rewrite " +
-        "every trigger) — use Append or Update, or materialize a complete " +
-        "aggregate through foreachBatch deliberately")
-    require(partitionColumns.isEmpty,
-      "graft-table lays data out by key-hash buckets (a table property); " +
-        "partitionBy is not supported")
-    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val root = p.getOrElse("root",
-      throw new IllegalArgumentException("graft-table requires option 'root'"))
+  private[graft] def parse(p: Map[String, String]): Opts = {
     val mode = p.getOrElse("mode", "upsert").toLowerCase match {
       case "upsert" => CreateAndUpdate
       case "create" => Create
@@ -165,8 +96,9 @@ final class TableSinkProvider extends StreamSinkProvider
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (use upsert, create or update)")
     }
-    new TableSink(
-      root = root,
+    Opts(
+      root = p.getOrElse("root", throw new IllegalArgumentException(
+        "graft-table requires option 'root'")),
       key = p.getOrElse("key", "id"),
       mode = mode,
       numBuckets = p.get("numbuckets").map(_.toInt).getOrElse(16),
@@ -178,5 +110,219 @@ final class TableSinkProvider extends StreamSinkProvider
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil),
       checkpoint = p.get("checkpointlocation"))
+  }
+
+  /** One micro-batch against the table: net → split deletes → merge →
+    * delete → periodic compact, all under the replay ledger. `data` is
+    * a plain batch frame. */
+  private[streaming] def applyBatch(
+      spark: SparkSession,
+      data: DataFrame,
+      batchId: Long,
+      o: Opts,
+      streamId: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val streamSchema = data.schema
+    require(streamSchema.fieldNames.contains(o.key),
+      s"stream schema ${streamSchema.fieldNames.mkString("[", ", ", "]")} " +
+        s"has no key column '${o.key}' (set the 'key' option)")
+    require(!o.dropColumns.contains(o.key),
+      s"dropColumns must not drop the key column '${o.key}'")
+    o.versionColumn.foreach(vc =>
+      require(streamSchema.fieldNames.contains(vc),
+        s"versionColumn '$vc' is not in the stream schema"))
+    // Net to each key's LAST action before anything applies — one
+    // max_by aggregate over the batch, no Window.
+    val netted = o.versionColumn.fold(data) { vc =>
+      val cols = streamSchema.fieldNames.toSeq
+      data.groupBy(col(o.key).as("__graft_net_k"))
+        .agg(max_by(struct(cols.map(col): _*), col(vc))
+          .as("__graft_net_s"))
+        .select(cols.map(c => col(s"__graft_net_s.`$c`").as(c)): _*)
+    }
+    val del = o.deleteWhen.map(expr)
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      streamSchema.fields.filterNot(f => o.dropColumns.contains(f.name)))
+    val m = new Mapping(keyColumnName = o.key)
+    tableSchema.fieldNames.foreach(n => m.auto(n))
+    m.complete(tableSchema)
+    val upserts = del.foldLeft(netted)((df, d) =>
+        df.filter(!coalesce(d, lit(false))))
+      .drop(o.dropColumns: _*)
+    ManifestTable.merge(upserts, batchId, m, o.root, tableSchema, o.mode,
+      numBuckets = o.numBuckets, streamId = streamId, delta = o.delta)
+    del.foreach { d =>
+      // After the merge: with netting each key carries ONE action so
+      // order is moot; without it, delete wins a mixed batch. Keys
+      // cross the driver — the delete API's probe shape, bounded by
+      // the batch's delete rate. Distinct ledger stream id: the merge
+      // already recorded batchId under streamId, and a shared id would
+      // read the delete as replayed.
+      val keys = netted.filter(coalesce(d, lit(false)))
+        .filter(col(o.key).isNotNull)
+        .select(o.key).distinct().collect().map(_.get(0)).toSeq
+      if (keys.nonEmpty)
+        ManifestTable.delete(spark, o.root, tableSchema, o.key, keys,
+          token = batchId, tokenStream = Some(s"$streamId#delete"))
+    }
+    if (o.delta && o.compactEvery > 0 && batchId > 0 &&
+        batchId % o.compactEvery == 0) {
+      val token = (streamId.hashCode.toLong << 32) | (batchId & 0xffffffffL)
+      ManifestTable.compact(spark, o.root, tableSchema, o.key, token)
+    }
+  }
+}
+
+private[streaming] case class SinkCommitMessage(
+    path: String, rows: Long) extends WriterCommitMessage
+
+private[streaming] class SinkWriterFactory(
+    stagingBase: String, numFields: Int) extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = {
+    val path = new org.apache.hadoop.fs.Path(
+      s"$stagingBase/$epochId/part-$partitionId-$taskId")
+    new DataWriter[InternalRow] {
+      private lazy val out = {
+        val fs = path.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16))
+      }
+      private var rows = 0L
+      override def write(r: InternalRow): Unit = {
+        val b = r.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow].getBytes
+        out.writeInt(b.length); out.write(b); rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        if (rows > 0) { out.writeInt(-1); out.close() }
+        SinkCommitMessage(path.toString, rows)
+      }
+      override def abort(): Unit = {
+        if (rows > 0) out.close()
+        val fs = path.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(path)) fs.delete(path, false)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The driver half of the v2 protocol: reconstruct the staged batch,
+  * apply it under the ledger, GC committed staging. */
+private[graft] final class GraftStreamingWrite(
+    o: TableSink.Opts,
+    schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  private def stagingBase = s"${o.root}/_streamsink/$queryId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SinkWriterFactory(stagingBase, schema.size)
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val paths = messages.collect {
+      case SinkCommitMessage(p, n) if n > 0 => p
+    }.toSeq
+    val data =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      else {
+        val sc = schema
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(paths, paths.size)
+            .flatMap(p => RowBlobStage.readRows(p, sc)),
+          schema)
+      }
+    // The engine persists queryId in the checkpoint, so it IS the
+    // checkpoint incarnation — the ledger key that makes a replayed
+    // epoch a no-op. An explicit checkpointLocation option keeps the
+    // v1-compatible identity for streams upgraded in place.
+    val streamId = o.checkpoint
+      .map(c => StreamingImport.checkpointIdentity(spark, c))
+      .getOrElse(s"graft-sink-$queryId")
+    TableSink.applyBatch(spark, data, epochId, o, streamId)
+    // committed epochs (≤ this one) never replay: GC their staging
+    val base = new org.apache.hadoop.fs.Path(stagingBase)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.listStatus(base).foreach { s =>
+      if (s.getPath.getName.toLongOption.exists(_ <= epochId))
+        fs.delete(s.getPath, true)
+    }
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    RowBlobStage.drop(spark, s"$stagingBase/$epochId")
+  }
+}
+
+/** The v2 table handle `writeStream.format("graft-table")` resolves
+  * to: STREAMING_WRITE only (batch writes go through
+  * `format("graft")`; reads through `graft_table`/`format("graft")`/
+  * the catalog). */
+private[streaming] case class GraftSinkTable(
+    writeSchema: StructType,
+    props: Map[String, String]) extends Table with SupportsWrite {
+
+  override def name(): String =
+    s"graft-table.`${props.getOrElse("root", "?")}`"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    import scala.jdk.CollectionConverters._
+    val merged = props ++
+      info.options.asScala.map { case (k, v) => k.toLowerCase -> v }
+    val o = TableSink.parse(merged)
+    // Update mode applies as upsert (UpdateAsAppendWriteBuilder — the
+    // merge IS update semantics); Complete mode finds no truncate()
+    // here and the engine refuses it, deliberately: re-emitting the
+    // whole result per batch is the full-table rewrite the
+    // incremental merge exists to avoid.
+    new WriteBuilder
+        with org.apache.spark.sql.graft.UpdateAsAppendWriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftStreamingWrite(o, info.schema(), info.queryId())
+      }
+    }
+  }
+}
+
+/** Registers `graft-table` (via META-INF/services) as a DSv2
+  * [[TableProvider]]. */
+final class TableSinkProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-table is a streaming SINK: its schema is the written " +
+        "stream's — use it with writeStream.format(\"graft-table\")")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    require(partitioning.isEmpty,
+      "graft-table lays data out by key-hash buckets (a table " +
+        "property); partitionBy is not supported")
+    val props =
+      properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+    TableSink.parse(props) // misuse (no root, bad mode) refuses at
+    GraftSinkTable(schema, props) // definition, not on the stream thread
   }
 }

@@ -18,3 +18,12 @@ object Bridge {
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 }
+
+/** The marker the engine checks to accept `OutputMode.Update` on a v2
+  * streaming sink that applies updates as upserts (exactly the manifest
+  * sink's key-matched MERGE semantics). The trait is Scala-`private[sql]`
+  * (public bytecode), so this shim re-exports it from the sql package —
+  * the same packaging pattern Delta Lake uses for its sink. */
+trait UpdateAsAppendWriteBuilder
+  extends org.apache.spark.sql.internal.connector
+    .SupportsStreamingUpdateAsAppend

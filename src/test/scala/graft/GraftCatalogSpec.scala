@@ -131,6 +131,51 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming by NAME: writeStream.toTable upserts through the " +
+      "merge; readStream.table streams the commits as upsert rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.stream_t")
+    spark.sql("""CREATE TABLE graftcat.db.stream_t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    def fresh(n: String): String = {
+      val d = s"target/test-tmp/$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      d
+    }
+    // write INTO the named table from a stream: key-matched upserts
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", fresh("cat_sink_ckpt"))
+      .toTable("graftcat.db.stream_t")
+    try {
+      mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      mem.addData((2L, 21L), (3L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT id, v FROM graftcat.db.stream_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L)),
+      "streamed inserts must upsert by key")
+    // read the named table AS a stream: history + live commits as
+    // plain upsert rows
+    val rq = spark.readStream
+      .option("startingVersion", "earliest")
+      .table("graftcat.db.stream_t")
+      .writeStream.format("memory").queryName("cat_stream_out")
+      .option("checkpointLocation", fresh("cat_src_ckpt"))
+      .start()
+    try {
+      rq.processAllAvailable()
+      spark.sql("INSERT INTO graftcat.db.stream_t VALUES (4, 40)")
+      rq.processAllAvailable()
+      val ids = spark.sql("SELECT DISTINCT id FROM cat_stream_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        s"streamed table read missed commits: $ids")
+    } finally rq.stop()
+  }
+
   test("rename moves the directory; namespaces list and drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmpns")
     spark.sql("DROP TABLE IF EXISTS graftcat.tmpns.a")

@@ -82,22 +82,33 @@ class StreamingSinkSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, Long)]
     val df = mem.toDF().toDF("id", "name", "score")
 
+    // Complete mode: the v2 write builder deliberately implements no
+    // truncate(), so the ENGINE refuses — on the stream thread, which
+    // surfaces on the first synchronization point after start()
+    val qc = df.groupBy("id").count().writeStream.format(sinkFormat)
+      .outputMode("complete")
+      .option("root", freshDir("sink_refuse"))
+      .option("checkpointLocation", freshDir("sink_refuse_ckpt"))
+      .start()
     val e1 = intercept[Exception] {
-      df.groupBy("id").count().writeStream.format(sinkFormat)
-        .outputMode("complete")
-        .option("root", freshDir("sink_refuse"))
-        .option("checkpointLocation", freshDir("sink_refuse_ckpt"))
-        .start()
+      try { mem.addData((1L, "x", 1L)); qc.processAllAvailable() }
+      finally qc.stop()
     }
-    assert(e1.getMessage.contains("Complete"))
+    assert(e1.getMessage.contains("Complete"),
+      s"expected the Complete-mode refusal, got: ${e1.getMessage}")
 
+    // (the v2 DataStreamWriter never hands partitionBy to a table
+    // provider — it is dropped before getTable — so the sink's
+    // partitioning refusal is only reachable through catalog DDL;
+    // definition-time option validation is what remains assertable)
     val e2 = intercept[Exception] {
-      df.writeStream.format(sinkFormat).partitionBy("name")
+      df.writeStream.format(sinkFormat)
         .option("root", freshDir("sink_refuse2"))
+        .option("mode", "bogus")
         .option("checkpointLocation", freshDir("sink_refuse2_ckpt"))
         .start()
     }
-    assert(e2.getMessage.contains("partitionBy"))
+    assert(e2.getMessage.contains("unknown mode"))
 
     val e3 = intercept[Exception] {
       df.writeStream.format(sinkFormat)
