@@ -1197,6 +1197,8 @@ object SparkEntry {
       s.sql("""INSERT INTO graft.bench.customers
         SELECT id, name, acctbal + 1000 FROM catalog_src
         WHERE id % 10 = 0""")
+      // SQL DELETE by key: a bucket-local rewrite through SupportsDelete
+      s.sql("DELETE FROM graft.bench.customers WHERE id IN (3, 7, 13)")
       s.sql("SELECT * FROM graft.bench.customers")
     }),
     "manifest_bucket_join" -> ((s, dir) => {
@@ -2422,7 +2424,7 @@ object SparkEntry {
            CASE WHEN c_custkey % 10 = 0
              THEN CAST(c_acctbal AS DOUBLE) + 1000
              ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
-           FROM customer""",
+           FROM customer WHERE c_custkey NOT IN (3, 7, 13)""",
       // clusterBy is a pure re-layout: the expected values are exactly
       // manifest_zone_range's (same merged state, same BETWEEN)
       "manifest_zone_clustered" ->

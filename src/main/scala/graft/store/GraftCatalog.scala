@@ -164,12 +164,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(root, None, schema)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` — the DDL face of add-only schema
+    * evolution: a METADATA-ONLY manifest commit recording the widened
+    * schema (old files read the new columns as NULLs; evolving a
+    * 100 TB table costs one manifest write). Anything that would drop,
+    * re-type, rename or constrain refuses — the manifest is the single
+    * schema authority and only grows. */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: schema evolves add-only through " +
-        "writes (INSERT with evolveSchema / merge(evolveSchema = true)); " +
-        "other alterations are not supported")
+      ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val current = ManifestTable.recordedSchema(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"table $ident records no schema (pre-format-7) — run a merge " +
+          "to upgrade before ALTER"))
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft ALTER TABLE adds top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        require(a.isNullable,
+          s"new column ${a.fieldNames.head} must be nullable: existing " +
+            "files don't have it and read it as NULL")
+        require(a.defaultValue == null,
+          "column DEFAULT values are not supported")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables evolve add-only: ALTER TABLE ... ADD COLUMNS " +
+          s"is the supported change, got $other")
+    }
+    added.foreach(f => require(!current.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    ManifestTable.evolveSchema(spark, root,
+      StructType(current.fields ++ added))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -168,11 +168,87 @@ private[store] case class GraftTable(
     root: String,
     versionAsOf: Option[Long],
     tableSchema: StructType) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     s"graft.`$root`" + versionAsOf.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
+
+  /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface: the manifest's
+    * own facts (one head read, no listing). */
+  override def properties(): java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    ManifestTable.currentManifest(SparkSession.active, root).foreach { m =>
+      out.put("key", m.keyColumn)
+      out.put("numBuckets", m.numBuckets.toString)
+      out.put("version", m.version.toString)
+      out.put("format", m.format.toString)
+      if (m.clusterCol.nonEmpty) out.put("clusterBy", m.clusterCol)
+      if (m.rangeBounds.nonEmpty) out.put("layout", "range")
+    }
+    out.put("location", root)
+    out
+  }
+
+  /** `DELETE FROM t WHERE <key predicate>`: served metadata-first —
+    * key-equality/IN deletes rewrite only the probe keys' buckets
+    * (the [[ManifestTable.delete]] path), an unconditional DELETE is
+    * a METADATA-ONLY truncate commit (files stay for time travel).
+    * Non-key predicates refuse loudly (`canDeleteWhere` false): a
+    * row-level rewrite by arbitrary predicate is a different cost
+    * class, and silently scanning 100 TB for a DELETE nobody scoped
+    * to the key is the wrong default. */
+  private def deleteKeysOf(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      key: String): Option[Seq[Any]] = filters.toSeq match {
+    case Seq(org.apache.spark.sql.sources.EqualTo(a, v)) if a == key =>
+      Some(Seq(v))
+    case Seq(org.apache.spark.sql.sources.EqualNullSafe(a, v))
+        if a == key && v != null =>
+      Some(Seq(v))
+    case Seq(org.apache.spark.sql.sources.In(a, vs)) if a == key =>
+      Some(vs.toSeq.filter(_ != null))
+    case _ => None
+  }
+
+  private def isTruncateAll(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.isEmpty ||
+      filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf.isEmpty && {
+      isTruncateAll(filters) ||
+        ManifestTable.currentManifest(SparkSession.active, root)
+          .map(_.keyColumn).filter(_.nonEmpty)
+          .exists(k => deleteKeysOf(filters, k).isDefined)
+    }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      "cannot delete from a time-travelled table snapshot")
+    val spark = SparkSession.active
+    val m = ManifestTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    if (isTruncateAll(filters)) {
+      ManifestTable.replace(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          tableSchema),
+        m.keyColumn, root, m.numBuckets)
+    } else {
+      val keys = deleteKeysOf(filters, m.keyColumn).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft DELETE supports key-column (= / IN) predicates and " +
+            s"unconditional truncation; got ${filters.mkString(", ")}"))
+      if (keys.nonEmpty)
+        ManifestTable.delete(spark, root, tableSchema, m.keyColumn,
+          keys, token = m.version + 1)
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

@@ -998,7 +998,8 @@ object ManifestTable {
           if (tryCommitManifest(spark, root, Manifest(version, n, written,
               prior.lastBatches, prior.lastDelete, attempt, keyColumn,
               keyExprRec.getOrElse(prior.keyExpr), prior.lastCompact,
-              prior.rangeBounds, df.schema.json,
+              prior.rangeBounds,
+              recordableSchema(Some(prior), df.schema).json,
               keyExprRec.isEmpty || prior.udfKey,
               clusterCol = prior.clusterCol)))
             return
@@ -1105,8 +1106,13 @@ object ManifestTable {
 
       // 2-3. target fragment = touched buckets only (reconciled, in case
       // earlier delta merges left multi-file buckets); standard one-join
-      // merge.
-      val fragment = reconciledRead(spark, root, schema,
+      // merge. The target READS under never-tightened nullability
+      // (recordableSchema): the batch's own frame may carry a
+      // non-nullable column (INSERT ... VALUES literals) that older
+      // files don't have at all — reading them under the tightened
+      // schema makes the vectorized parquet reader refuse the file.
+      val fragment = reconciledRead(spark, root,
+        recordableSchema(prior, schema),
         prior.getOrElse(Manifest(-1L, n, Nil)), touchedEntries,
         key, mapping.keyComparator)
       val res = Upsert(fragment, projected, mapping, mode, nonNullable,
@@ -1173,7 +1179,7 @@ object ManifestTable {
                   prior.map(_.keyExpr).getOrElse("")),
                 prior.flatMap(_.lastCompact),
                 bounds,
-                schema.json,
+                recordableSchema(prior, schema).json,
                 udfKey = keyExprRec.isEmpty ||
                   prior.exists(_.udfKey),
                 clusterCol = prior.map(_.clusterCol).getOrElse(""))))
@@ -1793,6 +1799,63 @@ object ManifestTable {
           prior.schemaJson, prior.udfKey)))
         return // rebucket re-lays out key-sorted: clusterCol resets
       cleanupAttempt(spark, root, version, attempt)
+    }
+  }
+
+  /** The schema a write onto an EXISTING table may record: per-column
+    * nullability NEVER tightens. A recorded-nullable column stays
+    * nullable even when this batch's frame proves its own values
+    * non-null (an `INSERT ... VALUES (1, 'x')` carries all-non-null
+    * literals), and a column NEW to the table records nullable
+    * regardless of the frame — every pre-existing file lacks it and
+    * reads it as NULL. Recording the tightened schema instead makes
+    * the vectorized parquet reader REFUSE those older files
+    * ("Required column is missing"). Fresh tables record the frame's
+    * own nullability (there are no older files to contradict it). */
+  private def recordableSchema(
+      prior: Option[Manifest],
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    prior.flatMap(schemaOf) match {
+      case None => s
+      case Some(r) =>
+        val recordedNullable =
+          r.fields.map(f => f.name -> f.nullable).toMap
+        org.apache.spark.sql.types.StructType(s.fields.map { f =>
+          recordedNullable.get(f.name) match {
+            case Some(pn) => f.copy(nullable = pn || f.nullable)
+            case None => f.copy(nullable = true) // new to the table
+          }
+        })
+    }
+
+  /** ADD-ONLY schema evolution as a METADATA-ONLY commit: records
+    * `newSchema` as the table's schema without touching a data file —
+    * old files simply lack the new columns and read as NULLs (the same
+    * projection rule every add-only read already applies), so evolving
+    * a 100 TB table costs one manifest write. The write-side evolution
+    * (`merge(evolveSchema = true)`) remains for callers whose DATA
+    * introduces the column; this is the DDL face (`ALTER TABLE ... ADD
+    * COLUMNS` through the catalog). Dropping or re-typing recorded
+    * columns refuses ([[checkSchemaCompatible]]); an evolution to the
+    * ALREADY-recorded schema no-ops without committing. */
+  def evolveSchema(
+      spark: SparkSession,
+      root: String,
+      newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      checkSchemaCompatible(prior, newSchema, "evolveSchema",
+        allowAdd = true)
+      if (schemaOf(prior).contains(newSchema)) return // already recorded
+      if (tryCommitManifest(spark, root, Manifest(prior.version + 1,
+          prior.numBuckets, prior.entries, prior.lastBatches,
+          prior.lastDelete, newAttemptId(), prior.keyColumn,
+          prior.keyExpr, prior.lastCompact, prior.rangeBounds,
+          newSchema.json, prior.udfKey, clusterCol = prior.clusterCol)))
+        return
+      // OCC loss: metadata-only, nothing to clean — retry on new state
     }
   }
 

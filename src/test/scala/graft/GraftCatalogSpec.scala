@@ -131,6 +131,60 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DELETE FROM by key, ALTER TABLE ADD COLUMNS, SHOW TBLPROPERTIES") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.dml")
+    spark.sql("""CREATE TABLE graftcat.db.dml (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    spark.sql("INSERT INTO graftcat.db.dml " +
+      "SELECT id, id * 2 FROM range(1, 51)")
+    // key-equality and IN deletes: bucket-local rewrites
+    spark.sql("DELETE FROM graftcat.db.dml WHERE id = 7")
+    spark.sql("DELETE FROM graftcat.db.dml WHERE id IN (9, 11, 999)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.dml")
+      .head.getLong(0) == 47L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.dml WHERE id IN (7, 9, 11)")
+      .head.getLong(0) == 0L)
+    // non-key predicate refuses loudly instead of scanning
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graftcat.db.dml WHERE v > 10")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"),
+      s"expected a delete refusal, got: ${e.getMessage}")
+    // add-only evolution: metadata-only commit, old rows read NULL
+    val vBefore = ManifestTable
+      .currentVersion(spark, s"$wh/db/dml").get
+    spark.sql("ALTER TABLE graftcat.db.dml ADD COLUMNS (tag STRING)")
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/dml")
+      .contains(vBefore + 1), "evolution must be one metadata commit")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.dml WHERE tag IS NULL")
+      .head.getLong(0) == 47L)
+    spark.sql("INSERT INTO graftcat.db.dml VALUES (100, 200, 'x')")
+    assert(spark.sql(
+      "SELECT tag FROM graftcat.db.dml WHERE id = 100")
+      .head.getString(0) == "x")
+    // dropping/re-typing refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.dml DROP COLUMN v")
+    }
+    // properties surface the manifest's facts
+    val props = spark.sql("SHOW TBLPROPERTIES graftcat.db.dml")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key").contains("id"))
+    assert(props.get("numBuckets").contains("4"))
+    assert(props.contains("version"))
+    // unconditional DELETE = metadata-only truncate; history survives
+    val vPre = ManifestTable.currentVersion(spark, s"$wh/db/dml").get
+    spark.sql("DELETE FROM graftcat.db.dml")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.dml")
+      .head.getLong(0) == 0L)
+    assert(spark.sql(
+        s"SELECT count(*) FROM graftcat.db.dml VERSION AS OF $vPre")
+      .head.getLong(0) == 48L, "truncate must keep time travel")
+  }
+
   test("streaming by NAME: writeStream.toTable upserts through the " +
       "merge; readStream.table streams the commits as upsert rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
