@@ -27,9 +27,11 @@ import org.apache.spark.sql.SparkSession
   * CONTENTION SENTINEL: three rounds of official artifacts landed on a
   * contended machine and needed prose adjudication, so the benchmark
   * now measures the machine itself. A fixed CPU-bound calibration probe
-  * (`bit_xor(xxhash64(id))` over a constant range — pure codegen
-  * compute, no I/O, no fixture state) establishes a baseline (median of
-  * 5 samples after its own warmup) and re-runs every 8 queries; each
+  * (an allocation-free single-core mixing loop — pure compute, no I/O,
+  * no Spark job, so the long-lived benchmark JVM's own accumulating
+  * state cannot masquerade as contention) establishes a baseline
+  * (median of 5 samples after its own warmup) and re-runs every 8
+  * queries; each
   * query's `mf` is the BETTER of the two probes bracketing its block
   * over the baseline (one slow sample — a GC, a noise burst — must not
   * condemn a whole block), and the line's `machine_factor` is the
@@ -70,11 +72,23 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
     // ---- contention sentinel -------------------------------------------
+    // The probe is a PURE, allocation-free driver loop — deliberately
+    // NOT a Spark job: a job-shaped probe measured the benchmark JVM's
+    // own accumulated state (GC pressure, codegen caches, listener
+    // backlog grow monotonically over a 105-query run and inflated the
+    // probe 3× by the end, flagging 73 phantom rechecks), while a tight
+    // single-core loop with zero allocation sees only what the sentinel
+    // is FOR: CPU competition from outside this process.
+    @volatile var calibSink = 0L
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(128L * 1000 * 1000)
-        .selectExpr("bit_xor(xxhash64(id))")
-        .collect() // bit_xor: no ANSI long-sum overflow, same compute
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 300000000L) {
+        h = java.lang.Long.rotateLeft(h ^ i, 31) * 0x100000001B3L
+        i += 1L
+      }
+      calibSink = h // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
     calibrate(); calibrate() // probe's own JIT warmup, discarded
@@ -137,7 +151,12 @@ object Bench {
     // `total`, listed under `errors`) — BENCH_r08 recorded the events
     // family's time-to-exception as an apparent 6x speedup.
     sampleMachine()
-    val firstPass = selected.toSeq.zipWithIndex.map {
+    // SORTED order: Map iteration order reshuffles whenever a query is
+    // added, and neighbors matter (JIT/GC/cache state bleeds between
+    // queries) — r10 measured a 10×-looking "regression" on untouched
+    // queries that was pure re-ordering. Name order is stable across
+    // rounds, so per-query cross-round comparison stays meaningful.
+    val firstPass = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i > 0 && i % 8 == 0) sampleMachine()
         val (runs, med, failed) = runQuery(name, fn)

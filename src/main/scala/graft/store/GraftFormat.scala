@@ -176,8 +176,12 @@ private[store] case class GraftTable(
   override def schema(): StructType = tableSchema
 
   /** DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface: the manifest's
-    * own facts (one head read, no listing). */
-  override def properties(): java.util.Map[String, String] = {
+    * own facts. MEMOIZED per table handle — Spark consults
+    * `properties()` repeatedly during planning, and a manifest head
+    * read per call put real filesystem I/O on every format-face
+    * query's plan path (measured: +0.2 s on a sub-10 ms bucket join). */
+  @transient private lazy val cachedProperties
+      : java.util.Map[String, String] = {
     val out = new java.util.HashMap[String, String]()
     ManifestTable.currentManifest(SparkSession.active, root).foreach { m =>
       out.put("key", m.keyColumn)
@@ -190,6 +194,9 @@ private[store] case class GraftTable(
     out.put("location", root)
     out
   }
+
+  override def properties(): java.util.Map[String, String] =
+    cachedProperties
 
   /** `DELETE FROM t WHERE <key predicate>`: served metadata-first —
     * key-equality/IN deletes rewrite only the probe keys' buckets

@@ -877,8 +877,15 @@ object ManifestTable {
     // so GraftFileIndex can prune numeric BETWEEN/>/< at plan time.
     val rb = spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
-    val norm = keyComparator(col(keyColumn))
-    val normDt = rb.limit(0).select(norm).schema.head.dataType
+    val kc = col(keyColumn)
+    val norm = keyComparator(kc)
+    // normalized key TYPE: identity comparators (`f(c) eq c` — the
+    // common case) read it straight off the schema; only a real
+    // normalizer pays the analyzer pass, which would otherwise tax
+    // EVERY commit ~tens of ms
+    val normDt =
+      if (norm eq kc) writtenSchema(keyColumn).dataType
+      else rb.limit(0).select(norm).schema.head.dataType
     val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
       Seq(min(zr).cast("string").as("minZ"),
         max(zr).cast("string").as("maxZ")))
@@ -1939,8 +1946,11 @@ object ManifestTable {
     // opportunity, never correctness; key zones (minZ/maxZ) ride along
     val rb = spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
-    val norm = keyComparator(col(keyColumn))
-    val normDt = rb.limit(0).select(norm).schema.head.dataType
+    val kc = col(keyColumn)
+    val norm = keyComparator(kc)
+    val normDt =
+      if (norm eq kc) writtenSchema(keyColumn).dataType
+      else rb.limit(0).select(norm).schema.head.dataType
     val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
       Seq(min(zr).cast("string").as("minZ"),
         max(zr).cast("string").as("maxZ")))
