@@ -254,11 +254,13 @@ private[graft] final class CdcMicroBatchStream(
       s"$checkpointLocation/graft-cdc-staged")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.listStatus(base).foreach { s =>
-      s.getPath.getName.split("-") match {
-        case Array(_, t) if t.toLongOption.exists(_ <= committed) =>
-          fs.delete(s.getPath, true)
-        case _ =>
-      }
+      // dir name is "$from-$to"; split on the LAST dash — `from` may
+      // itself be negative ("-1-5" for an `earliest` first batch)
+      val name = s.getPath.getName
+      val cut = name.lastIndexOf('-')
+      if (cut > 0 && name.substring(cut + 1).toLongOption
+          .exists(_ <= committed))
+        fs.delete(s.getPath, true)
     }
   }
 
