@@ -95,8 +95,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!f.exists(p)) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(namespace)
     f.listStatus(p).toSeq
-      .filter(s => s.isDirectory &&
-        isTable(s.getPath.toUri.getPath))
+      // probe via the FULLY-QUALIFIED path: stripping to toUri.getPath
+      // would resolve against the DEFAULT filesystem and misclassify
+      // every table on a scheme-qualified warehouse (s3a://...)
+      .filter(s => s.isDirectory && isTable(s.getPath.toString))
       .map(s => Identifier.of(namespace, s.getPath.getName))
       .toArray
   }
@@ -211,9 +213,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(old: Identifier, toRaw: Identifier): Unit = {
     // `ALTER TABLE cat.ns.a RENAME TO cat.ns.b` hands the TARGET with
     // the catalog still in its namespace — strip it, or the table
-    // would move into a literal `<warehouse>/cat/...` directory
+    // would move into a literal `<warehouse>/cat/...` directory.
+    // Guarded: strip only when the STRIPPED namespace actually exists
+    // and the raw one does not, so a user namespace that happens to
+    // share the catalog's name keeps winning for its own tables.
     val to =
-      if (toRaw.namespace.headOption.contains(catalogName))
+      if (toRaw.namespace.headOption.contains(catalogName) && {
+          val stripped = toRaw.namespace.drop(1)
+          namespaceExists(stripped) && !namespaceExists(toRaw.namespace)
+        })
         Identifier.of(toRaw.namespace.drop(1), toRaw.name)
       else toRaw
     val src = new Path(rootOf(old))
@@ -237,7 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val f = fs(p)
     if (!f.exists(p)) Array.empty
     else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && !isTable(s.getPath.toUri.getPath))
+      .filter(s => s.isDirectory && !isTable(s.getPath.toString))
       .map(s => Array(s.getPath.getName)).toArray
   }
 
@@ -250,7 +258,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!f.exists(p)) throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(namespace)
       f.listStatus(p).toSeq
-        .filter(s => s.isDirectory && !isTable(s.getPath.toUri.getPath))
+        .filter(s => s.isDirectory && !isTable(s.getPath.toString))
         .map(s => namespace :+ s.getPath.getName).toArray
     }
 

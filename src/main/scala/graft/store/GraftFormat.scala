@@ -252,8 +252,16 @@ private[store] case class GraftTable(
           s"graft DELETE supports key-column (= / IN) predicates and " +
             s"unconditional truncation; got ${filters.mkString(", ")}"))
       if (keys.nonEmpty)
+        // random token (SQL statements are not engine-retried): a
+        // version-derived token would let two CONCURRENT DELETEs
+        // collide and the OCC loser silently no-op (see the INSERT
+        // path); a dedicated token stream keeps the maintenance
+        // `lastDelete` slot for the Scala API's replayable callers
         ManifestTable.delete(spark, root, tableSchema, m.keyColumn,
-          keys, token = m.version + 1)
+          keys,
+          token = java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(Long.MaxValue),
+          tokenStream = Some("graft-sql-delete"))
     }
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -336,11 +344,18 @@ private[store] case class GraftTable(
                 val mp = new graft.mapping.Mapping(keyColumnName = key)
                 data.schema.fieldNames.foreach(n => mp.auto(n))
                 mp.complete(data.schema)
-                // every INSERT applies (SQL semantics): token = the
-                // version this merge will claim
+                // every INSERT applies (SQL semantics — statements are
+                // not engine-retried): a RANDOM batch token under one
+                // stream id. A version-derived token would make two
+                // CONCURRENT INSERTs collide — the OCC loser re-reads,
+                // sees its own token already committed by the winner,
+                // and silently no-ops, losing its rows. The ledger
+                // keeps only the LAST token per stream, so the map
+                // stays bounded and the loser's retry (different
+                // random) applies.
                 ManifestTable.merge(data,
-                  ManifestTable.currentVersion(spark, root)
-                    .getOrElse(-1L) + 1L,
+                  java.util.concurrent.ThreadLocalRandom.current()
+                    .nextLong(Long.MaxValue),
                   mp, root, data.schema,
                   numBuckets = m.numBuckets,
                   streamId = "graft-sql-insert")

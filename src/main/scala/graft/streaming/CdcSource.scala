@@ -125,16 +125,23 @@ private[streaming] case class CdcOffset(version: Long) extends Offset {
 private[streaming] case class CdcInputPartition(
     path: String, numFields: Int) extends InputPartition
 
-private[streaming] class CdcReaderFactory extends PartitionReaderFactory {
+/** Carries the SESSION's Hadoop conf to the executors (credentials /
+  * endpoint settings for scheme-qualified checkpoints); the reader's
+  * close() covers early-terminated tasks so handles never leak. */
+private[streaming] class CdcReaderFactory(
+    confW: org.apache.spark.SerializableWritable[
+      org.apache.hadoop.conf.Configuration])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CdcInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = RowBlobStage.readUnsafe(cp.path, cp.numFields)
+      private val it =
+        RowBlobStage.readUnsafe(cp.path, cp.numFields, confW.value)
       private var row: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { row = it.next(); true } else false
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = it.close()
     }
   }
 }
@@ -223,15 +230,37 @@ private[graft] final class CdcMicroBatchStream(
         if (!upsertsOnly)
           feed.select(outSchema.fieldNames.map(col).toSeq: _*)
         else {
-          // change-rate-bounded guard, evaluated once per offset range
-          val deletes = feed
-            .filter(col(CdcSource.ChangeTypeCol) === "delete").limit(1)
-            .count()
-          if (deletes > 0) throw new IllegalStateException(
-            s"streaming table read of $root hit DELETE rows in versions " +
-              s"($from, $to] — a plain readStream.table sees upserts " +
-              "only; stream the full change feed with " +
-              "spark.readStream.format(\"graft-cdc\") instead")
+          // Delete-guard, gated on the MANIFEST diff first: a delete
+          // REQUIRES a removed entry (delete/truncate/restore rewrite
+          // or drop files), so ranges whose commits only ADDED files —
+          // the delta-append steady state — skip the guard entirely
+          // (driver-side metadata, no data pass). Only removal-carrying
+          // ranges pay the change-rate-bounded existence check.
+          val hasRemovals = {
+            var prev: Option[Set[String]] = None
+            ((math.max(from, -1L) + 1L) to to).exists { v =>
+              val cur = ManifestTable.readManifest(spark, root, v)
+                .entries.map(_.relPath).toSet
+              val removed = prev match {
+                case Some(pe) => (pe -- cur).nonEmpty
+                case None =>
+                  v > 0 && (ManifestTable.readManifest(spark, root, v - 1)
+                    .entries.map(_.relPath).toSet -- cur).nonEmpty
+              }
+              prev = Some(cur)
+              removed
+            }
+          }
+          if (hasRemovals) {
+            val deletes = feed
+              .filter(col(CdcSource.ChangeTypeCol) === "delete").limit(1)
+              .count()
+            if (deletes > 0) throw new IllegalStateException(
+              s"streaming table read of $root hit DELETE rows in " +
+                s"versions ($from, $to] — a plain readStream.table sees " +
+                "upserts only; stream the full change feed with " +
+                "spark.readStream.format(\"graft-cdc\") instead")
+          }
           feed.filter(col(CdcSource.ChangeTypeCol).isin(
               "insert", "update_postimage"))
             .select(outSchema.fieldNames.map(col).toSeq: _*)
@@ -244,7 +273,7 @@ private[graft] final class CdcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory
+    new CdcReaderFactory(RowBlobStage.confOf(spark))
 
   /** A committed range's stage is dead weight: the engine replays only
     * ranges ABOVE the commit point after a restart. */
@@ -254,11 +283,19 @@ private[graft] final class CdcMicroBatchStream(
       s"$checkpointLocation/graft-cdc-staged")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.listStatus(base).foreach { s =>
-      // dir name is "$from-$to"; split on the LAST dash — `from` may
-      // itself be negative ("-1-5" for an `earliest` first batch)
+      // committed dirs are "$from-$to"; torn stages are
+      // ".tmp-$from-$to-<uuid8>" (crash between the executor write and
+      // the rename) — GC both once their range's `to` is committed.
+      // Parse `to` from the LAST dash (`from` may be negative: "-1-5").
       val name = s.getPath.getName
-      val cut = name.lastIndexOf('-')
-      if (cut > 0 && name.substring(cut + 1).toLongOption
+      val core =
+        if (name.startsWith(".tmp-")) {
+          val body = name.drop(5)
+          val cut = body.lastIndexOf('-')
+          if (cut > 0) body.substring(0, cut) else body
+        } else name
+      val cut = core.lastIndexOf('-')
+      if (cut > 0 && core.substring(cut + 1).toLongOption
           .exists(_ <= committed))
         fs.delete(s.getPath, true)
     }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
@@ -16,10 +17,17 @@ import org.apache.spark.sql.types.StructType
   * File format: repeated `[len: int4][bytes: len]`, terminated by
   * `len = -1`. A staged DIRECTORY commits via `_SUCCESS` after an
   * atomic rename, so a torn stage (crash mid-write) is invisible and
-  * re-staged. */
+  * re-staged. Executor-side filesystem access carries the SESSION's
+  * Hadoop configuration (via [[SerializableWritable]]) — a bare
+  * `new Configuration()` would drop every `spark.hadoop.*` setting
+  * (credentials, endpoints) on object-store deployments. */
 private[streaming] object RowBlobStage {
 
   val Success = "_SUCCESS"
+
+  /** The session's Hadoop conf, shippable to executor closures. */
+  def confOf(spark: SparkSession): SerializableWritable[Configuration] =
+    new SerializableWritable(spark.sparkContext.hadoopConfiguration)
 
   def isStaged(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir, Success)
@@ -37,11 +45,12 @@ private[streaming] object RowBlobStage {
     val tmp = new Path(dirPath.getParent,
       s".tmp-${dirPath.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
     val tmpStr = tmp.toString
+    val confW = confOf(spark)
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val p = new Path(s"$tmpStr/part-$pid")
-        val pfs = p.getFileSystem(new Configuration())
+        val pfs = p.getFileSystem(confW.value)
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(pfs.create(p, true), 1 << 16))
         try {
@@ -78,32 +87,44 @@ private[streaming] object RowBlobStage {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Iterator of UnsafeRows from one blob file (executor-side: default
-    * Hadoop configuration — local FS and default-cluster stores). */
-  def readUnsafe(path: String, numFields: Int): Iterator[UnsafeRow] = {
-    val p = new Path(path)
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      p.getFileSystem(new Configuration()).open(p), 1 << 16))
-    new Iterator[UnsafeRow] {
-      private var nextLen = in.readInt()
-      if (nextLen < 0) in.close()
-      override def hasNext: Boolean = nextLen >= 0
-      override def next(): UnsafeRow = {
-        val b = new Array[Byte](nextLen)
-        in.readFully(b)
-        val row = new UnsafeRow(numFields)
-        row.pointTo(b, nextLen)
-        nextLen = in.readInt()
-        if (nextLen < 0) in.close()
-        row
-      }
+  /** UnsafeRow iterator over one blob file, CLOSEABLE: the stream
+    * self-closes at the terminator, and `close()` covers readers that
+    * stop early (a limit, a cancelled task) — leaking the handle per
+    * abandoned partition would exhaust file descriptors on a
+    * long-running stream. */
+  final class BlobRows(path: String, numFields: Int, conf: Configuration)
+      extends Iterator[UnsafeRow] with AutoCloseable {
+    private val p = new Path(path)
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(p.getFileSystem(conf).open(p),
+        1 << 16))
+    private var open = true
+    private var nextLen = in.readInt()
+    if (nextLen < 0) close()
+
+    override def close(): Unit = if (open) { open = false; in.close() }
+    override def hasNext: Boolean = nextLen >= 0
+    override def next(): UnsafeRow = {
+      val b = new Array[Byte](nextLen)
+      in.readFully(b)
+      val row = new UnsafeRow(numFields)
+      row.pointTo(b, nextLen)
+      nextLen = in.readInt()
+      if (nextLen < 0) close()
+      row
     }
   }
 
+  def readUnsafe(
+      path: String, numFields: Int, conf: Configuration): BlobRows =
+    new BlobRows(path, numFields, conf)
+
   /** External-Row variant (for `spark.createDataFrame` reconstruction —
-    * public API, no internal frame constructors). */
-  def readRows(path: String, schema: StructType): Iterator[Row] = {
+    * public API, no internal frame constructors). Reads to EOF, so the
+    * stream self-closes. */
+  def readRows(
+      path: String, schema: StructType, conf: Configuration): Iterator[Row] = {
     val conv = CatalystTypeConverters.createToScalaConverter(schema)
-    readUnsafe(path, schema.size).map(u => conv(u).asInstanceOf[Row])
+    readUnsafe(path, schema.size, conf).map(u => conv(u).asInstanceOf[Row])
   }
 }

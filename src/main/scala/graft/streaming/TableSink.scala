@@ -177,7 +177,10 @@ private[streaming] case class SinkCommitMessage(
     path: String, rows: Long) extends WriterCommitMessage
 
 private[streaming] class SinkWriterFactory(
-    stagingBase: String, numFields: Int) extends StreamingDataWriterFactory {
+    stagingBase: String, numFields: Int,
+    confW: org.apache.spark.SerializableWritable[
+      org.apache.hadoop.conf.Configuration])
+    extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = {
@@ -185,8 +188,7 @@ private[streaming] class SinkWriterFactory(
       s"$stagingBase/$epochId/part-$partitionId-$taskId")
     new DataWriter[InternalRow] {
       private lazy val out = {
-        val fs = path.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(confW.value)
         new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16))
       }
@@ -202,8 +204,7 @@ private[streaming] class SinkWriterFactory(
       }
       override def abort(): Unit = {
         if (rows > 0) out.close()
-        val fs = path.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(confW.value)
         if (fs.exists(path)) fs.delete(path, false)
       }
       override def close(): Unit = ()
@@ -222,7 +223,8 @@ private[graft] final class GraftStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new SinkWriterFactory(stagingBase, schema.size)
+    new SinkWriterFactory(stagingBase, schema.size,
+      RowBlobStage.confOf(SparkSession.active))
 
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -237,9 +239,10 @@ private[graft] final class GraftStreamingWrite(
           schema)
       else {
         val sc = schema
+        val confW = RowBlobStage.confOf(spark)
         spark.createDataFrame(
           spark.sparkContext.parallelize(paths, paths.size)
-            .flatMap(p => RowBlobStage.readRows(p, sc)),
+            .flatMap(p => RowBlobStage.readRows(p, sc, confW.value)),
           schema)
       }
     // The engine persists queryId in the checkpoint, so it IS the
