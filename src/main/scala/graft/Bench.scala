@@ -26,24 +26,157 @@ import org.apache.spark.sql.SparkSession
   *
   * CONTENTION SENTINEL: three rounds of official artifacts landed on a
   * contended machine and needed prose adjudication, so the benchmark
-  * now measures the machine itself. A fixed CPU-bound calibration probe
-  * (an allocation-free single-core mixing loop — pure compute, no I/O,
-  * no Spark job, so the long-lived benchmark JVM's own accumulating
-  * state cannot masquerade as contention) establishes a baseline
-  * (median of 5 samples after its own warmup) and re-runs every 8
-  * queries; each
-  * query's `mf` is the BETTER of the two probes bracketing its block
-  * over the baseline (one slow sample — a GC, a noise burst — must not
-  * condemn a whole block), and the line's `machine_factor` is the
-  * median over all samples — 1.0 = quiet, 2.0 = the machine was
-  * delivering half its calibrated throughput.
-  * Queries measured while the probe read inflated (mf > 1.5) are
-  * automatically RE-RUN after the main pass and report the better
-  * median (both measurements stay in the stats file, `rechecked` names
-  * them) — adjudication becomes mechanical: compare `calib_base` across
-  * rounds for absolute machine speed, read `mf`/`rechecked` for
-  * within-run interference.
+  * now measures the machine itself. The calibration probe
+  * ([[BenchSentinel]]) saturates EVERY schedulable core with an
+  * allocation-free mixing loop — pure compute, no I/O, no Spark job,
+  * so the long-lived benchmark JVM's own accumulating state cannot
+  * masquerade as contention. Full width matters: the r10 driver
+  * artifact proved a 1-thread probe blind to exactly the load that
+  * starves Spark — external work eating 20 of 32 cores leaves a
+  * single-core loop un-queued (mf read 1.12–1.35) while 32-way stages
+  * ran 3–9× slow. A probe as wide as the executor pool inflates
+  * (width + load) / width under the same competition — the inflation
+  * the queries themselves see. Every sampling point is the MIN of 3
+  * back-to-back bursts (a single width-wide burst is noisy on a
+  * shared-host VM; noise is additive, so min estimates quiet
+  * throughput while sustained load survives it). Baseline = min of 7
+  * bursts after warmup, re-sampled every 8 queries; each query's `mf`
+  * is the
+  * BETTER of the two probes bracketing its block over the baseline
+  * (one slow sample — a GC, a noise burst — must not condemn a whole
+  * block), and the line's `machine_factor` is the median over all
+  * samples — 1.0 = quiet, 2.0 = the machine was delivering half its
+  * calibrated throughput.
+  *
+  * Queries RE-RUN after the main pass (better median kept, both
+  * measurements + the `rechecked` list stay in the stats file) on
+  * either trigger: (a) the block's probe read inflated (mf > 1.2 —
+  * the multi-core probe is stable enough to afford a threshold this
+  * tight), or (b) the query's median inflated > 2× over its COMMITTED
+  * BENCH_STATS.json median (read before this run overwrites the file;
+  * scaled by the calib_base ratio when both runs used the same probe
+  * version) — the belt-and-suspenders trigger for load the bracketing
+  * probes happened to miss. Adjudication becomes mechanical: compare
+  * `calib_base` across rounds for absolute machine speed, read
+  * `mf`/`rechecked` for within-run interference.
   */
+/** The machine-contention probe behind [[Bench]]'s sentinel, factored
+  * out so a spec can demonstrate its detection threshold under
+  * injected load (BenchSentinelSpec).
+  *
+  * Design constraints, each learned the hard way:
+  *   - NOT a Spark job: the benchmark JVM's own accumulating state
+  *     (GC pressure, codegen caches, listener backlog) inflated a
+  *     job-shaped probe 3× by the end of a 105-query run — 73 phantom
+  *     rechecks. The loop is allocation-free, so none of that shows.
+  *   - NOT single-threaded: external load that eats 20 of 32 cores
+  *     leaves ≥1 core free, so a 1-thread loop never queues and reads
+  *     mf ≈ 1.1 while 32-way Spark stages run 3–9× slow (the r10
+  *     driver artifact: 72.4 s vs 56.2 s committed, machine_factor
+  *     1.0). The probe therefore saturates EVERY schedulable core —
+  *     the width a local[N] stage actually competes at — so L
+  *     external busy threads inflate a sample ≈ (width + L) / width,
+  *     the same starvation ratio the queries see.
+  *   - Threads are created fresh per sample (no pool whose queue
+  *     depth or park state could drift over the run) and each runs a
+  *     fixed iteration count of the same mixing loop, ~50 ms: long
+  *     enough to ride out scheduler quantum noise, short enough that
+  *     14 samples cost ~1 s of a 12-minute run. */
+object BenchSentinel {
+  /** One thread per schedulable core — Spark's own local[*] sizing. */
+  val width: Int = math.max(1, Runtime.getRuntime.availableProcessors())
+
+  /** Bumped whenever the probe's shape (and so calib_base's unit)
+    * changes; cross-capture calib scaling only applies on a match.
+    * "st1" was the single-core probe (r10). */
+  val probeVersion = "mt1"
+
+  private val perThreadIters = 30000000L
+
+  @volatile private var sink = 0L
+
+  /** Wall seconds for `width` concurrent allocation-free mixing loops
+    * to all finish. ~1.0× calib_base on a quiet machine; under L
+    * external busy threads ≈ (width + L) / width × calib_base. */
+  def sample(): Double = {
+    val results = new Array[Long](width)
+    val threads = Array.tabulate(width) { t =>
+      val th = new Thread { override def run(): Unit = {
+        var h = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < perThreadIters) {
+          h = java.lang.Long.rotateLeft(h ^ i, 31) * 0x100000001B3L
+          i += 1L
+        }
+        results(t) = h
+      } }
+      th.setDaemon(true)
+      th
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    sink = results.sum // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** MIN of `k` consecutive bursts — the estimator every sampling
+    * point uses. A width-wide burst is noisy on a shared-host VM
+    * (hypervisor steal, the benchmark JVM's own GC/listener threads
+    * briefly competing): single samples read 1.3× on a quiet machine
+    * and flagged phantom rechecks. Probe noise is strictly ADDITIVE —
+    * competition only ever slows the burst — so min-of-k converges on
+    * the machine's true quiet throughput, while sustained external
+    * load (the thing the sentinel is for) inflates all k bursts alike
+    * and survives the min. k=3 spans ~200 ms: longer than a GC pause
+    * or a listener-bus drain, shorter than any real contention event
+    * worth flagging. */
+  def measure(k: Int = 3): Double =
+    (1 to math.max(1, k)).map(_ => sample()).min
+
+  /** Parse the committed BENCH_STATS.json (if any) into
+    * (query → committed median, calib_base when the committed capture
+    * used THIS probe version — a different probe's unit must not scale
+    * thresholds). `expectedSf`, when given, must match the committed
+    * capture's `sf`: medians from a different scale factor (the sf1
+    * refresh overwrites the same file name) would flag every query.
+    * Failure-tolerant: a missing/garbled file just disables the
+    * secondary trigger. */
+  def readCommittedStats(path: java.nio.file.Path,
+      expectedSf: Option[String] = None)
+      : (Map[String, Double], Option[Double]) = {
+    try {
+      if (!java.nio.file.Files.exists(path)) (Map.empty, None)
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readString(path))
+        if (expectedSf.exists(sf => root.path("sf").asText("") != sf))
+          return (Map.empty, None)
+        val qs = root.path("queries_stats")
+        var meds = Map.empty[String, Double]
+        val it = qs.fieldNames()
+        while (it.hasNext) {
+          val k = it.next()
+          val m = qs.get(k).path("med")
+          val err = qs.get(k).path("err").asBoolean(false)
+          if (m.isNumber && !err) meds += k -> m.asDouble()
+        }
+        val calib =
+          if (root.path("calib_probe").asText("") == probeVersion &&
+              root.path("calib_base").isNumber)
+            Some(root.path("calib_base").asDouble())
+          else None
+        (meds, calib)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] committed stats unreadable (${e.getMessage}) — " +
+          "secondary recheck trigger disabled")
+      (Map.empty, None)
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,31 +205,29 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
     // ---- contention sentinel -------------------------------------------
-    // The probe is a PURE, allocation-free driver loop — deliberately
-    // NOT a Spark job: a job-shaped probe measured the benchmark JVM's
-    // own accumulated state (GC pressure, codegen caches, listener
-    // backlog grow monotonically over a 105-query run and inflated the
-    // probe 3× by the end, flagging 73 phantom rechecks), while a tight
-    // single-core loop with zero allocation sees only what the sentinel
-    // is FOR: CPU competition from outside this process.
-    @volatile var calibSink = 0L
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0L
-      while (i < 300000000L) {
-        h = java.lang.Long.rotateLeft(h ^ i, 31) * 0x100000001B3L
-        i += 1L
-      }
-      calibSink = h // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
-    }
-    calibrate(); calibrate() // probe's own JIT warmup, discarded
-    // baseline = MEDIAN of 5 (min would be optimistic on a probe this
-    // short and flag phantom contention all run)
-    val calibBase = (1 to 5).map(_ => calibrate()).sorted.apply(2)
+    // Full-width allocation-free probe: see BenchSentinel for why it is
+    // neither a Spark job (the JVM's own accumulated state inflated a
+    // job-shaped probe 3× by run end) nor single-threaded (blind to
+    // load that leaves >1 core free while 32-way stages starve).
+    BenchSentinel.sample(); BenchSentinel.sample() // probe JIT warmup, discarded
+    // baseline and every later sampling point use the SAME estimator —
+    // min-of-k bursts (see BenchSentinel.measure) — so mf compares like
+    // with like; the baseline just takes more bursts for a tighter fit
+    val calibBase = BenchSentinel.measure(7)
     val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def sampleMachine(): Unit = calibSamples += r3(calibrate())
+    def sampleMachine(): Unit = calibSamples += r3(BenchSentinel.measure())
+
+    // Committed medians from the PREVIOUS quiet-machine capture — the
+    // secondary recheck trigger's reference point. Read now: this run
+    // overwrites BENCH_STATS.json at the end. calib_base scaling only
+    // applies when both captures used the same probe version (the probe
+    // width/shape defines the unit).
+    val (committedMeds, committedCalib) = BenchSentinel.readCommittedStats(
+      java.nio.file.Paths.get("BENCH_STATS.json"), Some(sfDir))
+    val calibScale = committedCalib match {
+      case Some(c) if c > 0 => calibBase / c
+      case _ => 1.0
+    }
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to the named queries — for
     // iterating on one regression without paying the full 100+-query run.
@@ -172,14 +303,20 @@ object Bench {
       val after = calibSamples(math.min(block + 1, calibSamples.size - 1))
       r3(math.max(1.0, math.min(before, after) / calibBase))
     }
-    // RE-RUN queries whose neighborhood probe saw interference; keep the
-    // better median (both stay in the stats file)
+    // RE-RUN queries whose neighborhood probe saw interference OR whose
+    // median inflated >2× over the committed quiet-machine capture
+    // (contention the bracketing probes can miss — a burst inside one
+    // block); keep the better median (both stay in the stats file)
     val results = firstPass.map {
       case (name, fn, runs, med, failed, block) =>
         val mf = factorOf(block)
-        if (!failed && mf > 1.5) {
+        val inflatedVsCommitted = committedMeds.get(name)
+          .exists(cm => cm > 0.05 && med > 2.0 * cm * calibScale)
+        if (!failed && (mf > 1.2 || inflatedVsCommitted)) {
           System.err.println(
-            s"[bench] $name measured at machine_factor $mf — rechecking")
+            s"[bench] $name measured at machine_factor $mf" +
+              (if (inflatedVsCommitted) s" (committed median ${
+                committedMeds(name)})" else "") + " — rechecking")
           val (runs2, med2, failed2) = runQuery(name, fn)
           if (!failed2 && med2 < med)
             (name, runs, med2, failed, mf, Some((runs2, med2)))
@@ -212,6 +349,8 @@ object Bench {
       sortedSamples(sortedSamples.size / 2) / calibBase))
     val calibJson =
       s""""calib_base":${r3(calibBase)},""" +
+        s""""calib_probe":"${BenchSentinel.probeVersion}",""" +
+        s""""calib_width":${BenchSentinel.width},""" +
         s""""calib_samples":[${calibSamples.mkString(",")}]"""
     val statsPath = java.nio.file.Paths.get("BENCH_STATS.json")
     java.nio.file.Files.writeString(statsPath,

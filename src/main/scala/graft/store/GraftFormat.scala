@@ -179,7 +179,15 @@ private[store] case class GraftTable(
     * own facts. MEMOIZED per table handle — Spark consults
     * `properties()` repeatedly during planning, and a manifest head
     * read per call put real filesystem I/O on every format-face
-    * query's plan path (measured: +0.2 s on a sub-10 ms bucket join). */
+    * query's plan path (measured: +0.2 s on a sub-10 ms bucket join).
+    * DELIBERATE STALENESS: the memo lives as long as this handle, so a
+    * handle cached across commits (a long-lived resolved DataFrame, a
+    * catalog-cached table) reports the properties — including
+    * `version` — as of when it was resolved. Reads stay correct (the
+    * scan re-reads the manifest); only DESCRIBE/SHOW TBLPROPERTIES
+    * output can lag, and re-resolving the table refreshes it.
+    * Invalidating on head change would re-pay the manifest read per
+    * call — exactly the cost the memo removes. */
   @transient private lazy val cachedProperties
       : java.util.Map[String, String] = {
     val out = new java.util.HashMap[String, String]()
@@ -209,7 +217,11 @@ private[store] case class GraftTable(
   private def deleteKeysOf(
       filters: Array[org.apache.spark.sql.sources.Filter],
       key: String): Option[Seq[Any]] = filters.toSeq match {
-    case Seq(org.apache.spark.sql.sources.EqualTo(a, v)) if a == key =>
+    case Seq(org.apache.spark.sql.sources.EqualTo(a, v))
+        if a == key && v != null =>
+      // the null guard matches the EqualNullSafe/In cases: the optimizer
+      // normally folds `= NULL` to false pre-pushdown, but if one ever
+      // reached here it would hand ManifestTable.delete a null probe key
       Some(Seq(v))
     case Seq(org.apache.spark.sql.sources.EqualNullSafe(a, v))
         if a == key && v != null =>

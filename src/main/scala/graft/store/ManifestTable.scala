@@ -1900,9 +1900,13 @@ object ManifestTable {
     val dataPath = new Path(dataDir)
     val fs = fsOf(spark, dataPath)
     // stamp EVERY part file with the bucket-id suffix; map the stamped
-    // NAME (uuid-unique across the write) to its entry skeleton
+    // NAME (uuid-unique across the write) to its entry skeleton. A
+    // failed rename keeps the unstamped name AND forfeits the entry's
+    // `named` claim (the writeBuckets discipline): recording named=true
+    // for an unstamped file would make GraftScan report a BucketSpec
+    // whose bucketed read throws "Invalid bucket file" on that name.
     def stampBucket(d: org.apache.hadoop.fs.FileStatus)
-        : Seq[(String, (Int, String, Long))] = {
+        : Seq[(String, (Int, String, Long, Boolean))] = {
       val k = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
       val relDir = s"data/$dataDirName/$BucketCol=$k"
       fs.listStatus(d.getPath).toSeq.filter(s => s.isFile &&
@@ -1916,15 +1920,15 @@ object ManifestTable {
             else f"${name.substring(0, dot)}_$k%05d${name.substring(dot)}"
           val dst = new Path(d.getPath, stamped)
           if (fs.rename(one.getPath, dst))
-            stamped -> (k, s"$relDir/$stamped", one.getLen)
-          else name -> (k, s"$relDir/$name", one.getLen)
+            stamped -> (k, s"$relDir/$stamped", one.getLen, true)
+          else name -> (k, s"$relDir/$name", one.getLen, false)
         }
     }
     val dirs =
       if (!fs.exists(dataPath)) Nil
       else fs.listStatus(dataPath).toSeq.filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(s"$BucketCol="))
-    val byName: Map[String, (Int, String, Long)] =
+    val byName: Map[String, (Int, String, Long, Boolean)] =
       (if (dirs.size <= 64) dirs.flatMap(stampBucket)
       else {
         // the writeBuckets discipline: bounded pool for the metadata RPC
@@ -1932,7 +1936,7 @@ object ManifestTable {
         try {
           import scala.jdk.CollectionConverters._
           pool.invokeAll(dirs.map(d =>
-              new java.util.concurrent.Callable[Seq[(String, (Int, String, Long))]] {
+              new java.util.concurrent.Callable[Seq[(String, (Int, String, Long, Boolean))]] {
                 override def call() = stampBucket(d)
               }).asJava)
             .asScala.flatMap(_.get()).toSeq
@@ -1960,11 +1964,11 @@ object ManifestTable {
           max(norm.cast("string")).as("maxKey")) ++ zoneAggs): _*)
       .collect()
       .flatMap { r =>
-        byName.get(r.getString(0)).map { case (k, relPath, bytes) =>
+        byName.get(r.getString(0)).map { case (k, relPath, bytes, stamped) =>
           FileEntry(k, r.getLong(1),
             Option(r.getString(2)).getOrElse(""),
             Option(r.getString(3)).getOrElse(""),
-            relPath, seq, bytes, named = true,
+            relPath, seq, bytes, named = stamped,
             if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
             if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""))
         }

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench contention sentinel's detection threshold under
+  * synthetic injected load — the r10 blind spot made concrete: the
+  * driver's official artifact read 72.4 s against a 56.2 s committed
+  * same-code capture while the single-core probe reported
+  * machine_factor 1.0, because external load that eats most-but-not-all
+  * cores never queues a 1-thread loop. The full-width probe must see
+  * both the all-cores and the half-cores load patterns. */
+class BenchSentinelSpec extends AnyFunSuite {
+
+  /** CPU burners outside the sample path: same mixing loop, running
+    * until stopped. Returns (stop handle, threads). */
+  private def burn(n: Int): (java.util.concurrent.atomic.AtomicBoolean, Seq[Thread]) = {
+    val halt = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (0 until n).map { t =>
+      val th = new Thread {
+        override def run(): Unit = {
+          var h = 0x9E3779B97F4A7C15L + t
+          while (!halt.get()) {
+            h = java.lang.Long.rotateLeft(h ^ 0x9E37L, 31) * 0x100000001B3L
+          }
+          // publish so the loop cannot be eliminated
+          if (h == 42L) System.err.println(h)
+        }
+      }
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    (halt, ts)
+  }
+
+  test("full-width probe detects all-core and partial-core contention") {
+    assume(BenchSentinel.width >= 4,
+      "contention geometry needs a multi-core machine")
+    BenchSentinel.sample(); BenchSentinel.sample() // probe JIT warmup
+    // min-of-k estimator — exactly what Bench uses at every sampling
+    // point (single bursts are noisy enough on a shared-host VM to
+    // read 1.3x quiet and flag phantom rechecks)
+    val quiet = BenchSentinel.measure(7)
+
+    // one burner per core: the probe's threads get half the machine —
+    // expected inflation ~2.0; the sentinel's recheck trigger (1.2)
+    // and the judge's detection bar (1.5) must both clear with margin
+    val (stopFull, fullBurners) = burn(BenchSentinel.width)
+    val fullLoad =
+      try BenchSentinel.measure()
+      finally { stopFull.set(true); fullBurners.foreach(_.join(2000)) }
+    val fullInflation = fullLoad / quiet
+    assert(fullInflation > 1.5,
+      s"probe read ${fullInflation}x under 1-burner-per-core load " +
+        s"(quiet=$quiet loaded=$fullLoad) — the sentinel would miss " +
+        "machine-saturating contention")
+
+    // HALF the cores busy — the r10 scenario class: plenty of cores
+    // still free, so a single-core probe reads ~1.0, but wide stages
+    // (and this probe) get width/(width + width/2) throughput —
+    // expected inflation ~1.5
+    val (stopHalf, halfBurners) = burn(BenchSentinel.width / 2)
+    val halfLoad =
+      try BenchSentinel.measure()
+      finally { stopHalf.set(true); halfBurners.foreach(_.join(2000)) }
+    val halfInflation = halfLoad / quiet
+    assert(halfInflation > 1.2,
+      s"probe read ${halfInflation}x under half-core load " +
+        s"(quiet=$quiet loaded=$halfLoad) — the r10 blind spot " +
+        "(load below core count invisible to the probe) is back")
+  }
+
+  test("committed-stats reader: medians, err exclusion, probe-version gating") {
+    val dir = java.nio.file.Files.createTempDirectory("benchstats")
+    val p = dir.resolve("BENCH_STATS.json")
+
+    // matching probe version: medians + calib_base both usable
+    java.nio.file.Files.writeString(p,
+      s"""{"reps":3,"calib_base":0.08,"calib_probe":"${BenchSentinel.probeVersion}",
+         |"queries_stats":{"q_ok":{"med":1.25,"err":false},
+         |"q_err":{"med":0.01,"err":true}}}""".stripMargin)
+    val (meds, calib) = BenchSentinel.readCommittedStats(p)
+    assert(meds == Map("q_ok" -> 1.25)) // err entries are not timings
+    assert(calib.contains(0.08))
+
+    // the r10 capture's single-core probe: its calib_base is in a
+    // different unit and must NOT scale this run's thresholds — but
+    // the wall-time medians stay usable
+    java.nio.file.Files.writeString(p,
+      """{"calib_base":0.534,"queries_stats":{"q":{"med":0.5,"err":false}}}""")
+    val (meds2, calib2) = BenchSentinel.readCommittedStats(p)
+    assert(meds2 == Map("q" -> 0.5) && calib2.isEmpty)
+
+    // a capture at a DIFFERENT scale factor must not feed the trigger
+    // (the sf1 refresh overwrites the same file name — sf0.1 medians
+    // compared against sf1 walls would flag the whole suite)
+    java.nio.file.Files.writeString(p,
+      """{"sf":"/data/sf1","calib_base":0.08,
+        |"queries_stats":{"q":{"med":0.5,"err":false}}}""".stripMargin)
+    assert(BenchSentinel.readCommittedStats(p, Some("/data/sf0.1")) ==
+      (Map.empty, None))
+    assert(BenchSentinel.readCommittedStats(p, Some("/data/sf1"))._1 ==
+      Map("q" -> 0.5))
+
+    // garbled / missing file disables the trigger instead of failing
+    java.nio.file.Files.writeString(p, "not json {")
+    assert(BenchSentinel.readCommittedStats(p) == (Map.empty, None))
+    assert(BenchSentinel.readCommittedStats(
+      dir.resolve("absent.json")) == (Map.empty, None))
+  }
+}
