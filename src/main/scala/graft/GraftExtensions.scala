@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (spark.read.format("graft")) plans through this strategy.
     ext.injectPlannerStrategy(session =>
       new graft.store.GraftReadStrategy(session))
+    // SQL UPDATE / MERGE INTO on catalog tables: claimed at planning,
+    // before Spark's built-in "table does not support UPDATE" refusal.
+    ext.injectPlannerStrategy(session =>
+      new graft.store.GraftDmlStrategy(session))
   }
 }
 
@@ -585,5 +589,10 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+
           new graft.store.GraftReadStrategy(spark)
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.store.GraftDmlStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          new graft.store.GraftDmlStrategy(spark)
   }
 }

@@ -1201,6 +1201,45 @@ object SparkEntry {
       s.sql("DELETE FROM graft.bench.customers WHERE id IN (3, 7, 13)")
       s.sql("SELECT * FROM graft.bench.customers")
     }),
+    "manifest_sql_merge" -> ((s, dir) => {
+      // SQL UPDATE + MERGE INTO on a catalog table (GraftDmlStrategy):
+      // bulk insert, a predicate UPDATE, then a three-clause MERGE —
+      // conditional DELETE of matched negatives, UPDATE referencing
+      // both sides, INSERT of genuinely-new keys. The timed region is
+      // the whole lifecycle; the read back hash-equals DuckDB's direct
+      // recompute of the final state. Both statements are key-matched
+      // merges underneath: cost ∝ touched buckets, one OCC commit per
+      // statement (bucket-locality evidence in GraftDmlSpec).
+      GraftExtensions.register(s)
+      s.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        "target/qtmp/graft_warehouse")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.bench")
+      s.sql("DROP TABLE IF EXISTS graft.bench.cust_dml")
+      s.sql("""CREATE TABLE graft.bench.cust_dml
+        (id BIGINT, name STRING, acctbal DOUBLE) USING graft
+        TBLPROPERTIES ('key'='id', 'numBuckets'='16')""")
+      s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey AS id", "c_name AS name",
+          "CAST(c_acctbal AS DOUBLE) AS acctbal")
+        .createOrReplaceTempView("dml_src")
+      s.sql("INSERT INTO graft.bench.cust_dml SELECT * FROM dml_src")
+      s.sql("""UPDATE graft.bench.cust_dml SET acctbal = acctbal + 100
+        WHERE id % 7 = 0""")
+      s.sql("""MERGE INTO graft.bench.cust_dml t
+        USING (
+          SELECT id, concat(name, '+') AS name, acctbal * 2 AS acctbal
+          FROM dml_src WHERE id % 10 = 4
+          UNION ALL
+          SELECT id + 1000000 AS id, name, acctbal
+          FROM dml_src WHERE id % 10 = 7) s
+        ON t.id = s.id
+        WHEN MATCHED AND t.acctbal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name,
+          acctbal = s.acctbal + t.acctbal
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("SELECT * FROM graft.bench.cust_dml")
+    }),
     "manifest_bucket_join" -> ((s, dir) => {
       // CO-BUCKETED join: two manifest tables laid out on the same key
       // with the same bucket count join WITHOUT a shuffle (the format-8
@@ -2417,6 +2456,25 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc))
            WHERE acctbal BETWEEN 1000 AND 5000""",
+      // SQL UPDATE + MERGE INTO final state, recomputed directly:
+      // the +100 UPDATE on id%7=0; the id%10=4 slice merged (deleted
+      // when the updated balance was negative, else name+'+' and
+      // balance = 2*orig + updated); the id%10=7 slice re-inserted
+      // under shifted keys
+      "manifest_sql_merge" ->
+        """WITH base AS (
+           SELECT c_custkey AS id, c_name AS name,
+             CAST(c_acctbal AS DOUBLE) AS orig,
+             CAST(c_acctbal AS DOUBLE) +
+               CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS upd
+           FROM customer)
+           SELECT id, name || '+' AS name, upd + 2 * orig AS acctbal
+           FROM base WHERE id % 10 = 4 AND upd >= 0
+           UNION ALL
+           SELECT id, name, upd AS acctbal FROM base WHERE id % 10 <> 4
+           UNION ALL
+           SELECT id + 1000000 AS id, name, orig AS acctbal
+           FROM base WHERE id % 10 = 7""",
       // the catalog lifecycle's final state: bulk insert, then the
       // id%10 slice re-upserted with +1000 balances (last-wins)
       "manifest_catalog" ->

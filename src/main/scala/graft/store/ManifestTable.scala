@@ -1758,6 +1758,217 @@ object ManifestTable {
     Nil // unreachable
   }
 
+  /** SQL `MERGE INTO` executor ([[GraftDmlStrategy]] validates and
+    * calls): ONE full-outer join of the source against the reconciled
+    * contents of only the SOURCE KEYS' buckets, per-clause disposition
+    * computed row-wise, one OCC commit making updates + deletes +
+    * inserts visible atomically. The clause expressions arrive exactly
+    * as the analyzer resolved them (referencing `targetOutput`'s and
+    * `source.output`'s attribute ids); the touched-buckets fragment is
+    * alias-projected onto `targetOutput`'s ids so every clause
+    * expression resolves against the join without rewriting.
+    *
+    * Scale shape = the incremental [[merge]]'s: the join shuffles only
+    * the touched buckets + the source (Catalyst broadcasts a small
+    * source), bucket targeting is a bounded ≤`numBuckets` aggregate
+    * that doubles as the key-uniqueness check, untouched buckets ride
+    * the commit as metadata. `WHEN NOT MATCHED BY SOURCE` clauses need
+    * every target row classified, so they touch EVERY bucket — the
+    * honest full-table cost of that clause.
+    *
+    * The source must be key-unique: a keyed table can hold one row per
+    * key, so two source rows sharing an ON key are ill-defined here
+    * whatever the SQL standard's multi-match rule would say (it errors
+    * too, just only for matched pairs). Null-keyed source rows are
+    * dropped before the join (a null key matches nothing; "inserting"
+    * it would write a row no key-matched operation can ever address —
+    * the same contract as [[merge]]). */
+  // scalastyle:off method.length
+  def mergeInto(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      targetOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      sourceKey: org.apache.spark.sql.catalyst.expressions.Expression,
+      mergeCondition: org.apache.spark.sql.catalyst.expressions.Expression,
+      matchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatchedBySourceActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      token: Long,
+      tokenStream: String = "graft-sql-merge"): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, And, Attribute, AttributeReference, CaseWhen, Cast,
+      EqualTo, Expression, GreaterThanOrEqual, IsNotNull, IsNull,
+      Literal}
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      DeleteAction, Filter, InsertAction, Join, JoinHint, Project,
+      UpdateAction}
+    import org.apache.spark.sql.graft.{Bridge, RelationBridge}
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no manifest table at $root"))
+      if (prior.lastBatches.get(tokenStream).contains(token)) return
+      checkSchemaCompatible(prior, schema, "MERGE INTO", allowAdd = false)
+      val key = prior.keyColumn
+      require(key.nonEmpty, s"table at $root records no key column")
+      // raw-vs-normalized key space mixing guard (the strategy checks
+      // too; direct API callers get the same refusal)
+      require(prior.keyExpr.isEmpty && !prior.udfKey,
+        s"table at $root is laid out by a normalized key comparator — " +
+          "mergeInto matches raw ON-key values; use merge() with the " +
+          "comparator-holding mapping instead")
+      val n = prior.numBuckets
+      val bounds = prior.rangeBounds
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val keyType = schema(key).dataType
+
+      // 1. ONE bounded job over the slim source-key projection answers
+      //    both plan questions: which buckets the merge touches, and
+      //    whether any key appears twice (≤ n result rows either way).
+      //    The cast matches the key column's native type BEFORE
+      //    bucketing — Spark's hash is type-dependent, so an uncast
+      //    int probing a bigint key would target the wrong bucket.
+      val srcDf = RelationBridge.ofRows(spark, source)
+      val keyStats = srcDf
+        .select(Bridge.column(sourceKey).cast(keyType).as(key))
+        .filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("_c"))
+        .select(bucketExpr(n, bounds, col(key)).as("_b"), col("_c"))
+        .groupBy(col("_b"))
+        .agg(sum("_c").as("_n"), max("_c").as("_mx"))
+        .collect()
+      require(!keyStats.exists(_.getAs[Long]("_mx") > 1L),
+        s"MERGE INTO a keyed graft table requires the source unique " +
+          s"by the ON key ('$key') — aggregate or dedup the source " +
+          "first (a keyed table holds one row per key)")
+      val srcBuckets = keyStats.map(_.getAs[Int]("_b")).toSet
+      val touched: Set[Int] =
+        if (notMatchedBySourceActions.nonEmpty)
+          prior.entries.map(_.bucket).toSet ++ srcBuckets
+        else srcBuckets
+      val (touchedEntries, untouched) =
+        prior.entries.partition(e => touched(e.bucket))
+
+      // 2. fragment = reconciled read of only the touched buckets,
+      //    alias-projected onto the target relation's attribute ids
+      //    (plus a presence tag per side: full-outer missing-side
+      //    detection must not rely on column nullability)
+      val fragment = reconciledRead(spark, root,
+        recordableSchema(Some(prior), schema), prior, touchedEntries, key)
+      val fPlan = fragment.queryExecution.analyzed
+      val fByName: Map[String, Attribute] =
+        fPlan.output.map(a => a.name -> a).toMap
+      val aliasedTarget = Project(
+        targetOutput.map(a => Alias(fByName(a.name), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)) :+
+          Alias(Literal(true), "__graft_t")(),
+        fPlan)
+      val tTag = aliasedTarget.output.last
+      val taggedSource = Project(
+        source.output :+ Alias(Literal(true), "__graft_s")(),
+        Filter(IsNotNull(sourceKey), source))
+      val sTag = taggedSource.output.last
+      val joined = Join(aliasedTarget, taggedSource, FullOuter,
+        Some(mergeCondition), JoinHint.NONE)
+
+      // 3. disposition: first applicable clause wins, SQL order —
+      //    matched clauses (fall back KEEP), not-matched clauses (fall
+      //    back DROP: an unmatched source row nobody INSERTs vanishes),
+      //    not-matched-by-source clauses (fall back KEEP). Codes:
+      //    action index ≥ 0 applies that action, -1 keeps the target
+      //    row, -2 drops the row (DELETE and no-insert both).
+      val matchedE = And(IsNotNull(tTag), IsNotNull(sTag))
+      val sOnly = And(IsNull(tTag), IsNotNull(sTag))
+      val tOnly = And(IsNotNull(tTag), IsNull(sTag))
+      val KEEP = Literal(-1); val DROP = Literal(-2)
+      val allActions =
+        matchedActions ++ notMatchedActions ++ notMatchedBySourceActions
+      def codeOf(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+          idx: Int): Literal = a match {
+        case _: DeleteAction => DROP
+        case _ => Literal(idx)
+      }
+      def clauseBranches(
+          guard: Expression,
+          actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+          offset: Int): Seq[(Expression, Literal)] =
+        actions.zipWithIndex.map { case (a, i) =>
+          (a.condition.map(And(guard, _)).getOrElse(guard),
+            codeOf(a, offset + i))
+        }
+      val branches =
+        clauseBranches(matchedE, matchedActions, 0) ++
+          Seq((matchedE, KEEP)) ++
+          clauseBranches(sOnly, notMatchedActions, matchedActions.size) ++
+          Seq((sOnly, DROP)) ++
+          clauseBranches(tOnly, notMatchedBySourceActions,
+            matchedActions.size + notMatchedActions.size)
+      val withDisp = Project(
+        joined.output :+ Alias(CaseWhen(branches, Some(KEEP)),
+          "__graft_disp")(),
+        joined)
+      val disp = withDisp.output.last
+      val kept = Filter(GreaterThanOrEqual(disp, Literal(-1)), withDisp)
+
+      // 4. output columns: per action, the assignment's value (UPDATE:
+      //    unassigned columns keep the target's; INSERT: unassigned
+      //    columns are NULL), else the target's own value
+      def assignedName(a: org.apache.spark.sql.catalyst.plans.logical.Assignment)
+          : String = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => throw new UnsupportedOperationException(
+          "MERGE assigns top-level columns only, got " + other.sql)
+      }
+      val tByName = targetOutput.map(a => a.name -> a).toMap
+      val outProj = schema.fields.toSeq.map { f =>
+        val ta = tByName(f.name)
+        def fit(e: Expression): Expression =
+          if (e.dataType == f.dataType) e else Cast(e, f.dataType)
+        val valueBranches: Seq[(Expression, Expression)] =
+          allActions.zipWithIndex.flatMap {
+            case (UpdateAction(_, assigns, _), i) =>
+              assigns.find(assignedName(_) == f.name).map(asg =>
+                (EqualTo(disp, Literal(i)), fit(asg.value)))
+            case (InsertAction(_, assigns), i) =>
+              Some((EqualTo(disp, Literal(i)),
+                assigns.find(assignedName(_) == f.name).map(a => fit(a.value))
+                  .getOrElse(Literal(null, f.dataType))))
+            case (_: DeleteAction, _) => None
+            case (other, _) => throw new IllegalStateException(
+              // UPDATE */INSERT * are pre-resolution placeholders the
+              // analyzer expands; an unexpanded one here means the plan
+              // never finished analysis
+              s"unresolved MERGE action: $other")
+          }
+        Alias(
+          if (valueBranches.isEmpty) (ta: Expression)
+          else CaseWhen(valueBranches, Some(ta)),
+          f.name)()
+      }
+      val outDf = RelationBridge.ofRows(spark, Project(outProj, kept))
+
+      // 5. write the touched buckets + atomic manifest swap — the
+      //    delete/merge commit skeleton (losers clean their attempt
+      //    dirs and recompute against the new state)
+      val written = writeBuckets(outDf,
+        bucketExpr(n, bounds, col(key)), key, root,
+        s"v$version-$attempt", math.max(touched.size, 1), seq = version)
+      if (tryCommitManifest(spark, root, Manifest(version, n,
+          untouched ++ written,
+          prior.lastBatches + (tokenStream -> token),
+          prior.lastDelete, attempt, key, prior.keyExpr,
+          prior.lastCompact, bounds,
+          recordableSchema(Some(prior), schema).json,
+          udfKey = prior.udfKey, clusterCol = prior.clusterCol)))
+        return
+      cleanupAttempt(spark, root, version, attempt)
+    }
+  }
+  // scalastyle:on method.length
+
   /** Maintenance re-bucketing: rewrites the WHOLE table under a new
     * bucket count — the one operation here whose cost is the full
     * table, by design: a key's bucket is part of the layout, so the
