@@ -193,15 +193,28 @@ object BloomSkip {
     * manifest itself). Returns the number of (file, column) filters
     * written (0 = already covered — repeated calls are incremental
     * no-ops). `expectedItems` sizes each filter (default: the largest
-    * uncovered file's row count). */
+    * uncovered file's row count).
+    *
+    * Each call also refreshes the SUMMARY level ([[summariesOf]]): one
+    * coarse per-(bucket, column) filter at `summaryFpp`, rebuilt for
+    * exactly the buckets whose recorded file coverage no longer equals
+    * their live file set (merge-touched buckets — cost ∝ churn, like
+    * the per-file level). Lookups probe summaries FIRST and read only
+    * the surviving buckets' per-file filter rows: at fleet scale the
+    * summary level is ln(1/summaryFpp)/ln(1/fpp) the per-file bytes
+    * (~1/3 at the defaults) and small enough to pin in memory across
+    * lookups, after which a point probe touches per-file bytes for the
+    * few "maybe" buckets only. */
   def buildBlooms(
       spark: SparkSession,
       root: String,
       schema: org.apache.spark.sql.types.StructType,
       cols: Seq[String],
       fpp: Double = 0.03,
-      expectedItems: Long = 0L): Int =
-    planBuild(spark, root, schema, cols, fpp, expectedItems) match {
+      expectedItems: Long = 0L,
+      summaryFpp: Double = 0.25): Int = {
+    val written = planBuild(spark, root, schema, cols, fpp,
+        expectedItems) match {
       case None => 0
       case Some((sidecar, m)) =>
         val dir = ManifestTable.writeBloomSidecar(spark, root, m, sidecar)
@@ -209,6 +222,129 @@ object BloomSkip {
         // metadata-only count, no recompute, no driver-side rows
         spark.read.parquet(dir).count().toInt
     }
+    planSummaryBuild(spark, root, schema, cols, summaryFpp).foreach {
+      case (sidecar, m) =>
+        ManifestTable.writeAdditiveSidecar(spark, root, m, sidecar,
+          "bloomsum", singleFile = false)
+    }
+    written
+  }
+
+  /** All committed summary rows: (bucket, column, covers, bits), newest
+    * winning per (bucket, column). A summary is only USABLE for a
+    * bucket while `covers` still equals the bucket's live file set —
+    * a merge-rewritten bucket's rows are not in the old summary, and
+    * trusting it would turn "definitely absent" into a false negative;
+    * [[buildBlooms]] rebuilds exactly the stale ones. */
+  def summariesOf(spark: SparkSession, root: String): DataFrame = {
+    val dirs = ManifestTable.committedBloomSummaryDirs(spark, root)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("column",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("covers",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("bits", BinaryType))))
+    else {
+      val all = dirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(d).withColumn("_ord", lit(i))
+      }.reduce(_ unionByName _)
+      all.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket"), col("column"))
+            .orderBy(col("_ord").desc)))
+        .filter(col("_rn") === 1)
+        .select(col("bucket"), col("column"), col("covers"), col("bits"))
+    }
+  }
+
+  /** The summary-level build plan: rebuilds the (bucket, column)
+    * summaries whose recorded coverage drifted from the live file set.
+    * One scan over the stale buckets' files, one per-bucket aggregate
+    * — the per-file build's distributed shape one level up. */
+  private[graft] def planSummaryBuild(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String],
+      summaryFpp: Double): Option[(DataFrame, ManifestTable.Manifest)] = {
+    val m = ManifestTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    if (m.entries.isEmpty) return None
+    val liveByBucket: Map[Int, Set[String]] =
+      m.entries.groupBy(_.bucket).view
+        .mapValues(_.map(_.relPath).toSet).toMap
+    val current = summariesOf(spark, root)
+      .select(col("bucket"), col("column"), col("covers")).collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        r.getSeq[String](2).toSet)).toMap
+    val stale: Seq[(Int, String)] = (for {
+      b <- liveByBucket.keys
+      c <- cols
+      if !current.get((b, c)).contains(liveByBucket(b))
+    } yield (b, c)).toSeq
+    if (stale.isEmpty) return None
+    val staleBuckets = stale.map(_._1).toSet
+    val entries = m.entries.filter(e => staleBuckets(e.bucket))
+    val n = math.max(1024L,
+      entries.groupBy(_.bucket).values.map(_.map(_.rows).sum).max)
+    val staleCols = stale.map(_._2).distinct
+    // one scan over the stale buckets' files; rows map to their bucket
+    // through the entry list (broadcast, O(1) per FILE via the same
+    // resolver the per-file build uses — evaluated on per-file rows
+    // only after the aggregate? No: bucket grouping needs the bucket
+    // per data row, so resolve on the scan, still O(1) per row)
+    val rootPath = {
+      val rp = new Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.makeQualified(rp).toUri.getPath
+    }
+    val bucketOfRel = entries.map(e => e.relPath -> e.bucket).toMap
+    val relsB = spark.sparkContext.broadcast(bucketOfRel)
+    val resolveBucket = udf { f: String =>
+      val resolved: Option[Int] =
+        if (f == null) None
+        else {
+          val p = new Path(f).toUri.getPath
+          if (!p.startsWith(rootPath + "/")) None
+          else {
+            val rel = p.substring(rootPath.length + 1)
+            relsB.value.get(rel).orElse {
+              val cut = rel.lastIndexOf('/')
+              val parent = if (cut <= 0) "" else rel.substring(0, cut)
+              relsB.value.get(parent)
+            }
+          }
+        }
+      resolved.map(Integer.valueOf).orNull
+    }
+    val byBucket = spark.read.schema(schema)
+      .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+      .withColumn("_bkt", resolveBucket(input_file_name()))
+      .filter(col("_bkt").isNotNull)
+    val aggs = staleCols.map(c =>
+      bloomAgg(xxhash64(col(c)), n, summaryFpp).as(s"_s_$c"))
+    val coversB = spark.sparkContext.broadcast(
+      liveByBucket.view.mapValues(_.toSeq.sorted).toMap)
+    val coversOf = udf { b: Int => coversB.value(b) }
+    val staleSet = stale.toSet
+    val isStale = udf { (b: Int, c: String) => staleSet((b, c)) }
+    val sidecar = byBucket.groupBy(col("_bkt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_bkt").as("bucket"), explode(array(staleCols.map(c =>
+        struct(lit(c).as("column"), col(s"_s_$c").as("bits"))): _*))
+        .as("kv"))
+      .filter(isStale(col("bucket"), col("kv.column")))
+      .select(col("bucket"), col("kv.column").as("column"),
+        lit(summaryFpp).as("fpp"), coversOf(col("bucket")).as("covers"),
+        col("kv.bits").as("bits"))
+    Some((sidecar, m))
+  }
 
   /** The distributed build plan: `Some((sidecarFrame, manifest))` when
     * uncovered (file, column) pairs exist. Exposed (package-private)
@@ -325,28 +461,86 @@ object BloomSkip {
       root: String,
       schema: org.apache.spark.sql.types.StructType,
       column: String,
-      values: Seq[Any]): DataFrame = {
+      values: Seq[Any]): DataFrame =
+    lookupDiagnosed(spark, root, schema, column, values)._1
+
+  /** Lookup probe evidence for specs: (buckets the SUMMARY level ruled
+    * out before any per-file filter row was touched, per-file rows the
+    * second level actually deserialized). */
+  private[graft] case class ProbeStats(
+      summaryPruned: Set[Int], fileFiltersRead: Long)
+
+  /** [[lookupByColumnIn]] plus its [[ProbeStats]] — the two-level read
+    * path itself, instrumented. */
+  private[graft] def lookupDiagnosed(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      column: String,
+      values: Seq[Any]): (DataFrame, ProbeStats) = {
     require(values.nonEmpty, "need at least one probe value")
     require(values.forall(_ != null),
       "= never matches NULL; probes must be non-NULL")
     val m = ManifestTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (m.entries.isEmpty)
-      return ManifestTable.read(spark, root, schema).limit(0)
+      return (ManifestTable.read(spark, root, schema).limit(0),
+        ProbeStats(Set.empty, 0L))
     // probe hashes through the SAME expression the build used, typed
     // to the declared column (one local query over all probes)
     val typed = values.map(v => lit(v).cast(schema(column).dataType))
     val hs = spark.range(1)
       .select(explode(array(typed.map(xxhash64(_)): _*)))
       .collect().map(_.getLong(0))
-    // distributed membership test: only DEFINITELY-ABSENT paths cross
-    // back to the driver (bounded by the file count, no filter bytes)
-    val absent = bloomsOf(spark, root).filter(col("column") === column)
+
+    // LEVEL 1 — per-bucket summaries: a bucket whose (usable) summary
+    // says "definitely absent" is dropped before any per-file filter
+    // row is touched. Usable = the summary still covers exactly the
+    // bucket's live files (a merge-rewritten bucket's new rows are not
+    // in the old summary — trusting it would be a false negative).
+    val liveByBucket: Map[Int, Set[String]] =
+      m.entries.groupBy(_.bucket).view
+        .mapValues(_.map(_.relPath).toSet).toMap
+    val liveB = spark.sparkContext.broadcast(liveByBucket)
+    val summaryPruned: Set[Int] = summariesOf(spark, root)
+      .filter(col("column") === column)
+      .select(col("bucket"), col("covers"), col("bits"))
+      .as(org.apache.spark.sql.Encoders
+        .product[(Int, Seq[String], Array[Byte])])
+      .map { case (b, covers, bits) =>
+        val usable = liveB.value.get(b).contains(covers.toSet)
+        val maybe = usable && {
+          val bf = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bits))
+          hs.exists(bf.mightContainLong)
+        }
+        // prune iff usable and every probe definitely absent
+        (b, usable && !maybe)
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaBoolean))
+      .filter(col("_2")).select(col("_1")).collect()
+      .map(_.getInt(0)).toSet
+    val surviving = m.entries.filterNot(e => summaryPruned(e.bucket))
+    if (surviving.isEmpty)
+      return (ManifestTable.read(spark, root, schema).limit(0),
+        ProbeStats(summaryPruned, 0L))
+
+    // LEVEL 2 — per-file filters, read ONLY for the surviving buckets'
+    // files: the isin pushes into the sidecar parquet scan, so pruned
+    // buckets' filter bytes stay in storage. Only DEFINITELY-ABSENT
+    // paths cross back to the driver (bounded by the file count).
+    val survivingPaths = surviving.map(_.relPath)
+    val read = spark.sparkContext.longAccumulator("bloomFileFiltersRead")
+    val absent = bloomsOf(spark, root)
+      .filter(col("column") === column &&
+        col("relPath").isin(survivingPaths: _*))
       .select(col("relPath"), col("bits")).as(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING,
           org.apache.spark.sql.Encoders.BINARY))
       .map { case (rp, bits) =>
+        read.add(1L)
         val bf = BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bits))
         (rp, hs.exists(bf.mightContainLong))
@@ -358,12 +552,13 @@ object BloomSkip {
     // bucket-granular in general (every live file covered AND absent);
     // FILE-granular on single-seq buckets (clusterBy'd layouts) — see
     // ManifestTable.pruneAbsent
-    val keep = ManifestTable.pruneAbsent(m.entries,
+    val keep = ManifestTable.pruneAbsent(surviving,
       e => absent(e.relPath))
     val base =
       if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
       else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
         keep)
-    base.filter(col(column).isin(typed: _*))
+    (base.filter(col(column).isin(typed: _*)),
+      ProbeStats(summaryPruned, read.value))
   }
 }

@@ -1314,6 +1314,13 @@ object ManifestTable {
       spark: SparkSession, root: String): Seq[String] =
     committedAdditiveDirs(spark, root, "bloom")
 
+  /** The coarse per-BUCKET summary level of the two-level Bloom scheme
+    * ([[BloomSkip]]): same additive commit rules, own kind so the two
+    * row schemas never mix. */
+  private[store] def committedBloomSummaryDirs(
+      spark: SparkSession, root: String): Seq[String] =
+    committedAdditiveDirs(spark, root, "bloomsum")
+
   /** Writes an additive sidecar (`kind` ∈ bloom/zones) for `m`'s
     * version: the next revision of `<kind>/v<version>-<sideId>` (first
     * build writes the unrevisioned dir). The parquet `_SUCCESS` marker
@@ -2572,7 +2579,7 @@ object ManifestTable {
         }
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
-      Seq("history", "stats", "bloom", "zones").foreach { kind =>
+      Seq("history", "stats", "bloom", "bloomsum", "zones").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {
@@ -2591,7 +2598,7 @@ object ManifestTable {
                 kfs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
             }
           val keep: Set[String] =
-            if (kind == "bloom" || kind == "zones")
+            if (kind == "bloom" || kind == "bloomsum" || kind == "zones")
               committed.map(_._4).toSet
             else committed.groupBy(_._1).values
               .map(_.maxBy(_._3)._4).toSet

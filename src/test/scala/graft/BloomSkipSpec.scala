@@ -243,4 +243,80 @@ class BloomSkipSpec extends SparkSpec {
     assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "v3")
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("two-level probe: bucket summaries rule out most buckets before " +
+      "any per-file filter row is read") {
+    val root = fresh("bloom_twolevel")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 200L).map(i => (i, f"name$i%03d", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 16, streamId = "S")
+    BloomSkip.buildBlooms(spark, root, schema, Seq("name"))
+    // the summary sidecar exists: one row per (bucket, column)
+    assert(BloomSkip.summariesOf(spark, root).count() == 16L)
+    val (df, stats) = BloomSkip.lookupDiagnosed(spark, root, schema,
+      "name", Seq("name042"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // at fpp 0.25 over 16 buckets, expect ~15 * 0.75 ≈ 11+ pruned by
+    // the summary alone; the hard floor for the evidence is "most"
+    assert(stats.summaryPruned.size >= 10,
+      s"summary pruned only ${stats.summaryPruned.size} of 16 buckets")
+    // the second level read filter rows ONLY for surviving buckets
+    val total = ManifestTable.read(spark, root, schema).inputFiles.length
+    assert(stats.fileFiltersRead <= total - stats.summaryPruned.size,
+      s"read ${stats.fileFiltersRead} per-file filters with " +
+        s"${stats.summaryPruned.size} buckets summary-pruned")
+    // an absent probe: correctness unchanged
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "nope")
+      .count() == 0L)
+  }
+
+  test("stale summaries are never trusted, and the rebuild covers " +
+      "exactly the merge-touched buckets") {
+    val root = fresh("bloom_sum_stale")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 200L).map(i => (i, f"name$i%03d", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 16, streamId = "S")
+    BloomSkip.buildBlooms(spark, root, schema, Seq("name"))
+    // rewrite one key's bucket: its summary no longer covers the live
+    // file set
+    ManifestTable.merge(raw((42L, "fresh42", "0")).transform(m.project),
+      1L, m, root, schema, streamId = "S")
+    // the NEW value must be found even though the stale summary has
+    // never seen it — the summary is unusable for that bucket, so the
+    // probe falls through to the per-file level (which is also
+    // uncovered for the new file → the bucket reads); exactness holds
+    val (hit, st1) = BloomSkip.lookupDiagnosed(spark, root, schema,
+      "name", Seq("fresh42"))
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    val staleBucket = ManifestTable.currentManifest(spark, root).get
+      .entries.groupBy(_.bucket).collect {
+        case (b, es) if es.exists(_.relPath.contains("v1-")) => b
+      }.toSet
+    assert(!st1.summaryPruned.exists(staleBucket),
+      "a stale summary pruned its rewritten bucket")
+    // incremental summary rebuild: only the stale (bucket, column)
+    // pairs are in the plan
+    val plan = BloomSkip.planSummaryBuild(spark, root, schema,
+      Seq("name"), 0.25)
+    assert(plan.isDefined)
+    val rebuilt = plan.get._1.select("bucket").collect()
+      .map(_.getInt(0)).toSet
+    assert(rebuilt == staleBucket,
+      s"expected stale buckets $staleBucket, plan rebuilds $rebuilt")
+    BloomSkip.buildBlooms(spark, root, schema, Seq("name"))
+    assert(BloomSkip.planSummaryBuild(spark, root, schema,
+      Seq("name"), 0.25).isEmpty) // converged
+    // post-rebuild: the bucket prunes again for absent values and the
+    // new value still reads exactly
+    val (hit2, st2) = BloomSkip.lookupDiagnosed(spark, root, schema,
+      "name", Seq("fresh42"))
+    assert(hit2.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name",
+      "name042").count() == 0L) // overwritten value gone
+    assert(st2.summaryPruned.size >= 10)
+  }
 }
