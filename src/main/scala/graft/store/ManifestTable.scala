@@ -751,17 +751,13 @@ object ManifestTable {
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
     val fs = fsOf(spark, dst)
     fs.mkdirs(dst.getParent)
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    testBeforeCommit()
-    if (fs.exists(dst)) { fs.delete(tmp, false); false }
-    else if (fs.rename(tmp, dst)) true
-    else {
-      fs.delete(tmp, false)
-      if (fs.exists(dst)) false // lost the rename race itself
-      else throw new java.io.IOException(s"failed to commit manifest $dst")
-    }
+    // The atomic publish is delegated to the session's CommitFront:
+    // no-overwrite rename by default, conditional-put (the S3
+    // If-None-Match shape) via spark.graft.commitFront — the OCC
+    // semantics (false = lost the race, re-read and retry) are the
+    // front's contract, not this method's.
+    CommitFront.of(spark).publish(fs, dst, tmp,
+      body.getBytes(StandardCharsets.UTF_8), testBeforeCommit)
   }
 
   /** Removes everything a LOSING attempt wrote before its failed commit —
