@@ -278,6 +278,61 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_versions" -> (es => {
+      // DESCRIBE HISTORY-equivalent: every committed version with its
+      // bucket count and manifest-recorded row sum (exact on
+      // all-compacted states; a delta-updated key counts per level —
+      // the graft_count caveat). Plan-time materialization, like every
+      // metadata-only function here.
+      require(es.size == 1, "usage: graft_versions(root)")
+      val spark = SparkSession.active
+      val vs = graft.store.ManifestTable.versions(spark,
+        strArg(es(0), "root"))
+      import spark.implicits._
+      vs.toDF("version", "num_buckets", "n_rows")
+        .queryExecution.analyzed
+    }),
+    "graft_vacuum" -> (es => {
+      refuseInView("graft_vacuum")
+      // Retention GC ([[ManifestTable.vacuum]]): drops manifests below
+      // the keepLast window, their unreferenced data files, and
+      // losing/torn side dirs. Returns (versions_retained) — the
+      // manifests still readable afterwards.
+      require(es.size == 1 || es.size == 2,
+        "usage: graft_vacuum(root[, keepLast])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      graft.store.ManifestTable.vacuum(spark, root,
+        keepLast =
+          if (es.size == 2) longArg(es(1), "keepLast").toInt else 1)
+      import spark.implicits._
+      Seq(graft.store.ManifestTable.versions(spark, root).size)
+        .toDF("versions_retained").queryExecution.analyzed
+    }),
+    "graft_compact" -> (es => {
+      refuseInView("graft_compact")
+      // LSM maintenance ([[ManifestTable.compact]]): folds every
+      // bucket carrying >= minFilesPerBucket files back to one.
+      // Returns (version, compacted_buckets) — 0 buckets when nothing
+      // is tiered enough or the token replays (either way no commit).
+      require(es.size == 4 || es.size == 5,
+        "usage: graft_compact(root, schemaDDL, keyColumn, token" +
+          "[, minFilesPerBucket])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val written = graft.store.ManifestTable.compact(spark, root,
+        schema, strArg(es(2), "key column"), longArg(es(3), "token"),
+        minFilesPerBucket =
+          if (es.size == 5) longArg(es(4), "minFilesPerBucket").toInt
+          else 2)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, written.map(_.bucket).distinct.size))
+        .toDF("version", "compacted_buckets").queryExecution.analyzed
+    }),
     "graft_restore" -> (es => {
       refuseInView("graft_restore")
       // Point-in-time rollback ([[ManifestTable.restore]]): a

@@ -314,6 +314,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == (50L to 99L), s"clustered zone lookup diverged: $got")
   }
 
+  test("SQL lifecycle maintenance: graft_versions, graft_compact, " +
+      "graft_vacuum") {
+    GraftExtensions.register(spark)
+    val root = "target/test-tmp/ext_sql_maint"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ddl = "id BIGINT, grp STRING, v BIGINT"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val m = new graft.mapping.Mapping(keyColumnName = "id")
+    schema.fieldNames.foreach(n => m.auto(n))
+    m.complete(schema)
+    // v0 bootstrap + two DELTA merges: tiered buckets for compact
+    graft.store.ManifestTable.merge(
+      Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L))
+        .toDF("id", "grp", "v"), 0L, m, root, schema,
+      numBuckets = 2, streamId = "S")
+    graft.store.ManifestTable.merge(
+      Seq((1L, "a", 11L)).toDF("id", "grp", "v"), 1L, m, root, schema,
+      streamId = "S", delta = true)
+    graft.store.ManifestTable.merge(
+      Seq((2L, "a", 6L)).toDF("id", "grp", "v"), 2L, m, root, schema,
+      streamId = "S", delta = true)
+    def one(sql: String) = spark.sql(sql).head
+    // DESCRIBE HISTORY-equivalent: all three committed versions
+    val vs = spark.sql(s"SELECT * FROM graft_versions('$root')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(0L, 1L, 2L))
+    // compact folds the delta-carrying buckets; the replayed token
+    // no-ops without committing
+    val c1 = one(s"SELECT * FROM graft_compact('$root', '$ddl', 'id', 7)")
+    assert(c1.getLong(0) == 3L && c1.getInt(1) >= 1,
+      s"expected a compacting commit, got $c1")
+    val c2 = one(s"SELECT * FROM graft_compact('$root', '$ddl', 'id', 7)")
+    assert(c2.getLong(0) == 3L && c2.getInt(1) == 0,
+      "a replayed compact token must not commit again")
+    // vacuum to the head: one version left, reads stay exact
+    assert(one(s"SELECT * FROM graft_vacuum('$root')").getInt(0) == 1)
+    assert(spark.sql(s"SELECT * FROM graft_versions('$root')")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val state = spark.sql(
+      s"SELECT id, v FROM graft_table('$root', '$ddl') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state == Seq((1L, 11L), (2L, 6L), (3L, 7L)))
+    // the write-shaped ones carry the in-view refusal
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ext_maint_v AS
+      SELECT * FROM graft_vacuum('$root')""")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM ext_maint_v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot be wrapped in a view")))
+  }
+
   test("maintenance functions refuse to resolve inside a view body: a " +
       "temp-view wrapper cannot silently re-run the merge per SELECT") {
     GraftExtensions.register(spark)
