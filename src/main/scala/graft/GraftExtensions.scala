@@ -333,6 +333,25 @@ object GraftExtensions {
       Seq((after, written.map(_.bucket).distinct.size))
         .toDF("version", "compacted_buckets").queryExecution.analyzed
     }),
+    "graft_rename_column" -> (es => {
+      refuseInView("graft_rename_column")
+      // Metadata-only column rename through column mapping
+      // ([[graft.store.ManifestTable.renameColumn]]): the on-file
+      // physical name never changes, one manifest commit remaps the
+      // logical name. Returns (version, column).
+      require(es.size == 3,
+        "usage: graft_rename_column(root, from, to)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val to = strArg(es(2), "new name")
+      graft.store.ManifestTable.renameColumn(spark, root,
+        strArg(es(1), "old name"), to)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, to)).toDF("version", "column")
+        .queryExecution.analyzed
+    }),
     "graft_restore" -> (es => {
       refuseInView("graft_restore")
       // Point-in-time rollback ([[ManifestTable.restore]]): a

@@ -442,6 +442,8 @@ object SparkEntry {
         withMerge = false)),
     "manifest_evolve" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_evolve", withMerge = false)),
+    "manifest_rename" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_rename", withMerge = false)),
     "manifest_incr_agg" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_incr_agg",
         withMerge = true)),
@@ -879,6 +881,35 @@ object SparkEntry {
       val projected = m.complete(upsertSchema).project(upsertSource(s, dir))
       graft.store.ManifestTable.merge(projected, 0L, m, root, upsertSchema)
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_rename" -> ((s, dir) => {
+      // COLUMN RENAME through column mapping (manifest format 10): the
+      // bootstrap commits under the 5-column schema, the rename is ONE
+      // metadata-only commit (acctbal -> balance: no data file moves —
+      // the column keeps its physical on-file name), then the standard
+      // source MERGES under the RENAMED schema. The read-back is
+      // schema-less, so the values must land in the renamed column
+      // consistently across pre-rename bootstrap files and post-rename
+      // merge files — the oracle is manifest_merge's with the column
+      // renamed.
+      val root = manifestFixture(s, dir, "manifest_rename",
+        withMerge = false)
+      graft.store.ManifestTable.renameColumn(s, root, "acctbal", "balance")
+      val renamedSchema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("balance", DoubleType),
+        StructField("segment", StringType),
+        StructField("nation", LongType)))
+      val m = new Mapping()
+      m.auto("id")
+      m.auto("name")
+      m.auto("balance", opts = ColOpts(keepHistory = true))
+      m.auto("segment", opts = ColOpts(shouldUpdate = false))
+      m.auto("nation", opts = ColOpts(shouldUpdateOnlyIfNull = true))
+      val projected = m.complete(renamedSchema).project(upsertSource(s, dir))
+      graft.store.ManifestTable.merge(projected, 0L, m, root, renamedSchema)
+      graft.store.ManifestTable.read(s, root)
     }),
     "manifest_evolve" -> ((s, dir) => {
       // Add-only SCHEMA EVOLUTION under the driver gate: the table

@@ -323,10 +323,17 @@ object BloomSkip {
         }
       resolved.map(Integer.valueOf).orNull
     }
-    val byBucket = spark.read.schema(schema)
+    // column mapping: files store PHYSICAL names — read under them,
+    // alias back to the logical names the sidecar records
+    val byBucketRaw = spark.read
+      .schema(ManifestTable.toPhysicalSchema(m, schema))
       .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
       .withColumn("_bkt", resolveBucket(input_file_name()))
       .filter(col("_bkt").isNotNull)
+    val byBucket =
+      if (m.colMap.isEmpty) byBucketRaw
+      else byBucketRaw.select((schema.fieldNames.toSeq.map(nm =>
+        col(ManifestTable.physicalOf(m, nm)).as(nm)) :+ col("_bkt")): _*)
     val aggs = staleCols.map(c =>
       bloomAgg(xxhash64(col(c)), n, summaryFpp).as(s"_s_$c"))
     val coversB = spark.sparkContext.broadcast(
@@ -376,8 +383,16 @@ object BloomSkip {
     // one scan over the uncovered files; per-file grouping via the
     // scan's own file names
     val paths = todo.map(e => s"$root/${e.relPath}")
-    val byFile = spark.read.schema(schema).parquet(paths: _*)
+    // column mapping: read under the files' PHYSICAL names, alias back
+    // to logical (what the sidecar records and lookups probe by)
+    val byFileRaw = spark.read
+      .schema(ManifestTable.toPhysicalSchema(m, schema))
+      .parquet(paths: _*)
       .withColumn("_file", input_file_name())
+    val byFile =
+      if (m.colMap.isEmpty) byFileRaw
+      else byFileRaw.select((schema.fieldNames.toSeq.map(nm =>
+        col(ManifestTable.physicalOf(m, nm)).as(nm)) :+ col("_file")): _*)
     val aggs = cols.map(c =>
       bloomAgg(xxhash64(col(c)), n, fpp).as(s"_b_$c"))
     val perFile = byFile.groupBy(col("_file"))

@@ -169,19 +169,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `ALTER TABLE ... ADD COLUMNS` — the DDL face of add-only schema
     * evolution: a METADATA-ONLY manifest commit recording the widened
     * schema (old files read the new columns as NULLs; evolving a
-    * 100 TB table costs one manifest write). Anything that would drop,
-    * re-type, rename or constrain refuses — the manifest is the single
-    * schema authority and only grows. */
+    * 100 TB table costs one manifest write) — and `ALTER TABLE ...
+    * RENAME COLUMN` — metadata-only through column mapping
+    * ([[ManifestTable.renameColumn]]: the physical on-file name never
+    * changes, readers translate). Dropping, re-typing or constraining
+    * refuses — the manifest is the single schema authority. */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft ALTER TABLE renames top-level columns only, got " +
+            r.fieldNames.mkString("."))
+        r.fieldNames.head -> r.newName
+    }
+    val adds = changes.filterNot(_.isInstanceOf[TableChange.RenameColumn])
+    require(renames.isEmpty || adds.isEmpty,
+      "mix of RENAME COLUMN and other changes in one ALTER is not " +
+        "supported — issue separate statements")
+    if (renames.nonEmpty) {
+      renames.foreach { case (from, to) =>
+        ManifestTable.renameColumn(spark, root, from, to)
+      }
+      return loadTable(ident)
+    }
     val current = ManifestTable.recordedSchema(spark, root).getOrElse(
       throw new IllegalStateException(
         s"table $ident records no schema (pre-format-7) — run a merge " +
           "to upgrade before ALTER"))
-    val added = changes.map {
+    val added = adds.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft ALTER TABLE adds top-level columns only, got " +
@@ -195,7 +214,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft tables evolve add-only: ALTER TABLE ... ADD COLUMNS " +
-          s"is the supported change, got $other")
+          s"and RENAME COLUMN are the supported changes, got $other")
     }
     added.foreach(f => require(!current.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))

@@ -315,7 +315,11 @@ private[store] object GraftScan {
     * joins skip the Sort. */
   private[store] def bucketSpecOf(
       m: Manifest, entries: Seq[FileEntry],
-      schema: StructType): Option[BucketSpec] =
+      physSchema: StructType): Option[BucketSpec] = {
+    // The spec describes the INNER file relation, which reads physical
+    // names (column mapping): name the physical key, checked against
+    // the physical schema.
+    val physKey = ManifestTable.physicalOf(m, m.keyColumn)
     if (m.rangeBounds.isEmpty && recordedIdentity(m) &&
         m.keyColumn.nonEmpty && m.numBuckets > 0 &&
         // BucketSpec itself refuses counts above
@@ -324,7 +328,7 @@ private[store] object GraftScan {
         // to an unbucketed scan, not fail planning.
         m.numBuckets <= org.apache.spark.sql.internal.SQLConf.get
           .bucketingMaxBuckets &&
-        schema.fieldNames.contains(m.keyColumn) &&
+        physSchema.fieldNames.contains(physKey) &&
         entries.nonEmpty && entries.forall(_.named))
       // The within-file KEY sort is only claimable while the writer's
       // key-sorted invariant provably holds table-wide: a clusterBy
@@ -332,9 +336,10 @@ private[store] object GraftScan {
       // false sort claim would let a sort-merge join skip its Sort on
       // unsorted data. Bucketing (the zero-Exchange property) survives
       // either way — clustering respects bucket assignment.
-      Some(BucketSpec(m.numBuckets, Seq(m.keyColumn),
-        if (m.clusterCol.isEmpty) Seq(m.keyColumn) else Nil))
+      Some(BucketSpec(m.numBuckets, Seq(physKey),
+        if (m.clusterCol.isEmpty) Seq(physKey) else Nil))
     else None
+  }
 
   /** One pruned, stats-backed relation over `entries`. `cmp` must be the
     * table's layout normalizer as resolved by the caller
@@ -366,17 +371,30 @@ private[store] object GraftScan {
         ManifestTable.probeEvaluator(spark, m.numBuckets, m.rangeBounds,
           m.keyColumn, keyType.get, cmp)
       else None
-    val idx = new GraftFileIndex(spark, root, m.keyColumn, keyType,
+    // COLUMN MAPPING: the relation reads files under their PHYSICAL
+    // names (data files never change on a rename — Manifest.colMap),
+    // then a Project aliases back to the logical names every caller
+    // speaks. Filters pushed through the aliases reach the FileIndex in
+    // physical attribute space, so the index matches the physical key;
+    // ProjectExec is alias-aware, so the BucketSpec partitioning and
+    // the within-file sort claim survive the rename projection.
+    val physSchema = ManifestTable.toPhysicalSchema(m, schema)
+    val physKey = ManifestTable.physicalOf(m, m.keyColumn)
+    val idx = new GraftFileIndex(spark, root, physKey, keyType,
       probeEval, rangePrunable = rangeOk, keyZone, entries)
     val rel = HadoopFsRelation(
       location = idx,
       partitionSchema = StructType(Nil),
-      dataSchema = schema,
-      bucketSpec = bucketSpecOf(m, entries, schema),
+      dataSchema = physSchema,
+      bucketSpec = bucketSpecOf(m, entries, physSchema),
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    org.apache.spark.sql.graft.RelationBridge.ofRows(
+    val raw = org.apache.spark.sql.graft.RelationBridge.ofRows(
       spark, LogicalRelation(rel))
+    if (m.colMap.isEmpty) raw
+    else raw.select(schema.fieldNames.toSeq.map(n =>
+      org.apache.spark.sql.functions.col(
+        ManifestTable.physicalOf(m, n)).as(n)): _*)
   }
 }

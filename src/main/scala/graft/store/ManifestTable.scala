@@ -141,6 +141,19 @@ object ManifestTable {
     * delete, compact) keeps the marker — conservative: the sort claim
     * stays off; only [[rebucket]]'s whole-table key-sorted re-layout
     * clears it. */
+  /** `colMap` (format 10) is the COLUMN-MAPPING table: (logical,
+    * physical) name pairs, recorded only where they differ. The
+    * physical name — fixed when the column is first written — is what
+    * every data FILE stores; everything else in the manifest (the
+    * recorded schema, `keyColumn`, `keyExpr`, `clusterCol`) speaks the
+    * LOGICAL name, so [[renameColumn]] is a metadata-only commit that
+    * rewrites those fields and remaps the logical name onto the
+    * unchanged physical one. Exactly two places translate: the scan
+    * ([[GraftScan.frame]] reads files under physical names and aliases
+    * back) and the bucket writers ([[writeBuckets]] /
+    * [[writeClusteredBuckets]] rename to physical just before the
+    * parquet write) — the Delta-Lake column-mapping trick, name-mapping
+    * flavor. */
   final case class Manifest(
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
       lastBatches: Map[String, Long] = Map.empty,
@@ -153,7 +166,8 @@ object ManifestTable {
       schemaJson: String = "",
       udfKey: Boolean = false,
       clusterCol: String = "",
-      format: Int = 9)
+      colMap: Seq[(String, String)] = Nil,
+      format: Int = 10)
 
   private val BucketCol = "_bucket"
 
@@ -229,6 +243,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 10" => 10
       case "graft-manifest 9" => 9
       case "graft-manifest 8" => 8
       case "graft-manifest 7" => 7
@@ -273,6 +288,13 @@ object ManifestTable {
     val udfKey = format >= 8 && h.length > 9 && h(9) == "1"
     val clusterCol =
       if (format >= 9 && h.length > 10 && h(10).nonEmpty) dec(h(10)) else ""
+    val colMap =
+      if (format >= 10 && h.length > 11 && h(11).nonEmpty)
+        h(11).split(",", -1).toSeq.map { pair =>
+          val i = pair.indexOf('=')
+          (dec(pair.substring(0, i)), dec(pair.substring(i + 1)))
+        }
+      else Nil
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
@@ -284,7 +306,7 @@ object ManifestTable {
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
       keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
-      clusterCol, format)
+      clusterCol, colMap, format)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -436,6 +458,23 @@ object ManifestTable {
     else Some(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Physical (on-file) name of a logical column — the column-mapping
+    * lookup ([[Manifest.colMap]]); identity for unrenamed columns and
+    * every pre-format-10 table. */
+  private[store] def physicalOf(m: Manifest, name: String): String =
+    m.colMap.collectFirst { case (l, p) if l == name => p }.getOrElse(name)
+
+  /** A caller-facing (logical-named) schema renamed into the space the
+    * data files store — what the parquet reader and the bucket writers
+    * must see. No-op without recorded renames. */
+  private[store] def toPhysicalSchema(
+      m: Manifest,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (m.colMap.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = physicalOf(m, f.name))))
+
   /** The current manifest's recorded table schema (format 7+; None for
     * tables last written by an earlier format). With a recorded schema
     * the table is SELF-DESCRIBING: the schema-less [[read]]/[[readAt]]/
@@ -486,7 +525,27 @@ object ManifestTable {
         s"$op schema adds column(s) ${added.mkString(", ")} beyond the " +
           "table's recorded schema — pass evolveSchema = true to evolve " +
           "(existing rows read the new columns as NULL)")
+      checkPhysicalCollision(m, schema, op)
     }
+
+  /** A NEW column's physical name is its own (no fresh-name indirection
+    * here), so it must not collide with the physical storage name of a
+    * RENAMED column — existing files hold the renamed column's values
+    * under that name and would leak them into the new column. Refuse
+    * loudly; the caller picks another name (or renames twice). */
+  private def checkPhysicalCollision(
+      m: Manifest,
+      schema: org.apache.spark.sql.types.StructType,
+      op: String): Unit = {
+    val claimed = m.colMap.filter { case (l, p) => l != p }.map(_._2).toSet
+    val bad = schema.fieldNames.filter(n =>
+      claimed.contains(n) && physicalOf(m, n) == n)
+    require(bad.isEmpty,
+      s"$op column name(s) ${bad.mkString(", ")} collide with the " +
+        "PHYSICAL storage name of a renamed column (existing files " +
+        "store the renamed column's values under that name) — choose " +
+        "a different name")
+  }
 
   /** The reconcile-key normalizer a manifest records: parses `keyExpr`
     * back to a column (resolved by name against whichever frame it is
@@ -728,7 +787,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 9" +:
+    val body = (s"graft-manifest 10" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -741,7 +800,9 @@ object ManifestTable {
         m.rangeBounds.map(enc).mkString(","),
         enc(m.schemaJson),
         if (m.udfKey) "1" else "0",
-        enc(m.clusterCol)).mkString("\t") +:
+        enc(m.clusterCol),
+        m.colMap.map { case (l, p) => s"${enc(l)}=${enc(p)}" }
+          .mkString(",")).mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
           s"${e.relPath}\t${e.seq}\t${e.bytes}\t" +
@@ -786,19 +847,32 @@ object ManifestTable {
       numTasks: Int,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity,
-      seq: Long = 0L): Seq[FileEntry] = {
+      seq: Long = 0L,
+      colMap: Seq[(String, String)] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/$dataDirName"
+    // Column mapping: files ALWAYS store the physical names, so a
+    // post-rename rewrite stays name-compatible with every older file.
+    // The rename is a final narrow projection — after the in-task sort,
+    // which it preserves.
+    def toPhys(name: String): String =
+      colMap.collectFirst { case (l, p) if l == name => p }.getOrElse(name)
+    val physNames = df.schema.fieldNames.toSeq.map(toPhys)
+    def physicalize(sorted: DataFrame): DataFrame =
+      if (colMap.isEmpty) sorted
+      else sorted.select((df.schema.fieldNames.toSeq.map(n =>
+        col(n).as(toPhys(n))) :+ col(BucketCol)): _*)
+    val physKey = toPhys(keyColumn)
     // Key-sorted within each bucket file: parquet row-group min/max stats
     // then stratify the key space, so the pruned point lookups (which
     // always carry the key predicate into the scan) skip row groups
     // within a file, not just files — and sorted columns compress better.
     // Costs one in-task sort at write; changes no semantics (readers
     // never assume order).
-    df.withColumn(BucketCol, bucket)
+    physicalize(df.withColumn(BucketCol, bucket)
       .repartition(math.max(1, numTasks), col(BucketCol))
       .sortWithinPartitions(col(BucketCol),
-        keyComparator(col(keyColumn)))
+        keyComparator(col(keyColumn))))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
     // Stamp each bucket's (single) part file with Spark's bucket-id name
     // suffix (`_<bucket>%05d` before the first extension dot — the exact
@@ -861,9 +935,11 @@ object ManifestTable {
         }
       }
     // Explicit schema (+ the partition column) so an all-rows-rejected
-    // empty write doesn't fail schema inference.
+    // empty write doesn't fail schema inference. Physical names: the
+    // readback scans the files just written.
     val writtenSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+      df.schema.fields.zip(physNames).map { case (f, p) =>
+        f.copy(name = p) } :+ org.apache.spark.sql.types.StructField(
         BucketCol, org.apache.spark.sql.types.IntegerType))
     // Stats in NORMALIZED key space — the space lookup() renders its
     // probe keys in; raw-key stats would wrongly prune a file when the
@@ -871,8 +947,15 @@ object ManifestTable {
     // Numeric-family keys additionally record ORDER-TRUE zone stats
     // (minZ/maxZ — the lexical strings can't serve ranges: "10" < "9")
     // so GraftFileIndex can prune numeric BETWEEN/>/< at plan time.
-    val rb = spark.read.schema(writtenSchema)
+    // The stats frame goes back to LOGICAL names (a recorded keyExpr
+    // comparator resolves by the logical name) — same rename the scan
+    // applies.
+    val rbRaw = spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
+    val rb =
+      if (colMap.isEmpty) rbRaw
+      else rbRaw.select((df.schema.fieldNames.toSeq.zip(physNames).map {
+        case (n, p) => col(p).as(n) } :+ col(BucketCol)): _*)
     val kc = col(keyColumn)
     val norm = keyComparator(kc)
     // normalized key TYPE: identity comparators (`f(c) eq c` — the
@@ -880,7 +963,7 @@ object ManifestTable {
     // normalizer pays the analyzer pass, which would otherwise tax
     // EVERY commit ~tens of ms
     val normDt =
-      if (norm eq kc) writtenSchema(keyColumn).dataType
+      if (norm eq kc) writtenSchema(physKey).dataType
       else rb.limit(0).select(norm).schema.head.dataType
     val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
       Seq(min(zr).cast("string").as("minZ"),
@@ -995,8 +1078,13 @@ object ManifestTable {
           val n = prior.numBuckets
           val cmp = effectiveKey(prior, keyComparator)
           val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+          checkPhysicalCollision(prior, df.schema, "replace")
+          // an overwrite may narrow the schema; keep only the mappings
+          // its fields still need
+          val cmap = prior.colMap.filter { case (l, _) =>
+            df.schema.fieldNames.contains(l) }
           val written = writeBuckets(df, bucket, keyColumn, root,
-            s"v$version-$attempt", n, cmp, seq = version)
+            s"v$version-$attempt", n, cmp, seq = version, colMap = cmap)
           val keyExprRec = comparatorSql(df, keyColumn, cmp)
           if (tryCommitManifest(spark, root, Manifest(version, n, written,
               prior.lastBatches, prior.lastDelete, attempt, keyColumn,
@@ -1004,7 +1092,7 @@ object ManifestTable {
               prior.rangeBounds,
               recordableSchema(Some(prior), df.schema).json,
               keyExprRec.isEmpty || prior.udfKey,
-              clusterCol = prior.clusterCol)))
+              clusterCol = prior.clusterCol, colMap = cmap)))
             return
           cleanupAttempt(spark, root, version, attempt)
       }
@@ -1152,7 +1240,8 @@ object ManifestTable {
             }
           val written = writeBuckets(toWrite, bucketOf(col(key)), key,
             root, s"v$version-$attempt", math.max(touched.size, 1),
-            mapping.keyComparator, seq = version)
+            mapping.keyComparator, seq = version,
+            colMap = prior.map(_.colMap).getOrElse(Nil))
 
           // keep_history rows and import stats are part of the same commit:
           // written under attempt-scoped directories BEFORE the manifest
@@ -1185,7 +1274,8 @@ object ManifestTable {
                 recordableSchema(prior, schema).json,
                 udfKey = keyExprRec.isEmpty ||
                   prior.exists(_.udfKey),
-                clusterCol = prior.map(_.clusterCol).getOrElse(""))))
+                clusterCol = prior.map(_.clusterCol).getOrElse(""),
+                colMap = prior.map(_.colMap).getOrElse(Nil))))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -1719,7 +1809,7 @@ object ManifestTable {
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
             prior.rangeBounds, prior.schemaJson, prior.udfKey,
-            clusterCol = prior.clusterCol)))
+            clusterCol = prior.clusterCol, colMap = prior.colMap)))
           return Nil
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
@@ -1748,12 +1838,12 @@ object ManifestTable {
         val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
-          cmp, seq = version)
+          cmp, seq = version, colMap = prior.colMap)
         if (tryCommitManifest(spark, root, Manifest(version, n,
             untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact,
             prior.rangeBounds, prior.schemaJson, prior.udfKey,
-            clusterCol = prior.clusterCol)))
+            clusterCol = prior.clusterCol, colMap = prior.colMap)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -1958,14 +2048,16 @@ object ManifestTable {
       //    dirs and recompute against the new state)
       val written = writeBuckets(outDf,
         bucketExpr(n, bounds, col(key)), key, root,
-        s"v$version-$attempt", math.max(touched.size, 1), seq = version)
+        s"v$version-$attempt", math.max(touched.size, 1), seq = version,
+        colMap = prior.colMap)
       if (tryCommitManifest(spark, root, Manifest(version, n,
           untouched ++ written,
           prior.lastBatches + (tokenStream -> token),
           prior.lastDelete, attempt, key, prior.keyExpr,
           prior.lastCompact, bounds,
           recordableSchema(Some(prior), schema).json,
-          udfKey = prior.udfKey, clusterCol = prior.clusterCol)))
+          udfKey = prior.udfKey, clusterCol = prior.clusterCol,
+          colMap = prior.colMap)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -2013,11 +2105,12 @@ object ManifestTable {
       val bucket = bucketExpr(newNumBuckets, newRangeBounds,
         cmp(col(keyColumn)))
       val written = writeBuckets(all, bucket, keyColumn, root,
-        s"v$version-$attempt", newNumBuckets, cmp, seq = version)
+        s"v$version-$attempt", newNumBuckets, cmp, seq = version,
+        colMap = prior.colMap)
       if (tryCommitManifest(spark, root, Manifest(version, newNumBuckets,
           written, prior.lastBatches, Some(token), attempt, keyColumn,
           prior.keyExpr, prior.lastCompact, newRangeBounds,
-          prior.schemaJson, prior.udfKey)))
+          prior.schemaJson, prior.udfKey, colMap = prior.colMap)))
         return // rebucket re-lays out key-sorted: clusterCol resets
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -2074,7 +2167,90 @@ object ManifestTable {
           prior.numBuckets, prior.entries, prior.lastBatches,
           prior.lastDelete, newAttemptId(), prior.keyColumn,
           prior.keyExpr, prior.lastCompact, prior.rangeBounds,
-          newSchema.json, prior.udfKey, clusterCol = prior.clusterCol)))
+          newSchema.json, prior.udfKey, clusterCol = prior.clusterCol,
+          colMap = prior.colMap)))
+        return
+      // OCC loss: metadata-only, nothing to clean — retry on new state
+    }
+  }
+
+  /** COLUMN RENAME as a METADATA-ONLY commit (the Delta column-mapping
+    * trick, name-mapping flavor): the column keeps its PHYSICAL on-file
+    * name forever — fixed when it was first written — and the rename
+    * just remaps the logical name onto it ([[Manifest.colMap]]), so
+    * renaming a column of a 100 TB table costs one manifest write and
+    * not a single data file moves. Everything manifest-recorded in
+    * logical space follows in the same commit: the recorded schema,
+    * `keyColumn`, `clusterCol`, and — when the KEY is renamed under a
+    * recorded comparator — `keyExpr` is re-derived with the attribute
+    * renamed (parse → rename → re-analyze → SQL, the [[comparatorSql]]
+    * round-trip discipline). Time travel is exact: every retained
+    * version reads under its OWN recorded names.
+    *
+    * Out-of-band artifacts do NOT follow automatically: bloom/zone
+    * sidecars ([[BloomSkip]]/[[ZoneSkip]]) record build-time logical
+    * names, so existing sidecars for the renamed column stop matching
+    * (conservative — lookups keep everything) until rebuilt, and a
+    * [[SecondaryIndex]]/[[MaterializedView]] whose definition names the
+    * column must be rebuilt by its owner. History files
+    * ([[historyOf]]) keep the names they were written under — an audit
+    * trail is names-as-of-then by design. */
+  def renameColumn(
+      spark: SparkSession,
+      root: String,
+      from: String,
+      to: String): Unit = {
+    require(from != to, s"rename to the same name '$from' is a no-op")
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val schema = schemaOf(prior).getOrElse(
+        throw new IllegalArgumentException(
+          s"table at $root records no schema (pre-format-7) — run a " +
+            "merge to upgrade the manifest before renaming"))
+      require(schema.fieldNames.contains(from),
+        s"no column '$from' in the recorded schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      // the physical name travels with the column; an entry whose
+      // logical returns to its physical drops out (identity again)
+      val phys = physicalOf(prior, from)
+      val cmap = (prior.colMap.filterNot(_._1 == from) ++
+        (if (to == phys) Nil else Seq(to -> phys))).sortBy(_._1)
+      val newKeyExpr =
+        if (prior.keyExpr.isEmpty || prior.keyColumn != from)
+          prior.keyExpr
+        else {
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          import org.apache.spark.sql.catalyst.expressions.Alias
+          import org.apache.spark.sql.catalyst.plans.logical.Project
+          val renamed = spark.sessionState.sqlParser
+            .parseExpression(prior.keyExpr).transform {
+              case a: UnresolvedAttribute if a.nameParts == Seq(from) =>
+                UnresolvedAttribute(Seq(to))
+            }
+          emptyFrame(spark, newSchema)
+            .select(org.apache.spark.sql.graft.Bridge.column(renamed))
+            .queryExecution.analyzed match {
+            case Project(Seq(a: Alias), _) => a.child.sql
+            case Project(Seq(e), _) => e.sql
+            case other => throw new IllegalStateException(
+              s"unexpected keyExpr rewrite plan: $other")
+          }
+        }
+      if (tryCommitManifest(spark, root, Manifest(prior.version + 1,
+          prior.numBuckets, prior.entries, prior.lastBatches,
+          prior.lastDelete, newAttemptId(),
+          if (prior.keyColumn == from) to else prior.keyColumn,
+          newKeyExpr, prior.lastCompact, prior.rangeBounds,
+          newSchema.json, prior.udfKey,
+          clusterCol =
+            if (prior.clusterCol == from) to else prior.clusterCol,
+          colMap = cmap)))
         return
       // OCC loss: metadata-only, nothing to clean — retry on new state
     }
@@ -2103,13 +2279,21 @@ object ManifestTable {
       numFiles: Int,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity,
-      seq: Long = 0L): Seq[FileEntry] = {
+      seq: Long = 0L,
+      colMap: Seq[(String, String)] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val dataDir = s"$root/data/$dataDirName"
-    df.withColumn(BucketCol, bucket)
+    // column mapping: physical names on disk (the writeBuckets rule)
+    def toPhys(name: String): String =
+      colMap.collectFirst { case (l, p) if l == name => p }.getOrElse(name)
+    val physNames = df.schema.fieldNames.toSeq.map(toPhys)
+    val sorted = df.withColumn(BucketCol, bucket)
       .repartitionByRange(math.max(1, numFiles), col(BucketCol),
         col(clusterCol))
       .sortWithinPartitions(col(BucketCol), col(clusterCol))
+    (if (colMap.isEmpty) sorted
+     else sorted.select((df.schema.fieldNames.toSeq.map(n =>
+       col(n).as(toPhys(n))) :+ col(BucketCol)): _*))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
     val dataPath = new Path(dataDir)
     val fs = fsOf(spark, dataPath)
@@ -2157,17 +2341,24 @@ object ManifestTable {
         } finally pool.shutdown()
       }).toMap
     val writtenSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+      df.schema.fields.zip(physNames).map { case (f, p) =>
+        f.copy(name = p) } :+ org.apache.spark.sql.types.StructField(
         BucketCol, org.apache.spark.sql.types.IntegerType))
     // per-FILE key stats (normalized space, the writeBuckets rule) —
     // wide per file under a cluster sort, which only costs pruning
-    // opportunity, never correctness; key zones (minZ/maxZ) ride along
-    val rb = spark.read.schema(writtenSchema)
+    // opportunity, never correctness; key zones (minZ/maxZ) ride along.
+    // Logical names for the stats frame (a recorded keyExpr resolves
+    // by the logical name).
+    val rbRaw = spark.read.schema(writtenSchema)
       .option("basePath", dataDir).parquet(dataDir)
+    val rb =
+      if (colMap.isEmpty) rbRaw
+      else rbRaw.select((df.schema.fieldNames.toSeq.zip(physNames).map {
+        case (n, p) => col(p).as(n) } :+ col(BucketCol)): _*)
     val kc = col(keyColumn)
     val norm = keyComparator(kc)
     val normDt =
-      if (norm eq kc) writtenSchema(keyColumn).dataType
+      if (norm eq kc) writtenSchema(toPhys(keyColumn)).dataType
       else rb.limit(0).select(norm).schema.head.dataType
     val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
       Seq(min(zr).cast("string").as("minZ"),
@@ -2241,12 +2432,13 @@ object ManifestTable {
         cmp(col(keyColumn)))
       val written = writeClusteredBuckets(all, bucket, keyColumn,
         clusterCol, root, s"v$version-$attempt",
-        prior.numBuckets * filesPerBucket, cmp, seq = version)
+        prior.numBuckets * filesPerBucket, cmp, seq = version,
+        colMap = prior.colMap)
       if (tryCommitManifest(spark, root, Manifest(version,
           prior.numBuckets, written, prior.lastBatches, Some(token),
           attempt, keyColumn, prior.keyExpr, prior.lastCompact,
           prior.rangeBounds, prior.schemaJson, prior.udfKey,
-          clusterCol = clusterCol)))
+          clusterCol = clusterCol, colMap = prior.colMap)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -2309,7 +2501,8 @@ object ManifestTable {
           target.numBuckets, target.entries, batches, deleteToken,
           newAttemptId(), target.keyColumn, target.keyExpr,
           prior.lastCompact, target.rangeBounds, target.schemaJson,
-          target.udfKey, clusterCol = target.clusterCol)))
+          target.udfKey, clusterCol = target.clusterCol,
+          colMap = target.colMap)))
         return
       // nothing to clean on an OCC loss: restore writes no attempt
       // artifacts, only the temp manifest tryCommitManifest removes
@@ -2366,12 +2559,13 @@ object ManifestTable {
         tiered.flatten, keyColumn, cmp)
       val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
       val written = writeBuckets(fragment, bucket, keyColumn, root,
-        s"v$version-$attempt", tiered.size, cmp, seq = version)
+        s"v$version-$attempt", tiered.size, cmp, seq = version,
+        colMap = prior.colMap)
       if (tryCommitManifest(spark, root, Manifest(version, n,
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
           attempt, keyColumn, prior.keyExpr, Some(token),
           prior.rangeBounds, prior.schemaJson, prior.udfKey,
-          clusterCol = prior.clusterCol)))
+          clusterCol = prior.clusterCol, colMap = prior.colMap)))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -2433,13 +2627,25 @@ object ManifestTable {
         org.apache.spark.sql.types.StructField("_version",
           org.apache.spark.sql.types.LongType))))
     val cols = schema.fieldNames.toSeq
+    // COLUMN MAPPING: the caller's schema speaks the TO-version's
+    // logical names; physical file names are version-stable, so every
+    // per-version fragment reads under the TO-version's colMap (an
+    // older manifest's own map may predate a rename), and the key
+    // column resolves through its physical name into the same space.
+    val toM = readManifest(spark, root, toVersion)
+    def atTo(mf: Manifest, kc0: String): String = {
+      val p = physicalOf(mf, kc0)
+      toM.colMap.collectFirst { case (l, pp) if pp == p => l }.getOrElse(p)
+    }
     val diffs = ((fromVersion + 1) to toVersion).map { v =>
       // fromVersion = -1 reads the feed from the table's creation:
       // version 0 diffs against the empty table.
-      val prev =
+      val prev0 =
         if (v == 0L) Manifest(-1L, 0, Nil)
         else readManifest(spark, root, v - 1)
-      val cur = readManifest(spark, root, v)
+      val cur0 = readManifest(spark, root, v)
+      val prev = prev0.copy(colMap = toM.colMap)
+      val cur = cur0.copy(colMap = toM.colMap)
       // A bucket changed iff its live FILE SET changed (relPaths move on
       // every rewrite — data dirs are immutable and attempt-unique; a
       // delta merge changes the set by adding a file).
@@ -2452,7 +2658,9 @@ object ManifestTable {
       // the manifest-recorded one when present (callers like the
       // graft_changes SQL function can only pass identity).
       val rk: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        if (cur.keyExpr.nonEmpty) recordedKey(cur) else keyComparator
+        if (toM.keyExpr.nonEmpty) recordedKey(toM)
+        else if (cur0.keyExpr.nonEmpty) recordedKey(cur0)
+        else keyComparator
       def frag(mf: Manifest, entries: Seq[FileEntry], kc: String)
           : DataFrame =
         reconciledRead(spark, root, schema, mf, entries, kc, rk)
@@ -2461,11 +2669,13 @@ object ManifestTable {
       // the data columns' post-join nullability.
       val before = frag(prev,
           changed.flatMap(b => prevBy.getOrElse(b, Nil)),
-          if (prev.keyColumn.nonEmpty) prev.keyColumn else keyColumn)
+          atTo(prev0,
+            if (prev0.keyColumn.nonEmpty) prev0.keyColumn else keyColumn))
         .withColumn("__graft_pb", lit(true))
       val after = frag(cur,
           changed.flatMap(b => curBy.getOrElse(b, Nil)),
-          if (cur.keyColumn.nonEmpty) cur.keyColumn else keyColumn)
+          atTo(cur0,
+            if (cur0.keyColumn.nonEmpty) cur0.keyColumn else keyColumn))
         .withColumn("__graft_pa", lit(true))
       // One full-outer join on the normalized key over the touched
       // fragments classifies every row; a rebucket that moved rows

@@ -217,8 +217,16 @@ object ZoneSkip {
       cols.exists(c => !covered(e.relPath, c)))
     if (todo.isEmpty) return 0
     val paths = todo.map(e => s"$root/${e.relPath}")
-    val byFile = spark.read.schema(schema).parquet(paths: _*)
+    // column mapping: read under the files' PHYSICAL names, alias back
+    // to logical (what the sidecar records and lookups probe by)
+    val byFileRaw = spark.read
+      .schema(ManifestTable.toPhysicalSchema(m, schema))
+      .parquet(paths: _*)
       .withColumn("_file", input_file_name())
+    val byFile =
+      if (m.colMap.isEmpty) byFileRaw
+      else byFileRaw.select((schema.fieldNames.toSeq.map(nm =>
+        col(ManifestTable.physicalOf(m, nm)).as(nm)) :+ col("_file")): _*)
     // per column: min, max (rendered into the kind's domain as strings
     // — exact, see `rendered`), and a non-null witness
     val aggs = cols.flatMap { c =>

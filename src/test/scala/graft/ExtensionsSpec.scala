@@ -367,6 +367,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("cannot be wrapped in a view")))
   }
 
+  test("graft_rename_column: metadata-only rename from SQL; reads, " +
+      "key lookups and sidecar rebuilds follow the new name") {
+    GraftExtensions.register(spark)
+    val root = "target/test-tmp/ext_sql_rename"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ddl = "id BIGINT, grp STRING, v BIGINT"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val m = new graft.mapping.Mapping(keyColumnName = "id")
+    schema.fieldNames.foreach(n => m.auto(n))
+    m.complete(schema)
+    graft.store.ManifestTable.merge(
+      (0L until 40L).map(i => (i, s"g${i % 4}", i * 10))
+        .toDF("id", "grp", "v"), 0L, m, root, schema,
+      numBuckets = 4, streamId = "S")
+
+    val r = spark.sql(
+      s"SELECT * FROM graft_rename_column('$root', 'v', 'amount')").head
+    assert(r.getLong(0) == 1L && r.getString(1) == "amount")
+    val newDdl = "id BIGINT, grp STRING, amount BIGINT"
+    assert(spark.sql(
+      s"SELECT sum(amount) FROM graft_table('$root', '$newDdl')")
+      .head.getLong(0) == (0L until 40L).map(_ * 10).sum)
+    // self-describing read also speaks the new name
+    assert(spark.sql(s"SELECT * FROM graft_table('$root')")
+      .schema.fieldNames.toSeq == Seq("id", "grp", "amount"))
+    // sidecars REBUILD under the new name and prune-read correctly
+    // (the build reads the files' physical names underneath)
+    assert(graft.store.BloomSkip.buildBlooms(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL(newDdl),
+      Seq("amount")) > 0)
+    val hits = graft.store.BloomSkip.lookupByColumn(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL(newDdl),
+      "amount", 130L)
+    assert(hits.collect().map(_.getLong(0)).toSeq == Seq(13L),
+      "bloom-pruned read on the renamed column must find its row")
+  }
+
   test("maintenance functions refuse to resolve inside a view body: a " +
       "temp-view wrapper cannot silently re-run the merge per SELECT") {
     GraftExtensions.register(spark)

@@ -185,6 +185,57 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 48L, "truncate must keep time travel")
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, SQL reads/writes and " +
+      "key pruning follow the new name, time travel keeps the old one") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.ren")
+    spark.sql("""CREATE TABLE graftcat.db.ren (id BIGINT, amount BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    spark.sql("INSERT INTO graftcat.db.ren " +
+      "SELECT id, id * 10 FROM range(0, 40)")
+    val root = s"$wh/db/ren"
+    val vPre = ManifestTable.currentVersion(spark, root).get
+
+    spark.sql("ALTER TABLE graftcat.db.ren RENAME COLUMN amount TO total")
+    assert(ManifestTable.currentVersion(spark, root).contains(vPre + 1),
+      "rename must be one metadata-only commit")
+    assert(spark.table("graftcat.db.ren").schema.fieldNames.toSeq ==
+      Seq("id", "total"))
+    assert(spark.sql(
+      "SELECT sum(total) FROM graftcat.db.ren").head.getLong(0) ==
+      (0L until 40L).map(_ * 10).sum)
+
+    // key rename: DML, upserts and plan-time file pruning follow
+    spark.sql("ALTER TABLE graftcat.db.ren RENAME COLUMN id TO doc_id")
+    spark.sql("INSERT INTO graftcat.db.ren VALUES (7, 777), (100, 1000)")
+    spark.sql("UPDATE graftcat.db.ren SET total = 888 WHERE doc_id = 8")
+    spark.sql("DELETE FROM graftcat.db.ren WHERE doc_id = 9")
+    assert(spark.sql("SELECT total FROM graftcat.db.ren " +
+      "WHERE doc_id IN (7, 8, 9, 100) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(777L, 888L, 1000L))
+    // the key predicate still prunes files through the index
+    val pointRead = spark.sql(
+      "SELECT total FROM graftcat.db.ren WHERE doc_id = 7")
+    assert(scannedFiles(pointRead) <= 2,
+      "post-rename key lookup must stay file-pruned")
+    // MERGE INTO by the renamed key
+    spark.sql("""MERGE INTO graftcat.db.ren t
+      USING (SELECT 7 AS sid, 7000 AS stotal) s ON t.doc_id = s.sid
+      WHEN MATCHED THEN UPDATE SET total = s.stotal
+      WHEN NOT MATCHED THEN INSERT (doc_id, total) VALUES (s.sid, s.stotal)""")
+    assert(spark.sql(
+      "SELECT total FROM graftcat.db.ren WHERE doc_id = 7")
+      .head.getLong(0) == 7000L)
+
+    // time travel shows each version under its own names
+    assert(spark.sql(
+      s"SELECT * FROM graftcat.db.ren VERSION AS OF $vPre")
+      .schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(spark.sql(s"SELECT sum(amount) FROM graftcat.db.ren " +
+      s"VERSION AS OF $vPre").head.getLong(0) ==
+      (0L until 40L).map(_ * 10).sum)
+  }
+
   test("streaming by NAME: writeStream.toTable upserts through the " +
       "merge; readStream.table streams the commits as upsert rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

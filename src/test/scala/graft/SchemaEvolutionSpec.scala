@@ -234,4 +234,160 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got.map(_.toSeq.toList).toSet ==
       Set(Seq(1L, "a", 10L, "insert", 0L)))
   }
+
+  // ------------------------------------------------ column mapping
+
+  private val renamed = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("points", LongType)))
+
+  test("rename is metadata-only: reads translate, merges after the " +
+      "rename write the stable physical name, compaction keeps values") {
+    val root = freshRoot("schema_rename")
+    val m = mappingFor(schema)
+    ManifestTable.merge(m.project(
+      raw3((1L, "a", "10"), (2L, "b", "20"))), 0L, m,
+      root, schema, numBuckets = 4, streamId = "S")
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    val filesBefore = ManifestTable.currentManifest(spark, root)
+      .get.entries.map(_.relPath).toSet
+
+    ManifestTable.renameColumn(spark, root, "score", "points")
+
+    // metadata-only: not a single data file moved
+    assert(ManifestTable.currentManifest(spark, root)
+      .get.entries.map(_.relPath).toSet == filesBefore)
+    assert(ManifestTable.recordedSchema(spark, root).contains(renamed))
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a", 10L), Seq(2L, "b", 20L)))
+
+    // a merge under the NEW name updates + inserts; on disk the column
+    // keeps its physical name, so old and new files stay compatible
+    val m2 = mappingFor(renamed)
+    ManifestTable.merge(m2.project(
+      raw3((2L, "b", "21"), (3L, "c", "30"))), 1L, m2,
+      root, renamed, streamId = "S")
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a", 10L), Seq(2L, "b", 21L), Seq(3L, "c", 30L)))
+    val phys = spark.read.parquet(
+      s"$root/${ManifestTable.currentManifest(spark, root)
+        .get.entries.maxBy(_.seq).relPath}")
+    assert(phys.schema.fieldNames.contains("score") &&
+      !phys.schema.fieldNames.contains("points"),
+      s"files must keep the physical name, got ${phys.schema}")
+
+    // time travel: each version under its OWN names
+    assert(ManifestTable.readAt(spark, root, v0).schema
+      .fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(rows(ManifestTable.readAt(spark, root, v0)) ==
+      Set(Seq(1L, "a", 10L), Seq(2L, "b", 20L)))
+
+    // delta merge + compact after the rename keep values exact
+    ManifestTable.merge(m2.project(raw3((1L, "a", "11"))), 2L, m2,
+      root, renamed, streamId = "S", delta = true)
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 21L), Seq(3L, "c", 30L)))
+    ManifestTable.compact(spark, root, renamed, "id", token = 99L)
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 21L), Seq(3L, "c", 30L)))
+  }
+
+  test("key column rename: lookups, pruning metadata and a recorded " +
+      "comparator keyExpr all follow the new name") {
+    val root = freshRoot("schema_rename_key")
+    val strSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val m = new Mapping("k") {
+      override def keyComparator = c => trim(lower(c))
+    }
+    m.auto("k", c => c); m.auto("v")
+    m.complete(strSchema)
+    ManifestTable.merge(
+      m.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("ABC", "x"), Seq("DEF", "y")), headerLines = -1)),
+      0L, m, root, strSchema, numBuckets = 2, streamId = "A")
+
+    ManifestTable.renameColumn(spark, root, "k", "doc_key")
+    val mf = ManifestTable.currentManifest(spark, root).get
+    assert(mf.keyColumn == "doc_key")
+    assert(mf.keyExpr.contains("doc_key") && !mf.keyExpr.contains("`k`"),
+      s"keyExpr must be rewritten to the new name, got '${mf.keyExpr}'")
+
+    val renamedStr = StructType(Seq(
+      StructField("doc_key", StringType), StructField("v", StringType)))
+    // normalized lookup probes by the new name
+    assert(ManifestTable.lookup(spark, root, renamedStr, "doc_key",
+      Seq(" abc "), keyComparator = c => trim(lower(c)))
+      .collect().map(_.getString(1)).toSeq == Seq("x"))
+    // a delta merge under the new key name reconciles normalized
+    val m2 = new Mapping("doc_key") {
+      override def keyComparator = c => trim(lower(c))
+    }
+    m2.auto("doc_key", c => c); m2.auto("v")
+    m2.complete(renamedStr)
+    ManifestTable.merge(
+      m2.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("  abc ", "x2")), headerLines = -1)),
+      1L, m2, root, renamedStr, streamId = "A", delta = true)
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq("  abc ", "x2"), Seq("DEF", "y")))
+  }
+
+  test("rename refusals: unknown/duplicate names, and a new column " +
+      "colliding with a renamed column's physical storage name") {
+    val root = freshRoot("schema_rename_refuse")
+    val m = mappingFor(schema)
+    ManifestTable.merge(m.project(raw3((1L, "a", "10"))), 0L, m,
+      root, schema, numBuckets = 2)
+    ManifestTable.renameColumn(spark, root, "score", "points")
+
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "score", "x") // gone
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "name", "points") // taken
+    }
+    // adding a column named like the renamed column's PHYSICAL name
+    // would leak the old values out of existing files — refused
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.evolveSchema(spark, root,
+        StructType(renamed.fields :+ StructField("score", LongType)))
+    }
+    assert(e.getMessage.contains("PHYSICAL storage name"))
+    // a different new name evolves fine; old rows read it as NULL
+    ManifestTable.evolveSchema(spark, root,
+      StructType(renamed.fields :+ StructField("extra", LongType)))
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a", 10L, null)))
+    // rename BACK to the original name drops the mapping to identity
+    ManifestTable.renameColumn(spark, root, "points", "score")
+    assert(ManifestTable.currentManifest(spark, root).get.colMap.isEmpty)
+    assert(rows(ManifestTable.read(spark, root)
+      .select("id", "score")) == Set(Seq(1L, 10L)))
+  }
+
+  test("CDC across a rename: the feed speaks the TO-version's names " +
+      "for commits on either side of the rename") {
+    val root = freshRoot("schema_rename_cdc")
+    val m = mappingFor(schema)
+    ManifestTable.merge(m.project(raw3((1L, "a", "10"))), 0L, m,
+      root, schema, numBuckets = 2, streamId = "S")
+    ManifestTable.merge(m.project(raw3((2L, "b", "20"))), 1L, m,
+      root, schema, streamId = "S")
+    ManifestTable.renameColumn(spark, root, "score", "points")
+    val m2 = mappingFor(renamed)
+    ManifestTable.merge(m2.project(raw3((1L, "a", "11"))), 2L, m2,
+      root, renamed, streamId = "S")
+    // range spans: pre-rename data commit (v1), the rename (v2,
+    // metadata-only: empty diff), post-rename data commit (v3)
+    val feed = ManifestTable.changes(spark, root, 0L, 3L)
+    assert(feed.schema.fieldNames.take(3).toSeq ==
+      Seq("id", "name", "points"))
+    val got = feed.collect().map(_.toSeq.toList).toSet
+    assert(got == Set(
+      Seq(2L, "b", 20L, "insert", 1L),
+      Seq(1L, "a", 10L, "update_preimage", 3L),
+      Seq(1L, "a", 11L, "update_postimage", 3L)), s"got $got")
+  }
 }
