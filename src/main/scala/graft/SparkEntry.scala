@@ -1232,6 +1232,35 @@ object SparkEntry {
       s.sql("DELETE FROM graft.bench.customers WHERE id IN (3, 7, 13)")
       s.sql("SELECT * FROM graft.bench.customers")
     }),
+    "manifest_stream_sink" -> ((s, dir) => {
+      // DSv2 streaming catch-up (CDC source -> table sink, the
+      // declarative follower — no foreachBatch): the base fixture's two
+      // commits (bootstrap + upsert merge) replay from `earliest`
+      // through `graft-cdc` into a FRESH graft-table sink in one
+      // catch-up run; versionColumn nets per key, deleteWhen routes
+      // deletes (none here), dropColumns keeps the CDC columns out of
+      // the sink. The timed region is the whole catch-up — staging,
+      // netting, sink merges — and the sink's committed state must
+      // hash-equal the BASE table's oracle (a follower is correct iff
+      // it converges to its source).
+      val base = manifestFixture(s, dir, "manifest_stream_sink",
+        withMerge = true)
+      val sink = resetSideRoot(s, "manifest_stream_sink_out")
+      val ckpt = resetSideRoot(s, "manifest_stream_sink_ckpt")
+      val q = graft.streaming.CdcSource.readStream(s, base,
+          Map("startingVersion" -> "earliest"))
+        .filter(col("_change_type") =!= "update_preimage")
+        .writeStream.format("graft-table")
+        .option("root", sink).option("key", "id")
+        .option("numBuckets", "32")
+        .option("versionColumn", "_version")
+        .option("deleteWhen", "_change_type = 'delete'")
+        .option("dropColumns", "_change_type,_version")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.store.ManifestTable.read(s, sink)
+    }),
     "manifest_sql_merge" -> ((s, dir) => {
       // SQL UPDATE + MERGE INTO on a catalog table (GraftDmlStrategy):
       // bulk insert, a predicate UPDATE, then a three-clause MERGE —
@@ -2280,6 +2309,30 @@ object SparkEntry {
       "manifest_merge_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      // the streaming follower converges to its source: the sink's
+      // state after one CDC catch-up == the base's merged state ==
+      // manifest_merge's oracle
+      "manifest_stream_sink" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      // manifest_merge with the acctbal column RENAMED to balance
+      // mid-lifecycle (metadata-only rename, then a merge under the new
+      // name): identical state, renamed column.
+      "manifest_rename" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS balance,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
            CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
                 WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
