@@ -454,6 +454,9 @@ object SparkEntry {
     }),
     "manifest_count" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_count", withMerge = true)),
+    "manifest_probe_join" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_probe_join",
+        withMerge = true)),
     "manifest_mv" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_mv", withMerge = false)
       resetSideRoot(s, "manifest_mv_view")
@@ -1123,6 +1126,27 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L) // replay no-op after setup
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_probe_join" -> ((s, dir) => {
+      // DIM-DRIVEN DYNAMIC FILE PRUNING: join the merged manifest table
+      // (the fact) against a selective orders-derived dim. probeJoin
+      // collects the dim's bounded distinct keys and reads ONLY their
+      // hash buckets' files before joining — the I/O shape Spark's own
+      // DPP cannot give a non-partitioned layout. Values must equal the
+      // plain join (the oracle recomputes it from scratch), which makes
+      // this gate the correctness half; the pruning evidence
+      // (inputFiles strictly fewer) is ProbeJoinSpec's.
+      val root = manifestFixture(s, dir, "manifest_probe_join",
+        withMerge = true)
+      val dim = t(s, dir, "orders")
+        .filter(col("o_custkey") % 97 === 0)
+        .select(col("o_custkey").as("cust"),
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").as("oprice"))
+      graft.store.ManifestTable
+        .probeJoin(s, root, upsertSchema, dim, "cust")
+        .select(col("id"), col("name"), col("acctbal"), col("segment"),
+          col("nation"), col("okey"), col("oprice"))
     }),
     "manifest_zone_range" -> ((s, dir) => {
       // Per-file min/max ZONE MAPS — the range-predicate complement to
@@ -2306,6 +2330,19 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_probe_join" ->
+        s"""SELECT m.id, m.name, m.acctbal, m.segment, m.nation,
+           o.o_orderkey AS okey, o.o_totalprice AS oprice
+           FROM (SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+             CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+             CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE CAST(99 AS BIGINT) END AS nation
+             FROM customer WHERE ($inTgt) OR ($inSrc)) m
+           JOIN orders o ON m.id = o.o_custkey
+           WHERE o.o_custkey % 97 = 0""",
       "manifest_merge_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

@@ -1746,6 +1746,90 @@ object ManifestTable {
     }
   }
 
+  /** Dim-driven DYNAMIC FILE PRUNING for joins — the "join a 100 TB
+    * fact to a selective dim" fast path. Spark's own dynamic partition
+    * pruning serves only partition columns of partitioned layouts (and
+    * its DSv2 runtime filtering only `BatchScanExec` scans, which the
+    * graft read path deliberately bypasses — see [[GraftReadStrategy]]),
+    * so a plain `fact.join(dim, key)` scans EVERY fact file and discards
+    * at the join: the runtime bloom-filter rule drops rows, never I/O.
+    * This helper closes that gap with the engine's established
+    * bounded-probe discipline (the [[SecondaryIndex]]/[[MaterializedView]]
+    * refresh pattern): ONE bounded job collects the dim side's distinct
+    * join keys (`limit(maxDriverKeys + 1)` — never an unbounded
+    * collect); under the cap the fact read becomes a [[lookup]] — only
+    * the probed keys' hash buckets, narrowed further by per-file key
+    * stats — and over it the plan falls back to the plain join
+    * unchanged (correct at any dim size; AQE still broadcasts a small
+    * dim). At 1000 dim keys against a 400k-file table the pruned read
+    * touches ≤1000 buckets' files instead of all 400k — the I/O win no
+    * row-level runtime filter can deliver.
+    *
+    * Pruning is only SOUND for join types whose result is bounded by
+    * the dim side's matches: `inner` and `left_semi` (fact side).
+    * Outer joins that must surface unmatched FACT rows cannot prune and
+    * refuse loudly. Dim keys cast to the table key's type before
+    * probing (Spark's hash is type-dependent — the [[mergeInto]]
+    * lesson) and compare under the table's recorded comparator on BOTH
+    * sides, so a case-normalized table probed with raw-cased dim keys
+    * still matches. NULL dim keys drop (equality-join semantics). */
+  def probeJoin(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      dim: DataFrame,
+      dimKey: String,
+      joinType: String = "inner",
+      maxDriverKeys: Int = 100000,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"probeJoin('$joinType') is unsound: file pruning drops fact " +
+        "rows no dim key matches, so only dim-bounded join types " +
+        "(inner, left_semi) may prune — use a plain join for outer " +
+        "semantics")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    val key = m.keyColumn
+    require(key.nonEmpty, s"table at $root records no key column")
+    val keyType = schema(key).dataType
+    val cmp = effectiveKey(m, keyComparator)
+    // one bounded job: distinct dim keys, capped at maxDriverKeys + 1
+    // so "too many" is detected without ever collecting more
+    val head = dim.select(dim(dimKey).cast(keyType).as(key))
+      .filter(col(key).isNotNull)
+      .distinct().limit(maxDriverKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    val fact =
+      if (head.size <= maxDriverKeys)
+        lookup(spark, root, schema, key, head, keyComparator)
+      else read(spark, root, schema) // over the cap: plain full read
+    // The join must compare in NORMALIZED key space on both sides. On
+    // the fact side `cmp` resolves the key column by name — correct.
+    // On the DIM side a manifest-recorded keyExpr must NOT be applied
+    // as-is (it names the key column, so it would resolve against the
+    // fact side and collapse the condition to a trivially-true
+    // cmp(key) == cmp(key) cross join); substitute the dim probe
+    // expression into the parsed keyExpr instead.
+    val dimProbe = dim(dimKey).cast(keyType)
+    val dimNorm: org.apache.spark.sql.Column =
+      if (m.keyExpr.isEmpty) keyComparator(dimProbe)
+      else {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val probeExpr =
+          org.apache.spark.sql.graft.Bridge.expression(dimProbe)
+        org.apache.spark.sql.graft.Bridge.column(
+          spark.sessionState.sqlParser.parseExpression(m.keyExpr)
+            .transform {
+              case a: UnresolvedAttribute if a.nameParts == Seq(key) =>
+                probeExpr
+            })
+      }
+    val cond = cmp(fact(key)) === dimNorm
+    fact.join(dim, cond, if (jt == "inner") "inner" else "left_semi")
+  }
+
   /** Targeted key deletion (GDPR-style erasure): removes the rows whose
     * key is in `keys`, rewriting ONLY the buckets those keys hash to —
     * the untouched rest of the table carries into the new manifest
