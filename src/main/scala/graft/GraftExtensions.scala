@@ -397,6 +397,32 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_zorder_by" -> (es => {
+      refuseInView("graft_zorder_by")
+      // Multi-column maintenance re-clustering
+      // ([[ManifestTable.zOrderBy]]): Morton-interleaved layout so zone
+      // maps prune a box probe on EVERY listed column. Columns are a
+      // comma-separated list. Returns (version, applied).
+      require(es.size == 5 || es.size == 6,
+        "usage: graft_zorder_by(root, schemaDDL, keyColumn, " +
+          "'colA,colB[,...]', token[, filesPerBucket])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      graft.store.ManifestTable.zOrderBy(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        strArg(es(2), "key column"),
+        strArg(es(3), "z-order columns").split(',').map(_.trim).toSeq,
+        longArg(es(4), "token"),
+        filesPerBucket =
+          if (es.size == 6) longArg(es(5), "filesPerBucket").toInt else 4)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after))).toDF("version", "applied")
+        .queryExecution.analyzed
+    }),
     "graft_refresh_view" -> (es => {
       // Ensure-semantics for a persistent materialized view: CREATES
       // the view table (full aggregate of the base's current version)

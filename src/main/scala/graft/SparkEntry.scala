@@ -564,6 +564,17 @@ object SparkEntry {
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
     }),
+    "manifest_zorder" -> ((s, dir) => {
+      // fixture + zOrderBy + zone build OUTSIDE the timed region: the
+      // rep times the replayed-token no-op + covered-check + the
+      // two-dimension box-pruned read over the Morton layout.
+      val root = resetManifestFixture(s, dir, "manifest_zorder",
+        withMerge = true)
+      graft.store.ManifestTable.zOrderBy(s, root, upsertSchema, "id",
+        Seq("acctbal", "name"), token = 2L, filesPerBucket = 4)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal", "name"))
+    }),
     "manifest_restore" -> ((s, dir) => {
       // create + merge + delete OUTSIDE the timed region: the rep times
       // the metadata-only rewind + the committed read. Compared against
@@ -1181,6 +1192,24 @@ object SparkEntry {
         Seq("acctbal"))
       graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
         1000.0, 5000.0)
+    }),
+    "manifest_zorder" -> ((s, dir) => {
+      // Z-ORDER multi-column clustering: one Morton re-layout makes a
+      // BOX probe (acctbal range AND name range) zone-prunable in BOTH
+      // dimensions — single-column clusterBy serves exactly one. Same
+      // content-identity discipline as manifest_zone_clustered: the
+      // VALUES gate (DuckDB recomputes the merged state under both
+      // predicates) proves the re-layout changed nothing; the per-
+      // dimension file-count evidence lives in ZOrderSpec.
+      val root = manifestFixture(s, dir, "manifest_zorder",
+        withMerge = true)
+      graft.store.ManifestTable.zOrderBy(s, root, upsertSchema, "id",
+        Seq("acctbal", "name"), token = 2L, filesPerBucket = 4)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal", "name"))
+      graft.store.ZoneSkip.lookupRanges(s, root, upsertSchema,
+        Seq(("acctbal", 1000.0, 5000.0),
+          ("name", "Customer#000000300", "Customer#000000899")))
     }),
     "manifest_restore" -> ((s, dir) => {
       // Point-in-time RESTORE: erase 10 keys, then rewind the table to
@@ -2617,6 +2646,19 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc))
            WHERE acctbal BETWEEN 1000 AND 5000""",
+      "manifest_zorder" ->
+        s"""SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc))
+           WHERE acctbal BETWEEN 1000 AND 5000
+             AND name BETWEEN 'Customer#000000300'
+                          AND 'Customer#000000899'""",
       // restore rewinds the delete: the expected state is the merged
       // state as if the erasure never happened — manifest_merge's shape
       "manifest_restore" ->

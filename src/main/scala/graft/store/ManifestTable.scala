@@ -2332,8 +2332,7 @@ object ManifestTable {
           if (prior.keyColumn == from) to else prior.keyColumn,
           newKeyExpr, prior.lastCompact, prior.rangeBounds,
           newSchema.json, prior.udfKey,
-          clusterCol =
-            if (prior.clusterCol == from) to else prior.clusterCol,
+          clusterCol = renameClusterCol(prior.clusterCol, from, to),
           colMap = cmap)))
         return
       // OCC loss: metadata-only, nothing to clean — retry on new state
@@ -2357,7 +2356,7 @@ object ManifestTable {
       df: DataFrame,
       bucket: org.apache.spark.sql.Column,
       keyColumn: String,
-      clusterCol: String,
+      cluster: org.apache.spark.sql.Column,
       root: String,
       dataDirName: String,
       numFiles: Int,
@@ -2372,9 +2371,8 @@ object ManifestTable {
       colMap.collectFirst { case (l, p) if l == name => p }.getOrElse(name)
     val physNames = df.schema.fieldNames.toSeq.map(toPhys)
     val sorted = df.withColumn(BucketCol, bucket)
-      .repartitionByRange(math.max(1, numFiles), col(BucketCol),
-        col(clusterCol))
-      .sortWithinPartitions(col(BucketCol), col(clusterCol))
+      .repartitionByRange(math.max(1, numFiles), col(BucketCol), cluster)
+      .sortWithinPartitions(col(BucketCol), cluster)
     (if (colMap.isEmpty) sorted
      else sorted.select((df.schema.fieldNames.toSeq.map(n =>
        col(n).as(toPhys(n))) :+ col(BucketCol)): _*))
@@ -2515,7 +2513,7 @@ object ManifestTable {
       val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
         cmp(col(keyColumn)))
       val written = writeClusteredBuckets(all, bucket, keyColumn,
-        clusterCol, root, s"v$version-$attempt",
+        col(clusterCol), root, s"v$version-$attempt",
         prior.numBuckets * filesPerBucket, cmp, seq = version,
         colMap = prior.colMap)
       if (tryCommitManifest(spark, root, Manifest(version,
@@ -2526,6 +2524,137 @@ object ManifestTable {
         return
       cleanupAttempt(spark, root, version, attempt)
     }
+  }
+
+  /** Multi-column clustering via Z-ORDER (Morton interleave) — the
+    * clusterBy for MORE THAN ONE probe dimension. A single-column
+    * cluster sort gives file-granular zone pruning on that column and
+    * nothing on any other; Z-ordering maps each row to one long whose
+    * bits interleave the per-column rank cells, so rows close in the
+    * z-curve are close in EVERY clustered dimension at once — each
+    * file's zone box is tight on ALL of `clusterCols`, and a range
+    * probe on any of them (or a box probe on several —
+    * [[ZoneSkip.lookupRanges]]) skips most files. The Delta/Databricks
+    * OPTIMIZE ZORDER BY design point, built Spark-first.
+    *
+    * Ranks come from ONE bounded sample job (never a per-column global
+    * sort): `sampleRows` rows drawn across the table, per-column
+    * boundaries picked at even quantile positions driver-side (≤
+    * 2^bits − 1 values per column, each column in its own NATIVE
+    * order), and the rank is the bucketExpr searchsorted shape over
+    * those boundary literals — codegen-friendly, NULL ranks 0 (nulls
+    * cluster low, zones record a non-null witness so they still
+    * prune). Boundary quality only shapes LAYOUT, never results: a
+    * skewed sample costs pruning selectivity, not correctness. The
+    * rewrite itself is [[clusterBy]]'s: one whole-table
+    * `repartitionByRange(files, bucket, z)` keeping the key-hash
+    * bucket layout (lookups, co-bucketed joins intact), single-seq
+    * buckets, file-granular zone claims; the manifest records
+    * `clusterCol = "zorder(a,b,...)"` so the scan drops its within-file
+    * key-sort claim the same way (and [[renameColumn]] rewrites the
+    * constituent names). Token-replayed through the maintenance
+    * stream. `bits` per-column resolution × columns must fit a long
+    * (≤ 63 interleaved bits). */
+  def zOrderBy(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyColumn: String,
+      clusterCols: Seq[String],
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      filesPerBucket: Int = 4,
+      bits: Int = 8,
+      sampleRows: Int = 65536): Unit = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    require(clusterCols.size >= 2,
+      "zOrderBy needs >= 2 columns (use clusterBy for one)")
+    require(clusterCols.distinct.size == clusterCols.size,
+      s"duplicate z-order columns in $clusterCols")
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"z-order column $c not in the schema"))
+    require(!clusterCols.contains(keyColumn),
+      "zOrderBy is for NON-key columns (the key layout already " +
+        "prunes key predicates)")
+    require(bits >= 1 && bits * clusterCols.size <= 63,
+      s"$bits bits x ${clusterCols.size} columns exceeds a long's " +
+        "63 interleavable bits")
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      if (prior.lastDelete.contains(token)) return
+      checkSchemaCompatible(prior, schema, "zOrderBy", allowAdd = true)
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val all = readManifestState(spark, root, schema, Some(prior))
+      // ONE bounded sample job for every column's boundaries: the
+      // manifest's recorded row counts size the fraction (delta tiers
+      // overcount only toward a larger sample), a hard limit caps the
+      // driver either way.
+      val totalRows = math.max(1L, prior.entries.map(_.rows).sum)
+      val frac = math.min(1.0, sampleRows * 2.0 / totalRows)
+      val sample = all.select(clusterCols.map(col): _*)
+        .sample(withReplacement = false, frac, seed = token)
+        .limit(sampleRows).collect()
+      val cells = 1 << bits
+      val bounds: Seq[Seq[Any]] = clusterCols.indices.map { j =>
+        val vs = sample.flatMap(r => Option(r.get(j))).distinct
+        val sorted = vs.sortWith((a, b) => cmpNative(a, b) < 0)
+        if (sorted.length <= cells - 1) sorted.toSeq
+        else (1 until cells).map(i =>
+          sorted((i.toLong * sorted.length / cells).toInt))
+      }
+      // rank_j = #(boundaries <= value), the bucketExpr searchsorted
+      // shape in the column's NATIVE order; NULL -> 0
+      val ranks = clusterCols.zip(bounds).map { case (c, bs) =>
+        if (bs.isEmpty) lit(0L)
+        else coalesce(size(filter(array(bs.map(lit): _*),
+          b => col(c) >= b)), lit(0)).cast("long")
+      }
+      val k = ranks.size
+      val z = (0 until bits).flatMap(i => ranks.zipWithIndex.map {
+        case (r, j) =>
+          // disjoint target bits, so + is bitwise OR
+          shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
+      }).reduce(_ + _)
+      val cmp = effectiveKey(prior, keyComparator)
+      val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
+        cmp(col(keyColumn)))
+      val written = writeClusteredBuckets(all, bucket, keyColumn,
+        z, root, s"v$version-$attempt",
+        prior.numBuckets * filesPerBucket, cmp, seq = version,
+        colMap = prior.colMap)
+      if (tryCommitManifest(spark, root, Manifest(version,
+          prior.numBuckets, written, prior.lastBatches, Some(token),
+          attempt, keyColumn, prior.keyExpr, prior.lastCompact,
+          prior.rangeBounds, prior.schemaJson, prior.udfKey,
+          clusterCol = s"zorder(${clusterCols.mkString(",")})",
+          colMap = prior.colMap)))
+        return
+      cleanupAttempt(spark, root, version, attempt)
+    }
+  }
+
+  /** Rename a column through a recorded cluster claim: a plain
+    * clusterBy records the bare column name, [[zOrderBy]] records
+    * `zorder(a,b,...)` — both must follow a [[renameColumn]] or the
+    * claim (and the SHOW TBLPROPERTIES surface) goes stale. */
+  private def renameClusterCol(
+      recorded: String, from: String, to: String): String =
+    if (recorded == from) to
+    else if (recorded.startsWith("zorder(") && recorded.endsWith(")"))
+      "zorder(" + recorded.substring(7, recorded.length - 1)
+        .split(',').map(c => if (c == from) to else c).mkString(",") + ")"
+    else recorded
+
+  /** Driver-side native-order comparison for z-order boundary picking —
+    * the SAMPLE values' own type (numeric/string/date/timestamp), never
+    * a rendered string (the "10" < "9" trap). */
+  private def cmpNative(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Comparable[_], y) =>
+      x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+    case _ => 0
   }
 
   /** Point-in-time RESTORE: rewinds the table's live state to what

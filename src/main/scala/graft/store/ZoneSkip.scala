@@ -333,4 +333,64 @@ object ZoneSkip {
         else c < lit(hi).cast(dt))
     base.filter(preds.reduce(_ && _))
   }
+
+  /** BOX probe over several zoned columns at once — the read shape a
+    * [[ManifestTable.zOrderBy]] layout exists for. A file is skipped
+    * when ANY column's zone proves its interval disjoint from that
+    * column's [lo, hi] (inclusive; either bound may be null for a
+    * half-open side, not both): per-column absence is independent, so
+    * the union of exclusions is sound, and on a z-ordered layout every
+    * file is tight in EVERY clustered dimension — the k-column box
+    * keeps ~the product of the per-column file fractions instead of
+    * one column's worth. Kept files re-filter on all predicates
+    * (zone pruning never decides membership, only absence). */
+  def lookupRanges(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
+    ranges.foreach { case (c, lo, hi) =>
+      require(schema.fieldNames.contains(c),
+        s"column $c not in the schema")
+      require(lo != null || hi != null,
+        s"range on $c needs at least one bound")
+    }
+    val m = ManifestTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    if (m.entries.isEmpty)
+      return ManifestTable.read(spark, root, schema).limit(0)
+    val zoneRows = zonesOf(spark, root)
+      .filter(col("column").isin(ranges.map(_._1): _*))
+      .select("relPath", "column", "kind", "minS", "maxS", "nonNull")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getBoolean(5)))
+      .toMap // bounded by files x probed columns, tiny rows
+    val rendered = ranges.map { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      (c, kindOf(dt), renderBound(spark, lo, dt), renderBound(spark, hi, dt))
+    }
+    def definitelyAbsent(rp: String): Boolean =
+      rendered.exists { case (c, kind, loS, hiS) =>
+        zoneRows.get((rp, c)).exists { case (k, mn, mx, nonNull) =>
+          k == kind && (
+            !nonNull || mn == null || mx == null ||
+            loS.exists(l => cmp(k, mx, l) < 0) ||
+            hiS.exists(h => cmp(k, mn, h) > 0))
+        }
+      }
+    val keep = ManifestTable.pruneAbsent(m.entries,
+      e => definitelyAbsent(e.relPath))
+    val base =
+      if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
+      else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
+        keep)
+    val preds = ranges.flatMap { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      Option(lo).map(l => col(c) >= lit(l).cast(dt)).toSeq ++
+        Option(hi).map(h => col(c) <= lit(h).cast(dt))
+    }
+    base.filter(preds.reduce(_ && _))
+  }
 }
