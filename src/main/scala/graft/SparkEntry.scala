@@ -1504,15 +1504,22 @@ object SparkEntry {
         .select(col("id"), col("name"))
     }),
     "manifest_count" -> ((s, dir) => {
-      // Metadata-only aggregate pushdown: a SELECT count(*) answered
-      // from the manifest's per-file row counts — zero data files read
-      // on this all-compacted fixture (spec-proven by answering after
-      // the data files are physically gone). Hash-checked against
-      // DuckDB's count of the same merged state.
+      // Metadata-only aggregate pushdown, through the DECLARATIVE face:
+      // a plain `SELECT count(*)` over the DSv2 relation plans onto
+      // GraftCountScan (SupportsPushDownAggregates) and answers from
+      // the manifest's per-file row counts — zero data files read on
+      // this all-compacted fixture, asserted here by plan shape (the
+      // null-semantics / filter / grouping non-push legs live in
+      // AggPushdownSpec). Hash-checked against DuckDB's count of the
+      // same merged state.
       val root = manifestFixture(s, dir, "manifest_count", withMerge = true)
-      val n = graft.store.ManifestTable.countRows(s, root, upsertSchema)
-      import s.implicits._
-      Seq(n).toDF("n_rows")
+      GraftExtensions.register(s)
+      val cnt = s.read.format("graft").load(root)
+        .groupBy().count().select(col("count").as("n_rows"))
+      require(cnt.queryExecution.executedPlan.toString
+          .contains("GraftCountScan"),
+        "count(*) must take the aggregate-pushdown scan")
+      cnt
     }),
     "upsert_reject_nonnull" -> ((s, dir) =>
       runUpsert(s, dir, blankNames = true,

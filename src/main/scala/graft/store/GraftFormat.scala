@@ -283,9 +283,39 @@ private[store] case class GraftTable(
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      // COUNT(*) answered from manifest metadata (ManifestTable
+      // .countRows): accepted only as a COMPLETE pushdown — no grouping,
+      // every aggregate a bare CountStar — and only when no filter sits
+      // below (this builder pushes no filters, so Spark keeps filtered
+      // aggregates off this path by itself). Everything else stays on
+      // the ordinary scan, exact by construction.
+      private var pushedCounts = 0
+
+      private def countStarOnly(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean =
+        agg.groupByExpressions.isEmpty &&
+          agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall(_.isInstanceOf[
+            org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = countStarOnly(agg)
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean =
+        countStarOnly(agg) && {
+          pushedCounts = agg.aggregateExpressions.length; true
+        }
+
       override def build(): Scan =
-        GraftBatchScan(root, versionAsOf, tableSchema,
+        if (pushedCounts > 0)
+          GraftCountScan(root, versionAsOf, tableSchema, pushedCounts)
+        else GraftBatchScan(root, versionAsOf, tableSchema,
           Option(options.get("startingVersion")),
           Option(options.get("maxVersionsPerBatch")).map(_.toInt))
     }
@@ -484,6 +514,67 @@ private[store] case class GraftBatchScan(
   * the subtree (then re-optimized), so the native scan path's pruning
   * and pushdown fire exactly as they do for the Scala/SQL-function
   * reads. */
+/** The COUNT(*) aggregate-pushdown scan: `SELECT count(*) FROM t` (any
+  * face — catalog name, path read) answers from MANIFEST METADATA via
+  * [[ManifestTable.countRows]] instead of scanning the table — exact at
+  * any size (all-compacted buckets come straight off recorded row
+  * counts, delta buckets reconcile and count for real), zero data reads
+  * on the common case, one row out. The count evaluates when the batch
+  * plans (driver-side, possibly one bounded nested job for delta
+  * buckets — the AQE-subquery execution shape), so `inputFiles` on the
+  * result is empty and the 100 TB count costs a manifest read. */
+private[store] case class GraftCountScan(
+    root: String,
+    versionAsOf: Option[Long],
+    tableSchema: StructType,
+    numCounts: Int) extends Scan {
+
+  override def readSchema(): StructType = StructType(
+    (0 until numCounts).map(i => org.apache.spark.sql.types.StructField(
+      s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def description(): String =
+    s"GraftCountScan $root (metadata count(*) pushdown)" +
+      versionAsOf.map(v => s" @v$v").getOrElse("")
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val spark = SparkSession.active
+      val m = versionAsOf match {
+        case Some(v) => Some(ManifestTable.readManifest(spark, root, v))
+        case None => ManifestTable.currentManifest(spark, root)
+      }
+      Array(GraftCountPartition(
+        ManifestTable.countRows(spark, root, tableSchema, m), numCounts))
+    }
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      GraftCountReaderFactory
+  }
+}
+
+private[store] case class GraftCountPartition(count: Long, numCounts: Int)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[store] object GraftCountReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val part = p.asInstanceOf[GraftCountPartition]
+      private var served = false
+      override def next(): Boolean = !served && { served = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.fill[Any](part.numCounts)(part.count))
+      override def close(): Unit = ()
+    }
+}
+
 class GraftReadStrategy(spark: SparkSession) extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -363,7 +363,16 @@ object ManifestTable {
       spark: SparkSession,
       root: String,
       schema: org.apache.spark.sql.types.StructType): Long =
-    currentManifest(spark, root) match {
+    countRows(spark, root, schema, currentManifest(spark, root))
+
+  /** [[countRows]] against an explicit snapshot — the aggregate-
+    * pushdown scan counts time-travelled versions through this. */
+  private[store] def countRows(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      manifest: Option[Manifest]): Long =
+    manifest match {
       case None => 0L
       case Some(m) =>
         val (multi, single) = m.entries.groupBy(_.bucket).values.toSeq

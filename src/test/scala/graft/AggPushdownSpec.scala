@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.ManifestTable
+
+/** COUNT(*) aggregate pushdown ([[graft.store.GraftCountScan]]): a SQL
+  * `SELECT count(*)` over any graft face answers from manifest metadata
+  * — the plan carries the count scan and reads ZERO data files — while
+  * every shape the metadata cannot answer exactly (filters, grouping,
+  * count(col), distinct) stays on the ordinary scan and stays exact. */
+class AggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType)))
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def face(root: String) =
+    spark.read.format("graft").load(root)
+
+  private def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("GraftCountScan")
+
+  test("count(*) answers from metadata: pushed plan, zero files read, " +
+      "exact on compacted and delta-carrying tables alike") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("aggpush_basic")
+    ManifestTable.create(
+      (1L to 500L).map(i => (i, i)).toDF("id", "v"), "id", root,
+      numBuckets = 8)
+    val cnt = face(root).groupBy().count()
+    assert(pushed(cnt), cnt.queryExecution.executedPlan.toString)
+    assert(cnt.inputFiles.isEmpty)
+    assert(cnt.head.getLong(0) == 500L)
+    // delta tier: per-file counts overcount superseded keys; the scan
+    // must reconcile, not sum blindly
+    spark.createDataFrame(
+        (480L to 520L).map(i => (i, i + 1000)).toDF("id", "v").rdd,
+        schema)
+      .write.format("graft").option("key", "id").option("delta", "true")
+      .mode("append").save(root)
+    val cnt2 = face(root).groupBy().count()
+    assert(pushed(cnt2))
+    assert(cnt2.head.getLong(0) == 520L)
+    assert(face(root).count() == 520L) // Dataset.count goes the same way
+  }
+
+  test("time travel counts the travelled version") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("aggpush_travel")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, i)).toDF("id", "v"), "id", root,
+      numBuckets = 4)
+    (101L to 150L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").option("key", "id")
+      .mode("append").save(root)
+    val v0 = spark.read.format("graft").option("versionAsOf", "0")
+      .load(root).groupBy().count()
+    assert(pushed(v0))
+    assert(v0.head.getLong(0) == 100L)
+    assert(face(root).count() == 150L)
+  }
+
+  test("shapes metadata cannot answer stay on the ordinary scan, exact") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("aggpush_not")
+    ManifestTable.create(
+      (1L to 200L).map(i =>
+        (i, if (i % 5 == 0) None else Some(i % 3))).toDF("id", "v"),
+      "id", root, numBuckets = 4)
+    val filtered = face(root).filter(col("v") === 1).groupBy().count()
+    assert(!pushed(filtered), "a filtered count must not push")
+    assert(filtered.head.getLong(0) ==
+      (1L to 200L).count(i => i % 5 != 0 && i % 3 == 1))
+    val grouped = face(root).groupBy("v").count()
+    assert(!pushed(grouped))
+    assert(grouped.count() == 4) // 0, 1, 2, null
+    // count(col) must honor null semantics: 40 of 200 rows are null —
+    // a blind metadata count(*) rewrite would answer 200
+    val countCol = face(root).agg(count(col("v")))
+    assert(countCol.head.getLong(0) == 160L)
+    val distinct = face(root).agg(countDistinct(col("v")))
+    assert(!pushed(distinct))
+    assert(distinct.head.getLong(0) == 3L)
+  }
+
+  test("the catalog face pushes too") {
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      "target/test-tmp/aggpush_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t")
+    spark.sql("DROP TABLE IF EXISTS graft.t.counted")
+    spark.sql("""CREATE TABLE graft.t.counted (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    (1L to 77L).map(i => (i, i)).toDF("id", "v")
+      .createOrReplaceTempView("aggpush_src")
+    spark.sql("INSERT INTO graft.t.counted SELECT * FROM aggpush_src")
+    val df = spark.sql("SELECT count(*) AS n FROM graft.t.counted")
+    assert(pushed(df), df.queryExecution.executedPlan.toString)
+    assert(df.head.getLong(0) == 77L)
+  }
+}
