@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -155,7 +156,19 @@ private[graft] final class CdcMicroBatchStream(
     maxVersionsPerBatch: Option[Int],
     checkpointLocation: String,
     upsertsOnly: Boolean = false)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow, NATIVE (not the engine's compatibility
+    * wrapper): the run's end version is FENCED at prepare time, so a
+    * commit landing mid-run never extends the current run — it waits
+    * for the next catch-up invocation. Admission pacing
+    * (maxVersionsPerBatch) still applies within the fence, so a long
+    * backlog drains in bounded micro-batches and then terminates. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head)
 
   /** `upsertsOnly` is the `readStream.table("graft.db.t")` face: plain
     * TABLE-schema rows (inserts + update postimages), REFUSING ranges
@@ -193,9 +206,10 @@ private[graft] final class CdcMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CdcOffset].version
+    val h = availableNowCap.getOrElse(head)
     val end = maxVersionsPerBatch match {
-      case Some(n) => math.max(math.min(head, from + n), from)
-      case None => math.max(head, from)
+      case Some(n) => math.max(math.min(h, from + n), from)
+      case None => math.max(h, from)
     }
     CdcOffset(end)
   }

@@ -222,6 +222,43 @@ class StreamingCdcSpec extends SparkSpec {
     assert(batches.map(_.getAs[Long]("_version")).toSet == Set(2L))
   }
 
+  test("AvailableNow fences its end version at prepare time: a commit " +
+      "landing MID-RUN waits for the next invocation") {
+    val root = freshDir("cdc_availnow_fence")
+    val ckpt = freshDir("cdc_availnow_fence_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"))
+    mergeRows(root, 1L, (2L, "b", "20"))
+
+    val seen = ArrayBuffer[Long]()
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = CdcSource.readStream(spark, root,
+          Map("startingVersion" -> "earliest",
+            "maxVersionsPerBatch" -> "1")) // paced: >1 micro-batch
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          seen.synchronized {
+            seen ++= df.collect().map(_.getAs[Long]("_version"))
+          }
+          // first batch of the first run: land a NEW commit mid-run —
+          // the fence must keep it out of THIS run
+          if (injected.compareAndSet(false, true))
+            mergeRows(root, 2L, (3L, "c", "30"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    }
+    runOnce()
+    assert(seen.toSet == Set(0L, 1L),
+      s"mid-run commit leaked into the fenced run: $seen")
+    seen.clear()
+    runOnce() // next invocation picks up exactly the injected commit
+    assert(seen.toSet == Set(2L))
+  }
+
   test("a stream lagging behind vacuum fails loudly, never skips commits") {
     val root = freshDir("cdc_vacuumed")
     val ckpt = freshDir("cdc_vacuumed_ckpt")
