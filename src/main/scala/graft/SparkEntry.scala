@@ -454,6 +454,17 @@ object SparkEntry {
     }),
     "manifest_count" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_count", withMerge = true)),
+    "manifest_delete_where" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_delete_where",
+        withMerge = true)),
+    "manifest_minmax" -> ((s, dir) => {
+      // fixture + zone build OUTSIDE the timed region: the rep times
+      // the metadata-only count/min/max answer itself.
+      val root = resetManifestFixture(s, dir, "manifest_minmax",
+        withMerge = true)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+    }),
     "manifest_probe_join" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_probe_join",
         withMerge = true)),
@@ -1506,7 +1517,7 @@ object SparkEntry {
     "manifest_count" -> ((s, dir) => {
       // Metadata-only aggregate pushdown, through the DECLARATIVE face:
       // a plain `SELECT count(*)` over the DSv2 relation plans onto
-      // GraftCountScan (SupportsPushDownAggregates) and answers from
+      // GraftAggScan (SupportsPushDownAggregates) and answers from
       // the manifest's per-file row counts — zero data files read on
       // this all-compacted fixture, asserted here by plan shape (the
       // null-semantics / filter / grouping non-push legs live in
@@ -1517,9 +1528,45 @@ object SparkEntry {
       val cnt = s.read.format("graft").load(root)
         .groupBy().count().select(col("count").as("n_rows"))
       require(cnt.queryExecution.executedPlan.toString
-          .contains("GraftCountScan"),
+          .contains("GraftAggScan"),
         "count(*) must take the aggregate-pushdown scan")
       cnt
+    }),
+    "manifest_delete_where" -> ((s, dir) => {
+      // Row-level DELETE by ARBITRARY predicate (deleteWhere — the SQL
+      // `DELETE FROM t WHERE <non-key>` path): one pruned discovery
+      // scan reduces the predicate to its touched buckets, only those
+      // rewrite without the matching rows, one OCC commit. Values
+      // hash-equal DuckDB's recompute of the merged state minus the
+      // predicate's rows; locality/NULL/replay evidence lives in
+      // DeleteWhereSpec.
+      val root = manifestFixture(s, dir, "manifest_delete_where",
+        withMerge = true)
+      graft.store.ManifestTable.deleteWhere(s, root, upsertSchema,
+        d => d("segment") === "NEW" && d("acctbal") < 3000.0,
+        token = 2L)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_minmax" -> ((s, dir) => {
+      // MIN/MAX aggregate pushdown from ZONE sidecars: after one zone
+      // build, `SELECT count(*), min(acctbal), max(acctbal)` answers
+      // entirely from metadata (plan-asserted GraftAggScan — zero data
+      // files), hash-checked against DuckDB's real aggregation of the
+      // merged state. The refusal legs (no zones, deltas, filters,
+      // count(col) nulls) live in AggPushdownSpec.
+      val root = manifestFixture(s, dir, "manifest_minmax",
+        withMerge = true)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+      GraftExtensions.register(s)
+      val df = s.read.format("graft").load(root)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("acctbal")).as("min_bal"),
+          max(col("acctbal")).as("max_bal"))
+      require(df.queryExecution.executedPlan.toString
+          .contains("GraftAggScan"),
+        "count/min/max must take the aggregate-pushdown scan")
+      df
     }),
     "upsert_reject_nonnull" -> ((s, dir) =>
       runUpsert(s, dir, blankNames = true,
@@ -2508,6 +2555,24 @@ object SparkEntry {
       "manifest_count" ->
         s"""SELECT count(*) AS n_rows FROM customer
            WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_delete_where" ->
+        s"""SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc))
+           WHERE NOT (segment = 'NEW' AND acctbal < 3000)""",
+      "manifest_minmax" ->
+        s"""SELECT count(*) AS n_rows,
+           min(CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END)
+             AS min_bal,
+           max(CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END)
+             AS max_bal
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
       "manifest_index" ->
         s"""SELECT CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END
              AS segment, c_custkey AS id

@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Attribute, AttributeReference, AttributeSet, Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction,
-  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan,
+  MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.col
@@ -63,6 +63,19 @@ class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           GraftDmlExec("graft MERGE INTO",
             () => GraftDml.runMerge(spark, g, m)) :: Nil
         case None => Nil
+      }
+    // Key-equality/IN and truncate DELETEs keep the metadata path
+    // (SupportsDelete: bucket-local or manifest-only). Every OTHER
+    // predicate lands here instead of Spark's "cannot delete" refusal:
+    // the row-level rewrite ([[ManifestTable.deleteWhere]]) — the same
+    // cost class as UPDATE's, one pruned discovery scan + touched-bucket
+    // rewrites in one commit.
+    case DeleteFromTable(target, condition) =>
+      GraftDml.graftTarget(target) match {
+        case Some(g) if !GraftDml.metadataDeletable(g, condition) =>
+          GraftDmlExec("graft DELETE (row-level rewrite)",
+            () => GraftDml.runDeleteWhere(spark, g, condition)) :: Nil
+        case _ => Nil
       }
     case _ => Nil
   }
@@ -156,6 +169,38 @@ private[store] object GraftDml {
     ManifestTable.merge(updated, newToken(),
       DerivedTable.identityMapping(schema, key), root, schema,
       numBuckets = m.numBuckets, streamId = "graft-sql-update")
+  }
+
+  /** True when the keyed metadata path ([[GraftTable.canDeleteWhere]])
+    * serves this DELETE's predicate — those statements must keep their
+    * bucket-local / manifest-only cost, so the strategy declines them. */
+  def metadataDeletable(g: GraftTable, condition: Expression): Boolean = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val splits = split(condition)
+    val translated = splits.flatMap(Bridge.translateFilter)
+    translated.length == splits.length &&
+      g.canDeleteWhere(translated.toArray)
+  }
+
+  def runDeleteWhere(
+      spark: SparkSession,
+      g: GraftTable,
+      condition: Expression): Unit = {
+    require(g.versionAsOf.isEmpty,
+      "cannot DELETE from a time-travelled table snapshot")
+    ManifestTable.deleteWhere(spark, g.root, g.tableSchema,
+      df => {
+        val byName = df.queryExecution.analyzed.output
+          .map(a => a.name -> (a: Expression)).toMap
+        Bridge.column(condition.transform {
+          case a: Attribute => byName(a.name)
+        })
+      },
+      newToken(), tokenStream = Some("graft-sql-delete-where"))
   }
 
   def runMerge(

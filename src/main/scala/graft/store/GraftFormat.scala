@@ -285,36 +285,67 @@ private[store] case class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
-      // COUNT(*) answered from manifest metadata (ManifestTable
-      // .countRows): accepted only as a COMPLETE pushdown — no grouping,
-      // every aggregate a bare CountStar — and only when no filter sits
-      // below (this builder pushes no filters, so Spark keeps filtered
-      // aggregates off this path by itself). Everything else stays on
-      // the ordinary scan, exact by construction.
-      private var pushedCounts = 0
+      // COUNT(*)/MIN/MAX answered from manifest metadata: accepted only
+      // as a COMPLETE pushdown — no grouping, every aggregate a bare
+      // CountStar or a Min/Max over a top-level column that zone
+      // sidecars can answer EXACTLY right now (ZoneSkip.zoneMinMax:
+      // all buckets single-seq, every live file covered, kind current)
+      // — and only when no filter sits below (this builder pushes no
+      // filters, so Spark keeps filtered aggregates off this path by
+      // itself). count(col)/countDistinct/sum/avg and every refused
+      // shape stay on the ordinary scan, exact by construction.
+      import org.apache.spark.sql.connector.expressions.aggregate.{
+        Aggregation, CountStar, Max, Min}
+      private var pushed: Seq[GraftAggScan.PushedAgg] = Nil
 
-      private def countStarOnly(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Boolean =
-        agg.groupByExpressions.isEmpty &&
-          agg.aggregateExpressions.nonEmpty &&
-          agg.aggregateExpressions.forall(_.isInstanceOf[
-            org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      private def fieldOf(e: org.apache.spark.sql.connector.expressions
+          .Expression): Option[String] = e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
 
-      override def supportCompletePushDown(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Boolean = countStarOnly(agg)
+      private def translate(agg: Aggregation)
+          : Option[Seq[GraftAggScan.PushedAgg]] = {
+        if (agg.groupByExpressions.nonEmpty ||
+            agg.aggregateExpressions.isEmpty) return None
+        // one zone consultation per distinct min/max column, not per
+        // aggregate — the sidecar read is bounded but not free
+        lazy val spark = SparkSession.active
+        lazy val m = versionAsOf match {
+          case Some(v) =>
+            Some(ManifestTable.readManifest(spark, root, v))
+          case None => ManifestTable.currentManifest(spark, root)
+        }
+        val memo = scala.collection.mutable.HashMap
+          .empty[String, Option[(Option[String], Option[String])]]
+        def minMax(c: String) = memo.getOrElseUpdate(c,
+          if (!tableSchema.fieldNames.contains(c)) None
+          else m.flatMap(mf => ZoneSkip.zoneMinMax(spark, root, mf, c,
+            tableSchema(c).dataType)))
+        val out = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some(GraftAggScan.PushedCount)
+          case mn: Min => fieldOf(mn.column).flatMap(c =>
+            minMax(c).map(mm => GraftAggScan.PushedMin(c, mm._1)))
+          case mx: Max => fieldOf(mx.column).flatMap(c =>
+            minMax(c).map(mm => GraftAggScan.PushedMax(c, mm._2)))
+          case _ => None
+        }
+        if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+      }
 
-      override def pushAggregation(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Boolean =
-        countStarOnly(agg) && {
-          pushedCounts = agg.aggregateExpressions.length; true
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        translate(agg).isDefined
+
+      override def pushAggregation(agg: Aggregation): Boolean =
+        translate(agg) match {
+          case Some(p) => pushed = p; true
+          case None => false
         }
 
       override def build(): Scan =
-        if (pushedCounts > 0)
-          GraftCountScan(root, versionAsOf, tableSchema, pushedCounts)
+        if (pushed.nonEmpty)
+          GraftAggScan(root, versionAsOf, tableSchema, pushed)
         else GraftBatchScan(root, versionAsOf, tableSchema,
           Option(options.get("startingVersion")),
           Option(options.get("maxVersionsPerBatch")).map(_.toInt))
@@ -514,50 +545,89 @@ private[store] case class GraftBatchScan(
   * the subtree (then re-optimized), so the native scan path's pruning
   * and pushdown fire exactly as they do for the Scala/SQL-function
   * reads. */
-/** The COUNT(*) aggregate-pushdown scan: `SELECT count(*) FROM t` (any
-  * face — catalog name, path read) answers from MANIFEST METADATA via
-  * [[ManifestTable.countRows]] instead of scanning the table — exact at
-  * any size (all-compacted buckets come straight off recorded row
-  * counts, delta buckets reconcile and count for real), zero data reads
-  * on the common case, one row out. The count evaluates when the batch
-  * plans (driver-side, possibly one bounded nested job for delta
-  * buckets — the AQE-subquery execution shape), so `inputFiles` on the
-  * result is empty and the 100 TB count costs a manifest read. */
-private[store] case class GraftCountScan(
+private[store] object GraftAggScan {
+  /** One pushed aggregate. Min/Max carry their ANSWER (the rendered
+    * zone extreme, `None` = SQL NULL), frozen when the pushdown is
+    * accepted — metadata-only by then, and freezing keeps the scan
+    * deterministic across AQE re-planning. CountStar stays a marker:
+    * its value may need a bounded delta-reconcile job, which belongs
+    * at batch planning, not in the optimizer. */
+  sealed trait PushedAgg extends Serializable
+  case object PushedCount extends PushedAgg
+  final case class PushedMin(column: String, rendered: Option[String])
+      extends PushedAgg
+  final case class PushedMax(column: String, rendered: Option[String])
+      extends PushedAgg
+}
+
+/** The aggregate-pushdown scan: `SELECT count(*) / min(c) / max(c)
+  * FROM t` (any face — catalog name, path read, time travel) answers
+  * from MANIFEST + ZONE METADATA instead of scanning the table.
+  * count(*) = [[ManifestTable.countRows]] — exact at any size
+  * (all-compacted buckets come straight off recorded row counts, delta
+  * buckets reconcile and count for real). min/max = the zone sidecar
+  * extremes ([[ZoneSkip.zoneMinMax]] — accepted only when exact), the
+  * rendered strings converted back to the column's internal values
+  * ([[ZoneSkip.internalOf]]). Zero data reads on the common case, one
+  * row out, `inputFiles` empty: the 100 TB `count(*), min(ts), max(ts)`
+  * costs a manifest read plus a sidecar read. */
+private[store] case class GraftAggScan(
     root: String,
     versionAsOf: Option[Long],
     tableSchema: StructType,
-    numCounts: Int) extends Scan {
+    aggs: Seq[GraftAggScan.PushedAgg]) extends Scan {
+  import GraftAggScan._
 
   override def readSchema(): StructType = StructType(
-    (0 until numCounts).map(i => org.apache.spark.sql.types.StructField(
-      s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    aggs.zipWithIndex.map {
+      case (PushedCount, i) => org.apache.spark.sql.types.StructField(
+        s"count_$i", org.apache.spark.sql.types.LongType,
+        nullable = false)
+      case (PushedMin(c, _), i) => org.apache.spark.sql.types.StructField(
+        s"min_$i", tableSchema(c).dataType, nullable = true)
+      case (PushedMax(c, _), i) => org.apache.spark.sql.types.StructField(
+        s"max_$i", tableSchema(c).dataType, nullable = true)
+    })
 
   override def description(): String =
-    s"GraftCountScan $root (metadata count(*) pushdown)" +
+    s"GraftAggScan $root (metadata aggregate pushdown: " +
+      aggs.map {
+        case PushedCount => "count(*)"
+        case PushedMin(c, _) => s"min($c)"
+        case PushedMax(c, _) => s"max($c)"
+      }.mkString(", ") + ")" +
       versionAsOf.map(v => s" @v$v").getOrElse("")
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions()
         : Array[org.apache.spark.sql.connector.read.InputPartition] = {
       val spark = SparkSession.active
-      val m = versionAsOf match {
-        case Some(v) => Some(ManifestTable.readManifest(spark, root, v))
-        case None => ManifestTable.currentManifest(spark, root)
+      lazy val count: Long = {
+        val m = versionAsOf match {
+          case Some(v) => Some(ManifestTable.readManifest(spark, root, v))
+          case None => ManifestTable.currentManifest(spark, root)
+        }
+        ManifestTable.countRows(spark, root, tableSchema, m)
       }
-      Array(GraftCountPartition(
-        ManifestTable.countRows(spark, root, tableSchema, m), numCounts))
+      val values: Array[Any] = aggs.map {
+        case PushedCount => count: Any
+        case PushedMin(c, r) =>
+          r.map(ZoneSkip.internalOf(_, tableSchema(c).dataType)).orNull
+        case PushedMax(c, r) =>
+          r.map(ZoneSkip.internalOf(_, tableSchema(c).dataType)).orNull
+      }.toArray
+      Array(GraftAggPartition(values))
     }
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      GraftCountReaderFactory
+      GraftAggReaderFactory
   }
 }
 
-private[store] case class GraftCountPartition(count: Long, numCounts: Int)
+private[store] case class GraftAggPartition(values: Array[Any])
     extends org.apache.spark.sql.connector.read.InputPartition
 
-private[store] object GraftCountReaderFactory
+private[store] object GraftAggReaderFactory
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(
       p: org.apache.spark.sql.connector.read.InputPartition)
@@ -565,12 +635,12 @@ private[store] object GraftCountReaderFactory
         org.apache.spark.sql.catalyst.InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
-      private val part = p.asInstanceOf[GraftCountPartition]
+      private val part = p.asInstanceOf[GraftAggPartition]
       private var served = false
       override def next(): Boolean = !served && { served = true; true }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array.fill[Any](part.numCounts)(part.count))
+          part.values)
       override def close(): Unit = ()
     }
 }

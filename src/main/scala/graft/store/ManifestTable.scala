@@ -1944,6 +1944,88 @@ object ManifestTable {
     Nil // unreachable
   }
 
+  /** Row-level DELETE by ARBITRARY predicate — the complement to the
+    * metadata-served key [[delete]] (SQL `DELETE FROM t WHERE <key>`
+    * keeps that path; this one serves every other WHERE through
+    * [[GraftDmlStrategy]], and the Scala API directly). Two passes,
+    * one commit: a DISCOVERY scan of the current state filtered by the
+    * predicate — zone/bloom/key pruning fire on whatever of it pushes
+    * down — reduced to the ≤ numBuckets distinct touched buckets
+    * (always driver-bounded); then only THOSE buckets' reconciled
+    * contents rewrite without the matching rows, untouched buckets
+    * carry as metadata, one OCC manifest swap. SQL NULL semantics: a
+    * row deletes only when the predicate is TRUE — NULL/false keep
+    * (the keep-filter is `NOT coalesce(p, false)`). `condition` is a
+    * builder so the caller binds it to each pass's own frame; it must
+    * be deterministic (both passes must see the same rows). Cost:
+    * one pruned scan + |touched buckets| rewrites — a full-table
+    * rewrite only when the predicate matches everywhere. */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      condition: DataFrame => org.apache.spark.sql.Column,
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      tokenStream: Option[String] = None): Seq[FileEntry] = {
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(return Nil)
+      val replayed = tokenStream match {
+        case Some(s) => prior.lastBatches.get(s).contains(token)
+        case None => prior.lastDelete.contains(token)
+      }
+      if (replayed) return Nil
+      checkSchemaCompatible(prior, schema, "deleteWhere", allowAdd = true)
+      val keyColumn = prior.keyColumn
+      require(keyColumn.nonEmpty, s"table at $root records no key column")
+      val batches = tokenStream.fold(prior.lastBatches)(s =>
+        prior.lastBatches + (s -> token))
+      val deleteToken =
+        if (tokenStream.isEmpty) Some(token) else prior.lastDelete
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val n = prior.numBuckets
+      val cmp = effectiveKey(prior, keyComparator)
+      val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+      // discovery: the predicate's TRUE rows, reduced to their buckets —
+      // ≤ numBuckets result rows, bounded at any table size
+      val state = readManifestState(spark, root, schema, Some(prior))
+      val touched: Set[Int] = state
+        .filter(coalesce(condition(state), lit(false)))
+        .select(bucket.as("_b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val (touchedEntries, untouched) =
+        prior.entries.partition(e => touched(e.bucket))
+      if (touchedEntries.isEmpty) {
+        // nothing matched: commit the token so replays no-op, like the
+        // keyed delete's miss path
+        if (tryCommitManifest(spark, root, Manifest(version, n,
+            prior.entries, batches, deleteToken, attempt,
+            prior.keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol, colMap = prior.colMap)))
+          return Nil
+      } else {
+        val reconciled = reconciledRead(spark, root, schema, prior,
+          touchedEntries, keyColumn, cmp)
+        val fragment = reconciled.filter(
+          !coalesce(condition(reconciled), lit(false)))
+        val written = writeBuckets(fragment, bucket, keyColumn, root,
+          s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
+          cmp, seq = version, colMap = prior.colMap)
+        if (tryCommitManifest(spark, root, Manifest(version, n,
+            untouched ++ written, batches, deleteToken, attempt,
+            keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol, colMap = prior.colMap)))
+          return written
+        cleanupAttempt(spark, root, version, attempt)
+      }
+    }
+    Nil // unreachable
+  }
+
   /** SQL `MERGE INTO` executor ([[GraftDmlStrategy]] validates and
     * calls): ONE full-outer join of the source against the reconciled
     * contents of only the SOURCE KEYS' buckets, per-clause disposition

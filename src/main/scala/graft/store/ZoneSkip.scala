@@ -334,6 +334,63 @@ object ZoneSkip {
     base.filter(preds.reduce(_ && _))
   }
 
+  /** MIN/MAX served from zone metadata, for the aggregate-pushdown
+    * scan: returns `None` when zones cannot answer EXACTLY — any bucket
+    * carrying deltas (a superseded row may hold a phantom extremum),
+    * any live file uncovered for the column, a kind mismatch (schema
+    * re-type), or a TimestampNTZ column (its rendering pins through the
+    * session zone — a sidecar built under another zone would lie).
+    * `Some((min, max))` carries the RENDERED extremes (each `None` when
+    * every file is all-NULL in the column — SQL min/max of nothing);
+    * zone min/max are computed from the data by the build, so the
+    * answer is exact, not approximate. */
+  private[store] def zoneMinMax(
+      spark: SparkSession,
+      root: String,
+      m: ManifestTable.Manifest,
+      column: String,
+      dt: DataType): Option[(Option[String], Option[String])] = {
+    if (dt == TimestampNTZType) return None
+    val kind =
+      try kindOf(dt)
+      catch { case _: IllegalArgumentException => return None }
+    if (m.entries.isEmpty) return Some((None, None))
+    if (m.entries.groupBy(_.bucket).values.exists(_.size > 1)) return None
+    val rows = zonesOf(spark, root).filter(col("column") === column)
+      .select("relPath", "kind", "minS", "maxS", "nonNull").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+    if (!m.entries.forall(e =>
+        rows.get(e.relPath).exists(_._1 == kind))) return None
+    val live = m.entries.map(e => rows(e.relPath))
+      .filter(z => z._4 && z._2 != null && z._3 != null)
+    if (live.isEmpty) Some((None, None))
+    else Some((
+      Some(live.map(_._2).reduce((a, b) => if (cmp(kind, a, b) <= 0) a else b)),
+      Some(live.map(_._3).reduce((a, b) => if (cmp(kind, a, b) >= 0) a else b))))
+  }
+
+  /** Rendered zone string back to the column's CATALYST INTERNAL value —
+    * exact by construction of [[rendered]]: integrals/epoch-micros/
+    * epoch-days ARE the internal domain, doubles round-trip through
+    * `Double.toString`, floats narrow back exactly (the double was their
+    * exact widening), strings are verbatim. */
+  private[store] def internalOf(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toLong.toByte
+    case ShortType => s.toLong.toShort
+    case IntegerType => s.toLong.toInt
+    case LongType => s.toLong
+    case TimestampType => s.toLong
+    case DateType => s.toLong.toInt
+    case FloatType => s.toDouble.toFloat
+    case DoubleType => s.toDouble
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => throw new IllegalArgumentException(
+      s"no zone-internal conversion for ${other.sql}")
+  }
+
   /** BOX probe over several zoned columns at once — the read shape a
     * [[ManifestTable.zOrderBy]] layout exists for. A file is skipped
     * when ANY column's zone proves its interval disjoint from that

@@ -17,6 +17,15 @@ object Bridge {
     * counts deterministically (`listenerBus` is `private[spark]`). */
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Catalyst predicate → v1 `sources.Filter` (`protected[sql]` in
+    * DataSourceStrategy): lets the DML strategy ask the same question
+    * Spark's DeleteFromTableExec will — does the keyed metadata path
+    * serve this DELETE — before claiming the row-level rewrite. */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }
 
 /** The marker the engine checks to accept `OutputMode.Update` on a v2

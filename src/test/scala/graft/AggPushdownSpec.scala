@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.store.ManifestTable
+import graft.store.{ManifestTable, ZoneSkip}
 
-/** COUNT(*) aggregate pushdown ([[graft.store.GraftCountScan]]): a SQL
-  * `SELECT count(*)` over any graft face answers from manifest metadata
-  * — the plan carries the count scan and reads ZERO data files — while
-  * every shape the metadata cannot answer exactly (filters, grouping,
-  * count(col), distinct) stays on the ordinary scan and stays exact. */
+/** Aggregate pushdown ([[graft.store.GraftAggScan]]): a SQL
+  * `SELECT count(*) / min(c) / max(c)` over any graft face answers from
+  * manifest + zone metadata — the plan carries the agg scan and reads
+  * ZERO data files — while every shape the metadata cannot answer
+  * exactly (filters, grouping, count(col), distinct, uncovered or
+  * delta-carrying min/max) stays on the ordinary scan and stays exact. */
 class AggPushdownSpec extends SparkSpec {
   import spark.implicits._
 
@@ -27,7 +28,7 @@ class AggPushdownSpec extends SparkSpec {
     spark.read.format("graft").load(root)
 
   private def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("GraftCountScan")
+    df.queryExecution.executedPlan.toString.contains("GraftAggScan")
 
   test("count(*) answers from metadata: pushed plan, zero files read, " +
       "exact on compacted and delta-carrying tables alike") {
@@ -90,6 +91,61 @@ class AggPushdownSpec extends SparkSpec {
     val distinct = face(root).agg(countDistinct(col("v")))
     assert(!pushed(distinct))
     assert(distinct.head.getLong(0) == 3L)
+  }
+
+  test("min/max answer from zone sidecars when exact, refuse otherwise") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("aggpush_minmax")
+    ManifestTable.create(
+      (1L to 300L).map(i =>
+        (i, if (i % 7 == 0) None else Some(i * 3))).toDF("id", "v"),
+      "id", root, numBuckets = 4)
+    // no zones yet: min/max must stay on the ordinary scan, exact
+    val cold = face(root).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(!pushed(cold), "uncovered min/max must not push")
+    assert(cold.head.toSeq == Seq(3L, 900L))
+    // covered: pushed, zero files, same values; count rides along
+    ZoneSkip.buildZones(spark, root, schema, Seq("v"))
+    val hot = face(root)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    assert(pushed(hot), hot.queryExecution.executedPlan.toString)
+    assert(hot.inputFiles.isEmpty)
+    assert(hot.head.toSeq == Seq(300L, 3L, 900L))
+    // a delta commit makes zones unable to answer exactly (a superseded
+    // row may hold a phantom extremum): must fall back AND be exact —
+    // the old max-holder (id=300, v=900) is overridden DOWNWARD
+    spark.createDataFrame(
+        Seq((300L, Some(5L))).toDF("id", "v").rdd, schema)
+      .write.format("graft").option("key", "id").option("delta", "true")
+      .mode("append").save(root)
+    val afterDelta = face(root).agg(max(col("v")).as("mx"))
+    assert(!pushed(afterDelta), "delta buckets must refuse min/max push")
+    assert(afterDelta.head.getLong(0) == 897L)
+  }
+
+  test("min/max push for strings and doubles; all-null column is NULL") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("aggpush_types")
+    val s = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("void", LongType)))
+    val rows = (1L to 100L).map(i =>
+      (i, f"n$i%03d", i * 0.5, Option.empty[Long]))
+    ManifestTable.create(rows.toDF("id", "name", "score", "void"),
+      "id", root, numBuckets = 4)
+    ZoneSkip.buildZones(spark, root, s, Seq("name", "score", "void"))
+    val df = spark.read.format("graft").load(root)
+      .agg(min(col("name")).as("a"), max(col("name")).as("b"),
+        min(col("score")).as("c"), max(col("score")).as("d"),
+        min(col("void")).as("e"))
+    assert(pushed(df), df.queryExecution.executedPlan.toString)
+    val r = df.head
+    assert(r.getString(0) == "n001" && r.getString(1) == "n100")
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 50.0)
+    assert(r.isNullAt(4), "min over an all-null column is NULL")
   }
 
   test("the catalog face pushes too") {

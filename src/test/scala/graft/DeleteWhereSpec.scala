@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.ManifestTable
+
+/** Row-level DELETE by arbitrary predicate ([[ManifestTable.deleteWhere]]
+  * + the [[graft.store.GraftDmlStrategy]] SQL face). The driver gate
+  * (`manifest_delete_where`) pins values against DuckDB; these specs pin
+  * the cost/semantics claims: touched-bucket locality (untouched entries
+  * carry verbatim), SQL NULL keep-semantics, token replay, the
+  * no-match token-only commit, comparator-table bucket targeting, and
+  * that KEY-shaped SQL DELETEs keep the metadata path. */
+class DeleteWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("seg", StringType),
+    StructField("v", LongType)))
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def mkTable(root: String): DataFrame = {
+    val df = (1L to 200L)
+      .map(i => (i, if (i % 4 == 0) "HOT" else "COLD", i * 2))
+      .toDF("id", "seg", "v")
+    ManifestTable.create(df, "id", root, numBuckets = 8)
+    df
+  }
+
+  test("deletes exactly the TRUE rows in one commit; untouched buckets " +
+      "carry verbatim") {
+    val root = freshRoot("delw_basic")
+    val df = mkTable(root)
+    val before = ManifestTable.currentManifest(spark, root).get
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("seg") === "HOT" && d("v") <= 100, token = 1L)
+    val after = ManifestTable.currentManifest(spark, root).get
+    assert(after.version == before.version + 1)
+    val expected = df.filter(!(col("seg") === "HOT" && col("v") <= 100))
+      .orderBy("id").collect().toSeq
+    assert(ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq == expected)
+    // locality: buckets holding no matching row keep their exact files
+    val matchBuckets = df.filter(col("seg") === "HOT" && col("v") <= 100)
+      .select(pmod(hash(col("id")), lit(8)).as("b"))
+      .distinct().as[Int].collect().toSet
+    val beforeByBucket = before.entries.groupBy(_.bucket)
+    val afterByBucket = after.entries.groupBy(_.bucket)
+    (0 until 8).filterNot(matchBuckets).foreach { b =>
+      assert(afterByBucket(b).map(_.relPath) ==
+        beforeByBucket(b).map(_.relPath),
+        s"untouched bucket $b was rewritten")
+    }
+    assert(matchBuckets.forall(b => afterByBucket(b).map(_.relPath) !=
+      beforeByBucket(b).map(_.relPath)))
+  }
+
+  test("SQL NULL semantics: rows where the predicate is NULL are kept") {
+    val root = freshRoot("delw_null")
+    val df = (1L to 50L)
+      .map(i => (i, if (i % 5 == 0) None else Some(i)))
+      .toDF("id", "v")
+    val s = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    ManifestTable.create(df, "id", root, numBuckets = 4)
+    ManifestTable.deleteWhere(spark, root, s,
+      d => d("v") > 25, token = 1L) // NULL for every 5th row
+    val got = ManifestTable.read(spark, root, s)
+      .select("id").as[Long].collect().toSet
+    val want = (1L to 50L).filter(i => i % 5 == 0 || i <= 25).toSet
+    assert(got == want, "NULL-predicate rows must survive the delete")
+  }
+
+  test("token replays no-op; a no-match delete still commits its token") {
+    val root = freshRoot("delw_replay")
+    mkTable(root)
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("v") > 1000000, token = 5L) // matches nothing
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.currentManifest(spark, root).get
+      .lastDelete.contains(5L))
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("seg") === "HOT", token = 5L) // replay: must not apply
+    assert(ManifestTable.currentVersion(spark, root).get == v1)
+    assert(ManifestTable.read(spark, root, schema).count() == 200L)
+  }
+
+  test("comparator table: bucket targeting uses the recorded keyExpr") {
+    val root = freshRoot("delw_cmp")
+    val s = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val lowerCmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      lower(_)
+    ManifestTable.create(
+      Seq(("Foo", 1L), ("BAR", 2L), ("baz", 3L), ("Qux", 4L))
+        .toDF("k", "v"),
+      "k", root, numBuckets = 4, keyComparator = lowerCmp)
+    ManifestTable.deleteWhere(spark, root, s, d => d("v") >= 3, token = 1L)
+    assert(ManifestTable.read(spark, root, s)
+      .select("k").as[String].collect().toSet == Set("Foo", "BAR"))
+    // the survivors still answer comparator lookups (layout intact)
+    assert(ManifestTable.lookup(spark, root, s, "k", Seq("fOO"),
+      keyComparator = lowerCmp).count() == 1)
+  }
+
+  test("SQL DELETE with a non-key predicate runs the row-level rewrite; " +
+      "key-shaped DELETEs keep the metadata path") {
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      "target/test-tmp/delw_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d")
+    spark.sql("DROP TABLE IF EXISTS graft.d.t")
+    spark.sql("""CREATE TABLE graft.d.t (id BIGINT, seg STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='8')""")
+    (1L to 200L).map(i => (i, if (i % 4 == 0) "HOT" else "COLD", i * 2))
+      .toDF("id", "seg", "v").createOrReplaceTempView("delw_src")
+    spark.sql("INSERT INTO graft.d.t SELECT * FROM delw_src")
+    val root = "target/test-tmp/delw_wh/d/t"
+    // non-key predicate: lands on deleteWhere (graft-sql-delete stream)
+    spark.sql("DELETE FROM graft.d.t WHERE seg = 'HOT' AND v <= 100")
+    assert(ManifestTable.currentManifest(spark, root).get
+      .lastBatches.contains("graft-sql-delete-where"))
+    assert(spark.table("graft.d.t").count() == 188) // 12 HOT rows with v <= 100
+    // key predicate: metadata path — the keyed-delete stream moves,
+    // the rewrite stream must not
+    val streamTok = ManifestTable.currentManifest(spark, root).get
+      .lastBatches("graft-sql-delete-where")
+    spark.sql("DELETE FROM graft.d.t WHERE id IN (1, 2)")
+    val m = ManifestTable.currentManifest(spark, root).get
+    assert(m.lastBatches("graft-sql-delete-where") == streamTok,
+      "a key DELETE must keep the SupportsDelete metadata path")
+    assert(m.lastBatches.contains("graft-sql-delete"))
+    assert(spark.table("graft.d.t").count() == 186)
+    // unconditional DELETE stays the metadata-only truncate
+    spark.sql("DELETE FROM graft.d.t")
+    assert(spark.table("graft.d.t").count() == 0)
+  }
+}
