@@ -442,6 +442,61 @@ object SecondaryIndex {
     fetchBase(spark, ix, hit, maxDriverKeys)
   }
 
+  /** Dim-driven pruned JOIN on the INDEXED column(s) —
+    * [[ManifestTable.probeJoin]]'s non-key sibling. A join of the base
+    * table against a selective dim ON the indexed value column(s)
+    * normally scans every base file; here ONE bounded job collects the
+    * dim's distinct probe tuples (`limit(maxDriverKeys + 1)`), the
+    * index resolves them to base keys through the usual two pruned
+    * reads ([[lookupBy]]'s shape, incl. its over-cap semi-join
+    * degrade), and the dim joins back onto only THOSE base rows. Over
+    * the probe cap the plan falls back to the plain join unchanged —
+    * correct at any dim size. Sound only for dim-bounded join types
+    * (`inner`, `left_semi`); outer joins refuse. Dim columns cast to
+    * the indexed columns' types before probing (type-dependent
+    * hashing); NULL probe tuples drop (equality-join semantics). Same
+    * contract as every index lookup: answers are as fresh as the last
+    * [[refresh]]. */
+  def probeJoin(
+      spark: SparkSession,
+      ix: Index,
+      dim: DataFrame,
+      dimCols: Seq[String],
+      joinType: String = "inner",
+      maxDriverKeys: Int = 100000): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"probeJoin('$joinType') is unsound: index pruning drops base " +
+        "rows no dim value matches, so only dim-bounded join types " +
+        "(inner, left_semi) may prune — use a plain join for outer " +
+        "semantics")
+    require(dimCols.size == ix.valueCols.size,
+      s"dim columns ${dimCols.mkString(",")} must match the index's " +
+        s"value columns ${ix.valueCols.mkString(",")} in arity")
+    val probeCols = ix.valueCols.zip(dimCols).map { case (b, d) =>
+      dim(d).cast(ix.baseSchema(b).dataType).as(b) }
+    val head = dim.select(probeCols: _*).na.drop("any")
+      .distinct().limit(maxDriverKeys + 1).collect()
+    val base =
+      if (head.length <= maxDriverKeys) {
+        val values: Seq[Any] =
+          if (composite(ix)) head.toSeq.map(_.toSeq)
+          else head.toSeq.map(_.get(0))
+        if (values.isEmpty)
+          ManifestTable.read(spark, ix.baseRoot, ix.baseSchema).limit(0)
+        else {
+          val hit = ManifestTable.lookup(spark, ix.indexRoot,
+            indexSchema(spark, ix), keyCol(ix),
+            probeKeys(spark, ix, values))
+          fetchBase(spark, ix, hit, maxDriverKeys)
+        }
+      } else ManifestTable.read(spark, ix.baseRoot, ix.baseSchema)
+    val cond = ix.valueCols.zip(dimCols).map { case (b, d) =>
+      base(b) === dim(d).cast(ix.baseSchema(b).dataType) }
+      .reduce(_ && _)
+    base.join(dim, cond, if (jt == "inner") "inner" else "left_semi")
+  }
+
   /** Index rows → base rows: collects the matched key lists when their
     * total size fits `maxDriverKeys` (two pruned reads), else joins the
     * exploded key frame against the base scan — a heavily-skewed value

@@ -44,6 +44,49 @@ class SecondaryIndexSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
       .map { case (g, ks) => (g, ks.map(_._2).toSeq.sorted) }
 
+  test("probeJoin prunes the base read through the index and equals " +
+      "the plain join; outer refuses; over-cap falls back") {
+    val base = fresh("six_pj_base"); val idx = fresh("six_pj_idx")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 400L).map(i => (i, s"g${i % 40}", i.toString)): _*)
+        .transform(m.project),
+      0L, m, base, schema, numBuckets = 16, streamId = "S")
+    val ix = SecondaryIndex.Index(base, schema, "id", idx, "grp",
+      numBuckets = 8)
+    SecondaryIndex.create(spark, ix)
+    val dim = Seq(("g3", "x"), ("g17", "y")).toDF("g", "tag")
+    val pruned = SecondaryIndex.probeJoin(spark, ix, dim, Seq("g"))
+    val plain = ManifestTable.read(spark, base, schema)
+      .join(dim, col("grp") === col("g"))
+    assert(pruned.orderBy("id").collect().toSeq ==
+      plain.orderBy("id").collect().toSeq)
+    assert(pruned.count() == 20) // 2 values x 10 keys each
+    val full = ManifestTable.read(spark, base, schema).inputFiles.length
+    assert(pruned.inputFiles.length < full,
+      s"probeJoin read ${pruned.inputFiles.length} of $full base files")
+    // left_semi: base columns only, unique rows
+    val semi = SecondaryIndex.probeJoin(spark, ix, dim, Seq("g"),
+      joinType = "left_semi")
+    assert(semi.columns.toSeq == Seq("id", "grp", "v"))
+    assert(semi.count() == 20)
+    // outer refuses
+    val e = intercept[IllegalArgumentException] {
+      SecondaryIndex.probeJoin(spark, ix, dim, Seq("g"), "left_outer")
+    }
+    assert(e.getMessage.contains("unsound"))
+    // over the cap: full-scan join, same rows
+    val fallback = SecondaryIndex.probeJoin(spark, ix, dim, Seq("g"),
+      maxDriverKeys = 1)
+    assert(fallback.orderBy("id").collect().toSeq ==
+      plain.orderBy("id").collect().toSeq)
+    assert(fallback.inputFiles.length == full)
+    // null dim values drop instead of probing
+    val dimN = Seq((Some("g3"), "x"), (None, "y")).toDF("g", "tag")
+    assert(SecondaryIndex.probeJoin(spark, ix, dimN, Seq("g"))
+      .count() == 10)
+  }
+
   test("index tracks inserts, cross-value moves, deletes and NULLs " +
       "across refreshes") {
     val base = fresh("six_base"); val idx = fresh("six_idx")
