@@ -1220,7 +1220,7 @@ object SparkEntry {
         Seq("acctbal", "name"))
       graft.store.ZoneSkip.lookupRanges(s, root, upsertSchema,
         Seq(("acctbal", 1000.0, 5000.0),
-          ("name", "Customer#000000300", "Customer#000000899")))
+          ("name", "Customer#000000030", "Customer#000000899")))
     }),
     "manifest_restore" -> ((s, dir) => {
       // Point-in-time RESTORE: erase 10 keys, then rewind the table to
@@ -2729,7 +2729,7 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc))
            WHERE acctbal BETWEEN 1000 AND 5000
-             AND name BETWEEN 'Customer#000000300'
+             AND name BETWEEN 'Customer#000000030'
                           AND 'Customer#000000899'""",
       // restore rewinds the delete: the expected state is the merged
       // state as if the erasure never happened — manifest_merge's shape
