@@ -146,12 +146,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graftcat.db.dml WHERE id IN (7, 9, 11)")
       .head.getLong(0) == 0L)
-    // non-key predicate refuses loudly instead of scanning
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graftcat.db.dml WHERE v > 10")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"),
-      s"expected a delete refusal, got: ${e.getMessage}")
+    // non-key predicate: the row-level rewrite path (r11 — previously a
+    // refusal), full SQL DELETE semantics at touched-bucket cost
+    spark.sql("DELETE FROM graftcat.db.dml WHERE v > 10")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.dml")
+      .head.getLong(0) == 5L) // ids 1..5 keep v = 2..10
     // add-only evolution: metadata-only commit, old rows read NULL
     val vBefore = ManifestTable
       .currentVersion(spark, s"$wh/db/dml").get
@@ -160,7 +159,7 @@ class GraftCatalogSpec extends SparkSpec {
       .contains(vBefore + 1), "evolution must be one metadata commit")
     assert(spark.sql(
       "SELECT count(*) FROM graftcat.db.dml WHERE tag IS NULL")
-      .head.getLong(0) == 47L)
+      .head.getLong(0) == 5L)
     spark.sql("INSERT INTO graftcat.db.dml VALUES (100, 200, 'x')")
     assert(spark.sql(
       "SELECT tag FROM graftcat.db.dml WHERE id = 100")
@@ -182,7 +181,7 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 0L)
     assert(spark.sql(
         s"SELECT count(*) FROM graftcat.db.dml VERSION AS OF $vPre")
-      .head.getLong(0) == 48L, "truncate must keep time travel")
+      .head.getLong(0) == 6L, "truncate must keep time travel")
   }
 
   test("ALTER TABLE RENAME COLUMN: metadata-only, SQL reads/writes and " +
