@@ -305,7 +305,21 @@ private[store] case class GraftTable(
         case _ => None
       }
 
+      // the engine consults supportCompletePushDown then pushAggregation
+      // with the same Aggregation — memoized so the bounded-but-not-free
+      // zone-sidecar read happens once per planning
+      private var lastAgg: Aggregation = _
+      private var lastTranslated: Option[Seq[GraftAggScan.PushedAgg]] = None
+
       private def translate(agg: Aggregation)
+          : Option[Seq[GraftAggScan.PushedAgg]] = {
+        if (agg eq lastAgg) return lastTranslated
+        val out = translateUncached(agg)
+        lastAgg = agg; lastTranslated = out
+        out
+      }
+
+      private def translateUncached(agg: Aggregation)
           : Option[Seq[GraftAggScan.PushedAgg]] = {
         if (agg.groupByExpressions.nonEmpty ||
             agg.aggregateExpressions.isEmpty) return None
