@@ -200,7 +200,48 @@ private[store] object GraftDml {
           case a: Attribute => byName(a.name)
         })
       },
-      newToken(), tokenStream = Some("graft-sql-delete-where"))
+      newToken(), tokenStream = Some("graft-sql-delete-where"),
+      zoneRanges = zoneHints(condition).filter { case (c, _, _) =>
+        g.tableSchema.fieldNames.contains(c) &&
+          scala.util.Try(
+            ZoneSkip.kindOf(g.tableSchema(c).dataType)).isSuccess
+      })
+  }
+
+  /** Per-column [lo, hi] facts the DELETE's own top-level conjuncts
+    * imply — the zone-sidecar discovery hint. Derived mechanically, so
+    * the weaker-never-stronger soundness contract holds by
+    * construction: only conjuncts constrain, strict bounds widen to
+    * inclusive, anything unrecognized contributes nothing. */
+  private def zoneHints(condition: Expression)
+      : Seq[(String, Any, Any)] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    import org.apache.spark.sql.sources
+    val perCol = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Any, Any)]
+    def tighten(c: String, lo: Any, hi: Any): Unit = {
+      // same-column conjuncts: keep the first bound per side (a
+      // TIGHTER merge would need type-aware comparison; first-wins is
+      // still a sound weaker hint)
+      val (l0, h0) = perCol.getOrElse(c, (null, null))
+      perCol(c) = (if (l0 == null) lo else l0, if (h0 == null) hi else h0)
+    }
+    split(condition).flatMap(Bridge.translateFilter).foreach {
+      case sources.EqualTo(c, v) if v != null => tighten(c, v, v)
+      case sources.GreaterThan(c, v) if v != null => tighten(c, v, null)
+      case sources.GreaterThanOrEqual(c, v) if v != null =>
+        tighten(c, v, null)
+      case sources.LessThan(c, v) if v != null => tighten(c, null, v)
+      case sources.LessThanOrEqual(c, v) if v != null =>
+        tighten(c, null, v)
+      case _ => ()
+    }
+    perCol.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .filter { case (_, lo, hi) => lo != null || hi != null }
   }
 
   def runMerge(

@@ -1959,7 +1959,21 @@ object ManifestTable {
     * builder so the caller binds it to each pass's own frame; it must
     * be deterministic (both passes must see the same rows). Cost:
     * one pruned scan + |touched buckets| rewrites — a full-table
-    * rewrite only when the predicate matches everywhere. */
+    * rewrite only when the predicate matches everywhere.
+    *
+    * `zoneRanges` is an optional DISCOVERY hint: per-column
+    * [lo, hi] facts the predicate already implies (inclusive; null =
+    * open side). When the table carries zone sidecars for those
+    * columns, the discovery scan skips every file whose zones prove
+    * the range empty ([[ZoneSkip.prunedEntries]] — the explicit-read
+    * sidecars don't ride the scan's own pushdown, so the hint is how
+    * a predicate delete on a clustered/z-ordered column touches only
+    * candidate files). SOUNDNESS is the caller's contract: every row
+    * the predicate matches must satisfy the hint (the hint may be
+    * weaker, never stronger); the SQL path derives it mechanically
+    * from the statement's own conjuncts, which satisfies this by
+    * construction. Uncovered files always stay in. The REWRITE still
+    * reads full touched buckets — only discovery narrows. */
   def deleteWhere(
       spark: SparkSession,
       root: String,
@@ -1968,7 +1982,8 @@ object ManifestTable {
       token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity,
-      tokenStream: Option[String] = None): Seq[FileEntry] = {
+      tokenStream: Option[String] = None,
+      zoneRanges: Seq[(String, Any, Any)] = Nil): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -1989,12 +2004,21 @@ object ManifestTable {
       val cmp = effectiveKey(prior, keyComparator)
       val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
       // discovery: the predicate's TRUE rows, reduced to their buckets —
-      // ≤ numBuckets result rows, bounded at any table size
-      val state = readManifestState(spark, root, schema, Some(prior))
-      val touched: Set[Int] = state
-        .filter(coalesce(condition(state), lit(false)))
-        .select(bucket.as("_b")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      // ≤ numBuckets result rows, bounded at any table size; a zone
+      // hint narrows the scanned entries to sidecar-candidate files
+      val discEntries =
+        if (zoneRanges.isEmpty) prior.entries
+        else ZoneSkip.prunedEntries(spark, root, schema, prior,
+          zoneRanges)
+      val touched: Set[Int] =
+        if (discEntries.isEmpty) Set.empty
+        else {
+          val state = reconciledRead(spark, root, schema, prior,
+            discEntries, keyColumn, cmp)
+          state.filter(coalesce(condition(state), lit(false)))
+            .select(bucket.as("_b")).distinct()
+            .collect().map(_.getInt(0)).toSet
+        }
       val (touchedEntries, untouched) =
         prior.entries.partition(e => touched(e.bucket))
       if (touchedEntries.isEmpty) {

@@ -417,6 +417,31 @@ object ZoneSkip {
       throw new IllegalStateException(s"no manifest table at $root"))
     if (m.entries.isEmpty)
       return ManifestTable.read(spark, root, schema).limit(0)
+    val keep = prunedEntries(spark, root, schema, m, ranges)
+    val base =
+      if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
+      else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
+        keep)
+    val preds = ranges.flatMap { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      Option(lo).map(l => col(c) >= lit(l).cast(dt)).toSeq ++
+        Option(hi).map(h => col(c) <= lit(h).cast(dt))
+    }
+    base.filter(preds.reduce(_ && _))
+  }
+
+  /** The entry subset that can hold rows inside every [lo, hi]
+    * (inclusive; null = open side): a file drops when ANY column's
+    * zone proves absence; uncovered files keep conservatively; the
+    * [[ManifestTable.pruneAbsent]] guard keeps LSM delta reconcile
+    * exact. The shared kernel of [[lookupRanges]] and the zone-hinted
+    * DELETE discovery ([[ManifestTable.deleteWhere]]). */
+  private[store] def prunedEntries(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      m: ManifestTable.Manifest,
+      ranges: Seq[(String, Any, Any)]): Seq[ManifestTable.FileEntry] = {
     val zoneRows = zonesOf(spark, root)
       .filter(col("column").isin(ranges.map(_._1): _*))
       .select("relPath", "column", "kind", "minS", "maxS", "nonNull")
@@ -437,17 +462,6 @@ object ZoneSkip {
             hiS.exists(h => cmp(k, mn, h) > 0))
         }
       }
-    val keep = ManifestTable.pruneAbsent(m.entries,
-      e => definitelyAbsent(e.relPath))
-    val base =
-      if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
-      else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
-        keep)
-    val preds = ranges.flatMap { case (c, lo, hi) =>
-      val dt = schema(c).dataType
-      Option(lo).map(l => col(c) >= lit(l).cast(dt)).toSeq ++
-        Option(hi).map(h => col(c) <= lit(h).cast(dt))
-    }
-    base.filter(preds.reduce(_ && _))
+    ManifestTable.pruneAbsent(m.entries, e => definitelyAbsent(e.relPath))
   }
 }

@@ -111,6 +111,62 @@ class DeleteWhereSpec extends SparkSpec {
       keyComparator = lowerCmp).count() == 1)
   }
 
+  test("zone-hinted discovery: on a clustered table the hint narrows " +
+      "discovery to sidecar-candidate files, values identical") {
+    import graft.store.ZoneSkip
+    val rootA = freshRoot("delw_zone_a")
+    val rootB = freshRoot("delw_zone_b")
+    val df = (1L to 2000L).map(i => (i, "s", i * 3)).toDF("id", "seg", "v")
+    for (r <- Seq(rootA, rootB)) {
+      ManifestTable.create(df, "id", r, numBuckets = 4)
+      ManifestTable.clusterBy(spark, r, schema, "id", "v",
+        token = 1L, filesPerBucket = 8)
+      ZoneSkip.buildZones(spark, r, schema, Seq("v"))
+    }
+    // the hinted entry set is a small fraction of a 32-file layout —
+    // the discovery-pass I/O claim, file-level
+    val keep = ZoneSkip.lookupRanges(spark, rootA, schema,
+      Seq(("v", 30L, 300L)))
+    assert(keep.inputFiles.length * 3 <
+      ManifestTable.read(spark, rootA, schema).inputFiles.length,
+      "zones must exclude most files for a narrow range on a " +
+        "v-clustered layout")
+    // hinted and unhinted deleteWhere agree exactly
+    ManifestTable.deleteWhere(spark, rootA, schema,
+      d => d("v").between(30L, 300L), token = 2L,
+      zoneRanges = Seq(("v", 30L, 300L)))
+    ManifestTable.deleteWhere(spark, rootB, schema,
+      d => d("v").between(30L, 300L), token = 2L)
+    assert(ManifestTable.read(spark, rootA, schema)
+      .orderBy("id").collect().toSeq ==
+      ManifestTable.read(spark, rootB, schema)
+        .orderBy("id").collect().toSeq)
+    assert(ManifestTable.read(spark, rootA, schema).count() ==
+      2000L - (300L / 3 - 30L / 3 + 1))
+  }
+
+  test("SQL DELETE derives the zone hint from its own conjuncts") {
+    import graft.store.ZoneSkip
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      "target/test-tmp/delw_zwh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.z")
+    spark.sql("DROP TABLE IF EXISTS graft.z.t")
+    spark.sql("""CREATE TABLE graft.z.t (id BIGINT, seg STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    (1L to 2000L).map(i => (i, "s", i * 3)).toDF("id", "seg", "v")
+      .createOrReplaceTempView("delw_zsrc")
+    spark.sql("INSERT INTO graft.z.t SELECT * FROM delw_zsrc")
+    val root = "target/test-tmp/delw_zwh/z/t"
+    ManifestTable.clusterBy(spark, root, schema, "id", "v",
+      token = 100L, filesPerBucket = 8)
+    ZoneSkip.buildZones(spark, root, schema, Seq("v"))
+    spark.sql("DELETE FROM graft.z.t WHERE v >= 30 AND v <= 300 " +
+      "AND seg = 's'")
+    assert(spark.table("graft.z.t").count() == 2000L - 91L)
+  }
+
   test("SQL DELETE with a non-key predicate runs the row-level rewrite; " +
       "key-shaped DELETEs keep the metadata path") {
     GraftExtensions.register(spark)
