@@ -147,7 +147,18 @@ private[store] object GraftDml {
           "row is a DELETE + INSERT (or MERGE INTO), not an UPDATE")
       name -> a.value
     }.toMap
-    val df = ManifestTable.read(spark, root, schema)
+    // zone-hinted read (the DELETE-discovery discipline): range/equality
+    // conjuncts of the WHERE consult the zone sidecars so an UPDATE
+    // scoped to a clustered/z-ordered column reads only candidate files;
+    // the full predicate still applies below, so the hint only narrows
+    val hints = condition.map(zoneHints).getOrElse(Nil)
+      .filter { case (c, _, _) =>
+        schema.fieldNames.contains(c) &&
+          scala.util.Try(ZoneSkip.kindOf(schema(c).dataType)).isSuccess
+      }
+    val df =
+      if (hints.isEmpty) ManifestTable.read(spark, root, schema)
+      else ZoneSkip.readHinted(spark, root, schema, m, hints)
     // rebase the analyzer-resolved expressions (which reference the V2
     // relation's attribute ids) onto the native read plan, BY NAME —
     // the GraftReadStrategy discipline

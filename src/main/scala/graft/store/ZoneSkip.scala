@@ -430,6 +430,24 @@ object ZoneSkip {
     base.filter(preds.reduce(_ && _))
   }
 
+  /** Zone-pruned reconciled read WITHOUT extra predicates: the frame
+    * over only [[prunedEntries]]' files. For callers that re-apply
+    * their own full predicate ([[graft.store.GraftDml]]'s UPDATE /
+    * DELETE discovery) — sound exactly when every row the caller's
+    * predicate matches satisfies the ranges (weaker-never-stronger). */
+  private[store] def readHinted(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      m: ManifestTable.Manifest,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    if (m.entries.isEmpty)
+      return ManifestTable.read(spark, root, schema).limit(0)
+    val keep = prunedEntries(spark, root, schema, m, ranges)
+    if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
+    else ManifestTable.reconciledEntriesRead(spark, root, schema, m, keep)
+  }
+
   /** The entry subset that can hold rows inside every [lo, hi]
     * (inclusive; null = open side): a file drops when ANY column's
     * zone proves absence; uncovered files keep conservatively; the

@@ -47,6 +47,29 @@ class GraftDmlSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, rootOf(t)).get == v0 + 2)
   }
 
+  test("UPDATE with a zoned range WHERE: zone-hinted read, exact result") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val root = rootOf(t)
+    spark.sql(s"INSERT INTO $t " +
+      "SELECT id, concat('n', id), CAST(id AS DOUBLE) FROM range(1, 501)")
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    graft.store.ManifestTable.clusterBy(spark, root, s, "id", "v",
+      token = 99L, filesPerBucket = 8)
+    graft.store.ZoneSkip.buildZones(spark, root, s, Seq("v"))
+    // range WHERE over the clustered column: runUpdate derives the zone
+    // hint from the conjuncts; result must equal the predicate exactly
+    spark.sql(s"UPDATE $t SET name = 'hit' " +
+      "WHERE v >= 100 AND v <= 120 AND name LIKE 'n%'")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE name = 'hit'")
+      .head.getLong(0) == 21L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 500L)
+    assert(spark.sql(
+        s"SELECT count(*) FROM $t WHERE name = 'hit' AND (v < 100 OR v > 120)")
+      .head.getLong(0) == 0L)
+  }
+
   test("UPDATE by key rewrites ONLY the key's bucket") {
     val t = freshTable((1L to 40L).map(i => s"($i,'n$i',$i.0)")
       .mkString(","))
