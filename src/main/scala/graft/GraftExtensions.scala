@@ -371,6 +371,32 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_delete_where" -> (es => {
+      refuseInView("graft_delete_where")
+      // Row-level DELETE by arbitrary predicate for PATH tables
+      // ([[graft.store.ManifestTable.deleteWhere]] — catalog tables get
+      // the same through plain SQL `DELETE FROM`): the predicate is a
+      // SQL boolean expression over the table's columns, evaluated with
+      // the statement's NULL-keeps semantics; cost = one pruned
+      // discovery scan + touched-bucket rewrites, one commit. Returns
+      // (version, applied).
+      require(es.size == 4,
+        "usage: graft_delete_where(root, schemaDDL, predicateSql, token)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val predicate = strArg(es(2), "predicate SQL")
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      graft.store.ManifestTable.deleteWhere(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        df => org.apache.spark.sql.functions.expr(predicate),
+        longArg(es(3), "token"))
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after))).toDF("version", "applied")
+        .queryExecution.analyzed
+    }),
     "graft_cluster_by" -> (es => {
       refuseInView("graft_cluster_by")
       // Maintenance re-clustering ([[ManifestTable.clusterBy]]): same

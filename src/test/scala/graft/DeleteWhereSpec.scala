@@ -145,6 +145,21 @@ class DeleteWhereSpec extends SparkSpec {
       2000L - (300L / 3 - 30L / 3 + 1))
   }
 
+  test("graft_delete_where: the path-table SQL face, replay-aware") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("delw_sqlfn")
+    mkTable(root)
+    val ddl = "id BIGINT, seg STRING, v BIGINT"
+    val r1 = spark.sql("SELECT * FROM graft_delete_where(" +
+      s"'$root', '$ddl', 'seg = \\'HOT\\' AND v <= 100', 3)").collect()
+    assert(r1.head.getBoolean(1)) // applied
+    assert(ManifestTable.read(spark, root, schema).count() == 188L)
+    val r2 = spark.sql("SELECT * FROM graft_delete_where(" +
+      s"'$root', '$ddl', 'true', 3)").collect() // replayed token: no-op
+    assert(!r2.head.getBoolean(1))
+    assert(ManifestTable.read(spark, root, schema).count() == 188L)
+  }
+
   test("SQL DELETE derives the zone hint from its own conjuncts") {
     import graft.store.ZoneSkip
     GraftExtensions.register(spark)
