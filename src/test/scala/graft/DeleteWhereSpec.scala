@@ -93,6 +93,25 @@ class DeleteWhereSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 200L)
   }
 
+  test("column mapping: deleteWhere under a RENAMED column rewrites " +
+      "name-compatibly with pre-rename files") {
+    val root = freshRoot("delw_rename")
+    mkTable(root)
+    ManifestTable.renameColumn(spark, root, "v", "val")
+    val renamed = StructType(Seq(
+      StructField("id", LongType),
+      StructField("seg", StringType),
+      StructField("val", LongType)))
+    ManifestTable.deleteWhere(spark, root, renamed,
+      d => d("val") > 300, token = 2L) // ids 151..200 drop
+    val got = ManifestTable.read(spark, root, renamed)
+    assert(got.count() == 150L)
+    // rewritten and pre-rename files reconcile under one logical name
+    assert(got.agg(max(col("val"))).head.getLong(0) == 300L)
+    assert(ManifestTable.lookup(spark, root, renamed, "id", Seq(10L))
+      .head.getLong(2) == 20L)
+  }
+
   test("comparator table: bucket targeting uses the recorded keyExpr") {
     val root = freshRoot("delw_cmp")
     val s = StructType(Seq(
