@@ -371,6 +371,28 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_probe_join" -> (es => {
+      // Dim-driven pruned JOIN from SQL
+      // ([[graft.store.ManifestTable.probeJoin]]): the dim side is a
+      // SQL query (the graft_merge convention); its bounded distinct
+      // keys collect when this function RESOLVES (the graft_count
+      // discipline — a view wrapping it re-probes per reference, which
+      // costs a bounded job, never a hidden write). Join types:
+      // inner (default) / left_semi.
+      require(es.size == 4 || es.size == 5,
+        "usage: graft_probe_join(root, schemaDDL, dimSql, dimKeyCol" +
+          "[, joinType])")
+      val spark = SparkSession.active
+      val dim = spark.sql(strArg(es(2), "dim SQL"))
+      graft.store.ManifestTable.probeJoin(spark,
+        strArg(es(0), "root"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        dim, strArg(es(3), "dim key column"),
+        joinType =
+          if (es.size == 5) strArg(es(4), "join type") else "inner")
+        .queryExecution.analyzed
+    }),
     "graft_delete_where" -> (es => {
       refuseInView("graft_delete_where")
       // Row-level DELETE by arbitrary predicate for PATH tables

@@ -117,6 +117,24 @@ class ProbeJoinSpec extends SparkSpec {
     assert(got == Seq(Row("BAR", "y"), Row("Foo", "x")))
   }
 
+  test("SQL face: graft_probe_join prunes and matches the plain join") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("probe_join_sql")
+    mkTable(root)
+    dim(3L, 17L, 99L).createOrReplaceTempView("pj_dim")
+    val got = spark.sql("SELECT * FROM graft_probe_join(" +
+      s"'$root', 'id BIGINT, v BIGINT', " +
+      "'SELECT * FROM pj_dim', 'cust') ORDER BY id")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+      == Seq((3L, "d3"), (17L, "d17"), (99L, "d99")))
+    assert(got.inputFiles.length <= 3)
+    val semi = spark.sql("SELECT * FROM graft_probe_join(" +
+      s"'$root', 'id BIGINT, v BIGINT', " +
+      "'SELECT * FROM pj_dim', 'cust', 'left_semi')")
+    assert(semi.columns.toSeq == Seq("id", "v"))
+    assert(semi.count() == 3)
+  }
+
   test("dim key of a narrower numeric type casts to the table key " +
       "before bucket targeting") {
     val root = freshRoot("probe_join_cast")
