@@ -493,14 +493,37 @@ object BloomSkip {
       schema: org.apache.spark.sql.types.StructType,
       column: String,
       values: Seq[Any]): (DataFrame, ProbeStats) = {
-    require(values.nonEmpty, "need at least one probe value")
-    require(values.forall(_ != null),
-      "= never matches NULL; probes must be non-NULL")
     val m = ManifestTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (m.entries.isEmpty)
       return (ManifestTable.read(spark, root, schema).limit(0),
         ProbeStats(Set.empty, 0L))
+    val (keep, stats) =
+      prunedEntriesFor(spark, root, schema, m, column, values)
+    val typed = values.map(v => lit(v).cast(schema(column).dataType))
+    val base =
+      if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
+      else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
+        keep)
+    (base.filter(col(column).isin(typed: _*)), stats)
+  }
+
+  /** The entry subset the bloom sidecars cannot rule out for `column IN
+    * values` — the two-level keep-set kernel of [[lookupDiagnosed]],
+    * shared with the equality-probe DELETE/UPDATE discovery hint
+    * ([[ManifestTable.deleteWhere]]). Uncovered buckets/files keep
+    * conservatively; [[ManifestTable.pruneAbsent]] keeps LSM delta
+    * reconcile exact. */
+  private[graft] def prunedEntriesFor(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      m: ManifestTable.Manifest,
+      column: String,
+      values: Seq[Any]): (Seq[ManifestTable.FileEntry], ProbeStats) = {
+    require(values.nonEmpty, "need at least one probe value")
+    require(values.forall(_ != null),
+      "= never matches NULL; probes must be non-NULL")
     // probe hashes through the SAME expression the build used, typed
     // to the declared column (one local query over all probes)
     val typed = values.map(v => lit(v).cast(schema(column).dataType))
@@ -538,8 +561,7 @@ object BloomSkip {
       .map(_.getInt(0)).toSet
     val surviving = m.entries.filterNot(e => summaryPruned(e.bucket))
     if (surviving.isEmpty)
-      return (ManifestTable.read(spark, root, schema).limit(0),
-        ProbeStats(summaryPruned, 0L))
+      return (Nil, ProbeStats(summaryPruned, 0L))
 
     // LEVEL 2 — per-file filters, read ONLY for the surviving buckets'
     // files: the isin pushes into the sidecar parquet scan, so pruned
@@ -569,11 +591,6 @@ object BloomSkip {
     // ManifestTable.pruneAbsent
     val keep = ManifestTable.pruneAbsent(surviving,
       e => absent(e.relPath))
-    val base =
-      if (keep.isEmpty) ManifestTable.read(spark, root, schema).limit(0)
-      else ManifestTable.reconciledEntriesRead(spark, root, schema, m,
-        keep)
-    (base.filter(col(column).isin(typed: _*)),
-      ProbeStats(summaryPruned, read.value))
+    (keep, ProbeStats(summaryPruned, read.value))
   }
 }

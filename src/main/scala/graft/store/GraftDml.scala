@@ -216,7 +216,29 @@ private[store] object GraftDml {
         g.tableSchema.fieldNames.contains(c) &&
           scala.util.Try(
             ZoneSkip.kindOf(g.tableSchema(c).dataType)).isSuccess
+      },
+      bloomProbes = bloomHints(condition).filter { case (c, _) =>
+        g.tableSchema.fieldNames.contains(c)
       })
+  }
+
+  /** (column, values) membership facts the DELETE's conjuncts imply —
+    * the bloom-sidecar discovery hint (`c = v` and `c IN (...)`; NULLs
+    * drop — `=` never matches them). Mechanical, so weaker-never-
+    * stronger holds by construction. */
+  private def bloomHints(condition: Expression)
+      : Seq[(String, Seq[Any])] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    import org.apache.spark.sql.sources
+    split(condition).flatMap(Bridge.translateFilter).collect {
+      case sources.EqualTo(c, v) if v != null => c -> Seq(v)
+      case sources.In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        c -> vs.toSeq
+    }
   }
 
   /** Per-column [lo, hi] facts the DELETE's own top-level conjuncts

@@ -1973,7 +1973,14 @@ object ManifestTable {
     * weaker, never stronger); the SQL path derives it mechanically
     * from the statement's own conjuncts, which satisfies this by
     * construction. Uncovered files always stay in. The REWRITE still
-    * reads full touched buckets — only discovery narrows. */
+    * reads full touched buckets — only discovery narrows.
+    *
+    * `bloomProbes` is the EQUALITY twin ((column, values) pairs the
+    * predicate implies membership of — `c = v` / `c IN (...)`
+    * conjuncts): discovery drops every file the bloom sidecars prove
+    * holds none of the values, which serves the unclustered
+    * high-cardinality columns zones cannot. Same weaker-never-stronger
+    * contract; both hints intersect. */
   def deleteWhere(
       spark: SparkSession,
       root: String,
@@ -1983,7 +1990,8 @@ object ManifestTable {
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity,
       tokenStream: Option[String] = None,
-      zoneRanges: Seq[(String, Any, Any)] = Nil): Seq[FileEntry] = {
+      zoneRanges: Seq[(String, Any, Any)] = Nil,
+      bloomProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -2006,10 +2014,20 @@ object ManifestTable {
       // discovery: the predicate's TRUE rows, reduced to their buckets —
       // ≤ numBuckets result rows, bounded at any table size; a zone
       // hint narrows the scanned entries to sidecar-candidate files
-      val discEntries =
+      val zonePruned =
         if (zoneRanges.isEmpty) prior.entries
         else ZoneSkip.prunedEntries(spark, root, schema, prior,
           zoneRanges)
+      val discEntries = bloomProbes
+        .filter { case (_, vs) => vs.nonEmpty }
+        .foldLeft(zonePruned) { case (es, (c, vs)) =>
+          if (es.isEmpty) es
+          else {
+            val keep = BloomSkip.prunedEntriesFor(spark, root, schema,
+              prior, c, vs)._1.map(_.relPath).toSet
+            es.filter(e => keep(e.relPath))
+          }
+        }
       val touched: Set[Int] =
         if (discEntries.isEmpty) Set.empty
         else {

@@ -179,6 +179,34 @@ class DeleteWhereSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 188L)
   }
 
+  test("bloom-hinted discovery: equality probes narrow to sidecar-" +
+      "candidate files; uncovered columns keep conservatively") {
+    import graft.store.BloomSkip
+    val root = freshRoot("delw_bloom")
+    val df = (1L to 2000L)
+      .map(i => (i, s"dom${i % 500}", i)).toDF("id", "seg", "v")
+    ManifestTable.create(df, "id", root, numBuckets = 8)
+    BloomSkip.buildBlooms(spark, root, schema, Seq("seg"))
+    val m = ManifestTable.currentManifest(spark, root).get
+    // the kernel's file-level claim: one domain's probe keeps few files
+    val keep = BloomSkip.prunedEntriesFor(spark, root, schema, m,
+      "seg", Seq("dom7"))._1
+    assert(keep.size < m.entries.size,
+      s"bloom kept ${keep.size} of ${m.entries.size}")
+    // hinted deleteWhere equals the unhinted result exactly
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("seg") === "dom7", token = 1L,
+      bloomProbes = Seq(("seg", Seq("dom7"))))
+    assert(ManifestTable.read(spark, root, schema).count() == 1996L)
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("seg") === "dom7").count() == 0L)
+    // a hint on an un-bloomed column must not drop anything it shouldn't
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("v") === 2L, token = 2L,
+      bloomProbes = Seq(("v", Seq(2L))))
+    assert(ManifestTable.read(spark, root, schema).count() == 1995L)
+  }
+
   test("SQL DELETE derives the zone hint from its own conjuncts") {
     import graft.store.ZoneSkip
     GraftExtensions.register(spark)
