@@ -156,9 +156,27 @@ private[store] object GraftDml {
         schema.fieldNames.contains(c) &&
           scala.util.Try(ZoneSkip.kindOf(schema(c).dataType)).isSuccess
       }
+    val bloomH = condition.map(bloomHints).getOrElse(Nil)
+      .filter { case (c, _) => schema.fieldNames.contains(c) }
     val df =
-      if (hints.isEmpty) ManifestTable.read(spark, root, schema)
-      else ZoneSkip.readHinted(spark, root, schema, m, hints)
+      if (hints.isEmpty && bloomH.isEmpty)
+        ManifestTable.read(spark, root, schema)
+      else {
+        var es =
+          if (hints.isEmpty) m.entries
+          else ZoneSkip.prunedEntries(spark, root, schema, m, hints)
+        bloomH.foreach { case (c, vs) =>
+          if (es.nonEmpty && vs.nonEmpty) {
+            val keep = BloomSkip.prunedEntriesFor(spark, root, schema,
+              m, c, vs)._1.map(_.relPath).toSet
+            es = es.filter(e => keep(e.relPath))
+          }
+        }
+        if (es.isEmpty)
+          ManifestTable.read(spark, root, schema).limit(0)
+        else ManifestTable.reconciledEntriesRead(spark, root, schema,
+          m, es)
+      }
     // rebase the analyzer-resolved expressions (which reference the V2
     // relation's attribute ids) onto the native read plan, BY NAME —
     // the GraftReadStrategy discipline

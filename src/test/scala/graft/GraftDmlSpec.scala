@@ -70,6 +70,24 @@ class GraftDmlSpec extends SparkSpec {
       .head.getLong(0) == 0L)
   }
 
+  test("UPDATE with an equality WHERE over a bloomed column: " +
+      "bloom-hinted read, exact result") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val root = rootOf(t)
+    spark.sql(s"INSERT INTO $t SELECT id, concat('dom', id % 100), " +
+      "CAST(id AS DOUBLE) FROM range(1, 1001)")
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    graft.store.BloomSkip.buildBlooms(spark, root, s, Seq("name"))
+    spark.sql(s"UPDATE $t SET v = -1 WHERE name = 'dom7'")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = -1")
+      .head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE name = 'dom7' " +
+      "AND v <> -1").head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 1000L)
+  }
+
   test("UPDATE by key rewrites ONLY the key's bucket") {
     val t = freshTable((1L to 40L).map(i => s"($i,'n$i',$i.0)")
       .mkString(","))
