@@ -407,12 +407,30 @@ object GraftExtensions {
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       val predicate = strArg(es(2), "predicate SQL")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
       val before = graft.store.ManifestTable.currentVersion(spark, root)
-      graft.store.ManifestTable.deleteWhere(spark, root,
-        org.apache.spark.sql.types.StructType.fromDDL(
-          strArg(es(1), "schema DDL")),
+      // resolve the predicate once against the table's own read to
+      // derive the same zone/bloom discovery hints the catalog
+      // DELETE FROM path gets (resolution also fails loudly on typos
+      // BEFORE any commit-path work)
+      val resolved = graft.store.ManifestTable.read(spark, root, schema)
+        .filter(org.apache.spark.sql.functions.expr(predicate))
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      import graft.store.{GraftDml, ZoneSkip}
+      graft.store.ManifestTable.deleteWhere(spark, root, schema,
         df => org.apache.spark.sql.functions.expr(predicate),
-        longArg(es(3), "token"))
+        longArg(es(3), "token"),
+        zoneRanges = resolved.map(GraftDml.zoneHints).getOrElse(Nil)
+          .filter { case (c, _, _) =>
+            schema.fieldNames.contains(c) && scala.util.Try(
+              ZoneSkip.kindOf(schema(c).dataType)).isSuccess
+          },
+        bloomProbes = resolved.map(GraftDml.bloomHints).getOrElse(Nil)
+          .filter { case (c, _) => schema.fieldNames.contains(c) })
       val after = graft.store.ManifestTable.currentVersion(spark, root)
         .getOrElse(0L)
       import spark.implicits._

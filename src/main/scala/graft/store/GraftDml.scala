@@ -97,7 +97,7 @@ private[store] case class GraftDmlExec(label: String, body: () => Unit)
   }
 }
 
-private[store] object GraftDml {
+private[graft] object GraftDml {
 
   /** Unwraps a DML target to its graft table. By planning time the
     * optimizer has eliminated aliases and may have run scan pushdown
@@ -244,7 +244,7 @@ private[store] object GraftDml {
     * the bloom-sidecar discovery hint (`c = v` and `c IN (...)`; NULLs
     * drop — `=` never matches them). Mechanical, so weaker-never-
     * stronger holds by construction. */
-  private def bloomHints(condition: Expression)
+  private[graft] def bloomHints(condition: Expression)
       : Seq[(String, Seq[Any])] = {
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -264,7 +264,7 @@ private[store] object GraftDml {
     * the weaker-never-stronger soundness contract holds by
     * construction: only conjuncts constrain, strict bounds widen to
     * inclusive, anything unrecognized contributes nothing. */
-  private def zoneHints(condition: Expression)
+  private[graft] def zoneHints(condition: Expression)
       : Seq[(String, Any, Any)] = {
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>

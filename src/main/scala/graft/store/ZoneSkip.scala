@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
 object ZoneSkip {
 
   /** Comparison domain of a column's zone entries. */
-  private[store] def kindOf(dt: DataType): String = dt match {
+  private[graft] def kindOf(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "long"
     case TimestampType | TimestampNTZType => "long" // micros since epoch
     case DateType => "long" // days since epoch: ISO strings LOOK sortable
