@@ -56,6 +56,12 @@ import graft.store.ManifestTable
   *    commits one micro-batch may span (default unbounded). A stream
   *    catching up after downtime processes the backlog in bounded bites
   *    instead of one giant batch.
+  *  - `maxRowsPerBatch`: the row-based twin — cap a batch by the sum of
+  *    rows its commits ADDED (manifest metadata only, no data reads;
+  *    approximate for PACING, never results: delta counts overcount
+  *    superseded keys, metadata-only commits pace through free). An
+  *    oversized single commit still advances — a commit is the atomic
+  *    feed unit. Both caps compose; the tighter one wins.
   *
   * The stream schema is the TABLE's columns (from `.schema(...)` or a
   * format-7 self-describing manifest) plus `_change_type`/`_version`.
@@ -155,7 +161,8 @@ private[graft] final class CdcMicroBatchStream(
     startingVersion: Option[String],
     maxVersionsPerBatch: Option[Int],
     checkpointLocation: String,
-    upsertsOnly: Boolean = false)
+    upsertsOnly: Boolean = false,
+    maxRowsPerBatch: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -204,12 +211,46 @@ private[graft] final class CdcMicroBatchStream(
     throw new UnsupportedOperationException(
       "paced through SupportsAdmissionControl.latestOffset(start, limit)")
 
+  /** Rows ADDED by commit `v` (file-entry diff vs `v-1`, manifest
+    * metadata only) — the row-based admission unit. Approximate for
+    * pacing, never for results: delta-file counts overcount superseded
+    * keys, metadata-only commits (truncate/restore) count 0 and pace
+    * through instantly. Memoized — committed manifests are immutable,
+    * and the map stays bounded by the backlog actually walked. */
+  private val addedRowsMemo =
+    scala.collection.mutable.HashMap.empty[Long, Long]
+  private def addedRows(v: Long): Long =
+    addedRowsMemo.getOrElseUpdate(v, {
+      val cur = ManifestTable.readManifest(spark, root, v)
+      val prevPaths: Set[String] =
+        if (v == 0) Set.empty
+        else ManifestTable.readManifest(spark, root, v - 1)
+          .entries.map(_.relPath).toSet
+      cur.entries.filterNot(e => prevPaths(e.relPath)).map(_.rows).sum
+    })
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CdcOffset].version
     val h = availableNowCap.getOrElse(head)
-    val end = maxVersionsPerBatch match {
+    val capV = maxVersionsPerBatch match {
       case Some(n) => math.max(math.min(h, from + n), from)
       case None => math.max(h, from)
+    }
+    val end = maxRowsPerBatch match {
+      case None => capV
+      case Some(maxR) =>
+        // walk commits forward while the row budget lasts; ALWAYS
+        // admit at least one (an oversized commit must still advance
+        // — a commit is the atomic feed unit)
+        var v = from; var rows = 0L; var stop = false
+        while (!stop && v < capV) {
+          val nx = addedRows(v + 1)
+          if (v == from || rows + nx <= maxR) {
+            v += 1; rows += nx
+            if (rows >= maxR) stop = true
+          } else stop = true
+        }
+        v
     }
     CdcOffset(end)
   }
@@ -326,7 +367,8 @@ private[streaming] case class CdcStreamTable(
     tableSchema: StructType,
     keyOverride: Option[String],
     startingVersion: Option[String],
-    maxVersionsPerBatch: Option[Int]) extends Table with SupportsRead {
+    maxVersionsPerBatch: Option[Int],
+    maxRowsPerBatch: Option[Long]) extends Table with SupportsRead {
 
   override def name(): String = s"graft-cdc.`$root`"
   override def schema(): StructType = CdcSource.outputSchema(tableSchema)
@@ -343,7 +385,7 @@ private[streaming] case class CdcStreamTable(
             checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(SparkSession.active, root, tableSchema,
             keyOverride, startingVersion, maxVersionsPerBatch,
-            checkpointLocation)
+            checkpointLocation, maxRowsPerBatch = maxRowsPerBatch)
       }
     }
 }
@@ -383,10 +425,15 @@ final class CdcSourceProvider extends TableProvider with DataSourceRegister {
       require(n > 0, s"maxVersionsPerBatch must be > 0, got $n")
       n
     }
+    val maxRows = Option(options.get("maxrowsperbatch")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxRowsPerBatch must be > 0, got $n")
+      n
+    }
     CdcStreamTable(rootOf(options),
       CdcSource.tableSchemaFrom(schema),
       Option(options.get("key")),
       Option(options.get("startingversion")),
-      maxVersions)
+      maxVersions, maxRows)
   }
 }

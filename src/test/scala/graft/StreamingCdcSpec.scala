@@ -222,6 +222,39 @@ class StreamingCdcSpec extends SparkSpec {
     assert(batches.map(_.getAs[Long]("_version")).toSet == Set(2L))
   }
 
+  test("maxRowsPerBatch paces a backlog by added rows; an oversized " +
+      "commit still advances") {
+    val root = freshDir("cdc_maxrows")
+    // every commit adds >= 1 row, so a 1-row cap admits EXACTLY one
+    // commit per batch (each is oversized and advances atomically) —
+    // deterministic whatever bucket carryover the merges rewrite
+    mergeRows(root, 0L, (1L to 5L).map(i => (i, s"a$i", "1")): _*)
+    mergeRows(root, 1L, (11L to 15L).map(i => (i, s"b$i", "2")): _*)
+    mergeRows(root, 2L, (21L to 32L).map(i => (i, s"c$i", "3")): _*)
+
+    def run(cap: String, ckpt: String): Seq[Set[Long]] = {
+      val perBatch = ArrayBuffer[Set[Long]]()
+      val q = CdcSource.readStream(spark, root,
+          Map("startingVersion" -> "earliest", "maxRowsPerBatch" -> cap))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val vs = df.collect().map(_.getAs[Long]("_version")).toSet
+          perBatch.synchronized { if (vs.nonEmpty) perBatch += vs }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+      perBatch.toSeq
+    }
+    assert(run("1", freshDir("cdc_maxrows_ckpt1")) ==
+      Seq(Set(0L), Set(1L), Set(2L)))
+    // a huge cap drains everything in one batch
+    assert(run("1000000", freshDir("cdc_maxrows_ckpt2")) ==
+      Seq(Set(0L, 1L, 2L)))
+  }
+
   test("AvailableNow fences its end version at prepare time: a commit " +
       "landing MID-RUN waits for the next invocation") {
     val root = freshDir("cdc_availnow_fence")
