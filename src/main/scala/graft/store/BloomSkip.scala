@@ -524,6 +524,10 @@ object BloomSkip {
     require(values.nonEmpty, "need at least one probe value")
     require(values.forall(_ != null),
       "= never matches NULL; probes must be non-NULL")
+    // hint-path short-circuit: no bloom sidecars -> keep everything
+    // (hinted UPDATE/DELETE consult this on EVERY equality statement)
+    if (ManifestTable.committedAdditiveDirs(spark, root, "bloom").isEmpty)
+      return (m.entries, ProbeStats(Set.empty, 0L))
     // probe hashes through the SAME expression the build used, typed
     // to the declared column (one local query over all probes)
     val typed = values.map(v => lit(v).cast(schema(column).dataType))

@@ -460,6 +460,11 @@ object ZoneSkip {
       schema: StructType,
       m: ManifestTable.Manifest,
       ranges: Seq[(String, Any, Any)]): Seq[ManifestTable.FileEntry] = {
+    // hint-path short-circuit: a table without zone sidecars keeps
+    // everything — one directory listing, no sidecar-frame planning
+    // (hinted UPDATE/DELETE consult this on EVERY statement)
+    if (ManifestTable.committedAdditiveDirs(spark, root, "zones").isEmpty)
+      return m.entries
     val zoneRows = zonesOf(spark, root)
       .filter(col("column").isin(ranges.map(_._1): _*))
       .select("relPath", "column", "kind", "minS", "maxS", "nonNull")
