@@ -297,6 +297,11 @@ private[store] case class GraftTable(
       import org.apache.spark.sql.connector.expressions.aggregate.{
         Aggregation, CountStar, Max, Min}
       private var pushed: Seq[GraftAggScan.PushedAgg] = Nil
+      // the manifest version the min/max answers were computed against;
+      // the scan counts at the SAME version so one result row never
+      // mixes snapshots (a commit can land between planning and
+      // execution)
+      private var pinnedVersion: Option[Long] = None
 
       private def fieldOf(e: org.apache.spark.sql.connector.expressions
           .Expression): Option[String] = e match {
@@ -331,6 +336,7 @@ private[store] case class GraftTable(
             Some(ManifestTable.readManifest(spark, root, v))
           case None => ManifestTable.currentManifest(spark, root)
         }
+        pinnedVersion = m.map(_.version)
         val memo = scala.collection.mutable.HashMap
           .empty[String, Option[(Option[String], Option[String])]]
         def minMax(c: String) = memo.getOrElseUpdate(c,
@@ -359,7 +365,8 @@ private[store] case class GraftTable(
 
       override def build(): Scan =
         if (pushed.nonEmpty)
-          GraftAggScan(root, versionAsOf, tableSchema, pushed)
+          GraftAggScan(root, versionAsOf.orElse(pinnedVersion),
+            tableSchema, pushed)
         else GraftBatchScan(root, versionAsOf, tableSchema,
           Option(options.get("startingVersion")),
           Option(options.get("maxVersionsPerBatch")).map(_.toInt))

@@ -148,6 +148,35 @@ class AggPushdownSpec extends SparkSpec {
     assert(r.isNullAt(4), "min over an all-null column is NULL")
   }
 
+  test("planning pins the snapshot: a commit landing between planning " +
+      "and execution does not split one result row across versions") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("aggpush_pin")
+    ManifestTable.create(
+      (1L to 200L).map(i => (i, i)).toDF("id", "v"), "id", root,
+      numBuckets = 4)
+    ZoneSkip.buildZones(spark, root, schema, Seq("v"))
+    val df = face(root)
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    // force planning (pushdown accepts, min/max answers freeze, the
+    // scan pins the consulted manifest version) and HOLD that physical
+    // plan — Dataset actions re-plan from the logical plan, which
+    // re-pushes against the then-current manifest and is consistent by
+    // construction; the hazard is a plan executed after a commit ...
+    val planned = df.queryExecution.executedPlan
+    assert(planned.toString.contains("GraftAggScan"), planned.toString)
+    // ... and a commit lands before that execution
+    (201L to 250L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").option("key", "id")
+      .mode("append").save(root)
+    val r = planned.executeCollect().head
+    assert(r.getLong(0) == 200L && r.getLong(1) == 200L,
+      "count and max must both answer at the PLANNED version, got " +
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    // a fresh plan sees the new commit
+    assert(face(root).count() == 250L)
+  }
+
   test("the catalog face pushes too") {
     GraftExtensions.register(spark)
     spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
