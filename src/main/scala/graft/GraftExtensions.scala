@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before Spark's built-in "table does not support UPDATE" refusal.
     ext.injectPlannerStrategy(session =>
       new graft.store.GraftDmlStrategy(session))
+    // Automatic dim-driven dynamic file pruning: a selective small dim
+    // joined to a manifest table on its key injects a bounded
+    // key-IN filter above the fact relation at optimization, so the
+    // scan reads only the probed buckets' files (the optimizer-rule
+    // face of ManifestTable.probeJoin).
+    ext.injectOptimizerRule(session =>
+      new graft.store.AutoProbeJoin(session))
   }
 }
 
@@ -760,5 +767,13 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+
           new graft.store.GraftDmlStrategy(spark)
+    // Post-hoc sessions take the rule through the user-provided
+    // optimizer batch (runs after scan pushdown — AutoProbeJoin
+    // matches the post-pushdown scan-relation shape there).
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.store.AutoProbeJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          new graft.store.AutoProbeJoin(spark)
   }
 }

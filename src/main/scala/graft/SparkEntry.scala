@@ -468,6 +468,9 @@ object SparkEntry {
     "manifest_probe_join" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_probe_join",
         withMerge = true)),
+    "manifest_probe_join_auto" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_probe_join_auto",
+        withMerge = true)),
     "manifest_mv" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_mv", withMerge = false)
       resetSideRoot(s, "manifest_mv_view")
@@ -1167,6 +1170,26 @@ object SparkEntry {
           col("o_totalprice").as("oprice"))
       graft.store.ManifestTable
         .probeJoin(s, root, upsertSchema, dim, "cust")
+        .select(col("id"), col("name"), col("acctbal"), col("segment"),
+          col("nation"), col("okey"), col("oprice"))
+    }),
+    "manifest_probe_join_auto" -> ((s, dir) => {
+      // The AUTOMATIC face of the same pruning (graft.store
+      // .AutoProbeJoin): a PLAIN DataFrame join over the v2 read — no
+      // API call — and the optimizer rule injects the bounded key-IN
+      // filter itself (selective file-backed dim, under the size/key
+      // caps). Values must equal the explicit probeJoin's (same
+      // oracle); the plan-shape evidence is AutoProbeJoinSpec's.
+      GraftExtensions.register(s) // the rule rides the extension set
+      val root = manifestFixture(s, dir, "manifest_probe_join_auto",
+        withMerge = true)
+      val dim = t(s, dir, "orders")
+        .filter(col("o_custkey") % 97 === 0)
+        .select(col("o_custkey").as("cust"),
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").as("oprice"))
+      s.read.format("graft").load(root)
+        .join(dim, col("id") === col("cust"))
         .select(col("id"), col("name"), col("acctbal"), col("segment"),
           col("nation"), col("okey"), col("oprice"))
     }),
@@ -2414,6 +2437,21 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
       "manifest_probe_join" ->
+        s"""SELECT m.id, m.name, m.acctbal, m.segment, m.nation,
+           o.o_orderkey AS okey, o.o_totalprice AS oprice
+           FROM (SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+             CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+             CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE CAST(99 AS BIGINT) END AS nation
+             FROM customer WHERE ($inTgt) OR ($inSrc)) m
+           JOIN orders o ON m.id = o.o_custkey
+           WHERE o.o_custkey % 97 = 0""",
+      // the automatic rule must answer exactly what the plain join
+      // answers — same oracle as the explicit probeJoin face
+      "manifest_probe_join_auto" ->
         s"""SELECT m.id, m.name, m.acctbal, m.segment, m.nation,
            o.o_orderkey AS okey, o.o_totalprice AS oprice
            FROM (SELECT c_custkey AS id, c_name AS name,

@@ -1,0 +1,239 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, EqualTo, Expression, In, Literal,
+  PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{
+  Inner, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan,
+  Project, Sample}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import org.apache.spark.sql.execution.datasources.v2.{
+  DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.BooleanType
+
+/** AUTOMATIC dim-driven dynamic file pruning — the optimizer-rule face
+  * of [[ManifestTable.probeJoin]], so SQL/catalog users get the pruned
+  * I/O shape without calling the API: `SELECT ... FROM fact JOIN dim ON
+  * fact.key = dim.k WHERE <selective dim filter>` reads only the dim
+  * keys' hash buckets of a 100 TB fact instead of every file.
+  *
+  * Spark's own dynamic partition pruning serves only partitioned
+  * layouts, and its DSv2 runtime filtering only `BatchScanExec` scans
+  * (which the graft read path deliberately bypasses — see
+  * [[GraftReadStrategy]]); both drop ROWS, not I/O, on a manifest
+  * table. This rule closes the gap with the engine's established
+  * bounded-probe discipline: ONE bounded driver job collects the dim
+  * side's distinct join keys, and a semantically-redundant
+  * `key IN (<keys>)` superset filter lands directly above the fact's
+  * v2 relation. Everything downstream is existing machinery — the
+  * filter rebases into the substituted native read
+  * ([[GraftReadStrategy]]) and [[GraftFileIndex]] prunes files by
+  * normalized-probe bucket + key-stat containment (comparator-safe,
+  * delta-exact, time-travel-agnostic: the filter is a pure logical
+  * superset at ANY version).
+  *
+  * The rule fires only when ALL of these hold, each guarding a
+  * soundness or cost edge:
+  *   - join type is dim-bounded for the pruned side: `INNER` and
+  *     `LEFT SEMI` (either side), `LEFT OUTER` (fact on the right),
+  *     `RIGHT OUTER` (fact on the left) — fact rows the filter drops
+  *     provably contribute nothing. `FULL OUTER` / `LEFT ANTI` never
+  *     prune (a dropped fact row IS their output).
+  *   - the equality conjunct joins the fact table's recorded KEY
+  *     column, bare (an analyzer cast on the key side means a
+  *     wider-typed dim — values may not round-trip, skip), against a
+  *     deterministic dim expression of exactly the key's type.
+  *   - the dim side carries a selectivity signal (a `Filter`, or a
+  *     literal `LocalRelation` lookup list — the DPP discipline), is
+  *     deterministic end-to-end, row-stable (no `LIMIT`/`TABLESAMPLE` —
+  *     the dim executes twice: once probed, once joined), has no
+  *     subqueries, and estimates under
+  *     `spark.graft.autoProbeJoin.maxDimBytes` (default 10 MB — the
+  *     size class Spark itself would collect for a broadcast).
+  *   - the distinct probe set is provably COMPLETE under
+  *     `spark.graft.autoProbeJoin.maxKeys` (default 10 000): the probe
+  *     collects `maxKeys + 1` rows, and exceeding the cap means the
+  *     set may be truncated — filtering by a SUBSET would drop matching
+  *     fact rows, so the plan stays unchanged. Zero non-null keys
+  *     collapse the fact side to `Filter(false)` (constant-folds to an
+  *     empty relation).
+  *
+  * Each action probes at most once per fact relation: once the IN
+  * filter (or any user-written key IN/point predicate, which already
+  * drives the same pruning) sits on the fact side, the rule declines —
+  * so the fixed-point optimizer batches re-running the rule never
+  * re-pay the job, and AQE's stage re-optimizer excludes extension
+  * rules, so no re-probe per stage either. The probe job is
+  * planning-time work on the driver's query thread — the same cost
+  * class and thread discipline as the explicit `probeJoin` /
+  * secondary-index probes (nested bounded execution; scan threads
+  * never construct plans — the [[GraftFileIndex]] r9 lesson). A
+  * concurrent commit to the DIM's storage between the probe and the
+  * join execution is the standard non-transactional multi-read caveat,
+  * identical to the explicit API. Disable with
+  * `spark.graft.autoProbeJoin.enabled = false`.
+  */
+class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+  import AutoProbeJoin._
+
+  private def conf(key: String, dflt: String): String =
+    spark.sessionState.conf.getConfString(key, dflt)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf(EnabledKey, "true").toBoolean || plan.isStreaming) return plan
+    val maxKeys = conf(MaxKeysKey, "10000").toInt
+    val maxDimBytes = BigInt(conf(MaxDimBytesKey, DefaultMaxDimBytes))
+    plan.transformUp {
+      case j @ Join(_, _, jt, Some(_), _) =>
+        val factSides = jt match {
+          case Inner | LeftSemi => Seq(true, false) // fact-is-left flags
+          case LeftOuter => Seq(false)
+          case RightOuter => Seq(true)
+          case _ => Nil
+        }
+        factSides.foldLeft(j)(prune(_, _, maxKeys, maxDimBytes))
+    }
+  }
+
+  private def prune(j: Join, factLeft: Boolean, maxKeys: Int,
+      maxDimBytes: BigInt): Join = {
+    val (fact, dim) = if (factLeft) (j.left, j.right) else (j.right, j.left)
+    val hit = splitConjunctivePredicates(j.condition.get).iterator
+      .flatMap {
+        case EqualTo(a: AttributeReference, d) => Seq((a, d))
+        case EqualTo(d, a: AttributeReference) => Seq((a, d))
+        case _ => Nil
+      }
+      .flatMap { case (a, d) =>
+        if (!fact.outputSet.contains(a) ||
+            !d.references.subsetOf(dim.outputSet) ||
+            !d.deterministic || d.dataType != a.dataType) None
+        else keyedLeaf(fact, a).map((a, d, _))
+      }
+      .find { case (a, _, _) => !alreadyConstrained(fact, a) }
+    hit match {
+      case Some((a, d, (leaf, tableName))) if dimAdmissible(dim, maxDimBytes) =>
+        probeKeys(dim, d, maxKeys) match {
+          case Some(keys) =>
+            val pred: Expression =
+              if (keys.isEmpty) Literal(false, BooleanType)
+              else In(a, keys.map(Literal.create(_, a.dataType)))
+            val filtered = fact.transformUp {
+              case p if p eq leaf => Filter(pred, p)
+            }
+            logInfo(s"graft auto probe join: injected ${keys.size}-key " +
+              s"filter on ${a.name} above $tableName")
+            if (factLeft) j.copy(left = filtered)
+            else j.copy(right = filtered)
+          case None => j // declined (over cap / failed): plan unchanged
+        }
+      case _ => j
+    }
+  }
+
+  /** True when some Filter on the fact side already pins the key to an
+    * IN-list / single value / FALSE — either this rule's own injection
+    * (the fixed-point batch re-runs us; re-probing every iteration
+    * would re-pay the job AND re-grow the plan forever) or the user's
+    * own key predicate (their filter already drives the same file
+    * pruning — a second probe buys nothing). */
+  private def alreadyConstrained(fact: LogicalPlan,
+      a: AttributeReference): Boolean =
+    fact.exists {
+      case f: Filter => splitConjunctivePredicates(f.condition).exists {
+        case In(x: AttributeReference, _) => x.exprId == a.exprId
+        case org.apache.spark.sql.catalyst.expressions
+            .InSet(x: AttributeReference, _) => x.exprId == a.exprId
+        case EqualTo(x: AttributeReference, _: Literal) =>
+          x.exprId == a.exprId
+        case EqualTo(_: Literal, x: AttributeReference) =>
+          x.exprId == a.exprId
+        case Literal(false, BooleanType) => true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** The fact-side graft v2 relation owning attribute `a`, iff `a` IS
+    * the table's recorded key (the only column with manifest bucket +
+    * stat pruning). `a` must flow from the leaf unaliased — through
+    * Filters and pass-through Projects — which `outputSet.contains`
+    * checks by exprId. Two leaf shapes, one per registration mode: an
+    * extension-injected session runs this rule BEFORE scan pushdown
+    * (bare [[DataSourceV2Relation]]); a post-hoc
+    * `GraftExtensions.register` session runs it in the user-provided
+    * batch AFTER pushdown ([[DataSourceV2ScanRelation]] carrying a
+    * [[GraftBatchScan]]). Either way the injected filter lands in
+    * `PhysicalOperation`'s collected filters and rebases into the
+    * substituted native read. */
+  private def keyedLeaf(fact: LogicalPlan, a: AttributeReference)
+      : Option[(LogicalPlan, String)] = {
+    val resolver = spark.sessionState.conf.resolver
+    def keyed(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
+      t.isInstanceOf[GraftTable] && Option(t.properties().get("key"))
+        .exists(k => k.nonEmpty && resolver(a.name, k))
+    fact.collectFirst {
+      case r: DataSourceV2Relation
+          if r.outputSet.contains(a) && keyed(r.table) =>
+        (r, r.table.name())
+      case s: DataSourceV2ScanRelation
+          if s.scan.isInstanceOf[GraftBatchScan] &&
+            s.outputSet.contains(a) && keyed(s.relation.table) =>
+        (s, s.relation.table.name())
+    }
+  }
+
+  private def dimAdmissible(dim: LogicalPlan, maxDimBytes: BigInt)
+      : Boolean = {
+    if (dim.isStreaming) return false
+    val unstable = dim.exists {
+      case _: Sample | _: LocalLimit | _: GlobalLimit => true
+      case p => p.subqueries.nonEmpty ||
+        !p.expressions.forall(_.deterministic)
+    }
+    if (unstable) return false
+    // A Filter only counts as a selectivity signal when it does real
+    // work: IsNotNull-only filters are constraint-inference noise (the
+    // join condition itself plants `isnotnull(k)` on the dim side
+    // before this rule runs).
+    val selective = dim.exists {
+      case f: Filter => splitConjunctivePredicates(f.condition)
+        .exists(!_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.IsNotNull])
+      case _: LocalRelation => true
+      case _ => false
+    }
+    selective && dim.stats.sizeInBytes <= maxDimBytes
+  }
+
+  /** One bounded job: the dim side's distinct join-key values, `None`
+    * when the set may be INCOMPLETE (over the cap — filtering by a
+    * subset is unsound) or the probe fails (e.g. outer references the
+    * admissibility walk could not see); NULL keys drop (equality
+    * semantics). */
+  private def probeKeys(dim: LogicalPlan, d: Expression, maxKeys: Int)
+      : Option[Seq[Any]] =
+    try {
+      val rows = org.apache.spark.sql.graft.RelationBridge
+        .ofRows(spark, Project(Seq(Alias(d, "__graft_probe")()), dim))
+        .distinct().limit(maxKeys + 1).collect()
+      if (rows.length > maxKeys) None
+      else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft auto probe join: probe failed, not pruning: $e")
+        None
+    }
+}
+
+object AutoProbeJoin {
+  val EnabledKey = "spark.graft.autoProbeJoin.enabled"
+  val MaxKeysKey = "spark.graft.autoProbeJoin.maxKeys"
+  val MaxDimBytesKey = "spark.graft.autoProbeJoin.maxDimBytes"
+  private val DefaultMaxDimBytes: String = (10L * 1024 * 1024).toString
+}
