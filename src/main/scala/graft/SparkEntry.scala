@@ -264,6 +264,15 @@ object SparkEntry {
     baseKey = "id", indexRoot = "target/qtmp/manifest_index_idx",
     valueCols = Seq("segment"), numBuckets = 4)
 
+  /** The AUTO probe-join leg's index: NAME is near-unique, so a
+    * selective dim's values resolve to a small base-key set — the
+    * shape the optimizer rule prunes on. */
+  private def ixAutoDef = graft.store.SecondaryIndex.Index(
+    baseRoot = "target/qtmp/manifest_index_probe_auto",
+    baseSchema = upsertSchema, baseKey = "id",
+    indexRoot = "target/qtmp/manifest_index_probe_auto_idx",
+    valueCols = Seq("name"), numBuckets = 4)
+
   /** HOT-VALUE sharded variant: `segment` has ~2 values over the whole
     * customer table — exactly the skew that would otherwise pack every
     * key into two unbounded array rows. 8 shards per value keep each
@@ -482,6 +491,13 @@ object SparkEntry {
       resetSideRoot(s, "manifest_index_idx")
       graft.store.SecondaryIndex.create(s, ixDef)
       sideReady += "manifest_index_idx"
+    }),
+    "manifest_index_probe_auto" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_index_probe_auto",
+        withMerge = true)
+      resetSideRoot(s, "manifest_index_probe_auto_idx")
+      graft.store.SecondaryIndex.create(s, ixAutoDef)
+      sideReady += "manifest_index_probe_auto_idx"
     }),
     "manifest_index_sharded" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_index_sharded",
@@ -1192,6 +1208,30 @@ object SparkEntry {
         .join(dim, col("id") === col("cust"))
         .select(col("id"), col("name"), col("acctbal"), col("segment"),
           col("nation"), col("okey"), col("oprice"))
+    }),
+    "manifest_index_probe_auto" -> ((s, dir) => {
+      // The INDEX leg of AutoProbeJoin: a plain v2-face join on a
+      // NON-key column carrying a registered, FRESH secondary index.
+      // The rule resolves the dim's names to base keys through one
+      // pruned index lookup, pins the scan to the applied version, and
+      // reads only those keys' buckets. Values must equal the plain
+      // join (the oracle recomputes it); the plan/pruning evidence is
+      // AutoProbeJoinSpec's.
+      GraftExtensions.register(s)
+      val root = manifestFixture(s, dir, "manifest_index_probe_auto",
+        withMerge = true)
+      if (!sideReady.contains("manifest_index_probe_auto_idx")) {
+        resetSideRoot(s, "manifest_index_probe_auto_idx")
+        graft.store.SecondaryIndex.create(s, ixAutoDef)
+        sideReady += "manifest_index_probe_auto_idx"
+      }
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_name").as("dname"), col("c_custkey").as("dkey"))
+      s.read.format("graft").load(root)
+        .join(dim, col("name") === col("dname"))
+        .select(col("id"), col("name"), col("acctbal"), col("segment"),
+          col("nation"), col("dkey"))
     }),
     "manifest_zone_range" -> ((s, dir) => {
       // Per-file min/max ZONE MAPS — the range-predicate complement to
@@ -2464,6 +2504,21 @@ object SparkEntry {
              FROM customer WHERE ($inTgt) OR ($inSrc)) m
            JOIN orders o ON m.id = o.o_custkey
            WHERE o.o_custkey % 97 = 0""",
+      // the index leg answers exactly the plain non-key join
+      "manifest_index_probe_auto" ->
+        s"""SELECT m.id, m.name, m.acctbal, m.segment, m.nation,
+           d.dkey AS dkey
+           FROM (SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+             CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+             CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE CAST(99 AS BIGINT) END AS nation
+             FROM customer WHERE ($inTgt) OR ($inSrc)) m
+           JOIN (SELECT c_name AS dname, c_custkey AS dkey FROM customer
+                 WHERE c_custkey % 97 = 0) d
+             ON m.name = d.dname""",
       "manifest_merge_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

@@ -62,6 +62,18 @@ import org.apache.spark.sql.types.BooleanType
   *     collapse the fact side to `Filter(false)` (constant-folds to an
   *     empty relation).
   *
+  * A second leg serves equi-joins on a NON-key column carrying a
+  * REGISTERED single-column [[SecondaryIndex]] (the `indexreg` sidecar
+  * [[SecondaryIndex.register]] writes): dim values resolve to base
+  * keys through one pruned index lookup ([[SecondaryIndex.keysOf]])
+  * and the same key-IN filter lands above the fact. Because those
+  * keys derive from the FACT's own state (unlike the key leg, whose
+  * probe set comes from the dim), the leg only fires when the index
+  * has applied EXACTLY the version being served, and it PINS the fact
+  * scan to that version — the [[GraftAggScan]] snapshot discipline; a
+  * lagging index, a hot value whose key set exceeds the cap, or a
+  * composite/absent index all decline to the plain join.
+  *
   * Each action probes at most once per fact relation: once the IN
   * filter (or any user-written key IN/point predicate, which already
   * drives the same pruning) sits on the fact side, the rule declines —
@@ -103,7 +115,8 @@ class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
   private def prune(j: Join, factLeft: Boolean, maxKeys: Int,
       maxDimBytes: BigInt): Join = {
     val (fact, dim) = if (factLeft) (j.left, j.right) else (j.right, j.left)
-    val hit = splitConjunctivePredicates(j.condition.get).iterator
+    val resolver = spark.sessionState.conf.resolver
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
       .flatMap {
         case EqualTo(a: AttributeReference, d) => Seq((a, d))
         case EqualTo(d, a: AttributeReference) => Seq((a, d))
@@ -113,27 +126,110 @@ class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
         if (!fact.outputSet.contains(a) ||
             !d.references.subsetOf(dim.outputSet) ||
             !d.deterministic || d.dataType != a.dataType) None
-        else keyedLeaf(fact, a).map((a, d, _))
+        else graftLeaf(fact, a).map((a, d, _))
       }
-      .find { case (a, _, _) => !alreadyConstrained(fact, a) }
+    // The KEY leg first: pure manifest pruning, no freshness coupling.
+    // The INDEX leg (a registered secondary index on the joined
+    // column) only when no key conjunct fired — it adds a freshness
+    // check + an index lookup to the probe.
+    val keyHit = conjuncts.find { case (a, _, (_, info)) =>
+      resolver(a.name, info.key) && !alreadyConstrained(fact, a)
+    }
+    val hit = keyHit.orElse(conjuncts.find { case (a, _, (_, info)) =>
+      !resolver(a.name, info.key) &&
+        keyAttrOf(fact, info).exists(k => !alreadyConstrained(fact, k))
+    })
     hit match {
-      case Some((a, d, (leaf, tableName))) if dimAdmissible(dim, maxDimBytes) =>
-        probeKeys(dim, d, maxKeys) match {
-          case Some(keys) =>
+      case Some((a, d, (leaf, info))) if dimAdmissible(dim, maxDimBytes) =>
+        val isKeyLeg = resolver(a.name, info.key)
+        val probed =
+          if (isKeyLeg) probeKeys(dim, d, maxKeys).map((_, None))
+          else indexedKeys(info, a, dim, d, maxKeys)
+        probed match {
+          case Some((keys, pinTo)) =>
+            val keyAttr =
+              if (isKeyLeg) a else keyAttrOf(fact, info).get
             val pred: Expression =
               if (keys.isEmpty) Literal(false, BooleanType)
-              else In(a, keys.map(Literal.create(_, a.dataType)))
+              else In(keyAttr, keys.map(Literal.create(_, keyAttr.dataType)))
             val filtered = fact.transformUp {
-              case p if p eq leaf => Filter(pred, p)
+              case p if p eq leaf =>
+                Filter(pred, pinTo.fold(leaf)(pin(leaf, _)))
             }
             logInfo(s"graft auto probe join: injected ${keys.size}-key " +
-              s"filter on ${a.name} above $tableName")
+              s"filter on ${keyAttr.name} above ${info.name}" +
+              (if (isKeyLeg) "" else s" via the ${a.name} index"))
             if (factLeft) j.copy(left = filtered)
             else j.copy(right = filtered)
-          case None => j // declined (over cap / failed): plan unchanged
+          case None => j // declined (over cap / stale / failed)
         }
       case _ => j
     }
+  }
+
+  /** The fact table's key attribute as the LEAF outputs it (the v2
+    * scan builder never prunes columns — projects rebase in the
+    * substituted native plan — so the key is always present). */
+  private def keyAttrOf(fact: LogicalPlan, info: LeafInfo)
+      : Option[AttributeReference] = {
+    val resolver = spark.sessionState.conf.resolver
+    info.output.collectFirst {
+      case ar: AttributeReference if resolver(ar.name, info.key) => ar
+    }
+  }
+
+  /** The INDEX leg's probe: dim values → registered-index lookup →
+    * base keys, plus the version the fact scan must PIN to. Unlike the
+    * key leg (whose filter is version-agnostic — the probe keys come
+    * from the DIM), index answers derive from the FACT's own state: a
+    * row committed between planning and execution would be missing
+    * from the key set, so the leg only fires when the index has
+    * applied EXACTLY the version being served, and the scan is pinned
+    * to that version (the GraftAggScan snapshot discipline). */
+  private def indexedKeys(info: LeafInfo, a: AttributeReference,
+      dim: LogicalPlan, d: Expression, maxKeys: Int)
+      : Option[(Seq[Any], Option[Long])] =
+    try {
+      val resolver = spark.sessionState.conf.resolver
+      val ix = SecondaryIndex
+        .registered(spark, info.root, info.schema)
+        .find(i => i.valueCols.size == 1 &&
+          resolver(i.valueCols.head, a.name))
+        .getOrElse(return None)
+      val target = info.versionAsOf.orElse(
+        ManifestTable.currentVersion(spark, info.root))
+        .getOrElse(return None)
+      if (SecondaryIndex.appliedVersion(spark, ix) != target) {
+        logInfo(s"graft auto probe join: index on ${a.name} lags " +
+          s"version $target — not pruning")
+        return None
+      }
+      probeKeys(dim, d, maxKeys).flatMap { values =>
+        if (values.isEmpty) Some((Nil, Some(target)))
+        else SecondaryIndex.keysOf(spark, ix, values, maxKeys)
+          .map((_, Some(target)))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft auto probe join: index probe failed, not " +
+          s"pruning: $e")
+        None
+    }
+
+  /** Pins the fact leaf to `v` so the scan serves exactly the snapshot
+    * the index answered for. No-op when the leaf already travels. */
+  private def pin(leaf: LogicalPlan, v: Long): LogicalPlan = leaf match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable if t.versionAsOf.isEmpty =>
+        r.copy(table = t.copy(versionAsOf = Some(v)))
+      case _ => r
+    }
+    case s: DataSourceV2ScanRelation => s.scan match {
+      case b: GraftBatchScan if b.versionAsOf.isEmpty =>
+        s.copy(scan = b.copy(versionAsOf = Some(v)))
+      case _ => s
+    }
+    case other => other
   }
 
   /** True when some Filter on the fact side already pins the key to an
@@ -159,33 +255,39 @@ class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
-  /** The fact-side graft v2 relation owning attribute `a`, iff `a` IS
-    * the table's recorded key (the only column with manifest bucket +
-    * stat pruning). `a` must flow from the leaf unaliased — through
-    * Filters and pass-through Projects — which `outputSet.contains`
-    * checks by exprId. Two leaf shapes, one per registration mode: an
-    * extension-injected session runs this rule BEFORE scan pushdown
-    * (bare [[DataSourceV2Relation]]); a post-hoc
-    * `GraftExtensions.register` session runs it in the user-provided
-    * batch AFTER pushdown ([[DataSourceV2ScanRelation]] carrying a
-    * [[GraftBatchScan]]). Either way the injected filter lands in
-    * `PhysicalOperation`'s collected filters and rebases into the
-    * substituted native read. */
-  private def keyedLeaf(fact: LogicalPlan, a: AttributeReference)
-      : Option[(LogicalPlan, String)] = {
-    val resolver = spark.sessionState.conf.resolver
-    def keyed(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
-      t.isInstanceOf[GraftTable] && Option(t.properties().get("key"))
-        .exists(k => k.nonEmpty && resolver(a.name, k))
+  /** What the probe legs need to know about a graft leaf. */
+  private case class LeafInfo(root: String, versionAsOf: Option[Long],
+      schema: org.apache.spark.sql.types.StructType, key: String,
+      name: String,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+
+  /** The fact-side graft v2 relation owning attribute `a`. `a` must
+    * flow from the leaf unaliased — through Filters and pass-through
+    * Projects — which `outputSet.contains` checks by exprId. Two leaf
+    * shapes, one per registration mode: an extension-injected session
+    * runs this rule BEFORE scan pushdown (bare
+    * [[DataSourceV2Relation]]); a post-hoc `GraftExtensions.register`
+    * session runs it in the user-provided batch AFTER pushdown
+    * ([[DataSourceV2ScanRelation]] carrying a [[GraftBatchScan]]).
+    * Either way the injected filter lands in `PhysicalOperation`'s
+    * collected filters and rebases into the substituted native read. */
+  private def graftLeaf(fact: LogicalPlan, a: AttributeReference)
+      : Option[(LogicalPlan, LeafInfo)] = {
+    def keyOf(t: org.apache.spark.sql.connector.catalog.Table): String =
+      Option(t.properties().get("key")).getOrElse("")
     fact.collectFirst {
       case r: DataSourceV2Relation
-          if r.outputSet.contains(a) && keyed(r.table) =>
-        (r, r.table.name())
+          if r.outputSet.contains(a) && r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        (r: LogicalPlan, LeafInfo(t.root, t.versionAsOf, t.tableSchema,
+          keyOf(t), t.name(), r.output))
       case s: DataSourceV2ScanRelation
-          if s.scan.isInstanceOf[GraftBatchScan] &&
-            s.outputSet.contains(a) && keyed(s.relation.table) =>
-        (s, s.relation.table.name())
-    }
+          if s.outputSet.contains(a) &&
+            s.scan.isInstanceOf[GraftBatchScan] =>
+        val b = s.scan.asInstanceOf[GraftBatchScan]
+        (s: LogicalPlan, LeafInfo(b.root, b.versionAsOf, b.tableSchema,
+          keyOf(s.relation.table), s.relation.table.name(), s.output))
+    }.filter(_._2.key.nonEmpty)
   }
 
   private def dimAdmissible(dim: LogicalPlan, maxDimBytes: BigInt)

@@ -181,7 +181,76 @@ object SecondaryIndex {
     val bounds = if (ix.rangeLayout) sampleBounds(full, ix) else Nil
     DerivedTable.bootstrap(spark, withKey(ix, full), keyCol(ix),
       ix.indexRoot, ix.numBuckets, StreamId, cur, rangeBounds = bounds)
+    register(spark, ix)
     cur
+  }
+
+  // ------------------------------------------------------ registration
+
+  /** Registry sidecar schema: one row per registered index. */
+  private val RegistrySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("value_cols",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("index_root",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("num_buckets",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("range_layout",
+      org.apache.spark.sql.types.BooleanType),
+    org.apache.spark.sql.types.StructField("num_shards",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Records `ix` on its BASE table (additive `indexreg` sidecar — the
+    * bloom/zone commit mechanism: `_SUCCESS`-gated revisions, all
+    * kept), so plan-time machinery ([[graft.store.AutoProbeJoin]]) can
+    * DISCOVER the index from the base root alone. [[create]] registers
+    * automatically; re-registering the same value columns supersedes
+    * (newest row wins in [[registered]]). Advisory metadata only: a
+    * registry row whose index root no longer holds a manifest (a
+    * dropped/vacuumed index) is skipped by readers, so deletion needs
+    * no tombstone. */
+  def register(spark: SparkSession, ix: Index): Unit = {
+    val m = ManifestTable.currentManifest(spark, ix.baseRoot).getOrElse(
+      throw new IllegalStateException(s"no base table at ${ix.baseRoot}"))
+    val row = org.apache.spark.sql.Row(ix.valueCols.mkString(","),
+      ix.indexRoot, ix.numBuckets, ix.rangeLayout, ix.numShards)
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), RegistrySchema)
+    ManifestTable.writeAdditiveSidecar(spark, ix.baseRoot, m, df,
+      "indexreg")
+  }
+
+  /** The base table's registered, RESOLVABLE indexes: newest registry
+    * row per value-column set, reconstructed against the base's
+    * recorded key and the caller's schema; rows whose index root has no
+    * manifest (dropped) are skipped. One sidecar listing + a tiny
+    * parquet read — callers on a plan-time path should consult this
+    * only after their cheap guards pass. */
+  def registered(spark: SparkSession, baseRoot: String,
+      baseSchema: StructType): Seq[Index] = {
+    val dirs = ManifestTable.committedAdditiveDirs(spark, baseRoot,
+      "indexreg")
+    if (dirs.isEmpty) return Nil
+    val m = ManifestTable.currentManifest(spark, baseRoot)
+      .getOrElse(return Nil)
+    // oldest→newest per-dir reads: later registrations of the same
+    // value set win (row order across one unioned multi-dir read is
+    // not guaranteed; each dir is one tiny coalesced file).
+    val newest = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.Row]
+    dirs.foreach { d =>
+      spark.read.schema(RegistrySchema).parquet(d).collect().foreach {
+        r => newest(r.getString(0)) = r
+      }
+    }
+    newest.values.toSeq.flatMap { r =>
+      val cols = r.getString(0).split(",").toSeq
+      val root = r.getString(1)
+      if (ManifestTable.currentVersion(spark, root).isEmpty) None
+      else if (!cols.forall(c => baseSchema.fieldNames.contains(c))) None
+      else Some(Index(baseRoot, baseSchema, m.keyColumn, root, cols,
+        r.getInt(2), r.getBoolean(3), r.getInt(4)))
+    }
   }
 
   /** The index table's STORED schema (incl. the synthetic key column of
@@ -401,6 +470,20 @@ object SecondaryIndex {
         probeKeys(spark, ix, values))
       .select(ix.valueCols.map(col) :+
         explode(col("keys")).as(ix.baseKey): _*)
+  }
+
+  /** Bounded plan-time probe ([[graft.store.AutoProbeJoin]]'s index
+    * leg): the distinct base keys holding `values`, `None` when the
+    * set may be INCOMPLETE (over `maxKeys` — filtering by a subset is
+    * unsound). One pruned index lookup, collected driver-side.
+    * Freshness is the CALLER's contract — check [[appliedVersion]]
+    * against the base version being served. */
+  def keysOf(spark: SparkSession, ix: Index, values: Seq[Any],
+      maxKeys: Int): Option[Seq[Any]] = {
+    val rows = lookupValues(spark, ix, values)
+      .select(col(ix.baseKey)).distinct().limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) None
+    else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
   }
 
   /** Point query on the indexed column(s): index lookup → keys → base

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.store.{AutoProbeJoin, ManifestTable}
+import graft.store.{AutoProbeJoin, ManifestTable, SecondaryIndex}
 
 /** [[graft.store.AutoProbeJoin]] — AUTOMATIC dim-driven dynamic file
   * pruning. The explicit API's contract lives in ProbeJoinSpec; these
@@ -113,6 +113,20 @@ class AutoProbeJoinSpec extends SparkSpec {
     assert(scannedFiles(semi, root) <= 2)
     def inner = face(root).join(d, col("id") === col("cust"))
     assert(inner.count() == 3) // dup dim rows multiply like a plain join
+  }
+
+  test("SQL `key IN (subquery)` prunes too: the subquery rewrites to a " +
+      "left-semi join before the rule's batch runs") {
+    val root = freshRoot("apj_insub")
+    mkTable(root)
+    face(root).createOrReplaceTempView("apj_insub_fact")
+    dim(3L, 17L).createOrReplaceTempView("apj_insub_dim")
+    def q = spark.sql("""SELECT id, v FROM apj_insub_fact
+      WHERE id IN (SELECT cust FROM apj_insub_dim)""")
+    assert(q.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 30L), (17L, 170L)))
+    assert(scannedFiles(q, root) <= 2,
+      "an IN-subquery point lookup must not scan the table")
   }
 
   test("outer joins prune only the non-preserved fact side") {
@@ -239,6 +253,93 @@ class AutoProbeJoinSpec extends SparkSpec {
     assert(now.select("v").as[Long].head() == 5000L)
     assert(old.select("v").as[Long].head() == 50L)
     assert(scannedFiles(old, root) <= 2)
+  }
+
+  private val emailSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("email", StringType)))
+
+  test("a registered secondary index serves non-key equi-joins: " +
+      "pruned while fresh, declined while lagging, pruned again " +
+      "after refresh") {
+    val root = freshRoot("apj_ix")
+    val ixRoot = freshRoot("apj_ix_side")
+    ManifestTable.create(
+      (1L to 400L).map(i => (i, s"u${i % 100}")).toDF("id", "email"),
+      "id", root, numBuckets = 16)
+    val ix = SecondaryIndex.Index(root, emailSchema, "id", ixRoot,
+      "email", 4)
+    SecondaryIndex.create(spark, ix) // auto-registers on the base
+    val d = Seq(("u7", 1), ("u13", 2)).toDF("demail", "w")
+    def q = face(root).join(d, col("email") === col("demail"))
+    assert(q.count() == 8) // 2 values x 4 keys each
+    assert(scannedFiles(q, root) <= 8,
+      "8 resolved keys must not scan all 16 buckets")
+    sameAsControl(q, "id")
+    // a base commit the index has NOT applied: the leg must decline —
+    // pruning by a lagging index would hide the new row
+    Seq((401L, "u7")).toDF("id", "email")
+      .write.format("graft").option("key", "id").mode("append").save(root)
+    def q2 = face(root).join(d, col("email") === col("demail"))
+    assert(q2.count() == 9, "the unindexed new row must appear")
+    assert(scannedFiles(q2, root) == 16, "a lagging index must not prune")
+    // refresh catches the index up: pruning resumes, new row included
+    SecondaryIndex.refresh(spark, ix)
+    def q3 = face(root).join(d, col("email") === col("demail"))
+    assert(q3.count() == 9)
+    assert(scannedFiles(q3, root) <= 9)
+    sameAsControl(q3, "id")
+  }
+
+  test("the index leg pins the snapshot: a commit landing between " +
+      "planning and execution does not surface half-indexed state") {
+    val root = freshRoot("apj_ixpin")
+    val ixRoot = freshRoot("apj_ixpin_side")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, s"u${i % 10}")).toDF("id", "email"),
+      "id", root, numBuckets = 8)
+    SecondaryIndex.create(spark,
+      SecondaryIndex.Index(root, emailSchema, "id", ixRoot, "email", 4))
+    val d = Seq(("u3", 1)).toDF("demail", "w")
+    val q = face(root).join(d, col("email") === col("demail"))
+    val planned = q.queryExecution.executedPlan // probes + pins here
+    Seq((101L, "u3")).toDF("id", "email")
+      .write.format("graft").option("key", "id").mode("append").save(root)
+    // the held plan serves the PINNED pre-commit snapshot: 10 rows
+    assert(planned.executeCollect().length == 10,
+      "a pinned plan must not mix the post-commit base with " +
+        "pre-commit index answers")
+    // ANY fresh action re-plans from the (un-pinned) analyzed plan:
+    // the rule declines (the index lags) and the live read shows the
+    // new row — on the same Dataset and on a rebuilt one alike
+    assert(q.count() == 11)
+    def fresh = face(root).join(d, col("email") === col("demail"))
+    assert(fresh.count() == 11)
+  }
+
+  test("index registry: newest registration per value set wins, " +
+      "dropped index roots are skipped") {
+    val root = freshRoot("apj_reg")
+    val ixRootA = freshRoot("apj_reg_a")
+    val ixRootB = freshRoot("apj_reg_b")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, s"u$i")).toDF("id", "email"),
+      "id", root, numBuckets = 4)
+    SecondaryIndex.create(spark,
+      SecondaryIndex.Index(root, emailSchema, "id", ixRootA, "email", 4))
+    val first = SecondaryIndex.registered(spark, root, emailSchema)
+    assert(first.map(i => (i.valueCols, i.indexRoot)) ==
+      Seq((Seq("email"), ixRootA)))
+    // re-register the same value set at a new root: newest wins
+    SecondaryIndex.create(spark,
+      SecondaryIndex.Index(root, emailSchema, "id", ixRootB, "email", 8))
+    val second = SecondaryIndex.registered(spark, root, emailSchema)
+    assert(second.map(i => (i.indexRoot, i.numBuckets)) ==
+      Seq((ixRootB, 8)))
+    // a dropped index root resolves to nothing
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(ixRootB))
+    assert(SecondaryIndex.registered(spark, root, emailSchema).isEmpty)
   }
 
   test("the pre-pushdown relation shape (extension-injected sessions) " +
