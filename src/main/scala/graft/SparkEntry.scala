@@ -1197,6 +1197,12 @@ object SparkEntry {
       // caps). Values must equal the explicit probeJoin's (same
       // oracle); the plan-shape evidence is AutoProbeJoinSpec's.
       GraftExtensions.register(s) // the rule rides the extension set
+      // measurable at EVERY sf: the sf1 dim (orders, ~26 MB) sits over
+      // the 10 MB default exactly like a real deployment's dims sit
+      // over autoBroadcastJoinThreshold — raise the knob as a tuned
+      // cluster would (probe cost is bounded by maxKeys either way)
+      s.conf.set(graft.store.AutoProbeJoin.MaxDimBytesKey,
+        (64L * 1024 * 1024).toString)
       val root = manifestFixture(s, dir, "manifest_probe_join_auto",
         withMerge = true)
       val dim = t(s, dir, "orders")
@@ -1218,6 +1224,8 @@ object SparkEntry {
       // join (the oracle recomputes it); the plan/pruning evidence is
       // AutoProbeJoinSpec's.
       GraftExtensions.register(s)
+      s.conf.set(graft.store.AutoProbeJoin.MaxDimBytesKey,
+        (64L * 1024 * 1024).toString) // see manifest_probe_join_auto
       val root = manifestFixture(s, dir, "manifest_index_probe_auto",
         withMerge = true)
       if (!sideReady.contains("manifest_index_probe_auto_idx")) {
