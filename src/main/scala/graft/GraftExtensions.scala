@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // face of ManifestTable.probeJoin).
     ext.injectOptimizerRule(session =>
       new graft.store.AutoProbeJoin(session))
+    // Automatic secondary-index access for plain filters: a literal
+    // point/range predicate on a registered indexed column becomes a
+    // bounded key probe + pinned pruned scan.
+    ext.injectOptimizerRule(session =>
+      new graft.store.AutoIndexFilter(session))
   }
 }
 
@@ -775,5 +780,10 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           new graft.store.AutoProbeJoin(spark)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.store.AutoIndexFilter]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          new graft.store.AutoIndexFilter(spark)
   }
 }

@@ -273,6 +273,13 @@ object SparkEntry {
     indexRoot = "target/qtmp/manifest_index_probe_auto_idx",
     valueCols = Seq("name"), numBuckets = 4)
 
+  /** AutoIndexFilter's fixture index (same shape, own roots). */
+  private def ixFilterDef = graft.store.SecondaryIndex.Index(
+    baseRoot = "target/qtmp/manifest_index_filter_auto",
+    baseSchema = upsertSchema, baseKey = "id",
+    indexRoot = "target/qtmp/manifest_index_filter_auto_idx",
+    valueCols = Seq("name"), numBuckets = 4)
+
   /** HOT-VALUE sharded variant: `segment` has ~2 values over the whole
     * customer table — exactly the skew that would otherwise pack every
     * key into two unbounded array rows. 8 shards per value keep each
@@ -498,6 +505,13 @@ object SparkEntry {
       resetSideRoot(s, "manifest_index_probe_auto_idx")
       graft.store.SecondaryIndex.create(s, ixAutoDef)
       sideReady += "manifest_index_probe_auto_idx"
+    }),
+    "manifest_index_filter_auto" -> ((s, dir) => {
+      resetManifestFixture(s, dir, "manifest_index_filter_auto",
+        withMerge = true)
+      resetSideRoot(s, "manifest_index_filter_auto_idx")
+      graft.store.SecondaryIndex.create(s, ixFilterDef)
+      sideReady += "manifest_index_filter_auto_idx"
     }),
     "manifest_index_sharded" -> ((s, dir) => {
       resetManifestFixture(s, dir, "manifest_index_sharded",
@@ -1240,6 +1254,28 @@ object SparkEntry {
         .join(dim, col("name") === col("dname"))
         .select(col("id"), col("name"), col("acctbal"), col("segment"),
           col("nation"), col("dkey"))
+    }),
+    "manifest_index_filter_auto" -> ((s, dir) => {
+      // AutoIndexFilter: a plain literal IN predicate on the indexed
+      // NAME column of the v2 face — no API call — becomes a bounded
+      // index probe + version-pinned key-pruned scan (the rule keeps
+      // the original predicate row-level, so values are exact even if
+      // the index answered a superset). Hash-equals DuckDB's filter
+      // over the merged state; pruning evidence is
+      // AutoIndexFilterSpec's.
+      GraftExtensions.register(s)
+      val root = manifestFixture(s, dir, "manifest_index_filter_auto",
+        withMerge = true)
+      if (!sideReady.contains("manifest_index_filter_auto_idx")) {
+        resetSideRoot(s, "manifest_index_filter_auto_idx")
+        graft.store.SecondaryIndex.create(s, ixFilterDef)
+        sideReady += "manifest_index_filter_auto_idx"
+      }
+      val probes = (1 to 10).map(i => f"Customer#${i * 97}%09d")
+      s.read.format("graft").load(root)
+        .filter(col("name").isin(probes: _*))
+        .select(col("id"), col("name"), col("acctbal"), col("segment"),
+          col("nation"))
     }),
     "manifest_zone_range" -> ((s, dir) => {
       // Per-file min/max ZONE MAPS — the range-predicate complement to
@@ -2527,6 +2563,18 @@ object SparkEntry {
            JOIN (SELECT c_name AS dname, c_custkey AS dkey FROM customer
                  WHERE c_custkey % 97 = 0) d
              ON m.name = d.dname""",
+      // AutoIndexFilter: literal IN over the indexed name column
+      "manifest_index_filter_auto" ->
+        s"""SELECT m.id, m.name, m.acctbal, m.segment, m.nation
+           FROM (SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+             CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+             CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                  WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE CAST(99 AS BIGINT) END AS nation
+             FROM customer WHERE ($inTgt) OR ($inSrc)) m
+           WHERE m.name IN ('Customer#000000097', 'Customer#000000194', 'Customer#000000291', 'Customer#000000388', 'Customer#000000485', 'Customer#000000582', 'Customer#000000679', 'Customer#000000776', 'Customer#000000873', 'Customer#000000970')""",
       "manifest_merge_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

@@ -92,6 +92,7 @@ import org.apache.spark.sql.types.BooleanType
 class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
   import AutoProbeJoin._
+  import AutoPrune.LeafInfo
 
   private def conf(key: String, dflt: String): String =
     spark.sessionState.conf.getConfString(key, dflt)
@@ -167,17 +168,6 @@ class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** The fact table's key attribute as the LEAF outputs it (the v2
-    * scan builder never prunes columns — projects rebase in the
-    * substituted native plan — so the key is always present). */
-  private def keyAttrOf(fact: LogicalPlan, info: LeafInfo)
-      : Option[AttributeReference] = {
-    val resolver = spark.sessionState.conf.resolver
-    info.output.collectFirst {
-      case ar: AttributeReference if resolver(ar.name, info.key) => ar
-    }
-  }
-
   /** The INDEX leg's probe: dim values → registered-index lookup →
     * base keys, plus the version the fact scan must PIN to. Unlike the
     * key leg (whose filter is version-agnostic — the probe keys come
@@ -190,20 +180,12 @@ class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
       dim: LogicalPlan, d: Expression, maxKeys: Int)
       : Option[(Seq[Any], Option[Long])] =
     try {
-      val resolver = spark.sessionState.conf.resolver
-      val ix = SecondaryIndex
-        .registered(spark, info.root, info.schema)
-        .find(i => i.valueCols.size == 1 &&
-          resolver(i.valueCols.head, a.name))
-        .getOrElse(return None)
-      val target = info.versionAsOf.orElse(
-        ManifestTable.currentVersion(spark, info.root))
-        .getOrElse(return None)
-      if (SecondaryIndex.appliedVersion(spark, ix) != target) {
-        logInfo(s"graft auto probe join: index on ${a.name} lags " +
-          s"version $target — not pruning")
-        return None
-      }
+      val (ix, target) = AutoPrune.freshIndexOn(spark, info, a.name)
+        .getOrElse {
+          logInfo(s"graft auto probe join: no FRESH index on " +
+            s"${a.name} — not pruning")
+          return None
+        }
       probeKeys(dim, d, maxKeys).flatMap { values =>
         if (values.isEmpty) Some((Nil, Some(target)))
         else SecondaryIndex.keysOf(spark, ix, values, maxKeys)
@@ -216,79 +198,16 @@ class AutoProbeJoin(spark: SparkSession) extends Rule[LogicalPlan]
         None
     }
 
-  /** Pins the fact leaf to `v` so the scan serves exactly the snapshot
-    * the index answered for. No-op when the leaf already travels. */
-  private def pin(leaf: LogicalPlan, v: Long): LogicalPlan = leaf match {
-    case r: DataSourceV2Relation => r.table match {
-      case t: GraftTable if t.versionAsOf.isEmpty =>
-        r.copy(table = t.copy(versionAsOf = Some(v)))
-      case _ => r
-    }
-    case s: DataSourceV2ScanRelation => s.scan match {
-      case b: GraftBatchScan if b.versionAsOf.isEmpty =>
-        s.copy(scan = b.copy(versionAsOf = Some(v)))
-      case _ => s
-    }
-    case other => other
-  }
+  private def keyAttrOf(fact: LogicalPlan, info: LeafInfo) =
+    AutoPrune.keyAttrOf(spark, info)
 
-  /** True when some Filter on the fact side already pins the key to an
-    * IN-list / single value / FALSE — either this rule's own injection
-    * (the fixed-point batch re-runs us; re-probing every iteration
-    * would re-pay the job AND re-grow the plan forever) or the user's
-    * own key predicate (their filter already drives the same file
-    * pruning — a second probe buys nothing). */
+  private def graftLeaf(fact: LogicalPlan, a: AttributeReference) =
+    AutoPrune.graftLeaf(fact, a)
+
+  private def pin(leaf: LogicalPlan, v: Long) = AutoPrune.pin(leaf, v)
+
   private def alreadyConstrained(fact: LogicalPlan,
-      a: AttributeReference): Boolean =
-    fact.exists {
-      case f: Filter => splitConjunctivePredicates(f.condition).exists {
-        case In(x: AttributeReference, _) => x.exprId == a.exprId
-        case org.apache.spark.sql.catalyst.expressions
-            .InSet(x: AttributeReference, _) => x.exprId == a.exprId
-        case EqualTo(x: AttributeReference, _: Literal) =>
-          x.exprId == a.exprId
-        case EqualTo(_: Literal, x: AttributeReference) =>
-          x.exprId == a.exprId
-        case Literal(false, BooleanType) => true
-        case _ => false
-      }
-      case _ => false
-    }
-
-  /** What the probe legs need to know about a graft leaf. */
-  private case class LeafInfo(root: String, versionAsOf: Option[Long],
-      schema: org.apache.spark.sql.types.StructType, key: String,
-      name: String,
-      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
-
-  /** The fact-side graft v2 relation owning attribute `a`. `a` must
-    * flow from the leaf unaliased — through Filters and pass-through
-    * Projects — which `outputSet.contains` checks by exprId. Two leaf
-    * shapes, one per registration mode: an extension-injected session
-    * runs this rule BEFORE scan pushdown (bare
-    * [[DataSourceV2Relation]]); a post-hoc `GraftExtensions.register`
-    * session runs it in the user-provided batch AFTER pushdown
-    * ([[DataSourceV2ScanRelation]] carrying a [[GraftBatchScan]]).
-    * Either way the injected filter lands in `PhysicalOperation`'s
-    * collected filters and rebases into the substituted native read. */
-  private def graftLeaf(fact: LogicalPlan, a: AttributeReference)
-      : Option[(LogicalPlan, LeafInfo)] = {
-    def keyOf(t: org.apache.spark.sql.connector.catalog.Table): String =
-      Option(t.properties().get("key")).getOrElse("")
-    fact.collectFirst {
-      case r: DataSourceV2Relation
-          if r.outputSet.contains(a) && r.table.isInstanceOf[GraftTable] =>
-        val t = r.table.asInstanceOf[GraftTable]
-        (r: LogicalPlan, LeafInfo(t.root, t.versionAsOf, t.tableSchema,
-          keyOf(t), t.name(), r.output))
-      case s: DataSourceV2ScanRelation
-          if s.outputSet.contains(a) &&
-            s.scan.isInstanceOf[GraftBatchScan] =>
-        val b = s.scan.asInstanceOf[GraftBatchScan]
-        (s: LogicalPlan, LeafInfo(b.root, b.versionAsOf, b.tableSchema,
-          keyOf(s.relation.table), s.relation.table.name(), s.output))
-    }.filter(_._2.key.nonEmpty)
-  }
+      a: AttributeReference) = AutoPrune.alreadyConstrained(fact, a)
 
   private def dimAdmissible(dim: LogicalPlan, maxDimBytes: BigInt)
       : Boolean = {
@@ -337,5 +256,118 @@ object AutoProbeJoin {
   val EnabledKey = "spark.graft.autoProbeJoin.enabled"
   val MaxKeysKey = "spark.graft.autoProbeJoin.maxKeys"
   val MaxDimBytesKey = "spark.graft.autoProbeJoin.maxDimBytes"
-  private val DefaultMaxDimBytes: String = (10L * 1024 * 1024).toString
+  private[store] val DefaultMaxDimBytes: String =
+    (10L * 1024 * 1024).toString
+}
+
+/** The machinery [[AutoProbeJoin]] and [[AutoIndexFilter]] share:
+  * graft-leaf discovery, key-attribute resolution, the
+  * already-constrained fixed-point guard, snapshot pinning, and the
+  * registered-index freshness gate. */
+private[store] object AutoPrune extends PredicateHelper {
+
+  /** What the probe legs need to know about a graft leaf. */
+  case class LeafInfo(root: String, versionAsOf: Option[Long],
+      schema: org.apache.spark.sql.types.StructType, key: String,
+      name: String,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+
+  /** The graft v2 relation owning attribute `a`. `a` must flow from
+    * the leaf unaliased — through Filters and pass-through Projects —
+    * which `outputSet.contains` checks by exprId. Two leaf shapes, one
+    * per registration mode: an extension-injected session runs the
+    * rules BEFORE scan pushdown (bare [[DataSourceV2Relation]]); a
+    * post-hoc `GraftExtensions.register` session runs them in the
+    * user-provided batch AFTER pushdown ([[DataSourceV2ScanRelation]]
+    * carrying a [[GraftBatchScan]]). Either way an injected filter
+    * lands in `PhysicalOperation`'s collected filters and rebases into
+    * the substituted native read. */
+  def graftLeaf(plan: LogicalPlan, a: AttributeReference)
+      : Option[(LogicalPlan, LeafInfo)] = {
+    def keyOf(t: org.apache.spark.sql.connector.catalog.Table): String =
+      Option(t.properties().get("key")).getOrElse("")
+    plan.collectFirst {
+      case r: DataSourceV2Relation
+          if r.outputSet.contains(a) && r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        (r: LogicalPlan, LeafInfo(t.root, t.versionAsOf, t.tableSchema,
+          keyOf(t), t.name(), r.output))
+      case s: DataSourceV2ScanRelation
+          if s.outputSet.contains(a) &&
+            s.scan.isInstanceOf[GraftBatchScan] =>
+        val b = s.scan.asInstanceOf[GraftBatchScan]
+        (s: LogicalPlan, LeafInfo(b.root, b.versionAsOf, b.tableSchema,
+          keyOf(s.relation.table), s.relation.table.name(), s.output))
+    }.filter(_._2.key.nonEmpty)
+  }
+
+  /** The table's key attribute as the LEAF outputs it (the v2 scan
+    * builder never prunes columns — projects rebase in the substituted
+    * native plan — so the key is always present). */
+  def keyAttrOf(spark: SparkSession, info: LeafInfo)
+      : Option[AttributeReference] = {
+    val resolver = spark.sessionState.conf.resolver
+    info.output.collectFirst {
+      case ar: AttributeReference if resolver(ar.name, info.key) => ar
+    }
+  }
+
+  /** Pins a graft leaf to version `v` so the scan serves exactly the
+    * snapshot an index answered for. No-op when the leaf already
+    * travels. */
+  def pin(leaf: LogicalPlan, v: Long): LogicalPlan = leaf match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable if t.versionAsOf.isEmpty =>
+        r.copy(table = t.copy(versionAsOf = Some(v)))
+      case _ => r
+    }
+    case s: DataSourceV2ScanRelation => s.scan match {
+      case b: GraftBatchScan if b.versionAsOf.isEmpty =>
+        s.copy(scan = b.copy(versionAsOf = Some(v)))
+      case _ => s
+    }
+    case other => other
+  }
+
+  /** True when some Filter in `plan` already pins `a` to an IN-list /
+    * single value / FALSE — either a rule's own injection (the
+    * fixed-point batches re-run the rules; re-probing every iteration
+    * would re-pay the job AND re-grow the plan forever) or the user's
+    * own predicate (which already drives the same file pruning — a
+    * second probe buys nothing). */
+  def alreadyConstrained(plan: LogicalPlan,
+      a: AttributeReference): Boolean =
+    plan.exists {
+      case f: Filter => splitConjunctivePredicates(f.condition).exists {
+        case In(x: AttributeReference, _) => x.exprId == a.exprId
+        case org.apache.spark.sql.catalyst.expressions
+            .InSet(x: AttributeReference, _) => x.exprId == a.exprId
+        case EqualTo(x: AttributeReference, _: Literal) =>
+          x.exprId == a.exprId
+        case EqualTo(_: Literal, x: AttributeReference) =>
+          x.exprId == a.exprId
+        case Literal(false, BooleanType) => true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** The registered single-column index on `colName` IFF it has
+    * applied exactly the version the leaf serves — the soundness gate
+    * both index legs share (an automatic rewrite through a LAGGING
+    * index would silently hide newer base rows). Returns the index and
+    * the version the caller must PIN the scan to. */
+  def freshIndexOn(spark: SparkSession, info: LeafInfo,
+      colName: String): Option[(SecondaryIndex.Index, Long)] = {
+    val resolver = spark.sessionState.conf.resolver
+    val ix = SecondaryIndex.registered(spark, info.root, info.schema)
+      .find(i => i.valueCols.size == 1 &&
+        resolver(i.valueCols.head, colName))
+      .getOrElse(return None)
+    val target = info.versionAsOf.orElse(
+      ManifestTable.currentVersion(spark, info.root))
+      .getOrElse(return None)
+    if (SecondaryIndex.appliedVersion(spark, ix) != target) None
+    else Some((ix, target))
+  }
 }

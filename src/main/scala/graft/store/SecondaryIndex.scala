@@ -486,6 +486,23 @@ object SecondaryIndex {
     else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
   }
 
+  /** [[keysOf]]'s RANGE sibling (rangeLayout indexes only): the
+    * distinct base keys whose value falls in `[lo, hi]` inclusive,
+    * `None` when the set may be incomplete. One bucket-pruned index
+    * range scan; same caller freshness contract. */
+  def keysInRange(spark: SparkSession, ix: Index, lo: Any, hi: Any,
+      maxKeys: Int): Option[Seq[Any]] = {
+    require(ix.rangeLayout && !composite(ix) && !sharded(ix),
+      "keysInRange serves single-column rangeLayout indexes")
+    val schema = indexSchema(spark, ix)
+    val rows = ManifestTable
+      .lookupRange(spark, ix.indexRoot, schema, keyCol(ix), lo, hi)
+      .select(explode(col("keys")).as(ix.baseKey))
+      .distinct().limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) None
+    else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
+  }
+
   /** Point query on the indexed column(s): index lookup → keys → base
     * lookup. Two pruned reads on the common (selective) path; the
     * key-list collect is CAPPED at `maxDriverKeys` — a heavily-skewed
