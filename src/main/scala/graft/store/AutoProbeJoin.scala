@@ -353,9 +353,13 @@ private[store] object AutoPrune extends PredicateHelper {
     }
 
   /** The registered single-column index on `colName` IFF it has
-    * applied exactly the version the leaf serves — the soundness gate
-    * both index legs share (an automatic rewrite through a LAGGING
-    * index would silently hide newer base rows). Returns the index and
+    * applied exactly the version the leaf serves AND that version's
+    * live files provably hold no NULL-keyed rows — the soundness gates
+    * both index legs share. A LAGGING index would silently hide newer
+    * base rows; a NULL-keyed row is invisible to any index
+    * (`collect_list` drops null keys) yet a plain scan would return
+    * it, so a table that may hold one (any entry's `nullKeys`, true
+    * for pre-format-11 entries) declines too. Returns the index and
     * the version the caller must PIN the scan to. */
   def freshIndexOn(spark: SparkSession, info: LeafInfo,
       colName: String): Option[(SecondaryIndex.Index, Long)] = {
@@ -364,10 +368,14 @@ private[store] object AutoPrune extends PredicateHelper {
       .find(i => i.valueCols.size == 1 &&
         resolver(i.valueCols.head, colName))
       .getOrElse(return None)
-    val target = info.versionAsOf.orElse(
-      ManifestTable.currentVersion(spark, info.root))
-      .getOrElse(return None)
-    if (SecondaryIndex.appliedVersion(spark, ix) != target) None
-    else Some((ix, target))
+    val m = info.versionAsOf match {
+      case Some(v) => ManifestTable.readManifest(spark, info.root, v)
+      case None =>
+        ManifestTable.currentManifest(spark, info.root)
+          .getOrElse(return None)
+    }
+    if (SecondaryIndex.appliedVersion(spark, ix) != m.version) None
+    else if (m.entries.exists(_.nullKeys)) None
+    else Some((ix, m.version))
   }
 }

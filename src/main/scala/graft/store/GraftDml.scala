@@ -172,6 +172,16 @@ private[graft] object GraftDml {
             es = es.filter(e => keep(e.relPath))
           }
         }
+        // fresh-index narrowing (the deleteWhere discovery
+        // discipline): an UPDATE scoped by an indexed column reads
+        // only the named keys' buckets, consistently with the
+        // snapshot `m` it updates
+        bloomH.foreach { case (c, vs) =>
+          if (es.nonEmpty && vs.nonEmpty && c != key)
+            graft.store.SecondaryIndex
+              .hintBuckets(spark, root, schema, m, c, vs)
+              .foreach(bks => es = es.filter(e => bks(e.bucket)))
+        }
         if (es.isEmpty)
           ManifestTable.read(spark, root, schema).limit(0)
         else ManifestTable.reconciledEntriesRead(spark, root, schema,
@@ -236,6 +246,12 @@ private[graft] object GraftDml {
             ZoneSkip.kindOf(g.tableSchema(c).dataType)).isSuccess
       },
       bloomProbes = bloomHints(condition).filter { case (c, _) =>
+        g.tableSchema.fieldNames.contains(c)
+      },
+      // same (column, values) facts, served by a FRESH registered
+      // index when one covers the column: discovery narrows to the
+      // named keys' buckets (SecondaryIndex.hintBuckets)
+      indexProbes = bloomHints(condition).filter { case (c, _) =>
         g.tableSchema.fieldNames.contains(c)
       })
   }

@@ -110,10 +110,19 @@ object ManifestTable {
     * them unusable for numeric ranges. Empty = not recorded (legacy
     * entry, string key, or a comparator-normalized layout) — readers
     * must then keep the file. */
+  /** `nullKeys` (format 11) records whether the file MAY hold rows
+    * whose raw or normalized key is NULL. Such rows are invisible to a
+    * secondary index (collect_list drops null keys) and unaddressable
+    * by key probes, so index-derived rewrites/hints
+    * ([[AutoProbeJoin]]/[[AutoIndexFilter]]) are only sound on tables
+    * whose live entries all record false. Legacy entries parse as TRUE
+    * (may hold) — conservative: the rewrites decline, plain scans
+    * serve. */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
       relPath: String, seq: Long = 0L, bytes: Long = 0L,
-      named: Boolean = false, minZ: String = "", maxZ: String = "")
+      named: Boolean = false, minZ: String = "", maxZ: String = "",
+      nullKeys: Boolean = true)
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
@@ -243,6 +252,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 11" => 11
       case "graft-manifest 10" => 10
       case "graft-manifest 9" => 9
       case "graft-manifest 8" => 8
@@ -302,7 +312,9 @@ object ManifestTable {
         if (f.length > 6) f(6).toLong else 0L,
         f.length > 7 && f(7) == "1",
         if (f.length > 8) dec(f(8)) else "",
-        if (f.length > 9) dec(f(9)) else "")
+        if (f.length > 9) dec(f(9)) else "",
+        // pre-11 entries may hold null-keyed rows; format 11 records it
+        nullKeys = if (f.length > 10) f(10) == "1" else true)
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
       keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
@@ -635,6 +647,14 @@ object ManifestTable {
     * targeting, the value the final predicate compares, and the string
     * the manifest range stats compare against can never drift from
     * what the write path computed. */
+  /** The hash/range buckets `keys` target under the table's recorded
+    * layout and comparator — the bucket face of [[normalizedProbes]]
+    * for plan/maintenance machinery (the index discovery hints). */
+  private[store] def keyBuckets(
+      spark: SparkSession, m: Manifest, keys: Seq[Any]): Set[Int] =
+    normalizedProbes(spark, m, m.keyColumn, keys, identity)
+      .map(_._1).toSet
+
   private def normalizedProbes(
       spark: SparkSession,
       m: Manifest,
@@ -796,7 +816,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 10" +:
+    val body = (s"graft-manifest 11" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -815,7 +835,8 @@ object ManifestTable {
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
           s"${e.relPath}\t${e.seq}\t${e.bytes}\t" +
-          s"${if (e.named) "1" else "0"}\t${enc(e.minZ)}\t${enc(e.maxZ)}"))
+          s"${if (e.named) "1" else "0"}\t${enc(e.minZ)}\t${enc(e.maxZ)}" +
+          s"\t${if (e.nullKeys) "1" else "0"}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
@@ -977,10 +998,12 @@ object ManifestTable {
     val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
       Seq(min(zr).cast("string").as("minZ"),
         max(zr).cast("string").as("maxZ")))
+    val nullAgg = max(when(kc.isNull || norm.isNull, lit(1))
+      .otherwise(lit(0))).as("nullK")
     rb.groupBy(col(BucketCol))
       .agg(count(lit(1)).as("rows"),
         (Seq(min(norm.cast("string")).as("minKey"),
-          max(norm.cast("string")).as("maxKey")) ++ zoneAggs): _*)
+          max(norm.cast("string")).as("maxKey")) ++ zoneAggs :+ nullAgg): _*)
       .collect()
       .map { r =>
         val k = r.getInt(0)
@@ -991,7 +1014,8 @@ object ManifestTable {
           Option(r.getString(3)).getOrElse(""),
           relPath, seq, bytes, named,
           if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
-          if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""))
+          if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""),
+          nullKeys = r.getInt(if (zoneAggs.isEmpty) 4 else 6) == 1)
       }.toSeq
   }
 
@@ -1991,7 +2015,8 @@ object ManifestTable {
         identity,
       tokenStream: Option[String] = None,
       zoneRanges: Seq[(String, Any, Any)] = Nil,
-      bloomProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] = {
+      bloomProbes: Seq[(String, Seq[Any])] = Nil,
+      indexProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -2018,7 +2043,7 @@ object ManifestTable {
         if (zoneRanges.isEmpty) prior.entries
         else ZoneSkip.prunedEntries(spark, root, schema, prior,
           zoneRanges)
-      val discEntries = bloomProbes
+      val bloomPruned = bloomProbes
         .filter { case (_, vs) => vs.nonEmpty }
         .foldLeft(zonePruned) { case (es, (c, vs)) =>
           if (es.isEmpty) es
@@ -2027,6 +2052,23 @@ object ManifestTable {
               prior, c, vs)._1.map(_.relPath).toSet
             es.filter(e => keep(e.relPath))
           }
+        }
+      // index hint: a FRESH registered index on a probed column names
+      // the exact keys holding those values, so discovery narrows to
+      // their buckets — re-derived per OCC attempt against `prior`, so
+      // a retry never reuses answers from a superseded snapshot. A
+      // value set the index proves EMPTY empties discovery (sound: the
+      // conjunct alone excludes every row). Lagging index, null-keyed
+      // files, or a key-column probe decline to the wider set.
+      val discEntries = indexProbes
+        .filter { case (c, vs) => vs.nonEmpty && c != keyColumn }
+        .foldLeft(bloomPruned) { case (es, (c, vs)) =>
+          if (es.isEmpty) es
+          else SecondaryIndex
+            .hintBuckets(spark, root, schema, prior, c, vs) match {
+              case Some(bks) => es.filter(e => bks(e.bucket))
+              case None => es
+            }
         }
       val touched: Set[Int] =
         if (discEntries.isEmpty) Set.empty
@@ -2578,10 +2620,12 @@ object ManifestTable {
     val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
       Seq(min(zr).cast("string").as("minZ"),
         max(zr).cast("string").as("maxZ")))
+    val nullAgg = max(when(kc.isNull || norm.isNull, lit(1))
+      .otherwise(lit(0))).as("nullK")
     rb.groupBy(substring_index(input_file_name(), "/", -1).as("_fn"))
       .agg(count(lit(1)).as("rows"),
         (Seq(min(norm.cast("string")).as("minKey"),
-          max(norm.cast("string")).as("maxKey")) ++ zoneAggs): _*)
+          max(norm.cast("string")).as("maxKey")) ++ zoneAggs :+ nullAgg): _*)
       .collect()
       .flatMap { r =>
         byName.get(r.getString(0)).map { case (k, relPath, bytes, stamped) =>
@@ -2590,7 +2634,8 @@ object ManifestTable {
             Option(r.getString(3)).getOrElse(""),
             relPath, seq, bytes, named = stamped,
             if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
-            if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""))
+            if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""),
+            nullKeys = r.getInt(if (zoneAggs.isEmpty) 4 else 6) == 1)
         }
       }.toSeq
   }

@@ -486,6 +486,28 @@ object SecondaryIndex {
     else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
   }
 
+  /** DELETE/UPDATE discovery hint: the bucket set that can hold rows
+    * whose `column` is in `values`, answered by a REGISTERED
+    * single-column index iff it has applied exactly `m.version` and no
+    * live file may hold a NULL-keyed row (such rows are invisible to
+    * any index, yet the predicate may match them — the
+    * [[graft.store.AutoPrune.freshIndexOn]] soundness gates). `None` =
+    * no usable index / over the key cap — the caller keeps its current
+    * candidate set. An EMPTY bucket set is a proof of absence: no row
+    * holds any probed value at this version. */
+  def hintBuckets(spark: SparkSession, root: String,
+      schema: StructType, m: ManifestTable.Manifest,
+      column: String, values: Seq[Any]): Option[Int => Boolean] = {
+    if (m.entries.exists(_.nullKeys)) return None
+    val ix = registered(spark, root, schema)
+      .find(_.valueCols == Seq(column)).getOrElse(return None)
+    if (appliedVersion(spark, ix) != m.version) return None
+    try keysOf(spark, ix, values, maxKeys = 100000).map { keys =>
+      val bks = ManifestTable.keyBuckets(spark, m, keys)
+      bks.contains _
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** [[keysOf]]'s RANGE sibling (rangeLayout indexes only): the
     * distinct base keys whose value falls in `[lo, hi]` inclusive,
     * `None` when the set may be incomplete. One bucket-pruned index

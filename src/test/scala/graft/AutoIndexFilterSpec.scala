@@ -158,6 +158,27 @@ class AutoIndexFilterSpec extends SparkSpec {
     sameAsControl(keyed, "id")
   }
 
+  test("a table holding a NULL-keyed row never serves through the " +
+      "index — the row is invisible to any index, a plain scan is not") {
+    val root = freshRoot("aif_nullkey")
+    val ixRoot = freshRoot("aif_nullkey_ix")
+    val rows = (1L to 100L).map(i => (Option(i), s"u${i % 10}")) :+
+      ((Option.empty[Long], "u3"))
+    ManifestTable.create(rows.toDF("id", "email"), "id", root,
+      numBuckets = 8)
+    // the per-file stat records exactly the null-carrying bucket
+    val m = ManifestTable.currentManifest(spark, root).get
+    assert(m.entries.exists(_.nullKeys), "the null row's file must flag")
+    assert(!m.entries.forall(_.nullKeys), "clean files must not")
+    SecondaryIndex.create(spark,
+      SecondaryIndex.Index(root, schema, "id", ixRoot, "email", 4))
+    def q = face(root).filter(col("email") === "u3")
+    assert(q.count() == 11, "the NULL-keyed matching row must appear")
+    assert(scannedFiles(q, root) == 8,
+      "a maybe-null-keyed table must not rewrite through the index")
+    sameAsControl(q, "id")
+  }
+
   test("the rewrite pins the snapshot: a commit landing between " +
       "planning and execution stays invisible to the held plan") {
     val root = freshRoot("aif_pin")

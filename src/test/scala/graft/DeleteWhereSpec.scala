@@ -207,6 +207,73 @@ class DeleteWhereSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 1995L)
   }
 
+  test("index-hinted discovery: a FRESH registered index narrows to " +
+      "the named keys' buckets, proves absence, and declines on " +
+      "lagging or null-keyed state — values exact throughout") {
+    import graft.store.SecondaryIndex
+    val root = freshRoot("delw_ix")
+    val ixRoot = freshRoot("delw_ix_side")
+    ManifestTable.create(
+      (1L to 2000L).map(i => (i, s"dom${i % 500}", i))
+        .toDF("id", "seg", "v"),
+      "id", root, numBuckets = 8)
+    val ix = SecondaryIndex.Index(root, schema, "id", ixRoot, "seg", 4)
+    SecondaryIndex.create(spark, ix)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    // the hint's file-level claim: one domain's 4 keys keep < all 8
+    val bks = SecondaryIndex.hintBuckets(spark, root, schema, m0,
+      "seg", Seq("dom7"))
+    assert(bks.isDefined, "fresh index must serve the hint")
+    assert(m0.entries.count(e => bks.get(e.bucket)) < m0.entries.size)
+    // hinted delete equals plain semantics
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("seg") === "dom7", token = 1L,
+      indexProbes = Seq(("seg", Seq("dom7"))))
+    assert(ManifestTable.read(spark, root, schema).count() == 1996L)
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("seg") === "dom7").count() == 0L)
+    // absence proof: a fresh index empties discovery — the no-match
+    // commit keeps every entry verbatim
+    SecondaryIndex.refresh(spark, ix)
+    val before = ManifestTable.currentManifest(spark, root).get
+      .entries.map(_.relPath).toSet
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("seg") === "no-such-domain", token = 2L,
+      indexProbes = Seq(("seg", Seq("no-such-domain"))))
+    assert(ManifestTable.currentManifest(spark, root).get
+      .entries.map(_.relPath).toSet == before)
+    // the token-2 commit bumped the version past the refresh: a hint
+    // against the LAGGING index must decline, and the delete stays
+    // exact through full discovery
+    assert(SecondaryIndex.hintBuckets(spark, root, schema,
+      ManifestTable.currentManifest(spark, root).get,
+      "seg", Seq("dom8")).isEmpty)
+    ManifestTable.deleteWhere(spark, root, schema,
+      d => d("seg") === "dom8", token = 3L,
+      indexProbes = Seq(("seg", Seq("dom8"))))
+    assert(ManifestTable.read(spark, root, schema).count() == 1992L)
+    // a NULL-keyed row is invisible to any index: the hint declines
+    // and the delete still erases it through full discovery
+    val rootN = freshRoot("delw_ix_null")
+    val ixRootN = freshRoot("delw_ix_null_side")
+    ManifestTable.create(
+      ((1L to 100L).map(i => (Option(i), s"dom${i % 10}", i)) :+
+        ((Option.empty[Long], "dom3", 0L))).toDF("id", "seg", "v"),
+      "id", rootN, numBuckets = 4)
+    SecondaryIndex.create(spark,
+      SecondaryIndex.Index(rootN, schema, "id", ixRootN, "seg", 4))
+    assert(SecondaryIndex.hintBuckets(spark, rootN, schema,
+      ManifestTable.currentManifest(spark, rootN).get,
+      "seg", Seq("dom3")).isEmpty, "null-keyed files must decline")
+    ManifestTable.deleteWhere(spark, rootN, schema,
+      d => d("seg") === "dom3", token = 1L,
+      indexProbes = Seq(("seg", Seq("dom3"))))
+    assert(ManifestTable.read(spark, rootN, schema)
+      .filter(col("seg") === "dom3").count() == 0L,
+      "the NULL-keyed dom3 row must be deleted too")
+    assert(ManifestTable.read(spark, rootN, schema).count() == 90L)
+  }
+
   test("SQL DELETE derives the zone hint from its own conjuncts") {
     import graft.store.ZoneSkip
     GraftExtensions.register(spark)
