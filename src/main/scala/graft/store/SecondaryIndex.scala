@@ -498,6 +498,13 @@ object SecondaryIndex {
   def hintBuckets(spark: SparkSession, root: String,
       schema: StructType, m: ManifestTable.Manifest,
       column: String, values: Seq[Any]): Option[Int => Boolean] = {
+    // a UDF comparator is unrecordable: identity bucket targeting
+    // would name the WRONG buckets — decline (the mergeInto/keyed-DML
+    // refusal class). Note the optimizer rules need no such guard:
+    // their key-IN filter is a raw-value ROW predicate (exact under
+    // any comparator), and GraftFileIndex's probe pruning already
+    // self-disables on udfKey layouts.
+    if (m.udfKey) return None
     if (m.entries.exists(_.nullKeys)) return None
     val ix = registered(spark, root, schema)
       .find(_.valueCols == Seq(column)).getOrElse(return None)

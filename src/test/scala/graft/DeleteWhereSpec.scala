@@ -272,6 +272,25 @@ class DeleteWhereSpec extends SparkSpec {
       .filter(col("seg") === "dom3").count() == 0L,
       "the NULL-keyed dom3 row must be deleted too")
     assert(ManifestTable.read(spark, rootN, schema).count() == 90L)
+    // an unrecordable (UDF) comparator declines before any registry
+    // read — identity bucket targeting would name the WRONG buckets
+    val rootU = freshRoot("delw_ix_udf")
+    val strSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val norm = udf((s: String) => if (s == null) null else s.toLowerCase)
+    val mU = new graft.mapping.Mapping("k") {
+      override def keyComparator = c => norm(c)
+    }
+    mU.auto("k", c => c); mU.auto("v")
+    mU.complete(strSchema)
+    ManifestTable.merge(
+      mU.project(graft.sources.Sources.rows(spark,
+        Seq(Seq("ABC", "x")), headerLines = -1)),
+      0L, mU, rootU, strSchema)
+    assert(ManifestTable.currentManifest(spark, rootU).get.udfKey)
+    assert(graft.store.SecondaryIndex.hintBuckets(spark, rootU,
+      strSchema, ManifestTable.currentManifest(spark, rootU).get,
+      "v", Seq("x")).isEmpty, "udfKey layouts must decline the hint")
   }
 
   test("SQL DELETE derives the zone hint from its own conjuncts") {
