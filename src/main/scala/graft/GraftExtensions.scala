@@ -304,6 +304,32 @@ object GraftExtensions {
       vs.toDF("version", "num_buckets", "n_rows")
         .queryExecution.analyzed
     }),
+    "graft_indexes" -> (es => {
+      // The table's REGISTERED secondary indexes (the `indexreg`
+      // registry [[graft.store.SecondaryIndex.register]] maintains):
+      // one row per resolvable index with its layout facts, the base
+      // version it has applied, and whether it is FRESH — the gate
+      // every index-derived automatic rewrite/hint checks. Plan-time
+      // materialization, like every metadata-only function here.
+      require(es.size == 2, "usage: graft_indexes(root, schemaDDL)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val cur = graft.store.ManifestTable.currentVersion(spark, root)
+      val rows = graft.store.SecondaryIndex.registered(spark, root,
+        schema).map { ix =>
+        val applied =
+          graft.store.SecondaryIndex.appliedVersion(spark, ix)
+        (ix.valueCols.mkString(","), ix.indexRoot, ix.numBuckets,
+          ix.rangeLayout, ix.numShards, applied,
+          cur.contains(applied))
+      }
+      import spark.implicits._
+      rows.toDF("value_cols", "index_root", "num_buckets",
+        "range_layout", "num_shards", "applied_version", "fresh")
+        .queryExecution.analyzed
+    }),
     "graft_vacuum" -> (es => {
       refuseInView("graft_vacuum")
       // Retention GC ([[ManifestTable.vacuum]]): drops manifests below

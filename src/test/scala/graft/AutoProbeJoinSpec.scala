@@ -336,10 +336,17 @@ class AutoProbeJoinSpec extends SparkSpec {
     val second = SecondaryIndex.registered(spark, root, emailSchema)
     assert(second.map(i => (i.indexRoot, i.numBuckets)) ==
       Seq((ixRootB, 8)))
+    // SQL face: graft_indexes lists the registry with freshness
+    val listed = spark.sql("SELECT * FROM graft_indexes(" +
+      s"'$root', 'id BIGINT, email STRING')").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1), r.getInt(2),
+      r.getBoolean(6))).toSeq == Seq(("email", ixRootB, 8, true)))
     // a dropped index root resolves to nothing
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(ixRootB))
     assert(SecondaryIndex.registered(spark, root, emailSchema).isEmpty)
+    assert(spark.sql("SELECT * FROM graft_indexes(" +
+      s"'$root', 'id BIGINT, email STRING')").count() == 0)
   }
 
   test("the pre-pushdown relation shape (extension-injected sessions) " +
