@@ -92,6 +92,67 @@ class AutoIndexFilter(spark: SparkSession) extends Rule[LogicalPlan]
         rewritten <- serve(child, leaf, info, a, keyAttr, probe, maxKeys)
       } yield rewritten
     }.nextOption()
+      .orElse(compositeRewrite(conjuncts, child, candidates, maxKeys))
+  }
+
+  /** The COMPOSITE leg: `a = x AND b = y` served by a registered
+    * multi-column index whose every value column carries a
+    * single-point equality (one probe tuple — IN-lists stay on the
+    * single-column leg, a cartesian fan-out is not worth the probe).
+    * Same gates and injection as the single-column path. */
+  private def compositeRewrite(conjuncts: Seq[Expression],
+      child: LogicalPlan, candidates: Seq[AttributeReference],
+      maxKeys: Int): Option[LogicalPlan] = {
+    val resolver = spark.sessionState.conf.resolver
+    // single-point values per candidate attribute, conjunct order
+    val points: Seq[(AttributeReference, Any)] = candidates.flatMap { a =>
+      probeOf(a, conjuncts) match {
+        case Some(Points(Seq(one))) => Some(a -> one)
+        case _ => None
+      }
+    }
+    if (points.size < 2) return None
+    val (a0, _) = points.head
+    for {
+      (leaf, info) <- AutoPrune.graftLeaf(child, a0)
+      // every pointed attr must flow from the SAME leaf
+      if points.forall { case (a, _) => leaf.outputSet.contains(a) }
+      keyAttr <- AutoPrune.keyAttrOf(spark, info)
+      if !AutoPrune.alreadyConstrained(child, keyAttr)
+      (ix, target) <- AutoPrune.freshIndexWhere(spark, info,
+        i => i.valueCols.size > 1 && i.valueCols.forall(c =>
+          points.exists { case (a, _) => resolver(a.name, c) }))
+      tuple = ix.valueCols.map(c => points.collectFirst {
+        case (a, v) if resolver(a.name, c) => v }.get)
+      keys <- tryKeys(ix, Seq(tuple), maxKeys)
+      rewritten = inject(child, leaf, keyAttr, keys, target)
+    } yield {
+      logInfo(s"graft auto index filter: served " +
+        s"(${ix.valueCols.mkString(", ")}) composite predicate as a " +
+        s"${keys.size}-key probe on ${info.name}")
+      rewritten
+    }
+  }
+
+  private def tryKeys(ix: SecondaryIndex.Index, values: Seq[Any],
+      maxKeys: Int): Option[Seq[Any]] =
+    try SecondaryIndex.keysOf(spark, ix, values, maxKeys)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft auto index filter: probe failed, not " +
+          s"rewriting: $e")
+        None
+    }
+
+  private def inject(child: LogicalPlan, leaf: LogicalPlan,
+      keyAttr: AttributeReference, keys: Seq[Any], target: Long)
+      : LogicalPlan = {
+    val pred: Expression =
+      if (keys.isEmpty) Literal(false, BooleanType)
+      else In(keyAttr, keys.map(Literal.create(_, keyAttr.dataType)))
+    child.transformUp {
+      case p if p eq leaf => Filter(pred, AutoPrune.pin(leaf, target))
+    }
   }
 
   private def attrOf(c: Expression): Option[AttributeReference] =
@@ -192,15 +253,9 @@ class AutoIndexFilter(spark: SparkSession) extends Rule[LogicalPlan]
           else SecondaryIndex.keysInRange(spark, ix, lo, hi, maxKeys)
       }
       keys.map { ks =>
-        val pred: Expression =
-          if (ks.isEmpty) Literal(false, BooleanType)
-          else In(keyAttr, ks.map(Literal.create(_, keyAttr.dataType)))
-        val out = child.transformUp {
-          case p if p eq leaf => Filter(pred, AutoPrune.pin(leaf, target))
-        }
         logInfo(s"graft auto index filter: served ${a.name} predicate " +
           s"as a ${ks.size}-key probe on ${info.name}")
-        out
+        inject(child, leaf, keyAttr, ks, target)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

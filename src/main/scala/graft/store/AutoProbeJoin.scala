@@ -364,10 +364,18 @@ private[store] object AutoPrune extends PredicateHelper {
   def freshIndexOn(spark: SparkSession, info: LeafInfo,
       colName: String): Option[(SecondaryIndex.Index, Long)] = {
     val resolver = spark.sessionState.conf.resolver
+    freshIndexWhere(spark, info, i => i.valueCols.size == 1 &&
+      resolver(i.valueCols.head, colName))
+  }
+
+  /** [[freshIndexOn]] with a caller-chosen index shape (the composite
+    * leg's face) — same gates: applied EXACTLY the served version, no
+    * live file may hold a NULL-keyed row. */
+  def freshIndexWhere(spark: SparkSession, info: LeafInfo,
+      pick: SecondaryIndex.Index => Boolean)
+      : Option[(SecondaryIndex.Index, Long)] = {
     val ix = SecondaryIndex.registered(spark, info.root, info.schema)
-      .find(i => i.valueCols.size == 1 &&
-        resolver(i.valueCols.head, colName))
-      .getOrElse(return None)
+      .find(pick).getOrElse(return None)
     val m = info.versionAsOf match {
       case Some(v) => ManifestTable.readManifest(spark, info.root, v)
       case None =>

@@ -179,6 +179,41 @@ class AutoIndexFilterSpec extends SparkSpec {
     sameAsControl(q, "id")
   }
 
+  test("a composite index serves multi-column point predicates; " +
+      "partial coverage or IN-lists stay on the plain scan") {
+    val root = freshRoot("aif_comp")
+    val ixRoot = freshRoot("aif_comp_ix")
+    val s3 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("email", StringType),
+      StructField("tier", StringType)))
+    ManifestTable.create(
+      (1L to 400L).map(i => (i, s"u${i % 10}", s"t${i % 3}"))
+        .toDF("id", "email", "tier"),
+      "id", root, numBuckets = 16)
+    SecondaryIndex.create(spark, SecondaryIndex.Index(root, s3, "id",
+      ixRoot, Seq("email", "tier"), numBuckets = 4))
+    // i % 10 == 7 && i % 3 == 2: 17, 47, 77, ... — every 30
+    def q = face(root)
+      .filter(col("email") === "u7" && col("tier") === "t2")
+    val expect = (1L to 400L).count(i => i % 10 == 7 && i % 3 == 2)
+    assert(q.count() == expect)
+    assert(scannedFiles(q, root) < 16,
+      "a composite point predicate must prune through the index")
+    sameAsControl(q, "id")
+    // an impossible combination proves absence through the index
+    def none = face(root)
+      .filter(col("email") === "u7" && col("tier") === "no")
+    assert(none.count() == 0)
+    assert(scannedFiles(none, root) == 0)
+    // partial coverage (email only): the composite index cannot serve
+    // a one-column predicate — plain scan
+    def part = face(root).filter(col("email") === "u7")
+    assert(part.count() == 40)
+    assert(scannedFiles(part, root) == 16)
+    sameAsControl(part, "id")
+  }
+
   test("the rewrite pins the snapshot: a commit landing between " +
       "planning and execution stays invisible to the held plan") {
     val root = freshRoot("aif_pin")
