@@ -23,7 +23,15 @@ import org.apache.spark.sql.types.StructType
   *
   * NULL values are not indexed (standard index semantics: an `=`
   * predicate never matches NULL); for a COMPOSITE index a row is
-  * indexed iff every component is non-NULL. Composite index tables
+  * indexed iff every component is non-NULL. NULL-KEYED base rows are
+  * not indexed either (`collect_list` drops null keys, and no key
+  * lookup could fetch them back) — so every index answer is complete
+  * only over rows WITH a key. The explicit lookup APIs inherit that
+  * contract; the AUTOMATIC rewrites ([[AutoProbeJoin]] /
+  * [[AutoIndexFilter]]) and discovery hints ([[hintBuckets]]) must
+  * match plain-scan semantics exactly, so they additionally gate on
+  * the manifest's per-file `nullKeys` stat (format 11) and decline on
+  * any table that may hold such a row. Composite index tables
   * store the value columns plus a synthetic manifest key
   * ([[DerivedTable.KeyCol]], the injective tuple encoding) and key on
   * that; single-column indexes keep the value column itself as the key
