@@ -330,6 +330,24 @@ object GraftExtensions {
         "range_layout", "num_shards", "applied_version", "fresh")
         .queryExecution.analyzed
     }),
+    "graft_auto_maintain" -> (es => {
+      refuseInView("graft_auto_maintain")
+      // Declares zone/bloom sidecar maintenance on the commit path
+      // ([[graft.store.ManifestTable.autoMaintain]]): from here on
+      // every data commit refreshes the named columns' sidecars
+      // incrementally. Re-declaring REPLACES (empty strings stop).
+      require(es.size == 3,
+        "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      def cols(i: Int, what: String) = strArg(es(i), what)
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val (z, b) = (cols(1, "zone columns"), cols(2, "bloom columns"))
+      graft.store.ManifestTable.autoMaintain(spark, root, z, b)
+      import spark.implicits._
+      Seq((z.mkString(","), b.mkString(",")))
+        .toDF("zone_cols", "bloom_cols").queryExecution.analyzed
+    }),
     "graft_vacuum" -> (es => {
       refuseInView("graft_vacuum")
       // Retention GC ([[ManifestTable.vacuum]]): drops manifests below

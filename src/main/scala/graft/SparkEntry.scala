@@ -596,6 +596,16 @@ object SparkEntry {
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
     }),
+    "manifest_auto_maintain" -> ((s, dir) => {
+      // fixture + declaration OUTSIDE the timed region: the rep times
+      // a maintained COMMIT (delete + auto zone refresh) + the pruned
+      // range read.
+      resetManifestFixture(s, dir, "manifest_auto_maintain",
+        withMerge = true)
+      graft.store.ManifestTable.autoMaintain(s,
+        "target/qtmp/manifest_auto_maintain", zones = Seq("acctbal"))
+      sideReady += "manifest_auto_maintain_decl"
+    }),
     "manifest_zone_clustered" -> ((s, dir) => {
       // fixture + clusterBy + zone build OUTSIDE the timed region: the
       // rep times the replayed-token no-op + covered-check + the
@@ -1289,6 +1299,25 @@ object SparkEntry {
         manifestFixture(s, dir, "manifest_zone_range", withMerge = true)
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
+      graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
+        1000.0, 5000.0)
+    }),
+    "manifest_auto_maintain" -> ((s, dir) => {
+      // DECLARED sidecar maintenance on the commit path: autoMaintain
+      // once, then a data commit (a targeted delete here) refreshes
+      // the acctbal zone sidecar as part of committing — the pruned
+      // BETWEEN read below never calls buildZones. Values hash-equal
+      // DuckDB's merged-state recompute minus the deleted key,
+      // restricted to the range.
+      val root = manifestFixture(s, dir, "manifest_auto_maintain",
+        withMerge = true)
+      if (!sideReady.contains("manifest_auto_maintain_decl")) {
+        graft.store.ManifestTable.autoMaintain(s, root,
+          zones = Seq("acctbal"))
+        sideReady += "manifest_auto_maintain_decl"
+      }
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        Seq(42L), token = 7L) // replays no-op on later runs
       graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
         1000.0, 5000.0)
     }),
@@ -2826,6 +2855,19 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc))
+           WHERE acctbal BETWEEN 1000 AND 5000""",
+      // the auto-maintained variant: same range read after a targeted
+      // delete of key 42 (the commit that exercised maintenance)
+      "manifest_auto_maintain" ->
+        s"""SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc)) AND c_custkey <> 42)
            WHERE acctbal BETWEEN 1000 AND 5000""",
       // SQL UPDATE + MERGE INTO final state, recomputed directly:
       // the +100 UPDATE on id%7=0; the id%10=4 slice merged (deleted

@@ -847,8 +847,15 @@ object ManifestTable {
     // If-None-Match shape) via spark.graft.commitFront — the OCC
     // semantics (false = lost the race, re-read and retry) are the
     // front's contract, not this method's.
-    CommitFront.of(spark).publish(fs, dst, tmp,
+    val committed = CommitFront.of(spark).publish(fs, dst, tmp,
       body.getBytes(StandardCharsets.UTF_8), testBeforeCommit)
+    // Declared sidecar upkeep rides the commit point itself: every
+    // DATA commit of a table with an autoMaintain declaration
+    // refreshes its zone/bloom sidecars incrementally (covered files
+    // no-op). Tables without a declaration pay one fs.exists.
+    if (committed && m.entries.nonEmpty)
+      maintainSidecars(spark, root, m)
+    committed
   }
 
   /** Removes everything a LOSING attempt wrote before its failed commit —
@@ -1391,6 +1398,85 @@ object ManifestTable {
           case _ => None
         }
       } else None
+    }
+
+  private val maintainLog =
+    org.slf4j.LoggerFactory.getLogger("graft.store.ManifestTable")
+
+  private val MaintainSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("zone_cols",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bloom_cols",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
+    * commit on, EVERY data commit (merge, delta, compact, DML,
+    * clusterBy...) incrementally refreshes the named columns' sidecars
+    * as part of the commit path — declare once, reads stay pruned,
+    * no explicit buildZones/buildBlooms calls. The declaration is an
+    * additive `maintain` sidecar row (the indexreg mechanism): a
+    * re-declaration REPLACES the column sets (declare empty to stop).
+    * Sidecar builds are advisory pruning state, so maintenance is
+    * best-effort — a failed build logs a warning and never fails the
+    * already-published commit. Cost rides the change rate: covered
+    * files no-op, only commit-touched files scan. */
+  def autoMaintain(
+      spark: SparkSession,
+      root: String,
+      zones: Seq[String] = Nil,
+      blooms: Seq[String] = Nil): Unit = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    val row = org.apache.spark.sql.Row(
+      zones.mkString(","), blooms.mkString(","))
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), MaintainSchema)
+    writeAdditiveSidecar(spark, root, m, df, "maintain")
+    maintainSidecars(spark, root, m) // the declaring state covers too
+  }
+
+  /** The table's declared maintenance policy (newest declaration
+    * wins), `None` when never declared. Callers on the commit path
+    * check the directory's existence FIRST — a table without a
+    * declaration pays a single fs.exists, never a manifest read. */
+  def maintenanceOf(spark: SparkSession, root: String)
+      : Option[(Seq[String], Seq[String])] = {
+    val dir = new Path(s"$root/maintain")
+    if (!fsOf(spark, dir).exists(dir)) return None
+    val dirs = committedAdditiveDirs(spark, root, "maintain")
+    if (dirs.isEmpty) return None
+    // per-dir reads in commit order: the newest declaration replaces
+    var last: Option[(Seq[String], Seq[String])] = None
+    dirs.foreach { d =>
+      spark.read.schema(MaintainSchema).parquet(d).collect()
+        .foreach { r =>
+          def cols(x: String) =
+            x.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          last = Some((cols(r.getString(0)), cols(r.getString(1))))
+        }
+    }
+    last
+  }
+
+  /** Post-commit upkeep for declared tables (see [[autoMaintain]]).
+    * Never throws: the commit is already published. */
+  private def maintainSidecars(
+      spark: SparkSession, root: String, m: Manifest): Unit =
+    try maintenanceOf(spark, root).foreach { case (zones, blooms) =>
+      if (m.schemaJson.nonEmpty) {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val zc = zones.filter(schema.fieldNames.contains)
+        val bc = blooms.filter(schema.fieldNames.contains)
+        if (zc.nonEmpty) ZoneSkip.buildZones(spark, root, schema, zc)
+        if (bc.nonEmpty) BloomSkip.buildBlooms(spark, root, schema, bc)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        maintainLog.warn(s"graft sidecar maintenance failed at " +
+          s"$root v${m.version} (commit unaffected; sidecars are " +
+          s"advisory): $e")
     }
 
   /** Committed ADDITIVE sidecar directories ([[BloomSkip]]'s `bloom`
@@ -3176,7 +3262,8 @@ object ManifestTable {
         }
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
-      Seq("history", "stats", "bloom", "bloomsum", "zones").foreach { kind =>
+      Seq("history", "stats", "bloom", "bloomsum", "zones",
+          "indexreg", "maintain").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {
@@ -3195,7 +3282,7 @@ object ManifestTable {
                 kfs.exists(new Path(s"$root/$kind/$n/_SUCCESS"))
             }
           val keep: Set[String] =
-            if (kind == "bloom" || kind == "bloomsum" || kind == "zones")
+            if (kind != "history" && kind != "stats") // additive kinds
               committed.map(_._4).toSet
             else committed.groupBy(_._1).values
               .map(_.maxBy(_._3)._4).toSet

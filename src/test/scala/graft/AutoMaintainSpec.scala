@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{BloomSkip, ManifestTable, ZoneSkip}
+
+/** [[ManifestTable.autoMaintain]] — declared sidecar maintenance on
+  * the commit path: declare once, every data commit keeps the named
+  * zone/bloom sidecars fresh, builds are incremental and best-effort
+  * (a failing build never fails the published commit). */
+class AutoMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("seg", StringType),
+    StructField("v", LongType)))
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def sideDirs(root: String, kind: String): Int =
+    Option(new java.io.File(s"$root/$kind").list()).map(_.length)
+      .getOrElse(0)
+
+  test("declared sidecars build on declaration and refresh on every " +
+      "commit; lookups prune without any explicit build call") {
+    val root = freshRoot("amt_basic")
+    ManifestTable.create(
+      (1L to 2000L).map(i => (i, s"dom${i % 500}", i * 3))
+        .toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    ManifestTable.autoMaintain(spark, root,
+      zones = Seq("v"), blooms = Seq("seg"))
+    // the declaring call itself covered the current state
+    val zs0 = sideDirs(root, "zones")
+    val bs0 = sideDirs(root, "blooms".replace("blooms", "bloom"))
+    assert(zs0 > 0 && bs0 > 0, s"declaration must build ($zs0, $bs0)")
+    // zone + bloom reads prune with NO explicit build anywhere
+    val m = ManifestTable.currentManifest(spark, root).get
+    assert(BloomSkip.prunedEntriesFor(spark, root, schema, m,
+      "seg", Seq("dom7"))._1.size < m.entries.size)
+    assert(ZoneSkip.lookupRange(spark, root, schema, "v", 30L, 60L)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L to 20L).toSeq)
+    // a later commit (targeted delete) refreshes coverage for its
+    // rewritten files — the post-delete lookup stays exact
+    ManifestTable.delete(spark, root, schema, "id", Seq(15L), token = 1L)
+    assert(sideDirs(root, "zones") > zs0,
+      "the commit must have refreshed the zone sidecar")
+    assert(ZoneSkip.lookupRange(spark, root, schema, "v", 30L, 60L)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((10L to 20L).toSet - 15L).toSeq.sorted)
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "seg", "dom7")
+      .count() == 4)
+  }
+
+  test("re-declaration replaces; empty declaration stops maintenance") {
+    val root = freshRoot("amt_replace")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, s"d${i % 10}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
+    assert(ManifestTable.maintenanceOf(spark, root) ==
+      Some((Seq("v"), Nil)))
+    ManifestTable.autoMaintain(spark, root, blooms = Seq("seg"))
+    assert(ManifestTable.maintenanceOf(spark, root) ==
+      Some((Nil, Seq("seg"))))
+    ManifestTable.autoMaintain(spark, root)
+    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil)))
+    val zb = sideDirs(root, "zones")
+    ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
+    assert(sideDirs(root, "zones") == zb, "stopped maintenance is off")
+  }
+
+  test("a bad declaration never fails the commit (best-effort): " +
+      "unknown columns are skipped, the data still lands") {
+    val root = freshRoot("amt_bad")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, s"d$i", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    ManifestTable.autoMaintain(spark, root,
+      zones = Seq("no_such_column"), blooms = Seq("also_missing"))
+    ManifestTable.delete(spark, root, schema, "id", Seq(3L), token = 1L)
+    assert(ManifestTable.read(spark, root, schema).count() == 49L)
+    assert(sideDirs(root, "zones") == 0 && sideDirs(root, "bloom") == 0)
+  }
+
+  test("SQL face: graft_auto_maintain declares and reports") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("amt_sql")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, s"d${i % 10}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    val r = spark.sql(
+      s"SELECT * FROM graft_auto_maintain('$root', 'v', 'seg')").head
+    assert(r.getString(0) == "v" && r.getString(1) == "seg")
+    assert(ManifestTable.maintenanceOf(spark, root) ==
+      Some((Seq("v"), Seq("seg"))))
+    assert(sideDirs(root, "zones") > 0 && sideDirs(root, "bloom") > 0)
+    // maintenance functions refuse inside views (no commits from a
+    // SELECT-wrapped call)
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW amt_v AS " +
+      s"SELECT * FROM graft_auto_maintain('$root', 'v', '')")
+    val e = intercept[Exception](spark.sql("SELECT * FROM amt_v").head)
+    assert(e.getMessage.contains("graft_auto_maintain"))
+  }
+
+  test("vacuum keeps committed declarations and GCs torn ones") {
+    val root = freshRoot("amt_vacuum")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, s"d${i % 10}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
+    // a torn (no _SUCCESS, losing-attempt) maintain dir at a COMMITTED
+    // version is garbage vacuum removes; dirs at versions above
+    // current stay (they may belong to an in-flight commit)
+    val torn = new java.io.File(s"$root/maintain/v0-deadbeef")
+    torn.mkdirs()
+    ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert(!torn.exists(), "torn maintain dir must be GC'd")
+    assert(ManifestTable.maintenanceOf(spark, root) ==
+      Some((Seq("v"), Nil)), "committed declaration survives vacuum")
+    // and the policy still fires after vacuum
+    val zb = sideDirs(root, "zones")
+    ManifestTable.delete(spark, root, schema, "id", Seq(9L), token = 2L)
+    assert(sideDirs(root, "zones") > zb)
+  }
+}
