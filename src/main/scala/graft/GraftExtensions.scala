@@ -493,6 +493,66 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_update" -> (es => {
+      refuseInView("graft_update")
+      // Row-level UPDATE by arbitrary predicate for PATH tables
+      // ([[graft.store.ManifestTable.updateWhere]] — catalog tables
+      // get the same through plain SQL `UPDATE`, and ``graft.`/path``
+      // idents give path tables the full statement too; this face is
+      // the catalog-free, EXPLICIT-TOKEN variant mirroring
+      // graft_delete_where's replay discipline). Assignments ride as
+      // (column, exprSql) PAIRS — a single comma-joined SET string
+      // cannot be split without re-implementing the SQL lexer
+      // (commas nest inside calls and literals), so the face refuses
+      // the ambiguity by construction. Returns (version, applied).
+      require(es.size >= 6 && es.size % 2 == 0,
+        "usage: graft_update(root, schemaDDL, predicateSql, token, " +
+          "setCol, setExprSql [, setCol2, setExprSql2 ...])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val predicate = strArg(es(2), "predicate SQL")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        strArg(es(1), "schema DDL"))
+      val sets = es.drop(4).grouped(2).map { case Seq(c, e) =>
+        strArg(c, "set column") -> strArg(e, "set expression SQL")
+      }.toSeq
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      // one resolution pass against the table's own read: loud
+      // failures on typos BEFORE commit-path work, and the resolved
+      // predicate yields the same zone/bloom/index discovery hints
+      // the catalog UPDATE path derives from its statement
+      val probe = graft.store.ManifestTable.read(spark, root, schema)
+      sets.foreach { case (c, e) =>
+        probe.select(org.apache.spark.sql.functions.expr(e).as(c))
+          .queryExecution.analyzed
+      }
+      val resolved = probe
+        .filter(org.apache.spark.sql.functions.expr(predicate))
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      import graft.store.{GraftDml, ZoneSkip}
+      val equalityHints = resolved.map(GraftDml.bloomHints).getOrElse(Nil)
+        .filter { case (c, _) => schema.fieldNames.contains(c) }
+      graft.store.ManifestTable.updateWhere(spark, root, schema,
+        df => sets.map { case (c, e) =>
+          c -> org.apache.spark.sql.functions.expr(e) },
+        df => org.apache.spark.sql.functions.expr(predicate),
+        longArg(es(3), "token"),
+        zoneRanges = resolved.map(GraftDml.zoneHints).getOrElse(Nil)
+          .filter { case (c, _, _) =>
+            schema.fieldNames.contains(c) && scala.util.Try(
+              ZoneSkip.kindOf(schema(c).dataType)).isSuccess
+          },
+        bloomProbes = equalityHints,
+        indexProbes = equalityHints)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after))).toDF("version", "applied")
+        .queryExecution.analyzed
+    }),
     "graft_cluster_by" -> (es => {
       refuseInView("graft_cluster_by")
       // Maintenance re-clustering ([[ManifestTable.clusterBy]]): same

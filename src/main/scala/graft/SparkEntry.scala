@@ -1500,6 +1500,52 @@ object SparkEntry {
         WHEN NOT MATCHED THEN INSERT *""")
       s.sql("SELECT * FROM graft.bench.cust_dml")
     }),
+    "manifest_sql_merge_path" -> ((s, dir) => {
+      // The SAME DML lifecycle through the PATH faces — no catalog
+      // registration of the table itself: the root rides a Delta-style
+      // ``graft.`/path` `` identifier (UPDATE/MERGE resolve through the
+      // one GraftDmlStrategy), and the UPDATE leg runs once through
+      // graft_update, the catalog-free explicit-token table function
+      // (its replay ledger makes the statement idempotent — the second
+      // call must report applied=false). Hash-equals manifest_sql_merge's
+      // oracle: two faces, one engine path, one final state.
+      GraftExtensions.register(s)
+      s.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        "target/qtmp/graft_warehouse")
+      val root = "target/qtmp/graft_path_dml"
+      resetSideRoot(s, "graft_path_dml")
+      val t = s"graft.`$root`"
+      s.sql(s"""CREATE TABLE $t (id BIGINT, name STRING, acctbal DOUBLE)
+        USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='16')""")
+      s.read.parquet(s"$dir/customer.parquet")
+        .selectExpr("c_custkey AS id", "c_name AS name",
+          "CAST(c_acctbal AS DOUBLE) AS acctbal")
+        .createOrReplaceTempView("dml_src_path")
+      s.sql(s"INSERT INTO $t SELECT * FROM dml_src_path")
+      val ddl = "id BIGINT, name STRING, acctbal DOUBLE"
+      val applied = s.sql("SELECT * FROM graft_update(" +
+        s"'$root', '$ddl', 'id % 7 = 0', 1, " +
+        "'acctbal', 'acctbal + 100')").head.getBoolean(1)
+      val replayed = s.sql("SELECT * FROM graft_update(" +
+        s"'$root', '$ddl', 'id % 7 = 0', 1, " +
+        "'acctbal', 'acctbal + 100')").head.getBoolean(1)
+      require(applied && !replayed,
+        "graft_update replay ledger must apply once")
+      s.sql(s"""MERGE INTO $t t
+        USING (
+          SELECT id, concat(name, '+') AS name, acctbal * 2 AS acctbal
+          FROM dml_src_path WHERE id % 10 = 4
+          UNION ALL
+          SELECT id + 1000000 AS id, name, acctbal
+          FROM dml_src_path WHERE id % 10 = 7) s
+        ON t.id = s.id
+        WHEN MATCHED AND t.acctbal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name,
+          acctbal = s.acctbal + t.acctbal
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"SELECT * FROM $t")
+    }),
     "manifest_bucket_join" -> ((s, dir) => {
       // CO-BUCKETED join: two manifest tables laid out on the same key
       // with the same bucket count join WITHOUT a shuffle (the format-8
@@ -2350,6 +2396,28 @@ object SparkEntry {
     * is oracled through planted-recovery projections and SQL-expressible
     * invariants (see each query's comment); nothing re-simulates Spark
     * mechanics. */
+  /** SQL UPDATE + MERGE INTO final state, recomputed directly:
+    * the +100 UPDATE on id%7=0; the id%10=4 slice merged (deleted
+    * when the updated balance was negative, else name+'+' and
+    * balance = 2*orig + updated); the id%10=7 slice re-inserted
+    * under shifted keys. Shared by the catalog-ident lifecycle
+    * (manifest_sql_merge) and the path-face replay of the SAME
+    * lifecycle (manifest_sql_merge_path) — one oracle, two faces. */
+  private val sqlMergeOracle =
+    """WITH base AS (
+       SELECT c_custkey AS id, c_name AS name,
+         CAST(c_acctbal AS DOUBLE) AS orig,
+         CAST(c_acctbal AS DOUBLE) +
+           CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS upd
+       FROM customer)
+       SELECT id, name || '+' AS name, upd + 2 * orig AS acctbal
+       FROM base WHERE id % 10 = 4 AND upd >= 0
+       UNION ALL
+       SELECT id, name, upd AS acctbal FROM base WHERE id % 10 <> 4
+       UNION ALL
+       SELECT id + 1000000 AS id, name, orig AS acctbal
+       FROM base WHERE id % 10 = 7"""
+
   def oracleSql: Map[String, String] = {
     val boolList = sampleSql("c_custkey", BoolSamples)
     val intList = sampleSql("c_custkey", IntSamples)
@@ -2874,20 +2942,10 @@ object SparkEntry {
       // when the updated balance was negative, else name+'+' and
       // balance = 2*orig + updated); the id%10=7 slice re-inserted
       // under shifted keys
-      "manifest_sql_merge" ->
-        """WITH base AS (
-           SELECT c_custkey AS id, c_name AS name,
-             CAST(c_acctbal AS DOUBLE) AS orig,
-             CAST(c_acctbal AS DOUBLE) +
-               CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS upd
-           FROM customer)
-           SELECT id, name || '+' AS name, upd + 2 * orig AS acctbal
-           FROM base WHERE id % 10 = 4 AND upd >= 0
-           UNION ALL
-           SELECT id, name, upd AS acctbal FROM base WHERE id % 10 <> 4
-           UNION ALL
-           SELECT id + 1000000 AS id, name, orig AS acctbal
-           FROM base WHERE id % 10 = 7""",
+      "manifest_sql_merge" -> sqlMergeOracle,
+      // identical final state through the PATH faces (graft.`/path`
+      // idents + the token-disciplined graft_update function)
+      "manifest_sql_merge_path" -> sqlMergeOracle,
       // the catalog lifecycle's final state: bulk insert, then the
       // id%10 slice re-upserted with +1000 balances (last-wins)
       "manifest_catalog" ->

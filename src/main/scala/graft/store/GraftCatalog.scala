@@ -80,8 +80,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsPath(namespace: Array[String]): Path =
     new Path((warehouse +: namespace.map(safe)).mkString("/"))
 
+  /** PATH identifier (the Delta `delta.`/path`` convention): a
+    * single-part name containing a `/` is the table's root directory
+    * verbatim — ``graft.`target/tables/t` `` or
+    * ``graft.`s3a://bucket/t` `` — no warehouse prefix. This is what
+    * gives PATH tables the full SQL DML surface (UPDATE / DELETE /
+    * MERGE INTO / time travel) without a registration step: the
+    * resolved [[GraftTable]] is byte-identical to a warehouse table's,
+    * so every downstream strategy serves it unchanged. */
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name.contains("/")
+
   private def rootOf(ident: Identifier): String =
-    ((warehouse +: ident.namespace.map(safe)) :+ safe(ident.name))
+    if (isPathIdent(ident)) ident.name
+    else ((warehouse +: ident.namespace.map(safe)) :+ safe(ident.name))
       .mkString("/")
 
   private def isTable(root: String): Boolean =

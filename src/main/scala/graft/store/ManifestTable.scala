@@ -2102,7 +2102,76 @@ object ManifestTable {
       tokenStream: Option[String] = None,
       zoneRanges: Seq[(String, Any, Any)] = Nil,
       bloomProbes: Seq[(String, Seq[Any])] = Nil,
-      indexProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] = {
+      indexProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] =
+    rewriteWhere(spark, root, schema, condition, token, keyComparator,
+      tokenStream, zoneRanges, bloomProbes, indexProbes, "deleteWhere",
+      (df, _) => df.filter(!coalesce(condition(df), lit(false))))
+
+  /** Row-level UPDATE by ARBITRARY predicate — [[deleteWhere]]'s
+    * projection twin, and the PATH-table face of SQL `UPDATE`
+    * (catalog idents get it through [[GraftDmlStrategy]]; path idents
+    * through the ``graft.`/path` `` catalog form or the
+    * `graft_update(...)` table function). Same two-pass shape, same
+    * discovery hints, same OCC commit: matching rows rewrite with
+    * `assign`'s columns substituted (cast to the schema's types),
+    * non-matching rows of touched buckets carry verbatim, untouched
+    * buckets ride as metadata. A NULL/false predicate keeps the row
+    * unchanged (SQL UPDATE semantics). `assign` must not touch the
+    * key column — re-keying is a DELETE + INSERT (or MERGE INTO) —
+    * which is also what keeps every rewritten row in its own bucket,
+    * so the rewrite stays bucket-local under ANY key comparator.
+    * Replays through the `tokenStream` ledger (default stream
+    * `"graft-update-where"`). */
+  def updateWhere(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      assign: DataFrame => Seq[(String, org.apache.spark.sql.Column)],
+      condition: DataFrame => org.apache.spark.sql.Column,
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      tokenStream: Option[String] = Some("graft-update-where"),
+      zoneRanges: Seq[(String, Any, Any)] = Nil,
+      bloomProbes: Seq[(String, Seq[Any])] = Nil,
+      indexProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] =
+    rewriteWhere(spark, root, schema, condition, token, keyComparator,
+      tokenStream, zoneRanges, bloomProbes, indexProbes, "updateWhere",
+      (df, keyColumn) => {
+        val sets = assign(df)
+        require(sets.nonEmpty, "updateWhere needs at least one assignment")
+        sets.foreach { case (c, _) =>
+          require(schema.fieldNames.contains(c),
+            s"assigned column '$c' not in the schema")
+          require(c != keyColumn,
+            s"UPDATE must not assign the key column '$keyColumn' — " +
+              "re-keying a row is a DELETE + INSERT (or MERGE INTO)")
+        }
+        val byName = sets.toMap
+        val hit = coalesce(condition(df), lit(false))
+        df.select(schema.fields.toSeq.map { f =>
+          byName.get(f.name) match {
+            case Some(v) =>
+              when(hit, v.cast(f.dataType)).otherwise(df(f.name))
+                .as(f.name)
+            case None => df(f.name)
+          }
+        }: _*)
+      })
+
+  private def rewriteWhere(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      condition: DataFrame => org.apache.spark.sql.Column,
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      tokenStream: Option[String],
+      zoneRanges: Seq[(String, Any, Any)],
+      bloomProbes: Seq[(String, Seq[Any])],
+      indexProbes: Seq[(String, Seq[Any])],
+      label: String,
+      fragmentOf: (DataFrame, String) => DataFrame): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -2110,7 +2179,7 @@ object ManifestTable {
         case None => prior.lastDelete.contains(token)
       }
       if (replayed) return Nil
-      checkSchemaCompatible(prior, schema, "deleteWhere", allowAdd = true)
+      checkSchemaCompatible(prior, schema, label, allowAdd = true)
       val keyColumn = prior.keyColumn
       require(keyColumn.nonEmpty, s"table at $root records no key column")
       val batches = tokenStream.fold(prior.lastBatches)(s =>
@@ -2179,8 +2248,7 @@ object ManifestTable {
       } else {
         val reconciled = reconciledRead(spark, root, schema, prior,
           touchedEntries, keyColumn, cmp)
-        val fragment = reconciled.filter(
-          !coalesce(condition(reconciled), lit(false)))
+        val fragment = fragmentOf(reconciled, keyColumn)
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
           cmp, seq = version, colMap = prior.colMap)

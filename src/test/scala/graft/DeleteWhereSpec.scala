@@ -179,6 +179,81 @@ class DeleteWhereSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 188L)
   }
 
+  test("updateWhere: exactly the TRUE rows rewrite (NULL predicate " +
+      "keeps), untouched buckets carry verbatim, token replays no-op, " +
+      "key assignment refuses") {
+    val root = freshRoot("updw_basic")
+    val df = mkTable(root)
+    val before = ManifestTable.currentManifest(spark, root).get
+    // NULL-predicate rows must KEEP: nullif makes v=8 rows NULL-match
+    ManifestTable.updateWhere(spark, root, schema,
+      d => Seq("v" -> (d("v") + 1000), "seg" -> lit("UPD")),
+      d => nullif(d("v"), lit(8L)) <= 100, token = 1L)
+    val expected = df.select(col("id"),
+      when(nullif(col("v"), lit(8L)) <= 100, "UPD")
+        .otherwise(col("seg")).as("seg"),
+      when(nullif(col("v"), lit(8L)) <= 100, col("v") + 1000)
+        .otherwise(col("v")).as("v"))
+      .orderBy("id").collect().toSeq
+    assert(ManifestTable.read(spark, root, schema)
+      .orderBy("id").collect().toSeq == expected)
+    // v=8 (id=4) kept: its predicate evaluated NULL
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 4L).head.getLong(2) == 8L)
+    // locality: buckets with no matching row keep their exact files
+    val after = ManifestTable.currentManifest(spark, root).get
+    val matchBuckets = df
+      .filter(nullif(col("v"), lit(8L)) <= 100)
+      .select(pmod(hash(col("id")), lit(8)).as("b"))
+      .distinct().as[Int].collect().toSet
+    val beforeByBucket = before.entries.groupBy(_.bucket)
+    val afterByBucket = after.entries.groupBy(_.bucket)
+    (0 until 8).filterNot(matchBuckets).foreach { b =>
+      assert(afterByBucket(b).map(_.relPath) ==
+        beforeByBucket(b).map(_.relPath),
+        s"untouched bucket $b was rewritten")
+    }
+    // replayed token: version unchanged
+    ManifestTable.updateWhere(spark, root, schema,
+      d => Seq("v" -> lit(0L)), d => lit(true), token = 1L)
+    assert(ManifestTable.currentManifest(spark, root).get.version ==
+      after.version)
+    // key assignment is a refusal, not a corruption
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, schema,
+        d => Seq("id" -> (d("id") + 1)), d => lit(true), token = 2L)
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("graft_update: the path-table SQL face — paired SET args, " +
+      "explicit-token replay, values match the catalog UPDATE path") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("updw_sqlfn")
+    mkTable(root)
+    val ddl = "id BIGINT, seg STRING, v BIGINT"
+    val r1 = spark.sql("SELECT * FROM graft_update(" +
+      s"'$root', '$ddl', 'seg = \\'HOT\\' AND v <= 100', 7, " +
+      "'v', 'v + 1000', 'seg', 'lower(seg)')").collect()
+    assert(r1.head.getBoolean(1)) // applied
+    val got = ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 4L).head
+    assert(got.getString(1) == "hot" && got.getLong(2) == 1008L)
+    // non-matching rows untouched
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("seg") === "COLD").count() == 150L)
+    val r2 = spark.sql("SELECT * FROM graft_update(" +
+      s"'$root', '$ddl', 'true', 7, 'v', '0')").collect()
+    assert(!r2.head.getBoolean(1)) // replayed token: no-op
+    // a typo'd SET expression fails loudly BEFORE any commit work
+    val v0 = ManifestTable.currentVersion(spark, root)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_update(" +
+        s"'$root', '$ddl', 'true', 8, 'v', 'no_such_col + 1')").collect()
+    }
+    assert(ManifestTable.currentVersion(spark, root) == v0)
+  }
+
   test("bloom-hinted discovery: equality probes narrow to sidecar-" +
       "candidate files; uncovered columns keep conservatively") {
     import graft.store.BloomSkip

@@ -280,6 +280,43 @@ class GraftCatalogSpec extends SparkSpec {
     } finally rq.stop()
   }
 
+  test("PATH identifiers (the Delta `cat.`/path`` form): full SQL " +
+      "surface — SELECT, UPDATE, MERGE INTO, DELETE, time travel — on " +
+      "a table that was never registered") {
+    val root = "target/test-tmp/graft_catalog_pathident"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    ManifestTable.create(
+      Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 7.0))
+        .toDF("id", "name", "bal"),
+      "id", root, numBuckets = 4)
+    val t = s"graftcat.`$root`"
+    // SELECT resolves the verbatim path — no warehouse prefix
+    assert(spark.sql(s"SELECT name FROM $t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // UPDATE through the SAME DML strategy catalog tables use
+    spark.sql(s"UPDATE $t SET bal = bal + 100 WHERE id = 2")
+    assert(spark.sql(s"SELECT bal FROM $t WHERE id = 2")
+      .head.getDouble(0) == 95.0)
+    // three-clause MERGE INTO
+    spark.sql(s"""MERGE INTO $t t
+      USING (SELECT * FROM VALUES (1L, 'A', 1.0), (9L, 'z', 9.0)
+             AS s(id, name, bal)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal + t.bal
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(s"SELECT name, bal FROM $t WHERE id = 1")
+      .head.mkString("|") == "A|11.0")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 4L)
+    // DELETE, then time travel back across the whole DML history
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 0")
+      .head.getLong(0) == 3L)
+    // a slashed name never collides with warehouse resolution: the
+    // same catalog still serves its named tables
+    assert(spark.sql("SHOW TABLES IN graftcat.db").count() >= 0)
+  }
+
   test("rename moves the directory; namespaces list and drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmpns")
     spark.sql("DROP TABLE IF EXISTS graftcat.tmpns.a")
