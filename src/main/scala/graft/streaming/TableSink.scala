@@ -86,7 +86,8 @@ object TableSink {
       deleteWhen: Option[String],
       versionColumn: Option[String],
       dropColumns: Seq[String],
-      checkpoint: Option[String])
+      checkpoint: Option[String],
+      maxDriverKeys: Int = 100000)
 
   private[graft] def parse(p: Map[String, String]): Opts = {
     val mode = p.getOrElse("mode", "upsert").toLowerCase match {
@@ -109,7 +110,9 @@ object TableSink {
       dropColumns = p.get("dropcolumns")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil),
-      checkpoint = p.get("checkpointlocation"))
+      checkpoint = p.get("checkpointlocation"),
+      maxDriverKeys = p.get("maxdriverkeys").map(_.toInt)
+        .getOrElse(100000))
   }
 
   /** One micro-batch against the table: net → split deletes → merge →
@@ -153,17 +156,21 @@ object TableSink {
       numBuckets = o.numBuckets, streamId = streamId, delta = o.delta)
     del.foreach { d =>
       // After the merge: with netting each key carries ONE action so
-      // order is moot; without it, delete wins a mixed batch. Keys
-      // cross the driver — the delete API's probe shape, bounded by
-      // the batch's delete rate. Distinct ledger stream id: the merge
-      // already recorded batchId under streamId, and a shared id would
-      // read the delete as replayed.
-      val keys = netted.filter(coalesce(d, lit(false)))
+      // order is moot; without it, delete wins a mixed batch. Distinct
+      // ledger stream id: the merge already recorded batchId under
+      // streamId, and a shared id would read the delete as replayed.
+      // DRIVER-BOUNDED at any delete rate (the refresh discipline):
+      // under `maxDriverKeys` the set collects once and probes the
+      // keyed delete; past it — a catch-up batch after downtime with a
+      // high delete fraction — [[DerivedTable.deleteChunked]] streams
+      // deterministic sorted chunks, so the driver never holds more
+      // than one chunk and a crashed multi-chunk delete replays
+      // chunk-for-chunk (chunk deletes are idempotent on state).
+      val keyFrame = netted.filter(coalesce(d, lit(false)))
         .filter(col(o.key).isNotNull)
-        .select(o.key).distinct().collect().map(_.get(0)).toSeq
-      if (keys.nonEmpty)
-        ManifestTable.delete(spark, o.root, tableSchema, o.key, keys,
-          token = batchId, tokenStream = Some(s"$streamId#delete"))
+        .select(o.key).distinct()
+      graft.store.DerivedTable.deleteChunked(spark, o.root, tableSchema,
+        o.key, keyFrame, batchId, s"$streamId#delete", o.maxDriverKeys)
     }
     if (o.delta && o.compactEvery > 0 && batchId > 0 &&
         batchId % o.compactEvery == 0) {

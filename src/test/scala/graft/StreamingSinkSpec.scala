@@ -144,6 +144,43 @@ class StreamingSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deleteWhen past maxDriverKeys: the chunked path runs (multiple " +
+      "delete commits, final token = batchId), state exact") {
+    val root = freshDir("sink_del_chunk")
+    val ckpt = freshDir("sink_del_chunk_ckpt")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("id", "name", "score")
+      .writeStream.format(sinkFormat)
+      .option("root", root).option("key", "id").option("numBuckets", "4")
+      .option("deleteWhen", "score < 0")
+      .option("maxDriverKeys", "10")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L to 40L).map(i => (i, s"n$i", i)): _*)
+      q.processAllAvailable()
+      val vSeed = ManifestTable.currentVersion(spark, root).get
+      // catch-up-shaped batch: 25 deletes (> cap) + one upsert
+      mem.addData(
+        ((1L to 25L).map(i => (i, s"n$i", -1L)) :+
+          ((41L, "x", 41L))): _*)
+      q.processAllAvailable()
+      assert(ManifestTable.read(spark, root)
+        .select("id").as[Long].collect().toSet == (26L to 41L).toSet)
+      // the collect path commits ONE delete; the chunked path at cap 10
+      // over 25 keys commits ≥ 3 — version arithmetic proves which ran
+      val vEnd = ManifestTable.currentVersion(spark, root).get
+      assert(vEnd - vSeed >= 4,
+        s"expected merge + >=3 chunk deletes, got ${vEnd - vSeed} commits")
+      // the FINAL chunk commits under batchId itself, so the replay
+      // signature is exactly the single-delete path's
+      val m = ManifestTable.currentManifest(spark, root).get
+      val delTok = m.lastBatches.collectFirst {
+        case (s, t) if s.endsWith("#delete") => t }
+      assert(delTok.contains(1L), s"delete ledger: ${m.lastBatches}")
+    } finally q.stop()
+  }
+
   test("CDC follower propagates deletes and nets mixed batches") {
     val baseRoot = freshDir("sink_del_base")
     val derivedRoot = freshDir("sink_del_derived")
