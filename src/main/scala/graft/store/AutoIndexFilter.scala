@@ -95,22 +95,29 @@ class AutoIndexFilter(spark: SparkSession) extends Rule[LogicalPlan]
       .orElse(compositeRewrite(conjuncts, child, candidates, maxKeys))
   }
 
-  /** The COMPOSITE leg: `a = x AND b = y` served by a registered
-    * multi-column index whose every value column carries a
-    * single-point equality (one probe tuple — IN-lists stay on the
-    * single-column leg, a cartesian fan-out is not worth the probe).
-    * Same gates and injection as the single-column path. */
+  /** The COMPOSITE leg: `a = x AND b = y` — and the IN-list form
+    * `a IN (x, y) AND b = z` — served by a registered multi-column
+    * index whose every value column carries an equality point SET.
+    * The probe is the cartesian product of the per-column lists,
+    * served only while the tuple count stays ≤ `maxKeys` (one pruned
+    * index lookup either way — a small product is exactly as cheap as
+    * the same number of single-column probes; a large fan-out
+    * declines, the tuple count is known BEFORE any I/O). An empty
+    * per-column list (an IN-list of all-null literals — the predicate
+    * can match nothing) collapses straight to `Filter(false)` without
+    * probing. Same gates and injection as the single-column path. */
   private def compositeRewrite(conjuncts: Seq[Expression],
       child: LogicalPlan, candidates: Seq[AttributeReference],
       maxKeys: Int): Option[LogicalPlan] = {
     val resolver = spark.sessionState.conf.resolver
-    // single-point values per candidate attribute, conjunct order
-    val points: Seq[(AttributeReference, Any)] = candidates.flatMap { a =>
-      probeOf(a, conjuncts) match {
-        case Some(Points(Seq(one))) => Some(a -> one)
-        case _ => None
+    // equality value LISTS per candidate attribute, conjunct order
+    val points: Seq[(AttributeReference, Seq[Any])] =
+      candidates.flatMap { a =>
+        probeOf(a, conjuncts) match {
+          case Some(Points(vs)) => Some(a -> vs.distinct)
+          case _ => None
+        }
       }
-    }
     if (points.size < 2) return None
     val (a0, _) = points.head
     for {
@@ -122,14 +129,21 @@ class AutoIndexFilter(spark: SparkSession) extends Rule[LogicalPlan]
       (ix, target) <- AutoPrune.freshIndexWhere(spark, info,
         i => i.valueCols.size > 1 && i.valueCols.forall(c =>
           points.exists { case (a, _) => resolver(a.name, c) }))
-      tuple = ix.valueCols.map(c => points.collectFirst {
-        case (a, v) if resolver(a.name, c) => v }.get)
-      keys <- tryKeys(ix, Seq(tuple), maxKeys)
+      valueLists = ix.valueCols.map(c => points.collectFirst {
+        case (a, vs) if resolver(a.name, c) => vs }.get)
+      product = valueLists.map(_.size.toLong).product
+      if product <= maxKeys
+      keys <-
+        if (product == 0L) Some(Nil) // some list empty: unsatisfiable
+        else tryKeys(ix, valueLists.foldLeft(Seq(Seq.empty[Any])) {
+          (acc, vs) => acc.flatMap(t => vs.map(v => t :+ v))
+        }, maxKeys)
       rewritten = inject(child, leaf, keyAttr, keys, target)
     } yield {
       logInfo(s"graft auto index filter: served " +
-        s"(${ix.valueCols.mkString(", ")}) composite predicate as a " +
-        s"${keys.size}-key probe on ${info.name}")
+        s"(${ix.valueCols.mkString(", ")}) composite predicate " +
+        s"($product probe tuples) as a ${keys.size}-key probe on " +
+        s"${info.name}")
       rewritten
     }
   }

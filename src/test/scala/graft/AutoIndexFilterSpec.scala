@@ -179,8 +179,9 @@ class AutoIndexFilterSpec extends SparkSpec {
     sameAsControl(q, "id")
   }
 
-  test("a composite index serves multi-column point predicates; " +
-      "partial coverage or IN-lists stay on the plain scan") {
+  test("a composite index serves multi-column point predicates and " +
+      "small IN-list products; partial coverage or a large product " +
+      "stays on the plain scan") {
     val root = freshRoot("aif_comp")
     val ixRoot = freshRoot("aif_comp_ix")
     val s3 = StructType(Seq(
@@ -206,6 +207,28 @@ class AutoIndexFilterSpec extends SparkSpec {
       .filter(col("email") === "u7" && col("tier") === "no")
     assert(none.count() == 0)
     assert(scannedFiles(none, root) == 0)
+    // a small IN-list PRODUCT serves through the tuple fan-out:
+    // 2 emails × 1 tier = 2 probe tuples, one pruned index lookup
+    def inq = face(root)
+      .filter(col("email").isin("u7", "u8") && col("tier") === "t2")
+    val inExpect = (1L to 400L).count(i =>
+      (i % 10 == 7 || i % 10 == 8) && i % 3 == 2)
+    assert(inq.count() == inExpect)
+    assert(scannedFiles(inq, root) < 16,
+      "a small IN-list product must prune through the index")
+    sameAsControl(inq, "id")
+    // a LARGE product declines BEFORE probing (tuple count > maxKeys)
+    spark.conf.set(AutoProbeJoin.MaxKeysKey, "3")
+    try {
+      def big = face(root)
+        .filter(col("email").isin("u1", "u2", "u3") &&
+          col("tier").isin("t0", "t2"))
+      assert(big.count() == (1L to 400L).count(i =>
+        Set(1L, 2L, 3L)(i % 10) && (i % 3 == 0 || i % 3 == 2)))
+      assert(scannedFiles(big, root) == 16,
+        "a 6-tuple product over cap 3 must not rewrite")
+      sameAsControl(big, "id")
+    } finally spark.conf.unset(AutoProbeJoin.MaxKeysKey)
     // partial coverage (email only): the composite index cannot serve
     // a one-column predicate — plain scan
     def part = face(root).filter(col("email") === "u7")
