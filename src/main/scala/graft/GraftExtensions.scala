@@ -579,6 +579,35 @@ object GraftExtensions {
       Seq((after, before != Some(after))).toDF("version", "applied")
         .queryExecution.analyzed
     }),
+    "graft_recluster" -> (es => {
+      refuseInView("graft_recluster")
+      // INCREMENTAL layout refresh ([[ManifestTable.recluster]]): only
+      // buckets holding >= minDriftFiles non-cluster-written files
+      // rewrite; the layout definition (plain column or zorder) comes
+      // from the manifest. Returns (version, applied, buckets) —
+      // applied=false when the token replays; a no-drift call commits
+      // the token (applied=true) with buckets=0.
+      require(es.size >= 3 && es.size <= 5,
+        "usage: graft_recluster(root, schemaDDL, token" +
+          "[, filesPerBucket, minDriftFiles])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      val buckets = graft.store.ManifestTable.recluster(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        longArg(es(2), "token"),
+        filesPerBucket =
+          if (es.size >= 4) longArg(es(3), "filesPerBucket").toInt else 4,
+        minDriftFiles =
+          if (es.size >= 5) longArg(es(4), "minDriftFiles").toInt else 1)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after), buckets.size))
+        .toDF("version", "applied", "buckets")
+        .queryExecution.analyzed
+    }),
     "graft_zorder_by" -> (es => {
       refuseInView("graft_zorder_by")
       // Multi-column maintenance re-clustering

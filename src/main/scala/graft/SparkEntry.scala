@@ -618,6 +618,19 @@ object SparkEntry {
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
     }),
+    "manifest_recluster" -> ((s, dir) => {
+      // fixture + layout bootstrap + zone build OUTSIDE the timed
+      // region: the rep times the drift delete + the INCREMENTAL
+      // recluster (rewrites only the drifted buckets) + the
+      // covered-check zone refresh + the file-granular pruned read.
+      val root = resetManifestFixture(s, dir, "manifest_recluster",
+        withMerge = true)
+      graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
+        "acctbal", token = 2L, filesPerBucket = 4)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+      sideReady += "manifest_recluster_layout"
+    }),
     "manifest_zorder" -> ((s, dir) => {
       // fixture + zOrderBy + zone build OUTSIDE the timed region: the
       // rep times the replayed-token no-op + covered-check + the
@@ -1335,6 +1348,36 @@ object SparkEntry {
         withMerge = true)
       graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
         "acctbal", token = 2L, filesPerBucket = 4)
+      graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+        Seq("acctbal"))
+      graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
+        1000.0, 5000.0)
+    }),
+    "manifest_recluster" -> ((s, dir) => {
+      // INCREMENTAL re-clustering (the Delta OPTIMIZE shape): at 100 TB
+      // a layout refresh must cost the CHANGE RATE, not a table-sized
+      // rewrite, so the timed region is a 10-key delete (drifts <= 10
+      // of 32 buckets — their rewritten files drop the format-12
+      // `sorted` claim), ManifestTable.recluster (rewrites ONLY those
+      // buckets; every other bucket's files carry verbatim), the
+      // covered-check zone refresh (only the rewritten files scan) and
+      // the file-granular pruned range read. The VALUES gate proves the
+      // refresh changed nothing but layout: DuckDB recomputes the
+      // post-delete state under the same BETWEEN. Bucket-locality
+      // evidence lives in ClusterBySpec.
+      val root = manifestFixture(s, dir, "manifest_recluster",
+        withMerge = true)
+      if (!sideReady.contains("manifest_recluster_layout")) {
+        graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
+          "acctbal", token = 2L, filesPerBucket = 4)
+        graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
+          Seq("acctbal"))
+        sideReady += "manifest_recluster_layout"
+      }
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 3L)
+      graft.store.ManifestTable.recluster(s, root, upsertSchema,
+        token = 4L, filesPerBucket = 4)
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
       graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
@@ -2966,6 +3009,21 @@ object SparkEntry {
                 WHEN c_custkey % 4 = 0 THEN NULL
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc))
+           WHERE acctbal BETWEEN 1000 AND 5000""",
+      // the incremental-recluster lifecycle's final state: the merged
+      // fixture minus the 10-key drift delete, same BETWEEN — a pure
+      // re-layout changes no values
+      "manifest_recluster" ->
+        s"""SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13, 26, 39, 52, 65, 78, 91, 104, 117, 130))
            WHERE acctbal BETWEEN 1000 AND 5000""",
       "manifest_zorder" ->
         s"""SELECT * FROM (

@@ -118,11 +118,20 @@ object ManifestTable {
     * whose live entries all record false. Legacy entries parse as TRUE
     * (may hold) — conservative: the rewrites decline, plain scans
     * serve. */
+  /** `sorted` (format 12) records that the file was written CLUSTER-
+    * SORTED by the layout's cluster expression ([[writeClusteredBuckets]]
+    * — clusterBy, zOrderBy, recluster). It is the per-file DRIFT signal
+    * [[recluster]] reads: every other writer (merge, delta, compact,
+    * DML rewrites) produces `sorted = false` entries, so "this bucket
+    * needs a layout refresh" is a pure manifest fact — no data read,
+    * no extra bookkeeping commit. Legacy entries parse as false
+    * (conservative: at worst an already-clustered legacy bucket
+    * rewrites once more). */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
       relPath: String, seq: Long = 0L, bytes: Long = 0L,
       named: Boolean = false, minZ: String = "", maxZ: String = "",
-      nullKeys: Boolean = true)
+      nullKeys: Boolean = true, sorted: Boolean = false)
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
@@ -252,6 +261,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 12" => 12
       case "graft-manifest 11" => 11
       case "graft-manifest 10" => 10
       case "graft-manifest 9" => 9
@@ -314,7 +324,9 @@ object ManifestTable {
         if (f.length > 8) dec(f(8)) else "",
         if (f.length > 9) dec(f(9)) else "",
         // pre-11 entries may hold null-keyed rows; format 11 records it
-        nullKeys = if (f.length > 10) f(10) == "1" else true)
+        nullKeys = if (f.length > 10) f(10) == "1" else true,
+        // pre-12 entries make no cluster-sort claim
+        sorted = f.length > 11 && f(11) == "1")
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
       keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
@@ -816,7 +828,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 11" +:
+    val body = (s"graft-manifest 12" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -836,7 +848,8 @@ object ManifestTable {
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
           s"${e.relPath}\t${e.seq}\t${e.bytes}\t" +
           s"${if (e.named) "1" else "0"}\t${enc(e.minZ)}\t${enc(e.maxZ)}" +
-          s"\t${if (e.nullKeys) "1" else "0"}"))
+          s"\t${if (e.nullKeys) "1" else "0"}" +
+          s"\t${if (e.sorted) "1" else "0"}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
@@ -2789,7 +2802,8 @@ object ManifestTable {
             relPath, seq, bytes, named = stamped,
             if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
             if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""),
-            nullKeys = r.getInt(if (zoneAggs.isEmpty) 4 else 6) == 1)
+            nullKeys = r.getInt(if (zoneAggs.isEmpty) 4 else 6) == 1,
+            sorted = true) // the format-12 drift signal: cluster-written
         }
       }.toSeq
   }
@@ -2920,36 +2934,8 @@ object ManifestTable {
       val attempt = newAttemptId()
       val version = prior.version + 1
       val all = readManifestState(spark, root, schema, Some(prior))
-      // ONE bounded sample job for every column's boundaries: the
-      // manifest's recorded row counts size the fraction (delta tiers
-      // overcount only toward a larger sample), a hard limit caps the
-      // driver either way.
-      val totalRows = math.max(1L, prior.entries.map(_.rows).sum)
-      val frac = math.min(1.0, sampleRows * 2.0 / totalRows)
-      val sample = all.select(clusterCols.map(col): _*)
-        .sample(withReplacement = false, frac, seed = token)
-        .limit(sampleRows).collect()
-      val cells = 1 << bits
-      val bounds: Seq[Seq[Any]] = clusterCols.indices.map { j =>
-        val vs = sample.flatMap(r => Option(r.get(j))).distinct
-        val sorted = vs.sortWith((a, b) => cmpNative(a, b) < 0)
-        if (sorted.length <= cells - 1) sorted.toSeq
-        else (1 until cells).map(i =>
-          sorted((i.toLong * sorted.length / cells).toInt))
-      }
-      // rank_j = #(boundaries <= value), the bucketExpr searchsorted
-      // shape in the column's NATIVE order; NULL -> 0
-      val ranks = clusterCols.zip(bounds).map { case (c, bs) =>
-        if (bs.isEmpty) lit(0L)
-        else coalesce(size(filter(array(bs.map(lit): _*),
-          b => col(c) >= b)), lit(0)).cast("long")
-      }
-      val k = ranks.size
-      val z = (0 until bits).flatMap(i => ranks.zipWithIndex.map {
-        case (r, j) =>
-          // disjoint target bits, so + is bitwise OR
-          shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
-      }).reduce(_ + _)
+      val z = zExprOf(all, clusterCols,
+        prior.entries.map(_.rows).sum, sampleRows, bits, seed = token)
       val cmp = effectiveKey(prior, keyComparator)
       val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
         cmp(col(keyColumn)))
@@ -2966,6 +2952,144 @@ object ManifestTable {
         return
       cleanupAttempt(spark, root, version, attempt)
     }
+  }
+
+  /** The z-curve cell expression over `df` ([[zOrderBy]]'s kernel,
+    * shared with [[recluster]]'s zorder leg): ONE bounded sample job
+    * picks every column's boundaries (`totalRows` sizes the fraction —
+    * delta tiers overcount only toward a larger sample — and a hard
+    * limit caps the driver either way), rank_j = #(boundaries <=
+    * value) in the column's NATIVE order (NULL -> 0), and the result
+    * interleaves the per-column rank bits. Boundary quality only
+    * shapes LAYOUT, never results. */
+  private def zExprOf(
+      df: DataFrame, clusterCols: Seq[String], totalRows: Long,
+      sampleRows: Int, bits: Int,
+      seed: Long): org.apache.spark.sql.Column = {
+    val frac = math.min(1.0, sampleRows * 2.0 / math.max(1L, totalRows))
+    val sample = df.select(clusterCols.map(col): _*)
+      .sample(withReplacement = false, frac, seed)
+      .limit(sampleRows).collect()
+    val cells = 1 << bits
+    val bounds: Seq[Seq[Any]] = clusterCols.indices.map { j =>
+      val vs = sample.flatMap(r => Option(r.get(j))).distinct
+      val sorted = vs.sortWith((a, b) => cmpNative(a, b) < 0)
+      if (sorted.length <= cells - 1) sorted.toSeq
+      else (1 until cells).map(i =>
+        sorted((i.toLong * sorted.length / cells).toInt))
+    }
+    val ranks = clusterCols.zip(bounds).map { case (c, bs) =>
+      if (bs.isEmpty) lit(0L)
+      else coalesce(size(filter(array(bs.map(lit): _*),
+        b => col(c) >= b)), lit(0)).cast("long")
+    }
+    val k = ranks.size
+    (0 until bits).flatMap(i => ranks.zipWithIndex.map {
+      case (r, j) =>
+        // disjoint target bits, so + is bitwise OR
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
+    }).reduce(_ + _)
+  }
+
+  /** INCREMENTAL layout maintenance — the Delta OPTIMIZE shape for a
+    * 100 TB table: [[clusterBy]]/[[zOrderBy]] are one-whole-table
+    * rewrites by design (a layout bootstrap), so refreshing a layout
+    * at scale must NOT cost a table-sized write. This rewrites ONLY
+    * the buckets whose live file set DRIFTED since the last layout
+    * commit — the per-entry `sorted` bit (format 12, written only by
+    * the cluster writers) makes drift a pure manifest fact: a bucket
+    * re-clusters iff it holds >= `minDriftFiles` files some
+    * non-cluster writer produced (merge, delta tier, compaction, DML
+    * rewrite). Undrifted buckets carry their relPaths verbatim; zone
+    * pruning stays file-granular on the rewritten buckets (their
+    * entries make fresh per-file claims, and declared zone sidecars
+    * refresh through the commit's autoMaintain hook like any commit).
+    *
+    * The layout DEFINITION comes from the manifest (`clusterCol`,
+    * bare column or `zorder(a,b,...)`) — callers declare the layout
+    * once at bootstrap and run this from then on. A zorder refresh
+    * re-samples its rank boundaries from the DRIFTED buckets' own
+    * rows: cross-generation cell grids may differ, which costs
+    * nothing — every file's zone box is computed from its actual
+    * contents, so pruning stays sound and tight per file.
+    *
+    * Cost ∝ drifted buckets (the change rate since the last layout
+    * pass), never table size. Token-replayed through the maintenance
+    * ledger; a no-drift call commits the token only (replays no-op).
+    * Returns the re-clustered bucket ids. */
+  def recluster(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      token: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      filesPerBucket: Int = 4,
+      minDriftFiles: Int = 1,
+      bits: Int = 8,
+      sampleRows: Int = 65536): Seq[Int] = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    require(minDriftFiles >= 1, "minDriftFiles must be >= 1")
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      if (prior.lastDelete.contains(token)) return Nil
+      checkSchemaCompatible(prior, schema, "recluster", allowAdd = true)
+      require(prior.clusterCol.nonEmpty,
+        s"table at $root records no cluster layout — bootstrap with " +
+          "clusterBy/zOrderBy, then recluster incrementally")
+      val clusterCols: Seq[String] =
+        if (prior.clusterCol.startsWith("zorder(") &&
+            prior.clusterCol.endsWith(")"))
+          prior.clusterCol
+            .substring(7, prior.clusterCol.length - 1).split(',').toSeq
+        else Seq(prior.clusterCol)
+      clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"recorded cluster column $c not in the caller's schema"))
+      val keyColumn = prior.keyColumn
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val drifted: Set[Int] = prior.entries.groupBy(_.bucket)
+        .collect { case (b, es)
+          if es.count(!_.sorted) >= minDriftFiles => b }.toSet
+      if (drifted.isEmpty) {
+        // no drift: commit the token so replays no-op (the deleteWhere
+        // miss-path discipline)
+        if (tryCommitManifest(spark, root, Manifest(version,
+            prior.numBuckets, prior.entries, prior.lastBatches,
+            Some(token), attempt, keyColumn, prior.keyExpr,
+            prior.lastCompact, prior.rangeBounds, prior.schemaJson,
+            prior.udfKey, clusterCol = prior.clusterCol,
+            colMap = prior.colMap)))
+          return Nil
+      } else {
+        val (touchedEntries, untouched) =
+          prior.entries.partition(e => drifted(e.bucket))
+        val cmp = effectiveKey(prior, keyComparator)
+        val frag = reconciledRead(spark, root, schema, prior,
+          touchedEntries, keyColumn, cmp)
+        val cluster =
+          if (clusterCols.size == 1) col(clusterCols.head)
+          else zExprOf(frag, clusterCols,
+            touchedEntries.map(_.rows).sum, sampleRows, bits,
+            seed = token)
+        val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
+          cmp(col(keyColumn)))
+        val written = writeClusteredBuckets(frag, bucket, keyColumn,
+          cluster, root, s"v$version-$attempt",
+          drifted.size * filesPerBucket, cmp, seq = version,
+          colMap = prior.colMap)
+        if (tryCommitManifest(spark, root, Manifest(version,
+            prior.numBuckets, untouched ++ written, prior.lastBatches,
+            Some(token), attempt, keyColumn, prior.keyExpr,
+            prior.lastCompact, prior.rangeBounds, prior.schemaJson,
+            prior.udfKey, clusterCol = prior.clusterCol,
+            colMap = prior.colMap)))
+          return drifted.toSeq.sorted
+        cleanupAttempt(spark, root, version, attempt)
+      }
+    }
+    Nil // unreachable
   }
 
   /** Rename a column through a recorded cluster claim: a plain

@@ -162,6 +162,112 @@ class ClusterBySpec extends SparkSpec {
     assert(hit.inputFiles.length < fullC.inputFiles.length)
   }
 
+  test("recluster rewrites ONLY drifted buckets (relPaths verbatim " +
+      "elsewhere), restores file-granular zone pruning there, and " +
+      "replays / no-drift calls are token no-ops") {
+    val root = fresh("recluster_inc")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 2000L).map(i => (i, s"n$i", (i * 10).toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 8, streamId = "S")
+    ManifestTable.clusterBy(spark, root, schema, "id", "score",
+      token = 7L, filesPerBucket = 4)
+    assert(ManifestTable.currentManifest(spark, root).get
+      .entries.forall(_.sorted),
+      "cluster-written files must carry the format-12 sorted claim")
+    // drift a SUBSET of buckets: one full-rewrite merge (2 keys) and
+    // one delta tier (1 key) — both writers produce sorted=false files
+    ManifestTable.merge(raw((101L, "u101", "1010"), (102L, "u102", "1020"))
+      .transform(m.project), 1L, m, root, schema, streamId = "S")
+    ManifestTable.merge(raw((103L, "u103", "999999"))
+      .transform(m.project), 2L, m, root, schema, streamId = "S",
+      delta = true)
+    val mDrift = ManifestTable.currentManifest(spark, root).get
+    val driftBuckets =
+      mDrift.entries.filterNot(_.sorted).map(_.bucket).toSet
+    assert(driftBuckets.nonEmpty && driftBuckets.size < 8,
+      s"fixture: drift must be a proper bucket subset, got $driftBuckets")
+    val before = ManifestTable.read(spark, root, schema)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val rewritten = ManifestTable.recluster(spark, root, schema,
+      token = 8L, filesPerBucket = 4)
+    assert(rewritten.toSet == driftBuckets,
+      s"recluster must rewrite exactly the drifted buckets: " +
+        s"$rewritten vs $driftBuckets")
+    val mRe = ManifestTable.currentManifest(spark, root).get
+    // undrifted buckets carry their files VERBATIM — the incremental
+    // cost claim, file-level
+    mDrift.entries.filterNot(e => driftBuckets(e.bucket)).foreach { e =>
+      assert(mRe.entries.exists(x =>
+        x.bucket == e.bucket && x.relPath == e.relPath),
+        s"undrifted bucket ${e.bucket} lost ${e.relPath}")
+    }
+    assert(mRe.entries.forall(_.sorted), "the whole table is clustered " +
+      "again after the refresh")
+    assert(mRe.clusterCol == "score", "the layout definition persists")
+    // content is exactly the pre-recluster state
+    assert(ManifestTable.read(spark, root, schema)
+      .collect().map(_.mkString("|")).sorted.toSeq == before)
+    // zone pruning is file-granular on the REWRITTEN buckets again:
+    // the delta override folded away, narrow probes prune
+    assert(ZoneSkip.buildZones(spark, root, schema, Seq("score")) ==
+      mRe.entries.size)
+    assert(ZoneSkip.lookupRange(spark, root, schema, "score",
+      999999L, 999999L).collect().map(_.getLong(0)).toSeq == Seq(103L))
+    assert(ZoneSkip.lookupRange(spark, root, schema, "score",
+      1030L, 1030L).count() == 0L,
+      "zone skipping resurrected a delta-overridden row")
+    val full = ManifestTable.read(spark, root, schema)
+    val hit = ZoneSkip.lookupRange(spark, root, schema, "score",
+      5000L, 5490L)
+    assert(hit.inputFiles.length < full.inputFiles.length / 2)
+    // token replay: no-op, version unchanged
+    assert(ManifestTable.recluster(spark, root, schema, token = 8L)
+      .isEmpty)
+    assert(ManifestTable.currentVersion(spark, root).get == mRe.version)
+    // no-drift call: commits the token ONLY — entries verbatim
+    assert(ManifestTable.recluster(spark, root, schema, token = 9L)
+      .isEmpty)
+    val mNoop = ManifestTable.currentManifest(spark, root).get
+    assert(mNoop.version == mRe.version + 1 &&
+      mNoop.entries.map(_.relPath).sorted == mRe.entries.map(_.relPath).sorted)
+    // threshold: a single drift file stays below minDriftFiles=2
+    ManifestTable.merge(raw((104L, "u104", "1040"))
+      .transform(m.project), 3L, m, root, schema, streamId = "S")
+    assert(ManifestTable.recluster(spark, root, schema, token = 10L,
+      minDriftFiles = 2).isEmpty, "below-threshold drift must not rewrite")
+  }
+
+  test("recluster refreshes a ZORDER layout from its recorded marker; " +
+      "the SQL face reports (version, applied, buckets)") {
+    GraftExtensions.register(spark)
+    val root = fresh("recluster_z")
+    val df = (1L to 1000L).map(i => (i, s"n${i % 50}", i * 10L))
+      .toDF("id", "name", "score")
+    ManifestTable.create(df, "id", root, numBuckets = 4)
+    ManifestTable.zOrderBy(spark, root, schema, "id",
+      Seq("name", "score"), token = 1L, filesPerBucket = 4)
+    assert(ManifestTable.currentManifest(spark, root).get
+      .clusterCol == "zorder(name,score)")
+    val m = mapping
+    ManifestTable.merge(raw((7L, "drift", "70"))
+      .transform(m.project), 10L, m, root, schema, streamId = "S")
+    val ddl = "id BIGINT, name STRING, score BIGINT"
+    val r = spark.sql("SELECT * FROM graft_recluster(" +
+      s"'$root', '$ddl', 2)").head
+    assert(r.getBoolean(1) && r.getInt(2) >= 1)
+    val mRe = ManifestTable.currentManifest(spark, root).get
+    assert(mRe.entries.forall(_.sorted))
+    assert(mRe.clusterCol == "zorder(name,score)")
+    // replayed token through the face: applied=false
+    val r2 = spark.sql("SELECT * FROM graft_recluster(" +
+      s"'$root', '$ddl', 2)").head
+    assert(!r2.getBoolean(1))
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 7L).head.getString(1) == "drift")
+  }
+
   test("clusterBy keeps the zero-Exchange bucketed property but stops " +
       "claiming within-file key sort") {
     val root = fresh("cluster_spec")
