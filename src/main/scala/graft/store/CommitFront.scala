@@ -57,6 +57,46 @@ private[graft] object CommitFront {
           s"'conditional-put', got '$other'")
     }
 
+  /** True for the local-FS bindings (LocalFileSystem wraps RawLocal),
+    * where BOTH hadoop primitives are unsafe under concurrency:
+    * `rename` delegates to POSIX rename(2), which REPLACES an existing
+    * destination (the exists-then-rename sequence is a TOCTOU race two
+    * writers can both win, silently dropping one commit — found by the
+    * N-writer OCC stress property), and `create(dst, overwrite=false)`
+    * is exists-then-open, same race plus a torn-read window while the
+    * body streams. POSIX's one atomic no-overwrite publish is
+    * link(2) — hard-linking a fully-written temp file fails with
+    * EEXIST atomically and makes the body visible whole. */
+  private def isLocal(fs: FileSystem): Boolean =
+    fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+
+  /** Atomic no-overwrite publish of an already-written local `tmp` at
+    * `dst` via hard link; tmp (and its checksum sidecar) are removed
+    * either way. Returns false on EEXIST = lost the race. */
+  private def linkPublish(fs: FileSystem, dst: Path, tmp: Path): Boolean = {
+    val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+    val d = java.nio.file.Paths.get(dst.toUri.getPath)
+    try {
+      val won =
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (won) {
+        // carry the ChecksumFileSystem sidecar so later reads verify;
+        // best-effort (a missing crc reads unverified, never wrong)
+        val tCrc = t.resolveSibling("." + t.getFileName + ".crc")
+        val dCrc = d.resolveSibling("." + d.getFileName + ".crc")
+        if (java.nio.file.Files.exists(tCrc)) {
+          try java.nio.file.Files.createLink(dCrc, tCrc)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      won
+    } finally fs.delete(tmp, false)
+  }
+
   object Rename extends CommitFront {
     override def publish(fs: FileSystem, dst: Path, tmp: Path,
         body: Array[Byte], beforeCommit: () => Unit): Boolean = {
@@ -64,6 +104,10 @@ private[graft] object CommitFront {
       try out.write(body)
       finally out.close()
       beforeCommit()
+      if (isLocal(fs)) return linkPublish(fs, dst, tmp)
+      // HDFS/ABFS/GCS enforce no-overwrite rename SERVER-SIDE
+      // (atomically); the exists() probe just spares the common lost
+      // race an exception-shaped round trip.
       if (fs.exists(dst)) { fs.delete(tmp, false); false }
       else if (fs.rename(tmp, dst)) true
       else {
@@ -78,6 +122,18 @@ private[graft] object CommitFront {
   object ConditionalPut extends CommitFront {
     override def publish(fs: FileSystem, dst: Path, tmp: Path,
         body: Array[Byte], beforeCommit: () => Unit): Boolean = {
+      if (isLocal(fs)) {
+        // Local EMULATION of the conditional PUT must match S3's
+        // semantics — atomic, no-overwrite, never torn-readable — and
+        // RawLocal's create(dst, overwrite=false) is none of those
+        // (exists-then-open TOCTOU + readers see the body mid-stream).
+        // A fully-written temp + hard link IS that semantics locally.
+        val out = fs.create(tmp, true)
+        try out.write(body)
+        finally out.close()
+        beforeCommit()
+        return linkPublish(fs, dst, tmp)
+      }
       beforeCommit()
       val out =
         try fs.create(dst, false) // the If-None-Match: * call
@@ -85,7 +141,7 @@ private[graft] object CommitFront {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             return false
           case _: java.io.IOException if fs.exists(dst) =>
-            // RawLocalFileSystem signals exclusive-create loss as a
+            // some connectors signal exclusive-create loss as a
             // plain IOException; treat it as the lost race it is
             return false
         }
