@@ -335,18 +335,25 @@ object GraftExtensions {
       // Declares zone/bloom sidecar maintenance on the commit path
       // ([[graft.store.ManifestTable.autoMaintain]]): from here on
       // every data commit refreshes the named columns' sidecars
-      // incrementally. Re-declaring REPLACES (empty strings stop).
-      require(es.size == 3,
-        "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv)")
+      // incrementally. The optional 4th arg declares LAYOUT
+      // maintenance too — recluster when a bucket accumulates that
+      // many drift files (0 = off). Re-declaring REPLACES (empty
+      // strings / 0 stop).
+      require(es.size == 3 || es.size == 4,
+        "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
+          "[, reclusterDrift])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       val (z, b) = (cols(1, "zone columns"), cols(2, "bloom columns"))
-      graft.store.ManifestTable.autoMaintain(spark, root, z, b)
+      val drift =
+        if (es.size == 4) longArg(es(3), "reclusterDrift").toInt else 0
+      graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift)
       import spark.implicits._
-      Seq((z.mkString(","), b.mkString(",")))
-        .toDF("zone_cols", "bloom_cols").queryExecution.analyzed
+      Seq((z.mkString(","), b.mkString(","), drift))
+        .toDF("zone_cols", "bloom_cols", "recluster_drift")
+        .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {
       refuseInView("graft_vacuum")

@@ -631,6 +631,19 @@ object SparkEntry {
         Seq("acctbal"))
       sideReady += "manifest_recluster_layout"
     }),
+    "manifest_auto_recluster" -> ((s, dir) => {
+      // fixture + layout + the maintenance DECLARATION outside the
+      // timed region: the rep times one maintained delete commit
+      // (auto recluster + auto zone refresh ride the commit hook) +
+      // the pruned read.
+      val root = resetManifestFixture(s, dir, "manifest_auto_recluster",
+        withMerge = true)
+      graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
+        "acctbal", token = 2L, filesPerBucket = 4)
+      graft.store.ManifestTable.autoMaintain(s, root,
+        zones = Seq("acctbal"), reclusterDrift = 1)
+      sideReady += "manifest_auto_recluster_decl"
+    }),
     "manifest_zorder" -> ((s, dir) => {
       // fixture + zOrderBy + zone build OUTSIDE the timed region: the
       // rep times the replayed-token no-op + covered-check + the
@@ -1380,6 +1393,29 @@ object SparkEntry {
         token = 4L, filesPerBucket = 4)
       graft.store.ZoneSkip.buildZones(s, root, upsertSchema,
         Seq("acctbal"))
+      graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
+        1000.0, 5000.0)
+    }),
+    "manifest_auto_recluster" -> ((s, dir) => {
+      // The DECLARED layout-maintenance loop (rows 157+158 composed):
+      // autoMaintain(zones, reclusterDrift=1) was declared in
+      // benchSetups, so the timed region is ONE keyed delete whose
+      // commit hook re-clusters the drifted buckets and refreshes the
+      // zone sidecars over the fresh files — no recluster or
+      // buildZones call anywhere in this closure — plus the
+      // file-granular pruned read. Hash-equals manifest_recluster's
+      // oracle: the hook must land exactly the explicit call's state.
+      val root = manifestFixture(s, dir, "manifest_auto_recluster",
+        withMerge = true)
+      if (!sideReady.contains("manifest_auto_recluster_decl")) {
+        graft.store.ManifestTable.clusterBy(s, root, upsertSchema, "id",
+          "acctbal", token = 2L, filesPerBucket = 4)
+        graft.store.ManifestTable.autoMaintain(s, root,
+          zones = Seq("acctbal"), reclusterDrift = 1)
+        sideReady += "manifest_auto_recluster_decl"
+      }
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 3L)
       graft.store.ZoneSkip.lookupRange(s, root, upsertSchema, "acctbal",
         1000.0, 5000.0)
     }),
@@ -2461,6 +2497,24 @@ object SparkEntry {
        SELECT id + 1000000 AS id, name, orig AS acctbal
        FROM base WHERE id % 10 = 7"""
 
+  /** The incremental-recluster final state (merged fixture minus the
+    * 10-key drift delete, the zone BETWEEN on top) — one oracle for
+    * both the explicit face (manifest_recluster) and the declared
+    * commit-hook face (manifest_auto_recluster). */
+  private def reclusterOracle(
+      inTgt: String, inSrc: String, drifted: String): String =
+    s"""SELECT * FROM (
+       SELECT c_custkey AS id, c_name AS name,
+       CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+       CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+       CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+            WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+            WHEN c_custkey % 4 = 0 THEN NULL
+            ELSE CAST(99 AS BIGINT) END AS nation
+       FROM customer WHERE (($inTgt) OR ($inSrc))
+         AND c_custkey NOT IN (13, 26, 39, 52, 65, 78, 91, 104, 117, 130))
+       WHERE acctbal BETWEEN 1000 AND 5000"""
+
   def oracleSql: Map[String, String] = {
     val boolList = sampleSql("c_custkey", BoolSamples)
     val intList = sampleSql("c_custkey", IntSamples)
@@ -3012,19 +3066,11 @@ object SparkEntry {
            WHERE acctbal BETWEEN 1000 AND 5000""",
       // the incremental-recluster lifecycle's final state: the merged
       // fixture minus the 10-key drift delete, same BETWEEN — a pure
-      // re-layout changes no values
-      "manifest_recluster" ->
-        s"""SELECT * FROM (
-           SELECT c_custkey AS id, c_name AS name,
-           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
-           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
-           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
-                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
-                WHEN c_custkey % 4 = 0 THEN NULL
-                ELSE CAST(99 AS BIGINT) END AS nation
-           FROM customer WHERE (($inTgt) OR ($inSrc))
-             AND c_custkey NOT IN (13, 26, 39, 52, 65, 78, 91, 104, 117, 130))
-           WHERE acctbal BETWEEN 1000 AND 5000""",
+      // re-layout changes no values. Shared verbatim by the DECLARED
+      // variant (manifest_auto_recluster): the commit hook must land
+      // the exact state the explicit call does.
+      "manifest_recluster" -> reclusterOracle(inTgt, inSrc, drifted),
+      "manifest_auto_recluster" -> reclusterOracle(inTgt, inSrc, drifted),
       "manifest_zorder" ->
         s"""SELECT * FROM (
            SELECT c_custkey AS id, c_name AS name,

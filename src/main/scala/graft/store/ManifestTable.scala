@@ -1420,7 +1420,13 @@ object ManifestTable {
     org.apache.spark.sql.types.StructField("zone_cols",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("bloom_cols",
-      org.apache.spark.sql.types.StringType)))
+      org.apache.spark.sql.types.StringType),
+    // r12: declared LAYOUT maintenance — recluster when a bucket holds
+    // >= this many drift files (0/null = off). Older declaration rows
+    // read the column as null (parquet missing-column fill), so
+    // pre-r12 policies parse unchanged.
+    org.apache.spark.sql.types.StructField("recluster_drift",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1437,11 +1443,17 @@ object ManifestTable {
       spark: SparkSession,
       root: String,
       zones: Seq[String] = Nil,
-      blooms: Seq[String] = Nil): Unit = {
+      blooms: Seq[String] = Nil,
+      reclusterDrift: Int = 0): Unit = {
+    require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
+    if (reclusterDrift > 0) require(m.clusterCol.nonEmpty,
+      s"table at $root records no cluster layout — bootstrap with " +
+        "clusterBy/zOrderBy before declaring layout maintenance")
     val row = org.apache.spark.sql.Row(
-      zones.mkString(","), blooms.mkString(","))
+      zones.mkString(","), blooms.mkString(","),
+      Integer.valueOf(reclusterDrift))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1449,41 +1461,72 @@ object ManifestTable {
   }
 
   /** The table's declared maintenance policy (newest declaration
-    * wins), `None` when never declared. Callers on the commit path
-    * check the directory's existence FIRST — a table without a
-    * declaration pays a single fs.exists, never a manifest read. */
+    * wins) — (zone cols, bloom cols, recluster drift threshold; 0 =
+    * layout maintenance off) — `None` when never declared. Callers on
+    * the commit path check the directory's existence FIRST — a table
+    * without a declaration pays a single fs.exists, never a manifest
+    * read. */
   def maintenanceOf(spark: SparkSession, root: String)
-      : Option[(Seq[String], Seq[String])] = {
+      : Option[(Seq[String], Seq[String], Int)] = {
     val dir = new Path(s"$root/maintain")
     if (!fsOf(spark, dir).exists(dir)) return None
     val dirs = committedAdditiveDirs(spark, root, "maintain")
     if (dirs.isEmpty) return None
     // per-dir reads in commit order: the newest declaration replaces
-    var last: Option[(Seq[String], Seq[String])] = None
+    var last: Option[(Seq[String], Seq[String], Int)] = None
     dirs.foreach { d =>
       spark.read.schema(MaintainSchema).parquet(d).collect()
         .foreach { r =>
           def cols(x: String) =
             x.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          last = Some((cols(r.getString(0)), cols(r.getString(1))))
+          last = Some((cols(r.getString(0)), cols(r.getString(1)),
+            if (r.isNullAt(2)) 0 else r.getInt(2)))
         }
     }
     last
+  }
+
+  /** Re-entry depth for the commit-path maintenance hook: the layout
+    * trigger COMMITS (recluster), and that nested commit re-enters
+    * [[maintainSidecars]] — which must refresh the zone/bloom sidecars
+    * for the re-clustered files but never trigger a second recluster
+    * (the no-drift probe would otherwise re-run on every commit of a
+    * quiet declared table, and a buggy drift predicate could recurse).
+    * Commits are driver-side, so a ThreadLocal is the whole story. */
+  private val maintainDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
   }
 
   /** Post-commit upkeep for declared tables (see [[autoMaintain]]).
     * Never throws: the commit is already published. */
   private def maintainSidecars(
       spark: SparkSession, root: String, m: Manifest): Unit =
-    try maintenanceOf(spark, root).foreach { case (zones, blooms) =>
+    try maintenanceOf(spark, root).foreach {
+      case (zones, blooms, drift) =>
       if (m.schemaJson.nonEmpty) {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val zc = zones.filter(schema.fieldNames.contains)
-        val bc = blooms.filter(schema.fieldNames.contains)
-        if (zc.nonEmpty) ZoneSkip.buildZones(spark, root, schema, zc)
-        if (bc.nonEmpty) BloomSkip.buildBlooms(spark, root, schema, bc)
+        // LAYOUT first: when declared drift is crossed, the commit's
+        // buckets re-cluster before any sidecar build — the recluster
+        // is its own commit, whose nested maintenance pass (depth 1)
+        // builds the sidecars over the FRESH files, so this pass can
+        // stand down entirely when the layout moved.
+        val reclustered =
+          if (drift > 0 && maintainDepth.get() == 0 &&
+              m.clusterCol.nonEmpty && !m.udfKey) {
+            maintainDepth.set(1)
+            try recluster(spark, root, schema, token = m.version,
+              minDriftFiles = drift, commitOnNoDrift = false,
+              tokenStream = Some("graft-maintain-recluster")).nonEmpty
+            finally maintainDepth.set(0)
+          } else false
+        if (!reclustered) {
+          val zc = zones.filter(schema.fieldNames.contains)
+          val bc = blooms.filter(schema.fieldNames.contains)
+          if (zc.nonEmpty) ZoneSkip.buildZones(spark, root, schema, zc)
+          if (bc.nonEmpty) BloomSkip.buildBlooms(spark, root, schema, bc)
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -3015,8 +3058,13 @@ object ManifestTable {
     *
     * Cost ∝ drifted buckets (the change rate since the last layout
     * pass), never table size. Token-replayed through the maintenance
-    * ledger; a no-drift call commits the token only (replays no-op).
-    * Returns the re-clustered bucket ids. */
+    * ledger (`tokenStream` names a per-caller batch stream — the
+    * [[delete]] convention — default the shared lastDelete slot); a
+    * no-drift call commits the token only so replays no-op — except
+    * under `commitOnNoDrift = false` (the [[autoMaintain]] trigger's
+    * mode: maintenance re-fires on every commit anyway, and a
+    * token-only commit from INSIDE the commit path would recurse
+    * forever). Returns the re-clustered bucket ids. */
   def recluster(
       spark: SparkSession,
       root: String,
@@ -3027,13 +3075,19 @@ object ManifestTable {
       filesPerBucket: Int = 4,
       minDriftFiles: Int = 1,
       bits: Int = 8,
-      sampleRows: Int = 65536): Seq[Int] = {
+      sampleRows: Int = 65536,
+      tokenStream: Option[String] = None,
+      commitOnNoDrift: Boolean = true): Seq[Int] = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     require(minDriftFiles >= 1, "minDriftFiles must be >= 1")
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(
         throw new IllegalStateException(s"no table at $root"))
-      if (prior.lastDelete.contains(token)) return Nil
+      val replayed = tokenStream match {
+        case Some(s) => prior.lastBatches.get(s).contains(token)
+        case None => prior.lastDelete.contains(token)
+      }
+      if (replayed) return Nil
       checkSchemaCompatible(prior, schema, "recluster", allowAdd = true)
       require(prior.clusterCol.nonEmpty,
         s"table at $root records no cluster layout — bootstrap with " +
@@ -3049,15 +3103,20 @@ object ManifestTable {
       val keyColumn = prior.keyColumn
       val attempt = newAttemptId()
       val version = prior.version + 1
+      val batches = tokenStream.fold(prior.lastBatches)(s =>
+        prior.lastBatches + (s -> token))
+      val deleteToken =
+        if (tokenStream.isEmpty) Some(token) else prior.lastDelete
       val drifted: Set[Int] = prior.entries.groupBy(_.bucket)
         .collect { case (b, es)
           if es.count(!_.sorted) >= minDriftFiles => b }.toSet
       if (drifted.isEmpty) {
+        if (!commitOnNoDrift) return Nil
         // no drift: commit the token so replays no-op (the deleteWhere
         // miss-path discipline)
         if (tryCommitManifest(spark, root, Manifest(version,
-            prior.numBuckets, prior.entries, prior.lastBatches,
-            Some(token), attempt, keyColumn, prior.keyExpr,
+            prior.numBuckets, prior.entries, batches,
+            deleteToken, attempt, keyColumn, prior.keyExpr,
             prior.lastCompact, prior.rangeBounds, prior.schemaJson,
             prior.udfKey, clusterCol = prior.clusterCol,
             colMap = prior.colMap)))
@@ -3080,8 +3139,8 @@ object ManifestTable {
           drifted.size * filesPerBucket, cmp, seq = version,
           colMap = prior.colMap)
         if (tryCommitManifest(spark, root, Manifest(version,
-            prior.numBuckets, untouched ++ written, prior.lastBatches,
-            Some(token), attempt, keyColumn, prior.keyExpr,
+            prior.numBuckets, untouched ++ written, batches,
+            deleteToken, attempt, keyColumn, prior.keyExpr,
             prior.lastCompact, prior.rangeBounds, prior.schemaJson,
             prior.udfKey, clusterCol = prior.clusterCol,
             colMap = prior.colMap)))

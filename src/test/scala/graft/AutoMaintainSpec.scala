@@ -66,12 +66,12 @@ class AutoMaintainSpec extends SparkSpec {
       "id", root, numBuckets = 4)
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil)))
+      Some((Seq("v"), Nil, 0)))
     ManifestTable.autoMaintain(spark, root, blooms = Seq("seg"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Nil, Seq("seg"))))
+      Some((Nil, Seq("seg"), 0)))
     ManifestTable.autoMaintain(spark, root)
-    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil)))
+    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0)))
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
     assert(sideDirs(root, "zones") == zb, "stopped maintenance is off")
@@ -90,6 +90,79 @@ class AutoMaintainSpec extends SparkSpec {
     assert(sideDirs(root, "zones") == 0 && sideDirs(root, "bloom") == 0)
   }
 
+  test("declared LAYOUT maintenance: a commit crossing the drift " +
+      "threshold auto-reclusters (sorted again, zones fresh over the " +
+      "new files); below-threshold commits leave the layout alone") {
+    val root = freshRoot("amt_layout")
+    ManifestTable.create(
+      (1L to 2000L).map(i => (i, s"d${i % 10}", i * 3))
+        .toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    ManifestTable.clusterBy(spark, root, schema, "id", "v",
+      token = 1L, filesPerBucket = 4)
+    // refuse a layout declaration on a table with no layout
+    val bare = freshRoot("amt_layout_bare")
+    ManifestTable.create(Seq((1L, "a", 1L)).toDF("id", "seg", "v"),
+      "id", bare, numBuckets = 2)
+    intercept[IllegalArgumentException] {
+      ManifestTable.autoMaintain(spark, bare, reclusterDrift = 1)
+    }
+    ManifestTable.autoMaintain(spark, root, zones = Seq("v"),
+      reclusterDrift = 2)
+    assert(ManifestTable.maintenanceOf(spark, root) ==
+      Some((Seq("v"), Nil, 2)))
+    val vDecl = ManifestTable.currentVersion(spark, root).get
+    // ONE drift file in the touched bucket (a delta tier ADDS a file,
+    // keeping the clustered ones live): below the threshold of 2 —
+    // the layout must NOT move
+    val m = {
+      val mp = new graft.mapping.Mapping()
+      mp.auto("id"); mp.auto("seg"); mp.auto("v"); mp.complete(schema)
+      mp
+    }
+    def raw(rows: (Long, String, String)*) = rows.zipWithIndex
+      .map { case ((id, sg, vv), i) =>
+        (Seq(id.toString, sg, vv), i.toLong) }
+      .toDF("_raw", "_line")
+    ManifestTable.merge(m.project(raw((10L, "dX", "30"))), 2L, m,
+      root, schema, streamId = "S", delta = true)
+    val vAfterDelta = ManifestTable.currentVersion(spark, root).get
+    val mBelow = ManifestTable.currentManifest(spark, root).get
+    assert(mBelow.entries.exists(!_.sorted), "fixture: drift exists")
+    assert(vAfterDelta == vDecl + 1,
+      "below-threshold maintenance must not commit anything")
+    // a SECOND delta on the same key crosses the threshold: the
+    // commit path itself re-clusters — no explicit recluster call
+    ManifestTable.merge(m.project(raw((10L, "dY", "31"))), 3L, m,
+      root, schema, streamId = "S", delta = true)
+    val mAfter = ManifestTable.currentManifest(spark, root).get
+    assert(mAfter.version == vAfterDelta + 2,
+      s"delta + auto-recluster = two commits, got v${mAfter.version}")
+    assert(mAfter.entries.forall(_.sorted),
+      "the auto-reclustered table is fully layout-clean again")
+    assert(mAfter.lastBatches.get("graft-maintain-recluster")
+      .contains(vAfterDelta + 1), "the trigger rides its own ledger")
+    // the folded delta override survives the re-layout
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 10L).head.getString(1) == "dY")
+    // zone sidecars were refreshed by the NESTED maintenance pass over
+    // the re-clustered files: a narrow probe prunes and reads exactly
+    // (id 10's v moved to 31, outside the probed range)
+    val hit = ZoneSkip.lookupRange(spark, root, schema, "v", 300L, 600L)
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq ==
+      (100L to 200L).toSeq)
+    assert(hit.inputFiles.length <
+      ManifestTable.read(spark, root, schema).inputFiles.length / 2,
+      "zones must stay file-granular after the auto refresh")
+    // a quiet commit on the now-clean table: no recluster, no extra
+    // version (the no-drift probe must not commit from the hook)
+    ManifestTable.delete(spark, root, schema, "id", Seq(999999L),
+      token = 4L) // miss-path: token-only commit
+    assert(ManifestTable.currentVersion(spark, root).get ==
+      mAfter.version + 1,
+      "a no-drift maintained commit must stay ONE commit")
+  }
+
   test("SQL face: graft_auto_maintain declares and reports") {
     GraftExtensions.register(spark)
     val root = freshRoot("amt_sql")
@@ -100,7 +173,7 @@ class AutoMaintainSpec extends SparkSpec {
       s"SELECT * FROM graft_auto_maintain('$root', 'v', 'seg')").head
     assert(r.getString(0) == "v" && r.getString(1) == "seg")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Seq("seg"))))
+      Some((Seq("v"), Seq("seg"), 0)))
     assert(sideDirs(root, "zones") > 0 && sideDirs(root, "bloom") > 0)
     // maintenance functions refuse inside views (no commits from a
     // SELECT-wrapped call)
@@ -125,7 +198,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepLast = 1)
     assert(!torn.exists(), "torn maintain dir must be GC'd")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil)), "committed declaration survives vacuum")
+      Some((Seq("v"), Nil, 0)), "committed declaration survives vacuum")
     // and the policy still fires after vacuum
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(9L), token = 2L)
