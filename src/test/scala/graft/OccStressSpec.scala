@@ -12,7 +12,8 @@ import graft.store.ManifestTable
 /** RANDOMIZED N-writer OCC composition: the pairwise interleavings are
   * spec'd elsewhere (CommitFrontSpec, ManifestTableSpec's per-stream
   * replay); this drives >= 4 CONCURRENT writers — merges, delta
-  * merges, keyed deletes and compactions racing through one table —
+  * merges, keyed deletes, predicate UPDATEs, incremental RECLUSTERs
+  * and compactions racing through one table —
   * and asserts the serializable outcome with NO lost update, through
   * BOTH commit fronts (no-overwrite rename and conditional-put).
   *
@@ -64,10 +65,12 @@ class OccStressSpec extends SparkSpec {
     val rng = new scala.util.Random(seed + writer)
     val base = 1000L * (writer + 1)
     (0 until steps).map { s =>
-      val kind = rng.nextInt(10) match {
+      val kind = rng.nextInt(12) match {
         case 0 | 1 => "delete"
         case 2 => "compact"
         case 3 | 4 => "delta"
+        case 10 => "update" // predicate UPDATE over the own range
+        case 11 => "recluster" // incremental layout maintenance
         case _ => "merge"
       }
       val keys = (0 until (1 + rng.nextInt(8)))
@@ -84,7 +87,13 @@ class OccStressSpec extends SparkSpec {
     ops.foreach { op =>
       op.kind match {
         case "delete" => own = own -- op.keys
-        case "compact" => ()
+        case "compact" | "recluster" => ()
+        case "update" =>
+          // UPDATE ... SET score = score + 1000 WHERE id IN (own keys):
+          // only keys currently PRESENT change
+          op.keys.foreach { k =>
+            own.get(k).foreach { case (n, v) => own += k -> (n, v + 1000) }
+          }
         case _ =>
           op.keys.foreach { k =>
             own += k -> (s"w$writer-b${op.batch}", k % 97)
@@ -108,6 +117,14 @@ class OccStressSpec extends SparkSpec {
         case "compact" =>
           ManifestTable.compact(spark, root, schema, "id",
             token = writer * 1000L + op.batch)
+        case "update" =>
+          ManifestTable.updateWhere(spark, root, schema,
+            assign = df => Seq("score" -> (df("score") + 1000L)),
+            condition = df => df("id").isin(op.keys: _*),
+            token = op.batch, tokenStream = Some(s"W$writer#upd"))
+        case "recluster" =>
+          ManifestTable.recluster(spark, root, schema,
+            token = op.batch, tokenStream = Some(s"W$writer#rec"))
         case kind =>
           val ownRows = op.keys.map(k =>
             (k, s"w$writer-b${op.batch}", (k % 97).toString))
@@ -128,10 +145,15 @@ class OccStressSpec extends SparkSpec {
     try {
       val root = freshRoot(name)
       // version-0 bootstrap holding only the shared key, so every
-      // writer's first commit races an existing table
+      // writer's first commit races an existing table; a cluster
+      // layout on `score` so racing RECLUSTER ops have a recorded
+      // definition to refresh
       ManifestTable.create(
         Seq((SharedKey, "seed", 0L)).toDF("id", "name", "score"),
         "id", root, numBuckets = 4)
+      ManifestTable.clusterBy(spark, root, schema, "id", "score",
+        token = 999999L, filesPerBucket = 2)
+      val vStart = ManifestTable.currentVersion(spark, root).get
       val plans = (0 until writers).map(w => planOps(w, steps, seed))
       val pool = Executors.newFixedThreadPool(writers)
       val start = new CountDownLatch(1)
@@ -163,15 +185,15 @@ class OccStressSpec extends SparkSpec {
       val bids = models.flatMap(_._2).toSet + "seed"
       assert(sharedVal.exists(bids), s"shared key holds $sharedVal, " +
         s"not one of $bids")
-      // 3. version arithmetic: every merge/delta/delete serializes as
-      //    exactly one commit (a delete of absent keys commits its
-      //    token — the miss path); compactions may legitimately no-op
+      // 3. version arithmetic: every merge/delta/delete/update/
+      //    recluster serializes as exactly one commit (miss paths
+      //    commit their token); compactions may legitimately no-op
       //    pre-commit when nothing is tiered, so they bound from above
       val nonCompact = plans.map(_.count(_.kind != "compact")).sum
       val total = plans.map(_.size).sum
-      val v = ManifestTable.currentVersion(spark, root).get
+      val v = ManifestTable.currentVersion(spark, root).get - vStart
       assert(v >= nonCompact && v <= total,
-        s"version $v outside [$nonCompact, $total] — a commit was " +
+        s"$v commits outside [$nonCompact, $total] — a commit was " +
           "lost or doubled")
       // 4. the per-stream replay ledgers hold each writer's LAST
       //    batch/token — interleaved writers never clobber each other
@@ -187,17 +209,24 @@ class OccStressSpec extends SparkSpec {
           assert(lb.get(s"W$w#del").contains(lastDel.max),
             s"writer $w delete ledger: ${lb.get(s"W$w#del")} != " +
               s"${lastDel.max}")
+        val lastUpd = plans(w).filter(_.kind == "update").map(_.batch)
+        if (lastUpd.nonEmpty)
+          assert(lb.get(s"W$w#upd").contains(lastUpd.max),
+            s"writer $w update ledger: ${lb.get(s"W$w#upd")} != " +
+              s"${lastUpd.max}")
       }
     } finally front.foreach(_ => spark.conf.unset("spark.graft.commitFront"))
   }
 
-  test("4 writers x 6 randomized ops (merge/delta/delete/compact) " +
-      "through the RENAME front: serializable, no lost updates") {
+  test("4 writers x 6 randomized ops (merge/delta/delete/update/" +
+      "recluster/compact) through the RENAME front: serializable, no " +
+      "lost updates") {
     stress(None, seed = 42L, name = "occ_stress_rename")
   }
 
-  test("4 writers x 6 randomized ops through the CONDITIONAL-PUT " +
-      "front: serializable, no lost updates, different seed") {
+  test("4 writers x 6 randomized ops (incl. update/recluster) through " +
+      "the CONDITIONAL-PUT front: serializable, no lost updates, " +
+      "different seed") {
     stress(Some("conditional-put"), seed = 1337L,
       name = "occ_stress_cput")
   }
