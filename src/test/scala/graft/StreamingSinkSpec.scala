@@ -181,6 +181,35 @@ class StreamingSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a DECLARED sink table keeps zone sidecars fresh across " +
+      "micro-batches: no explicit build anywhere, lookups prune exact") {
+    val root = freshDir("sink_maintain")
+    val ckpt = freshDir("sink_maintain_ckpt")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("id", "name", "score")
+      .writeStream.format(sinkFormat)
+      .option("root", root).option("key", "id").option("numBuckets", "4")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L to 500L).map(i => (i, s"n$i", i * 10)): _*)
+      q.processAllAvailable()
+      // declare once, mid-stream — every later batch commit refreshes
+      ManifestTable.autoMaintain(spark, root, zones = Seq("score"))
+      mem.addData((501L to 600L).map(i => (i, s"n$i", i * 10)): _*)
+      q.processAllAvailable()
+      mem.addData((601L to 700L).map(i => (i, s"n$i", i * 10)): _*)
+      q.processAllAvailable()
+      val s3 = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType), StructField("score", LongType)))
+      val hit = graft.store.ZoneSkip.lookupRange(spark, root, s3,
+        "score", 6500L, 7000L)
+      assert(hit.collect().map(_.getLong(0)).sorted.toSeq ==
+        (650L to 700L).toSeq,
+        "zones must cover the files later batches wrote")
+    } finally q.stop()
+  }
+
   test("CDC follower propagates deletes and nets mixed batches") {
     val baseRoot = freshDir("sink_del_base")
     val derivedRoot = freshDir("sink_del_derived")
