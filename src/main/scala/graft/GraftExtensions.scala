@@ -330,6 +330,35 @@ object GraftExtensions {
         "range_layout", "num_shards", "applied_version", "fresh")
         .queryExecution.analyzed
     }),
+    "graft_maintenance" -> (es => {
+      // The table's DECLARED maintenance policy — the observe half of
+      // graft_auto_maintain's declare: zone/bloom column sets, the
+      // layout-drift threshold, and how much drift is pending right
+      // now (live files non-cluster writers produced, and the buckets
+      // over the threshold — what the NEXT commit would re-cluster).
+      // Plan-time metadata; zero rows when nothing is declared.
+      require(es.size == 1, "usage: graft_maintenance(root)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val rows = graft.store.ManifestTable.maintenanceOf(spark, root)
+        .toSeq.map { case (zones, blooms, drift) =>
+          val m = graft.store.ManifestTable
+            .currentManifest(spark, root)
+          val byBucket = m.map(_.entries.groupBy(_.bucket))
+            .getOrElse(Map.empty)
+          val driftFiles =
+            byBucket.values.map(_.count(!_.sorted)).sum
+          val driftBuckets =
+            if (drift <= 0) 0
+            else byBucket.values.count(_.count(!_.sorted) >= drift)
+          (zones.mkString(","), blooms.mkString(","), drift,
+            driftFiles, driftBuckets)
+        }
+      import spark.implicits._
+      rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
+        "drift_files", "buckets_over_threshold")
+        .queryExecution.analyzed
+    }),
     "graft_auto_maintain" -> (es => {
       refuseInView("graft_auto_maintain")
       // Declares zone/bloom sidecar maintenance on the commit path

@@ -163,6 +163,41 @@ class AutoMaintainSpec extends SparkSpec {
       "a no-drift maintained commit must stay ONE commit")
   }
 
+  test("graft_maintenance: the observe half — declared policy plus " +
+      "live drift accounting") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("amt_observe")
+    ManifestTable.create(
+      (1L to 400L).map(i => (i, s"d${i % 10}", i * 3))
+        .toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    // nothing declared: zero rows
+    assert(spark.sql(s"SELECT * FROM graft_maintenance('$root')")
+      .count() == 0L)
+    ManifestTable.clusterBy(spark, root, schema, "id", "v",
+      token = 1L, filesPerBucket = 2)
+    ManifestTable.autoMaintain(spark, root, zones = Seq("v"),
+      reclusterDrift = 2)
+    val clean = spark.sql(s"SELECT * FROM graft_maintenance('$root')")
+      .head
+    assert(clean.getString(0) == "v" && clean.getInt(2) == 2 &&
+      clean.getInt(3) == 0 && clean.getInt(4) == 0)
+    // one delta file of drift: visible, below the threshold
+    val m = {
+      val mp = new graft.mapping.Mapping()
+      mp.auto("id"); mp.auto("seg"); mp.auto("v"); mp.complete(schema)
+      mp
+    }
+    ManifestTable.merge(
+      Seq((Seq("10", "dX", "30"), 0L)).toDF("_raw", "_line")
+        .transform(mp => m.project(mp)),
+      2L, m, root, schema, streamId = "S", delta = true)
+    val dirty = spark.sql(s"SELECT * FROM graft_maintenance('$root')")
+      .head
+    assert(dirty.getInt(3) == 1 && dirty.getInt(4) == 0,
+      s"one pending drift file, none over threshold: $dirty")
+  }
+
   test("SQL face: graft_auto_maintain declares and reports") {
     GraftExtensions.register(spark)
     val root = freshRoot("amt_sql")
