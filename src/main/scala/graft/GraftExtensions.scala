@@ -346,10 +346,17 @@ object GraftExtensions {
             .currentManifest(spark, root)
           val byBucket = m.map(_.entries.groupBy(_.bucket))
             .getOrElse(Map.empty)
+          // drift is only meaningful against a DECLARED cluster
+          // layout with a non-zero threshold: on a never-clustered
+          // (or zones/bloom-only) table every file is cluster-unaware
+          // and counting them all as "pending drift" would misread.
+          val layoutDeclared =
+            drift > 0 && m.exists(_.clusterCol.nonEmpty)
           val driftFiles =
-            byBucket.values.map(_.count(!_.sorted)).sum
+            if (!layoutDeclared) 0
+            else byBucket.values.map(_.count(!_.sorted)).sum
           val driftBuckets =
-            if (drift <= 0) 0
+            if (!layoutDeclared) 0
             else byBucket.values.count(_.count(!_.sorted) >= drift)
           (zones.mkString(","), blooms.mkString(","), drift,
             driftFiles, driftBuckets)

@@ -131,7 +131,17 @@ class AutoIndexFilter(spark: SparkSession) extends Rule[LogicalPlan]
           points.exists { case (a, _) => resolver(a.name, c) }))
       valueLists = ix.valueCols.map(c => points.collectFirst {
         case (a, vs) if resolver(a.name, c) => vs }.get)
-      product = valueLists.map(_.size.toLong).product
+      // overflow-safe tuple count: cap-and-bail the running product
+      // (a plain Long product of several huge IN-lists can wrap
+      // negative and sneak under maxKeys, then materialize an
+      // astronomical cartesian fan-out on the driver). `bound+1`
+      // saturates as "too many" without losing the ==0 empty-list case.
+      product = {
+        val bound = maxKeys.toLong
+        valueLists.foldLeft(1L) { (acc, vs) =>
+          if (acc > bound) acc else math.min(acc * vs.size, bound + 1)
+        }
+      }
       if product <= maxKeys
       keys <-
         if (product == 0L) Some(Nil) // some list empty: unsatisfiable

@@ -73,15 +73,39 @@ private[graft] object CommitFront {
 
   /** Atomic no-overwrite publish of an already-written local `tmp` at
     * `dst` via hard link; tmp (and its checksum sidecar) are removed
-    * either way. Returns false on EEXIST = lost the race. */
+    * either way. Returns false on EEXIST = lost the race. Paths are
+    * qualified against the FILESYSTEM first — a relative Hadoop path
+    * resolves against `fs.getWorkingDirectory`, not the JVM's CWD,
+    * and `toUri.getPath` on the raw path would conflate the two. On
+    * the rare local fs where link(2) is unsupported (some FUSE/SMB
+    * mounts), degrade LOUDLY to the exclusive-create publish — a
+    * narrowed race beats refusing to commit at all. */
   private def linkPublish(fs: FileSystem, dst: Path, tmp: Path): Boolean = {
-    val t = java.nio.file.Paths.get(tmp.toUri.getPath)
-    val d = java.nio.file.Paths.get(dst.toUri.getPath)
+    val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+    val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
     try {
       val won =
         try { java.nio.file.Files.createLink(d, t); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          case e @ (_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException) =>
+            // hard links unsupported here: fall back to the exclusive
+            // create (CREATE_NEW is still open(O_CREAT|O_EXCL) —
+            // atomic no-overwrite — but readers can see the body
+            // mid-copy, unlike a link; warn so operators know the
+            // torn-read window is open on this mount).
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"hard-link publish unsupported at $d (${e.getMessage})" +
+                "; degrading to exclusive-create copy — concurrent " +
+                "readers may observe a partially-written manifest")
+            try {
+              java.nio.file.Files.copy(t, d,
+                java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
         }
       if (won) {
         // carry the ChecksumFileSystem sidecar so later reads verify;

@@ -1515,8 +1515,22 @@ object ManifestTable {
         val reclustered =
           if (drift > 0 && maintainDepth.get() == 0 &&
               m.clusterCol.nonEmpty && !m.udfKey) {
+            // The declared layout's file granularity isn't a recorded
+            // manifest fact — recover it from the layout itself: the
+            // median sorted-file count over buckets the cluster
+            // writers populated (a clusterBy(filesPerBucket = 16)
+            // bootstrap leaves ~16 sorted files per bucket). Without
+            // this, the hook's recluster would silently rewrite
+            // drifted buckets at the DEFAULT granularity, degrading a
+            // coarser/finer declared layout over time.
+            val sortedCounts = m.entries.groupBy(_.bucket).values
+              .map(_.count(_.sorted)).filter(_ > 0).toSeq.sorted
+            val fpb =
+              if (sortedCounts.isEmpty) 4
+              else sortedCounts(sortedCounts.size / 2)
             maintainDepth.set(1)
             try recluster(spark, root, schema, token = m.version,
+              filesPerBucket = fpb,
               minDriftFiles = drift, commitOnNoDrift = false,
               tokenStream = Some("graft-maintain-recluster")).nonEmpty
             finally maintainDepth.set(0)

@@ -111,8 +111,16 @@ object TableSink {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil),
       checkpoint = p.get("checkpointlocation"),
-      maxDriverKeys = p.get("maxdriverkeys").map(_.toInt)
-        .getOrElse(100000))
+      maxDriverKeys = p.get("maxdriverkeys").map { s =>
+        val n =
+          try s.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"option 'maxdriverkeys' must be an integer, got '$s'") }
+        require(n >= 1,
+          s"option 'maxdriverkeys' must be >= 1, got $n")
+        n
+      }.getOrElse(100000))
   }
 
   /** One micro-batch against the table: net → split deletes → merge →
