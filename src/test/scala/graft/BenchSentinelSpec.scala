@@ -108,4 +108,26 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(BenchSentinel.readCommittedStats(
       dir.resolve("absent.json")) == (Map.empty, None))
   }
+
+  test("committed-stats reader prefers orig_med over the kept median") {
+    // The recheck policy keeps the BETTER median (warm back-to-back
+    // re-run), so kept medians on rechecked rows are systematically
+    // fast — the r12 judge measured phantom cross-round "regressions"
+    // concentrated exactly in the rechecked cohort. The reader must
+    // hand the trigger the FIRST-PASS median (orig_med) when present
+    // so rounds compare originals to originals; pre-r13 captures
+    // without the field still serve their kept med.
+    val dir = java.nio.file.Files.createTempDirectory("benchstats2")
+    val p = dir.resolve("BENCH_STATS.json")
+    java.nio.file.Files.writeString(p,
+      """{"queries_stats":{
+        |"q_rechecked":{"med":0.8,"orig_med":1.4,"err":false},
+        |"q_quiet":{"med":0.5,"orig_med":0.5,"err":false},
+        |"q_old_capture":{"med":0.9,"err":false}}}""".stripMargin)
+    val (meds, _) = BenchSentinel.readCommittedStats(p)
+    assert(meds == Map(
+      "q_rechecked" -> 1.4, // the original, not the warm recheck
+      "q_quiet" -> 0.5,
+      "q_old_capture" -> 0.9)) // pre-orig_med capture falls back
+  }
 }

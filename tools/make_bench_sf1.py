@@ -14,8 +14,13 @@ q01 = s01['queries_stats']
 q1 = s1['queries_stats']
 names = sorted(set(q01) & set(q1))
 queries = {}
+def med(e):
+    # FIRST-PASS median only: kept medians are biased fast on rechecked
+    # rows (warm back-to-back re-runs) — compare originals to originals
+    return e.get('orig_med', e['med'])
+
 for n in names:
-    m0, m1 = q01[n]['med'], q1[n]['med']
+    m0, m1 = med(q01[n]), med(q1[n])
     queries[n] = {
         'sf0.1_med': m0, 'sf1_med': m1,
         'ratio': round(m1 / m0, 2) if m0 else None,
