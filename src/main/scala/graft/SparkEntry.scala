@@ -579,6 +579,9 @@ object SparkEntry {
         withMerge = false)),
     "manifest_delete" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete", withMerge = true)),
+    "manifest_delete_delta" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_delete_delta",
+        withMerge = true)),
     "manifest_read" -> ((s, dir) => {
       // create + merge + DELETE all land here, OUTSIDE the timed region:
       // the query then times ONLY the committed read-back, splitting
@@ -1204,6 +1207,20 @@ object SparkEntry {
       val root = manifestFixture(s, dir, "manifest_delete", withMerge = true)
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_delete_delta" -> ((s, dir) => {
+      // The same GDPR-style erasure in TOMBSTONE mode: the commit
+      // writes one key-only tombstone file per touched bucket instead
+      // of rewriting the buckets — delete cost ∝ deleted keys, never
+      // bucket bytes (at 100 TB: kilobytes written where the rewrite
+      // path writes the touched buckets whole). The read-back
+      // reconciles tombstones exactly, hash-equal to manifest_delete's
+      // full-rewrite result under the same DuckDB oracle.
+      val root = manifestFixture(s, dir, "manifest_delete_delta",
+        withMerge = true)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L, delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_read" -> ((s, dir) => {
@@ -2999,6 +3016,16 @@ object SparkEntry {
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
       "manifest_read" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      "manifest_delete_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

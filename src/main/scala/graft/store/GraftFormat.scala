@@ -550,10 +550,12 @@ private[store] case class GraftBatchScan(
         case _ => OptionalLong.empty()
       }
       // Exact only when every bucket is compacted: a delta-updated key
-      // is counted in both its base and delta file.
+      // is counted in both its base and delta file, and a tombstone's
+      // key rows are erasures, not data.
       override def numRows(): OptionalLong = m match {
         case Some(mf)
-            if mf.entries.groupBy(_.bucket).values.forall(_.size == 1) =>
+            if mf.entries.forall(!_.tomb) &&
+              mf.entries.groupBy(_.bucket).values.forall(_.size == 1) =>
           OptionalLong.of(mf.entries.map(_.rows).sum)
         case _ => OptionalLong.empty()
       }

@@ -127,11 +127,25 @@ object ManifestTable {
     * no extra bookkeeping commit. Legacy entries parse as false
     * (conservative: at worst an already-clustered legacy bucket
     * rewrites once more). */
+  /** `tomb` (format 13) marks a DELETE-TOMBSTONE delta file: a tiny
+    * parquet holding only the key column (the RAW deleted keys, at the
+    * table's key type), written by `delete(delta = true)` at the
+    * commit's own seq. The reconcile chain treats its keys exactly
+    * like any higher-level override — they kill every lower-seq row
+    * with the same normalized key — but the file contributes NO output
+    * rows, so the read sees the keys as deleted. [[compact]] folds
+    * tombstones away like any tiered delta (the reconciled rewrite
+    * simply has no row to carry), and [[vacuum]] GCs their data dirs
+    * normally. This is what makes keyed deletion cost ∝ deleted keys
+    * instead of ∝ touched-bucket bytes — the GDPR-erasure shape at
+    * 100 TB, where rewriting every touched 10 GB-class bucket to erase
+    * 10 keys would be a 100 GB write. */
   final case class FileEntry(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
       relPath: String, seq: Long = 0L, bytes: Long = 0L,
       named: Boolean = false, minZ: String = "", maxZ: String = "",
-      nullKeys: Boolean = true, sorted: Boolean = false)
+      nullKeys: Boolean = true, sorted: Boolean = false,
+      tomb: Boolean = false)
 
   /** `version` is the table's own monotone commit counter (internal —
     * callers never choose it). Replay detection is separate:
@@ -172,6 +186,22 @@ object ManifestTable {
     * [[writeClusteredBuckets]] rename to physical just before the
     * parquet write) — the Delta-Lake column-mapping trick, name-mapping
     * flavor. */
+  /** `splits` (format 13) is the ONLINE BUCKET-SPLIT tree: the set of
+    * split NODES as (value, depth) pairs. Bucket ids form a binary trie
+    * per creation-time bucket: the root of parent `b` is node (b, 0);
+    * splitting node (x, d) replaces it with children x and
+    * x + numBuckets·2^d at depth d+1 (extendible hashing, the sub-bits
+    * drawn from the key hash for BOTH hash and range layouts — see
+    * [[leafExpr]]). Live LEAF values are globally unique (the frontier
+    * of a binary trie is prefix-free), so `FileEntry.bucket` holds the
+    * leaf value alone and every touched-bucket partition keeps working
+    * verbatim; depth matters only for walking the tree, which is why
+    * split nodes record it. Empty = never split (every pre-13 table).
+    * This is what lets a table created at 1 TB grow to 100 TB without
+    * [[rebucket]]'s full rewrite: [[splitBuckets]] rewrites ONLY the
+    * over-threshold leaves, and each leaf's byte size — the unit every
+    * touched-bucket op pays — stays bounded by the split threshold
+    * instead of growing with the table. */
   final case class Manifest(
       version: Long, numBuckets: Int, entries: Seq[FileEntry],
       lastBatches: Map[String, Long] = Map.empty,
@@ -185,7 +215,8 @@ object ManifestTable {
       udfKey: Boolean = false,
       clusterCol: String = "",
       colMap: Seq[(String, String)] = Nil,
-      format: Int = 10)
+      format: Int = 10,
+      splits: Seq[(Int, Int)] = Nil)
 
   private val BucketCol = "_bucket"
 
@@ -261,6 +292,7 @@ object ManifestTable {
     // produce format 6 (appends the range-layout boundary list — empty
     // for hash-bucketed tables).
     val format = lines.head match {
+      case "graft-manifest 13" => 13
       case "graft-manifest 12" => 12
       case "graft-manifest 11" => 11
       case "graft-manifest 10" => 10
@@ -315,6 +347,13 @@ object ManifestTable {
           (dec(pair.substring(0, i)), dec(pair.substring(i + 1)))
         }
       else Nil
+    val splits =
+      if (format >= 13 && h.length > 12 && h(12).nonEmpty)
+        h(12).split(",", -1).toSeq.map { pair =>
+          val i = pair.indexOf(':')
+          (pair.substring(0, i).toInt, pair.substring(i + 1).toInt)
+        }
+      else Nil
     val entries = lines.drop(2).map { l =>
       val f = l.split("\t", -1)
       FileEntry(f(0).toInt, f(1).toLong, dec(f(2)), dec(f(3)), f(4),
@@ -326,11 +365,13 @@ object ManifestTable {
         // pre-11 entries may hold null-keyed rows; format 11 records it
         nullKeys = if (f.length > 10) f(10) == "1" else true,
         // pre-12 entries make no cluster-sort claim
-        sorted = f.length > 11 && f(11) == "1")
+        sorted = f.length > 11 && f(11) == "1",
+        // pre-13 files are never tombstones
+        tomb = f.length > 12 && f(12) == "1")
     }
     Manifest(version, numBuckets, entries, lastBatches, lastDelete, sideId,
       keyColumn, keyExpr, lastCompact, rangeBounds, schemaJson, udfKey,
-      clusterCol, colMap, format)
+      clusterCol, colMap, format, splits)
   }
 
   def currentManifest(spark: SparkSession, root: String): Option[Manifest] =
@@ -400,7 +441,7 @@ object ManifestTable {
       case None => 0L
       case Some(m) =>
         val (multi, single) = m.entries.groupBy(_.bucket).values.toSeq
-          .partition(_.size > 1)
+          .partition(es => es.size > 1 || es.exists(_.tomb))
         val metaCount = single.flatten.map(_.rows).sum
         val deltaCount =
           if (multi.isEmpty) 0L
@@ -761,8 +802,11 @@ object ManifestTable {
       reconcileKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity): DataFrame = {
     if (entries.isEmpty) return emptyFrame(spark, schema)
+    // A bucket carrying a tombstone must reconcile even if the
+    // tombstone is somehow its only file (nothing to emit, but the
+    // plain path would scan the tomb file as data).
     val (multi, single) = entries.groupBy(_.bucket).values.toSeq
-      .partition(_.size > 1)
+      .partition(es => es.size > 1 || es.exists(_.tomb))
     // Every file set becomes a relation through the manifest-backed
     // native scan (GraftScan/GraftFileIndex): planning stats and
     // FileStatuses come from the manifest, key predicates prune files at
@@ -776,31 +820,50 @@ object ManifestTable {
       else {
         require(keyColumn.nonEmpty,
           "bucket has delta files but the manifest records no key column")
+        // Tombstone files ride the same last-seq-wins chain as data
+        // deltas — their keys override every lower level — but emit no
+        // rows: a deleted key simply has no survivor. They are read
+        // under a KEY-ONLY schema (the files hold nothing else), and
+        // their stored keys are RAW (table key type), so the same
+        // reconcileKey normalization applies to them as to data rows.
+        val keyOnly = org.apache.spark.sql.types.StructType(
+          schema.fields.filter(_.name == keyColumn))
         val levels = multi.flatten.groupBy(_.seq).toSeq.sortBy(-_._1)
           .map { case (_, es) =>
-            GraftScan.frame(spark, root, m, es, schema, reconcileKey)
+            val (tombs, datas) = es.partition(_.tomb)
+            (if (datas.isEmpty) None
+             else Some(GraftScan.frame(spark, root, m, datas, schema,
+               reconcileKey)),
+             if (tombs.isEmpty) None
+             else Some(GraftScan.frame(spark, root, m, tombs, keyOnly,
+               reconcileKey)))
           }
         // keys are table-unique, so the chain is safe across buckets; the
         // override key set only ever accumulates DELTA levels (small) —
         // the base level is last and contributes no keys to anything.
         var overridden: Option[DataFrame] = None
-        val parts = levels.zipWithIndex.map { case (lvl, i) =>
-          val out = overridden match {
-            case None => lvl
-            case Some(hk) =>
-              lvl.join(hk, reconcileKey(lvl(keyColumn)) === hk("_hk"),
-                "left_anti")
+        val parts = levels.zipWithIndex.flatMap { case ((data, tomb), i) =>
+          val out = data.map { lvl =>
+            overridden match {
+              case None => lvl
+              case Some(hk) =>
+                lvl.join(hk, reconcileKey(lvl(keyColumn)) === hk("_hk"),
+                  "left_anti")
+            }
           }
           if (i < levels.size - 1) {
-            val lvlKeys = lvl
+            val contrib = (data.toSeq ++ tomb.toSeq).map(_
               .select(reconcileKey(col(keyColumn)).as("_hk"))
-              .filter(col("_hk").isNotNull).distinct()
-            overridden = Some(overridden
-              .map(_.unionByName(lvlKeys).distinct()).getOrElse(lvlKeys))
+              .filter(col("_hk").isNotNull))
+            if (contrib.nonEmpty) {
+              val lvlKeys = contrib.reduce(_ unionByName _).distinct()
+              overridden = Some(overridden
+                .map(_.unionByName(lvlKeys).distinct()).getOrElse(lvlKeys))
+            }
           }
           out
         }
-        Some(parts.reduce(_ unionByName _))
+        if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
       }
     (plain, reconciled) match {
       case (Some(p), Some(r)) => p.unionByName(r)
@@ -828,7 +891,7 @@ object ManifestTable {
     * racing writers never collide pre-commit either. */
   private def tryCommitManifest(
       spark: SparkSession, root: String, m: Manifest): Boolean = {
-    val body = (s"graft-manifest 12" +:
+    val body = (s"graft-manifest 13" +:
       Seq(
         m.numBuckets.toString,
         m.lastBatches.toSeq.sortBy(_._1)
@@ -843,13 +906,16 @@ object ManifestTable {
         if (m.udfKey) "1" else "0",
         enc(m.clusterCol),
         m.colMap.map { case (l, p) => s"${enc(l)}=${enc(p)}" }
-          .mkString(",")).mkString("\t") +:
+          .mkString(","),
+        m.splits.map { case (v, d) => s"$v:$d" }.mkString(","))
+        .mkString("\t") +:
       m.entries.sortBy(e => (e.bucket, e.seq)).map(e =>
         s"${e.bucket}\t${e.rows}\t${enc(e.minKey)}\t${enc(e.maxKey)}\t" +
           s"${e.relPath}\t${e.seq}\t${e.bytes}\t" +
           s"${if (e.named) "1" else "0"}\t${enc(e.minZ)}\t${enc(e.maxZ)}" +
           s"\t${if (e.nullKeys) "1" else "0"}" +
-          s"\t${if (e.sorted) "1" else "0"}"))
+          s"\t${if (e.sorted) "1" else "0"}" +
+          s"\t${if (e.tomb) "1" else "0"}"))
       .mkString("", "\n", "\n")
     val dst = new Path(s"$root/manifest/m${m.version}")
     val tmp = new Path(s"$root/manifest/.tmp-m${m.version}-${m.sideId}")
@@ -1145,7 +1211,8 @@ object ManifestTable {
               prior.rangeBounds,
               recordableSchema(Some(prior), df.schema).json,
               keyExprRec.isEmpty || prior.udfKey,
-              clusterCol = prior.clusterCol, colMap = cmap)))
+              clusterCol = prior.clusterCol, colMap = cmap,
+              splits = prior.splits)))
             return
           cleanupAttempt(spark, root, version, attempt)
       }
@@ -1328,7 +1395,8 @@ object ManifestTable {
                 udfKey = keyExprRec.isEmpty ||
                   prior.exists(_.udfKey),
                 clusterCol = prior.map(_.clusterCol).getOrElse(""),
-                colMap = prior.map(_.colMap).getOrElse(Nil))))
+                colMap = prior.map(_.colMap).getOrElse(Nil),
+                splits = prior.map(_.splits).getOrElse(Nil))))
             Some(written)
           else {
             cleanupAttempt(spark, root, version, attempt)
@@ -2038,6 +2106,22 @@ object ManifestTable {
     * collide with, and silently swallow, a user's delete token on the
     * same table (the collision class [[compact]]'s separate
     * `lastCompact` token already avoids). */
+  /** `delta = true` switches keyed deletion to TOMBSTONE mode: instead
+    * of rewriting every touched bucket in full (a 100 GB write to erase
+    * 10 keys from 10 GB-class buckets), the commit writes one tiny
+    * key-only tombstone file per touched bucket — cost ∝ deleted keys,
+    * the [[merge]] `delta = true` discipline applied to deletes. The
+    * reconcile chain serves reads exactly (tombstone keys override all
+    * lower levels and emit nothing), [[compact]] folds tombstones away,
+    * and the change feed derives the same 'delete' rows it would from a
+    * rewrite (the bucket's file set changed; the key-diff sees the rows
+    * vanish). Like a delta merge it REQUIRES a recordable comparator
+    * (readers must reconcile in normalized key space) — refused loudly
+    * on udfKey layouts. Tombstones may name keys the table never held
+    * (precision would cost reading the bucket — the thing this mode
+    * avoids); they are inert: an override of an absent key kills
+    * nothing, and a later merge re-inserting the key wins at its higher
+    * seq. */
   def delete(
       spark: SparkSession,
       root: String,
@@ -2047,7 +2131,8 @@ object ManifestTable {
       token: Long,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         identity,
-      tokenStream: Option[String] = None): Seq[FileEntry] = {
+      tokenStream: Option[String] = None,
+      delta: Boolean = false): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -2058,6 +2143,10 @@ object ManifestTable {
       // Rewrite guard: a stale (pre-evolution) caller schema would erase
       // the newer columns' values in every rewritten bucket.
       checkSchemaCompatible(prior, schema, "delete", allowAdd = true)
+      if (delta) require(!prior.udfKey,
+        "delete(delta = true) needs a recordable key comparator — a " +
+          "udfKey layout's readers cannot reconcile tombstones in " +
+          "normalized key space")
       val batches = tokenStream.fold(prior.lastBatches)(s =>
         prior.lastBatches + (s -> token))
       val deleteToken =
@@ -2082,8 +2171,36 @@ object ManifestTable {
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
             prior.rangeBounds, prior.schemaJson, prior.udfKey,
-            clusterCol = prior.clusterCol, colMap = prior.colMap)))
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
           return Nil
+      } else if (delta) {
+        // TOMBSTONE mode: one key-only file per touched bucket, raw
+        // keys at the table's key type (the reconcile applies the same
+        // recorded normalizer to them as to data rows). Buckets no
+        // probe key targets — and keys whose bucket holds no live
+        // entries — write nothing: there is nothing their tombstone
+        // could kill. Null keys are inert in the reconcile's anti-join
+        // and are dropped here so hash(null) can't bucket them.
+        val keyField = schema(schema.fieldIndex(keyColumn))
+        val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+        val targets = touchedEntries.map(_.bucket).distinct
+        val tombDf = probeFrame(spark, keyColumn, keys)
+          .select(col(keyColumn).cast(keyField.dataType).as(keyColumn))
+          .filter(col(keyColumn).isNotNull && cmp(col(keyColumn)).isNotNull)
+          .distinct()
+          .filter(bucket.isin(targets.map(Integer.valueOf): _*))
+        val written = writeBuckets(tombDf, bucket, keyColumn, root,
+          s"v$version-$attempt", targets.size, cmp, seq = version,
+          colMap = prior.colMap).map(_.copy(tomb = true))
+        if (tryCommitManifest(spark, root, Manifest(version, n,
+            prior.entries ++ written, batches, deleteToken, attempt,
+            keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
+          return written
+        cleanupAttempt(spark, root, version, attempt)
       } else {
         // Keep-filter must be NULL-safe: `key isin (...)` is NULL for a
         // NULL key, and a bare `!NULL` filter would silently DROP
@@ -2116,7 +2233,8 @@ object ManifestTable {
             untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact,
             prior.rangeBounds, prior.schemaJson, prior.udfKey,
-            clusterCol = prior.clusterCol, colMap = prior.colMap)))
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -2313,7 +2431,8 @@ object ManifestTable {
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
             prior.rangeBounds, prior.schemaJson, prior.udfKey,
-            clusterCol = prior.clusterCol, colMap = prior.colMap)))
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
           return Nil
       } else {
         val reconciled = reconciledRead(spark, root, schema, prior,
@@ -2326,7 +2445,8 @@ object ManifestTable {
             untouched ++ written, batches, deleteToken, attempt,
             keyColumn, prior.keyExpr, prior.lastCompact,
             prior.rangeBounds, prior.schemaJson, prior.udfKey,
-            clusterCol = prior.clusterCol, colMap = prior.colMap)))
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
           return written
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -2540,7 +2660,7 @@ object ManifestTable {
           prior.lastCompact, bounds,
           recordableSchema(Some(prior), schema).json,
           udfKey = prior.udfKey, clusterCol = prior.clusterCol,
-          colMap = prior.colMap)))
+          colMap = prior.colMap, splits = prior.splits)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -2594,7 +2714,7 @@ object ManifestTable {
           written, prior.lastBatches, Some(token), attempt, keyColumn,
           prior.keyExpr, prior.lastCompact, newRangeBounds,
           prior.schemaJson, prior.udfKey, colMap = prior.colMap)))
-        return // rebucket re-lays out key-sorted: clusterCol resets
+        return // rebucket re-lays out whole: clusterCol + splits reset
       cleanupAttempt(spark, root, version, attempt)
     }
   }
@@ -2651,7 +2771,7 @@ object ManifestTable {
           prior.lastDelete, newAttemptId(), prior.keyColumn,
           prior.keyExpr, prior.lastCompact, prior.rangeBounds,
           newSchema.json, prior.udfKey, clusterCol = prior.clusterCol,
-          colMap = prior.colMap)))
+          colMap = prior.colMap, splits = prior.splits)))
         return
       // OCC loss: metadata-only, nothing to clean — retry on new state
     }
@@ -2732,7 +2852,7 @@ object ManifestTable {
           newKeyExpr, prior.lastCompact, prior.rangeBounds,
           newSchema.json, prior.udfKey,
           clusterCol = renameClusterCol(prior.clusterCol, from, to),
-          colMap = cmap)))
+          colMap = cmap, splits = prior.splits)))
         return
       // OCC loss: metadata-only, nothing to clean — retry on new state
     }
@@ -2923,7 +3043,8 @@ object ManifestTable {
           prior.numBuckets, written, prior.lastBatches, Some(token),
           attempt, keyColumn, prior.keyExpr, prior.lastCompact,
           prior.rangeBounds, prior.schemaJson, prior.udfKey,
-          clusterCol = clusterCol, colMap = prior.colMap)))
+          clusterCol = clusterCol, colMap = prior.colMap,
+          splits = prior.splits)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -3005,7 +3126,7 @@ object ManifestTable {
           attempt, keyColumn, prior.keyExpr, prior.lastCompact,
           prior.rangeBounds, prior.schemaJson, prior.udfKey,
           clusterCol = s"zorder(${clusterCols.mkString(",")})",
-          colMap = prior.colMap)))
+          colMap = prior.colMap, splits = prior.splits)))
         return
       cleanupAttempt(spark, root, version, attempt)
     }
@@ -3133,7 +3254,7 @@ object ManifestTable {
             deleteToken, attempt, keyColumn, prior.keyExpr,
             prior.lastCompact, prior.rangeBounds, prior.schemaJson,
             prior.udfKey, clusterCol = prior.clusterCol,
-            colMap = prior.colMap)))
+            colMap = prior.colMap, splits = prior.splits)))
           return Nil
       } else {
         val (touchedEntries, untouched) =
@@ -3157,7 +3278,7 @@ object ManifestTable {
             deleteToken, attempt, keyColumn, prior.keyExpr,
             prior.lastCompact, prior.rangeBounds, prior.schemaJson,
             prior.udfKey, clusterCol = prior.clusterCol,
-            colMap = prior.colMap)))
+            colMap = prior.colMap, splits = prior.splits)))
           return drifted.toSeq.sorted
         cleanupAttempt(spark, root, version, attempt)
       }
@@ -3244,7 +3365,7 @@ object ManifestTable {
           newAttemptId(), target.keyColumn, target.keyExpr,
           prior.lastCompact, target.rangeBounds, target.schemaJson,
           target.udfKey, clusterCol = target.clusterCol,
-          colMap = target.colMap)))
+          colMap = target.colMap, splits = target.splits)))
         return
       // nothing to clean on an OCC loss: restore writes no attempt
       // artifacts, only the temp manifest tryCommitManifest removes
@@ -3307,7 +3428,8 @@ object ManifestTable {
           thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
           attempt, keyColumn, prior.keyExpr, Some(token),
           prior.rangeBounds, prior.schemaJson, prior.udfKey,
-          clusterCol = prior.clusterCol, colMap = prior.colMap)))
+          clusterCol = prior.clusterCol, colMap = prior.colMap,
+          splits = prior.splits)))
         return written
       cleanupAttempt(spark, root, version, attempt)
     }

@@ -355,7 +355,8 @@ object ZoneSkip {
       try kindOf(dt)
       catch { case _: IllegalArgumentException => return None }
     if (m.entries.isEmpty) return Some((None, None))
-    if (m.entries.groupBy(_.bucket).values.exists(_.size > 1)) return None
+    if (m.entries.exists(_.tomb) ||
+        m.entries.groupBy(_.bucket).values.exists(_.size > 1)) return None
     val rows = zonesOf(spark, root).filter(col("column") === column)
       .select("relPath", "kind", "minS", "maxS", "nonNull").collect()
       .map(r => r.getString(0) ->

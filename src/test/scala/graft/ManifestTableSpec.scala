@@ -1477,4 +1477,127 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema)
       .orderBy("id").collect().toSeq == Seq(Row(1L, "a", 1L)))
   }
+
+  test("tombstone deletes: key-sized writes, exact reads, compact folds, " +
+      "vacuum GCs, feed shows the deletes") {
+    val root = freshRoot("manifest_tomb")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 16L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+
+    // WRITE COST: the tombstone commit adds key-only files and removes
+    // nothing — every prior data file stays live, byte-identical
+    val victims = Seq(3L, 5L, 11L)
+    val before = m0.entries
+      .map(e => e.relPath -> fileDigests(s"$root/${e.relPath}")).toMap
+    val w = ManifestTable.delete(spark, root, schema, "id", victims,
+      token = 1L, delta = true)
+    assert(w.nonEmpty && w.forall(_.tomb), s"expected tomb entries: $w")
+    assert(w.map(_.rows).sum == victims.size,
+      s"tombstones must be key-sized, got ${w.map(_.rows).sum} rows")
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    m0.entries.foreach(e => assert(m1.entries.contains(e),
+      s"a tombstone delete must keep every prior file live: $e"))
+    before.foreach { case (rel, d) =>
+      assert(fileDigests(s"$root/$rel") == d,
+        s"data files must stay byte-identical under a tombstone: $rel")
+    }
+
+    // READS: read/lookup/countRows all exclude the deleted keys
+    def ids() = ManifestTable.read(spark, root, schema)
+      .select("id").as[Long].collect().toSet
+    assert(ids() == (1L to 16L).toSet -- victims)
+    assert(ManifestTable.lookup(spark, root, schema, "id", victims)
+      .count() == 0L, "lookup must not resurrect a tombstoned key")
+    assert(ManifestTable.lookup(spark, root, schema, "id", Seq(4L))
+      .count() == 1L)
+    assert(ManifestTable.countRows(spark, root, schema) == 13L)
+
+    // CDC: the tombstone commit diffs to exactly the delete rows
+    val feed = ManifestTable.changes(spark, root, schema, "id", 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(feed == victims.map(v => (v, "delete")).toSet, s"bad feed: $feed")
+
+    // a later merge RE-INSERTS a tombstoned key: higher seq wins
+    ManifestTable.merge(m.project(raw((5L, "back", "50"))),
+      1L, m, root, schema, streamId = "A", delta = true)
+    assert(ids() == (1L to 16L).toSet -- Seq(3L, 11L))
+
+    // an ABSENT-key tombstone is inert and feeds nothing
+    val preAbsent = ManifestTable.currentVersion(spark, root).get
+    ManifestTable.delete(spark, root, schema, "id", Seq(99L),
+      token = 2L, delta = true)
+    val vAbsent = ManifestTable.currentVersion(spark, root).get
+    assert(ids() == (1L to 16L).toSet -- Seq(3L, 11L))
+    assert(ManifestTable.changes(spark, root, schema, "id",
+      preAbsent, vAbsent).count() == 0L,
+      "an absent-key tombstone must not feed phantom deletes")
+
+    // replay: the same token no-ops
+    assert(ManifestTable.delete(spark, root, schema, "id", Seq(4L),
+      token = 2L, delta = true).isEmpty)
+    assert(ids() == (1L to 16L).toSet -- Seq(3L, 11L))
+
+    // COMPACT folds tombstones away: no tomb entries survive, state
+    // unchanged, every bucket single-file
+    val preCompact = ManifestTable.currentVersion(spark, root).get
+    ManifestTable.compact(spark, root, schema, "id", token = 50L)
+    val mc = ManifestTable.currentManifest(spark, root).get
+    assert(mc.entries.forall(!_.tomb),
+      "compact must fold tombstones away")
+    assert(mc.entries.groupBy(_.bucket).values.forall(_.size == 1))
+    assert(ids() == (1L to 16L).toSet -- Seq(3L, 11L))
+    assert(ManifestTable.changes(spark, root, schema, "id", preCompact,
+      mc.version).count() == 0L, "compact must stay row-invisible")
+
+    // VACUUM GCs the folded-away tombstone dirs with the other
+    // superseded data
+    ManifestTable.vacuum(spark, root)
+    val live = mc.entries.map(_.relPath.split("/")(1)).toSet
+    val dataDirs = new java.io.File(s"$root/data").list().toSet
+    assert(dataDirs == live,
+      s"vacuum must GC superseded tombstone dirs: $dataDirs vs $live")
+    assert(ids() == (1L to 16L).toSet -- Seq(3L, 11L))
+  }
+
+  test("tombstone deletes honor the recorded key comparator") {
+    val root = freshRoot("manifest_tomb_cmp")
+    val schemaS = StructType(Seq(
+      StructField("id", StringType), StructField("v", LongType)))
+    val mm = new Mapping() {
+      override def keyComparator = c => lower(trim(c))
+    }
+    mm.auto("id"); mm.auto("v")
+    mm.complete(schemaS)
+    def rawS(rows: (String, String)*): DataFrame =
+      rows.zipWithIndex.map { case ((id, v), i) =>
+        (Seq(id, v), i.toLong) }.toDF("_raw", "_line")
+    ManifestTable.merge(mm.project(rawS(
+      ("  Alpha ", "1"), ("beta", "2"), ("Gamma", "3"))),
+      0L, mm, root, schemaS, numBuckets = 4)
+    // the raw probe key normalizes onto the stored row's space
+    ManifestTable.delete(spark, root, schemaS, "id", Seq("ALPHA  "),
+      token = 1L, keyComparator = c => lower(trim(c)), delta = true)
+    val left = ManifestTable.read(spark, root, schemaS)
+      .select("v").as[Long].collect().toSet
+    assert(left == Set(2L, 3L),
+      s"normalized tombstone must kill the normalized match: $left")
+    // a udfKey layout refuses delta deletes loudly
+    val rootU = freshRoot("manifest_tomb_udf")
+    val udf = org.apache.spark.sql.functions.udf((s: String) => s.trim)
+    val mu = new Mapping() {
+      override def keyComparator = c => udf(c)
+    }
+    mu.auto("id"); mu.auto("v")
+    mu.complete(schemaS)
+    ManifestTable.merge(mu.project(rawS(("a", "1"))), 0L, mu, rootU,
+      schemaS, numBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.delete(spark, rootU, schemaS, "id", Seq("a"),
+        token = 1L, keyComparator = c => udf(c), delta = true)
+    }
+    assert(e.getMessage.contains("delta"))
+  }
 }
