@@ -341,7 +341,7 @@ object GraftExtensions {
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       val rows = graft.store.ManifestTable.maintenanceOf(spark, root)
-        .toSeq.map { case (zones, blooms, drift) =>
+        .toSeq.map { case (zones, blooms, drift, derived) =>
           val m = graft.store.ManifestTable
             .currentManifest(spark, root)
           val byBucket = m.map(_.entries.groupBy(_.bucket))
@@ -359,11 +359,11 @@ object GraftExtensions {
             if (!layoutDeclared) 0
             else byBucket.values.count(_.count(!_.sorted) >= drift)
           (zones.mkString(","), blooms.mkString(","), drift,
-            driftFiles, driftBuckets)
+            driftFiles, driftBuckets, derived)
         }
       import spark.implicits._
       rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
-        "drift_files", "buckets_over_threshold")
+        "drift_files", "buckets_over_threshold", "maintain_derived")
         .queryExecution.analyzed
     }),
     "graft_auto_maintain" -> (es => {
@@ -373,22 +373,30 @@ object GraftExtensions {
       // every data commit refreshes the named columns' sidecars
       // incrementally. The optional 4th arg declares LAYOUT
       // maintenance too — recluster when a bucket accumulates that
-      // many drift files (0 = off). Re-declaring REPLACES (empty
-      // strings / 0 stop).
-      require(es.size == 3 || es.size == 4,
+      // many drift files (0 = off) — and the optional 5th declares
+      // DERIVED-table maintenance: registered secondary indexes and
+      // registered (prep-less) materialized views refresh on every
+      // data commit, keeping the Auto* rewrite freshness gates closed
+      // with no follower loop. Re-declaring REPLACES (empty strings /
+      // 0 / 0 stop).
+      require(es.size >= 3 && es.size <= 5,
         "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
-          "[, reclusterDrift])")
+          "[, reclusterDrift[, maintainDerived]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       val (z, b) = (cols(1, "zone columns"), cols(2, "bloom columns"))
       val drift =
-        if (es.size == 4) longArg(es(3), "reclusterDrift").toInt else 0
-      graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift)
+        if (es.size >= 4) longArg(es(3), "reclusterDrift").toInt else 0
+      val derived =
+        es.size == 5 && longArg(es(4), "maintainDerived") != 0L
+      graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift,
+        derived)
       import spark.implicits._
-      Seq((z.mkString(","), b.mkString(","), drift))
-        .toDF("zone_cols", "bloom_cols", "recluster_drift")
+      Seq((z.mkString(","), b.mkString(","), drift, derived))
+        .toDF("zone_cols", "bloom_cols", "recluster_drift",
+          "maintain_derived")
         .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {

@@ -507,10 +507,11 @@ object SparkEntry {
       sideReady += "manifest_index_probe_auto_idx"
     }),
     "manifest_index_filter_auto" -> ((s, dir) => {
-      resetManifestFixture(s, dir, "manifest_index_filter_auto",
+      val root = resetManifestFixture(s, dir, "manifest_index_filter_auto",
         withMerge = true)
       resetSideRoot(s, "manifest_index_filter_auto_idx")
       graft.store.SecondaryIndex.create(s, ixFilterDef)
+      graft.store.ManifestTable.autoMaintain(s, root, derived = true)
       sideReady += "manifest_index_filter_auto_idx"
     }),
     "manifest_index_sharded" -> ((s, dir) => {
@@ -582,6 +583,9 @@ object SparkEntry {
     "manifest_delete_delta" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete_delta",
         withMerge = true)),
+    "manifest_bucket_split" -> ((s, dir) =>
+      resetManifestFixture(s, dir, "manifest_bucket_split",
+        withMerge = true, numBuckets = 4)),
     "manifest_read" -> ((s, dir) => {
       // create + merge + DELETE all land here, OUTSIDE the timed region:
       // the query then times ONLY the committed read-back, splitting
@@ -1209,6 +1213,28 @@ object SparkEntry {
         (1 to 10).map(_ * 13L), token = 1L)
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
+    "manifest_bucket_split" -> ((s, dir) => {
+      // ONLINE BUCKET SPLIT under the driver gate: the table
+      // bootstraps COARSE (4 buckets — the "created at 1 TB, grown to
+      // 100 TB" shape), the upsert merges, then splitBuckets rewrites
+      // only the over-median leaves into children (manifest-recorded
+      // split tree), and a targeted DELETE afterwards must address the
+      // SPLIT leaves exactly — hash-equal to manifest_delete's result
+      // on a flat layout under the same DuckDB oracle. At 100 TB this
+      // is the op that keeps every touched-bucket cost bounded by the
+      // split threshold instead of growing with the table.
+      val root = manifestFixture(s, dir, "manifest_bucket_split",
+        withMerge = true, numBuckets = 4)
+      val m0 = graft.store.ManifestTable.currentManifest(s, root).get
+      val leafBytes = m0.entries.groupBy(_.bucket).values
+        .map(_.map(_.bytes).sum).toSeq.sorted
+      val threshold = leafBytes(leafBytes.size / 2)
+      graft.store.ManifestTable.splitBuckets(s, root, upsertSchema,
+        token = 1L, maxBytes = math.max(1L, threshold))
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 2L)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
     "manifest_delete_delta" -> ((s, dir) => {
       // The same GDPR-style erasure in TOMBSTONE mode: the commit
       // writes one key-only tombstone file per touched bucket instead
@@ -1309,21 +1335,29 @@ object SparkEntry {
           col("nation"), col("dkey"))
     }),
     "manifest_index_filter_auto" -> ((s, dir) => {
-      // AutoIndexFilter: a plain literal IN predicate on the indexed
-      // NAME column of the v2 face — no API call — becomes a bounded
-      // index probe + version-pinned key-pruned scan (the rule keeps
-      // the original predicate row-level, so values are exact even if
-      // the index answered a superset). Hash-equals DuckDB's filter
-      // over the merged state; pruning evidence is
-      // AutoIndexFilterSpec's.
+      // AutoIndexFilter under DECLARED derived maintenance: the index
+      // is created once and NEVER explicitly refreshed — the
+      // autoMaintain(derived = true) declaration makes every base
+      // commit (the probed-row delete below) advance it through the
+      // commit hook's exactly-once ledger, so the rule's freshness
+      // gate stays open with no follower loop. The rule then turns the
+      // plain literal IN predicate on the indexed NAME column — no API
+      // call — into a bounded index probe + version-pinned key-pruned
+      // scan. Hash-equals DuckDB's filter over the merged-minus-
+      // deleted state; rewrite-fires evidence is AutoMaintainSpec's.
       GraftExtensions.register(s)
       val root = manifestFixture(s, dir, "manifest_index_filter_auto",
         withMerge = true)
       if (!sideReady.contains("manifest_index_filter_auto_idx")) {
         resetSideRoot(s, "manifest_index_filter_auto_idx")
         graft.store.SecondaryIndex.create(s, ixFilterDef)
+        graft.store.ManifestTable.autoMaintain(s, root, derived = true)
         sideReady += "manifest_index_filter_auto_idx"
       }
+      // a data commit with NO explicit index refresh: deletes a PROBED
+      // row, so a stale-index wrong answer would hash-mismatch
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        Seq(97L), token = 7L) // replays no-op on later runs
       val probes = (1 to 10).map(i => f"Customer#${i * 97}%09d")
       s.read.format("graft").load(root)
         .filter(col("name").isin(probes: _*))
@@ -2784,7 +2818,8 @@ object SparkEntry {
                   WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
                   WHEN c_custkey % 4 = 0 THEN NULL
                   ELSE CAST(99 AS BIGINT) END AS nation
-             FROM customer WHERE ($inTgt) OR ($inSrc)) m
+             FROM customer WHERE (($inTgt) OR ($inSrc))
+               AND c_custkey <> 97) m
            WHERE m.name IN ('Customer#000000097', 'Customer#000000194', 'Customer#000000291', 'Customer#000000388', 'Customer#000000485', 'Customer#000000582', 'Customer#000000679', 'Customer#000000776', 'Customer#000000873', 'Customer#000000970')""",
       "manifest_merge_delta" ->
         s"""SELECT c_custkey AS id, c_name AS name,
@@ -3016,6 +3051,16 @@ object SparkEntry {
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
       "manifest_read" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      "manifest_bucket_split" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

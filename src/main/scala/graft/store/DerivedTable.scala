@@ -127,7 +127,8 @@ private[graft] object DerivedTable {
       keyFrame: DataFrame,
       baseVersion: Long,
       tokenStream: String,
-      maxDriverKeys: Int): Unit = {
+      maxDriverKeys: Int,
+      delta: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     // Common case first: the whole set fits one chunk (usually a
     // handful of vanished groups, often zero) — ONE bounded
@@ -138,7 +139,7 @@ private[graft] object DerivedTable {
     if (head.length <= maxDriverKeys) {
       ManifestTable.delete(spark, root, schema, keyCol,
         head.map(_.get(0)).toIndexedSeq, token = baseVersion,
-        tokenStream = Some(tokenStream))
+        tokenStream = Some(tokenStream), delta = delta)
       return
     }
     // Past the cap: deterministic sorted chunks. The key itself
@@ -152,7 +153,7 @@ private[graft] object DerivedTable {
       val token =
         if (last) baseVersion else baseVersion * 1000000L + chunk
       ManifestTable.delete(spark, root, schema, keyCol, buf.toSeq,
-        token = token, tokenStream = Some(tokenStream))
+        token = token, tokenStream = Some(tokenStream), delta = delta)
       chunk += 1
       buf.clear()
     }

@@ -320,7 +320,11 @@ private[store] object GraftScan {
     // names (column mapping): name the physical key, checked against
     // the physical schema.
     val physKey = ManifestTable.physicalOf(m, m.keyColumn)
-    if (m.rangeBounds.isEmpty && recordedIdentity(m) &&
+    // A split table's leaf ids exceed numBuckets and no longer match
+    // Spark's own hash-bucket addressing — the BucketSpec claim (and
+    // its co-bucketed-join promise) must decline, never lie.
+    if (m.splits.isEmpty &&
+        m.rangeBounds.isEmpty && recordedIdentity(m) &&
         m.keyColumn.nonEmpty && m.numBuckets > 0 &&
         // BucketSpec itself refuses counts above
         // spark.sql.sources.bucketing.maxBuckets (default 100k) — a
@@ -369,7 +373,7 @@ private[store] object GraftScan {
     val probeEval =
       if (provenLayout(m) && keyType.isDefined)
         ManifestTable.probeEvaluator(spark, m.numBuckets, m.rangeBounds,
-          m.keyColumn, keyType.get, cmp)
+          m.splits, m.keyColumn, keyType.get, cmp)
       else None
     // COLUMN MAPPING: the relation reads files under their PHYSICAL
     // names (data files never change on a rename — Manifest.colMap),

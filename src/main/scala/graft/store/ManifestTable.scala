@@ -666,6 +666,72 @@ object ManifestTable {
         array(rangeBounds.map(lit): _*), b => rendered >= b)), lit(0))
     }
 
+  /** LEAF-bucket assignment under the table's split tree (format 13 —
+    * see [[Manifest.splits]]): the creation-time bucket is the trie
+    * root; a key descends while its current node is split, taking the
+    * child its own hash bits select. Node values are computed so that
+    * the child of node x at depth d is `x` or `x + numBuckets·2^d`:
+    *   - hash layout: the node at depth d is pmod(hash(norm),
+    *     numBuckets·2^d) — the linear-hashing address, which agrees
+    *     with [[bucketExpr]] at depth 0 and refines it one bit per
+    *     level;
+    *   - range layout: parent + numBuckets·pmod(hash(norm), 2^d) — the
+    *     range bucket keeps ordering the PARENT space (range pruning
+    *     stays bucket-contiguous at parent granularity) and the hash
+    *     supplies the sub-bits.
+    * Live leaf values are globally unique (a binary trie's frontier is
+    * prefix-free, and values of different parents differ mod
+    * numBuckets), so everything keyed by `FileEntry.bucket` — touched-
+    * bucket partitions, probes, compaction, the change feed — works on
+    * leaf values verbatim. A table with no splits gets [[bucketExpr]]
+    * back unchanged (identical plan, zero cost). */
+  private[graft] def leafExpr(
+      numBuckets: Int, rangeBounds: Seq[String], splits: Seq[(Int, Int)],
+      norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parent = bucketExpr(numBuckets, rangeBounds, norm)
+    if (splits.isEmpty) parent
+    else {
+      val h = hash(norm)
+      def at(d: Int): org.apache.spark.sql.Column =
+        if (rangeBounds.isEmpty)
+          pmod(h.cast("long"), lit(numBuckets.toLong << d)).cast("int")
+        else parent + lit(numBuckets) * pmod(h, lit(1 << d))
+      val byDepth = splits.groupBy(_._2)
+      val maxD = splits.map(_._2).max
+      var e = parent
+      for (d <- 0 to maxD) {
+        val vals = byDepth.getOrElse(d, Nil).map(_._1)
+        if (vals.nonEmpty)
+          e = when(e.isin(vals.map(Integer.valueOf): _*), at(d + 1))
+            .otherwise(e)
+      }
+      e
+    }
+  }
+
+  private[store] def leafExpr(m: Manifest,
+      norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    leafExpr(m.numBuckets, m.rangeBounds, m.splits, norm)
+
+  /** Depth of live leaf `leaf` in the split tree — the walk from its
+    * creation-time root, descending along `leaf`'s own address bits.
+    * Refuses a value that is not a live leaf (an internal split node,
+    * or an address no split produced). */
+  private[store] def leafDepth(m: Manifest, leaf: Int): Int = {
+    val splitSet = m.splits.toSet
+    var x = ((leaf % m.numBuckets) + m.numBuckets) % m.numBuckets
+    var d = 0
+    while (splitSet.contains((x, d))) {
+      val mod = m.numBuckets.toLong << (d + 1)
+      x = (leaf.toLong % mod).toInt
+      d += 1
+    }
+    require(x == leaf,
+      s"bucket $leaf is not a live leaf of the split tree " +
+        s"(numBuckets ${m.numBuckets}, splits ${m.splits})")
+    d
+  }
+
   /** Probe keys normalized under [[effectiveKey]]: returns
     * (bucket, normalizedValue) per key, computed by Spark itself so the
     * normalization is exactly the one the table's layout used. The
@@ -718,8 +784,7 @@ object ManifestTable {
     if (keys.isEmpty) return Nil
     val cmp = effectiveKey(m, keyComparator)
     probeFrame(spark, keyColumn, keys)
-      .select(bucketExpr(m.numBuckets, m.rangeBounds,
-          cmp(col(keyColumn))).as("b"),
+      .select(leafExpr(m, cmp(col(keyColumn))).as("b"),
         cmp(col(keyColumn)).as("k"),
         cmp(col(keyColumn)).cast("string").as("s"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getString(2))).toSeq
@@ -743,6 +808,7 @@ object ManifestTable {
       spark: SparkSession,
       numBuckets: Int,
       rangeBounds: Seq[String],
+      splits: Seq[(Int, Int)],
       keyColumn: String,
       keyType: org.apache.spark.sql.types.DataType,
       cmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
@@ -756,7 +822,8 @@ object ManifestTable {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(keyColumn, keyType))))
     val proj = empty.select(
-      bucketExpr(numBuckets, rangeBounds, cmp(col(keyColumn))).as("b"),
+      leafExpr(numBuckets, rangeBounds, splits,
+        cmp(col(keyColumn))).as("b"),
       cmp(col(keyColumn)).cast("string").as("s"))
     proj.queryExecution.analyzed match {
       case Project(exprs, l: LocalRelation) =>
@@ -1196,7 +1263,7 @@ object ManifestTable {
           val version = prior.version + 1
           val n = prior.numBuckets
           val cmp = effectiveKey(prior, keyComparator)
-          val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+          val bucket = leafExpr(prior, cmp(col(keyColumn)))
           checkPhysicalCollision(prior, df.schema, "replace")
           // an overwrite may narrow the schema; keep only the mappings
           // its fields still need
@@ -1292,8 +1359,9 @@ object ManifestTable {
       // Like numBuckets, the range layout is a table property fixed at
       // creation — a merge carries it through.
       val bounds = prior.map(_.rangeBounds).getOrElse(Nil)
+      val splits = prior.map(_.splits).getOrElse(Nil)
       val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => bucketExpr(n, bounds, mapping.keyComparator(c))
+        c => leafExpr(n, bounds, splits, mapping.keyComparator(c))
       // should_import rows (flagged by the pipeline) still flow through the
       // upsert — that's where they're counted — but must not mark buckets
       // touched: an all-ignored batch rewrites nothing.
@@ -1494,7 +1562,14 @@ object ManifestTable {
     // read the column as null (parquet missing-column fill), so
     // pre-r12 policies parse unchanged.
     org.apache.spark.sql.types.StructField("recluster_drift",
-      org.apache.spark.sql.types.IntegerType)))
+      org.apache.spark.sql.types.IntegerType),
+    // r13: declared DERIVED-TABLE maintenance — when true, every data
+    // commit refreshes the base's registered secondary indexes and
+    // registered materialized views through their exactly-once replay
+    // ledgers, so the Auto* optimizer rewrites' freshness gates stay
+    // closed with no follower loop. Older rows read null = false.
+    org.apache.spark.sql.types.StructField("maintain_derived",
+      org.apache.spark.sql.types.BooleanType)))
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1507,12 +1582,25 @@ object ManifestTable {
     * best-effort — a failed build logs a warning and never fails the
     * already-published commit. Cost rides the change rate: covered
     * files no-op, only commit-touched files scan. */
+  /** `derived = true` additionally declares DERIVED-TABLE maintenance:
+    * every data commit refreshes the base's REGISTERED secondary
+    * indexes ([[SecondaryIndex.registered]]) and registered
+    * materialized views ([[MaterializedView.registeredViews]]) through
+    * their exactly-once ledgers — the [[graft.store.AutoIndexFilter]]/
+    * [[AutoProbeJoin]] freshness gates then never see a lagging
+    * derived table, with no follower loop to operate. Refreshes are
+    * change-rate-bounded by construction (the CDC feed reads only
+    * commit-touched buckets) and best-effort like every hook step: a
+    * failed refresh logs and leaves the derived table lagging — which
+    * the freshness gates treat exactly as before this existed (decline
+    * and serve the plain plan), never wrong. */
   def autoMaintain(
       spark: SparkSession,
       root: String,
       zones: Seq[String] = Nil,
       blooms: Seq[String] = Nil,
-      reclusterDrift: Int = 0): Unit = {
+      reclusterDrift: Int = 0,
+      derived: Boolean = false): Unit = {
     require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
@@ -1521,7 +1609,8 @@ object ManifestTable {
         "clusterBy/zOrderBy before declaring layout maintenance")
     val row = org.apache.spark.sql.Row(
       zones.mkString(","), blooms.mkString(","),
-      Integer.valueOf(reclusterDrift))
+      Integer.valueOf(reclusterDrift),
+      java.lang.Boolean.valueOf(derived))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1535,20 +1624,21 @@ object ManifestTable {
     * without a declaration pays a single fs.exists, never a manifest
     * read. */
   def maintenanceOf(spark: SparkSession, root: String)
-      : Option[(Seq[String], Seq[String], Int)] = {
+      : Option[(Seq[String], Seq[String], Int, Boolean)] = {
     val dir = new Path(s"$root/maintain")
     if (!fsOf(spark, dir).exists(dir)) return None
     val dirs = committedAdditiveDirs(spark, root, "maintain")
     if (dirs.isEmpty) return None
     // per-dir reads in commit order: the newest declaration replaces
-    var last: Option[(Seq[String], Seq[String], Int)] = None
+    var last: Option[(Seq[String], Seq[String], Int, Boolean)] = None
     dirs.foreach { d =>
       spark.read.schema(MaintainSchema).parquet(d).collect()
         .foreach { r =>
           def cols(x: String) =
             x.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
           last = Some((cols(r.getString(0)), cols(r.getString(1)),
-            if (r.isNullAt(2)) 0 else r.getInt(2)))
+            if (r.isNullAt(2)) 0 else r.getInt(2),
+            !r.isNullAt(3) && r.getBoolean(3)))
         }
     }
     last
@@ -1570,7 +1660,7 @@ object ManifestTable {
   private def maintainSidecars(
       spark: SparkSession, root: String, m: Manifest): Unit =
     try maintenanceOf(spark, root).foreach {
-      case (zones, blooms, drift) =>
+      case (zones, blooms, drift, derived) =>
       if (m.schemaJson.nonEmpty) {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.schemaJson)
@@ -1608,6 +1698,34 @@ object ManifestTable {
           val bc = blooms.filter(schema.fieldNames.contains)
           if (zc.nonEmpty) ZoneSkip.buildZones(spark, root, schema, zc)
           if (bc.nonEmpty) BloomSkip.buildBlooms(spark, root, schema, bc)
+        }
+        // DERIVED-table upkeep: advance every registered secondary
+        // index and materialized view to this commit through their
+        // exactly-once ledgers (a replay/raced refresh no-ops). Each
+        // failure is contained per derived table — one broken index
+        // must not strand the others — and leaves that table lagging,
+        // which its freshness gate already treats as "decline, serve
+        // the plain plan". When the layout trigger reclustered above,
+        // the nested commit's own hook already advanced them to the
+        // recluster version and these calls no-op on the ledger.
+        if (derived) {
+          SecondaryIndex.registered(spark, root, schema).foreach { ix =>
+            try SecondaryIndex.refresh(spark, ix)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                maintainLog.warn(s"declared index maintenance failed " +
+                  s"for ${ix.indexRoot} at $root v${m.version}: $e")
+            }
+          }
+          MaterializedView.registeredViews(spark, root, schema)
+            .foreach { v =>
+              try MaterializedView.refresh(spark, v)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  maintainLog.warn(s"declared view maintenance failed " +
+                    s"for ${v.viewRoot} at $root v${m.version}: $e")
+              }
+            }
         }
       }
     } catch {
@@ -2183,7 +2301,7 @@ object ManifestTable {
         // could kill. Null keys are inert in the reconcile's anti-join
         // and are dropped here so hash(null) can't bucket them.
         val keyField = schema(schema.fieldIndex(keyColumn))
-        val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+        val bucket = leafExpr(prior, cmp(col(keyColumn)))
         val targets = touchedEntries.map(_.bucket).distinct
         val tombDf = probeFrame(spark, keyColumn, keys)
           .select(col(keyColumn).cast(keyField.dataType).as(keyColumn))
@@ -2225,7 +2343,7 @@ object ManifestTable {
             reconciled.join(pf,
               cmp(col(keyColumn)) === pf("_probe_k"), "left_anti")
           }
-        val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+        val bucket = leafExpr(prior, cmp(col(keyColumn)))
         val written = writeBuckets(fragment, bucket, keyColumn, root,
           s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
           cmp, seq = version, colMap = prior.colMap)
@@ -2378,7 +2496,7 @@ object ManifestTable {
       val version = prior.version + 1
       val n = prior.numBuckets
       val cmp = effectiveKey(prior, keyComparator)
-      val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+      val bucket = leafExpr(prior, cmp(col(keyColumn)))
       // discovery: the predicate's TRUE rows, reduced to their buckets —
       // ≤ numBuckets result rows, bounded at any table size; a zone
       // hint narrows the scanned entries to sidecar-candidate files
@@ -2532,7 +2650,8 @@ object ManifestTable {
         .select(Bridge.column(sourceKey).cast(keyType).as(key))
         .filter(col(key).isNotNull)
         .groupBy(col(key)).agg(count(lit(1)).as("_c"))
-        .select(bucketExpr(n, bounds, col(key)).as("_b"), col("_c"))
+        .select(leafExpr(n, bounds, prior.splits, col(key)).as("_b"),
+          col("_c"))
         .groupBy(col("_b"))
         .agg(sum("_c").as("_n"), max("_c").as("_mx"))
         .collect()
@@ -2650,7 +2769,7 @@ object ManifestTable {
       //    delete/merge commit skeleton (losers clean their attempt
       //    dirs and recompute against the new state)
       val written = writeBuckets(outDf,
-        bucketExpr(n, bounds, col(key)), key, root,
+        leafExpr(n, bounds, prior.splits, col(key)), key, root,
         s"v$version-$attempt", math.max(touched.size, 1), seq = version,
         colMap = prior.colMap)
       if (tryCommitManifest(spark, root, Manifest(version, n,
@@ -2717,6 +2836,132 @@ object ManifestTable {
         return // rebucket re-lays out whole: clusterCol + splits reset
       cleanupAttempt(spark, root, version, attempt)
     }
+  }
+
+  /** ONLINE BUCKET SPLIT — bucket-count evolution without [[rebucket]]'s
+    * full-table rewrite. The one cost class that otherwise grows with
+    * TABLE size instead of change rate is bucket BYTES: `numBuckets`
+    * is fixed at creation, so a table created at 1 TB that grows to
+    * 100 TB has 100× oversized buckets, and every touched-bucket op
+    * (merge rewrite, delete, lookup scan) pays them. This splits ONLY
+    * the leaves over `maxBytes` — each into 2^k children sized back
+    * under the threshold (k from the leaf's own recorded bytes) — as a
+    * leaf-local rewrite: untouched leaves carry their entries verbatim,
+    * and the manifest records the split tree ([[Manifest.splits]]) so
+    * [[leafExpr]] keeps addressing every key correctly for merges,
+    * probes, DML discovery, compaction and the change feed. Reconciles
+    * the leaf's delta/tombstone files as a side effect (the rewrite is
+    * a [[compact]] of that leaf). Split leaves lose their cluster-sort
+    * claim (`sorted = false` — declared layout maintenance re-sorts
+    * them on its next pass). Co-bucketed `BucketSpec` claims decline
+    * once a table is split (leaf ids exceed `numBuckets` — the read
+    * side must never promise Spark's own bucket addressing); that is
+    * the one optimization splitting trades away, and [[rebucket]]
+    * restores it when wanted.
+    *
+    * Cost ∝ over-threshold leaf bytes — the data that must move under
+    * ANY re-layout — never table size. Token-replayed like [[delete]]
+    * (`lastDelete` slot, or a caller-named stream); a no-split call
+    * commits the token only (`commitOnNoSplit = false` for hook-driven
+    * callers, the [[recluster]] discipline). Returns the leaf values
+    * that split. */
+  def splitBuckets(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      token: Long,
+      maxBytes: Long,
+      keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity,
+      tokenStream: Option[String] = None,
+      commitOnNoSplit: Boolean = true): Seq[Int] = {
+    require(maxBytes > 0, "maxBytes must be > 0")
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val replayed = tokenStream match {
+        case Some(s) => prior.lastBatches.get(s).contains(token)
+        case None => prior.lastDelete.contains(token)
+      }
+      if (replayed) return Nil
+      checkSchemaCompatible(prior, schema, "splitBuckets", allowAdd = true)
+      val keyColumn = prior.keyColumn
+      require(keyColumn.nonEmpty,
+        s"table at $root records no key column — splitting needs the " +
+          "key to re-address rows")
+      val attempt = newAttemptId()
+      val version = prior.version + 1
+      val batches = tokenStream.fold(prior.lastBatches)(s =>
+        prior.lastBatches + (s -> token))
+      val deleteToken =
+        if (tokenStream.isEmpty) Some(token) else prior.lastDelete
+      val byLeaf = prior.entries.groupBy(_.bucket)
+      // threshold on RECORDED bytes (every format-4+ writer records
+      // them); a leaf whose entries predate byte recording reads 0 and
+      // never splits — conservative, and one compact refreshes it
+      val oversize: Map[Int, Long] = byLeaf.view
+        .mapValues(_.map(_.bytes).sum).filter(_._2 > maxBytes).toMap
+      if (oversize.isEmpty) {
+        if (!commitOnNoSplit) return Nil
+        if (tryCommitManifest(spark, root, Manifest(version,
+            prior.numBuckets, prior.entries, batches, deleteToken,
+            attempt, keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
+          return Nil
+      } else {
+        // per oversize leaf: the 2^k fanout that lands children back
+        // under maxBytes, recorded as the leaf's full k-level subtree
+        // of split nodes (the data moves ONCE, straight to the final
+        // leaves). Depth is bounded so leaf values stay in Int range.
+        var newSplits = prior.splits
+        var fanoutTotal = 0
+        oversize.foreach { case (leaf, bytes) =>
+          val d0 = leafDepth(prior, leaf)
+          var k = 1
+          while ((bytes >> k) > maxBytes && k < 20) k += 1
+          while ((prior.numBuckets.toLong << (d0 + k)) > Int.MaxValue &&
+              k > 0) k -= 1
+          require(k >= 1,
+            s"leaf $leaf at depth $d0 cannot split further without " +
+              s"overflowing bucket addressing (numBuckets " +
+              s"${prior.numBuckets})")
+          // subtree: all internal nodes of the k-level fanout under
+          // (leaf, d0) — node (x, d) has children x and x + N·2^d
+          var frontier = Seq((leaf, d0))
+          (0 until k).foreach { _ =>
+            newSplits = newSplits ++ frontier
+            frontier = frontier.flatMap { case (x, d) =>
+              Seq((x, d + 1),
+                ((x.toLong + (prior.numBuckets.toLong << d)).toInt, d + 1))
+            }
+          }
+          fanoutTotal += frontier.size
+        }
+        val touchedEntries = prior.entries.filter(e =>
+          oversize.contains(e.bucket))
+        val untouched = prior.entries.filterNot(e =>
+          oversize.contains(e.bucket))
+        val cmp = effectiveKey(prior, keyComparator)
+        val fragment = reconciledRead(spark, root, schema, prior,
+          touchedEntries, keyColumn, cmp)
+        val bucket = leafExpr(prior.numBuckets, prior.rangeBounds,
+          newSplits, cmp(col(keyColumn)))
+        val written = writeBuckets(fragment, bucket, keyColumn, root,
+          s"v$version-$attempt", fanoutTotal, cmp, seq = version,
+          colMap = prior.colMap)
+        if (tryCommitManifest(spark, root, Manifest(version,
+            prior.numBuckets, untouched ++ written, batches, deleteToken,
+            attempt, keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = newSplits)))
+          return oversize.keys.toSeq.sorted
+        cleanupAttempt(spark, root, version, attempt)
+      }
+    }
+    Nil // unreachable
   }
 
   /** The schema a write onto an EXISTING table may record: per-column
@@ -3033,8 +3278,7 @@ object ManifestTable {
       val version = prior.version + 1
       val all = readManifestState(spark, root, schema, Some(prior))
       val cmp = effectiveKey(prior, keyComparator)
-      val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
-        cmp(col(keyColumn)))
+      val bucket = leafExpr(prior, cmp(col(keyColumn)))
       val written = writeClusteredBuckets(all, bucket, keyColumn,
         col(clusterCol), root, s"v$version-$attempt",
         prior.numBuckets * filesPerBucket, cmp, seq = version,
@@ -3115,8 +3359,7 @@ object ManifestTable {
       val z = zExprOf(all, clusterCols,
         prior.entries.map(_.rows).sum, sampleRows, bits, seed = token)
       val cmp = effectiveKey(prior, keyComparator)
-      val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
-        cmp(col(keyColumn)))
+      val bucket = leafExpr(prior, cmp(col(keyColumn)))
       val written = writeClusteredBuckets(all, bucket, keyColumn,
         z, root, s"v$version-$attempt",
         prior.numBuckets * filesPerBucket, cmp, seq = version,
@@ -3267,8 +3510,7 @@ object ManifestTable {
           else zExprOf(frag, clusterCols,
             touchedEntries.map(_.rows).sum, sampleRows, bits,
             seed = token)
-        val bucket = bucketExpr(prior.numBuckets, prior.rangeBounds,
-          cmp(col(keyColumn)))
+        val bucket = leafExpr(prior, cmp(col(keyColumn)))
         val written = writeClusteredBuckets(frag, bucket, keyColumn,
           cluster, root, s"v$version-$attempt",
           drifted.size * filesPerBucket, cmp, seq = version,
@@ -3420,7 +3662,7 @@ object ManifestTable {
       val cmp = effectiveKey(prior, keyComparator)
       val fragment = reconciledRead(spark, root, schema, prior,
         tiered.flatten, keyColumn, cmp)
-      val bucket = bucketExpr(n, prior.rangeBounds, cmp(col(keyColumn)))
+      val bucket = leafExpr(prior, cmp(col(keyColumn)))
       val written = writeBuckets(fragment, bucket, keyColumn, root,
         s"v$version-$attempt", tiered.size, cmp, seq = version,
         colMap = prior.colMap)
@@ -3650,7 +3892,7 @@ object ManifestTable {
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
       Seq("history", "stats", "bloom", "bloomsum", "zones",
-          "indexreg", "maintain").foreach { kind =>
+          "indexreg", "viewreg", "maintain").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {

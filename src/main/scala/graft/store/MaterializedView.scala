@@ -48,6 +48,14 @@ object MaterializedView {
     * refresh token. */
   val DeleteStream: String = DerivedTable.deleteStream(StreamId)
 
+  /** The default (absent) `prep` — a NAMED identity so registration can
+    * tell "no prep" from a caller-supplied transform by reference: a
+    * view defined purely by (groupCols, sumCols, minMaxCols) is fully
+    * reconstructible from a registry row and can auto-maintain from
+    * the base's commit hook; an arbitrary prep FUNCTION cannot ride a
+    * parquet sidecar, so such views keep explicit refresh. */
+  val NoPrep: DataFrame => DataFrame = identity
+
   final case class View(
       baseRoot: String,
       baseSchema: StructType,
@@ -56,7 +64,7 @@ object MaterializedView {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
-      prep: DataFrame => DataFrame = identity,
+      prep: DataFrame => DataFrame = NoPrep,
       numBuckets: Int = 16) {
     require(groupCols.nonEmpty, "need at least one group column")
   }
@@ -78,6 +86,79 @@ object MaterializedView {
     * ledger records that version. Rejects NULL groups up front — a
     * silent drop here would surface as a refresh-time brick later.
     * Returns the captured base version. */
+  /** The base-root registry of views (the [[SecondaryIndex]] `indexreg`
+    * mechanism, `viewreg` kind): rows record everything needed to
+    * reconstruct a prep-less View, so the base's declared maintenance
+    * hook ([[ManifestTable.autoMaintain]] `derived = true`) can refresh
+    * views it discovers from the root alone. Advisory: a row whose view
+    * root no longer holds a manifest (dropped view) is skipped. */
+  private val RegistrySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("group_cols",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sum_cols",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("minmax_cols",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("view_root",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("num_buckets",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Records `v` on its base table so commit-hook maintenance can
+    * discover it. Refused for views with a caller-supplied `prep` —
+    * a function cannot ride a parquet sidecar, and registering a view
+    * the hook would then refresh WITHOUT its prep would silently
+    * maintain the wrong aggregate. [[create]] registers automatically
+    * exactly when the view is prep-less. */
+  def register(spark: SparkSession, v: View): Unit = {
+    require(v.prep eq NoPrep,
+      s"view at ${v.viewRoot} has a caller-supplied prep transform — " +
+        "it cannot be reconstructed from a registry row; keep explicit " +
+        "refresh for it")
+    val m = ManifestTable.currentManifest(spark, v.baseRoot).getOrElse(
+      throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
+    val row = org.apache.spark.sql.Row(v.groupCols.mkString(","),
+      v.sumCols.mkString(","), v.minMaxCols.mkString(","),
+      v.viewRoot, Integer.valueOf(v.numBuckets))
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), RegistrySchema)
+    ManifestTable.writeAdditiveSidecar(spark, v.baseRoot, m, df,
+      "viewreg")
+  }
+
+  /** The base's registered, resolvable, PREP-LESS views — what the
+    * commit hook refreshes. Newest registry row per view root wins;
+    * rows whose view root has no manifest, or whose columns have left
+    * the caller's schema, are skipped. */
+  def registeredViews(spark: SparkSession, baseRoot: String,
+      baseSchema: StructType): Seq[View] = {
+    val dirs = ManifestTable.committedAdditiveDirs(spark, baseRoot,
+      "viewreg")
+    if (dirs.isEmpty) return Nil
+    val m = ManifestTable.currentManifest(spark, baseRoot)
+      .getOrElse(return Nil)
+    val newest = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.Row]
+    dirs.foreach { d =>
+      spark.read.schema(RegistrySchema).parquet(d).collect().foreach {
+        r => newest(r.getString(3)) = r
+      }
+    }
+    def cols(x: String) =
+      x.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    newest.values.toSeq.flatMap { r =>
+      val gs = cols(r.getString(0))
+      val ss = cols(r.getString(1))
+      val ms = cols(r.getString(2))
+      val root = r.getString(3)
+      if (ManifestTable.currentVersion(spark, root).isEmpty) None
+      else if (!(gs ++ ss ++ ms).forall(c =>
+        baseSchema.fieldNames.contains(c))) None
+      else Some(View(baseRoot, baseSchema, m.keyColumn, root, gs, ss,
+        ms, numBuckets = r.getInt(4)))
+    }
+  }
+
   def create(spark: SparkSession, v: View): Long = {
     val cur = ManifestTable.currentVersion(spark, v.baseRoot).getOrElse(
       throw new IllegalStateException(s"no base table at ${v.baseRoot}"))
@@ -92,6 +173,10 @@ object MaterializedView {
           "groups in prep")
       DerivedTable.bootstrap(spark, withKey(v, full), keyCol(v),
         v.viewRoot, v.numBuckets, StreamId, cur)
+      // prep-less views register on the base so commit-hook maintenance
+      // can discover and refresh them (prep functions can't ride a
+      // sidecar — those views keep explicit refresh)
+      if (v.prep eq NoPrep) register(spark, v)
       cur
     } finally full.unpersist()
   }

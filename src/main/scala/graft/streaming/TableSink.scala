@@ -177,8 +177,12 @@ object TableSink {
       val keyFrame = netted.filter(coalesce(d, lit(false)))
         .filter(col(o.key).isNotNull)
         .select(o.key).distinct()
+      // a delta-mode (LSM) sink tombstones its deletes too: delete
+      // cost tracks deleted keys, and the sink's own compactEvery
+      // cadence folds the tombstones with the delta tiers
       graft.store.DerivedTable.deleteChunked(spark, o.root, tableSchema,
-        o.key, keyFrame, batchId, s"$streamId#delete", o.maxDriverKeys)
+        o.key, keyFrame, batchId, s"$streamId#delete", o.maxDriverKeys,
+        delta = o.delta)
     }
     if (o.delta && o.compactEvery > 0 && batchId > 0 &&
         batchId % o.compactEvery == 0) {

@@ -66,12 +66,12 @@ class AutoMaintainSpec extends SparkSpec {
       "id", root, numBuckets = 4)
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0)))
+      Some((Seq("v"), Nil, 0, false)))
     ManifestTable.autoMaintain(spark, root, blooms = Seq("seg"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Nil, Seq("seg"), 0)))
+      Some((Nil, Seq("seg"), 0, false)))
     ManifestTable.autoMaintain(spark, root)
-    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0)))
+    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0, false)))
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
     assert(sideDirs(root, "zones") == zb, "stopped maintenance is off")
@@ -110,7 +110,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"),
       reclusterDrift = 2)
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 2)))
+      Some((Seq("v"), Nil, 2, false)))
     val vDecl = ManifestTable.currentVersion(spark, root).get
     // ONE drift file in the touched bucket (a delta tier ADDS a file,
     // keeping the clustered ones live): below the threshold of 2 —
@@ -208,7 +208,7 @@ class AutoMaintainSpec extends SparkSpec {
       s"SELECT * FROM graft_auto_maintain('$root', 'v', 'seg')").head
     assert(r.getString(0) == "v" && r.getString(1) == "seg")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Seq("seg"), 0)))
+      Some((Seq("v"), Seq("seg"), 0, false)))
     assert(sideDirs(root, "zones") > 0 && sideDirs(root, "bloom") > 0)
     // maintenance functions refuse inside views (no commits from a
     // SELECT-wrapped call)
@@ -233,10 +233,109 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepLast = 1)
     assert(!torn.exists(), "torn maintain dir must be GC'd")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0)), "committed declaration survives vacuum")
+      Some((Seq("v"), Nil, 0, false)),
+      "committed declaration survives vacuum")
     // and the policy still fires after vacuum
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(9L), token = 2L)
     assert(sideDirs(root, "zones") > zb)
+  }
+
+  test("declared DERIVED maintenance: registered index and view stay " +
+      "fresh across commits with zero explicit refresh; the Auto " +
+      "rewrite's freshness gate stays open") {
+    val root = freshRoot("amt_derived")
+    val ixRoot = freshRoot("amt_derived_idx")
+    val vRoot = freshRoot("amt_derived_view")
+    ManifestTable.create(
+      (1L to 400L).map(i => (i, s"dom${i % 20}", i * 3))
+        .toDF("id", "seg", "v"),
+      "id", root, numBuckets = 4)
+    val ix = graft.store.SecondaryIndex.Index(root, schema, "id",
+      ixRoot, "seg", 4)
+    graft.store.SecondaryIndex.create(spark, ix)
+    val view = graft.store.MaterializedView.View(root, schema, "id",
+      vRoot, Seq("seg"), Seq("v"))
+    graft.store.MaterializedView.create(spark, view)
+    ManifestTable.autoMaintain(spark, root, derived = true)
+    // NO explicit refresh below this line.
+    def mapping = {
+      val m = new graft.mapping.Mapping()
+      m.auto("id"); m.auto("seg"); m.auto("v")
+      m.complete(schema)
+      m
+    }
+    def raw(rows: (Long, String, Long)*) =
+      rows.zipWithIndex.map { case ((id, g, v), i) =>
+        (Seq(id.toString, g, v.toString), i.toLong) }
+        .toDF("_raw", "_line")
+    // commit 1: a merge moving ids 3, 401 into dom7
+    ManifestTable.merge(mapping.project(
+      raw((3L, "dom7", 999L), (401L, "dom7", 5L))),
+      0L, mapping, root, schema, streamId = "t")
+    val cur1 = ManifestTable.currentVersion(spark, root).get
+    assert(graft.store.SecondaryIndex.appliedVersion(spark, ix) == cur1,
+      "the commit hook must have advanced the index")
+    assert(graft.store.MaterializedView.appliedVersion(spark, view)
+      == cur1, "the commit hook must have advanced the view")
+    // index serves the moved keys; view aggregates reflect the merge
+    val keys = graft.store.SecondaryIndex
+      .keysOf(spark, ix, Seq("dom7"), 1000).get.map(_.toString.toLong)
+    assert(keys.toSet.contains(3L) && keys.toSet.contains(401L))
+    val dom7 = graft.store.MaterializedView.read(spark, view)
+      .filter(col("seg") === "dom7").head()
+    val expect7 = (7L to 400L by 20L).map(_ * 3).sum + 999L + 5L
+    assert(dom7.getAs[Long]("sum_v") == expect7,
+      s"view must reflect the merge: $dom7 expected $expect7")
+    // commit 2: a tombstone delete — still zero explicit refresh
+    ManifestTable.delete(spark, root, schema, "id", Seq(3L),
+      token = 9L, delta = true)
+    val cur2 = ManifestTable.currentVersion(spark, root).get
+    assert(graft.store.SecondaryIndex.appliedVersion(spark, ix) == cur2)
+    assert(graft.store.MaterializedView.appliedVersion(spark, view)
+      == cur2)
+    assert(!graft.store.SecondaryIndex
+      .keysOf(spark, ix, Seq("dom7"), 1000).get
+      .map(_.toString.toLong).toSet.contains(3L),
+      "hook refresh must apply the delete to the index")
+    assert(graft.store.MaterializedView.read(spark, view)
+      .filter(col("seg") === "dom7").head().getAs[Long]("sum_v") ==
+      expect7 - 999L)
+  }
+
+  test("derived maintenance: a view with caller-supplied prep refuses " +
+      "registration (it cannot ride a sidecar) and is never " +
+      "hook-refreshed") {
+    val root = freshRoot("amt_prep")
+    val vRoot = freshRoot("amt_prep_view")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, s"d${i % 5}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 2)
+    val prepped = graft.store.MaterializedView.View(root, schema, "id",
+      vRoot, Seq("seg"), Seq("v"),
+      prep = df => df.filter(col("v") > 10))
+    graft.store.MaterializedView.create(spark, prepped)
+    val e = intercept[IllegalArgumentException] {
+      graft.store.MaterializedView.register(spark, prepped)
+    }
+    assert(e.getMessage.contains("prep"))
+    // the create did NOT auto-register it: the root discovers no views
+    assert(graft.store.MaterializedView
+      .registeredViews(spark, root, schema).isEmpty)
+  }
+
+  test("SQL faces carry the derived flag: declare via " +
+      "graft_auto_maintain(..., 1) and observe via graft_maintenance") {
+    val root = freshRoot("amt_sql_derived")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, s"d${i % 5}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 2)
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      s"SELECT * FROM graft_auto_maintain('$root', 'v', '', 0, 1)").head
+    assert(r.getBoolean(3), s"declare face must echo derived: $r")
+    val obs = spark.sql(s"SELECT * FROM graft_maintenance('$root')").head
+    assert(obs.getAs[Boolean]("maintain_derived"),
+      s"observe face must report derived: $obs")
   }
 }

@@ -1,0 +1,307 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mapping.Mapping
+import graft.store.ManifestTable
+
+/** Online bucket split (SURVEY row 161): the table-size-proportional
+  * cost class retired. `numBuckets` is fixed at creation, so bucket
+  * BYTES grow with the table and every touched-bucket op pays them;
+  * [[ManifestTable.splitBuckets]] rewrites ONLY over-threshold leaves
+  * into 2^k children and records the split tree in the manifest, so
+  * [[ManifestTable.leafExpr]] keeps addressing every key for merges,
+  * probes, deletes, DML discovery, compaction and the change feed. */
+class BucketSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", LongType)))
+
+  private def mapping = {
+    val m = new Mapping()
+    m.auto("id"); m.auto("name"); m.auto("score")
+    m.complete(schema)
+    m
+  }
+
+  private def raw(rows: (Long, String, String)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((id, n, s), i) => (Seq(id.toString, n, s), i.toLong) }
+      .toDF("_raw", "_line")
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  /** (relative path, size, md5) of every regular file under dir. */
+  private def fileDigests(dir: String): Map[String, (Long, String)] = {
+    val base = Paths.get(dir)
+    if (!Files.exists(base)) Map.empty
+    else {
+      val s = Files.walk(base)
+      try s.filter(Files.isRegularFile(_)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+        (base.relativize(p).toString, (Files.size(p), md5))
+      }.toMap
+      finally s.close()
+    }
+  }
+
+  private def state(root: String): Map[Long, (String, Long)] =
+    ManifestTable.read(spark, root, schema).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("only over-threshold leaves rewrite; addressing stays exact " +
+      "across merge/lookup/delete/changes; repeated splits nest") {
+    val root = freshRoot("bucket_split")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 64L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 4)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    val sizes = m0.entries.groupBy(_.bucket).view
+      .mapValues(_.map(_.bytes).sum).toMap
+    assert(sizes.values.forall(_ > 0), "writer must record bytes")
+    // threshold chosen so SOME buckets split and some don't
+    val sorted = sizes.values.toSeq.sorted
+    val threshold = sorted(sorted.size / 2)
+    val expectSplit = sizes.filter(_._2 > threshold).keySet
+    val expectKeep = sizes.keySet -- expectSplit
+    assert(expectSplit.nonEmpty && expectKeep.nonEmpty,
+      s"fixture must have both cohorts: $sizes threshold $threshold")
+    val before = state(root)
+    val keepDigests = m0.entries.filter(e => expectKeep(e.bucket))
+      .map(e => e.relPath -> fileDigests(s"$root/${e.relPath}")).toMap
+
+    val split = ManifestTable.splitBuckets(spark, root, schema,
+      token = 1L, maxBytes = threshold)
+    assert(split.toSet == expectSplit, s"split $split vs $expectSplit")
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m1.splits.nonEmpty)
+    // untouched leaves carry verbatim, byte-identical
+    m0.entries.filter(e => expectKeep(e.bucket)).foreach(e =>
+      assert(m1.entries.contains(e), s"kept leaf must carry: $e"))
+    keepDigests.foreach { case (rel, d) =>
+      assert(fileDigests(s"$root/$rel") == d)
+    }
+    // split leaves' entries replaced by >1 children each, leaf values
+    // globally unique, every child under the old parent mod numBuckets
+    val newLeaves = m1.entries.filterNot(m0.entries.contains)
+    assert(newLeaves.nonEmpty)
+    newLeaves.groupBy(_.bucket).keys.foreach { leaf =>
+      assert(expectSplit.contains(((leaf % 4) + 4) % 4),
+        s"child leaf $leaf must refine a split parent")
+    }
+    assert(newLeaves.map(_.bucket).distinct.size >= 2 * expectSplit.size,
+      "each split leaf must fan out into at least 2 children")
+    // rows preserved exactly
+    assert(state(root) == before, "a split must be row-invisible")
+    // ... including to the change feed
+    assert(ManifestTable.changes(spark, root, schema, "id",
+      m0.version, m1.version).count() == 0L,
+      "a pure split must diff to zero changes")
+    // replay no-ops
+    assert(ManifestTable.splitBuckets(spark, root, schema,
+      token = 1L, maxBytes = threshold).isEmpty)
+
+    // MERGE across the split: updates + inserts land in the right
+    // leaves; only touched leaves rewrite
+    val preMerge = ManifestTable.currentManifest(spark, root).get
+    ManifestTable.merge(
+      m.project(raw((3L, "upd", "300"), (99L, "new", "990"))),
+      1L, m, root, schema, streamId = "A")
+    val m2 = ManifestTable.currentManifest(spark, root).get
+    val rows2 = state(root)
+    assert(rows2(3L) == (("upd", 300L)) && rows2(99L) == (("new", 990L))
+      && rows2.size == 65)
+    val rewritten = m2.entries.filterNot(preMerge.entries.contains)
+      .map(_.bucket).toSet
+    val expected = Seq(3L, 99L).map(k =>
+      Seq(k).toDF("id").select(
+        graft.store.ManifestTable.leafExpr(
+          preMerge.numBuckets, preMerge.rangeBounds, preMerge.splits,
+          col("id"))).head.getInt(0)).toSet
+    assert(rewritten == expected,
+      s"merge must rewrite exactly the keys' leaves: $rewritten vs " +
+        s"$expected")
+
+    // LOOKUP prunes to the key's leaf files only
+    val lk = ManifestTable.lookup(spark, root, schema, "id", Seq(3L))
+    assert(lk.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val scanned = lk.inputFiles.length
+    val files3 = m2.entries.count(e => e.bucket == Seq(3L).toDF("id")
+      .select(graft.store.ManifestTable.leafExpr(m2.numBuckets,
+        m2.rangeBounds, m2.splits, col("id"))).head.getInt(0))
+    assert(scanned <= files3,
+      s"lookup must prune to the leaf's files: $scanned vs $files3")
+
+    // DELETE (both modes) across the split
+    ManifestTable.delete(spark, root, schema, "id", Seq(99L), token = 2L)
+    assert(!state(root).contains(99L))
+    ManifestTable.delete(spark, root, schema, "id", Seq(5L), token = 3L,
+      delta = true)
+    assert(!state(root).contains(5L) && state(root).size == 63)
+
+    // REPEATED split: push a child over the threshold and split again
+    ManifestTable.merge(
+      m.project(raw((101L to 164L).map(i =>
+        (i, s"x$i" * 20, i.toString)): _*)),
+      2L, m, root, schema, streamId = "A")
+    val m3 = ManifestTable.currentManifest(spark, root).get
+    val big = m3.entries.groupBy(_.bucket).view
+      .mapValues(_.map(_.bytes).sum).toMap
+    val t2 = big.values.toSeq.sorted.apply(big.size / 2)
+    val split2 = ManifestTable.splitBuckets(spark, root, schema,
+      token = 4L, maxBytes = t2)
+    assert(split2.nonEmpty)
+    val m4 = ManifestTable.currentManifest(spark, root).get
+    assert(m4.splits.size > m1.splits.size)
+    assert(state(root).size == 127) // 63 + 64 inserts
+    // deeper tree still addresses exactly
+    val lk2 = ManifestTable.lookup(spark, root, schema, "id",
+      Seq(130L, 7L))
+    assert(lk2.collect().map(_.getLong(0)).toSet == Set(130L, 7L))
+
+    // TIME TRAVEL: the pre-split snapshot reads under ITS manifest
+    assert(ManifestTable.readAt(spark, root, schema, m0.version)
+      .count() == 64L)
+    // compact folds the split table's deltas per leaf
+    ManifestTable.compact(spark, root, schema, "id", token = 90L)
+    val mc = ManifestTable.currentManifest(spark, root).get
+    assert(mc.entries.groupBy(_.bucket).values.forall(_.size == 1))
+    assert(state(root).size == 127)
+  }
+
+  test("split on a range-layout table keeps range pruning at parent " +
+      "granularity and point addressing exact") {
+    val root = freshRoot("bucket_split_range")
+    val schemaS = StructType(Seq(
+      StructField("id", StringType), StructField("v", LongType)))
+    val mm = new Mapping()
+    mm.auto("id"); mm.auto("v")
+    mm.complete(schemaS)
+    def rawS(rows: (String, String)*): DataFrame =
+      rows.zipWithIndex.map { case ((id, v), i) =>
+        (Seq(id, v), i.toLong) }.toDF("_raw", "_line")
+    val rows = (1 to 80).map(i => (f"k$i%03d", i.toString))
+    ManifestTable.create(
+      mm.project(rawS(rows: _*)).select(col("id"), col("v")),
+      "id", root, numBuckets = 3, rangeBounds = Seq("k020", "k040"))
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    val bytes = m0.entries.groupBy(_.bucket).view
+      .mapValues(_.map(_.bytes).sum).toMap
+    // bucket 2 (k040-k080, double the rows) is decisively biggest
+    val t = bytes.values.max - 1
+    val split = ManifestTable.splitBuckets(spark, root, schemaS,
+      token = 1L, maxBytes = t)
+    assert(split == Seq(bytes.maxBy(_._2)._1))
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m1.splits.nonEmpty)
+    assert(ManifestTable.read(spark, root, schemaS).count() == 80L)
+    // children of a range parent stay ≡ parent (mod numBuckets), so
+    // lookupRange's bucket-contiguous stats pruning stays sound
+    val lr = ManifestTable.lookupRange(spark, root, schemaS, "id",
+      "k005", "k015")
+    assert(lr.collect().map(_.getString(0)).sorted.toSeq ==
+      (5 to 15).map(i => f"k$i%03d"))
+    val lk = ManifestTable.lookup(spark, root, schemaS, "id", Seq("k033"))
+    assert(lk.collect().map(_.getString(0)).toSeq == Seq("k033"))
+    // the split is invisible to restore: rewinding to v0 reads the
+    // pre-split files under the pre-split (empty) tree
+    ManifestTable.restore(spark, root, toVersion = 0L, token = 5L)
+    assert(ManifestTable.currentManifest(spark, root).get.splits.isEmpty)
+    assert(ManifestTable.read(spark, root, schemaS).count() == 80L)
+    // ... and a fresh split of the restored head works
+    assert(ManifestTable.splitBuckets(spark, root, schemaS,
+      token = 6L, maxBytes = t).nonEmpty)
+    assert(ManifestTable.read(spark, root, schemaS).count() == 80L)
+  }
+
+  test("rebucket resets the split tree; BucketSpec claims decline on " +
+      "split tables") {
+    val root = freshRoot("bucket_split_rebucket")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 32L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2)
+    // pre-split: the compacted hash table claims a BucketSpec, so a
+    // groupBy(key) plans with NO hash Exchange (the ClusterBySpec
+    // idiom); post-split the claim must DECLINE (leaf ids exceed
+    // numBuckets and no longer match Spark's bucket addressing), so
+    // the same aggregate plans a real Exchange
+    def aggPlan(): String = {
+      val agg = ManifestTable.read(spark, root, schema)
+        .groupBy("id").agg(sum("score"))
+      agg.collect()
+      agg.queryExecution.executedPlan.toString
+    }
+    assert(!aggPlan().contains("Exchange hashpartitioning"),
+      "fixture must claim bucketing pre-split")
+    val sizes = ManifestTable.currentManifest(spark, root).get
+      .entries.groupBy(_.bucket).view.mapValues(_.map(_.bytes).sum).toMap
+    ManifestTable.splitBuckets(spark, root, schema, token = 1L,
+      maxBytes = sizes.values.min)
+    assert(ManifestTable.currentManifest(spark, root).get.splits.nonEmpty)
+    assert(aggPlan().contains("Exchange hashpartitioning"),
+      "a split table must not claim Spark bucket addressing")
+    assert(ManifestTable.read(spark, root, schema).count() == 32L)
+    // rebucket to a bigger flat layout: splits reset, claims return
+    ManifestTable.rebucket(spark, root, schema, "id",
+      newNumBuckets = 8, token = 2L)
+    val mr = ManifestTable.currentManifest(spark, root).get
+    assert(mr.splits.isEmpty && mr.numBuckets == 8)
+    assert(ManifestTable.read(spark, root, schema).count() == 32L)
+    assert(!aggPlan().contains("Exchange hashpartitioning"))
+  }
+
+  test("leafExpr: trie addressing is stable, unique, and hash-consistent") {
+    // pure-expression property: for a random split tree grown the way
+    // splitBuckets grows it, every key lands on exactly one LIVE leaf,
+    // and keys that were together at depth d only ever separate into
+    // that node's own children (never migrate across the tree)
+    val n = 4
+    val rnd = new scala.util.Random(7)
+    var splits = Seq.empty[(Int, Int)]
+    var leaves = (0 until n).map(b => (b, 0)).toSet
+    (1 to 6).foreach { _ =>
+      val (v, d) = leaves.toSeq(rnd.nextInt(leaves.size))
+      if ((n.toLong << (d + 1)) <= Int.MaxValue) {
+        splits = splits :+ ((v, d))
+        leaves = leaves - ((v, d)) +
+          ((v, d + 1)) + (((v + (n << d)), d + 1))
+      }
+    }
+    val keys = (1L to 400L).toDF("id")
+    val assigned = keys.select(col("id"),
+      graft.store.ManifestTable.leafExpr(n, Nil, splits, col("id"))
+        .as("leaf")).collect().map(r => r.getLong(0) -> r.getInt(1))
+    val leafVals = leaves.map(_._1)
+    assigned.foreach { case (k, leaf) =>
+      assert(leafVals.contains(leaf),
+        s"key $k landed on non-leaf $leaf (live: $leafVals)")
+    }
+    // depth-0 address must agree with the plain bucketExpr hash
+    val plain = keys.select(col("id"),
+      pmod(hash(col("id")), lit(n)).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assigned.foreach { case (k, leaf) =>
+      assert(((leaf % n) + n) % n == plain(k),
+        s"leaf $leaf of key $k must refine its depth-0 bucket")
+    }
+    // every live leaf value is reachable... (not guaranteed for tiny
+    // key sets at depth; just check the big cohorts)
+    assert(assigned.map(_._2).distinct.size >= n)
+  }
+}

@@ -14,7 +14,12 @@ import graft.store.ManifestTable
   * foreachBatch can do) must leave the committed table equal to a plain
   * in-memory map after every step. Catches protocol-level bugs
   * (swallowed batches, replay double-application, delete erasing
-  * bystanders) that example-based specs enumerate one at a time. */
+  * bystanders) that example-based specs enumerate one at a time. The
+  * op set includes TOMBSTONE deletes and ONLINE BUCKET SPLITS, so the
+  * whole protocol is exercised over split trees too — and any commit
+  * path that forgot to carry `Manifest.splits` forward diverges here
+  * immediately (the next addressing-dependent op reads the wrong
+  * leaves). */
 class ManifestTablePropertySpec extends SparkSpec {
   import spark.implicits._
 
@@ -52,8 +57,8 @@ class ManifestTablePropertySpec extends SparkSpec {
           s"model=${model.toSeq.sorted}")
     }
 
-    for (step <- 0 until 30) {
-      rnd.nextInt(6) match {
+    for (step <- 0 until 36) {
+      rnd.nextInt(7) match {
         case 0 | 1 => // merge a random batch (intra-batch dups: last wins)
           val rows = Seq.fill(1 + rnd.nextInt(8))(
             (rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
@@ -73,18 +78,20 @@ class ManifestTablePropertySpec extends SparkSpec {
             assert(rewritten.isEmpty, s"replay of $bid rewrote files")
           }
           check(s"replay#$step")
-        case 3 => // targeted delete of a random key set
+        case 3 => // targeted delete of a random key set — randomly in
+          // TOMBSTONE mode (readers must reconcile identically)
           if (model.nonEmpty) {
             val victims = rnd.shuffle(model.keys.toSeq)
               .take(1 + rnd.nextInt(3))
+            val delta = rnd.nextBoolean()
             ManifestTable.delete(spark, root, schema, "id", victims,
-              deleteToken)
+              deleteToken, delta = delta)
             victims.foreach(model.remove)
             // replayed delete with the same token: no further effect
             assert(ManifestTable.delete(spark, root, schema, "id",
-              victims, deleteToken).isEmpty)
+              victims, deleteToken, delta = delta).isEmpty)
             deleteToken += 1
-            check(s"delete#$step($victims)")
+            check(s"delete#$step(delta=$delta, $victims)")
           }
         case 4 => // compact delta-carrying buckets: row-invisible
           if (ManifestTable.currentVersion(spark, root).isDefined) {
@@ -95,6 +102,15 @@ class ManifestTablePropertySpec extends SparkSpec {
         case 5 => // vacuum: current state must survive GC
           ManifestTable.vacuum(spark, root)
           check(s"vacuum#$step")
+        case 6 => // online split of whatever leaves a tiny threshold
+          // catches (splits over splits, splits over tombstones)
+          if (ManifestTable.currentVersion(spark, root).isDefined &&
+              model.nonEmpty) {
+            ManifestTable.splitBuckets(spark, root, schema, deleteToken,
+              maxBytes = 1L + rnd.nextInt(2000))
+            deleteToken += 1
+            check(s"split#$step")
+          }
       }
     }
     assert(model.nonEmpty, "degenerate run: model ended empty")

@@ -230,4 +230,38 @@ class OccStressSpec extends SparkSpec {
     stress(Some("conditional-put"), seed = 1337L,
       name = "occ_stress_cput")
   }
+
+  test("8 writers on one hot table: total commit ATTEMPTS stay inside " +
+      "the O(commits x writers) OCC budget — no retry runaway") {
+    // Fairness/liveness, not just serializability: a losing writer
+    // recomputes its WHOLE op per retry, so the cost model of OCC
+    // under contention is the attempt count. Theory bound: each
+    // attempt round publishes at least one winner, so with W
+    // concurrent writers a commit costs ≤ W attempts and the run
+    // costs ≤ totalCommits × W. A retry runaway (livelock, a loser
+    // repeatedly racing itself, a miss-path that never records its
+    // token) blows past that budget and fails here, with the measured
+    // number in the message for adjudication.
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prev = ManifestTable.testBeforeCommit
+    ManifestTable.testBeforeCommit =
+      () => { attempts.incrementAndGet(); () }
+    try {
+      val writers = 8
+      val steps = 4
+      stress(None, seed = 7L, name = "occ_stress_8w",
+        writers = writers, steps = steps)
+      val totalOps = writers * steps
+      // +2 for the fixture's own create + clusterBy commits; compact
+      // ops may retry too, so they stay in the budget's commit count
+      val budget = (totalOps + 2) * writers
+      val measured = attempts.get()
+      assert(measured <= budget,
+        s"8-writer run used $measured commit attempts for ~$totalOps " +
+          s"commits (budget $budget) — OCC retries are running away; " +
+          "add jittered backoff to the retry loops")
+      info(s"8 writers x $steps ops: $measured attempts for " +
+        s"<= ${totalOps + 2} commits (budget $budget)")
+    } finally ManifestTable.testBeforeCommit = prev
+  }
 }

@@ -144,6 +144,48 @@ class StreamingSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta-mode deleteWhen writes TOMBSTONES: no bucket rewrite, " +
+      "state exact, compaction folds them") {
+    val root = freshDir("sink_tomb")
+    val ckpt = freshDir("sink_tomb_ckpt")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("id", "name", "score")
+      .writeStream.format(sinkFormat)
+      .option("root", root).option("key", "id").option("numBuckets", "2")
+      .option("delta", "true").option("compactEvery", "3")
+      .option("deleteWhen", "score < 0")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L to 20L).map(i => (i, s"n$i", i)): _*)
+      q.processAllAvailable()
+      val m0 = ManifestTable.currentManifest(spark, root).get
+      // batch 1: three deletes — the LSM sink must tombstone them,
+      // keeping every batch-0 file live
+      mem.addData((3L, "x", -1L), (7L, "x", -1L), (19L, "x", -1L))
+      q.processAllAvailable()
+      val m1 = ManifestTable.currentManifest(spark, root).get
+      assert(m1.entries.exists(_.tomb),
+        "delta-mode deleteWhen must write tombstone entries")
+      m0.entries.foreach(e => assert(m1.entries.contains(e),
+        s"tombstoned delete must keep prior files live: $e"))
+      assert(ManifestTable.read(spark, root)
+        .select("id").as[Long].collect().toSet ==
+        (1L to 20L).toSet -- Set(3L, 7L, 19L))
+      // batch 2 then batch 3 trigger compactEvery=3: tombstones fold
+      mem.addData((21L, "n", 21L))
+      q.processAllAvailable()
+      mem.addData((22L, "n", 22L))
+      q.processAllAvailable()
+      val mc = ManifestTable.currentManifest(spark, root).get
+      assert(mc.entries.forall(!_.tomb),
+        s"compaction must fold sink tombstones: ${mc.entries}")
+      assert(ManifestTable.read(spark, root)
+        .select("id").as[Long].collect().toSet ==
+        (1L to 22L).toSet -- Set(3L, 7L, 19L))
+    } finally q.stop()
+  }
+
   test("deleteWhen past maxDriverKeys: the chunked path runs (multiple " +
       "delete commits, final token = batchId), state exact") {
     val root = freshDir("sink_del_chunk")
