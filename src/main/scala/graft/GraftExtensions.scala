@@ -341,7 +341,7 @@ object GraftExtensions {
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       val rows = graft.store.ManifestTable.maintenanceOf(spark, root)
-        .toSeq.map { case (zones, blooms, drift, derived) =>
+        .toSeq.map { case (zones, blooms, drift, derived, splitBytes) =>
           val m = graft.store.ManifestTable
             .currentManifest(spark, root)
           val byBucket = m.map(_.entries.groupBy(_.bucket))
@@ -358,12 +358,16 @@ object GraftExtensions {
           val driftBuckets =
             if (!layoutDeclared) 0
             else byBucket.values.count(_.count(!_.sorted) >= drift)
+          val oversize =
+            if (splitBytes <= 0) 0
+            else byBucket.values.count(_.map(_.bytes).sum > splitBytes)
           (zones.mkString(","), blooms.mkString(","), drift,
-            driftFiles, driftBuckets, derived)
+            driftFiles, driftBuckets, derived, splitBytes, oversize)
         }
       import spark.implicits._
       rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
-        "drift_files", "buckets_over_threshold", "maintain_derived")
+        "drift_files", "buckets_over_threshold", "maintain_derived",
+        "split_bytes", "buckets_over_split")
         .queryExecution.analyzed
     }),
     "graft_auto_maintain" -> (es => {
@@ -373,15 +377,17 @@ object GraftExtensions {
       // every data commit refreshes the named columns' sidecars
       // incrementally. The optional 4th arg declares LAYOUT
       // maintenance too — recluster when a bucket accumulates that
-      // many drift files (0 = off) — and the optional 5th declares
+      // many drift files (0 = off); the optional 5th declares
       // DERIVED-table maintenance: registered secondary indexes and
       // registered (prep-less) materialized views refresh on every
       // data commit, keeping the Auto* rewrite freshness gates closed
-      // with no follower loop. Re-declaring REPLACES (empty strings /
-      // 0 / 0 stop).
-      require(es.size >= 3 && es.size <= 5,
+      // with no follower loop; the optional 6th declares SIZE
+      // maintenance — split any leaf bucket over that many live bytes
+      // from the commit hook. Re-declaring REPLACES (empty strings /
+      // zeros stop).
+      require(es.size >= 3 && es.size <= 6,
         "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
-          "[, reclusterDrift[, maintainDerived]])")
+          "[, reclusterDrift[, maintainDerived[, splitBytes]]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
@@ -390,13 +396,15 @@ object GraftExtensions {
       val drift =
         if (es.size >= 4) longArg(es(3), "reclusterDrift").toInt else 0
       val derived =
-        es.size == 5 && longArg(es(4), "maintainDerived") != 0L
+        es.size >= 5 && longArg(es(4), "maintainDerived") != 0L
+      val splitBytes =
+        if (es.size >= 6) longArg(es(5), "splitBytes") else 0L
       graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift,
-        derived)
+        derived, splitBytes)
       import spark.implicits._
-      Seq((z.mkString(","), b.mkString(","), drift, derived))
+      Seq((z.mkString(","), b.mkString(","), drift, derived, splitBytes))
         .toDF("zone_cols", "bloom_cols", "recluster_drift",
-          "maintain_derived")
+          "maintain_derived", "split_bytes")
         .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {
@@ -652,6 +660,30 @@ object GraftExtensions {
           if (es.size >= 4) longArg(es(3), "filesPerBucket").toInt else 4,
         minDriftFiles =
           if (es.size >= 5) longArg(es(4), "minDriftFiles").toInt else 1)
+      val after = graft.store.ManifestTable.currentVersion(spark, root)
+        .getOrElse(0L)
+      import spark.implicits._
+      Seq((after, before != Some(after), buckets.size))
+        .toDF("version", "applied", "buckets")
+        .queryExecution.analyzed
+    }),
+    "graft_split_buckets" -> (es => {
+      refuseInView("graft_split_buckets")
+      // ONLINE bucket split ([[ManifestTable.splitBuckets]]): leaves
+      // over maxBytes rewrite leaf-locally into 2^k children under the
+      // manifest-recorded split tree; untouched leaves carry verbatim.
+      // Returns (version, applied, buckets) — the graft_recluster
+      // contract; a no-split call commits the token with buckets=0.
+      require(es.size == 4,
+        "usage: graft_split_buckets(root, schemaDDL, token, maxBytes)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val before = graft.store.ManifestTable.currentVersion(spark, root)
+      val buckets = graft.store.ManifestTable.splitBuckets(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        longArg(es(2), "token"),
+        maxBytes = longArg(es(3), "maxBytes"))
       val after = graft.store.ManifestTable.currentVersion(spark, root)
         .getOrElse(0L)
       import spark.implicits._

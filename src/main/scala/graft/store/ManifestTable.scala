@@ -1569,7 +1569,13 @@ object ManifestTable {
     // ledgers, so the Auto* optimizer rewrites' freshness gates stay
     // closed with no follower loop. Older rows read null = false.
     org.apache.spark.sql.types.StructField("maintain_derived",
-      org.apache.spark.sql.types.BooleanType)))
+      org.apache.spark.sql.types.BooleanType),
+    // r13: declared SIZE maintenance — split any leaf bucket whose
+    // live bytes exceed this from the commit hook ([[splitBuckets]];
+    // 0/null = off), so bucket byte-costs stay bounded as the table
+    // grows with no operator in the loop. Older rows read null = 0.
+    org.apache.spark.sql.types.StructField("split_bytes",
+      org.apache.spark.sql.types.LongType)))
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1594,23 +1600,34 @@ object ManifestTable {
     * failed refresh logs and leaves the derived table lagging — which
     * the freshness gates treat exactly as before this existed (decline
     * and serve the plain plan), never wrong. */
+  /** `splitBytes > 0` additionally declares SIZE maintenance: when a
+    * commit leaves any leaf bucket over that many live bytes, the hook
+    * runs [[splitBuckets]] — bucket byte-costs stay bounded by the
+    * threshold as the table grows, with no operator in the loop (the
+    * reclusterDrift discipline applied to the ONLINE BUCKET SPLIT). */
   def autoMaintain(
       spark: SparkSession,
       root: String,
       zones: Seq[String] = Nil,
       blooms: Seq[String] = Nil,
       reclusterDrift: Int = 0,
-      derived: Boolean = false): Unit = {
+      derived: Boolean = false,
+      splitBytes: Long = 0L): Unit = {
     require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
+    require(splitBytes >= 0, "splitBytes must be >= 0 (0 = off)")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (reclusterDrift > 0) require(m.clusterCol.nonEmpty,
       s"table at $root records no cluster layout — bootstrap with " +
         "clusterBy/zOrderBy before declaring layout maintenance")
+    if (splitBytes > 0) require(m.keyColumn.nonEmpty,
+      s"table at $root records no key column — splitting needs the " +
+        "key to re-address rows")
     val row = org.apache.spark.sql.Row(
       zones.mkString(","), blooms.mkString(","),
       Integer.valueOf(reclusterDrift),
-      java.lang.Boolean.valueOf(derived))
+      java.lang.Boolean.valueOf(derived),
+      java.lang.Long.valueOf(splitBytes))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1624,13 +1641,14 @@ object ManifestTable {
     * without a declaration pays a single fs.exists, never a manifest
     * read. */
   def maintenanceOf(spark: SparkSession, root: String)
-      : Option[(Seq[String], Seq[String], Int, Boolean)] = {
+      : Option[(Seq[String], Seq[String], Int, Boolean, Long)] = {
     val dir = new Path(s"$root/maintain")
     if (!fsOf(spark, dir).exists(dir)) return None
     val dirs = committedAdditiveDirs(spark, root, "maintain")
     if (dirs.isEmpty) return None
     // per-dir reads in commit order: the newest declaration replaces
-    var last: Option[(Seq[String], Seq[String], Int, Boolean)] = None
+    var last: Option[(Seq[String], Seq[String], Int, Boolean, Long)] =
+      None
     dirs.foreach { d =>
       spark.read.schema(MaintainSchema).parquet(d).collect()
         .foreach { r =>
@@ -1638,7 +1656,8 @@ object ManifestTable {
             x.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
           last = Some((cols(r.getString(0)), cols(r.getString(1)),
             if (r.isNullAt(2)) 0 else r.getInt(2),
-            !r.isNullAt(3) && r.getBoolean(3)))
+            !r.isNullAt(3) && r.getBoolean(3),
+            if (r.isNullAt(4)) 0L else r.getLong(4)))
         }
     }
     last
@@ -1660,7 +1679,7 @@ object ManifestTable {
   private def maintainSidecars(
       spark: SparkSession, root: String, m: Manifest): Unit =
     try maintenanceOf(spark, root).foreach {
-      case (zones, blooms, drift, derived) =>
+      case (zones, blooms, drift, derived, splitBytes) =>
       if (m.schemaJson.nonEmpty) {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.schemaJson)
@@ -1670,6 +1689,19 @@ object ManifestTable {
         // is its own commit, whose nested maintenance pass (depth 1)
         // builds the sidecars over the FRESH files, so this pass can
         // stand down entirely when the layout moved.
+        // SIZE first: an oversized leaf splits before any layout
+        // re-sort, so the recluster below (which re-reads current
+        // state) sorts the fresh CHILDREN, not a bucket about to be
+        // torn apart. Both layout ops share the depth guard — their
+        // own nested commits refresh sidecars only, never re-trigger.
+        if (splitBytes > 0 && maintainDepth.get() == 0 &&
+            m.keyColumn.nonEmpty) {
+          maintainDepth.set(1)
+          try splitBuckets(spark, root, schema, token = m.version,
+            maxBytes = splitBytes, commitOnNoSplit = false,
+            tokenStream = Some("graft-maintain-split"))
+          finally maintainDepth.set(0)
+        }
         val reclustered =
           if (drift > 0 && maintainDepth.get() == 0 &&
               m.clusterCol.nonEmpty && !m.udfKey) {

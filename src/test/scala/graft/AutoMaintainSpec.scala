@@ -66,12 +66,12 @@ class AutoMaintainSpec extends SparkSpec {
       "id", root, numBuckets = 4)
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0, false)))
+      Some((Seq("v"), Nil, 0, false, 0L)))
     ManifestTable.autoMaintain(spark, root, blooms = Seq("seg"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Nil, Seq("seg"), 0, false)))
+      Some((Nil, Seq("seg"), 0, false, 0L)))
     ManifestTable.autoMaintain(spark, root)
-    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0, false)))
+    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0, false, 0L)))
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
     assert(sideDirs(root, "zones") == zb, "stopped maintenance is off")
@@ -110,7 +110,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"),
       reclusterDrift = 2)
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 2, false)))
+      Some((Seq("v"), Nil, 2, false, 0L)))
     val vDecl = ManifestTable.currentVersion(spark, root).get
     // ONE drift file in the touched bucket (a delta tier ADDS a file,
     // keeping the clustered ones live): below the threshold of 2 —
@@ -208,7 +208,7 @@ class AutoMaintainSpec extends SparkSpec {
       s"SELECT * FROM graft_auto_maintain('$root', 'v', 'seg')").head
     assert(r.getString(0) == "v" && r.getString(1) == "seg")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Seq("seg"), 0, false)))
+      Some((Seq("v"), Seq("seg"), 0, false, 0L)))
     assert(sideDirs(root, "zones") > 0 && sideDirs(root, "bloom") > 0)
     // maintenance functions refuse inside views (no commits from a
     // SELECT-wrapped call)
@@ -233,7 +233,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepLast = 1)
     assert(!torn.exists(), "torn maintain dir must be GC'd")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0, false)),
+      Some((Seq("v"), Nil, 0, false, 0L)),
       "committed declaration survives vacuum")
     // and the policy still fires after vacuum
     val zb = sideDirs(root, "zones")
@@ -322,6 +322,51 @@ class AutoMaintainSpec extends SparkSpec {
     // the create did NOT auto-register it: the root discovers no views
     assert(graft.store.MaterializedView
       .registeredViews(spark, root, schema).isEmpty)
+  }
+
+  test("declared SIZE maintenance: a commit pushing a leaf over " +
+      "split_bytes auto-splits it from the hook; no operator call") {
+    val root = freshRoot("amt_split")
+    ManifestTable.create(
+      (1L to 200L).map(i => (i, s"d${i % 10}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 2)
+    val sizes = ManifestTable.currentManifest(spark, root).get
+      .entries.groupBy(_.bucket).view.mapValues(_.map(_.bytes).sum).toMap
+    // threshold just above the current max: nothing splits at declare
+    // time, the GROWTH commit below crosses it
+    val threshold = sizes.values.max + 200
+    ManifestTable.autoMaintain(spark, root, splitBytes = threshold)
+    assert(ManifestTable.currentManifest(spark, root).get.splits.isEmpty,
+      "declaring must not split under-threshold leaves")
+    val m = {
+      val mp = new graft.mapping.Mapping()
+      mp.auto("id"); mp.auto("seg"); mp.auto("v"); mp.complete(schema)
+      mp
+    }
+    def raw(rows: (Long, String, Long)*) =
+      rows.zipWithIndex.map { case ((id, g, v), i) =>
+        (Seq(id.toString, g, v.toString), i.toLong) }
+        .toDF("_raw", "_line")
+    // a merge tripling the table: some leaf must cross the threshold
+    ManifestTable.merge(m.project(
+      raw((201L to 600L).map(i => (i, s"x$i", i)): _*)),
+      0L, m, root, schema, streamId = "g")
+    val mAfter = ManifestTable.currentManifest(spark, root).get
+    assert(mAfter.splits.nonEmpty,
+      s"the hook must have split the oversized leaf: " +
+        s"${mAfter.entries.groupBy(_.bucket).view
+          .mapValues(_.map(_.bytes).sum).toMap} vs $threshold")
+    // addressing stays exact with zero explicit calls anywhere
+    assert(ManifestTable.read(spark, root, schema).count() == 600L)
+    assert(ManifestTable.lookup(spark, root, schema, "id", Seq(3L, 550L))
+      .collect().map(_.getLong(0)).toSet == Set(3L, 550L))
+    // the observe face reports the declared threshold and no pending
+    // oversize leaves after the hook ran
+    GraftExtensions.register(spark)
+    val obs = spark.sql(s"SELECT * FROM graft_maintenance('$root')").head
+    assert(obs.getAs[Long]("split_bytes") == threshold)
+    assert(obs.getAs[Int]("buckets_over_split") == 0,
+      s"hook-split table must report no pending oversize: $obs")
   }
 
   test("SQL faces carry the derived flag: declare via " +

@@ -266,6 +266,30 @@ class BucketSplitSpec extends SparkSpec {
     assert(!aggPlan().contains("Exchange hashpartitioning"))
   }
 
+  test("SQL face: graft_split_buckets splits, replays, and reads back " +
+      "exactly") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("bucket_split_sql")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 48L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2)
+    val ddl = "id BIGINT, name STRING, score BIGINT"
+    val sizes = ManifestTable.currentManifest(spark, root).get
+      .entries.groupBy(_.bucket).view.mapValues(_.map(_.bytes).sum).toMap
+    val t = sizes.values.min
+    val r = spark.sql(s"SELECT * FROM graft_split_buckets('$root', " +
+      s"'$ddl', 5, ${t})").head
+    assert(r.getAs[Boolean]("applied") && r.getAs[Int]("buckets") >= 1)
+    assert(ManifestTable.currentManifest(spark, root).get.splits.nonEmpty)
+    // replay: same token applies nothing
+    val r2 = spark.sql(s"SELECT * FROM graft_split_buckets('$root', " +
+      s"'$ddl', 5, ${t})").head
+    assert(!r2.getAs[Boolean]("applied") && r2.getAs[Int]("buckets") == 0)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')")
+      .head.getLong(0) == 48L)
+  }
+
   test("leafExpr: trie addressing is stable, unique, and hash-consistent") {
     // pure-expression property: for a random split tree grown the way
     // splitBuckets grows it, every key lands on exactly one LIVE leaf,
