@@ -117,6 +117,34 @@ class BloomSkipSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(8L))
   }
 
+  test("tombstone deletes stay visible under bloom skipping: a pruned " +
+      "read can never resurrect a tombstoned row") {
+    // The dangerous shape: blooms cover the base files AND the
+    // key-only tombstone file (whose non-key columns are all NULL, so
+    // every value probe says "absent" for it). Dropping the tombstone
+    // while keeping the base file would resurrect the deleted row —
+    // pruneAbsent's delta-aware bucket rule (all-or-nothing on
+    // multi-seq buckets) is what prevents it; this pins that.
+    val root = fresh("bloom_tomb")
+    val m = mapping
+    ManifestTable.merge(
+      raw((1L to 40L).map(i => (i, s"orig$i", i.toString)): _*)
+        .transform(m.project),
+      0L, m, root, schema, numBuckets = 4, streamId = "S")
+    ManifestTable.delete(spark, root, schema, "id", Seq(7L),
+      token = 1L, delta = true)
+    // cover EVERYTHING, tombstone file included
+    assert(BloomSkip.buildBlooms(spark, root, schema, Seq("name")) >= 5)
+    // probe the DELETED row's value: the base file's bloom says
+    // "maybe", the tombstone's says "absent" — the bucket must still
+    // reconcile with its tombstone and return nothing
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "orig7")
+      .count() == 0L, "bloom skipping resurrected a tombstoned row")
+    // untouched rows in the same bucket still read exactly
+    assert(BloomSkip.lookupByColumn(spark, root, schema, "name", "orig8")
+      .collect().map(_.getLong(0)).toSeq == Seq(8L))
+  }
+
   test("bloom revisions are additive: a second build over DIFFERENT " +
       "columns at the same version must not shadow the first, and " +
       "vacuum keeps every committed revision") {
