@@ -290,6 +290,47 @@ class BucketSplitSpec extends SparkSpec {
       .head.getLong(0) == 48L)
   }
 
+  test("column mapping composes with splits and tombstones: a renamed " +
+      "KEY still addresses split leaves and reconciles tombstones") {
+    // Files store the PHYSICAL (pre-rename) key name; leafExpr and the
+    // tombstone writer speak the logical name through colMap — the one
+    // composition the per-feature specs don't cross.
+    val root = freshRoot("bucket_split_rename")
+    val m = mapping
+    ManifestTable.merge(
+      m.project(raw((1L to 64L).map(i => (i, s"n$i", i.toString)): _*)),
+      0L, m, root, schema, numBuckets = 2)
+    ManifestTable.renameColumn(spark, root, "id", "row_id")
+    val renamed = StructType(Seq(
+      StructField("row_id", LongType),
+      StructField("name", StringType),
+      StructField("score", LongType)))
+    // split under the renamed key
+    val sizes = ManifestTable.currentManifest(spark, root).get
+      .entries.groupBy(_.bucket).view.mapValues(_.map(_.bytes).sum).toMap
+    ManifestTable.splitBuckets(spark, root, renamed, token = 1L,
+      maxBytes = sizes.values.min)
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m1.splits.nonEmpty && m1.keyColumn == "row_id")
+    assert(ManifestTable.read(spark, root, renamed).count() == 64L)
+    // tombstone-delete through the renamed key over a split leaf
+    ManifestTable.delete(spark, root, renamed, "row_id", Seq(7L, 33L),
+      token = 2L, delta = true)
+    val ids = ManifestTable.read(spark, root, renamed)
+      .select("row_id").as[Long].collect().toSet
+    assert(ids == (1L to 64L).toSet -- Set(7L, 33L))
+    assert(ManifestTable.lookup(spark, root, renamed, "row_id", Seq(7L))
+      .count() == 0L)
+    assert(ManifestTable.lookup(spark, root, renamed, "row_id", Seq(8L))
+      .collect().map(_.getLong(0)).toSeq == Seq(8L))
+    // compact folds everything back through the mapping
+    ManifestTable.compact(spark, root, renamed, "row_id", token = 9L)
+    val mc = ManifestTable.currentManifest(spark, root).get
+    assert(mc.entries.forall(!_.tomb))
+    assert(ManifestTable.read(spark, root, renamed)
+      .select("row_id").as[Long].collect().toSet == ids)
+  }
+
   test("leafExpr: trie addressing is stable, unique, and hash-consistent") {
     // pure-expression property: for a random split tree grown the way
     // splitBuckets grows it, every key lands on exactly one LIVE leaf,
