@@ -268,12 +268,18 @@ private[store] case class GraftTable(
         // version-derived token would let two CONCURRENT DELETEs
         // collide and the OCC loser silently no-op (see the INSERT
         // path); a dedicated token stream keeps the maintenance
-        // `lastDelete` slot for the Scala API's replayable callers
+        // `lastDelete` slot for the Scala API's replayable callers.
+        // `spark.graft.delete.tombstone` opts the SQL surface into the
+        // tombstone-delta path (erasure cost ∝ keys, folded by the
+        // next compaction) — a session conf because SQL DELETE has
+        // nowhere to carry a per-statement option.
         ManifestTable.delete(spark, root, tableSchema, m.keyColumn,
           keys,
           token = java.util.concurrent.ThreadLocalRandom.current()
             .nextLong(Long.MaxValue),
-          tokenStream = Some("graft-sql-delete"))
+          tokenStream = Some("graft-sql-delete"),
+          delta = spark.conf.getOption("spark.graft.delete.tombstone")
+            .exists(_.toBoolean))
     }
   }
   override def capabilities(): java.util.Set[TableCapability] =

@@ -223,6 +223,33 @@ class GraftDmlSpec extends SparkSpec {
     assert(state(t).contains("8|x|0.0"))
   }
 
+  test("SQL DELETE under spark.graft.delete.tombstone: key statements " +
+      "write tombstones instead of rewriting buckets") {
+    val t = freshTable("(1,'a',1.0),(2,'b',2.0),(3,'c',3.0),(4,'d',4.0)")
+    val root = rootOf(t)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    spark.conf.set("spark.graft.delete.tombstone", "true")
+    try {
+      spark.sql(s"DELETE FROM $t WHERE id IN (2, 4)")
+      val m1 = ManifestTable.currentManifest(spark, root).get
+      assert(m1.entries.exists(_.tomb),
+        "conf-enabled SQL DELETE must write tombstones")
+      m0.entries.foreach(e => assert(m1.entries.contains(e),
+        s"tombstoned SQL DELETE must keep prior files live: $e"))
+      assert(state(t) == Seq("1|a|1.0", "3|c|3.0"))
+    } finally spark.conf.unset("spark.graft.delete.tombstone")
+    // conf off: the next key DELETE takes the rewrite path again — no
+    // new tombstone appears (the touched bucket's rewrite may even
+    // fold existing ones away)
+    val tombsBefore = ManifestTable.currentManifest(spark, root).get
+      .entries.count(_.tomb)
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    val m2 = ManifestTable.currentManifest(spark, root).get
+    assert(state(t) == Seq("1|a|1.0"))
+    assert(m2.entries.count(_.tomb) <= tombsBefore,
+      "conf-off SQL DELETE must not write tombstones")
+  }
+
   test("UPDATE values survive a concurrent-ish sequence: update, merge, " +
       "delete, read back consistent") {
     val t = freshTable("(1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
