@@ -198,6 +198,14 @@ private[store] case class GraftTable(
       out.put("format", m.format.toString)
       if (m.clusterCol.nonEmpty) out.put("clusterBy", m.clusterCol)
       if (m.rangeBounds.nonEmpty) out.put("layout", "range")
+      if (m.splits.nonEmpty) {
+        // observe the online-split state: how many creation-time
+        // buckets have split, and the live leaf count (SHOW
+        // TBLPROPERTIES is the operator's first stop)
+        out.put("splitNodes", m.splits.size.toString)
+        out.put("leafBuckets",
+          m.entries.map(_.bucket).distinct.size.toString)
+      }
     }
     out.put("location", root)
     out
