@@ -341,7 +341,8 @@ object GraftExtensions {
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       val rows = graft.store.ManifestTable.maintenanceOf(spark, root)
-        .toSeq.map { case (zones, blooms, drift, derived, splitBytes) =>
+        .toSeq.map { case (zones, blooms, drift, derived, splitBytes,
+          compactFiles) =>
           val m = graft.store.ManifestTable
             .currentManifest(spark, root)
           val byBucket = m.map(_.entries.groupBy(_.bucket))
@@ -361,13 +362,18 @@ object GraftExtensions {
           val oversize =
             if (splitBytes <= 0) 0
             else byBucket.values.count(_.map(_.bytes).sum > splitBytes)
+          val overCompact =
+            if (compactFiles < 2) 0
+            else byBucket.values.count(_.size >= compactFiles)
           (zones.mkString(","), blooms.mkString(","), drift,
-            driftFiles, driftBuckets, derived, splitBytes, oversize)
+            driftFiles, driftBuckets, derived, splitBytes, oversize,
+            compactFiles, overCompact)
         }
       import spark.implicits._
       rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
         "drift_files", "buckets_over_threshold", "maintain_derived",
-        "split_bytes", "buckets_over_split")
+        "split_bytes", "buckets_over_split", "compact_files",
+        "buckets_over_compact")
         .queryExecution.analyzed
     }),
     "graft_auto_maintain" -> (es => {
@@ -383,11 +389,14 @@ object GraftExtensions {
       // data commit, keeping the Auto* rewrite freshness gates closed
       // with no follower loop; the optional 6th declares SIZE
       // maintenance — split any leaf bucket over that many live bytes
-      // from the commit hook. Re-declaring REPLACES (empty strings /
-      // zeros stop).
-      require(es.size >= 3 && es.size <= 6,
+      // from the commit hook; the optional 7th declares COMPACTION —
+      // fold any bucket carrying that many or more live files (its
+      // delta/tombstone chain) back to one. Re-declaring REPLACES
+      // (empty strings / zeros stop).
+      require(es.size >= 3 && es.size <= 7,
         "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
-          "[, reclusterDrift[, maintainDerived[, splitBytes]]])")
+          "[, reclusterDrift[, maintainDerived[, splitBytes" +
+          "[, compactFiles]]]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
@@ -399,12 +408,15 @@ object GraftExtensions {
         es.size >= 5 && longArg(es(4), "maintainDerived") != 0L
       val splitBytes =
         if (es.size >= 6) longArg(es(5), "splitBytes") else 0L
+      val compactFiles =
+        if (es.size >= 7) longArg(es(6), "compactFiles").toInt else 0
       graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift,
-        derived, splitBytes)
+        derived, splitBytes, compactFiles)
       import spark.implicits._
-      Seq((z.mkString(","), b.mkString(","), drift, derived, splitBytes))
+      Seq((z.mkString(","), b.mkString(","), drift, derived, splitBytes,
+          compactFiles))
         .toDF("zone_cols", "bloom_cols", "recluster_drift",
-          "maintain_derived", "split_bytes")
+          "maintain_derived", "split_bytes", "compact_files")
         .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {

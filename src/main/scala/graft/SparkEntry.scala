@@ -583,6 +583,15 @@ object SparkEntry {
     "manifest_delete_delta" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete_delta",
         withMerge = true)),
+    "manifest_auto_compact" -> ((s, dir) => {
+      // fixture + the compaction DECLARATION outside the timed region:
+      // the rep times one tombstone-delete commit whose hook folds the
+      // touched buckets' chains back to single files, + the read.
+      val root = resetManifestFixture(s, dir, "manifest_auto_compact",
+        withMerge = true)
+      graft.store.ManifestTable.autoMaintain(s, root, compactFiles = 2)
+      sideReady += "manifest_auto_compact_decl"
+    }),
     "manifest_bucket_split" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_bucket_split",
         withMerge = true, numBuckets = 4)),
@@ -1245,6 +1254,29 @@ object SparkEntry {
       // full-rewrite result under the same DuckDB oracle.
       val root = manifestFixture(s, dir, "manifest_delete_delta",
         withMerge = true)
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L, delta = true)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_auto_compact" -> ((s, dir) => {
+      // DECLARED COMPACTION on the commit path: autoMaintain
+      // (compactFiles = 2) once, then the SAME tombstone erasure as
+      // manifest_delete_delta — but here the commit hook folds every
+      // touched bucket's chain (base + tombstone) straight back to one
+      // reconcile-free file, so the read below pays NO reconcile join.
+      // This is the LSM read-amplification bound at 100 TB: deltas and
+      // tombstones accumulate at write cost ∝ change, and the declared
+      // threshold folds them at cost ∝ the chains, never the table —
+      // no follower loop, no operator. Values hash-equal
+      // manifest_delete_delta's (same DuckDB oracle): folding is a
+      // pure layout change.
+      val root = manifestFixture(s, dir, "manifest_auto_compact",
+        withMerge = true)
+      if (!sideReady.contains("manifest_auto_compact_decl")) {
+        graft.store.ManifestTable.autoMaintain(s, root,
+          compactFiles = 2)
+        sideReady += "manifest_auto_compact_decl"
+      }
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L, delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
@@ -3071,6 +3103,16 @@ object SparkEntry {
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
       "manifest_delete_delta" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      "manifest_auto_compact" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

@@ -1575,7 +1575,15 @@ object ManifestTable {
     // 0/null = off), so bucket byte-costs stay bounded as the table
     // grows with no operator in the loop. Older rows read null = 0.
     org.apache.spark.sql.types.StructField("split_bytes",
-      org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.LongType),
+    // r13: declared COMPACTION — fold any bucket carrying this many
+    // or more live files (base + delta/tombstone chain) back to one
+    // file from the commit hook ([[compact]]; 0/null = off), so read
+    // amplification (the reconcile chain length every read of that
+    // bucket pays) stays bounded by a declared constant as deltas
+    // accumulate, with no follower loop. Older rows read null = 0.
+    org.apache.spark.sql.types.StructField("compact_files",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1605,6 +1613,17 @@ object ManifestTable {
     * runs [[splitBuckets]] — bucket byte-costs stay bounded by the
     * threshold as the table grows, with no operator in the loop (the
     * reclusterDrift discipline applied to the ONLINE BUCKET SPLIT). */
+  /** `compactFiles >= 2` additionally declares COMPACTION: when a
+    * commit leaves any bucket carrying that many or more live files
+    * (a base plus its accumulated `merge(delta = true)` /
+    * `delete(delta = true)` chain), the hook runs [[compact]] at that
+    * threshold — READ amplification (the per-bucket reconcile chain
+    * every read pays) stays bounded by a declared constant as deltas
+    * and tombstones accumulate, the LSM companion to `splitBytes`'
+    * write-side bound. On a table that also declares layout
+    * maintenance, the hook re-clusters FIRST (a recluster folds the
+    * buckets it re-sorts), so compaction only folds the chains layout
+    * maintenance left alone. */
   def autoMaintain(
       spark: SparkSession,
       root: String,
@@ -1612,9 +1631,13 @@ object ManifestTable {
       blooms: Seq[String] = Nil,
       reclusterDrift: Int = 0,
       derived: Boolean = false,
-      splitBytes: Long = 0L): Unit = {
+      splitBytes: Long = 0L,
+      compactFiles: Int = 0): Unit = {
     require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
     require(splitBytes >= 0, "splitBytes must be >= 0 (0 = off)")
+    require(compactFiles == 0 || compactFiles >= 2,
+      "compactFiles must be 0 (off) or >= 2 (a 1-file bucket has " +
+        "nothing to fold)")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (reclusterDrift > 0) require(m.clusterCol.nonEmpty,
@@ -1623,11 +1646,15 @@ object ManifestTable {
     if (splitBytes > 0) require(m.keyColumn.nonEmpty,
       s"table at $root records no key column — splitting needs the " +
         "key to re-address rows")
+    if (compactFiles > 0) require(m.keyColumn.nonEmpty,
+      s"table at $root records no key column — compaction folds " +
+        "delta chains by key")
     val row = org.apache.spark.sql.Row(
       zones.mkString(","), blooms.mkString(","),
       Integer.valueOf(reclusterDrift),
       java.lang.Boolean.valueOf(derived),
-      java.lang.Long.valueOf(splitBytes))
+      java.lang.Long.valueOf(splitBytes),
+      Integer.valueOf(compactFiles))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1641,14 +1668,14 @@ object ManifestTable {
     * without a declaration pays a single fs.exists, never a manifest
     * read. */
   def maintenanceOf(spark: SparkSession, root: String)
-      : Option[(Seq[String], Seq[String], Int, Boolean, Long)] = {
+      : Option[(Seq[String], Seq[String], Int, Boolean, Long, Int)] = {
     val dir = new Path(s"$root/maintain")
     if (!fsOf(spark, dir).exists(dir)) return None
     val dirs = committedAdditiveDirs(spark, root, "maintain")
     if (dirs.isEmpty) return None
     // per-dir reads in commit order: the newest declaration replaces
-    var last: Option[(Seq[String], Seq[String], Int, Boolean, Long)] =
-      None
+    var last: Option[(Seq[String], Seq[String], Int, Boolean, Long,
+      Int)] = None
     dirs.foreach { d =>
       spark.read.schema(MaintainSchema).parquet(d).collect()
         .foreach { r =>
@@ -1657,7 +1684,8 @@ object ManifestTable {
           last = Some((cols(r.getString(0)), cols(r.getString(1)),
             if (r.isNullAt(2)) 0 else r.getInt(2),
             !r.isNullAt(3) && r.getBoolean(3),
-            if (r.isNullAt(4)) 0L else r.getLong(4)))
+            if (r.isNullAt(4)) 0L else r.getLong(4),
+            if (r.isNullAt(5)) 0 else r.getInt(5)))
         }
     }
     last
@@ -1679,7 +1707,7 @@ object ManifestTable {
   private def maintainSidecars(
       spark: SparkSession, root: String, m: Manifest): Unit =
     try maintenanceOf(spark, root).foreach {
-      case (zones, blooms, drift, derived, splitBytes) =>
+      case (zones, blooms, drift, derived, splitBytes, compactFiles) =>
       if (m.schemaJson.nonEmpty) {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.schemaJson)
@@ -1725,7 +1753,24 @@ object ManifestTable {
               tokenStream = Some("graft-maintain-recluster")).nonEmpty
             finally maintainDepth.set(0)
           } else false
-        if (!reclustered) {
+        // COMPACTION last among the rewrites: a recluster above
+        // already folds the buckets it re-sorts, so this folds only
+        // the delta/tombstone chains layout maintenance left alone
+        // (or all of them, on a table with no declared layout). The
+        // compact call re-reads current state, so it sees the
+        // split/recluster commits' children, never stale buckets;
+        // its own nested commit (depth 1) refreshes the sidecars
+        // over the folded files.
+        val compacted =
+          if (compactFiles >= 2 && maintainDepth.get() == 0 &&
+              m.keyColumn.nonEmpty) {
+            maintainDepth.set(1)
+            try compact(spark, root, schema, m.keyColumn,
+              token = m.version, minFilesPerBucket = compactFiles,
+              tokenStream = Some("graft-maintain-compact")).nonEmpty
+            finally maintainDepth.set(0)
+          } else false
+        if (!reclustered && !compacted) {
           val zc = zones.filter(schema.fieldNames.contains)
           val bc = blooms.filter(schema.fieldNames.contains)
           if (zc.nonEmpty) ZoneSkip.buildZones(spark, root, schema, zc)
@@ -3674,11 +3719,21 @@ object ManifestTable {
       token: Long,
       minFilesPerBucket: Int = 2,
       keyComparator: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): Seq[FileEntry] = {
+        identity,
+      tokenStream: Option[String] = None): Seq[FileEntry] = {
     require(minFilesPerBucket >= 2, "minFilesPerBucket must be >= 2")
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
-      if (prior.lastCompact.contains(token)) return Nil
+      // An AUTOMATED caller (the autoMaintain hook) names its own
+      // stream and replays through `lastBatches(stream)` — the user's
+      // `lastCompact` token space stays untouched, so a hook token
+      // (the triggering commit's version) can never collide with a
+      // user compact token and silently no-op it as a "replay".
+      val replayed = tokenStream match {
+        case Some(s) => prior.lastBatches.get(s).contains(token)
+        case None => prior.lastCompact.contains(token)
+      }
+      if (replayed) return Nil
       checkSchemaCompatible(prior, schema, "compact", allowAdd = true)
       val byBucket = prior.entries.groupBy(_.bucket)
       val (tiered, thin) =
@@ -3698,9 +3753,13 @@ object ManifestTable {
       val written = writeBuckets(fragment, bucket, keyColumn, root,
         s"v$version-$attempt", tiered.size, cmp, seq = version,
         colMap = prior.colMap)
+      val batches = tokenStream.fold(prior.lastBatches)(s =>
+        prior.lastBatches + (s -> token))
+      val compactToken =
+        if (tokenStream.isEmpty) Some(token) else prior.lastCompact
       if (tryCommitManifest(spark, root, Manifest(version, n,
-          thin.flatten ++ written, prior.lastBatches, prior.lastDelete,
-          attempt, keyColumn, prior.keyExpr, Some(token),
+          thin.flatten ++ written, batches, prior.lastDelete,
+          attempt, keyColumn, prior.keyExpr, compactToken,
           prior.rangeBounds, prior.schemaJson, prior.udfKey,
           clusterCol = prior.clusterCol, colMap = prior.colMap,
           splits = prior.splits)))

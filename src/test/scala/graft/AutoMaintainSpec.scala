@@ -66,12 +66,12 @@ class AutoMaintainSpec extends SparkSpec {
       "id", root, numBuckets = 4)
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0, false, 0L)))
+      Some((Seq("v"), Nil, 0, false, 0L, 0)))
     ManifestTable.autoMaintain(spark, root, blooms = Seq("seg"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Nil, Seq("seg"), 0, false, 0L)))
+      Some((Nil, Seq("seg"), 0, false, 0L, 0)))
     ManifestTable.autoMaintain(spark, root)
-    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0, false, 0L)))
+    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0, false, 0L, 0)))
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
     assert(sideDirs(root, "zones") == zb, "stopped maintenance is off")
@@ -110,7 +110,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"),
       reclusterDrift = 2)
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 2, false, 0L)))
+      Some((Seq("v"), Nil, 2, false, 0L, 0)))
     val vDecl = ManifestTable.currentVersion(spark, root).get
     // ONE drift file in the touched bucket (a delta tier ADDS a file,
     // keeping the clustered ones live): below the threshold of 2 —
@@ -208,7 +208,7 @@ class AutoMaintainSpec extends SparkSpec {
       s"SELECT * FROM graft_auto_maintain('$root', 'v', 'seg')").head
     assert(r.getString(0) == "v" && r.getString(1) == "seg")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Seq("seg"), 0, false, 0L)))
+      Some((Seq("v"), Seq("seg"), 0, false, 0L, 0)))
     assert(sideDirs(root, "zones") > 0 && sideDirs(root, "bloom") > 0)
     // maintenance functions refuse inside views (no commits from a
     // SELECT-wrapped call)
@@ -233,7 +233,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepLast = 1)
     assert(!torn.exists(), "torn maintain dir must be GC'd")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0, false, 0L)),
+      Some((Seq("v"), Nil, 0, false, 0L, 0)),
       "committed declaration survives vacuum")
     // and the policy still fires after vacuum
     val zb = sideDirs(root, "zones")
@@ -367,6 +367,83 @@ class AutoMaintainSpec extends SparkSpec {
     assert(obs.getAs[Long]("split_bytes") == threshold)
     assert(obs.getAs[Int]("buckets_over_split") == 0,
       s"hook-split table must report no pending oversize: $obs")
+  }
+
+  test("declared COMPACTION: a commit leaving a bucket's chain at the " +
+      "threshold folds it from the hook; below-threshold chains and " +
+      "thin buckets are untouched; tombstones count and fold away") {
+    val root = freshRoot("amt_compact")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, s"d${i % 10}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 2)
+    ManifestTable.autoMaintain(spark, root, compactFiles = 3)
+    assert(ManifestTable.maintenanceOf(spark, root) ==
+      Some((Nil, Nil, 0, false, 0L, 3)))
+    // 0 (off) and 1 (nothing to fold) are rejected at declaration
+    intercept[IllegalArgumentException] {
+      ManifestTable.autoMaintain(spark, root, compactFiles = 1)
+    }
+    val m = {
+      val mp = new graft.mapping.Mapping()
+      mp.auto("id"); mp.auto("seg"); mp.auto("v"); mp.complete(schema)
+      mp
+    }
+    def raw(rows: (Long, String, String)*) = rows.zipWithIndex
+      .map { case ((id, sg, vv), i) =>
+        (Seq(id.toString, sg, vv), i.toLong) }
+      .toDF("_raw", "_line")
+    val vDecl = ManifestTable.currentVersion(spark, root).get
+    // delta 1: key 10's bucket goes base+1 = 2 files — UNDER the
+    // threshold, the hook must not commit anything
+    ManifestTable.merge(m.project(raw((10L, "dA", "111"))), 1L, m,
+      root, schema, streamId = "S", delta = true)
+    assert(ManifestTable.currentVersion(spark, root).get == vDecl + 1,
+      "below-threshold chain: one commit, no fold")
+    // delta 2: the same bucket reaches 3 live files — the commit path
+    // itself folds it (merge commit + compact commit)
+    ManifestTable.merge(m.project(raw((10L, "dB", "222"))), 2L, m,
+      root, schema, streamId = "S", delta = true)
+    val preFold = ManifestTable.readManifest(spark, root, vDecl + 2)
+    val folded = ManifestTable.currentManifest(spark, root).get
+    assert(folded.version == vDecl + 3,
+      s"delta + auto-compact = two commits, got v${folded.version}")
+    assert(folded.entries.groupBy(_.bucket).values
+      .forall(_.size == 1), "the tiered bucket folds to ONE file")
+    assert(folded.lastBatches.get("graft-maintain-compact")
+      .contains(vDecl + 2), "the fold rides its own ledger")
+    assert(folded.lastCompact == preFold.lastCompact,
+      "a hook fold must never burn the user compact-token slot")
+    // thin buckets carried verbatim — same physical files
+    val thinBefore = preFold.entries.groupBy(_.bucket)
+      .filter(_._2.size < 3).values.flatten.map(_.relPath).toSet
+    assert(thinBefore.subsetOf(folded.entries.map(_.relPath).toSet),
+      "thin buckets must not rewrite")
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 10L).head.getString(1) == "dB")
+    assert(ManifestTable.read(spark, root, schema).count() == 100L)
+    // tombstone deltas count toward the chain and fold away: at a
+    // re-declared threshold of 2 EVERY tombstone commit folds its
+    // bucket right back to one reconcile-free file (keys hash to
+    // buckets, so a fixed pair of keys proves nothing about sharing
+    // one — threshold 2 makes the leg bucket-assignment-proof)
+    ManifestTable.autoMaintain(spark, root, compactFiles = 2)
+    val k1 = 20L; val k2 = 22L
+    ManifestTable.delete(spark, root, schema, "id", Seq(k1),
+      token = 10L, delta = true)
+    ManifestTable.delete(spark, root, schema, "id", Seq(k2),
+      token = 11L, delta = true)
+    val afterTomb = ManifestTable.currentManifest(spark, root).get
+    assert(afterTomb.entries.forall(!_.tomb),
+      "the fold must consume every tombstone in the folded bucket")
+    assert(ManifestTable.read(spark, root, schema).count() == 98L)
+    assert(ManifestTable.lookup(spark, root, schema, "id", Seq(k1, k2))
+      .count() == 0L, "folded deletes stay deleted")
+    // the observe face reports the declared threshold and a clean table
+    GraftExtensions.register(spark)
+    val obs = spark.sql(s"SELECT * FROM graft_maintenance('$root')").head
+    assert(obs.getAs[Int]("compact_files") == 2)
+    assert(obs.getAs[Int]("buckets_over_compact") == 0,
+      s"hook-folded table must report no pending chains: $obs")
   }
 
   test("SQL faces carry the derived flag: declare via " +
