@@ -198,17 +198,67 @@ object GraftExtensions {
     }),
     "graft_table_at" -> (es => {
       require(es.size == 2 || es.size == 3,
-        "usage: graft_table_at(root[, schemaDDL], version)")
+        "usage: graft_table_at(root[, schemaDDL], versionOrTag)")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
+      // the version argument doubles as a TAG: a string literal that
+      // isn't all digits resolves through the tag registry (the
+      // VERSION AS OF contract — tag names require a non-digit)
+      def versionOf(e: org.apache.spark.sql.catalyst.expressions
+          .Expression): Long = e.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val s = strArg(e, "version or tag")
+          if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+          else graft.store.ManifestTable.resolveTag(spark, root, s)
+        case _ => longArg(e, "version")
+      }
       val df =
         if (es.size == 2) graft.store.ManifestTable.readAt(spark, root,
-          longArg(es(1), "version"))
+          versionOf(es(1)))
         else graft.store.ManifestTable.readAt(spark, root,
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")),
-          longArg(es(2), "version"))
+          versionOf(es(2)))
       df.queryExecution.analyzed
+    }),
+    "graft_tag" -> (es => {
+      refuseInView("graft_tag")
+      // NAMED SNAPSHOT: pins a version (default current) under a
+      // stable name — `VERSION AS OF 'name'` / graft_table_at resolve
+      // it and vacuum retains it until graft_delete_tag. Metadata-only.
+      require(es.size == 2 || es.size == 3,
+        "usage: graft_tag(root, name[, version])")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val name = strArg(es(1), "tag name")
+      val v = graft.store.ManifestTable.tag(spark, root, name,
+        if (es.size == 3) longArg(es(2), "version") else -1L)
+      import spark.implicits._
+      Seq((name, v)).toDF("tag_name", "tag_version")
+        .queryExecution.analyzed
+    }),
+    "graft_delete_tag" -> (es => {
+      refuseInView("graft_delete_tag")
+      require(es.size == 2, "usage: graft_delete_tag(root, name)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val name = strArg(es(1), "tag name")
+      val had = graft.store.ManifestTable.tagsOf(spark, root).get(name)
+      graft.store.ManifestTable.deleteTag(spark, root, name)
+      import spark.implicits._
+      Seq((name, had.getOrElse(-1L), had.isDefined))
+        .toDF("tag_name", "was_version", "existed")
+        .queryExecution.analyzed
+    }),
+    "graft_tags" -> (es => {
+      // observe face: the live tag registry, name → pinned version
+      require(es.size == 1, "usage: graft_tags(root)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      import spark.implicits._
+      graft.store.ManifestTable.tagsOf(spark, root).toSeq.sorted
+        .toDF("tag_name", "tag_version")
+        .queryExecution.analyzed
     }),
     "graft_changes" -> (es => {
       require(es.size == 3 || es.size == 5,

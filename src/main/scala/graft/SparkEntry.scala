@@ -592,6 +592,19 @@ object SparkEntry {
       graft.store.ManifestTable.autoMaintain(s, root, compactFiles = 2)
       sideReady += "manifest_auto_compact_decl"
     }),
+    "manifest_tag" -> ((s, dir) => {
+      // fixture + tag + churn (delete, vacuum) outside the timed
+      // region: the rep times the tag resolve + the pinned-snapshot
+      // read — directly comparable to manifest_read's current-state
+      // read cost.
+      val root = resetManifestFixture(s, dir, "manifest_tag",
+        withMerge = true)
+      graft.store.ManifestTable.tag(s, root, "corpus_cut")
+      graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.ManifestTable.vacuum(s, root, keepLast = 1)
+      sideReady += "manifest_tag_decl"
+    }),
     "manifest_bucket_split" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_bucket_split",
         withMerge = true, numBuckets = 4)),
@@ -1257,6 +1270,27 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L, delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
+    }),
+    "manifest_tag" -> ((s, dir) => {
+      // NAMED SNAPSHOT under GC churn: tag the merged state, erase 10
+      // keys on top, vacuum at keepLast=1 — then read the TAG. The
+      // pinned snapshot stays fully addressable (vacuum retains the
+      // tagged manifest AND its data files; the untagged intermediate
+      // versions are gone), hash-equal to manifest_merge's
+      // merged-state oracle. This is the reproducible-training-cut
+      // primitive at 100 TB: the exact bytes a corpus was cut from
+      // stay readable by name while later commits, compaction and GC
+      // churn the table.
+      val root = manifestFixture(s, dir, "manifest_tag",
+        withMerge = true)
+      if (!sideReady.contains("manifest_tag_decl")) {
+        graft.store.ManifestTable.tag(s, root, "corpus_cut")
+        graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
+          (1 to 10).map(_ * 13L), token = 1L)
+        graft.store.ManifestTable.vacuum(s, root, keepLast = 1)
+        sideReady += "manifest_tag_decl"
+      }
+      graft.store.ManifestTable.readAt(s, root, "corpus_cut")
     }),
     "manifest_auto_compact" -> ((s, dir) => {
       // DECLARED COMPACTION on the commit path: autoMaintain
@@ -2789,6 +2823,17 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
       "manifest_merge" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      // the tagged snapshot IS the merged state: the later delete and
+      // the vacuum must not leak into (or break) the pinned read
+      "manifest_tag" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

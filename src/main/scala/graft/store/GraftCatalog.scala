@@ -131,7 +131,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `VERSION AS OF` time travel: the snapshot under ITS OWN recorded
     * schema (travel across an add-only evolution shows each version
-    * with the columns it actually had). */
+    * with the columns it actually had). A NON-numeric version string is
+    * a TAG name ([[ManifestTable.tag]]) — `VERSION AS OF 'corpus_v1'`
+    * reads the pinned snapshot; tag names require a non-digit, so a
+    * tag can never shadow a numeric version. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
@@ -139,8 +142,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v =
       try version.toLong
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft VERSION AS OF takes a numeric version, got '$version'")
+        case _: NumberFormatException =>
+          ManifestTable.resolveTag(spark, root, version)
       }
     val m = ManifestTable.readManifest(spark, root, v)
     require(m.schemaJson.nonEmpty,

@@ -3911,10 +3911,108 @@ object ManifestTable {
     diffs.foldLeft(empty)(_ union _)
   }
 
+  private val TagSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tag_name",
+      org.apache.spark.sql.types.StringType),
+    // null = delete marker: the newest row per name wins, so a
+    // deleteTag row simply un-declares the name (the indexreg/maintain
+    // replace discipline applied per tag name).
+    org.apache.spark.sql.types.StructField("tag_version",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Tag names must be visibly NOT versions: `VERSION AS OF x` takes
+    * numbers (versions) and strings (tags), and an all-digit tag would
+    * shadow a version forever after. Path-safe charset because readers
+    * never need to escape them anywhere. */
+  private def validTagName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+        c == '-') && !name.forall(_.isDigit)
+
+  /** NAMED SNAPSHOT (tag): pins `version` (default: current) under a
+    * stable name — `readAt(root, name)` / SQL `VERSION AS OF 'name'`
+    * resolve it, and [[vacuum]] RETAINS tagged versions (manifest +
+    * the data files it references) beyond `keepLast` until the tag is
+    * deleted. This is the reproducibility primitive at 100 TB: tag the
+    * snapshot a training corpus was cut from and the exact bytes stay
+    * addressable while later commits, compactions and GC churn the
+    * table. Tags are an additive `tags` sidecar (newest row per name
+    * wins; metadata-only — no table commit, no version bump);
+    * re-tagging a name MOVES it. History expiry ([[expireHistory]]) is
+    * deliberately NOT tag-gated: tags pin SNAPSHOTS (time travel),
+    * while history rows are audit records under compliance windows —
+    * a tag must never shield an audit row from "older than 90 days
+    * must be gone". Returns the pinned version. */
+  def tag(spark: SparkSession, root: String, name: String,
+      version: Long = -1L): Long = {
+    require(validTagName(name),
+      s"invalid tag name '$name' — need [A-Za-z0-9._-]{1,128} with at " +
+        "least one non-digit (an all-digit tag would shadow a version)")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    val v = if (version < 0) m.version else version
+    require(v <= m.version,
+      s"cannot tag v$v: table at $root is at v${m.version}")
+    val mp = new Path(s"$root/manifest/m$v")
+    require(fsOf(spark, mp).exists(mp),
+      s"no committed manifest m$v under $root (vacuumed?) — a tag " +
+        "must pin a still-readable snapshot")
+    val row = org.apache.spark.sql.Row(name, java.lang.Long.valueOf(v))
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), TagSchema)
+    writeAdditiveSidecar(spark, root, m, df, "tags")
+    v
+  }
+
+  /** Un-declares a tag: the version it pinned becomes ordinary again
+    * (the next [[vacuum]] may retire it). No-op on unknown names. */
+  def deleteTag(spark: SparkSession, root: String, name: String): Unit = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    val row = org.apache.spark.sql.Row(name, null)
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), TagSchema)
+    writeAdditiveSidecar(spark, root, m, df, "tags")
+  }
+
+  /** Live tags, name → pinned version (newest declaration per name
+    * wins; deleted names absent). Cheap: one fs.exists on untagged
+    * tables, small single-row parquet reads otherwise. */
+  def tagsOf(spark: SparkSession, root: String): Map[String, Long] = {
+    val dir = new Path(s"$root/tags")
+    if (!fsOf(spark, dir).exists(dir)) return Map.empty
+    val dirs = committedAdditiveDirs(spark, root, "tags")
+    var live = Map.empty[String, Long]
+    dirs.foreach { d =>
+      spark.read.schema(TagSchema).parquet(d).collect().foreach { r =>
+        val n = r.getString(0)
+        if (r.isNullAt(1)) live -= n else live += (n -> r.getLong(1))
+      }
+    }
+    live
+  }
+
+  /** Time travel by TAG: the named snapshot under its own recorded
+    * schema. Fails loudly on unknown names (listing the live ones —
+    * the likely cause is a deleted or misspelled tag). */
+  def readAt(spark: SparkSession, root: String, tag: String): DataFrame =
+    readAt(spark, root, resolveTag(spark, root, tag))
+
+  private[graft] def resolveTag(spark: SparkSession, root: String,
+      tag: String): Long = {
+    val tags = tagsOf(spark, root)
+    tags.getOrElse(tag, throw new IllegalArgumentException(
+      s"no tag '$tag' at $root — live tags: " +
+        (if (tags.isEmpty) "(none)"
+         else tags.keys.toSeq.sorted.mkString(", "))))
+  }
+
   /** Deletes everything no longer referenced: data directories absent
     * from the RETAINED manifests (the newest `keepLast` committed
     * versions — the table's time-travel window; default 1 = current
-    * only), manifests below the retained window, loser/crashed side
+    * only) PLUS every TAGGED version ([[tag]] — a pinned snapshot
+    * stays fully readable until its tag is deleted),
+    * manifests below the retained window, loser/crashed side
     * directories, and decided temp manifests. An IN-FLIGHT commit's
     * artifacts — temp manifests AND data/history/stats dirs at versions
     * above current — are kept (one consistent rule), so a writer racing
@@ -3941,13 +4039,22 @@ object ManifestTable {
       val retained: Seq[Manifest] = {
         val dir = new Path(s"$root/manifest")
         val fs = fsOf(spark, dir)
-        fs.listStatus(dir).toSeq
+        val committed = fs.listStatus(dir).toSeq
           .map(_.getPath.getName)
           .filter { n =>
             val v = n.stripPrefix("m")
             n.startsWith("m") && v.nonEmpty && v.forall(_.isDigit)
           }
-          .map(_.stripPrefix("m").toLong).sorted.takeRight(keepLast)
+          .map(_.stripPrefix("m").toLong).sorted
+        // TAGGED versions are pinned snapshots: retained in full
+        // (manifest + data) beyond the keepLast window until their tag
+        // is deleted. Tags pointing at already-vacuumed versions (a
+        // pre-tag vacuum raced the tag write) resolve to nothing here —
+        // the tag read fails loudly, never silently serves a partial
+        // snapshot.
+        val pinned = tagsOf(spark, root).values.toSet
+        (committed.takeRight(keepLast) ++
+          committed.filter(pinned)).distinct.sorted
           .map(readManifest(spark, root, _))
       }
       val keepManifests = retained.map(r => s"m${r.version}").toSet
@@ -3983,7 +4090,7 @@ object ManifestTable {
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
       Seq("history", "stats", "bloom", "bloomsum", "zones",
-          "indexreg", "viewreg", "maintain").foreach { kind =>
+          "indexreg", "viewreg", "maintain", "tags").foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.ManifestTable
+
+/** [[ManifestTable.tag]] — named snapshots: a tag pins a version under
+  * a stable name, time travel resolves it (Scala, graft_table_at, SQL
+  * `VERSION AS OF 'name'`), and vacuum retains the pinned snapshot —
+  * manifest AND data — beyond keepLast until the tag is deleted. */
+class TagSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType)))
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def bump(root: String, key: Long, token: Long): Unit =
+    ManifestTable.delete(spark, root, schema, "id", Seq(key), token)
+
+  test("tag pins a version; readAt(tag) equals readAt(version); " +
+      "re-tagging moves the name; deleteTag removes it loudly") {
+    val root = freshRoot("tag_basic")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, i * 3)).toDF("id", "v"),
+      "id", root, numBuckets = 2)
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.tag(spark, root, "corpus_v1") == v0)
+    bump(root, 7L, 1L)
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.tagsOf(spark, root) == Map("corpus_v1" -> v0))
+    // the tag still reads the PRE-delete snapshot
+    assert(ManifestTable.readAt(spark, root, "corpus_v1").count() == 100L)
+    assert(ManifestTable.readAt(spark, root, "corpus_v1").collect()
+      .toSet == ManifestTable.readAt(spark, root, v0).collect().toSet)
+    // explicit-version tag + re-tag moves the name
+    ManifestTable.tag(spark, root, "corpus_v1", v1)
+    assert(ManifestTable.tagsOf(spark, root) == Map("corpus_v1" -> v1))
+    assert(ManifestTable.readAt(spark, root, "corpus_v1").count() == 99L)
+    // a second name coexists
+    ManifestTable.tag(spark, root, "audit-2026.08", v0)
+    assert(ManifestTable.tagsOf(spark, root).keySet ==
+      Set("corpus_v1", "audit-2026.08"))
+    ManifestTable.deleteTag(spark, root, "corpus_v1")
+    assert(ManifestTable.tagsOf(spark, root).keySet ==
+      Set("audit-2026.08"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, "corpus_v1")
+    }
+    assert(e.getMessage.contains("corpus_v1") &&
+      e.getMessage.contains("audit-2026.08"),
+      s"unknown-tag error must list live tags: ${e.getMessage}")
+    // deleteTag on an unknown name is a no-op, not an error
+    ManifestTable.deleteTag(spark, root, "never_existed")
+  }
+
+  test("invalid names and unpinnable versions are refused") {
+    val root = freshRoot("tag_refuse")
+    ManifestTable.create(Seq((1L, 1L)).toDF("id", "v"),
+      "id", root, numBuckets = 2)
+    for (bad <- Seq("", "123", "a/b", "a b", "x" * 129))
+      intercept[IllegalArgumentException] {
+        ManifestTable.tag(spark, root, bad)
+      }
+    intercept[IllegalArgumentException] { // future version
+      ManifestTable.tag(spark, root, "future",
+        ManifestTable.currentVersion(spark, root).get + 5)
+    }
+  }
+
+  test("vacuum retains tagged snapshots in full — manifest and data — " +
+      "and retires them after deleteTag") {
+    val root = freshRoot("tag_vacuum")
+    ManifestTable.create(
+      (1L to 200L).map(i => (i, i)).toDF("id", "v"),
+      "id", root, numBuckets = 2)
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    ManifestTable.tag(spark, root, "pinned", v0)
+    bump(root, 5L, 1L)
+    bump(root, 6L, 2L)
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    // v0 outlives the keepLast=1 window because the tag pins it; the
+    // intermediate (untagged, unretained) version is gone
+    assert(ManifestTable.readAt(spark, root, "pinned").count() == 200L,
+      "the tagged snapshot must read in full after vacuum")
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, v0 + 1)
+    }
+    // delete the tag: the next vacuum retires the snapshot
+    ManifestTable.deleteTag(spark, root, "pinned")
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, v0)
+    }
+    // current state unharmed throughout
+    assert(ManifestTable.read(spark, root, schema).count() == 198L)
+  }
+
+  test("SQL faces: graft_tag / graft_tags / graft_delete_tag, " +
+      "graft_table_at by tag, and catalog VERSION AS OF 'tag'") {
+    val wh = freshRoot("tag_sql_wh")
+    spark.conf.set("spark.sql.catalog.gtag", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtag.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtag.db")
+    spark.sql("""CREATE TABLE gtag.db.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gtag.db.t VALUES (1, 10), (2, 20), (3, 30)")
+    val root = s"$wh/db/t"
+    val vFull = ManifestTable.currentVersion(spark, root).get
+    val tagged = spark.sql(s"SELECT * FROM graft_tag('$root', 'cut')")
+      .head
+    assert(tagged.getString(0) == "cut" && tagged.getLong(1) == vFull)
+    spark.sql("DELETE FROM gtag.db.t WHERE id = 2")
+    assert(spark.sql("SELECT * FROM gtag.db.t").count() == 2)
+    // catalog time travel by tag name
+    assert(spark.sql(
+      "SELECT * FROM gtag.db.t VERSION AS OF 'cut'").count() == 3)
+    // unknown tags fail with the live list, not a number-parse error
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM gtag.db.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("cut"))
+    // catalog-free face: graft_table_at accepts the tag (and still the
+    // numeric version, as a number or numeric string)
+    assert(spark.sql(
+      s"SELECT * FROM graft_table_at('$root', 'cut')").count() == 3)
+    assert(spark.sql(
+      s"SELECT * FROM graft_table_at('$root', $vFull)").count() == 3)
+    assert(spark.sql(
+      s"SELECT * FROM graft_table_at('$root', '$vFull')").count() == 3)
+    // observe + delete faces
+    assert(spark.sql(s"SELECT * FROM graft_tags('$root')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("cut", vFull)))
+    val del = spark.sql(
+      s"SELECT * FROM graft_delete_tag('$root', 'cut')").head
+    assert(del.getBoolean(2) && del.getLong(1) == vFull)
+    assert(spark.sql(s"SELECT * FROM graft_tags('$root')").count() == 0)
+  }
+}
