@@ -250,6 +250,39 @@ object GraftExtensions {
         .toDF("tag_name", "was_version", "existed")
         .queryExecution.analyzed
     }),
+    "graft_clone" -> (es => {
+      refuseInView("graft_clone")
+      // SHALLOW CLONE: a new table at dstRoot referencing the source
+      // snapshot's files in place — zero data copied; the optional
+      // 3rd arg picks a version (number) or tag (string); the
+      // optional 4th (0/1) controls pinning the source version with
+      // a clone-* tag (default 1 — the source's vacuum then retains
+      // the referenced bytes until the tag is deleted).
+      require(es.size >= 2 && es.size <= 4,
+        "usage: graft_clone(srcRoot, dstRoot[, versionOrTag[, pin]])")
+      val spark = SparkSession.active
+      val src = strArg(es(0), "srcRoot")
+      val dst = strArg(es(1), "dstRoot")
+      val pin = es.size < 4 || longArg(es(3), "pin") != 0L
+      val v =
+        if (es.size < 3)
+          graft.store.ManifestTable.cloneAt(spark, src, dst, pin = pin)
+        else es(2).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            val sArg = strArg(es(2), "version or tag")
+            val ver =
+              if (sArg.nonEmpty && sArg.forall(_.isDigit)) sArg.toLong
+              else graft.store.ManifestTable.resolveTag(spark, src, sArg)
+            graft.store.ManifestTable.cloneAt(spark, src, dst, ver, pin)
+          case _ =>
+            graft.store.ManifestTable.cloneAt(spark, src, dst,
+              longArg(es(2), "version"), pin)
+        }
+      import spark.implicits._
+      Seq((src, dst, v, pin)).toDF("src_root", "dst_root",
+        "cloned_version", "pinned")
+        .queryExecution.analyzed
+    }),
     "graft_tags" -> (es => {
       // observe face: the live tag registry, name → pinned version
       require(es.size == 1, "usage: graft_tags(root)")
@@ -391,8 +424,8 @@ object GraftExtensions {
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       val rows = graft.store.ManifestTable.maintenanceOf(spark, root)
-        .toSeq.map { case (zones, blooms, drift, derived, splitBytes,
-          compactFiles) =>
+        .toSeq.map { pol =>
+          val drift = pol.reclusterDrift
           val m = graft.store.ManifestTable
             .currentManifest(spark, root)
           val byBucket = m.map(_.entries.groupBy(_.bucket))
@@ -410,20 +443,21 @@ object GraftExtensions {
             if (!layoutDeclared) 0
             else byBucket.values.count(_.count(!_.sorted) >= drift)
           val oversize =
-            if (splitBytes <= 0) 0
-            else byBucket.values.count(_.map(_.bytes).sum > splitBytes)
+            if (pol.splitBytes <= 0) 0
+            else byBucket.values
+              .count(_.map(_.bytes).sum > pol.splitBytes)
           val overCompact =
-            if (compactFiles < 2) 0
-            else byBucket.values.count(_.size >= compactFiles)
-          (zones.mkString(","), blooms.mkString(","), drift,
-            driftFiles, driftBuckets, derived, splitBytes, oversize,
-            compactFiles, overCompact)
+            if (pol.compactFiles < 2) 0
+            else byBucket.values.count(_.size >= pol.compactFiles)
+          (pol.zones.mkString(","), pol.blooms.mkString(","), drift,
+            driftFiles, driftBuckets, pol.derived, pol.splitBytes,
+            oversize, pol.compactFiles, overCompact, pol.vacuumKeep)
         }
       import spark.implicits._
       rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
         "drift_files", "buckets_over_threshold", "maintain_derived",
         "split_bytes", "buckets_over_split", "compact_files",
-        "buckets_over_compact")
+        "buckets_over_compact", "vacuum_keep")
         .queryExecution.analyzed
     }),
     "graft_auto_maintain" -> (es => {
@@ -441,12 +475,15 @@ object GraftExtensions {
       // maintenance — split any leaf bucket over that many live bytes
       // from the commit hook; the optional 7th declares COMPACTION —
       // fold any bucket carrying that many or more live files (its
-      // delta/tombstone chain) back to one. Re-declaring REPLACES
-      // (empty strings / zeros stop).
-      require(es.size >= 3 && es.size <= 7,
+      // delta/tombstone chain) back to one; the optional 8th declares
+      // RETENTION — vacuum at that keepLast after every commit
+      // (tag-pinned snapshots and lagging derived tables' CDC windows
+      // are respected). Re-declaring REPLACES (empty strings / zeros
+      // stop).
+      require(es.size >= 3 && es.size <= 8,
         "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
           "[, reclusterDrift[, maintainDerived[, splitBytes" +
-          "[, compactFiles]]]])")
+          "[, compactFiles[, vacuumKeep]]]]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
@@ -460,13 +497,16 @@ object GraftExtensions {
         if (es.size >= 6) longArg(es(5), "splitBytes") else 0L
       val compactFiles =
         if (es.size >= 7) longArg(es(6), "compactFiles").toInt else 0
+      val vacuumKeep =
+        if (es.size >= 8) longArg(es(7), "vacuumKeep").toInt else 0
       graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift,
-        derived, splitBytes, compactFiles)
+        derived, splitBytes, compactFiles, vacuumKeep)
       import spark.implicits._
       Seq((z.mkString(","), b.mkString(","), drift, derived, splitBytes,
-          compactFiles))
+          compactFiles, vacuumKeep))
         .toDF("zone_cols", "bloom_cols", "recluster_drift",
-          "maintain_derived", "split_bytes", "compact_files")
+          "maintain_derived", "split_bytes", "compact_files",
+          "vacuum_keep")
         .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {
@@ -957,6 +997,35 @@ object GraftExtensions {
         .head().get(0)
       graft.store.BloomSkip.lookupByColumn(spark,
         strArg(es(0), "root"), schema, c, value)
+        .queryExecution.analyzed
+    }),
+    "graft_analyze" -> (es => {
+      // INCREMENTAL ANALYZE ([[graft.store.ColStats]]): builds per-file
+      // column stats (row/null counts + a mergeable HLL distinct
+      // sketch) for every live file not yet covered, then returns the
+      // table-level fold — (column, row_count, null_count, ndv,
+      // covered_files, live_files, single_seq). Covered files never
+      // rescan: ANALYZE cost rides the change rate.
+      refuseInView("graft_analyze")
+      require(es.size == 3,
+        "usage: graft_analyze(root, schemaDDL, cols)")
+      val spark = SparkSession.active
+      graft.store.ColStats.analyze(spark,
+        strArg(es(0), "root"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          strArg(es(1), "schema DDL")),
+        csvArg(es(2), "columns"))
+        .queryExecution.analyzed
+    }),
+    "graft_col_stats" -> (es => {
+      // observe face: the table-level stats fold over ALREADY-covered
+      // files (no build, no data read) — (column, row_count,
+      // null_count, ndv, covered_files, live_files, single_seq).
+      require(es.size == 2,
+        "usage: graft_col_stats(root, cols)")
+      val spark = SparkSession.active
+      graft.store.ColStats.tableStats(spark,
+        strArg(es(0), "root"), csvArg(es(1), "columns"))
         .queryExecution.analyzed
     }),
     "graft_zone_build" -> (es => {

@@ -605,6 +605,26 @@ object SparkEntry {
       graft.store.ManifestTable.vacuum(s, root, keepLast = 1)
       sideReady += "manifest_tag_decl"
     }),
+    "manifest_analyze" -> ((s, dir) => {
+      // fixture + the per-file stats build outside the timed region:
+      // the rep times the covered-check (one sidecar read, zero
+      // builds) + the metadata-only table fold.
+      val root = resetManifestFixture(s, dir, "manifest_analyze",
+        withMerge = true)
+      graft.store.ColStats.buildStats(s, root, upsertSchema,
+        Seq("segment", "nation"))
+    }),
+    "manifest_clone" -> ((s, dir) => {
+      // fixture + the zero-copy clone outside the timed region: the
+      // rep times the keyed delete ON THE CLONE (a bucket rewrite
+      // whose base files resolve into the SOURCE tree) + the read —
+      // the manifest_delete cost class paid through ext resolution.
+      val root = resetManifestFixture(s, dir, "manifest_clone",
+        withMerge = true)
+      val dst = resetSideRoot(s, "manifest_clone_dst")
+      graft.store.ManifestTable.cloneAt(s, root, dst, pin = false)
+      sideReady += "manifest_clone_dst"
+    }),
     "manifest_bucket_split" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_bucket_split",
         withMerge = true, numBuckets = 4)),
@@ -1291,6 +1311,48 @@ object SparkEntry {
         sideReady += "manifest_tag_decl"
       }
       graft.store.ManifestTable.readAt(s, root, "corpus_cut")
+    }),
+    "manifest_analyze" -> ((s, dir) => {
+      // INCREMENTAL ANALYZE: per-file column stats (row/null counts +
+      // a mergeable HLL distinct sketch) build once per immutable
+      // file — covered files never rescan, so ANALYZE cost rides the
+      // change rate, and the table-level fold (counts sum, sketches
+      // union) reads ZERO data files. At 100 TB stats become a
+      // maintained byproduct of writing instead of a weekly full-scan
+      // job. The gate hash-checks the EXACT halves (per-column
+      // row/null counts over the merged state) against DuckDB's
+      // recompute; the NDV estimate and the coverage facts are
+      // ColStatsSpec's (10% envelope, incremental no-op, clone
+      // coverage honesty).
+      val root = manifestFixture(s, dir, "manifest_analyze",
+        withMerge = true)
+      graft.store.ColStats.analyze(s, root, upsertSchema,
+        Seq("segment", "nation"))
+        .select(col("column").as("col_name"), col("row_count"),
+          col("null_count"))
+    }),
+    "manifest_clone" -> ((s, dir) => {
+      // SHALLOW CLONE as a first-class table: clone the merged fixture
+      // (zero data copied — the clone's manifest references the source
+      // files in place), then run the standard 10-key erasure ON THE
+      // CLONE and read it back. The delete's bucket rewrite reads ext
+      // (source-tree) base files and writes clone-local ones —
+      // copy-on-write divergence — and must hash-equal
+      // manifest_delete's flat-table result under the same DuckDB
+      // oracle. At 100 TB this is the branch-the-corpus primitive:
+      // experiment on a mutable branch of a petabyte table for the
+      // cost of one manifest write.
+      val root = manifestFixture(s, dir, "manifest_clone",
+        withMerge = true)
+      val dst = "target/qtmp/manifest_clone_dst"
+      if (!sideReady.contains("manifest_clone_dst")) {
+        resetSideRoot(s, "manifest_clone_dst")
+        graft.store.ManifestTable.cloneAt(s, root, dst, pin = false)
+        sideReady += "manifest_clone_dst"
+      }
+      graft.store.ManifestTable.delete(s, dst, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+      graft.store.ManifestTable.read(s, dst, upsertSchema)
     }),
     "manifest_auto_compact" -> ((s, dir) => {
       // DECLARED COMPACTION on the commit path: autoMaintain
@@ -3148,6 +3210,40 @@ object SparkEntry {
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
       "manifest_delete_delta" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      // the exact halves of the stats fold (row/null counts per
+      // column) over the merged state; COUNT(CASE...) keeps DuckDB in
+      // BIGINT (its SUM would widen to HUGEINT and hash-mismatch)
+      "manifest_analyze" ->
+        s"""WITH merged AS (
+           SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc))
+           SELECT 'segment' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS row_count,
+             CAST(COUNT(CASE WHEN segment IS NULL THEN 1 END) AS BIGINT)
+               AS null_count FROM merged
+           UNION ALL
+           SELECT 'nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(CASE WHEN nation IS NULL THEN 1 END) AS BIGINT)
+           FROM merged""",
+      // the clone serves the same merged-minus-deleted state as
+      // manifest_delete, through ext-resolved base files
+      "manifest_clone" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

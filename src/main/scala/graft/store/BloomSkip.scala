@@ -283,8 +283,15 @@ object BloomSkip {
       .select(col("bucket"), col("column"), col("covers")).collect()
       .map(r => ((r.getInt(0), r.getString(1)),
         r.getSeq[String](2).toSet)).toMap
+    // shallow-clone buckets (any ext file) never summary-build: the
+    // bucket resolver below cannot key ext files, so a summary
+    // claiming the bucket's full live set would UNDER-cover and
+    // wrongly prune — exclude those buckets outright (no summary =
+    // no pruning = conservative)
+    val extBuckets =
+      m.entries.filter(ManifestTable.isExt).map(_.bucket).toSet
     val stale: Seq[(Int, String)] = (for {
-      b <- liveByBucket.keys
+      b <- liveByBucket.keys if !extBuckets(b)
       c <- cols
       if !current.get((b, c)).contains(liveByBucket(b))
     } yield (b, c)).toSeq
@@ -327,7 +334,7 @@ object BloomSkip {
     // alias back to the logical names the sidecar records
     val byBucketRaw = spark.read
       .schema(ManifestTable.toPhysicalSchema(m, schema))
-      .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+      .parquet(entries.map(e => ManifestTable.dataPath(root, e)): _*)
       .withColumn("_bkt", resolveBucket(input_file_name()))
       .filter(col("_bkt").isNotNull)
     val byBucket =
@@ -374,7 +381,9 @@ object BloomSkip {
     val covered = bloomsOf(spark, root)
       .select(col("relPath"), col("column")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    val todo = m.entries.filter(e =>
+    // shallow-clone ext entries never build (the file→relPath match
+    // cannot key them); they simply stay uncovered — conservative
+    val todo = m.entries.filter(e => !ManifestTable.isExt(e) &&
       cols.exists(c => !covered((e.relPath, c))))
     if (todo.isEmpty) return None
     val n =
@@ -382,7 +391,7 @@ object BloomSkip {
       else math.max(1024L, todo.map(_.rows).max)
     // one scan over the uncovered files; per-file grouping via the
     // scan's own file names
-    val paths = todo.map(e => s"$root/${e.relPath}")
+    val paths = todo.map(e => ManifestTable.dataPath(root, e))
     // column mapping: read under the files' PHYSICAL names, alias back
     // to logical (what the sidecar records and lookups probe by)
     val byFileRaw = spark.read

@@ -86,9 +86,9 @@ private[store] final class GraftFileIndex(
       // planner and the parquet reader consult (mod time / block info
       // are not; immutable files have no staleness to detect).
       Array(new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L,
-        new Path(s"$root/${e.relPath}")))
+        new Path(ManifestTable.dataPath(root, e))))
     } else listCache.getOrElseUpdate(e.relPath, {
-      val p = new Path(s"$root/${e.relPath}")
+      val p = new Path(ManifestTable.dataPath(root, e))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       if (st.isFile) Array(st)

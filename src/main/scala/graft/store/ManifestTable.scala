@@ -218,6 +218,18 @@ object ManifestTable {
       format: Int = 10,
       splits: Seq[(Int, Int)] = Nil)
 
+  /** SHALLOW-CLONE entries ([[cloneAt]]) carry an `ext:`-prefixed
+    * relPath: the rest of the string is the source file's ABSOLUTE
+    * qualified URI, resolved as-is instead of against the table root.
+    * A convention inside manifest format 13, not a format bump — every
+    * reader resolves entries through [[dataPath]], writers never
+    * produce ext paths (any rewrite of a cloned bucket lands local
+    * files, so clones diverge copy-on-write). */
+  private[store] def isExt(e: FileEntry): Boolean =
+    e.relPath.startsWith("ext:")
+  private[store] def dataPath(root: String, e: FileEntry): String =
+    if (isExt(e)) e.relPath.substring(4) else s"$root/${e.relPath}"
+
   private val BucketCol = "_bucket"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -1583,7 +1595,24 @@ object ManifestTable {
     // bucket pays) stays bounded by a declared constant as deltas
     // accumulate, with no follower loop. Older rows read null = 0.
     org.apache.spark.sql.types.StructField("compact_files",
+      org.apache.spark.sql.types.IntegerType),
+    // r13: declared RETENTION — run [[vacuum]] with this keepLast from
+    // the commit hook (0/null = off): superseded files reclaim
+    // continuously instead of waiting for an operator. Tagged
+    // snapshots (rows 164) and lagging derived tables' CDC windows are
+    // both respected — see the hook. Older rows read null = 0.
+    org.apache.spark.sql.types.StructField("vacuum_keep",
       org.apache.spark.sql.types.IntegerType)))
+
+  /** A table's declared maintenance policy — see [[autoMaintain]]. */
+  final case class MaintainPolicy(
+      zones: Seq[String] = Nil,
+      blooms: Seq[String] = Nil,
+      reclusterDrift: Int = 0,
+      derived: Boolean = false,
+      splitBytes: Long = 0L,
+      compactFiles: Int = 0,
+      vacuumKeep: Int = 0)
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1624,6 +1653,15 @@ object ManifestTable {
     * maintenance, the hook re-clusters FIRST (a recluster folds the
     * buckets it re-sorts), so compaction only folds the chains layout
     * maintenance left alone. */
+  /** `vacuumKeep >= 1` additionally declares RETENTION: every commit
+    * ends by running [[vacuum]] at that window, so superseded files
+    * reclaim continuously with no operator loop — the last manual
+    * upkeep op retired. Two windows it can never violate: TAGGED
+    * snapshots are retained by vacuum itself (row 164), and when
+    * derived tables are registered the hook WIDENS the effective
+    * window to cover the least-advanced one's CDC range (a lagging
+    * index's next refresh diffs manifests from its applied version —
+    * vacuuming those would strand it permanently). */
   def autoMaintain(
       spark: SparkSession,
       root: String,
@@ -1632,12 +1670,14 @@ object ManifestTable {
       reclusterDrift: Int = 0,
       derived: Boolean = false,
       splitBytes: Long = 0L,
-      compactFiles: Int = 0): Unit = {
+      compactFiles: Int = 0,
+      vacuumKeep: Int = 0): Unit = {
     require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
     require(splitBytes >= 0, "splitBytes must be >= 0 (0 = off)")
     require(compactFiles == 0 || compactFiles >= 2,
       "compactFiles must be 0 (off) or >= 2 (a 1-file bucket has " +
         "nothing to fold)")
+    require(vacuumKeep >= 0, "vacuumKeep must be >= 0 (0 = off)")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no manifest table at $root"))
     if (reclusterDrift > 0) require(m.clusterCol.nonEmpty,
@@ -1654,7 +1694,8 @@ object ManifestTable {
       Integer.valueOf(reclusterDrift),
       java.lang.Boolean.valueOf(derived),
       java.lang.Long.valueOf(splitBytes),
-      Integer.valueOf(compactFiles))
+      Integer.valueOf(compactFiles),
+      Integer.valueOf(vacuumKeep))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1668,24 +1709,25 @@ object ManifestTable {
     * without a declaration pays a single fs.exists, never a manifest
     * read. */
   def maintenanceOf(spark: SparkSession, root: String)
-      : Option[(Seq[String], Seq[String], Int, Boolean, Long, Int)] = {
+      : Option[MaintainPolicy] = {
     val dir = new Path(s"$root/maintain")
     if (!fsOf(spark, dir).exists(dir)) return None
     val dirs = committedAdditiveDirs(spark, root, "maintain")
     if (dirs.isEmpty) return None
     // per-dir reads in commit order: the newest declaration replaces
-    var last: Option[(Seq[String], Seq[String], Int, Boolean, Long,
-      Int)] = None
+    var last: Option[MaintainPolicy] = None
     dirs.foreach { d =>
       spark.read.schema(MaintainSchema).parquet(d).collect()
         .foreach { r =>
           def cols(x: String) =
             x.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          last = Some((cols(r.getString(0)), cols(r.getString(1)),
+          last = Some(MaintainPolicy(
+            cols(r.getString(0)), cols(r.getString(1)),
             if (r.isNullAt(2)) 0 else r.getInt(2),
             !r.isNullAt(3) && r.getBoolean(3),
             if (r.isNullAt(4)) 0L else r.getLong(4),
-            if (r.isNullAt(5)) 0 else r.getInt(5)))
+            if (r.isNullAt(5)) 0 else r.getInt(5),
+            if (r.isNullAt(6)) 0 else r.getInt(6)))
         }
     }
     last
@@ -1706,8 +1748,10 @@ object ManifestTable {
     * Never throws: the commit is already published. */
   private def maintainSidecars(
       spark: SparkSession, root: String, m: Manifest): Unit =
-    try maintenanceOf(spark, root).foreach {
-      case (zones, blooms, drift, derived, splitBytes, compactFiles) =>
+    try maintenanceOf(spark, root).foreach { pol =>
+      import pol.{zones, blooms, derived, splitBytes, compactFiles,
+        vacuumKeep}
+      val drift = pol.reclusterDrift
       if (m.schemaJson.nonEmpty) {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.schemaJson)
@@ -1803,6 +1847,28 @@ object ManifestTable {
                     s"for ${v.viewRoot} at $root v${m.version}: $e")
               }
             }
+        }
+        // RETENTION last: after every rewrite above has committed,
+        // reclaim what nothing references any more. Depth-0 only (the
+        // nested passes' tables are the same — one sweep suffices).
+        // Two windows the declared keepLast can never violate: tagged
+        // snapshots (vacuum itself retains them), and the CDC range a
+        // lagging REGISTERED derived table still needs — its next
+        // refresh diffs manifests from its applied version, so the
+        // effective window widens to cover the least-advanced one
+        // (whether or not `derived` maintenance is declared: an
+        // explicitly-refreshed index needs its diff window just the
+        // same).
+        if (vacuumKeep >= 1 && maintainDepth.get() == 0) {
+          val cur = currentVersion(spark, root).getOrElse(m.version)
+          val applied =
+            SecondaryIndex.registered(spark, root, schema)
+              .map(ix => SecondaryIndex.appliedVersion(spark, ix)) ++
+            MaterializedView.registeredViews(spark, root, schema)
+              .map(v => MaterializedView.appliedVersion(spark, v))
+          val floor = applied.minOption
+            .map(a => (cur - a + 1).toInt).getOrElse(1)
+          vacuum(spark, root, math.max(vacuumKeep, floor))
         }
       }
     } catch {
@@ -4007,6 +4073,89 @@ object ManifestTable {
          else tags.keys.toSeq.sorted.mkString(", "))))
   }
 
+  /** SHALLOW CLONE: bootstraps a NEW table at `dstRoot` whose v0
+    * manifest references the source snapshot's data files IN PLACE
+    * (`ext:`-prefixed absolute URIs — see [[dataPath]]) — zero data
+    * bytes copied, cost = one manifest write regardless of table size.
+    * The clone is a full first-class table: layout (buckets, range
+    * bounds, split tree), key comparator, schema, column mapping,
+    * per-file stats and even un-folded delta/tombstone chains carry
+    * verbatim, so reads reconcile identically; any WRITE rewrites its
+    * touched buckets into clone-local files (copy-on-write divergence),
+    * and the clone's own [[vacuum]] never touches source bytes. Replay
+    * ledgers (stream batches, delete/compact tokens) carry too, so a
+    * redirected writer can never double-apply a batch the source
+    * already holds.
+    *
+    * The bind is BY SNAPSHOT, not by name: later source commits are
+    * invisible to the clone. What CAN hurt it is the source's GC —
+    * so `pin = true` (default) TAGS the source version
+    * (`clone-<sanitized dst>`) and the source's vacuum retains the
+    * referenced files until that tag is deleted; pass `pin = false`
+    * for read-only sources you GC by other means. Zones/bloom sidecars
+    * do NOT carry (they key files by root-relative path): the clone
+    * starts sidecar-less — entry-level stats still prune, and builders
+    * skip ext files (declare maintenance after the clone diverges).
+    *
+    * Experimentation shape at 100 TB: branch the corpus, mutate the
+    * branch, throw it away — never copy it. Returns the cloned source
+    * version. */
+  def cloneAt(
+      spark: SparkSession,
+      srcRoot: String,
+      dstRoot: String,
+      version: Long = -1L,
+      pin: Boolean = true): Long = {
+    val srcM = currentManifest(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $srcRoot"))
+    val v = if (version < 0) srcM.version else version
+    val m =
+      if (v == srcM.version) srcM
+      else {
+        val mp = new Path(s"$srcRoot/manifest/m$v")
+        require(fsOf(spark, mp).exists(mp),
+          s"no committed manifest m$v under $srcRoot (vacuumed?)")
+        readManifest(spark, srcRoot, v)
+      }
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"table exists at $dstRoot")
+    val qSrc = {
+      val p = new Path(srcRoot)
+      fsOf(spark, p).makeQualified(p).toString
+    }
+    // clone-of-a-clone: already-ext entries carry verbatim (they point
+    // at the ORIGINAL bytes — a chain of clones never daisy-chains
+    // resolution through intermediate roots)
+    val extEntries = m.entries.map(e =>
+      if (isExt(e)) e else e.copy(relPath = s"ext:$qSrc/${e.relPath}"))
+    if (pin) tag(spark, srcRoot, cloneTagName(dstRoot), v)
+    val attempt = newAttemptId()
+    if (!tryCommitManifest(spark, dstRoot, Manifest(0L, m.numBuckets,
+        extEntries, m.lastBatches, m.lastDelete, attempt,
+        m.keyColumn, m.keyExpr, m.lastCompact, m.rangeBounds,
+        m.schemaJson, m.udfKey, clusterCol = m.clusterCol,
+        colMap = m.colMap, splits = m.splits))) {
+      throw new java.util.ConcurrentModificationException(
+        s"table concurrently created at $dstRoot")
+    }
+    v
+  }
+
+  /** [[cloneAt]] by TAG name — clone exactly the pinned snapshot. */
+  def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String,
+      tag: String): Long =
+    cloneAt(spark, srcRoot, dstRoot, resolveTag(spark, srcRoot, tag))
+
+  /** Deterministic source-pin tag for a clone destination: stable
+    * across retries (a replayed clone re-tags the same name to the
+    * same version — a no-op move), valid under [[validTagName]]. */
+  private def cloneTagName(dstRoot: String): String = {
+    val sane = dstRoot.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c
+      else '_')
+    ("clone-" + sane).take(128)
+  }
+
   /** Deletes everything no longer referenced: data directories absent
     * from the RETAINED manifests (the newest `keepLast` committed
     * versions — the table's time-travel window; default 1 = current
@@ -4059,8 +4208,10 @@ object ManifestTable {
       }
       val keepManifests = retained.map(r => s"m${r.version}").toSet
       val live: Set[String] = retained
-        .flatMap(_.entries.map(_.relPath.split("/")(1)))
-        .toSet // data/<dir>/_bucket=k
+        .flatMap(_.entries.filterNot(isExt)
+          .map(_.relPath.split("/")(1)))
+        .toSet // data/<dir>/_bucket=k; ext entries live in ANOTHER
+               // table's tree — this vacuum never touches them
       val dataDir = new Path(s"$root/data")
       val dfs = fsOf(spark, dataDir)
       if (dfs.exists(dataDir))
@@ -4090,7 +4241,8 @@ object ManifestTable {
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
       Seq("history", "stats", "bloom", "bloomsum", "zones",
-          "indexreg", "viewreg", "maintain", "tags").foreach { kind =>
+          "indexreg", "viewreg", "maintain", "tags", "colstats")
+        .foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
         if (kfs.exists(kd)) {

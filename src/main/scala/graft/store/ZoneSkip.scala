@@ -213,10 +213,14 @@ object ZoneSkip {
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
     def covered(rp: String, c: String): Boolean =
       coveredRows.get((rp, c)).contains(kinds(c))
-    val todo = m.entries.filter(e =>
+    // shallow-clone ext entries never build: the file→relPath suffix
+    // match below cannot key them, and their carried minZ/maxZ entry
+    // stats still prune — uncovered files just never drop, which is
+    // the sidecars' conservative default
+    val todo = m.entries.filter(e => !ManifestTable.isExt(e) &&
       cols.exists(c => !covered(e.relPath, c)))
     if (todo.isEmpty) return 0
-    val paths = todo.map(e => s"$root/${e.relPath}")
+    val paths = todo.map(e => ManifestTable.dataPath(root, e))
     // column mapping: read under the files' PHYSICAL names, alias back
     // to logical (what the sidecar records and lookups probe by)
     val byFileRaw = spark.read

@@ -179,17 +179,19 @@ class AggPushdownSpec extends SparkSpec {
 
   test("the catalog face pushes too") {
     GraftExtensions.register(spark)
-    spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse",
+    // own catalog NAME (suites share the session in parallel; a shared
+    // name re-pointed at another warehouse races the instance cache)
+    spark.conf.set("spark.sql.catalog.graftagg", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftagg.warehouse",
       "target/test-tmp/aggpush_wh")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t")
-    spark.sql("DROP TABLE IF EXISTS graft.t.counted")
-    spark.sql("""CREATE TABLE graft.t.counted (id BIGINT, v BIGINT)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftagg.t")
+    spark.sql("DROP TABLE IF EXISTS graftagg.t.counted")
+    spark.sql("""CREATE TABLE graftagg.t.counted (id BIGINT, v BIGINT)
       USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
     (1L to 77L).map(i => (i, i)).toDF("id", "v")
       .createOrReplaceTempView("aggpush_src")
-    spark.sql("INSERT INTO graft.t.counted SELECT * FROM aggpush_src")
-    val df = spark.sql("SELECT count(*) AS n FROM graft.t.counted")
+    spark.sql("INSERT INTO graftagg.t.counted SELECT * FROM aggpush_src")
+    val df = spark.sql("SELECT count(*) AS n FROM graftagg.t.counted")
     assert(pushed(df), df.queryExecution.executedPlan.toString)
     assert(df.head.getLong(0) == 77L)
   }

@@ -66,12 +66,12 @@ class AutoMaintainSpec extends SparkSpec {
       "id", root, numBuckets = 4)
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0, false, 0L, 0)))
+      Some(ManifestTable.MaintainPolicy(zones = Seq("v"))))
     ManifestTable.autoMaintain(spark, root, blooms = Seq("seg"))
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Nil, Seq("seg"), 0, false, 0L, 0)))
+      Some(ManifestTable.MaintainPolicy(blooms = Seq("seg"))))
     ManifestTable.autoMaintain(spark, root)
-    assert(ManifestTable.maintenanceOf(spark, root) == Some((Nil, Nil, 0, false, 0L, 0)))
+    assert(ManifestTable.maintenanceOf(spark, root) == Some(ManifestTable.MaintainPolicy()))
     val zb = sideDirs(root, "zones")
     ManifestTable.delete(spark, root, schema, "id", Seq(7L), token = 1L)
     assert(sideDirs(root, "zones") == zb, "stopped maintenance is off")
@@ -110,7 +110,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.autoMaintain(spark, root, zones = Seq("v"),
       reclusterDrift = 2)
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 2, false, 0L, 0)))
+      Some(ManifestTable.MaintainPolicy(zones = Seq("v"), reclusterDrift = 2)))
     val vDecl = ManifestTable.currentVersion(spark, root).get
     // ONE drift file in the touched bucket (a delta tier ADDS a file,
     // keeping the clustered ones live): below the threshold of 2 —
@@ -208,7 +208,7 @@ class AutoMaintainSpec extends SparkSpec {
       s"SELECT * FROM graft_auto_maintain('$root', 'v', 'seg')").head
     assert(r.getString(0) == "v" && r.getString(1) == "seg")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Seq("seg"), 0, false, 0L, 0)))
+      Some(ManifestTable.MaintainPolicy(zones = Seq("v"), blooms = Seq("seg"))))
     assert(sideDirs(root, "zones") > 0 && sideDirs(root, "bloom") > 0)
     // maintenance functions refuse inside views (no commits from a
     // SELECT-wrapped call)
@@ -233,7 +233,7 @@ class AutoMaintainSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepLast = 1)
     assert(!torn.exists(), "torn maintain dir must be GC'd")
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Seq("v"), Nil, 0, false, 0L, 0)),
+      Some(ManifestTable.MaintainPolicy(zones = Seq("v"))),
       "committed declaration survives vacuum")
     // and the policy still fires after vacuum
     val zb = sideDirs(root, "zones")
@@ -378,7 +378,7 @@ class AutoMaintainSpec extends SparkSpec {
       "id", root, numBuckets = 2)
     ManifestTable.autoMaintain(spark, root, compactFiles = 3)
     assert(ManifestTable.maintenanceOf(spark, root) ==
-      Some((Nil, Nil, 0, false, 0L, 3)))
+      Some(ManifestTable.MaintainPolicy(compactFiles = 3)))
     // 0 (off) and 1 (nothing to fold) are rejected at declaration
     intercept[IllegalArgumentException] {
       ManifestTable.autoMaintain(spark, root, compactFiles = 1)
@@ -444,6 +444,53 @@ class AutoMaintainSpec extends SparkSpec {
     assert(obs.getAs[Int]("compact_files") == 2)
     assert(obs.getAs[Int]("buckets_over_compact") == 0,
       s"hook-folded table must report no pending chains: $obs")
+  }
+
+  test("declared RETENTION: every commit vacuums at the declared " +
+      "window; tagged snapshots and a lagging derived table's CDC " +
+      "range both survive it") {
+    val root = freshRoot("amt_vac")
+    val ixRoot = freshRoot("amt_vac_idx")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, s"d${i % 10}", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 2)
+    def manifests: Set[Long] =
+      Option(new java.io.File(s"$root/manifest").list()).toSeq.flatten
+        .filter(n => n.startsWith("m") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).toSet
+    ManifestTable.autoMaintain(spark, root, vacuumKeep = 1)
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    ManifestTable.tag(spark, root, "pin", v0)
+    // two commits: each ends in a hook vacuum at keepLast=1 — only
+    // the current version and the tagged v0 stay readable
+    ManifestTable.delete(spark, root, schema, "id", Seq(1L), token = 1L)
+    ManifestTable.delete(spark, root, schema, "id", Seq(2L), token = 2L)
+    assert(manifests == Set(v0, v0 + 2),
+      s"hook vacuum must keep current + tagged only: $manifests")
+    assert(ManifestTable.readAt(spark, root, "pin").count() == 100L,
+      "the tagged snapshot stays fully readable under auto-vacuum")
+    // a REGISTERED derived table widens the effective window to its
+    // CDC range: commits while it lags must not vacuum the manifests
+    // its next refresh diffs (derived maintenance NOT declared — the
+    // index refreshes explicitly, i.e. maximally lagging)
+    val ix = graft.store.SecondaryIndex.Index(root, schema, "id",
+      ixRoot, "seg", 2)
+    graft.store.SecondaryIndex.create(spark, ix)
+    val applied0 = graft.store.SecondaryIndex.appliedVersion(spark, ix)
+    ManifestTable.delete(spark, root, schema, "id", Seq(3L), token = 3L)
+    ManifestTable.delete(spark, root, schema, "id", Seq(4L), token = 4L)
+    assert((applied0 to applied0 + 2).forall(manifests),
+      s"the lagging index's diff window must survive: $manifests " +
+        s"(applied $applied0)")
+    // the refresh works off those manifests, then the next commit
+    // shrinks the window back to keepLast + the tag
+    graft.store.SecondaryIndex.refresh(spark, ix)
+    ManifestTable.delete(spark, root, schema, "id", Seq(5L), token = 5L)
+    val cur = ManifestTable.currentVersion(spark, root).get
+    assert(!manifests.contains(applied0 + 1),
+      "a caught-up index releases its window on the next commit")
+    assert(manifests.contains(v0) && manifests.contains(cur))
+    assert(ManifestTable.read(spark, root, schema).count() == 95L)
   }
 
   test("SQL faces carry the derived flag: declare via " +

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.ManifestTable
+
+/** [[ManifestTable.cloneAt]] — shallow clone: a new table whose v0
+  * manifest references the source snapshot's files in place (zero data
+  * copied), diverging copy-on-write; the default pin tags the source
+  * version so its vacuum retains the shared bytes. */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType)))
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def mapping = {
+    val m = new graft.mapping.Mapping()
+    m.auto("id"); m.auto("v")
+    m.complete(schema)
+    m
+  }
+
+  private def mergeRows(root: String, batch: Long,
+      delta: Boolean, rows: (Long, Long)*): Unit = {
+    val m = mapping
+    val raw = rows.zipWithIndex
+      .map { case ((id, v), i) => (Seq(id.toString, v.toString), i.toLong) }
+      .toDF("_raw", "_line")
+    ManifestTable.merge(m.project(raw), batch, m, root, schema,
+      streamId = "clone-spec", delta = delta)
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    val d = new java.io.File(s"$root/data")
+    if (!d.exists()) Set.empty
+    else org.apache.commons.io.FileUtils.listFiles(d, null, true)
+      .toArray.map(_.toString).toSet
+  }
+
+  test("clone references source files in place: equal reads, zero " +
+      "data copied, the pin tag lands on the source") {
+    val src = freshRoot("clone_src")
+    val dst = freshRoot("clone_dst")
+    ManifestTable.create(
+      (1L to 500L).map(i => (i, i * 2)).toDF("id", "v"),
+      "id", src, numBuckets = 4)
+    mergeRows(src, 1L, delta = true, (7L, 777L), (501L, 501L))
+    val vSrc = ManifestTable.currentVersion(spark, src).get
+    assert(ManifestTable.cloneAt(spark, src, dst) == vSrc)
+    // equal reads, including the un-folded delta chain
+    assert(ManifestTable.read(spark, dst, schema).collect().toSet ==
+      ManifestTable.read(spark, src, schema).collect().toSet)
+    assert(ManifestTable.read(spark, dst, schema)
+      .filter(col("id") === 7L).head.getLong(1) == 777L)
+    // zero data bytes under the clone; every entry is ext
+    assert(dataFiles(dst).isEmpty, "a shallow clone copies no data")
+    val mDst = ManifestTable.currentManifest(spark, dst).get
+    assert(mDst.version == 0L)
+    assert(mDst.entries.forall(_.relPath.startsWith("ext:")))
+    assert(mDst.numBuckets == 4 && mDst.keyColumn == "id")
+    // the pin: a clone-* tag on the SOURCE at the cloned version
+    val pins = ManifestTable.tagsOf(spark, src)
+    assert(pins.size == 1 && pins.head._1.startsWith("clone-") &&
+      pins.head._2 == vSrc, s"pin tag must land on the source: $pins")
+    // replay ledgers carry: the source's committed batch cannot
+    // double-apply if a writer is redirected at the clone
+    assert(mDst.lastBatches.get("clone-spec").contains(1L))
+    // a second clone onto the same root refuses
+    intercept[Exception] { ManifestTable.cloneAt(spark, src, dst) }
+  }
+
+  test("copy-on-write divergence: writes to the clone rewrite locally " +
+      "and never touch source bytes; source writes stay invisible to " +
+      "the clone") {
+    val src = freshRoot("clone_cow_src")
+    val dst = freshRoot("clone_cow_dst")
+    ManifestTable.create(
+      (1L to 200L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    val srcFiles = dataFiles(src)
+    // mutate the clone: a keyed delete (bucket rewrite) + an upsert
+    ManifestTable.delete(spark, dst, schema, "id", Seq(5L), token = 1L)
+    mergeRows(dst, 2L, delta = false, (300L, 300L))
+    assert(dataFiles(src) == srcFiles,
+      "clone writes must not add/remove/modify source files")
+    assert(ManifestTable.read(spark, src, schema).count() == 200L)
+    assert(ManifestTable.read(spark, dst, schema).count() == 200L,
+      "clone: 200 - 1 deleted + 1 inserted")
+    assert(ManifestTable.lookup(spark, dst, schema, "id", Seq(5L))
+      .count() == 0L)
+    // source mutations after the clone are invisible to it
+    ManifestTable.delete(spark, src, schema, "id", Seq(50L), token = 9L)
+    assert(ManifestTable.lookup(spark, dst, schema, "id", Seq(50L))
+      .count() == 1L, "the clone binds a snapshot, not the live table")
+    // the clone's own vacuum GCs only clone-local superseded files
+    // (fresh baseline: the source's own delete above added its files)
+    val srcFiles2 = dataFiles(src)
+    ManifestTable.vacuum(spark, dst, keepLast = 1)
+    assert(dataFiles(src) == srcFiles2,
+      "the clone's vacuum must never touch source bytes")
+    assert(ManifestTable.read(spark, dst, schema).count() == 200L)
+  }
+
+  test("the pin protects shared bytes from the source's vacuum; " +
+      "compaction folds ext chains into clone-local files") {
+    val src = freshRoot("clone_pin_src")
+    val dst = freshRoot("clone_pin_dst")
+    ManifestTable.create(
+      (1L to 300L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src, dst) // pin = true
+    // source moves on; its vacuum would retire the cloned snapshot's
+    // files — the pin retains them
+    ManifestTable.delete(spark, src, schema, "id", Seq(1L), token = 1L)
+    ManifestTable.delete(spark, src, schema, "id", Seq(2L), token = 2L)
+    ManifestTable.vacuum(spark, src, keepLast = 1)
+    assert(ManifestTable.read(spark, dst, schema).count() == 300L,
+      "the pinned snapshot's bytes must survive the source's vacuum")
+    // compact on the clone (delta chain first): folded buckets become
+    // clone-local; the fold breaks the byte-sharing for those buckets
+    mergeRows(dst, 5L, delta = true, (3L, 999L))
+    ManifestTable.compact(spark, dst, schema, "id", token = 77L,
+      minFilesPerBucket = 2)
+    val folded = ManifestTable.currentManifest(spark, dst).get
+    val extLeft = folded.entries.filter(_.relPath.startsWith("ext:"))
+    assert(extLeft.size < folded.entries.size,
+      "the compacted bucket must hold clone-local files")
+    assert(ManifestTable.read(spark, dst, schema)
+      .filter(col("id") === 3L).head.getLong(1) == 999L)
+    assert(ManifestTable.read(spark, dst, schema).count() == 300L)
+  }
+
+  test("clone at an older version, by tag, and clone-of-clone points " +
+      "at the ORIGINAL bytes") {
+    val src = freshRoot("clone_ver_src")
+    ManifestTable.create(
+      (1L to 100L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    val v0 = ManifestTable.currentVersion(spark, src).get
+    ManifestTable.tag(spark, src, "cut_v0", v0)
+    ManifestTable.delete(spark, src, schema, "id", Seq(1L), token = 1L)
+    // by explicit version
+    val d1 = freshRoot("clone_ver_d1")
+    ManifestTable.cloneAt(spark, src, d1, v0, pin = false)
+    assert(ManifestTable.read(spark, d1, schema).count() == 100L)
+    // by tag
+    val d2 = freshRoot("clone_ver_d2")
+    assert(ManifestTable.cloneAt(spark, src, d2, "cut_v0") == v0)
+    assert(ManifestTable.read(spark, d2, schema).count() == 100L)
+    // clone the clone: entries still point at the original root's
+    // files (no daisy-chain through d2)
+    val d3 = freshRoot("clone_ver_d3")
+    ManifestTable.cloneAt(spark, d2, d3, pin = false)
+    val qSrc = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(src)).toString
+    assert(ManifestTable.currentManifest(spark, d3).get.entries
+      .forall(_.relPath.startsWith(s"ext:$qSrc/")),
+      "clone-of-clone must reference the ORIGINAL bytes")
+    assert(ManifestTable.read(spark, d3, schema).count() == 100L)
+  }
+
+  test("SQL face: graft_clone by tag with pin, observed via graft_tags") {
+    val src = freshRoot("clone_sql_src")
+    val dst = freshRoot("clone_sql_dst")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    val v = ManifestTable.currentVersion(spark, src).get
+    val r = spark.sql(
+      s"SELECT * FROM graft_clone('$src', '$dst')").head
+    assert(r.getLong(2) == v && r.getBoolean(3))
+    assert(spark.sql(s"SELECT * FROM graft_table('$dst', " +
+      s"'id BIGINT, v BIGINT')").count() == 50L)
+    assert(spark.sql(s"SELECT * FROM graft_tags('$src')").count() == 1L)
+    // pin=0 leaves the source untagged
+    val dst2 = freshRoot("clone_sql_dst2")
+    spark.sql(s"SELECT * FROM graft_clone('$src', '$dst2', $v, 0)")
+      .collect()
+    assert(spark.sql(s"SELECT * FROM graft_tags('$src')").count() == 1L)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{ColStats, ManifestTable}
+
+/** [[graft.store.ColStats]] — incremental ANALYZE: per-file row/null
+  * counts + mergeable HLL distinct sketches in an additive sidecar;
+  * covered files never rescan, the table fold is metadata-only. */
+class ColStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("seg", StringType),
+    StructField("v", LongType)))
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test-tmp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
+
+  private def fixture(root: String): Unit =
+    ManifestTable.create(
+      (1L to 5000L).map(i => (i, s"dom${i % 500}", i))
+        .toDF("id", "seg", "v")
+        .withColumn("v", when(col("id") % 10 === 0,
+          lit(null).cast(LongType)).otherwise(col("v"))),
+      "id", root, numBuckets = 4)
+
+  test("exact row/null counts and a tight NDV estimate from the " +
+      "per-file fold; full coverage on a single-seq table") {
+    val root = freshRoot("cs_basic")
+    fixture(root)
+    val stats = ColStats.analyze(spark, root, schema,
+      Seq("seg", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val seg = stats("seg")
+    assert(seg.getLong(1) == 5000L && seg.getLong(2) == 0L)
+    val segNdv = seg.getLong(3)
+    assert(math.abs(segNdv - 500L) <= 50L,
+      s"seg NDV estimate must be within 10% of 500: $segNdv")
+    val v = stats("v")
+    assert(v.getLong(1) == 5000L)
+    assert(v.getLong(2) == 500L, s"v nulls must be exact: ${v.getLong(2)}")
+    val vNdv = v.getLong(3)
+    assert(math.abs(vNdv - 4500L) <= 450L,
+      s"v NDV estimate must be within 10% of 4500: $vNdv")
+    // full coverage, exact fold
+    assert(seg.getLong(4) == seg.getLong(5),
+      "every live file covered after analyze")
+    assert(seg.getBoolean(6), "a freshly created table is single-seq")
+  }
+
+  test("incremental: covered files never rescan; a commit's rewritten " +
+      "bucket is the only new work; delta chains flip single_seq") {
+    val root = freshRoot("cs_incr")
+    fixture(root)
+    val n1 = ColStats.buildStats(spark, root, schema, Seq("seg"))
+    assert(n1 > 0)
+    assert(ColStats.buildStats(spark, root, schema, Seq("seg")) == 0,
+      "a covered table must build nothing")
+    // a keyed delete rewrites ONE bucket: only its fresh files build
+    ManifestTable.delete(spark, root, schema, "id", Seq(40L), token = 1L)
+    val n2 = ColStats.buildStats(spark, root, schema, Seq("seg"))
+    assert(n2 > 0 && n2 < n1,
+      s"only the rewritten bucket's files rebuild: $n2 of $n1")
+    val after = ColStats.tableStats(spark, root, Seq("seg")).head
+    assert(after.getLong(1) == 4999L,
+      "the fold over live files reflects the delete exactly")
+    assert(after.getBoolean(6))
+    // a delta tier: file-level sums now overcount the superseded row,
+    // and the fold says so via single_seq = false
+    val m = {
+      val mp = new graft.mapping.Mapping()
+      mp.auto("id"); mp.auto("seg"); mp.auto("v"); mp.complete(schema)
+      mp
+    }
+    ManifestTable.merge(m.project(
+      Seq((Seq("7", "domX", "7"), 0L)).toDF("_raw", "_line")),
+      2L, m, root, schema, streamId = "S", delta = true)
+    ColStats.buildStats(spark, root, schema, Seq("seg"))
+    val delta = ColStats.tableStats(spark, root, Seq("seg")).head
+    assert(!delta.getBoolean(6), "a delta chain is not single-seq")
+    assert(delta.getLong(1) == 5000L,
+      "file-level sums overcount the superseded row (4999 live + 1)")
+  }
+
+  test("shallow clones: ext files are skipped and visibly uncovered; " +
+      "local rewrites become coverable") {
+    val src = freshRoot("cs_clone_src")
+    val dst = freshRoot("cs_clone_dst")
+    fixture(src)
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    assert(ColStats.buildStats(spark, dst, schema, Seq("seg")) == 0,
+      "ext files never build")
+    val st = ColStats.tableStats(spark, dst, Seq("seg")).collect()
+    assert(st.isEmpty || st.head.getLong(4) == 0L,
+      "coverage must be visibly zero on a fresh clone")
+    // a local rewrite (keyed delete) produces coverable files
+    ManifestTable.delete(spark, dst, schema, "id", Seq(40L), token = 1L)
+    assert(ColStats.buildStats(spark, dst, schema, Seq("seg")) > 0)
+    val st2 = ColStats.tableStats(spark, dst, Seq("seg")).head
+    assert(st2.getLong(4) > 0L && st2.getLong(4) < st2.getLong(5),
+      s"partial coverage reported honestly: $st2")
+  }
+
+  test("SQL faces: graft_analyze builds + folds; graft_col_stats " +
+      "observes without building") {
+    val root = freshRoot("cs_sql")
+    fixture(root)
+    val r = spark.sql(s"SELECT * FROM graft_analyze('$root', " +
+      s"'id BIGINT, seg STRING, v BIGINT', 'seg')").head
+    assert(r.getString(0) == "seg" && r.getLong(1) == 5000L)
+    val o = spark.sql(s"SELECT * FROM graft_col_stats('$root', 'seg')")
+      .head
+    assert(o.getLong(1) == 5000L && o.getLong(4) == o.getLong(5))
+    // the observe face never writes: no new sidecar revisions
+    val dirs = Option(new java.io.File(s"$root/colstats").list())
+      .map(_.length).getOrElse(0)
+    spark.sql(s"SELECT * FROM graft_col_stats('$root', 'seg')").collect()
+    assert(Option(new java.io.File(s"$root/colstats").list())
+      .map(_.length).getOrElse(0) == dirs)
+  }
+}

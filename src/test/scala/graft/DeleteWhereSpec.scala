@@ -371,56 +371,59 @@ class DeleteWhereSpec extends SparkSpec {
   test("SQL DELETE derives the zone hint from its own conjuncts") {
     import graft.store.ZoneSkip
     GraftExtensions.register(spark)
-    spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse",
+    // own catalog NAME: suites share one session and run in parallel,
+    // and re-pointing a shared catalog name at a different warehouse
+    // races the manager's instance cache — a test owns its name
+    spark.conf.set("spark.sql.catalog.graftz", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftz.warehouse",
       "target/test-tmp/delw_zwh")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.z")
-    spark.sql("DROP TABLE IF EXISTS graft.z.t")
-    spark.sql("""CREATE TABLE graft.z.t (id BIGINT, seg STRING, v BIGINT)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftz.z")
+    spark.sql("DROP TABLE IF EXISTS graftz.z.t")
+    spark.sql("""CREATE TABLE graftz.z.t (id BIGINT, seg STRING, v BIGINT)
       USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
     (1L to 2000L).map(i => (i, "s", i * 3)).toDF("id", "seg", "v")
       .createOrReplaceTempView("delw_zsrc")
-    spark.sql("INSERT INTO graft.z.t SELECT * FROM delw_zsrc")
+    spark.sql("INSERT INTO graftz.z.t SELECT * FROM delw_zsrc")
     val root = "target/test-tmp/delw_zwh/z/t"
     ManifestTable.clusterBy(spark, root, schema, "id", "v",
       token = 100L, filesPerBucket = 8)
     ZoneSkip.buildZones(spark, root, schema, Seq("v"))
-    spark.sql("DELETE FROM graft.z.t WHERE v >= 30 AND v <= 300 " +
+    spark.sql("DELETE FROM graftz.z.t WHERE v >= 30 AND v <= 300 " +
       "AND seg = 's'")
-    assert(spark.table("graft.z.t").count() == 2000L - 91L)
+    assert(spark.table("graftz.z.t").count() == 2000L - 91L)
   }
 
   test("SQL DELETE with a non-key predicate runs the row-level rewrite; " +
       "key-shaped DELETEs keep the metadata path") {
     GraftExtensions.register(spark)
-    spark.conf.set("spark.sql.catalog.graft", "graft.store.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse",
+    spark.conf.set("spark.sql.catalog.graftd", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftd.warehouse",
       "target/test-tmp/delw_wh")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d")
-    spark.sql("DROP TABLE IF EXISTS graft.d.t")
-    spark.sql("""CREATE TABLE graft.d.t (id BIGINT, seg STRING, v BIGINT)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftd.d")
+    spark.sql("DROP TABLE IF EXISTS graftd.d.t")
+    spark.sql("""CREATE TABLE graftd.d.t (id BIGINT, seg STRING, v BIGINT)
       USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='8')""")
     (1L to 200L).map(i => (i, if (i % 4 == 0) "HOT" else "COLD", i * 2))
       .toDF("id", "seg", "v").createOrReplaceTempView("delw_src")
-    spark.sql("INSERT INTO graft.d.t SELECT * FROM delw_src")
+    spark.sql("INSERT INTO graftd.d.t SELECT * FROM delw_src")
     val root = "target/test-tmp/delw_wh/d/t"
     // non-key predicate: lands on deleteWhere (graft-sql-delete stream)
-    spark.sql("DELETE FROM graft.d.t WHERE seg = 'HOT' AND v <= 100")
+    spark.sql("DELETE FROM graftd.d.t WHERE seg = 'HOT' AND v <= 100")
     assert(ManifestTable.currentManifest(spark, root).get
       .lastBatches.contains("graft-sql-delete-where"))
-    assert(spark.table("graft.d.t").count() == 188) // 12 HOT rows with v <= 100
+    assert(spark.table("graftd.d.t").count() == 188) // 12 HOT rows with v <= 100
     // key predicate: metadata path — the keyed-delete stream moves,
     // the rewrite stream must not
     val streamTok = ManifestTable.currentManifest(spark, root).get
       .lastBatches("graft-sql-delete-where")
-    spark.sql("DELETE FROM graft.d.t WHERE id IN (1, 2)")
+    spark.sql("DELETE FROM graftd.d.t WHERE id IN (1, 2)")
     val m = ManifestTable.currentManifest(spark, root).get
     assert(m.lastBatches("graft-sql-delete-where") == streamTok,
       "a key DELETE must keep the SupportsDelete metadata path")
     assert(m.lastBatches.contains("graft-sql-delete"))
-    assert(spark.table("graft.d.t").count() == 186)
+    assert(spark.table("graftd.d.t").count() == 186)
     // unconditional DELETE stays the metadata-only truncate
-    spark.sql("DELETE FROM graft.d.t")
-    assert(spark.table("graft.d.t").count() == 0)
+    spark.sql("DELETE FROM graftd.d.t")
+    assert(spark.table("graftd.d.t").count() == 0)
   }
 }

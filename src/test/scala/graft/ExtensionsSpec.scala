@@ -110,15 +110,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(e1.getMessage.contains("literal") ||
       Option(e1.getCause).exists(_.getMessage.contains("literal")),
       s"expected a must-be-a-literal usage error, got: ${e1.getMessage}")
-    // string where the version integer belongs
+    // a STRING version argument is a TAG since r13 (graft_table_at
+    // doubles as time travel by name): a non-digit string resolves
+    // through the tag registry and an unknown name fails with the
+    // tag-lookup error, not a type error
     val e2 = intercept[Exception] {
       spark.sql(
         "SELECT * FROM graft_table_at('/nowhere', 'id BIGINT', 'seven')")
         .collect()
     }
-    assert(e2.getMessage.contains("integer literal") ||
-      Option(e2.getCause).exists(_.getMessage.contains("integer literal")),
-      s"expected an integer-literal usage error, got: ${e2.getMessage}")
+    assert(e2.getMessage.contains("no tag 'seven'") ||
+      Option(e2.getCause).exists(_.getMessage.contains("no tag 'seven'")),
+      s"expected a tag-lookup error, got: ${e2.getMessage}")
+    // a non-integer NUMERIC version stays a usage error
+    val e2b = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_table_at('/nowhere', 'id BIGINT', 1.5)")
+        .collect()
+    }
+    assert(e2b.getMessage.contains("literal") ||
+      Option(e2b.getCause).exists(_.getMessage.contains("literal")),
+      s"expected an integer-literal usage error, got: ${e2b.getMessage}")
     // integer where the root string belongs
     val e3 = intercept[Exception] {
       spark.sql("SELECT * FROM graft_table(42, 'id BIGINT')").collect()
