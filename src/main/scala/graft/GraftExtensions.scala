@@ -250,6 +250,48 @@ object GraftExtensions {
         .toDF("tag_name", "was_version", "existed")
         .queryExecution.analyzed
     }),
+    "graft_add_constraint" -> (es => {
+      refuseInView("graft_add_constraint")
+      // Declares a CHECK constraint ([[ManifestTable.addConstraint]]):
+      // validated against the current state (violations refuse,
+      // loudly), then enforced inline on every row any writer
+      // produces. NULL passes; only FALSE violates (SQL CHECK).
+      require(es.size == 3,
+        "usage: graft_add_constraint(root, name, checkSql)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val name = strArg(es(1), "constraint name")
+      val sql = strArg(es(2), "check SQL")
+      graft.store.ManifestTable.addConstraint(spark, root, name, sql)
+      import spark.implicits._
+      Seq((name, sql)).toDF("constraint_name", "check_sql")
+        .queryExecution.analyzed
+    }),
+    "graft_drop_constraint" -> (es => {
+      refuseInView("graft_drop_constraint")
+      require(es.size == 2,
+        "usage: graft_drop_constraint(root, name)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      val name = strArg(es(1), "constraint name")
+      val had = graft.store.ManifestTable.constraintsOf(spark, root)
+        .get(name)
+      graft.store.ManifestTable.dropConstraint(spark, root, name)
+      import spark.implicits._
+      Seq((name, had.orNull, had.isDefined))
+        .toDF("constraint_name", "was_check_sql", "existed")
+        .queryExecution.analyzed
+    }),
+    "graft_constraints" -> (es => {
+      // observe face: the live constraint registry
+      require(es.size == 1, "usage: graft_constraints(root)")
+      val spark = SparkSession.active
+      val root = strArg(es(0), "root")
+      import spark.implicits._
+      graft.store.ManifestTable.constraintsOf(spark, root).toSeq.sorted
+        .toDF("constraint_name", "check_sql")
+        .queryExecution.analyzed
+    }),
     "graft_clone" -> (es => {
       refuseInView("graft_clone")
       // SHALLOW CLONE: a new table at dstRoot referencing the source

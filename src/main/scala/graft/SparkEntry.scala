@@ -605,6 +605,16 @@ object SparkEntry {
       graft.store.ManifestTable.vacuum(s, root, keepLast = 1)
       sideReady += "manifest_tag_decl"
     }),
+    "manifest_constraint" -> ((s, dir) => {
+      // fixture + the constraint declaration (which validates the
+      // current state) outside the timed region: the rep times the
+      // rejected-update probe + the committed read.
+      val root = resetManifestFixture(s, dir, "manifest_constraint",
+        withMerge = true)
+      graft.store.ManifestTable.addConstraint(s, root, "seg_nn",
+        "segment IS NOT NULL")
+      sideReady += "manifest_constraint_decl"
+    }),
     "manifest_analyze" -> ((s, dir) => {
       // fixture + the per-file stats build outside the timed region:
       // the rep times the covered-check (one sidecar read, zero
@@ -1311,6 +1321,36 @@ object SparkEntry {
         sideReady += "manifest_tag_decl"
       }
       graft.store.ManifestTable.readAt(s, root, "corpus_cut")
+    }),
+    "manifest_constraint" -> ((s, dir) => {
+      // DECLARED CHECK CONSTRAINTS: declare once (validated against
+      // the current state), then EVERY writer's rows pass the check
+      // inline at the shared write funnel — no extra scan, no second
+      // job, a quality gate cheap enough to leave on at 100 TB. The
+      // closure asserts the enforcement in-query: an UPDATE that
+      // would null a protected column must fail BEFORE anything
+      // commits (same version after), and the table read back
+      // hash-equals the untouched merged state.
+      val root = manifestFixture(s, dir, "manifest_constraint",
+        withMerge = true)
+      if (!sideReady.contains("manifest_constraint_decl")) {
+        graft.store.ManifestTable.addConstraint(s, root, "seg_nn",
+          "segment IS NOT NULL")
+        sideReady += "manifest_constraint_decl"
+      }
+      val v0 = graft.store.ManifestTable.currentVersion(s, root).get
+      val threw =
+        try {
+          graft.store.ManifestTable.updateWhere(s, root, upsertSchema,
+            _ => Seq("segment" ->
+              lit(null).cast(org.apache.spark.sql.types.StringType)),
+            df => df("id") === 42L, token = 777L)
+          false
+        } catch { case _: Throwable => true }
+      require(threw, "the constraint must reject the violating UPDATE")
+      require(graft.store.ManifestTable.currentVersion(s, root)
+        .contains(v0), "a rejected write must not commit")
+      graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_analyze" -> ((s, dir) => {
       // INCREMENTAL ANALYZE: per-file column stats (row/null counts +
@@ -3219,6 +3259,17 @@ object SparkEntry {
                 ELSE CAST(99 AS BIGINT) END AS nation
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      // the merged state untouched: the constraint rejected the
+      // violating UPDATE before anything committed
+      "manifest_constraint" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE ($inTgt) OR ($inSrc)""",
       // the exact halves of the stats fold (row/null counts per
       // column) over the merged state; COUNT(CASE...) keeps DuckDB in
       // BIGINT (its SUM would widen to HUGEINT and hash-mismatch)

@@ -1058,13 +1058,38 @@ object ManifestTable {
       else sorted.select((df.schema.fieldNames.toSeq.map(n =>
         col(n).as(toPhys(n))) :+ col(BucketCol)): _*)
     val physKey = toPhys(keyColumn)
+    // DECLARED CHECK CONSTRAINTS ([[addConstraint]]) guard this one
+    // funnel every row-producing writer shares: each check evaluates
+    // inline per row (a codegen'd predicate — no extra pass, no extra
+    // job) and the first violating row fails the write LOUDLY, before
+    // anything commits, naming the constraint and printing the row.
+    // SQL CHECK semantics: NULL passes, only FALSE violates. A check
+    // that does not RESOLVE against this frame skips: key-only
+    // tombstone writes carry no payload columns to check, and
+    // declaration-time validation already covered every committed row.
+    val guarded = {
+      val cs = constraintsOf(spark, root)
+      if (cs.isEmpty) df
+      else cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cname, sql)) =>
+        val resolves =
+          try { d.limit(0).filter(expr(sql)); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!resolves) d
+        else d.filter(
+          when(coalesce(expr(sql), lit(true)), lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"graft CHECK constraint '$cname' ($sql) violated " +
+                "by row: "),
+              to_json(struct(d.columns.map(col): _*))))))
+      }
+    }
     // Key-sorted within each bucket file: parquet row-group min/max stats
     // then stratify the key space, so the pruned point lookups (which
     // always carry the key predicate into the scan) skip row groups
     // within a file, not just files — and sorted columns compress better.
     // Costs one in-task sort at write; changes no semantics (readers
     // never assume order).
-    physicalize(df.withColumn(BucketCol, bucket)
+    physicalize(guarded.withColumn(BucketCol, bucket)
       .repartition(math.max(1, numTasks), col(BucketCol))
       .sortWithinPartitions(col(BucketCol),
         keyComparator(col(keyColumn))))
@@ -4073,6 +4098,88 @@ object ManifestTable {
          else tags.keys.toSeq.sorted.mkString(", "))))
   }
 
+  private val ConstraintSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("constraint_name",
+        org.apache.spark.sql.types.StringType),
+      // null = drop marker (the tags discipline: newest row per name
+      // wins, a null-SQL row un-declares the name)
+      org.apache.spark.sql.types.StructField("check_sql",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Declares a CHECK constraint: `checkSql` (a boolean SQL expression
+    * over the table's columns, standard CHECK semantics — NULL passes,
+    * only FALSE violates) is validated against the CURRENT state
+    * (violations refuse the declaration, loudly, with a count and
+    * sample rows) and from then on guards EVERY row any writer
+    * produces — merge, SQL INSERT/UPDATE/MERGE, updateWhere, the
+    * streaming sink — at the one write funnel they all share
+    * ([[writeBuckets]]): the check evaluates inline per row (codegen'd
+    * predicate, no extra pass, no extra job) and the first violating
+    * row fails the write BEFORE anything commits, naming the
+    * constraint and printing the row. At 100 TB a quality gate that
+    * costs a second scan is a tax nobody pays; one that rides the
+    * write itself is free enough to leave on. Constraints live in an
+    * additive `constraints` sidecar, survive vacuum, and carry onto
+    * shallow clones ([[cloneAt]] — a branch inherits the contract). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      checkSql: String): Unit = {
+    require(name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+        c == '-'),
+      s"invalid constraint name '$name' — need [A-Za-z0-9._-]{1,128}")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    val schema = schemaOf(m).getOrElse(
+      throw new IllegalStateException(s"table at $root records no " +
+        "schema (pre-format-7) — constraints need the recorded schema"))
+    // resolve + type-check + validate existing rows in one pass: the
+    // filter fails analysis loudly on typos/non-boolean expressions
+    val bad = read(spark, root, schema)
+      .filter(!coalesce(expr(checkSql), lit(true)))
+    val sample = bad.limit(3).collect()
+    if (sample.nonEmpty) {
+      val n = bad.count()
+      throw new IllegalStateException(
+        s"cannot add CHECK constraint '$name' ($checkSql) at $root: " +
+          s"$n existing row(s) violate it, e.g. " +
+          sample.map(_.toString).mkString("; "))
+    }
+    val row = org.apache.spark.sql.Row(name, checkSql)
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), ConstraintSchema)
+    writeAdditiveSidecar(spark, root, m, df, "constraints")
+  }
+
+  /** Un-declares a CHECK constraint. No-op on unknown names. */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Unit = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $root"))
+    val row = org.apache.spark.sql.Row(name, null)
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), ConstraintSchema)
+    writeAdditiveSidecar(spark, root, m, df, "constraints")
+  }
+
+  /** Live CHECK constraints, name → boolean SQL. One fs.exists on
+    * tables that never declared any. */
+  def constraintsOf(spark: SparkSession, root: String)
+      : Map[String, String] = {
+    val dir = new Path(s"$root/constraints")
+    if (!fsOf(spark, dir).exists(dir)) return Map.empty
+    val dirs = committedAdditiveDirs(spark, root, "constraints")
+    var live = Map.empty[String, String]
+    dirs.foreach { d =>
+      spark.read.schema(ConstraintSchema).parquet(d).collect()
+        .foreach { r =>
+          val n = r.getString(0)
+          if (r.isNullAt(1)) live -= n else live += (n -> r.getString(1))
+        }
+    }
+    live
+  }
+
   /** SHALLOW CLONE: bootstraps a NEW table at `dstRoot` whose v0
     * manifest references the source snapshot's data files IN PLACE
     * (`ext:`-prefixed absolute URIs — see [[dataPath]]) — zero data
@@ -4130,13 +4237,25 @@ object ManifestTable {
       if (isExt(e)) e else e.copy(relPath = s"ext:$qSrc/${e.relPath}"))
     if (pin) tag(spark, srcRoot, cloneTagName(dstRoot), v)
     val attempt = newAttemptId()
-    if (!tryCommitManifest(spark, dstRoot, Manifest(0L, m.numBuckets,
-        extEntries, m.lastBatches, m.lastDelete, attempt,
-        m.keyColumn, m.keyExpr, m.lastCompact, m.rangeBounds,
-        m.schemaJson, m.udfKey, clusterCol = m.clusterCol,
-        colMap = m.colMap, splits = m.splits))) {
+    val cloneM = Manifest(0L, m.numBuckets,
+      extEntries, m.lastBatches, m.lastDelete, attempt,
+      m.keyColumn, m.keyExpr, m.lastCompact, m.rangeBounds,
+      m.schemaJson, m.udfKey, clusterCol = m.clusterCol,
+      colMap = m.colMap, splits = m.splits)
+    if (!tryCommitManifest(spark, dstRoot, cloneM)) {
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $dstRoot")
+    }
+    // the branch inherits the data contract: live CHECK constraints
+    // carry onto the clone (drop them there explicitly if the branch
+    // is meant to relax them)
+    val cs = constraintsOf(spark, srcRoot)
+    if (cs.nonEmpty) {
+      val rows = cs.toSeq.sortBy(_._1).map { case (n, q) =>
+        org.apache.spark.sql.Row(n, q) }
+      writeAdditiveSidecar(spark, dstRoot, cloneM,
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          ConstraintSchema), "constraints")
     }
     v
   }
@@ -4241,7 +4360,8 @@ object ManifestTable {
         .map(_.stripPrefix("m").toLong)
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
       Seq("history", "stats", "bloom", "bloomsum", "zones",
-          "indexreg", "viewreg", "maintain", "tags", "colstats")
+          "indexreg", "viewreg", "maintain", "tags", "colstats",
+          "constraints")
         .foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
