@@ -157,4 +157,50 @@ object ColStats {
     buildStats(spark, root, schema, cols)
     tableStats(spark, root, cols)
   }
+
+  /** One column's folded live stats: exact row/null sums and the
+    * HLL-union NDV estimate over the files covered. `full` = every
+    * live file is covered AND the table is single-seq, i.e. the sums
+    * are exact table counts a planner may trust. */
+  final case class Live(rows: Long, nulls: Long, ndv: Long,
+      full: Boolean)
+
+  /** DRIVER-SIDE stats fold for PLANNING consumers
+    * ([[GraftBatchScan.estimateStatistics]]'s columnStats): the same
+    * fold as [[tableStats]] but with the sketch union done on the
+    * driver (org.apache.datasketches directly — Spark's
+    * `hll_sketch_agg` writes DataSketches HLL bytes), so asking for
+    * stats at plan time costs one tiny sidecar collect (a few rows per
+    * file×column) and no shuffle. Returns only columns with at least
+    * one covered live file; planners gate on `full`. */
+  def liveStats(
+      spark: SparkSession,
+      root: String,
+      m: Manifest): Map[String, Live] = {
+    val dirs = ManifestTable.committedAdditiveDirs(spark, root,
+      "colstats")
+    if (dirs.isEmpty) return Map.empty
+    val live = m.entries.map(_.relPath).toSet
+    val singleSeq = m.entries.groupBy(_.bucket).values
+      .forall(es => es.map(_.seq).distinct.size == 1 &&
+        !es.exists(_.tomb))
+    val rows = spark.read.schema(statsSchema).parquet(dirs: _*)
+      .collect()
+      .filter(r => live(r.getString(0)))
+    rows.groupBy(_.getString(1)).map { case (c, rs) =>
+      val u = new org.apache.datasketches.hll.Union(12)
+      var nRows = 0L; var nNulls = 0L
+      val covered = scala.collection.mutable.HashSet.empty[String]
+      rs.foreach { r =>
+        covered += r.getString(0)
+        nRows += r.getLong(2); nNulls += r.getLong(3)
+        val sk = r.getAs[Array[Byte]](4)
+        if (sk != null && sk.nonEmpty)
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(sk))
+      }
+      c -> Live(nRows, nNulls,
+        math.ceil(u.getResult.getEstimate).toLong,
+        full = singleSeq && covered.size == live.size)
+    }
+  }
 }

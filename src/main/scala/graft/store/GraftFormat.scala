@@ -549,6 +549,42 @@ private[store] case class GraftBatchScan(
       "session with GraftExtensions (spark.sql.extensions / " +
       "withExtensions) or call GraftExtensions.register(spark) first")
 
+  /** Per-column NDV/null-count for the optimizer, folded driver-side
+    * from the [[ColStats]] `colstats` sidecar (the incremental ANALYZE
+    * output): only columns whose coverage is FULL on a single-seq
+    * table report — partial or chain-overcounted stats must not steer
+    * a join reorder. Never-analyzed tables pay one fs.exists. Lazy +
+    * per-scan cached: planning consults statistics once per relation. */
+  @transient private lazy val colStatsMap: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val spark = SparkSession.active
+    val m = versionAsOf match {
+      case Some(v) => Some(ManifestTable.readManifest(spark, root, v))
+      case None => ManifestTable.currentManifest(spark, root)
+    }
+    m.foreach { mf =>
+      ColStats.liveStats(spark, root, mf).foreach {
+        case (c, st) if st.full =>
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                OptionalLong.of(st.ndv)
+              override def nullCount(): OptionalLong =
+                OptionalLong.of(st.nulls)
+            })
+        case _ => ()
+      }
+    }
+    out
+  }
+
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
     val m = versionAsOf match {
@@ -573,6 +609,13 @@ private[store] case class GraftBatchScan(
           OptionalLong.of(mf.entries.map(_.rows).sum)
         case _ => OptionalLong.empty()
       }
+      // ANALYZE-fed column stats (NDV + null count) for CBO join
+      // reorder / selectivity: what makes the incremental stats an
+      // OPTIMIZER input instead of an observability report.
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = colStatsMap
     }
   }
 }

@@ -109,6 +109,61 @@ class ColStatsSpec extends SparkSpec {
       s"partial coverage reported honestly: $st2")
   }
 
+  test("the DSv2 scan reports ANALYZE-fed column stats (NDV + null " +
+      "count) to the optimizer; partial coverage and delta chains " +
+      "withhold them") {
+    val root = freshRoot("cs_scanstats")
+    fixture(root)
+    // reach the Scan through the public DSv2 plan (the scan class is
+    // store-private; SupportsReportStatistics is the public face)
+    def statsOf(r: String) = {
+      val rel = spark.read.format("graft").load(r)
+        .queryExecution.analyzed.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation => s
+        }.head
+      rel.table.asInstanceOf[
+          org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util
+          .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        .build().asInstanceOf[
+          org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    // no ANALYZE yet: column stats absent, size/rows still reported
+    val before = statsOf(root)
+    assert(before.columnStats().isEmpty)
+    assert(before.numRows().getAsLong == 5000L)
+    ColStats.buildStats(spark, root, schema, Seq("seg", "v"))
+    val after = statsOf(root)
+    val cs = after.columnStats()
+    assert(cs.size == 2, s"both analyzed columns report: $cs")
+    val byName = {
+      val it = cs.entrySet().iterator()
+      var m = Map.empty[String, org.apache.spark.sql.connector.read
+        .colstats.ColumnStatistics]
+      while (it.hasNext) { val e = it.next()
+        m += (e.getKey.fieldNames()(0) -> e.getValue) }
+      m
+    }
+    assert(byName("v").nullCount().getAsLong == 500L)
+    val ndv = byName("seg").distinctCount().getAsLong
+    assert(math.abs(ndv - 500L) <= 50L, s"seg NDV via the scan: $ndv")
+    // a delta chain makes the fold an overcount: the scan must
+    // WITHHOLD column stats rather than steer the optimizer wrong
+    val m = {
+      val mp = new graft.mapping.Mapping()
+      mp.auto("id"); mp.auto("seg"); mp.auto("v"); mp.complete(schema)
+      mp
+    }
+    ManifestTable.merge(m.project(
+      Seq((Seq("7", "domX", "7"), 0L)).toDF("_raw", "_line")),
+      2L, m, root, schema, streamId = "S", delta = true)
+    ColStats.buildStats(spark, root, schema, Seq("seg", "v"))
+    assert(statsOf(root).columnStats().isEmpty,
+      "chain-overcounted stats must not reach the optimizer")
+  }
+
   test("SQL faces: graft_analyze builds + folds; graft_col_stats " +
       "observes without building") {
     val root = freshRoot("cs_sql")
