@@ -555,15 +555,19 @@ object GraftExtensions {
       refuseInView("graft_vacuum")
       // Retention GC ([[ManifestTable.vacuum]]): drops manifests below
       // the keepLast window, their unreferenced data files, and
-      // losing/torn side dirs. Returns (versions_retained) — the
-      // manifests still readable afterwards.
-      require(es.size == 1 || es.size == 2,
-        "usage: graft_vacuum(root[, keepLast])")
+      // losing/torn side dirs; tagged snapshots and (optional 3rd arg)
+      // versions younger than retainMillis are retained regardless.
+      // Returns (versions_retained) — the manifests still readable
+      // afterwards.
+      require(es.size >= 1 && es.size <= 3,
+        "usage: graft_vacuum(root[, keepLast[, retainMillis]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       graft.store.ManifestTable.vacuum(spark, root,
         keepLast =
-          if (es.size == 2) longArg(es(1), "keepLast").toInt else 1)
+          if (es.size >= 2) longArg(es(1), "keepLast").toInt else 1,
+        retainMillis =
+          if (es.size >= 3) longArg(es(2), "retainMillis") else 0L)
       import spark.implicits._
       Seq(graft.store.ManifestTable.versions(spark, root).size)
         .toDF("versions_retained").queryExecution.analyzed

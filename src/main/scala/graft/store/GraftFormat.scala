@@ -206,6 +206,31 @@ private[store] case class GraftTable(
         out.put("leafBuckets",
           m.entries.map(_.bucket).distinct.size.toString)
       }
+      if (m.entries.exists(ManifestTable.isExt(_)))
+        out.put("shallowClone", "true") // some bytes live in the
+                                        // source table's tree
+      val spark = SparkSession.active
+      // registry observability (each is one fs.exists when absent —
+      // the memo makes even the declared cases a one-time read)
+      val tags = ManifestTable.tagsOf(spark, root)
+      if (tags.nonEmpty)
+        out.put("tags", tags.toSeq.sortBy(_._1)
+          .map { case (n, v) => s"$n=v$v" }.mkString(","))
+      val cons = ManifestTable.constraintsOf(spark, root)
+      if (cons.nonEmpty)
+        out.put("constraints", cons.keys.toSeq.sorted.mkString(","))
+      ManifestTable.maintenanceOf(spark, root).foreach { pol =>
+        val parts = Seq(
+          if (pol.zones.nonEmpty) Some(s"zones=${pol.zones.mkString("+")}") else None,
+          if (pol.blooms.nonEmpty) Some(s"blooms=${pol.blooms.mkString("+")}") else None,
+          if (pol.reclusterDrift > 0) Some(s"reclusterDrift=${pol.reclusterDrift}") else None,
+          if (pol.derived) Some("derived=true") else None,
+          if (pol.splitBytes > 0) Some(s"splitBytes=${pol.splitBytes}") else None,
+          if (pol.compactFiles > 0) Some(s"compactFiles=${pol.compactFiles}") else None,
+          if (pol.vacuumKeep > 0) Some(s"vacuumKeep=${pol.vacuumKeep}") else None
+        ).flatten
+        if (parts.nonEmpty) out.put("autoMaintain", parts.mkString(","))
+      }
     }
     out.put("location", root)
     out

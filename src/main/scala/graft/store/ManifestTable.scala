@@ -1893,7 +1893,12 @@ object ManifestTable {
               .map(v => MaterializedView.appliedVersion(spark, v))
           val floor = applied.minOption
             .map(a => (cur - a + 1).toInt).getOrElse(1)
-          vacuum(spark, root, math.max(vacuumKeep, floor))
+          // session-tunable reader-race guard: never auto-vacuum a
+          // version younger than the longest query the deployment runs
+          val retain = spark.conf
+            .getOption("spark.graft.vacuum.retainMs")
+            .map(_.toLong).getOrElse(0L)
+          vacuum(spark, root, math.max(vacuumKeep, floor), retain)
         }
       }
     } catch {
@@ -4301,9 +4306,18 @@ object ManifestTable {
     * makes a crashed-refresh retry fail loudly instead of recovering.
     * keepLast >= 1 + the max ops (deletes + merges) a single refresh can
     * commit is safe; prefer a generous window on derived tables. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit =
+  /** `retainMillis > 0` additionally retains every version COMMITTED
+    * within that window (manifest-file mtime), whatever `keepLast`
+    * says — the reader-race guard: a reader resolves its manifest once
+    * per query, so "never vacuum anything younger than the longest
+    * query you run" turns the documented race into an operational
+    * guarantee (the Delta retention-hours discipline). */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
+      retainMillis: Long = 0L): Unit =
     currentManifest(spark, root).foreach { m =>
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      require(retainMillis >= 0,
+        s"retainMillis must be >= 0, got $retainMillis")
       val retained: Seq[Manifest] = {
         val dir = new Path(s"$root/manifest")
         val fs = fsOf(spark, dir)
@@ -4321,8 +4335,18 @@ object ManifestTable {
         // the tag read fails loudly, never silently serves a partial
         // snapshot.
         val pinned = tagsOf(spark, root).values.toSet
+        val young: Set[Long] =
+          if (retainMillis <= 0) Set.empty
+          else {
+            val cutoff = System.currentTimeMillis() - retainMillis
+            committed.filter { v =>
+              fs.getFileStatus(new Path(s"$root/manifest/m$v"))
+                .getModificationTime >= cutoff
+            }.toSet
+          }
         (committed.takeRight(keepLast) ++
-          committed.filter(pinned)).distinct.sorted
+          committed.filter(pinned) ++
+          committed.filter(young)).distinct.sorted
           .map(readManifest(spark, root, _))
       }
       val keepManifests = retained.map(r => s"m${r.version}").toSet

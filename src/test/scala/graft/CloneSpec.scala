@@ -172,6 +172,49 @@ class CloneSpec extends SparkSpec {
     assert(ManifestTable.read(spark, d3, schema).count() == 100L)
   }
 
+  test("cross-feature: cloning a SPLIT, RENAMED, tombstone-carrying " +
+      "source keeps every recorded layout fact working on the branch") {
+    val src = freshRoot("clone_x_src")
+    val dst = freshRoot("clone_x_dst")
+    ManifestTable.create(
+      (1L to 400L).map(i => (i, i * 2)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    // column mapping: rename v -> val2 (physical names stay on disk)
+    ManifestTable.renameColumn(spark, src, "v", "val2")
+    val renamed = StructType(Seq(
+      StructField("id", LongType), StructField("val2", LongType)))
+    // online split: over-median leaves fan out (manifest split tree)
+    val m0 = ManifestTable.currentManifest(spark, src).get
+    val bytes = m0.entries.groupBy(_.bucket).values
+      .map(_.map(_.bytes).sum).toSeq.sorted
+    ManifestTable.splitBuckets(spark, src, renamed, token = 50L,
+      maxBytes = math.max(1L, bytes.min / 2))
+    assert(ManifestTable.currentManifest(spark, src).get.splits.nonEmpty,
+      "fixture: the source must actually be split")
+    // a tombstone chain rides into the clone too
+    ManifestTable.delete(spark, src, renamed, "id", Seq(10L),
+      token = 51L, delta = true)
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    val mDst = ManifestTable.currentManifest(spark, dst).get
+    assert(mDst.splits == ManifestTable.currentManifest(spark, src)
+      .get.splits, "the split tree carries")
+    assert(mDst.colMap.nonEmpty, "the column mapping carries")
+    // reads reconcile the tombstone under the renamed schema across
+    // ext files
+    assert(ManifestTable.read(spark, dst, renamed).count() == 399L)
+    assert(ManifestTable.read(spark, dst, renamed)
+      .filter(col("id") === 20L).head.getLong(1) == 40L)
+    // keyed ops address the SPLIT leaves on the clone: a delete of a
+    // key in a split leaf rewrites locally and stays exact
+    ManifestTable.delete(spark, dst, renamed, "id", Seq(20L), token = 1L)
+    assert(ManifestTable.lookup(spark, dst, renamed, "id",
+      Seq(10L, 20L, 30L)).collect().map(_.getLong(0)).toSeq ==
+      Seq(30L))
+    assert(ManifestTable.read(spark, dst, renamed).count() == 398L)
+    // and the source never moved
+    assert(ManifestTable.read(spark, src, renamed).count() == 399L)
+  }
+
   test("SQL face: graft_clone by tag with pin, observed via graft_tags") {
     val src = freshRoot("clone_sql_src")
     val dst = freshRoot("clone_sql_dst")

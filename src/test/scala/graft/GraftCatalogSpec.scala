@@ -168,12 +168,25 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE graftcat.db.dml DROP COLUMN v")
     }
-    // properties surface the manifest's facts
+    // properties surface the manifest's facts plus the registries:
+    // tags, constraints, the declared maintenance policy (the memo is
+    // per-handle — re-resolve after declaring)
+    val dmlRoot = s"$wh/db/dml"
+    ManifestTable.tag(spark, dmlRoot, "props_cut")
+    ManifestTable.addConstraint(spark, dmlRoot, "v_pos",
+      "v > 0 OR v IS NULL")
+    ManifestTable.autoMaintain(spark, dmlRoot, zones = Seq("v"),
+      compactFiles = 4, vacuumKeep = 3)
+    spark.sql("REFRESH TABLE graftcat.db.dml")
     val props = spark.sql("SHOW TBLPROPERTIES graftcat.db.dml")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("key").contains("id"))
     assert(props.get("numBuckets").contains("4"))
     assert(props.contains("version"))
+    assert(props("tags").startsWith("props_cut=v"), props.toString)
+    assert(props.get("constraints").contains("v_pos"))
+    assert(props.get("autoMaintain").contains(
+      "zones=v,compactFiles=4,vacuumKeep=3"))
     // unconditional DELETE = metadata-only truncate; history survives
     val vPre = ManifestTable.currentVersion(spark, s"$wh/db/dml").get
     spark.sql("DELETE FROM graftcat.db.dml")

@@ -105,6 +105,46 @@ class TagSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 198L)
   }
 
+  test("age-based retention: retainMillis keeps every young version " +
+      "whatever keepLast says — the reader-race guard") {
+    val root = freshRoot("tag_retain")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"),
+      "id", root, numBuckets = 2)
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    bump(root, 1L, 1L)
+    bump(root, 2L, 2L)
+    // everything just committed is younger than an hour: a keepLast=1
+    // vacuum retires NOTHING
+    ManifestTable.vacuum(spark, root, keepLast = 1,
+      retainMillis = 3600L * 1000)
+    assert(ManifestTable.readAt(spark, root, v0).count() == 50L,
+      "versions inside the retain window must survive keepLast")
+    // without the window the same vacuum retires them
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, v0)
+    }
+    // the auto-vacuum hook honors the session conf
+    val root2 = freshRoot("tag_retain_auto")
+    ManifestTable.create(
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"),
+      "id", root2, numBuckets = 2)
+    ManifestTable.autoMaintain(spark, root2, vacuumKeep = 1)
+    spark.conf.set("spark.graft.vacuum.retainMs", (3600L * 1000).toString)
+    try {
+      val w0 = ManifestTable.currentVersion(spark, root2).get
+      bump(root2, 1L, 1L)
+      assert(ManifestTable.readAt(spark, root2, w0).count() == 50L,
+        "the hook must honor spark.graft.vacuum.retainMs")
+    } finally spark.conf.unset("spark.graft.vacuum.retainMs")
+    bump(root2, 2L, 2L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root2,
+        ManifestTable.currentVersion(spark, root2).get - 2)
+    }
+  }
+
   test("SQL faces: graft_tag / graft_tags / graft_delete_tag, " +
       "graft_table_at by tag, and catalog VERSION AS OF 'tag'") {
     val wh = freshRoot("tag_sql_wh")
