@@ -493,13 +493,14 @@ object GraftExtensions {
             else byBucket.values.count(_.size >= pol.compactFiles)
           (pol.zones.mkString(","), pol.blooms.mkString(","), drift,
             driftFiles, driftBuckets, pol.derived, pol.splitBytes,
-            oversize, pol.compactFiles, overCompact, pol.vacuumKeep)
+            oversize, pol.compactFiles, overCompact, pol.vacuumKeep,
+            pol.statsCols.mkString(","))
         }
       import spark.implicits._
       rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
         "drift_files", "buckets_over_threshold", "maintain_derived",
         "split_bytes", "buckets_over_split", "compact_files",
-        "buckets_over_compact", "vacuum_keep")
+        "buckets_over_compact", "vacuum_keep", "stats_cols")
         .queryExecution.analyzed
     }),
     "graft_auto_maintain" -> (es => {
@@ -522,10 +523,10 @@ object GraftExtensions {
       // (tag-pinned snapshots and lagging derived tables' CDC windows
       // are respected). Re-declaring REPLACES (empty strings / zeros
       // stop).
-      require(es.size >= 3 && es.size <= 8,
+      require(es.size >= 3 && es.size <= 9,
         "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
           "[, reclusterDrift[, maintainDerived[, splitBytes" +
-          "[, compactFiles[, vacuumKeep]]]]])")
+          "[, compactFiles[, vacuumKeep[, statsColsCsv]]]]]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
@@ -541,14 +542,16 @@ object GraftExtensions {
         if (es.size >= 7) longArg(es(6), "compactFiles").toInt else 0
       val vacuumKeep =
         if (es.size >= 8) longArg(es(7), "vacuumKeep").toInt else 0
+      val statsCols =
+        if (es.size >= 9) cols(8, "stats columns") else Nil
       graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift,
-        derived, splitBytes, compactFiles, vacuumKeep)
+        derived, splitBytes, compactFiles, vacuumKeep, statsCols)
       import spark.implicits._
       Seq((z.mkString(","), b.mkString(","), drift, derived, splitBytes,
-          compactFiles, vacuumKeep))
+          compactFiles, vacuumKeep, statsCols.mkString(",")))
         .toDF("zone_cols", "bloom_cols", "recluster_drift",
           "maintain_derived", "split_bytes", "compact_files",
-          "vacuum_keep")
+          "vacuum_keep", "stats_cols")
         .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {

@@ -227,7 +227,8 @@ private[store] case class GraftTable(
           if (pol.derived) Some("derived=true") else None,
           if (pol.splitBytes > 0) Some(s"splitBytes=${pol.splitBytes}") else None,
           if (pol.compactFiles > 0) Some(s"compactFiles=${pol.compactFiles}") else None,
-          if (pol.vacuumKeep > 0) Some(s"vacuumKeep=${pol.vacuumKeep}") else None
+          if (pol.vacuumKeep > 0) Some(s"vacuumKeep=${pol.vacuumKeep}") else None,
+          if (pol.statsCols.nonEmpty) Some(s"statsCols=${pol.statsCols.mkString("+")}") else None
         ).flatten
         if (parts.nonEmpty) out.put("autoMaintain", parts.mkString(","))
       }

@@ -1627,7 +1627,14 @@ object ManifestTable {
     // snapshots (rows 164) and lagging derived tables' CDC windows are
     // both respected — see the hook. Older rows read null = 0.
     org.apache.spark.sql.types.StructField("vacuum_keep",
-      org.apache.spark.sql.types.IntegerType)))
+      org.apache.spark.sql.types.IntegerType),
+    // r13: declared STATS maintenance — refresh [[ColStats]] per-file
+    // column stats for these columns on every commit (''/null = off):
+    // covered files no-op, so the incremental ANALYZE cost rides the
+    // change rate and the optimizer-facing stats (columnStats) never
+    // go stale. Older rows read null = none.
+    org.apache.spark.sql.types.StructField("stats_cols",
+      org.apache.spark.sql.types.StringType)))
 
   /** A table's declared maintenance policy — see [[autoMaintain]]. */
   final case class MaintainPolicy(
@@ -1637,7 +1644,8 @@ object ManifestTable {
       derived: Boolean = false,
       splitBytes: Long = 0L,
       compactFiles: Int = 0,
-      vacuumKeep: Int = 0)
+      vacuumKeep: Int = 0,
+      statsCols: Seq[String] = Nil)
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1687,6 +1695,11 @@ object ManifestTable {
     * window to cover the least-advanced one's CDC range (a lagging
     * index's next refresh diffs manifests from its applied version —
     * vacuuming those would strand it permanently). */
+  /** `statsCols` additionally declares STATS maintenance: every commit
+    * refreshes [[ColStats]] per-file column stats for the named
+    * columns (covered files no-op — the zones discipline), so the
+    * incremental ANALYZE and the optimizer-facing `columnStats` stay
+    * fresh with no explicit `graft_analyze` calls. */
   def autoMaintain(
       spark: SparkSession,
       root: String,
@@ -1696,7 +1709,8 @@ object ManifestTable {
       derived: Boolean = false,
       splitBytes: Long = 0L,
       compactFiles: Int = 0,
-      vacuumKeep: Int = 0): Unit = {
+      vacuumKeep: Int = 0,
+      statsCols: Seq[String] = Nil): Unit = {
     require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
     require(splitBytes >= 0, "splitBytes must be >= 0 (0 = off)")
     require(compactFiles == 0 || compactFiles >= 2,
@@ -1720,7 +1734,8 @@ object ManifestTable {
       java.lang.Boolean.valueOf(derived),
       java.lang.Long.valueOf(splitBytes),
       Integer.valueOf(compactFiles),
-      Integer.valueOf(vacuumKeep))
+      Integer.valueOf(vacuumKeep),
+      statsCols.mkString(","))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1752,7 +1767,8 @@ object ManifestTable {
             !r.isNullAt(3) && r.getBoolean(3),
             if (r.isNullAt(4)) 0L else r.getLong(4),
             if (r.isNullAt(5)) 0 else r.getInt(5),
-            if (r.isNullAt(6)) 0 else r.getInt(6)))
+            if (r.isNullAt(6)) 0 else r.getInt(6),
+            if (r.isNullAt(7)) Nil else cols(r.getString(7))))
         }
     }
     last
@@ -1844,6 +1860,12 @@ object ManifestTable {
           val bc = blooms.filter(schema.fieldNames.contains)
           if (zc.nonEmpty) ZoneSkip.buildZones(spark, root, schema, zc)
           if (bc.nonEmpty) BloomSkip.buildBlooms(spark, root, schema, bc)
+          // declared STATS: the incremental ANALYZE rides the commit
+          // like zones/blooms — covered files no-op, rewritten buckets
+          // are the only new work, and the optimizer-facing
+          // columnStats never go stale
+          val sc = pol.statsCols.filter(schema.fieldNames.contains)
+          if (sc.nonEmpty) ColStats.buildStats(spark, root, schema, sc)
         }
         // DERIVED-table upkeep: advance every registered secondary
         // index and materialized view to this commit through their

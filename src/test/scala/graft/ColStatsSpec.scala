@@ -164,6 +164,29 @@ class ColStatsSpec extends SparkSpec {
       "chain-overcounted stats must not reach the optimizer")
   }
 
+  test("declared STATS maintenance: commits keep the per-file stats " +
+      "and the scan's columnStats fresh with zero explicit builds") {
+    val root = freshRoot("cs_declared")
+    fixture(root)
+    ManifestTable.autoMaintain(spark, root, statsCols = Seq("seg", "v"))
+    // the declaring pass covered the current files; NO explicit
+    // buildStats below this line
+    assert(ColStats.buildStats(spark, root, schema, Seq("seg")) == 0,
+      "declaration must have covered the bootstrap files")
+    // a commit (keyed delete of a null-v row, id 40): the hook
+    // refreshes the rewritten bucket's stats as part of committing
+    ManifestTable.delete(spark, root, schema, "id", Seq(40L), token = 1L)
+    val st = ColStats.tableStats(spark, root, Seq("v")).head
+    assert(st.getLong(4) == st.getLong(5),
+      "full coverage after the maintained commit, no explicit build")
+    assert(st.getLong(1) == 4999L && st.getLong(2) == 499L,
+      s"the fold reflects the delete exactly: $st")
+    // the SQL declare face carries the stats columns
+    GraftExtensions.register(spark)
+    val obs = spark.sql(s"SELECT * FROM graft_maintenance('$root')").head
+    assert(obs.getAs[String]("stats_cols") == "seg,v")
+  }
+
   test("SQL faces: graft_analyze builds + folds; graft_col_stats " +
       "observes without building") {
     val root = freshRoot("cs_sql")

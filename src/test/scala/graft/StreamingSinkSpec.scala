@@ -54,6 +54,37 @@ class StreamingSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("declared CHECK constraints gate the sink's micro-batches: a " +
+      "violating batch fails the stream, nothing commits, and the " +
+      "table stays clean") {
+    val root = freshDir("sink_cons")
+    val ckpt = freshDir("sink_cons_ckpt")
+    val mem = MemoryStream[(Long, String, Long)]
+    def start() = mem.toDF().toDF("id", "name", "score")
+      .writeStream.format(sinkFormat)
+      .option("root", root).option("key", "id").option("numBuckets", "2")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try { mem.addData((1L, "a", 10L)); q1.processAllAvailable() }
+    finally q1.stop()
+    ManifestTable.addConstraint(spark, root, "score_pos", "score > 0")
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    val q2 = start()
+    val e = intercept[Exception] {
+      try { mem.addData((2L, "bad", -5L)); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      String.valueOf(t.getMessage).contains("score_pos")),
+      s"the stream failure must name the constraint: $e")
+    assert(ManifestTable.currentVersion(spark, root).contains(v0),
+      "a violating micro-batch must not commit")
+    assert(state(root) == Set(Seq(1L, "a", 10L)))
+  }
+
   test("restart replays the uncommitted batch exactly once") {
     val root = freshDir("sink_restart")
     val ckpt = freshDir("sink_restart_ckpt")
