@@ -19,7 +19,12 @@ import graft.store.ManifestTable
   * whole protocol is exercised over split trees too — and any commit
   * path that forgot to carry `Manifest.splits` forward diverges here
   * immediately (the next addressing-dependent op reads the wrong
-  * leaves). */
+  * leaves). r13b extends the algebra: random TAGS must hold their
+  * pinned snapshot through every later commit and keepLast=1 vacuum,
+  * DECLARED COMPACTION toggles on and off mid-run (the commit hook
+  * folding chains under merges/deletes/splits must stay
+  * row-invisible), and a mid-run SHALLOW CLONE must still read its
+  * bind-time snapshot after the source churns and vacuums. */
 class ManifestTablePropertySpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,6 +53,12 @@ class ManifestTablePropertySpec extends SparkSpec {
     var batchId = 0L
     var deleteToken = 1000L
     var lastMerge: Option[(Long, Seq[(Long, Long)])] = None
+    var taggedSnapshot: Option[(String, Map[Long, Long])] = None
+    var cloneSnapshot: Option[Map[Long, Long]] = None
+    val cloneRoot = "target/test-tmp/manifest_property_clone"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(cloneRoot))
+    var tagN = 0
 
     def check(step: String): Unit = {
       val got = ManifestTable.read(spark, root, schema)
@@ -57,8 +68,16 @@ class ManifestTablePropertySpec extends SparkSpec {
           s"model=${model.toSeq.sorted}")
     }
 
-    for (step <- 0 until 36) {
-      rnd.nextInt(7) match {
+    for (step <- 0 until 48) {
+      // one mid-run shallow clone (pinned): its read must equal its
+      // bind-time snapshot at the END, after everything below churns
+      // and vacuums the source
+      if (step == 24 &&
+          ManifestTable.currentVersion(spark, root).isDefined) {
+        ManifestTable.cloneAt(spark, root, cloneRoot)
+        cloneSnapshot = Some(model.toMap)
+      }
+      rnd.nextInt(9) match {
         case 0 | 1 => // merge a random batch (intra-batch dups: last wins)
           val rows = Seq.fill(1 + rnd.nextInt(8))(
             (rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
@@ -111,7 +130,39 @@ class ManifestTablePropertySpec extends SparkSpec {
             deleteToken += 1
             check(s"split#$step")
           }
+        case 7 => // tag the current version: the pin must hold its
+          // snapshot through every later commit and keepLast=1 vacuum
+          if (ManifestTable.currentVersion(spark, root).isDefined) {
+            taggedSnapshot.foreach { case (old, _) =>
+              ManifestTable.deleteTag(spark, root, old) }
+            val name = s"prop_tag_$tagN"; tagN += 1
+            ManifestTable.tag(spark, root, name)
+            taggedSnapshot = Some((name, model.toMap))
+            check(s"tag#$step($name)")
+          }
+        case 8 => // toggle DECLARED COMPACTION: from here on the
+          // commit hook folds over-threshold chains — row-invisible
+          // under every interleaving with merges/deletes/splits
+          if (ManifestTable.currentVersion(spark, root).isDefined) {
+            val on = rnd.nextBoolean()
+            ManifestTable.autoMaintain(spark, root,
+              compactFiles = if (on) 2 else 0)
+            check(s"autoCompact#$step($on)")
+          }
       }
+      // the standing pins hold at EVERY step, not just at the end
+      taggedSnapshot.foreach { case (name, snap) =>
+        val got = ManifestTable.readAt(spark, root, name)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == snap, s"tag $name diverged after step $step")
+      }
+    }
+    cloneSnapshot.foreach { snap =>
+      val got = ManifestTable.read(spark, cloneRoot, schema)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == snap,
+        "the mid-run shallow clone must still read its bind-time " +
+          "snapshot after the source churned and vacuumed")
     }
     assert(model.nonEmpty, "degenerate run: model ended empty")
     // the full maintained-view algebra agrees with the model too
