@@ -177,6 +177,11 @@ object ColStats {
       spark: SparkSession,
       root: String,
       m: Manifest): Map[String, Live] = {
+    // never-analyzed tables pay ONE fs.exists here — the planning
+    // path must not fund a manifest head re-read for absent stats
+    val dir = new org.apache.hadoop.fs.Path(s"$root/colstats")
+    if (!dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dir)) return Map.empty
     val dirs = ManifestTable.committedAdditiveDirs(spark, root,
       "colstats")
     if (dirs.isEmpty) return Map.empty

@@ -1694,7 +1694,13 @@ object ManifestTable {
     * derived tables are registered the hook WIDENS the effective
     * window to cover the least-advanced one's CDC range (a lagging
     * index's next refresh diffs manifests from its applied version —
-    * vacuuming those would strand it permanently). */
+    * vacuuming those would strand it permanently). When OTHER writers
+    * or long queries race the hook, set `spark.graft.vacuum.retainMs`
+    * to at least the longest op you run: a racing loser re-reads
+    * current state on retry, but its IN-FLIGHT read resolved an older
+    * snapshot, and the age window is what keeps that snapshot's files
+    * alive until the op finishes (the vacuum(retainMillis) reader-race
+    * guard, automated). */
   /** `statsCols` additionally declares STATS maintenance: every commit
     * refreshes [[ColStats]] per-file column stats for the named
     * columns (covered files no-op — the zones discipline), so the

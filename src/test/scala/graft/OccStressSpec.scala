@@ -140,7 +140,8 @@ class OccStressSpec extends SparkSpec {
   }
 
   private def stress(front: Option[String], seed: Long, name: String,
-      writers: Int = 4, steps: Int = 6): Unit = {
+      writers: Int = 4, steps: Int = 6,
+      declaredCompact: Boolean = false): Unit = {
     front.foreach(f => spark.conf.set("spark.graft.commitFront", f))
     try {
       val root = freshRoot(name)
@@ -153,6 +154,11 @@ class OccStressSpec extends SparkSpec {
         "id", root, numBuckets = 4)
       ManifestTable.clusterBy(spark, root, schema, "id", "score",
         token = 999999L, filesPerBucket = 2)
+      // declared compaction racing N writers: every writer's commits
+      // can trigger hook folds, each its own OCC commit — the folds
+      // must stay row-invisible under every interleaving
+      if (declaredCompact)
+        ManifestTable.autoMaintain(spark, root, compactFiles = 2)
       val vStart = ManifestTable.currentVersion(spark, root).get
       val plans = (0 until writers).map(w => planOps(w, steps, seed))
       val pool = Executors.newFixedThreadPool(writers)
@@ -192,8 +198,11 @@ class OccStressSpec extends SparkSpec {
       val nonCompact = plans.map(_.count(_.kind != "compact")).sum
       val total = plans.map(_.size).sum
       val v = ManifestTable.currentVersion(spark, root).get - vStart
-      assert(v >= nonCompact && v <= total,
-        s"$v commits outside [$nonCompact, $total] — a commit was " +
+      // declared compaction adds at most ONE hook-fold commit per
+      // data commit (the nested pass is depth-guarded)
+      val upper = if (declaredCompact) total * 2 else total
+      assert(v >= nonCompact && v <= upper,
+        s"$v commits outside [$nonCompact, $upper] — a commit was " +
           "lost or doubled")
       // 4. the per-stream replay ledgers hold each writer's LAST
       //    batch/token — interleaved writers never clobber each other
@@ -229,6 +238,13 @@ class OccStressSpec extends SparkSpec {
       "different seed") {
     stress(Some("conditional-put"), seed = 1337L,
       name = "occ_stress_cput")
+  }
+
+  test("4 writers racing DECLARED COMPACTION on the hot table: hook " +
+      "folds from every writer's commits stay row-invisible and " +
+      "serializable") {
+    stress(None, seed = 99L, name = "occ_stress_hook",
+      declaredCompact = true)
   }
 
   test("8 writers on one hot table: total commit ATTEMPTS stay inside " +
