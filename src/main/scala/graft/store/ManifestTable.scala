@@ -4290,6 +4290,30 @@ object ManifestTable {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
           ConstraintSchema), "constraints")
     }
+    // PER-FILE sidecars carry too, keyed to the clone's ext relPaths:
+    // a branch of a 100 TB table keeps its zone/bloom pruning and its
+    // ANALYZE stats from the first read — the files are the same
+    // bytes, so their per-file facts are the same facts. Cost ∝
+    // sidecar size, never data. Rows for files the cloned snapshot
+    // does not reference translate too and are simply never matched
+    // (readers key strictly by live relPath). Deliberately NOT
+    // carried: bucket-level bloom SUMMARIES (their `covers` sets are
+    // layout claims the clone re-derives), the maintenance policy
+    // (operational tuning, not data), and index/view REGISTRATIONS —
+    // an inherited registration would refresh clone commits into the
+    // SOURCE's derived tables and corrupt them.
+    val extOf: String => String =
+      rp => if (rp.startsWith("ext:")) rp else s"ext:$qSrc/$rp"
+    val extUdf = org.apache.spark.sql.functions.udf(extOf)
+    Seq("zones", "bloom", "colstats").foreach { kind =>
+      val dirs = committedAdditiveDirs(spark, srcRoot, kind)
+      if (dirs.nonEmpty) {
+        val rows = spark.read.parquet(dirs: _*)
+          .withColumn("relPath", extUdf(col("relPath")))
+        writeAdditiveSidecar(spark, dstRoot, cloneM, rows, kind,
+          singleFile = kind != "bloom")
+      }
+    }
     v
   }
 

@@ -172,6 +172,56 @@ class CloneSpec extends SparkSpec {
     assert(ManifestTable.read(spark, d3, schema).count() == 100L)
   }
 
+  test("per-file sidecars carry onto the clone under ext keys: zone " +
+      "and bloom pruning and ANALYZE stats work from the first read; " +
+      "derived registrations deliberately do not") {
+    val src = freshRoot("clone_side_src")
+    val dst = freshRoot("clone_side_dst")
+    val schema3 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("seg", StringType),
+      StructField("v", LongType)))
+    ManifestTable.create(
+      (1L to 2000L).map(i => (i, s"dom${i % 100}", i * 3))
+        .toDF("id", "seg", "v"),
+      "id", src, numBuckets = 4)
+    // cluster so the per-file v ranges are narrow — zones then prune
+    // at FILE granularity, which is what must survive the clone
+    ManifestTable.clusterBy(spark, src, schema3, "id", "v",
+      token = 5L, filesPerBucket = 4)
+    graft.store.ZoneSkip.buildZones(spark, src, schema3, Seq("v"))
+    graft.store.BloomSkip.buildBlooms(spark, src, schema3, Seq("seg"))
+    graft.store.ColStats.buildStats(spark, src, schema3, Seq("seg"))
+    val ixRoot = freshRoot("clone_side_idx")
+    graft.store.SecondaryIndex.create(spark,
+      graft.store.SecondaryIndex.Index(src, schema3, "id", ixRoot,
+        "seg", 2))
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    // zone pruning on the CLONE, fresh — exact values, fewer files
+    val hit = graft.store.ZoneSkip.lookupRange(spark, dst, schema3,
+      "v", 30L, 60L)
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L to 20L).toSeq)
+    assert(hit.inputFiles.length <
+      ManifestTable.read(spark, dst, schema3).inputFiles.length,
+      "carried zones must prune the clone's ext files")
+    // bloom pruning likewise
+    val m = ManifestTable.currentManifest(spark, dst).get
+    assert(graft.store.BloomSkip.prunedEntriesFor(spark, dst, schema3,
+      m, "seg", Seq("dom7"))._1.size < m.entries.size,
+      "carried blooms must prune the clone's ext files")
+    // ANALYZE stats: full coverage on the fresh clone, zero builds
+    val st = graft.store.ColStats.tableStats(spark, dst, Seq("seg"))
+      .head
+    assert(st.getLong(4) == st.getLong(5) && st.getLong(1) == 2000L,
+      s"carried colstats must fully cover the clone: $st")
+    // derived registrations must NOT carry: an inherited registration
+    // would refresh clone commits into the SOURCE's index
+    assert(graft.store.SecondaryIndex
+      .registered(spark, dst, schema3).isEmpty,
+      "index registrations must not follow the clone")
+  }
+
   test("cross-feature: cloning a SPLIT, RENAMED, tombstone-carrying " +
       "source keeps every recorded layout fact working on the branch") {
     val src = freshRoot("clone_x_src")
