@@ -178,6 +178,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](),
         schema),
       key, root, numBuckets)
+    // CHECK constraints at CREATE: TBLPROPERTIES
+    // ('constraint.<name>'='<boolean sql>') declare the data contract
+    // before the first row lands (the empty table trivially validates)
+    props.toSeq.sortBy(_._1).foreach { case (k, sql) =>
+      if (k.startsWith("constraint."))
+        ManifestTable.addConstraint(spark, root,
+          k.stripPrefix("constraint."), sql)
+    }
     GraftTable(root, None, schema)
   }
 
@@ -187,8 +195,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * 100 TB table costs one manifest write) — and `ALTER TABLE ...
     * RENAME COLUMN` — metadata-only through column mapping
     * ([[ManifestTable.renameColumn]]: the physical on-file name never
-    * changes, readers translate). Dropping, re-typing or constraining
-    * refuses — the manifest is the single schema authority. */
+    * changes, readers translate). `SET/UNSET TBLPROPERTIES
+    * ('constraint.<name>'[='<sql>'])` declares/drops CHECK
+    * constraints. Dropping or re-typing columns refuses — the
+    * manifest is the single schema authority. */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
@@ -201,10 +211,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             r.fieldNames.mkString("."))
         r.fieldNames.head -> r.newName
     }
-    val adds = changes.filterNot(_.isInstanceOf[TableChange.RenameColumn])
-    require(renames.isEmpty || adds.isEmpty,
-      "mix of RENAME COLUMN and other changes in one ALTER is not " +
-        "supported — issue separate statements")
+    // `ALTER TABLE ... SET TBLPROPERTIES ('constraint.<n>'='<sql>')` /
+    // `UNSET TBLPROPERTIES ('constraint.<n>')` — the DDL face of the
+    // CHECK-constraint registry (SET validates against current data
+    // like addConstraint always does)
+    val consSet = changes.collect {
+      case p: TableChange.SetProperty
+          if p.property.startsWith("constraint.") =>
+        (p.property.stripPrefix("constraint."), Some(p.value))
+      case p: TableChange.RemoveProperty
+          if p.property.startsWith("constraint.") =>
+        (p.property.stripPrefix("constraint."), None)
+    }
+    val adds = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.RenameColumn] ||
+        (c match {
+          case p: TableChange.SetProperty =>
+            p.property.startsWith("constraint.")
+          case p: TableChange.RemoveProperty =>
+            p.property.startsWith("constraint.")
+          case _ => false
+        }))
+    require(Seq(renames.nonEmpty, consSet.nonEmpty, adds.nonEmpty)
+      .count(identity) <= 1,
+      "mix of RENAME COLUMN / constraint properties / other changes " +
+        "in one ALTER is not supported — issue separate statements")
+    if (consSet.nonEmpty) {
+      consSet.foreach {
+        case (name, Some(sql)) =>
+          ManifestTable.addConstraint(spark, root, name, sql)
+        case (name, None) =>
+          ManifestTable.dropConstraint(spark, root, name)
+      }
+      return loadTable(ident)
+    }
     if (renames.nonEmpty) {
       renames.foreach { case (from, to) =>
         ManifestTable.renameColumn(spark, root, from, to)

@@ -171,4 +171,42 @@ class ConstraintSpec extends SparkSpec {
     spark.sql("INSERT INTO gcons.db.t VALUES (3, -5)")
     assert(spark.sql("SELECT * FROM gcons.db.t").count() == 3)
   }
+
+  test("DDL surface: CREATE TABLE TBLPROPERTIES constraint.* declares " +
+      "before the first row; ALTER SET/UNSET manage the registry") {
+    val wh = freshRoot("cons_ddl_wh")
+    spark.conf.set("spark.sql.catalog.gcddl", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcddl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcddl.db")
+    spark.sql("""CREATE TABLE gcddl.db.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='2',
+        'constraint.v_pos'='v > 0')""")
+    val root = s"$wh/db/t"
+    assert(ManifestTable.constraintsOf(spark, root) ==
+      Map("v_pos" -> "v > 0"),
+      "CREATE must register the declared constraint")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcddl.db.t VALUES (1, -1)")
+    }
+    assert(messageChain(e).contains("v_pos"))
+    assert(spark.sql("SELECT * FROM gcddl.db.t").count() == 0)
+    spark.sql("INSERT INTO gcddl.db.t VALUES (1, 10)")
+    // ALTER SET adds another (validated against current data: a
+    // violated one refuses)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcddl.db.t SET TBLPROPERTIES " +
+        "('constraint.v_big'='v > 100')")
+    }
+    spark.sql("ALTER TABLE gcddl.db.t SET TBLPROPERTIES " +
+      "('constraint.v_small'='v < 1000')")
+    assert(ManifestTable.constraintsOf(spark, root).keySet ==
+      Set("v_pos", "v_small"))
+    // UNSET drops; the formerly-violating insert passes
+    spark.sql("ALTER TABLE gcddl.db.t UNSET TBLPROPERTIES " +
+      "('constraint.v_pos')")
+    spark.sql("INSERT INTO gcddl.db.t VALUES (2, -7)")
+    assert(spark.sql("SELECT * FROM gcddl.db.t").count() == 2)
+    assert(ManifestTable.constraintsOf(spark, root).keySet ==
+      Set("v_small"))
+  }
 }
