@@ -153,6 +153,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .asInstanceOf[StructType])
   }
 
+  /** `TIMESTAMP AS OF` time travel: the newest version committed at or
+    * before the asked instant (Spark hands MICROseconds; commit time
+    * is the manifest file's mtime — the same clock history expiry and
+    * vacuum's age window read). */
+  override def loadTable(ident: Identifier, timestampMicros: Long)
+      : Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val v = ManifestTable.versionAtTime(spark, root,
+      timestampMicros / 1000L)
+    val m = ManifestTable.readManifest(spark, root, v)
+    require(m.schemaJson.nonEmpty,
+      s"manifest m$v at $root records no schema (pre-format-7)")
+    GraftTable(root, Some(v),
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[StructType])
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

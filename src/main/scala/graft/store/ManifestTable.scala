@@ -489,6 +489,34 @@ object ManifestTable {
       }
   }
 
+  /** The newest committed version AS OF `tsMillis` (commit time = the
+    * manifest file's mtime, the same clock [[expireHistory]] and
+    * [[vacuum]]'s age window read): the `TIMESTAMP AS OF` resolution.
+    * Fails loudly when the timestamp predates the oldest RETAINED
+    * version — never silently serves a later state than asked for. */
+  def versionAtTime(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    val dir = new Path(s"$root/manifest")
+    val fs = fsOf(spark, dir)
+    require(fs.exists(dir), s"no manifest table at $root")
+    val stamped = fs.listStatus(dir).toSeq
+      .map(st => (st.getPath.getName, st.getModificationTime))
+      .collect { case (n, t)
+          if n.startsWith("m") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) =>
+        (n.drop(1).toLong, t)
+      }
+      .sortBy(_._1)
+    require(stamped.nonEmpty, s"no committed versions at $root")
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version at $root committed at or before $tsMillis — the " +
+        s"oldest retained version ${stamped.head._1} was committed " +
+        s"at ${stamped.head._2} (vacuumed older, or the timestamp " +
+        "predates the table)")
+    at.maxBy(_._1)._1
+  }
+
   private val SeqCol = "__graft_seq"
 
   private def emptyFrame(spark: SparkSession,

@@ -105,6 +105,39 @@ class TagSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root, schema).count() == 198L)
   }
 
+  test("TIMESTAMP AS OF resolves the newest version committed at or " +
+      "before the instant; pre-table instants fail loudly") {
+    val wh = freshRoot("tag_ts_wh")
+    spark.conf.set("spark.sql.catalog.gts", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gts.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gts.db")
+    spark.sql("""CREATE TABLE gts.db.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gts.db.t VALUES (1, 10)")
+    val root = s"$wh/db/t"
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    // pin the second commit's mtime STRICTLY after the first's (fs
+    // mtime granularity can be a full second — no sleeps, set it)
+    val m1 = new java.io.File(s"$root/manifest/m$v1")
+    spark.sql("INSERT INTO gts.db.t VALUES (2, 20)")
+    val m2 = new java.io.File(s"$root/manifest/m${v1 + 1}")
+    m2.setLastModified(m1.lastModified() + 10000L)
+    val midMillis = m1.lastModified() + 5000L
+    assert(ManifestTable.versionAtTime(spark, root, midMillis) == v1)
+    assert(spark.sql("SELECT * FROM gts.db.t TIMESTAMP AS OF " +
+      s"timestamp_millis($midMillis)").count() == 1)
+    assert(spark.sql("SELECT * FROM gts.db.t TIMESTAMP AS OF " +
+      s"timestamp_millis(${m2.lastModified() + 1000L})").count() == 2)
+    // an instant before the table existed fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gts.db.t TIMESTAMP AS OF " +
+        "timestamp_millis(1000)").collect()
+    }
+    assert(e.getMessage.contains("oldest retained") ||
+      Option(e.getCause).exists(_.getMessage.contains("oldest retained")),
+      s"got: ${e.getMessage}")
+  }
+
   test("age-based retention: retainMillis keeps every young version " +
       "whatever keepLast says — the reader-race guard") {
     val root = freshRoot("tag_retain")
