@@ -325,6 +325,25 @@ object GraftExtensions {
         "cloned_version", "pinned")
         .queryExecution.analyzed
     }),
+    "graft_merge_branch" -> (es => {
+      refuseInView("graft_merge_branch")
+      // BRANCH MERGE-BACK ([[ManifestTable.mergeBranch]]): the
+      // diverged clone's net edits land on its source — one idempotent
+      // upsert + one bounded delete; conflicts (keys changed on both
+      // sides since the bind) refuse by default, or resolve under
+      // 'branch' / 'source'. Returns (upserts, deletes, conflicts).
+      require(es.size >= 3 && es.size <= 4,
+        "usage: graft_merge_branch(srcRoot, branchRoot, token" +
+          "[, onConflict])")
+      val spark = SparkSession.active
+      val (up, del, conf) = graft.store.ManifestTable.mergeBranch(
+        spark, strArg(es(0), "srcRoot"), strArg(es(1), "branchRoot"),
+        longArg(es(2), "token"),
+        if (es.size == 4) strArg(es(3), "onConflict") else "fail")
+      import spark.implicits._
+      Seq((up, del, conf)).toDF("upserts", "deletes", "conflicts")
+        .queryExecution.analyzed
+    }),
     "graft_tags" -> (es => {
       // observe face: the live tag registry, name → pinned version
       require(es.size == 1, "usage: graft_tags(root)")

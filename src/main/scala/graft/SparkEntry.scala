@@ -615,6 +615,18 @@ object SparkEntry {
         "segment IS NOT NULL")
       sideReady += "manifest_constraint_decl"
     }),
+    "manifest_merge_branch" -> ((s, dir) => {
+      // fixture + clone + the branch's erasure outside the timed
+      // region: the rep times the merge-back (first rep real, later
+      // reps the ledger replay) + the committed read.
+      val root = resetManifestFixture(s, dir, "manifest_merge_branch",
+        withMerge = true)
+      val br = resetSideRoot(s, "manifest_merge_branch_br")
+      graft.store.ManifestTable.cloneAt(s, root, br, pin = false)
+      graft.store.ManifestTable.delete(s, br, upsertSchema, "id",
+        (1 to 10).map(_ * 13L), token = 1L)
+      sideReady += "manifest_merge_branch_br"
+    }),
     "manifest_analyze" -> ((s, dir) => {
       // fixture + the per-file stats build outside the timed region:
       // the rep times the covered-check (one sidecar read, zero
@@ -1321,6 +1333,30 @@ object SparkEntry {
         sideReady += "manifest_tag_decl"
       }
       graft.store.ManifestTable.readAt(s, root, "corpus_cut")
+    }),
+    "manifest_merge_branch" -> ((s, dir) => {
+      // BRANCH MERGE-BACK: the experiment loop's other half. The
+      // fixture clones the merged table (zero copy), the BRANCH runs
+      // the standard 10-key erasure, and mergeBranch lands the
+      // branch's net edits on the untouched source — one idempotent
+      // upsert + one bounded delete on the graft-merge-branch ledger
+      // (conflicts would refuse; here the source never moved). The
+      // source read back hash-equals manifest_delete's oracle: the
+      // same erasure, arrived via a branch instead of in place. At
+      // 100 TB: curate on a branch, measure, merge what worked —
+      // cost ∝ both sides' change since the bind, never table size.
+      val root = manifestFixture(s, dir, "manifest_merge_branch",
+        withMerge = true)
+      val br = "target/qtmp/manifest_merge_branch_br"
+      if (!sideReady.contains("manifest_merge_branch_br")) {
+        resetSideRoot(s, "manifest_merge_branch_br")
+        graft.store.ManifestTable.cloneAt(s, root, br, pin = false)
+        graft.store.ManifestTable.delete(s, br, upsertSchema, "id",
+          (1 to 10).map(_ * 13L), token = 1L)
+        sideReady += "manifest_merge_branch_br"
+      }
+      graft.store.ManifestTable.mergeBranch(s, root, br, token = 99L)
+      graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_constraint" -> ((s, dir) => {
       // DECLARED CHECK CONSTRAINTS: declare once (validated against
@@ -3250,6 +3286,18 @@ object SparkEntry {
            FROM customer WHERE (($inTgt) OR ($inSrc))
              AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
       "manifest_delete_delta" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
+           CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,
+           CASE WHEN NOT ($inTgt) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 AND ($inSrc) THEN CAST(c_nationkey AS BIGINT)
+                WHEN c_custkey % 4 = 0 THEN NULL
+                ELSE CAST(99 AS BIGINT) END AS nation
+           FROM customer WHERE (($inTgt) OR ($inSrc))
+             AND c_custkey NOT IN (13,26,39,52,65,78,91,104,117,130)""",
+      // the branch's erasure, landed on the source by the merge-back:
+      // the same final state as manifest_delete's in-place erasure
+      "manifest_merge_branch" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
            CASE WHEN $inTgt THEN 'LEGACY' ELSE 'NEW' END AS segment,

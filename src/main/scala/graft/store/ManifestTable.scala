@@ -4342,7 +4342,173 @@ object ManifestTable {
           singleFile = kind != "bloom")
       }
     }
+    // the branch remembers WHERE it came from: (immediate source root,
+    // bound version) — what [[mergeBranch]] diffs conflicts against
+    writeAdditiveSidecar(spark, dstRoot, cloneM,
+      spark.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(qSrc, java.lang.Long.valueOf(v))),
+        OriginSchema), "origin")
     v
+  }
+
+  private val OriginSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("src_root",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("src_version",
+      org.apache.spark.sql.types.LongType)))
+
+  /** A shallow clone's bind point: (qualified immediate source root,
+    * source version cloned). None on tables not created by [[cloneAt]]. */
+  def originOf(spark: SparkSession, root: String)
+      : Option[(String, Long)] = {
+    val dir = new Path(s"$root/origin")
+    if (!fsOf(spark, dir).exists(dir)) return None
+    val dirs = committedAdditiveDirs(spark, root, "origin")
+    if (dirs.isEmpty) return None
+    spark.read.schema(OriginSchema).parquet(dirs: _*).collect()
+      .headOption.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** BRANCH MERGE-BACK: applies a diverged shallow clone's edits to
+    * its source — the other half of [[cloneAt]]'s experiment loop
+    * (branch the corpus, mutate the branch, measure, merge what
+    * worked). The branch delta is its OWN change feed since the bind
+    * (commits 1..current on the branch root — v0 IS the bind), netted
+    * to each key's LAST action; it lands on the source as one
+    * idempotent upsert commit plus one bounded delete commit on the
+    * `graft-merge-branch` ledger stream (retry-safe: a crash between
+    * the two replays the first as a no-op and completes the second —
+    * the derived-table multi-commit discipline).
+    *
+    * CONFLICTS are keys changed on BOTH sides since the bind (the
+    * source's own change feed over (bindVersion, current]).
+    * `onConflict`: "fail" (default — refuse loudly with a count and
+    * sample keys; nothing commits), "branch" (the branch's value wins
+    * on conflicted keys), "source" (conflicted keys keep the source's
+    * value; only the branch's clean edits land). Cost ∝ both sides'
+    * CHANGE since the bind — never table size: both feeds read only
+    * commit-touched buckets, and the source keeps its bind snapshot
+    * readable because [[cloneAt]]'s pin tag holds it. Retention
+    * contract: BOTH change feeds walk their side's manifests over the
+    * window — keep the branch's history and the source's
+    * (bind, current] manifests (vacuum keepLast / retainMs) until the
+    * merge-back; a vacuumed window fails LOUDLY, never silently
+    * under-merges. Returns (upserts, deletes, conflicts). */
+  def mergeBranch(
+      spark: SparkSession,
+      srcRoot: String,
+      branchRoot: String,
+      token: Long,
+      onConflict: String = "fail",
+      maxDriverKeys: Int = 100000): (Long, Long, Long) = {
+    require(Set("fail", "branch", "source")(onConflict),
+      s"onConflict must be fail|branch|source, got '$onConflict'")
+    val (origin, bindV) = originOf(spark, branchRoot).getOrElse(
+      throw new IllegalStateException(
+        s"$branchRoot records no clone origin — mergeBranch merges " +
+          "cloneAt-created branches"))
+    val qSrc = {
+      val p = new Path(srcRoot)
+      fsOf(spark, p).makeQualified(p).toString
+    }
+    require(origin == qSrc,
+      s"branch at $branchRoot was cloned from $origin, not $qSrc")
+    val branchCur = currentVersion(spark, branchRoot).getOrElse(
+      throw new IllegalStateException(s"no table at $branchRoot"))
+    if (branchCur == 0L) return (0L, 0L, 0L) // never diverged
+    val bm = currentManifest(spark, branchRoot).get
+    val schema = schemaOf(bm).getOrElse(throw new IllegalStateException(
+      s"branch at $branchRoot records no schema"))
+    val key = bm.keyColumn
+    val cols = schema.fieldNames.toSeq
+    // the branch's net edits: last action per key since the bind
+    // (update PREIMAGES dropped — pre and post share a _version, and
+    // the post is the action)
+    val delta = changes(spark, branchRoot, 0L, branchCur)
+      .filter(col("_change_type") =!= "update_preimage")
+    val last = delta.groupBy(col(key).as("__graft_mb_k"))
+      .agg(max_by(
+        struct((cols.map(col) :+ col("_change_type").as("__t")): _*),
+        col("_version")).as("__s"))
+      .select(cols.map(c => col(s"__s.`$c`").as(c)) :+
+        col("__s.__t").as("__t"): _*)
+      .cache()
+    try {
+      // REPLAY short-circuit BEFORE conflict detection: once either
+      // leg committed, the source's change feed contains THIS merge's
+      // own rows — re-deriving conflicts would read the merge-back as
+      // a concurrent source edit and refuse its own retry forever.
+      // Conflicts were adjudicated when the first leg landed; a retry
+      // only COMPLETES the missing leg (each leg's ledger no-ops when
+      // done). Crash-window caveat, stated not hidden: under
+      // onConflict = "source" a retry that completes a crashed DELETE
+      // leg re-derives the delete set without the first attempt's
+      // conflict drops — prefer "fail"/"branch" (whose sets are
+      // conflict-independent) when that window matters.
+      val srcM0 = currentManifest(spark, srcRoot).getOrElse(
+        throw new IllegalStateException(s"no table at $srcRoot"))
+      val upsertDone =
+        srcM0.lastBatches.get("graft-merge-branch").contains(token)
+      val deleteDone =
+        srcM0.lastBatches.get("graft-merge-branch-del").contains(token)
+      if (upsertDone || deleteDone) {
+        if (!deleteDone) {
+          val deletes = last.filter(col("__t") === "delete")
+            .select(col(key))
+          if (deletes.limit(1).collect().nonEmpty)
+            DerivedTable.deleteChunked(spark, srcRoot, schema, key,
+              deletes, baseVersion = token,
+              tokenStream = "graft-merge-branch-del",
+              maxDriverKeys = maxDriverKeys)
+        }
+        return (0L, 0L, 0L)
+      }
+      // conflicts: keys the SOURCE also changed since the bind
+      val srcCur = srcM0.version
+      val srcChanged =
+        if (srcCur <= bindV) emptyFrame(spark,
+          org.apache.spark.sql.types.StructType(
+            schema.fields.filter(_.name == key)))
+        else changes(spark, srcRoot, bindV, srcCur)
+          .filter(col("_change_type") =!= "update_preimage")
+          .select(col(key)).distinct()
+      val conflictKeys = last.select(col(key))
+        .join(srcChanged, Seq(key), "left_semi").cache()
+      val conflicts = conflictKeys.count()
+      if (conflicts > 0 && onConflict == "fail") {
+        val sample = conflictKeys.limit(5).collect()
+          .map(_.get(0)).mkString(", ")
+        throw new IllegalStateException(
+          s"mergeBranch: $conflicts key(s) changed on BOTH sides " +
+            s"since the bind at v$bindV (source now at v$srcCur; " +
+            s"e.g. $sample) — resolve with " +
+            "onConflict = \"branch\" or \"source\", or rebase by hand")
+      }
+      val applied =
+        if (onConflict == "source" && conflicts > 0)
+          last.join(conflictKeys, Seq(key), "left_anti")
+        else last
+      val upserts = applied.filter(col("__t") =!= "delete")
+        .select(cols.map(col): _*)
+      val deletes = applied.filter(col("__t") === "delete")
+        .select(col(key))
+      val nUp = upserts.count()
+      val nDel = deletes.count()
+      conflictKeys.unpersist()
+      if (nUp > 0) {
+        val m = new graft.mapping.Mapping(keyColumnName = key)
+        cols.foreach(m.auto(_))
+        m.complete(schema)
+        merge(upserts, token, m, srcRoot, schema,
+          streamId = "graft-merge-branch")
+      }
+      if (nDel > 0)
+        DerivedTable.deleteChunked(spark, srcRoot, schema, key,
+          deletes, baseVersion = token,
+          tokenStream = "graft-merge-branch-del",
+          maxDriverKeys = maxDriverKeys)
+      (nUp, nDel, conflicts)
+    } finally last.unpersist()
   }
 
   /** [[cloneAt]] by TAG name — clone exactly the pinned snapshot. */
@@ -4465,7 +4631,7 @@ object ManifestTable {
         .map(v => v -> readManifest(spark, root, v).sideId).toMap
       Seq("history", "stats", "bloom", "bloomsum", "zones",
           "indexreg", "viewreg", "maintain", "tags", "colstats",
-          "constraints")
+          "constraints", "origin")
         .foreach { kind =>
         val kd = new Path(s"$root/$kind")
         val kfs = fsOf(spark, kd)
