@@ -355,18 +355,30 @@ object GraftExtensions {
         .queryExecution.analyzed
     }),
     "graft_changes" -> (es => {
+      // version arguments double as TAG names ("what changed between
+      // corpus cuts": graft_changes(root, 'cut_v1', 'cut_v2')) — a
+      // string that isn't all digits resolves through the tag registry
       require(es.size == 3 || es.size == 5,
         "usage: graft_changes(root[, schemaDDL, keyColumn], fromV, toV)")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
+      def versionOf(e: org.apache.spark.sql.catalyst.expressions
+          .Expression, what: String): Long = e.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val s = strArg(e, what)
+          if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+          else graft.store.ManifestTable.resolveTag(spark, root, s)
+        case _ => longArg(e, what)
+      }
       val df =
         if (es.size == 3) graft.store.ManifestTable.changes(spark, root,
-          longArg(es(1), "fromVersion"), longArg(es(2), "toVersion"))
+          versionOf(es(1), "fromVersion"), versionOf(es(2), "toVersion"))
         else graft.store.ManifestTable.changes(spark, root,
           org.apache.spark.sql.types.StructType.fromDDL(
             strArg(es(1), "schema DDL")),
-          strArg(es(2), "key column"), longArg(es(3), "fromVersion"),
-          longArg(es(4), "toVersion"))
+          strArg(es(2), "key column"),
+          versionOf(es(3), "fromVersion"),
+          versionOf(es(4), "toVersion"))
       df.queryExecution.analyzed
     }),
     "graft_count" -> (es => {

@@ -209,6 +209,10 @@ private[store] case class GraftTable(
       if (m.entries.exists(ManifestTable.isExt(_)))
         out.put("shallowClone", "true") // some bytes live in the
                                         // source table's tree
+      ManifestTable.originOf(SparkSession.active, root).foreach {
+        case (srcRoot, srcV) =>
+          out.put("cloneOrigin", s"$srcRoot@v$srcV")
+      }
       val spark = SparkSession.active
       // registry observability (each is one fs.exists when absent —
       // the memo makes even the declared cases a one-time read)

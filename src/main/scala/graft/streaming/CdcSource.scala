@@ -197,9 +197,13 @@ private[graft] final class CdcMicroBatchStream(
       case None | Some("latest") => head
       case Some("earliest") => -1L
       case Some(s) =>
-        val n = s.toLongOption.getOrElse(throw new IllegalArgumentException(
-          s"startingVersion must be 'latest', 'earliest' or a version " +
-            s"number, got '$s'"))
+        // a non-numeric value is a TAG name (the VERSION AS OF
+        // contract): the stream starts at the pinned corpus cut —
+        // resolved ONCE here, then persisted in the offset log like
+        // any other start
+        val n = s.toLongOption.getOrElse(
+          graft.store.ManifestTable.resolveTag(
+            org.apache.spark.sql.SparkSession.active, root, s))
         require(n >= 0L, s"startingVersion $n < 0 (use 'earliest' for " +
           "the full history)")
         n - 1L

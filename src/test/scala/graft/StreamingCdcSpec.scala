@@ -179,7 +179,9 @@ class StreamingCdcSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("_version"))
 
-    // junk startingVersion surfaces at stream start
+    // junk startingVersion surfaces at stream start — a non-numeric
+    // value is a TAG name since r13b, so the failure is the tag
+    // lookup's (listing the live tags), still loud and still at start
     val ckpt = freshDir("cdc_errs_ckpt")
     val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       val q = CdcSource.readStream(spark, root, schema,
@@ -187,9 +189,30 @@ class StreamingCdcSpec extends SparkSpec {
         .writeStream.format("noop").option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
     }
-    assert(e3.getMessage.contains("startingVersion") ||
-      e3.getCause != null &&
-        String.valueOf(e3.getCause.getMessage).contains("startingVersion"))
+    def chain3(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain3(t.getCause)
+    assert(chain3(e3).exists(t =>
+      String.valueOf(t.getMessage).contains("no tag 'yesterday'")),
+      s"junk start must fail as a tag lookup: ${e3.getMessage}")
+  }
+
+  test("startingVersion by TAG: the stream begins at the pinned " +
+      "corpus cut") {
+    val root = freshDir("cdc_tag")
+    val ckpt = freshDir("cdc_tag_ckpt")
+    mergeRows(root, 0L, (1L, "a", "10"), (2L, "b", "20"))
+    ManifestTable.tag(spark, root, "cut")
+    mergeRows(root, 1L, (3L, "c", "30"))
+    mergeRows(root, 2L, (2L, "B", "21"))
+    // start AT the tag: everything the cut itself contains is history;
+    // the stream emits the commits from the cut's version onward —
+    // same contract as a numeric start at that version
+    val tagged = ManifestTable.tagsOf(spark, root)("cut")
+    val got = runStream(root, ckpt,
+      Map("startingVersion" -> "cut")).flatMap(_._2)
+    val want = ManifestTable.changes(spark, root, schema, "id",
+      tagged - 1L, tagged + 2L).collect().toSeq
+    assert(sortedRows(got) == sortedRows(want))
   }
 
   test("Trigger.AvailableNow drains the backlog and terminates") {

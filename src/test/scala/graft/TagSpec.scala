@@ -209,13 +209,25 @@ class TagSpec extends SparkSpec {
       s"SELECT * FROM graft_table_at('$root', $vFull)").count() == 3)
     assert(spark.sql(
       s"SELECT * FROM graft_table_at('$root', '$vFull')").count() == 3)
+    // "what changed between corpus cuts": graft_changes by TAG names
+    // equals the numeric diff between the pinned versions
+    spark.sql(s"SELECT * FROM graft_tag('$root', 'cut2')").collect()
+    val byTag = spark.sql(
+      s"SELECT * FROM graft_changes('$root', 'cut', 'cut2')")
+      .collect().map(_.toSeq.toList).sortBy(_.mkString("|")).toSeq
+    val byVer = spark.sql(
+      s"SELECT * FROM graft_changes('$root', $vFull, ${vFull + 1})")
+      .collect().map(_.toSeq.toList).sortBy(_.mkString("|")).toSeq
+    assert(byTag == byVer && byTag.nonEmpty,
+      s"tag-addressed diff must equal the numeric diff: $byTag")
     // observe + delete faces
     assert(spark.sql(s"SELECT * FROM graft_tags('$root')").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq ==
-      Seq(("cut", vFull)))
+      Seq(("cut", vFull), ("cut2", vFull + 1)))
     val del = spark.sql(
       s"SELECT * FROM graft_delete_tag('$root', 'cut')").head
     assert(del.getBoolean(2) && del.getLong(1) == vFull)
-    assert(spark.sql(s"SELECT * FROM graft_tags('$root')").count() == 0)
+    assert(spark.sql(s"SELECT * FROM graft_tags('$root')").count() == 1,
+      "cut2 remains after deleting cut")
   }
 }
