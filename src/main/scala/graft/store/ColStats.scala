@@ -58,7 +58,8 @@ object ColStats {
       spark: SparkSession,
       root: String,
       schema: StructType,
-      cols: Seq[String]): Int = {
+      cols0: Seq[String]): Int = {
+    val cols = cols0.distinct // duplicate names would collide agg aliases
     require(cols.nonEmpty, "no columns to analyze")
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"column $c not in the schema"))
