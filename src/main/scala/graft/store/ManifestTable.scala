@@ -4375,8 +4375,9 @@ object ManifestTable {
     * worked). The branch delta is its OWN change feed since the bind
     * (commits 1..current on the branch root — v0 IS the bind), netted
     * to each key's LAST action; it lands on the source as one
-    * idempotent upsert commit plus one bounded delete commit on the
-    * `graft-merge-branch` ledger stream (retry-safe: a crash between
+    * idempotent upsert commit plus one bounded delete commit on
+    * PER-BRANCH ledger streams (`graft-merge-branch:<branch>` — two
+    * branches with coinciding tokens never read each other's replays) (retry-safe: a crash between
     * the two replays the first as a no-op and completes the second —
     * the derived-table multi-commit discipline).
     *
@@ -4416,6 +4417,17 @@ object ManifestTable {
     val branchCur = currentVersion(spark, branchRoot).getOrElse(
       throw new IllegalStateException(s"no table at $branchRoot"))
     if (branchCur == 0L) return (0L, 0L, 0L) // never diverged
+    // the replay ledger is PER BRANCH (the stream id carries the
+    // branch's qualified root): two different branches merging into
+    // one source with coinciding token values must never read each
+    // other's tokens as replays — the ledger map stays bounded by the
+    // number of distinct branches, like any other writer population
+    val qBranch = {
+      val p = new Path(branchRoot)
+      fsOf(spark, p).makeQualified(p).toString
+    }
+    val upStream = s"graft-merge-branch:$qBranch"
+    val delStream = s"graft-merge-branch-del:$qBranch"
     val bm = currentManifest(spark, branchRoot).get
     val schema = schemaOf(bm).getOrElse(throw new IllegalStateException(
       s"branch at $branchRoot records no schema"))
@@ -4448,9 +4460,9 @@ object ManifestTable {
       val srcM0 = currentManifest(spark, srcRoot).getOrElse(
         throw new IllegalStateException(s"no table at $srcRoot"))
       val upsertDone =
-        srcM0.lastBatches.get("graft-merge-branch").contains(token)
+        srcM0.lastBatches.get(upStream).contains(token)
       val deleteDone =
-        srcM0.lastBatches.get("graft-merge-branch-del").contains(token)
+        srcM0.lastBatches.get(delStream).contains(token)
       if (upsertDone || deleteDone) {
         if (!deleteDone) {
           val deletes = last.filter(col("__t") === "delete")
@@ -4458,7 +4470,7 @@ object ManifestTable {
           if (deletes.limit(1).collect().nonEmpty)
             DerivedTable.deleteChunked(spark, srcRoot, schema, key,
               deletes, baseVersion = token,
-              tokenStream = "graft-merge-branch-del",
+              tokenStream = delStream,
               maxDriverKeys = maxDriverKeys)
         }
         return (0L, 0L, 0L)
@@ -4500,12 +4512,12 @@ object ManifestTable {
         cols.foreach(m.auto(_))
         m.complete(schema)
         merge(upserts, token, m, srcRoot, schema,
-          streamId = "graft-merge-branch")
+          streamId = upStream)
       }
       if (nDel > 0)
         DerivedTable.deleteChunked(spark, srcRoot, schema, key,
           deletes, baseVersion = token,
-          tokenStream = "graft-merge-branch-del",
+          tokenStream = delStream,
           maxDriverKeys = maxDriverKeys)
       (nUp, nDel, conflicts)
     } finally last.unpersist()

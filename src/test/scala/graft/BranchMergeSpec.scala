@@ -104,6 +104,32 @@ class BranchMergeSpec extends SparkSpec {
     assert(state(src)(5L) == 222L && state(src)(302L) == 302L)
   }
 
+  test("per-branch replay ledgers: two branches merging with the SAME " +
+      "token value both land (neither reads the other's token as its " +
+      "own replay)") {
+    val src = freshRoot("bm_tok_src")
+    ManifestTable.create(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    val d1 = freshRoot("bm_tok_d1")
+    val d2 = freshRoot("bm_tok_d2")
+    ManifestTable.cloneAt(spark, src, d1, pin = false)
+    ManifestTable.cloneAt(spark, src, d2, pin = false)
+    mergeRows(d1, 1L, (401L, 401L))
+    mergeRows(d2, 1L, (402L, 402L))
+    assert(ManifestTable.mergeBranch(spark, src, d1, token = 7L) ==
+      ((1L, 0L, 0L)))
+    // the SECOND branch reuses token 7 — a shared ledger stream would
+    // silently read it as a replay and drop the merge
+    assert(ManifestTable.mergeBranch(spark, src, d2, token = 7L) ==
+      ((1L, 0L, 0L)), "branch 2's merge must not no-op on branch 1's token")
+    assert(state(src).contains(401L) && state(src).contains(402L))
+    // and each branch's OWN replay still no-ops
+    val v = ManifestTable.currentVersion(spark, src).get
+    ManifestTable.mergeBranch(spark, src, d1, token = 7L)
+    assert(ManifestTable.currentVersion(spark, src).contains(v))
+  }
+
   test("guard rails: never-diverged branches no-op; non-clones and " +
       "wrong sources refuse") {
     val src = freshRoot("bm_guard_src")
