@@ -4530,12 +4530,18 @@ object ManifestTable {
 
   /** Deterministic source-pin tag for a clone destination: stable
     * across retries (a replayed clone re-tags the same name to the
-    * same version — a no-op move), valid under [[validTagName]]. */
+    * same version — a no-op move), valid under [[validTagName]]. The
+    * suffix hashes the RAW path: sanitizing alone could collide two
+    * destinations ("/a/b" vs "/a_b") onto one tag name, silently
+    * MOVING the older clone's pin — and an unpinned clone is exposed
+    * to the source's vacuum. */
   private def cloneTagName(dstRoot: String): String = {
     val sane = dstRoot.map(c =>
       if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c
       else '_')
-    ("clone-" + sane).take(128)
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dstRoot))
+    ("clone-" + sane).take(118) + "-" + h
   }
 
   /** Deletes everything no longer referenced: data directories absent
