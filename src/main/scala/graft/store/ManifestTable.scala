@@ -3290,6 +3290,21 @@ object ManifestTable {
           s"(${schema.fieldNames.mkString(", ")})")
       require(!schema.fieldNames.contains(to),
         s"column '$to' already exists")
+      // a CHECK constraint referencing the old name would stop
+      // RESOLVING after the rename — and an unresolvable check is
+      // skipped at the write funnel, i.e. the rename would silently
+      // disable the data contract. Refuse loudly instead; the
+      // operator drops, renames, and re-declares under the new name.
+      val referencing = constraintsOf(spark, root).collect {
+        case (n, sql) if spark.sessionState.sqlParser
+            .parseExpression(sql).references
+            .exists(_.name.equalsIgnoreCase(from)) => n
+      }
+      require(referencing.isEmpty,
+        s"cannot rename '$from': CHECK constraint(s) " +
+          s"${referencing.mkString(", ")} reference it and would be " +
+          "silently disabled — dropConstraint, rename, re-declare " +
+          "under the new name")
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))

@@ -172,6 +172,47 @@ class ConstraintSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gcons.db.t").count() == 3)
   }
 
+  test("renaming a constrained column refuses loudly: an unresolvable " +
+      "check would be silently skipped at the write funnel") {
+    val root = freshRoot("cons_rename")
+    ManifestTable.create(
+      (1L to 10L).map(i => (i, s"d$i", i)).toDF("id", "seg", "v"),
+      "id", root, numBuckets = 2)
+    ManifestTable.addConstraint(spark, root, "v_pos", "v > 0")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "v", "val2")
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    // unconstrained columns still rename; drop + rename + re-declare
+    // is the sanctioned path
+    ManifestTable.renameColumn(spark, root, "seg", "segment2")
+    ManifestTable.dropConstraint(spark, root, "v_pos")
+    ManifestTable.renameColumn(spark, root, "v", "val2")
+    ManifestTable.addConstraint(spark, root, "v_pos", "val2 > 0")
+    val renamed = StructType(Seq(
+      StructField("id", LongType),
+      StructField("segment2", StringType),
+      StructField("val2", LongType)))
+    val e2 = intercept[Exception] {
+      mergeRowsTo(root, renamed, 1L, (50L, "x", "-1"))
+    }
+    assert(messageChain(e2).contains("v_pos"),
+      "the re-declared constraint must enforce under the new name")
+  }
+
+  private def mergeRowsTo(root: String, sch: StructType, batch: Long,
+      rows: (Long, String, String)*): Unit = {
+    val m = new graft.mapping.Mapping()
+    sch.fieldNames.foreach(n => m.auto(n))
+    m.complete(sch)
+    val raw = rows.zipWithIndex
+      .map { case ((id, sg, vv), i) =>
+        (Seq(id.toString, sg, vv), i.toLong) }
+      .toDF("_raw", "_line")
+    ManifestTable.merge(m.project(raw), batch, m, root, sch,
+      streamId = "cons-spec-r")
+  }
+
   test("DDL surface: CREATE TABLE TBLPROPERTIES constraint.* declares " +
       "before the first row; ALTER SET/UNSET manage the registry") {
     val wh = freshRoot("cons_ddl_wh")
