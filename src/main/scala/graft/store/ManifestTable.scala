@@ -4474,6 +4474,14 @@ object ManifestTable {
       // conflict-independent) when that window matters.
       val srcM0 = currentManifest(spark, srcRoot).getOrElse(
         throw new IllegalStateException(s"no table at $srcRoot"))
+      // the upsert leg rides an identity-comparator mapping; on a
+      // normalized-key layout that would bucket raw keys wrong — the
+      // mergeInto refusal discipline applies here too
+      require(srcM0.keyExpr.isEmpty && !srcM0.udfKey,
+        s"table at $srcRoot is laid out by a normalized key " +
+          "comparator — mergeBranch's upsert leg cannot address it; " +
+          "apply the branch delta with merge() and the " +
+          "comparator-holding mapping instead")
       val upsertDone =
         srcM0.lastBatches.get(upStream).contains(token)
       val deleteDone =

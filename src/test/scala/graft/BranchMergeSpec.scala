@@ -151,5 +151,21 @@ class BranchMergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // wrong source
       ManifestTable.mergeBranch(spark, other, dst, token = 3L)
     }
+    // comparator-keyed sources refuse (the mergeInto discipline): the
+    // upsert leg's identity mapping would bucket raw keys wrong
+    val cmpSrc = freshRoot("bm_guard_cmp")
+    val cmpDst = freshRoot("bm_guard_cmp_br")
+    val sSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    ManifestTable.create(
+      Seq(("Alpha", 1L), ("Beta", 2L)).toDF("k", "v"),
+      "k", cmpSrc, numBuckets = 2, keyComparator = lower)
+    ManifestTable.cloneAt(spark, cmpSrc, cmpDst, pin = false)
+    ManifestTable.delete(spark, cmpDst, sSchema, "k", Seq("Alpha"),
+      token = 1L)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergeBranch(spark, cmpSrc, cmpDst, token = 4L)
+    }
+    assert(e.getMessage.contains("comparator"), e.getMessage)
   }
 }
