@@ -120,6 +120,19 @@ object BenchSentinel {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-REP contention guard (r14): a rep whose bracketing probe
+    * bursts disagree by more than 2× ran inside a load TRANSIENT — the
+    * machine changed speed mid-rep, so its wall time is neither quiet
+    * nor consistently-loaded and poisons the median either way (the
+    * r13 `manifest_merge_small` capture read [3.71, 7.71, 1.09] in one
+    * rep family; the block-level recheck fired only after the fact).
+    * Such reps are DISCARDED and re-run, not kept-and-rechecked. The
+    * 2× bar clears single-burst noise (~1.3× worst case on this VM)
+    * with margin while catching the multi-second bursts that actually
+    * bend a rep. */
+  def bracketsDisagree(before: Double, after: Double): Boolean =
+    math.max(before, after) / math.min(before, after) > 2.0
+
   /** MIN of `k` consecutive bursts — the estimator every sampling
     * point uses. A width-wide burst is noisy on a shared-host VM
     * (hypervisor steal, the benchmark JVM's own GC/listener threads
@@ -260,22 +273,46 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[(Double, Double, Boolean)], Double, Boolean) = {
       val setup = SparkEntry.benchSetups.get(name)
+      // Every rep is BRACKETED by one cheap probe burst (the closing
+      // burst opens the next rep, so a k-rep family costs k+1 bursts
+      // ≈ 60 ms each, outside the timed regions). A rep whose
+      // brackets disagree >2× ([[BenchSentinel.bracketsDisagree]])
+      // caught a load transient mid-flight and is DISCARDED and
+      // re-run (bounded at 3 attempts — a machine that never settles
+      // keeps the last attempt rather than spinning), so no committed
+      // rep family carries a multi-× internal spread again.
+      var bracket = BenchSentinel.sample()
       val runs = (1 to reps).map { _ =>
-        try setup.foreach(f => f(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(
-            s"[bench] $name setup failed: ${String.valueOf(e.getMessage).take(300)}")
-        }
-        val c0 = cpuTime
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
+        var attempts = 0
+        var out: (Double, Double, Boolean) = null
+        var accepted = false
+        while (!accepted) {
+          attempts += 1
+          try setup.foreach(f => f(spark, sfDir))
+          catch { case e: Throwable =>
             System.err.println(
-              s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
-            false
+              s"[bench] $name setup failed: ${String.valueOf(e.getMessage).take(300)}")
+          }
+          val b0 = bracket
+          val c0 = cpuTime
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] $name failed: ${String.valueOf(e.getMessage).take(300)}")
+              false
+          }
+          val wall = r3((System.nanoTime() - t0) / 1e9)
+          val b1 = BenchSentinel.sample()
+          bracket = b1
+          out = (wall, r3(math.max(0L, cpuTime - c0) / 1e9), ok)
+          accepted = !ok || attempts >= 3 ||
+            !BenchSentinel.bracketsDisagree(b0, b1)
+          if (!accepted) System.err.println(
+            s"[bench] $name rep bracketed ${r3(b0)} -> ${r3(b1)} " +
+              s"(>2x transient) — discarding rep (attempt $attempts)")
         }
-        (r3((System.nanoTime() - t0) / 1e9),
-          r3(math.max(0L, cpuTime - c0) / 1e9), ok)
+        out
       }
       val failed = runs.exists(!_._3)
       val sorted = runs.map(_._1).sorted

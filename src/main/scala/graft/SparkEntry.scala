@@ -2050,17 +2050,20 @@ object SparkEntry {
     }),
     "manifest_delete_where" -> ((s, dir) => {
       // Row-level DELETE by ARBITRARY predicate (deleteWhere — the SQL
-      // `DELETE FROM t WHERE <non-key>` path): one pruned discovery
-      // scan reduces the predicate to its touched buckets, only those
-      // rewrite without the matching rows, one OCC commit. Values
-      // hash-equal DuckDB's recompute of the merged state minus the
-      // predicate's rows; locality/NULL/replay evidence lives in
+      // `DELETE FROM t WHERE <non-key>` path), in the TOMBSTONE cost
+      // class (r14): one pruned discovery scan reduces the predicate
+      // to its matched keys, and the commit writes slim key-only
+      // tombstone deltas instead of rewriting every candidate file —
+      // write cost ∝ matched rows (the GDPR-erasure shape at 100 TB).
+      // The read reconciles tombstones away; values hash-equal
+      // DuckDB's recompute of the merged state minus the predicate's
+      // rows. Locality/NULL/replay + the rewrite-mode legs live in
       // DeleteWhereSpec.
       val root = manifestFixture(s, dir, "manifest_delete_where",
         withMerge = true)
       graft.store.ManifestTable.deleteWhere(s, root, upsertSchema,
         d => d("segment") === "NEW" && d("acctbal") < 3000.0,
-        token = 2L)
+        token = 2L, delta = true)
       graft.store.ManifestTable.read(s, root, upsertSchema)
     }),
     "manifest_minmax" -> ((s, dir) => {
@@ -2426,7 +2429,10 @@ object SparkEntry {
       val copies = e.filter(col("vec_id") % 20 === 0).select(
         (col("vec_id") + 10000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
-      Similarity.cosineDups(e.union(copies), threshold = 0.999, planes = 6)
+      // planes self-scale (⌈log₂N⌉−4, Similarity.autoPlanes) — recovery
+      // of the scaled plants is deterministic at ANY plane count (sign
+      // patterns are scale-invariant), so the oracle is planes-free
+      Similarity.cosineDups(e.union(copies), threshold = 0.999)
         .select("id_a", "id_b")
     }),
     "semdedup" -> ((s, dir) => {
@@ -2457,6 +2463,35 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), col("text"))),
+    "text_html" -> ((s, dir) => {
+      // HTML → text extraction (HtmlExtract — the web-corpus ingestion
+      // staple): markup is PLANTED around each document's body in
+      // closed form (title/h1/p/script/style/comments/entities/an
+      // anchor), so DuckDB recomputes the expected extraction with
+      // string functions alone. The body is sanitized of [<>&] first —
+      // that is what makes the oracle closed-form, not a kernel
+      // limitation (malformed-markup vectors live in HtmlExtractSpec).
+      // Link-density evidence rides as raw per-block char counts
+      // (integers hash exactly; a rounded ratio would not).
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val safe = regexp_replace(col("text"), "[<>&]", " ")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>p { 1 < 2 }</style></head>"),
+        lit("<!-- planted <p>markup</p> --><body><h1>Heading "), id,
+        lit("</h1>\n<p>"), safe,
+        lit("</p><script>var x = 1 < 2;</script><div><a href=\"/d?id="),
+        id, lit("&amp;v=1\">see &quot;doc&quot; "), id,
+        lit("</a> &amp; more</div></body></html>"))
+      val blocks = HtmlExtract.blocks(html)
+      val last = element_at(blocks, -1)
+      d.select(col("doc_id"),
+        size(blocks).cast("long").as("n_blocks"),
+        HtmlExtract.text(html).as("extracted"),
+        last.getField("link_chars").as("nav_link_chars"),
+        last.getField("chars").as("nav_chars"))
+    }),
     "text_redact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // plant synthetic PII deterministically so redaction has work to do
@@ -3990,6 +4025,24 @@ object SparkEntry {
                   WHEN de = greatest(en, fr, de, es) THEN 'de'
                   ELSE 'es' END AS lang_pred
            FROM cnt""",
+      "text_html" ->
+        s"""WITH s AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS body
+             FROM documents)
+           SELECT doc_id,
+             CAST(CASE WHEN body = '' THEN 3 ELSE 4 END AS BIGINT)
+               AS n_blocks,
+             'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               'Heading ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               CASE WHEN body = '' THEN '' ELSE body || chr(10) END ||
+               'see "doc" ' || CAST(doc_id AS VARCHAR) || ' & more'
+               AS extracted,
+             CAST(10 + len(CAST(doc_id AS VARCHAR)) AS BIGINT)
+               AS nav_link_chars,
+             CAST(17 + len(CAST(doc_id AS VARCHAR)) AS BIGINT)
+               AS nav_chars
+           FROM s""",
       "text_quality" ->
         s"""WITH base AS (SELECT doc_id, text,
              CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,

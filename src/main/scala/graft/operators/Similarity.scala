@@ -306,19 +306,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hyperplane count that keeps random-bucket candidate pairs LINEAR
+    * in the corpus: uniform-ish vectors spread over 2^planes buckets
+    * generate ~N²/2^planes pairs, so holding pairs ≤ c·N needs planes ≥
+    * log₂(N) − log₂(c) — the re-bucketing discipline PairGrowthSpec
+    * demonstrates (a FIXED plane count goes quadratic under growth).
+    * c = 16 expected same-bucket partners; floor of 4 planes so tiny
+    * corpora still split. */
+  def autoPlanes(n: Long): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt - 4)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, generated via
-    * LSH buckets (no all-pairs). */
+    * LSH buckets (no all-pairs). `planes < 0` (the default) self-scales
+    * from one cheap corpus count: planes = ⌈log₂ N⌉ − 4
+    * ([[autoPlanes]]), so candidate pairs stay ~linear as the corpus
+    * grows instead of quadratic under a stale hand-tuned constant.
+    * Recall note: MORE planes = smaller buckets = lower recall for
+    * near-but-not-identical pairs (exact/scaled duplicates always
+    * collide — sign patterns are scale-invariant); pass an explicit
+    * plane count to trade compute for recall deliberately. */
   def cosineDups(
       corpus: DataFrame,
       threshold: Double = 0.95,
-      planes: Int = 8,
+      planes: Int = -1,
       maxBucketSize: Int = 100000): DataFrame = {
+    val p = if (planes >= 0) planes else autoPlanes(corpus.count())
     // Same skew guard as the text LSH joins (see Dedup.capBuckets): one
     // degenerate hyperplane bucket must not go quadratic.
     val c = Dedup.capBuckets(
       corpus.select(
         col("vec_id"), col("embedding").as("emb"),
-        hyperplaneBucket(col("embedding"), planes).as("bucket")),
+        hyperplaneBucket(col("embedding"), p).as("bucket")),
       Seq("bucket"), maxBucketSize)
     val a = c.alias("a")
     val b = c.alias("b")

@@ -491,22 +491,13 @@ object ManifestTable {
 
   /** The newest committed version AS OF `tsMillis` (commit time = the
     * manifest file's mtime, the same clock [[expireHistory]] and
-    * [[vacuum]]'s age window read): the `TIMESTAMP AS OF` resolution.
+    * [[vacuum]]'s age window read — canonicalized MONOTONIC in version
+    * order): the `TIMESTAMP AS OF` resolution.
     * Fails loudly when the timestamp predates the oldest RETAINED
     * version — never silently serves a later state than asked for. */
   def versionAtTime(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
-    val dir = new Path(s"$root/manifest")
-    val fs = fsOf(spark, dir)
-    require(fs.exists(dir), s"no manifest table at $root")
-    val stamped = fs.listStatus(dir).toSeq
-      .map(st => (st.getPath.getName, st.getModificationTime))
-      .collect { case (n, t)
-          if n.startsWith("m") && n.drop(1).nonEmpty &&
-            n.drop(1).forall(_.isDigit) =>
-        (n.drop(1).toLong, t)
-      }
-      .sortBy(_._1)
+    val stamped = commitTimes(spark, root)
     require(stamped.nonEmpty, s"no committed versions at $root")
     val at = stamped.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
@@ -515,6 +506,36 @@ object ManifestTable {
         s"at ${stamped.head._2} (vacuumed older, or the timestamp " +
         "predates the table)")
     at.maxBy(_._1)._1
+  }
+
+  /** (version, effective commit time) for every committed manifest,
+    * oldest first, with times canonicalized MONOTONIC in version order:
+    * effectiveTime(v) = max(mtime(v), effectiveTime(v-1)). Raw file
+    * mtimes are NOT monotonic under multi-writer clock skew or
+    * object-store timestamp granularity — a later version carrying an
+    * earlier mtime would make `TIMESTAMP AS OF` resolution inconsistent
+    * with version order (time travel to t could skip a version that was
+    * current at t), and [[vacuum]]'s retainMillis window could retain
+    * an OLDER version while dropping a newer one. The running-max
+    * carry is the Delta/Iceberg commit-timestamp canonicalization. */
+  private def commitTimes(spark: SparkSession, root: String)
+      : Seq[(Long, Long)] = {
+    val dir = new Path(s"$root/manifest")
+    val fs = fsOf(spark, dir)
+    require(fs.exists(dir), s"no manifest table at $root")
+    val raw = fs.listStatus(dir).toSeq
+      .map(st => (st.getPath.getName, st.getModificationTime))
+      .collect { case (n, t)
+          if n.startsWith("m") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) =>
+        (n.drop(1).toLong, t)
+      }
+      .sortBy(_._1)
+    var carry = Long.MinValue
+    raw.map { case (v, t) =>
+      carry = math.max(carry, t)
+      (v, carry)
+    }
   }
 
   private val SeqCol = "__graft_seq"
@@ -2626,6 +2647,22 @@ object ManifestTable {
     * holds none of the values, which serves the unclustered
     * high-cardinality columns zones cannot. Same weaker-never-stronger
     * contract; both hints intersect. */
+  /** `delta = true` routes the predicate delete through the TOMBSTONE
+    * cost class ([[delete]]'s `delta` mode, row-160 discipline): the
+    * pruned discovery scan — the same zone/bloom/index-hinted read the
+    * rewrite mode pays anyway — derives the MATCHED KEYS, and the
+    * commit writes one slim key-only tombstone file per touched bucket
+    * instead of rewriting every candidate file in full. Write cost is
+    * ∝ matched rows (a GDPR `deleteWhere(email = x)` that matches 10
+    * rows of a 100 TB table writes kilobytes, not the multi-TB
+    * candidate rewrite); the keys never funnel through the driver
+    * (they shuffle straight into the bucketed tombstone write), so
+    * millions of matches stream. Same exactness: tombstone keys come
+    * from the reconciled live state, so they name exactly the rows the
+    * predicate hit; reads reconcile them away, [[compact]] folds them,
+    * and the change feed derives the same delete rows. Needs a
+    * recordable comparator like every tombstone write (refused on
+    * udfKey layouts). */
   def deleteWhere(
       spark: SparkSession,
       root: String,
@@ -2637,10 +2674,12 @@ object ManifestTable {
       tokenStream: Option[String] = None,
       zoneRanges: Seq[(String, Any, Any)] = Nil,
       bloomProbes: Seq[(String, Seq[Any])] = Nil,
-      indexProbes: Seq[(String, Seq[Any])] = Nil): Seq[FileEntry] =
+      indexProbes: Seq[(String, Seq[Any])] = Nil,
+      delta: Boolean = false): Seq[FileEntry] =
     rewriteWhere(spark, root, schema, condition, token, keyComparator,
       tokenStream, zoneRanges, bloomProbes, indexProbes, "deleteWhere",
-      (df, _) => df.filter(!coalesce(condition(df), lit(false))))
+      (df, _) => df.filter(!coalesce(condition(df), lit(false))),
+      tombstone = delta)
 
   /** Row-level UPDATE by ARBITRARY predicate — [[deleteWhere]]'s
     * projection twin, and the PATH-table face of SQL `UPDATE`
@@ -2706,7 +2745,8 @@ object ManifestTable {
       bloomProbes: Seq[(String, Seq[Any])],
       indexProbes: Seq[(String, Seq[Any])],
       label: String,
-      fragmentOf: (DataFrame, String) => DataFrame): Seq[FileEntry] = {
+      fragmentOf: (DataFrame, String) => DataFrame,
+      tombstone: Boolean = false): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -2715,6 +2755,10 @@ object ManifestTable {
       }
       if (replayed) return Nil
       checkSchemaCompatible(prior, schema, label, allowAdd = true)
+      if (tombstone) require(!prior.udfKey,
+        s"$label(delta = true) needs a recordable key comparator — a " +
+          "udfKey layout's readers cannot reconcile tombstones in " +
+          "normalized key space")
       val keyColumn = prior.keyColumn
       require(keyColumn.nonEmpty, s"table at $root records no key column")
       val batches = tokenStream.fold(prior.lastBatches)(s =>
@@ -2781,6 +2825,33 @@ object ManifestTable {
             clusterCol = prior.clusterCol, colMap = prior.colMap,
             splits = prior.splits)))
           return Nil
+      } else if (tombstone) {
+        // TOMBSTONE mode: re-evaluate the predicate over the touched
+        // buckets' reconciled live state and keep only the KEY column —
+        // exact (names only rows that exist and match), slim (the write
+        // is keys, not rows), distributed (keys shuffle straight into
+        // the bucketed write — no driver funnel, millions of matches
+        // stream). Null keys are inert in the reconcile's anti-join and
+        // are dropped so hash(null) can't bucket them.
+        val reconciled = reconciledRead(spark, root, schema, prior,
+          touchedEntries, keyColumn, cmp)
+        val keysDf = reconciled
+          .filter(coalesce(condition(reconciled), lit(false)))
+          .filter(col(keyColumn).isNotNull &&
+            cmp(col(keyColumn)).isNotNull)
+          .select(col(keyColumn))
+        val written = writeBuckets(keysDf, bucket, keyColumn, root,
+          s"v$version-$attempt", touchedEntries.map(_.bucket).distinct.size,
+          cmp, seq = version, colMap = prior.colMap)
+          .map(_.copy(tomb = true))
+        if (tryCommitManifest(spark, root, Manifest(version, n,
+            prior.entries ++ written, batches, deleteToken, attempt,
+            keyColumn, prior.keyExpr, prior.lastCompact,
+            prior.rangeBounds, prior.schemaJson, prior.udfKey,
+            clusterCol = prior.clusterCol, colMap = prior.colMap,
+            splits = prior.splits)))
+          return written
+        cleanupAttempt(spark, root, version, attempt)
       } else {
         val reconciled = reconciledRead(spark, root, schema, prior,
           touchedEntries, keyColumn, cmp)
@@ -4311,14 +4382,31 @@ object ManifestTable {
     // resolution through intermediate roots)
     val extEntries = m.entries.map(e =>
       if (isExt(e)) e else e.copy(relPath = s"ext:$qSrc/${e.relPath}"))
+    // Pin BEFORE the destination commit (the tag must hold v's files
+    // against a concurrent source vacuum for the clone's whole
+    // lifetime, including this very call) — but never leave the pin
+    // ORPHANED: a lost dst-create race or a commit failure rolls the
+    // tag back, guarded so a concurrent clone of a DIFFERENT version
+    // to the same destination (which legitimately moved the shared
+    // tag name) keeps its own pin.
     if (pin) tag(spark, srcRoot, cloneTagName(dstRoot), v)
+    def unpin(): Unit =
+      if (pin) scala.util.Try {
+        if (tagsOf(spark, srcRoot).get(cloneTagName(dstRoot))
+            .contains(v))
+          deleteTag(spark, srcRoot, cloneTagName(dstRoot))
+      }
     val attempt = newAttemptId()
     val cloneM = Manifest(0L, m.numBuckets,
       extEntries, m.lastBatches, m.lastDelete, attempt,
       m.keyColumn, m.keyExpr, m.lastCompact, m.rangeBounds,
       m.schemaJson, m.udfKey, clusterCol = m.clusterCol,
       colMap = m.colMap, splits = m.splits)
-    if (!tryCommitManifest(spark, dstRoot, cloneM)) {
+    val committed =
+      try tryCommitManifest(spark, dstRoot, cloneM)
+      catch { case e: Throwable => unpin(); throw e }
+    if (!committed) {
+      unpin()
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $dstRoot")
     }
@@ -4460,6 +4548,18 @@ object ManifestTable {
       .select(cols.map(c => col(s"__s.`$c`").as(c)) :+
         col("__s.__t").as("__t"): _*)
       .cache()
+    // The adjudicated DELETE-KEY set's durable home for the one crash
+    // window where it cannot be re-derived: under onConflict="source"
+    // with conflicts, once the upsert leg commits, the source's change
+    // feed contains the merge's own rows — a retry re-deriving deletes
+    // from the branch feed alone would drop the first attempt's
+    // conflict anti-join and delete keys that adjudication said keep
+    // the source's value. The set is persisted BEFORE the first leg
+    // commits and removed after the delete leg lands; other modes'
+    // delete sets are conflict-independent and never write it.
+    val pendingDir = new Path(
+      s"$srcRoot/mergepending/${cloneTagName(qBranch)}-t$token")
+    val pendingFs = fsOf(spark, pendingDir)
     try {
       // REPLAY short-circuit BEFORE conflict detection: once either
       // leg committed, the source's change feed contains THIS merge's
@@ -4467,11 +4567,7 @@ object ManifestTable {
       // a concurrent source edit and refuse its own retry forever.
       // Conflicts were adjudicated when the first leg landed; a retry
       // only COMPLETES the missing leg (each leg's ledger no-ops when
-      // done). Crash-window caveat, stated not hidden: under
-      // onConflict = "source" a retry that completes a crashed DELETE
-      // leg re-derives the delete set without the first attempt's
-      // conflict drops — prefer "fail"/"branch" (whose sets are
-      // conflict-independent) when that window matters.
+      // done), reading the persisted delete set when one exists.
       val srcM0 = currentManifest(spark, srcRoot).getOrElse(
         throw new IllegalStateException(s"no table at $srcRoot"))
       // the upsert leg rides an identity-comparator mapping; on a
@@ -4488,14 +4584,22 @@ object ManifestTable {
         srcM0.lastBatches.get(delStream).contains(token)
       if (upsertDone || deleteDone) {
         if (!deleteDone) {
-          val deletes = last.filter(col("__t") === "delete")
-            .select(col(key))
+          // the persisted adjudicated set wins over re-derivation: it
+          // is exactly the set the landed upsert leg was paired with
+          val deletes =
+            if (pendingFs.exists(pendingDir))
+              spark.read.schema(
+                org.apache.spark.sql.types.StructType(
+                  schema.fields.filter(_.name == key)))
+                .parquet(pendingDir.toString)
+            else last.filter(col("__t") === "delete").select(col(key))
           if (deletes.limit(1).collect().nonEmpty)
             DerivedTable.deleteChunked(spark, srcRoot, schema, key,
               deletes, baseVersion = token,
               tokenStream = delStream,
               maxDriverKeys = maxDriverKeys)
         }
+        if (pendingFs.exists(pendingDir)) pendingFs.delete(pendingDir, true)
         return (0L, 0L, 0L)
       }
       // conflicts: keys the SOURCE also changed since the bind
@@ -4530,6 +4634,10 @@ object ManifestTable {
       val nUp = upserts.count()
       val nDel = deletes.count()
       conflictKeys.unpersist()
+      // persist the adjudicated delete set BEFORE any leg commits —
+      // only when a retry could not re-derive it (see pendingDir)
+      if (onConflict == "source" && conflicts > 0)
+        deletes.write.mode("overwrite").parquet(pendingDir.toString)
       if (nUp > 0) {
         val m = new graft.mapping.Mapping(keyColumnName = key)
         cols.foreach(m.auto(_))
@@ -4542,6 +4650,7 @@ object ManifestTable {
           deletes, baseVersion = token,
           tokenStream = delStream,
           maxDriverKeys = maxDriverKeys)
+      if (pendingFs.exists(pendingDir)) pendingFs.delete(pendingDir, true)
       (nUp, nDel, conflicts)
     } finally last.unpersist()
   }
@@ -4622,14 +4731,16 @@ object ManifestTable {
         // the tag read fails loudly, never silently serves a partial
         // snapshot.
         val pinned = tagsOf(spark, root).values.toSet
+        // age reads the MONOTONIC effective times ([[commitTimes]]):
+        // under raw mtimes a newer version with a skewed-early stamp
+        // could age out while an older one stays — retention would
+        // contradict version order
         val young: Set[Long] =
           if (retainMillis <= 0) Set.empty
           else {
             val cutoff = System.currentTimeMillis() - retainMillis
-            committed.filter { v =>
-              fs.getFileStatus(new Path(s"$root/manifest/m$v"))
-                .getModificationTime >= cutoff
-            }.toSet
+            commitTimes(spark, root)
+              .collect { case (v, t) if t >= cutoff => v }.toSet
           }
         (committed.takeRight(keepLast) ++
           committed.filter(pinned) ++

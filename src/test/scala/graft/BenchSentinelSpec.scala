@@ -45,22 +45,26 @@ class BenchSentinelSpec extends AnyFunSuite {
     // one burner per core: the probe's threads get half the machine —
     // expected inflation ~2.0; the sentinel's recheck trigger (1.2)
     // and the judge's detection bar (1.5) must both clear with margin.
-    // Up to 3 attempts: under sbt's PARALLEL suites the "quiet"
-    // baseline itself can be load-inflated (measured 1.46x in a full
-    // run that passes in isolation at ~2x) — a physics flake, not a
-    // sentinel miss; any attempt clearing the bar proves detection.
-    val fullInflation = (1 to 3).iterator.map { _ =>
+    // 3 attempts, asserted on the MEDIAN: under sbt's PARALLEL suites
+    // the "quiet" baseline itself can be load-inflated (measured 1.46x
+    // in a full run that passes in isolation at ~2x) — tolerating ONE
+    // poisoned attempt absorbs that physics flake, while any-of-3
+    // would also pass a sentinel that detects saturation only
+    // intermittently (the detection guarantee this leg exists for).
+    val attempts = (1 to 3).map { _ =>
       val q = BenchSentinel.measure(7)
       val (stopFull, fullBurners) = burn(BenchSentinel.width)
       val loaded =
         try BenchSentinel.measure()
         finally { stopFull.set(true); fullBurners.foreach(_.join(2000)) }
       loaded / q
-    }.find(_ > 1.5).getOrElse(0.0)
+    }
+    val fullInflation = attempts.sorted.apply(attempts.size / 2)
     assert(fullInflation > 1.5,
-      s"probe never cleared 1.5x under 1-burner-per-core load across " +
-        "3 attempts — the sentinel would miss machine-saturating " +
-        "contention")
+      s"median probe inflation $fullInflation (attempts " +
+        s"${attempts.map(a => f"$a%.2f").mkString(", ")}) under " +
+        "1-burner-per-core load — the sentinel would miss " +
+        "machine-saturating contention more often than not")
 
     // HALF the cores busy — the r10 scenario class: plenty of cores
     // still free, so a single-core probe reads ~1.0, but wide stages
@@ -75,6 +79,35 @@ class BenchSentinelSpec extends AnyFunSuite {
       s"probe read ${halfInflation}x under half-core load " +
         s"(quiet=$quiet loaded=$halfLoad) — the r10 blind spot " +
         "(load below core count invisible to the probe) is back")
+  }
+
+  test("per-rep bracket guard: a load transient between brackets " +
+      "triggers a discard; steady state does not") {
+    assume(BenchSentinel.width >= 4,
+      "contention geometry needs a multi-core machine")
+    BenchSentinel.sample(); BenchSentinel.sample() // probe JIT warmup
+    // threshold algebra first — the pure decision the rep loop applies
+    assert(!BenchSentinel.bracketsDisagree(0.06, 0.11)) // 1.8x: noise band
+    assert(BenchSentinel.bracketsDisagree(0.06, 0.13))  // 2.2x: transient
+    assert(BenchSentinel.bracketsDisagree(0.13, 0.06))  // symmetric
+    // physics: a quiet opening bracket vs a bracket taken under
+    // 1-burner-per-core load disagree well past 2x (the probe reads
+    // ~(width + L) / width ≈ 2.0 under L = width burners, and min-of-k
+    // tightens the quiet side) — the exact shape of the r13
+    // manifest_merge_small [3.71, 7.71, 1.09] family this guard
+    // exists to discard. Median-of-3 verdicts, same flake budget as
+    // the detection leg above.
+    val verdicts = (1 to 3).map { _ =>
+      val b0 = BenchSentinel.measure(5)
+      val (stop, burners) = burn(BenchSentinel.width)
+      val b1 =
+        try BenchSentinel.sample()
+        finally { stop.set(true); burners.foreach(_.join(2000)) }
+      BenchSentinel.bracketsDisagree(b0, b1)
+    }
+    assert(verdicts.count(identity) >= 2,
+      s"bracket guard missed an injected all-core transient in " +
+        s"${verdicts.count(!_)} of 3 attempts")
   }
 
   test("committed-stats reader: medians, err exclusion, probe-version gating") {

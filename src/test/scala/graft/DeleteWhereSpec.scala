@@ -426,4 +426,111 @@ class DeleteWhereSpec extends SparkSpec {
     spark.sql("DELETE FROM graftd.d.t")
     assert(spark.table("graftd.d.t").count() == 0)
   }
+
+  // ---- TOMBSTONE mode (r14): write cost ∝ matched rows ---------------
+
+  private def digest(path: String): Seq[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path)).map(f => (f.getName, f.length()))
+      .sortBy(_._1)
+  }
+
+  test("tombstone mode: key-sized writes, prior files byte-identical, " +
+      "reads/CDC/compact exact, state equals rewrite mode") {
+    val rootT = freshRoot("delw_tomb")
+    val rootR = freshRoot("delw_tomb_ref")
+    val df = mkTable(rootT); mkTable(rootR)
+    val pred: DataFrame => org.apache.spark.sql.Column =
+      d => d("seg") === "HOT" && d("v") <= 100
+    val matched = df.filter(col("seg") === "HOT" && col("v") <= 100)
+      .select("id").as[Long].collect().toSet
+    assert(matched.nonEmpty)
+    val m0 = ManifestTable.currentManifest(spark, rootT).get
+    val before = m0.entries
+      .map(e => e.relPath -> digest(s"$rootT/${e.relPath}")).toMap
+
+    // WRITE COST: the commit ADDS key-only tombstones and removes
+    // nothing — every candidate data file stays live, byte-identical
+    // (the rewrite mode rewrites every touched bucket in full)
+    val w = ManifestTable.deleteWhere(spark, rootT, schema, pred,
+      token = 1L, delta = true)
+    assert(w.nonEmpty && w.forall(_.tomb), s"expected tomb entries: $w")
+    assert(w.map(_.rows).sum == matched.size,
+      s"tombstones must be key-sized: ${w.map(_.rows).sum} rows " +
+        s"for ${matched.size} matches")
+    val m1 = ManifestTable.currentManifest(spark, rootT).get
+    m0.entries.foreach(e => assert(m1.entries.contains(e),
+      s"tombstone deleteWhere must keep every prior file live: $e"))
+    before.foreach { case (rel, d) =>
+      assert(digest(s"$rootT/$rel") == d,
+        s"data files must stay byte-identical under a tombstone: $rel")
+    }
+    // written BYTES are key-scale, not bucket-scale: the tombstone
+    // commit writes less than the touched buckets' data footprint
+    val touched = w.map(_.bucket).toSet
+    val touchedBytes = m0.entries.filter(e => touched(e.bucket))
+      .map(_.bytes).sum
+    assert(w.map(_.bytes).sum < touchedBytes,
+      s"tombstone bytes ${w.map(_.bytes).sum} should undercut the " +
+        s"touched buckets' ${touchedBytes}B the rewrite would re-emit")
+
+    // READS + CDC: exact, and the two modes CONVERGE on the same state
+    val gotT = ManifestTable.read(spark, rootT, schema)
+      .orderBy("id").collect().toSeq
+    assert(gotT.map(_.getLong(0)).toSet ==
+      (1L to 200L).toSet -- matched)
+    ManifestTable.deleteWhere(spark, rootR, schema, pred, token = 1L)
+    assert(gotT == ManifestTable.read(spark, rootR, schema)
+      .orderBy("id").collect().toSeq,
+      "delta and rewrite deleteWhere must produce identical states")
+    val feed = ManifestTable.changes(spark, rootT, schema, "id",
+      m0.version, m1.version)
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == matched.map(v => (v, "delete")),
+      s"tombstone deleteWhere must feed exactly the deletes: $feed")
+
+    // NULL keep-semantics survive the mode switch: NULL-predicate rows
+    // are NOT matched keys, so no tombstone ever names them
+    val w2 = ManifestTable.deleteWhere(spark, rootT, schema,
+      d => when(d("seg") === "COLD", lit(null)).otherwise(d("v") > 150),
+      token = 2L, delta = true)
+    val survivors = ManifestTable.read(spark, rootT, schema)
+      .select("id").as[Long].collect().toSet
+    val want = ((1L to 200L).toSet -- matched)
+      .filterNot(i => i % 4 == 0 && i * 2 > 150)
+    assert(survivors == want, "NULL-predicate rows must survive")
+    assert(w2.map(_.rows).sum == ((1L to 200L).toSet -- matched)
+      .count(i => i % 4 == 0 && i * 2 > 150))
+
+    // replay no-ops; compact folds the tombstones away
+    assert(ManifestTable.deleteWhere(spark, rootT, schema, pred,
+      token = 2L, delta = true).isEmpty)
+    ManifestTable.compact(spark, rootT, schema, "id", token = 50L)
+    val mc = ManifestTable.currentManifest(spark, rootT).get
+    assert(mc.entries.forall(!_.tomb), "compact must fold tombstones")
+    assert(ManifestTable.read(spark, rootT, schema)
+      .select("id").as[Long].collect().toSet == want)
+  }
+
+  test("tombstone mode refuses udfKey layouts loudly") {
+    val root = freshRoot("delw_tomb_udf")
+    val s = StructType(Seq(
+      StructField("id", StringType), StructField("v", LongType)))
+    val u = org.apache.spark.sql.functions.udf((x: String) => x.trim)
+    val mu = new graft.mapping.Mapping() {
+      override def keyComparator = c => u(c)
+    }
+    mu.auto("id"); mu.auto("v")
+    mu.complete(s)
+    val raw = Seq((Seq("a", "1"), 0L)).toDF("_raw", "_line")
+    ManifestTable.merge(mu.project(raw), 0L, mu, root, s, numBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.deleteWhere(spark, root, s, d => d("v") > 0,
+        token = 1L, keyComparator = c => u(c), delta = true)
+    }
+    assert(e.getMessage.contains("recordable key comparator"))
+  }
 }
