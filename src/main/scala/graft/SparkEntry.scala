@@ -1099,6 +1099,47 @@ object SparkEntry {
         evolveSchema = true)
       graft.store.ManifestTable.read(s, root)
     }),
+    "manifest_evolve_drop" -> ((s, dir) => {
+      // The r14 lifecycle half of schema evolution: TYPE WIDENING and
+      // DROP COLUMN, both metadata-only commits. A table bootstraps
+      // with narrow columns (int nation, float balance); widening
+      // re-records them long/double (old files read back wide
+      // natively — zero rewrite); a post-widen merge inserts values
+      // beyond the narrow types' range; DROP then sheds the name
+      // column logically (files stay put, reads stop projecting it).
+      // DuckDB recomputes the surviving (id, nation_i, bal_f) state —
+      // the float->double widening is bit-exact in both engines, so
+      // the hash check covers the value path, not just the shapes.
+      val root = resetSideRoot(s, "manifest_evolve_drop")
+      val c = t(s, dir, "customer")
+      val narrow = c.select(col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("int").as("nation_i"),
+        col("c_acctbal").cast("float").as("bal_f"))
+      graft.store.ManifestTable.create(narrow, "id", root,
+        numBuckets = 16)
+      graft.store.ManifestTable.widenColumn(s, root, "nation_i",
+        LongType)
+      graft.store.ManifestTable.widenColumn(s, root, "bal_f",
+        DoubleType)
+      val wide = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("nation_i", LongType),
+        StructField("bal_f", DoubleType)))
+      val m = new Mapping(keyColumnName = "id")
+      wide.fieldNames.foreach(m.auto(_))
+      val ins = c.filter(col("c_custkey") % 3 === 0)
+      val source = Sources.fromColumns(ins,
+        Seq(col("c_custkey") + 10000000L,
+          concat(lit("new-"), col("c_custkey")),
+          col("c_nationkey").cast("long") + 3000000000L,
+          col("c_acctbal")),
+        order = col("c_custkey"))
+      graft.store.ManifestTable.merge(m.complete(wide).project(source),
+        1L, m, root, wide)
+      graft.store.ManifestTable.dropColumn(s, root, "name")
+      graft.store.ManifestTable.read(s, root)
+    }),
     "manifest_merge_delta" -> ((s, dir) => {
       // The LSM write path: the same MERGE as manifest_merge but in
       // delta mode — only the batch's post-merge rows are written, the
@@ -3119,6 +3160,16 @@ object SparkEntry {
              (CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END)
            ELSE NULL END AS vip
            FROM customer WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_evolve_drop" ->
+        s"""SELECT c_custkey AS id,
+             CAST(c_nationkey AS BIGINT) AS nation_i,
+             CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal_f
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 10000000 AS id,
+             CAST(c_nationkey AS BIGINT) + 3000000000 AS nation_i,
+             CAST(c_acctbal AS DOUBLE) AS bal_f
+           FROM customer WHERE c_custkey % 3 = 0""",
       "manifest_merge_fixed" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN ($inSrc AND c_custkey <= 140) THEN c_acctbal + 7.5

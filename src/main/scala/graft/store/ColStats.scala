@@ -139,6 +139,15 @@ object ColStats {
     statsOf(spark, root)
       .join(broadcast(liveDf), "relPath")
       .filter(col("column").isInCollection(cols))
+      // RACING builders can each append rows for the same new files
+      // (both read "uncovered" before either committed its sidecar) —
+      // the sidecar is additive with no (relPath, column) key, so the
+      // fold must dedup or it SUMS duplicates: doubled row/null counts,
+      // covered_files above live_files, corrupt stats fed to the CBO.
+      // Any copy is a valid measurement of the same immutable file, so
+      // keep-one is exact (zones/bloom fold through last-wins maps for
+      // the same reason).
+      .dropDuplicates("relPath", "column")
       .groupBy(col("column"))
       .agg(sum("rows").as("row_count"),
         sum("nulls").as("null_count"),
@@ -198,11 +207,16 @@ object ColStats {
       var nRows = 0L; var nNulls = 0L
       val covered = scala.collection.mutable.HashSet.empty[String]
       rs.foreach { r =>
-        covered += r.getString(0)
-        nRows += r.getLong(2); nNulls += r.getLong(3)
-        val sk = r.getAs[Array[Byte]](4)
-        if (sk != null && sk.nonEmpty)
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(sk))
+        // keep-FIRST per file: racing builders may have appended
+        // duplicate rows for the same (file, column) — summing them
+        // doubles the counts while `full` still reads true (the
+        // tableStats dropDuplicates, driver-fold flavor)
+        if (covered.add(r.getString(0))) {
+          nRows += r.getLong(2); nNulls += r.getLong(3)
+          val sk = r.getAs[Array[Byte]](4)
+          if (sk != null && sk.nonEmpty)
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(sk))
+        }
       }
       c -> Live(nRows, nNulls,
         math.ceil(u.getResult.getEstimate).toLong,

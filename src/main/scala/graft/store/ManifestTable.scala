@@ -665,9 +665,11 @@ object ManifestTable {
 
   /** A NEW column's physical name is its own (no fresh-name indirection
     * here), so it must not collide with the physical storage name of a
-    * RENAMED column — existing files hold the renamed column's values
-    * under that name and would leak them into the new column. Refuse
-    * loudly; the caller picks another name (or renames twice). */
+    * RENAMED or DROPPED column — existing files hold the old column's
+    * values under that name and would leak them into the new column.
+    * Refuse loudly; the caller picks another name (or adds then
+    * renames onto it: a rename carries its own physical name, so the
+    * collision never materializes). */
   private def checkPhysicalCollision(
       m: Manifest,
       schema: org.apache.spark.sql.types.StructType,
@@ -677,9 +679,9 @@ object ManifestTable {
       claimed.contains(n) && physicalOf(m, n) == n)
     require(bad.isEmpty,
       s"$op column name(s) ${bad.mkString(", ")} collide with the " +
-        "PHYSICAL storage name of a renamed column (existing files " +
-        "store the renamed column's values under that name) — choose " +
-        "a different name")
+        "PHYSICAL storage name of a renamed or dropped column " +
+        "(existing files store the old column's values under that " +
+        "name) — choose a different name")
   }
 
   /** The reconcile-key normalizer a manifest records: parses `keyExpr`
@@ -3343,6 +3345,173 @@ object ManifestTable {
     * column must be rebuilt by its owner. History files
     * ([[historyOf]]) keep the names they were written under — an audit
     * trail is names-as-of-then by design. */
+  /** DROP COLUMN as a METADATA-ONLY commit (the column-mapping trick's
+    * other half): the recorded schema loses the field, not a data file
+    * moves — readers simply stop projecting the column (parquet reads
+    * a subset of a file's columns natively), later bucket rewrites
+    * shed it physically as they happen, and a full [[compact]] is the
+    * explicit "physically gone everywhere" lever. Dropping a column of
+    * a 100 TB table costs one manifest write.
+    *
+    * The dropped column's PHYSICAL name stays CLAIMED forever (a
+    * `#drop:` sentinel in `colMap`): old files still hold its values
+    * under that name, so re-adding a same-named column would leak them
+    * into the new column on mixed reads —
+    * [[checkPhysicalCollision]] refuses, same as for renamed-away
+    * physical names (re-add under a fresh name, or rename after
+    * adding). Time travel is exact (each retained version reads under
+    * its OWN recorded schema, pre-drop versions keep the column);
+    * clones carry the sentinel; CDC windows crossing the drop read
+    * under the newest schema like every spanning read.
+    *
+    * Refused for: the KEY column (the table's addressing), the
+    * CLUSTER column (the layout claim would dangle), and any column a
+    * live CHECK constraint references (the rename discipline — a
+    * silently-unresolvable check would disable the data contract).
+    * Index/view registrations naming the column self-deactivate
+    * (their readers skip registrations whose columns left the
+    * schema); their owners drop or rebuild them, as with rename. */
+  def dropColumn(
+      spark: SparkSession,
+      root: String,
+      name: String): Unit = {
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val schema = schemaOf(prior).getOrElse(
+        throw new IllegalArgumentException(
+          s"table at $root records no schema (pre-format-7) — run a " +
+            "merge to upgrade the manifest before dropping"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in the recorded schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(name != prior.keyColumn,
+        s"cannot drop the key column '$name' — the table is addressed " +
+          "by it; re-key into a new table instead")
+      require(name != prior.clusterCol,
+        s"cannot drop the cluster column '$name' — re-cluster the " +
+          "table first (clusterBy another column), then drop")
+      val referencing = constraintsOf(spark, root).collect {
+        case (n, sql) if spark.sessionState.sqlParser
+            .parseExpression(sql).references
+            .exists(_.name.equalsIgnoreCase(name)) => n
+      }
+      require(referencing.isEmpty,
+        s"cannot drop '$name': CHECK constraint(s) " +
+          s"${referencing.mkString(", ")} reference it and would be " +
+          "silently disabled — dropConstraint first")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      val phys = physicalOf(prior, name)
+      val cmap = (prior.colMap.filterNot(_._1 == name) ++
+        Seq(s"#drop:$phys" -> phys)).sortBy(_._1)
+      if (tryCommitManifest(spark, root, Manifest(prior.version + 1,
+          prior.numBuckets, prior.entries, prior.lastBatches,
+          prior.lastDelete, newAttemptId(), prior.keyColumn,
+          prior.keyExpr, prior.lastCompact, prior.rangeBounds,
+          newSchema.json, prior.udfKey, clusterCol = prior.clusterCol,
+          colMap = cmap, splits = prior.splits)))
+        return
+      // OCC loss: metadata-only, nothing to clean — retry on new state
+    }
+  }
+
+  /** The SAFE type widenings: every old file's values read back EXACTLY
+    * under the wider type (Spark's parquet readers, vectorized and
+    * row-based, widen INT32→long, FLOAT→double and decimal
+    * precision natively — probed on this Spark in
+    * SchemaEvolutionSpec), and every sidecar comparison domain is
+    * unchanged (zone kinds already render integrals through `long`
+    * and fractionals through `double`). */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision > f.precision && t.scale == f.scale
+      case _ => false
+    }
+  }
+
+  /** TYPE WIDENING as a METADATA-ONLY commit: re-records the column at
+    * a wider type ([[widensTo]] — int→long, float→double, decimal
+    * precision-up at the same scale); old files keep their narrow
+    * physical type and read back exactly under the wide one, new
+    * writes land wide. The write funnel's exact-type check
+    * ([[checkSchemaCompatible]]) then REFUSES stale narrow-schema
+    * callers loudly — widening is opt-in per writer, never a silent
+    * cast.
+    *
+    * Refused for: the KEY column (hash-bucket addressing hashes the
+    * NATIVE type — `xxhash64`/`hash` of int 5 and long 5 differ, so
+    * widening the key would strand every existing row in a bucket no
+    * probe finds), and any column carrying committed BLOOM sidecar
+    * rows (the same native-type hash discipline: filters built under
+    * the narrow type would prove present values absent — rebuild-less
+    * soundness beats convenience; zones are domain-stable and keep
+    * pruning). A [[ColStats]] HLL sketch built under float renders
+    * values differently than double — the NDV estimate may drift
+    * after a float→double widen until stats rebuild; counts stay
+    * exact. */
+  def widenColumn(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    while (true) {
+      val prior = currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no table at $root"))
+      val schema = schemaOf(prior).getOrElse(
+        throw new IllegalArgumentException(
+          s"table at $root records no schema (pre-format-7) — run a " +
+            "merge to upgrade the manifest before widening"))
+      val idx = schema.fieldNames.indexOf(name)
+      require(idx >= 0,
+        s"no column '$name' in the recorded schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      val from = schema.fields(idx).dataType
+      if (from == to) return // already wide enough: no-op, no commit
+      require(widensTo(from, to),
+        s"widenColumn('$name'): ${from.sql} -> ${to.sql} is not a safe " +
+          "widening (allowed: integral up-casts, float -> double, " +
+          "decimal precision increase at the same scale)")
+      require(name != prior.keyColumn,
+        s"cannot widen the key column '$name': bucket addressing " +
+          "hashes the native type, so existing rows would land in " +
+          "buckets no probe finds — re-key into a new table")
+      val hasBloom = {
+        val dirs = committedAdditiveDirs(spark, root, "bloom")
+        dirs.nonEmpty && spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(dirs: _*)
+          .filter(col("column") === name).limit(1).count() > 0
+      }
+      require(!hasBloom,
+        s"cannot widen '$name': committed bloom sidecar rows cover it, " +
+          "and bloom filters hash the NATIVE type — probes under the " +
+          "widened type would prove present values absent. Rebuild the " +
+          "bloom sidecar after widening (drop the table's bloom/ dir " +
+          "while no reader runs, then buildBlooms)")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
+      if (tryCommitManifest(spark, root, Manifest(prior.version + 1,
+          prior.numBuckets, prior.entries, prior.lastBatches,
+          prior.lastDelete, newAttemptId(), prior.keyColumn,
+          prior.keyExpr, prior.lastCompact, prior.rangeBounds,
+          newSchema.json, prior.udfKey, clusterCol = prior.clusterCol,
+          colMap = prior.colMap, splits = prior.splits)))
+        return
+      // OCC loss: metadata-only, nothing to clean — retry on new state
+    }
+  }
+
   def renameColumn(
       spark: SparkSession,
       root: String,
@@ -4498,13 +4667,24 @@ object ManifestTable {
     * (bind, current] manifests (vacuum keepLast / retainMs) until the
     * merge-back; a vacuumed window fails LOUDLY, never silently
     * under-merges. Returns (upserts, deletes, conflicts). */
+  /** `evolveSchema`: a branch that ADDED nullable columns since the
+    * bind merges back only with this set — the source evolves in the
+    * upsert leg (old source rows NULL-fill, the add-only discipline);
+    * the default refuses loudly naming the columns, so a schema
+    * divergence is always a DECISION, never whichever way the write
+    * funnel happens to fall. Columns the SOURCE added (absent on the
+    * branch) always refuse: the branch's rows cannot supply their
+    * values, and an upsert would erase them for every merged key —
+    * rebase (re-clone and replay) instead. Re-typed columns refuse in
+    * both directions. */
   def mergeBranch(
       spark: SparkSession,
       srcRoot: String,
       branchRoot: String,
       token: Long,
       onConflict: String = "fail",
-      maxDriverKeys: Int = 100000): (Long, Long, Long) = {
+      maxDriverKeys: Int = 100000,
+      evolveSchema: Boolean = false): (Long, Long, Long) = {
     require(Set("fail", "branch", "source")(onConflict),
       s"onConflict must be fail|branch|source, got '$onConflict'")
     val (origin, bindV) = originOf(spark, branchRoot).getOrElse(
@@ -4557,8 +4737,7 @@ object ManifestTable {
     // the source's value. The set is persisted BEFORE the first leg
     // commits and removed after the delete leg lands; other modes'
     // delete sets are conflict-independent and never write it.
-    val pendingDir = new Path(
-      s"$srcRoot/mergepending/${cloneTagName(qBranch)}-t$token")
+    val pendingDir = mergePendingDir(spark, srcRoot, branchRoot, token)
     val pendingFs = fsOf(spark, pendingDir)
     try {
       // REPLAY short-circuit BEFORE conflict detection: once either
@@ -4578,6 +4757,36 @@ object ManifestTable {
           "comparator — mergeBranch's upsert leg cannot address it; " +
           "apply the branch delta with merge() and the " +
           "comparator-holding mapping instead")
+      // SCHEMA DIVERGENCE is adjudicated here, not left to the write
+      // funnel: the refusals carry the branch-merge story (rebase vs
+      // evolve), and the checks re-run naturally on a retry (a landed
+      // upsert leg already evolved the source, so its retry sees
+      // convergence).
+      schemaOf(srcM0).foreach { srcSchema =>
+        val srcTypes = srcSchema.fields.map(f => f.name -> f.dataType).toMap
+        val brTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+        val srcOnly = srcSchema.fieldNames.filterNot(brTypes.contains)
+        require(srcOnly.isEmpty,
+          s"mergeBranch: the source at $srcRoot evolved column(s) " +
+            s"${srcOnly.mkString(", ")} after the bind at v$bindV — " +
+            "the branch's rows cannot supply their values (the upsert " +
+            "would erase them for every merged key). Rebase: re-clone " +
+            "and replay the branch's edits")
+        val retyped = schema.fields.collect {
+          case f if srcTypes.get(f.name).exists(_ != f.dataType) =>
+            s"${f.name} ${srcTypes(f.name).sql} -> ${f.dataType.sql}"
+        }
+        require(retyped.isEmpty,
+          s"mergeBranch: column type(s) diverged since the bind at " +
+            s"v$bindV: ${retyped.mkString(", ")} — re-typing cannot " +
+            "merge back; rebase into a re-typed table")
+        val branchOnly = schema.fieldNames.filterNot(srcTypes.contains)
+        require(branchOnly.isEmpty || evolveSchema,
+          s"mergeBranch: the branch added column(s) " +
+            s"${branchOnly.mkString(", ")} since the bind at v$bindV — " +
+            "pass evolveSchema = true to evolve the source (old source " +
+            "rows read them as NULL), or drop them on the branch first")
+      }
       val upsertDone =
         srcM0.lastBatches.get(upStream).contains(token)
       val deleteDone =
@@ -4643,7 +4852,7 @@ object ManifestTable {
         cols.foreach(m.auto(_))
         m.complete(schema)
         merge(upserts, token, m, srcRoot, schema,
-          streamId = upStream)
+          streamId = upStream, evolveSchema = evolveSchema)
       }
       if (nDel > 0)
         DerivedTable.deleteChunked(spark, srcRoot, schema, key,
@@ -4653,6 +4862,18 @@ object ManifestTable {
       if (pendingFs.exists(pendingDir)) pendingFs.delete(pendingDir, true)
       (nUp, nDel, conflicts)
     } finally last.unpersist()
+  }
+
+  /** Where [[mergeBranch]] persists a "source"-mode merge's
+    * adjudicated delete-key set between its two legs (package-visible
+    * so the crash-retry spec can construct the mid-crash state). */
+  private[graft] def mergePendingDir(spark: SparkSession,
+      srcRoot: String, branchRoot: String, token: Long): Path = {
+    val qBranch = {
+      val p = new Path(branchRoot)
+      fsOf(spark, p).makeQualified(p).toString
+    }
+    new Path(s"$srcRoot/mergepending/${cloneTagName(qBranch)}-t$token")
   }
 
   /** [[cloneAt]] by TAG name — clone exactly the pinned snapshot. */

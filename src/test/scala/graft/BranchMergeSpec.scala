@@ -168,4 +168,140 @@ class BranchMergeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("comparator"), e.getMessage)
   }
+
+  test("schema divergence: branch-added columns need evolveSchema " +
+      "(then NULL-fill the source); source-added and re-typed refuse") {
+    // ADD ON BRANCH: default refuses naming the column; evolveSchema
+    // lands it — merged keys carry values, untouched source rows NULL
+    val src = freshRoot("bm_ev_src")
+    val dst = freshRoot("bm_ev_dst")
+    ManifestTable.create(
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    val wider = StructType(schema.fields :+ StructField("w", LongType))
+    val mW = new graft.mapping.Mapping()
+    Seq("id", "v", "w").foreach(mW.auto(_))
+    mW.complete(wider)
+    ManifestTable.merge(mW.project(
+      Seq((Seq("3", "33", "333"), 0L)).toDF("_raw", "_line")),
+      1L, mW, dst, wider, evolveSchema = true)
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.mergeBranch(spark, src, dst, token = 70L)
+    }
+    assert(e1.getMessage.contains("w") &&
+      e1.getMessage.contains("evolveSchema"), e1.getMessage)
+    assert(ManifestTable.recordedSchema(spark, src).get.fieldNames
+      .toSeq == Seq("id", "v"), "a refusal must not evolve the source")
+    val (up, _, _) = ManifestTable.mergeBranch(spark, src, dst,
+      token = 70L, evolveSchema = true)
+    assert(up == 1L)
+    val got = ManifestTable.read(spark, src).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got.find(_._1 == 3L).contains((3L, 33L, 333L)))
+    assert(got.filter(_._1 != 3L).forall(_._3 == -1L),
+      s"untouched source rows must NULL-fill the branch's column: $got")
+
+    // ADD ON SOURCE: always refuses with the rebase story
+    val src2 = freshRoot("bm_ev_src2")
+    val dst2 = freshRoot("bm_ev_dst2")
+    ManifestTable.create(
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"),
+      "id", src2, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src2, dst2, pin = false)
+    mergeRows(dst2, 1L, (4L, 44L))
+    ManifestTable.evolveSchema(spark, src2, wider)
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.mergeBranch(spark, src2, dst2, token = 71L,
+        evolveSchema = true) // evolveSchema never excuses this side
+    }
+    assert(e2.getMessage.contains("Rebase"), e2.getMessage)
+
+    // RE-TYPE (branch widened a column the source kept narrow): refuses
+    val src3 = freshRoot("bm_ev_src3")
+    val dst3 = freshRoot("bm_ev_dst3")
+    ManifestTable.create(
+      Seq((1L, 5)).toDF("id", "n"), "id", src3, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src3, dst3, pin = false)
+    ManifestTable.widenColumn(spark, dst3, "n", LongType)
+    val mN = new graft.mapping.Mapping()
+    Seq("id", "n").foreach(mN.auto(_))
+    val sW = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType)))
+    mN.complete(sW)
+    ManifestTable.merge(mN.project(
+      Seq((Seq("2", "6"), 0L)).toDF("_raw", "_line")), 1L, mN, dst3, sW)
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestTable.mergeBranch(spark, src3, dst3, token = 72L)
+    }
+    assert(e3.getMessage.contains("diverged") &&
+      e3.getMessage.contains("re-typ"), e3.getMessage)
+  }
+
+  test("source-mode crash between legs: the retry deletes the " +
+      "PERSISTED adjudicated set, not a re-derivation that lost the " +
+      "conflict anti-join") {
+    val src = freshRoot("bm_crash_src")
+    val dst = freshRoot("bm_crash_dst")
+    ManifestTable.create(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    // branch DELETES 5 (conflicted: the source edits 5 after the bind)
+    // and 6 (clean); updates 7
+    ManifestTable.delete(spark, dst, schema, "id", Seq(5L, 6L),
+      token = 1L)
+    mergeRows(dst, 2L, (7L, 77L))
+    mergeRows(src, 9L, (5L, 500L)) // the conflicting source edit
+    // construct the exact mid-crash state a "source" merge leaves when
+    // it dies between legs: the adjudicated delete set persisted (only
+    // the CLEAN delete — 5 was conflict-dropped), the upsert leg's
+    // token landed on the per-branch stream, the delete leg missing
+    val token = 80L
+    val pending = ManifestTable.mergePendingDir(spark, src, dst, token)
+    Seq(Tuple1(6L)).toDF("id").write.parquet(pending.toString)
+    val qBranch = {
+      val p = new org.apache.hadoop.fs.Path(dst)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    val mU = new graft.mapping.Mapping()
+    Seq("id", "v").foreach(mU.auto(_))
+    mU.complete(schema)
+    ManifestTable.merge(mU.project(
+      Seq((Seq("7", "77"), 0L)).toDF("_raw", "_line")),
+      token, mU, src, schema,
+      streamId = s"graft-merge-branch:$qBranch")
+    // the retry completes ONLY the delete leg, from the persisted set
+    ManifestTable.mergeBranch(spark, src, dst, token = token,
+      onConflict = "source")
+    val st = state(src)
+    assert(st(5L) == 500L,
+      "retry must not delete the conflicted key the adjudication " +
+        s"dropped: ${st.get(5L)}")
+    assert(!st.contains(6L), "the clean delete must complete")
+    assert(st(7L) == 77L)
+    assert(!pending.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(pending),
+      "the pending set must clean up after the delete leg lands")
+    // and a full-fresh "source" merge round-trips the same shape in
+    // one call (pending written + consumed internally)
+    val src2 = freshRoot("bm_crash_src2")
+    val dst2 = freshRoot("bm_crash_dst2")
+    ManifestTable.create(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      "id", src2, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src2, dst2, pin = false)
+    ManifestTable.delete(spark, dst2, schema, "id", Seq(5L, 6L),
+      token = 1L)
+    mergeRows(src2, 9L, (5L, 500L))
+    val (_, del2, conf2) = ManifestTable.mergeBranch(spark, src2, dst2,
+      token = 81L, onConflict = "source")
+    assert(conf2 == 1L && del2 == 1L)
+    val st2 = state(src2)
+    assert(st2(5L) == 500L && !st2.contains(6L))
+    assert(!new java.io.File(s"$src2/mergepending").exists() ||
+      new java.io.File(s"$src2/mergepending").list().isEmpty)
+  }
 }

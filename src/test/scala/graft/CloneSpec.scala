@@ -284,4 +284,42 @@ class CloneSpec extends SparkSpec {
       .collect()
     assert(spark.sql(s"SELECT * FROM graft_tags('$src')").count() == 1L)
   }
+
+  test("a failed clone never strands its pin: losing the dst-create " +
+      "race (or any commit failure) rolls the tag back — no orphan " +
+      "retaining the source snapshot from vacuum forever") {
+    val src = freshRoot("clone_unpin_src")
+    val dst = freshRoot("clone_unpin_dst")
+    ManifestTable.create(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    // occupy the destination: the clone must refuse...
+    ManifestTable.create(Seq((1L, 1L)).toDF("id", "v"), "id", dst,
+      numBuckets = 2)
+    intercept[Exception] {
+      ManifestTable.cloneAt(spark, src, dst)
+    }
+    // ...and leave ZERO tags behind on the source
+    assert(ManifestTable.tagsOf(spark, src).isEmpty,
+      s"failed clone stranded a pin: ${ManifestTable.tagsOf(spark, src)}")
+    // a commit that THROWS after the pin landed (here: the destination
+    // path is a plain file, so the manifest write cannot mkdir) also
+    // rolls the tag back
+    val dst3 = s"target/test-tmp/clone_unpin_dst3"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst3))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst3), "occupied")
+    intercept[Exception] {
+      ManifestTable.cloneAt(spark, src, dst3)
+    }
+    assert(ManifestTable.tagsOf(spark, src).isEmpty,
+      "a throwing commit must unpin: " +
+        ManifestTable.tagsOf(spark, src).toString)
+    new java.io.File(dst3).delete()
+    // a successful clone pins exactly its version, and remains pinned
+    val dst2 = freshRoot("clone_unpin_dst2")
+    val v = ManifestTable.cloneAt(spark, src, dst2)
+    val tags = ManifestTable.tagsOf(spark, src)
+    assert(tags.size == 1 && tags.values.head == v)
+  }
 }

@@ -204,4 +204,37 @@ class ColStatsSpec extends SparkSpec {
     assert(Option(new java.io.File(s"$root/colstats").list())
       .map(_.length).getOrElse(0) == dirs)
   }
+
+  test("racing builders: duplicate (relPath, column) sidecar rows fold " +
+      "ONCE — counts exact, covered_files never exceeds live_files, " +
+      "liveStats matches") {
+    val root = freshRoot("cs_race")
+    fixture(root)
+    ColStats.analyze(spark, root, schema, Seq("seg", "v"))
+    // simulate the two-writer race: both maintain hooks saw the same
+    // files uncovered and both appended — materialized here by cloning
+    // the committed sidecar dir as a revision (the additive-dir naming
+    // a real second writer would produce)
+    val csDir = new java.io.File(s"$root/colstats")
+    val committed = csDir.listFiles().filter(_.isDirectory).head
+    org.apache.commons.io.FileUtils.copyDirectory(committed,
+      new java.io.File(csDir, committed.getName + "-r1"))
+    val stats = ColStats.tableStats(spark, root, Seq("seg", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val seg = stats("seg")
+    assert(seg.getLong(1) == 5000L,
+      s"duplicated sidecar rows must not double row_count: " +
+        s"${seg.getLong(1)}")
+    assert(stats("v").getLong(2) == 500L,
+      s"null_count must stay exact: ${stats("v").getLong(2)}")
+    assert(seg.getLong(4) <= seg.getLong(5),
+      s"covered_files ${seg.getLong(4)} above live_files " +
+        s"${seg.getLong(5)}")
+    assert(seg.getLong(4) == seg.getLong(5) && seg.getBoolean(6))
+    // the planner-facing driver fold applies the same keep-one rule
+    val m = ManifestTable.currentManifest(spark, root).get
+    val lv = ColStats.liveStats(spark, root, m)
+    assert(lv("seg").rows == 5000L && lv("seg").full)
+    assert(lv("v").nulls == 500L && lv("v").full)
+  }
 }

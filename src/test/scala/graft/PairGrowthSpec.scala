@@ -89,4 +89,46 @@ class PairGrowthSpec extends SparkSpec {
       s"planes ~ log2(N) must hold pairs ~linear: 1x=$p1 (6 planes), " +
         s"10x=$p10Scaled (10 planes)")
   }
+
+  test("autoPlanes default: 10x corpus under the DEFAULT holds " +
+      "candidate pairs <= c*N with no recall drop on planted pairs") {
+    // the r13 carry: the discipline above existed only as operator
+    // guidance — cosineDups took a fixed `planes` the caller had to
+    // re-tune per scale. The default now derives planes = ceil(log2 N)
+    // - 4 from one corpus count; this pins BOTH halves of the
+    // contract at 1x and 10x.
+    val n1 = 2000
+    def planted(v: DataFrame): DataFrame = v.union(
+      v.filter(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f))
+          .as("embedding")))
+    Seq((n1, 31L), (10 * n1, 32L)).foreach { case (n, seed) =>
+      val v = planted(vectors(n, seed))
+      val total = v.count()
+      val p = Similarity.autoPlanes(total)
+      assert(p == math.max(4, math.ceil(
+        math.log(total.toDouble) / math.log(2.0)).toInt - 4))
+      // pair budget: the default's bucket count holds candidates ≤
+      // c·N (c = 2^4 = 16 expected same-bucket partners, doubled for
+      // headroom — gaussian buckets are not perfectly uniform)
+      val pairs = candidatePairs(
+        v.select(Similarity.hyperplaneBucket(col("embedding"), p)
+          .as("bucket")), Seq("bucket"))
+      assert(pairs <= 32L * total,
+        s"N=$total default planes=$p produced $pairs candidate " +
+          "pairs (> 2c*N) — the auto default lost linearity")
+      // recall: every planted scaled copy is recovered (sign patterns
+      // are scale-invariant — plants always share their original's
+      // bucket at ANY plane count)
+      val dups = Similarity.cosineDups(v, threshold = 0.999)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (1 to n).filter(_ % 20 == 0)
+        .map(i => (i.toLong, i + 10000000L)).toSet
+      assert(dups == want,
+        s"N=$total: auto-default recall broke — got ${dups.size} " +
+          s"pairs, want ${want.size}")
+    }
+  }
 }

@@ -390,4 +390,234 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq(1L, "a", 10L, "update_preimage", 3L),
       Seq(1L, "a", 11L, "update_postimage", 3L)), s"got $got")
   }
+
+  // ---- DROP COLUMN (r14): metadata-only, physical name stays claimed
+
+  private val narrowed = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("dropColumn is metadata-only: reads narrow exactly, files " +
+      "stay put, later rewrites shed the column physically") {
+    val root = freshRoot("drop_basic")
+    ManifestTable.merge(mappingFor(schema).project(
+      raw3((1L, "a", "10"), (2L, "b", "20"))), 0L, mappingFor(schema),
+      root, schema, numBuckets = 4)
+    val m0 = ManifestTable.currentManifest(spark, root).get
+    ManifestTable.dropColumn(spark, root, "score")
+    val m1 = ManifestTable.currentManifest(spark, root).get
+    assert(m1.version == m0.version + 1)
+    assert(m1.entries == m0.entries, "drop must move no data file")
+    assert(ManifestTable.recordedSchema(spark, root).get
+      .fieldNames.toSeq == Seq("id", "name"))
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    // a post-drop merge writes files WITHOUT the column and upserts fine
+    val mN = {
+      val m = new Mapping()
+      Seq("id", "name").foreach(m.auto(_))
+      m.complete(narrowed)
+      m
+    }
+    val raw2 = Seq((Seq("1", "a2"), 0L), (Seq("3", "c"), 1L))
+      .toDF("_raw", "_line")
+    ManifestTable.merge(mN.project(raw2), 1L, mN, root, narrowed)
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Set(Seq(1L, "a2"), Seq(2L, "b"), Seq(3L, "c")))
+    val newFiles = ManifestTable.currentManifest(spark, root).get
+      .entries.filterNot(m0.entries.contains)
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { e =>
+      val s = spark.read.parquet(s"$root/${e.relPath}").schema
+      assert(!s.fieldNames.contains("score"),
+        s"post-drop rewrite must shed the column: ${e.relPath} has $s")
+    }
+  }
+
+  test("the dropped column's physical name stays claimed: re-ADD " +
+      "refuses; ADD-then-RENAME onto the name is safe and leaks nothing") {
+    val root = freshRoot("drop_claim")
+    ManifestTable.merge(mappingFor(schema).project(
+      raw3((1L, "a", "10"), (2L, "b", "20"))), 0L, mappingFor(schema),
+      root, schema, numBuckets = 4)
+    ManifestTable.dropColumn(spark, root, "score")
+    // re-adding 'score' would read the OLD files' values into the new
+    // column on mixed reads — refused at the evolution funnel
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.evolveSchema(spark, root, schema)
+    }
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    // the documented path: add under a fresh name, then rename onto
+    // 'score' — the rename carries its own physical name, so the old
+    // bytes stay invisible
+    val withFresh = StructType(narrowed.fields :+
+      StructField("score2", LongType))
+    ManifestTable.evolveSchema(spark, root, withFresh)
+    ManifestTable.renameColumn(spark, root, "score2", "score")
+    val got = ManifestTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+    assert(got == Seq((1L, true), (2L, true)),
+      s"old rows must read the re-added column as NULL, never the " +
+        s"dropped values: $got")
+  }
+
+  test("drop survives time travel, CDC and clone; refusals: key, " +
+      "cluster, constraint-referenced") {
+    val root = freshRoot("drop_travel")
+    ManifestTable.merge(mappingFor(schema).project(
+      raw3((1L, "a", "10"), (2L, "b", "20"))), 0L, mappingFor(schema),
+      root, schema, numBuckets = 4)
+    ManifestTable.dropColumn(spark, root, "score") // v1
+    val mN = {
+      val m = new Mapping()
+      Seq("id", "name").foreach(m.auto(_))
+      m.complete(narrowed)
+      m
+    }
+    ManifestTable.merge(mN.project(
+      Seq((Seq("3", "c"), 0L)).toDF("_raw", "_line")), 1L, mN, root,
+      narrowed) // v2
+    // TIME TRAVEL: the pre-drop version reads under ITS schema
+    val v0 = ManifestTable.readAt(spark, root, 0L)
+    assert(v0.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(rows(v0) == Set(Seq(1L, "a", 10L), Seq(2L, "b", 20L)))
+    // CDC across the drop speaks the TO-version's (narrowed) schema
+    val feed = ManifestTable.changes(spark, root, 0L, 2L)
+    assert(feed.schema.fieldNames.take(2).toSeq == Seq("id", "name"))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // CLONE carries the narrowed schema AND the physical-name claim
+    val dst = freshRoot("drop_travel_clone")
+    ManifestTable.cloneAt(spark, root, dst)
+    assert(ManifestTable.recordedSchema(spark, dst).get
+      .fieldNames.toSeq == Seq("id", "name"))
+    val ec = intercept[IllegalArgumentException] {
+      ManifestTable.evolveSchema(spark, dst, schema)
+    }
+    assert(ec.getMessage.contains("dropped"))
+    // refusals
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "id")
+    }.getMessage.contains("key column"))
+    ManifestTable.addConstraint(spark, root, "name_nn",
+      "name IS NOT NULL")
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "name")
+    }.getMessage.contains("name_nn"))
+    val rootC = freshRoot("drop_cluster")
+    ManifestTable.merge(mappingFor(schema).project(
+      raw3((1L, "a", "10"), (2L, "b", "20"))), 0L, mappingFor(schema),
+      rootC, schema, numBuckets = 2)
+    ManifestTable.clusterBy(spark, rootC, schema, "id", "score",
+      token = 9L)
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, rootC, "score")
+    }.getMessage.contains("cluster column"))
+  }
+
+  // ---- TYPE WIDENING (r14): metadata-only, old files read back wide
+
+  test("widenColumn: int->long, float->double, decimal precision-up " +
+      "read mixed narrow/wide files exactly; refusals are loud") {
+    val root = freshRoot("widen_basic")
+    val s0 = StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType),
+      StructField("f", FloatType), StructField("d", DecimalType(5, 2))))
+    val df0 = Seq(
+      (1L, 7, 1.5f, BigDecimal("123.45")),
+      (2L, Int.MaxValue, -0.0f, BigDecimal("999.99")))
+      .toDF("id", "n", "f", "d")
+      .select(col("id"), col("n"), col("f"),
+        col("d").cast(DecimalType(5, 2)).as("d"))
+    ManifestTable.create(df0, "id", root, numBuckets = 2)
+    ManifestTable.widenColumn(spark, root, "n", LongType)
+    ManifestTable.widenColumn(spark, root, "f", DoubleType)
+    ManifestTable.widenColumn(spark, root, "d", DecimalType(12, 2))
+    val s1 = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType),
+      StructField("f", DoubleType),
+      StructField("d", DecimalType(12, 2))))
+    assert(ManifestTable.recordedSchema(spark, root).get.fields
+      .map(f => (f.name, f.dataType)).toSeq ==
+      s1.fields.map(f => (f.name, f.dataType)).toSeq)
+    // old (narrow-file) rows read back EXACT under the wide schema
+    val before = ManifestTable.read(spark, root).orderBy("id").collect()
+    assert(before(0).getLong(1) == 7L &&
+      before(0).getDouble(2) == 1.5d &&
+      before(0).getDecimal(3) == new java.math.BigDecimal("123.45"))
+    assert(before(1).getLong(1) == Int.MaxValue.toLong)
+    // new writes land WIDE: values beyond the old type's range work,
+    // and the mixed-file read stays exact
+    val mW = {
+      val m = new Mapping()
+      Seq("id", "n", "f", "d").foreach(m.auto(_))
+      m.complete(s1)
+      m
+    }
+    val big = Seq((Seq("3", (Long.MaxValue - 1).toString, "2.25",
+      "9876543210.12"), 0L)).toDF("_raw", "_line")
+    ManifestTable.merge(mW.project(big), 1L, mW, root, s1)
+    val after = ManifestTable.read(spark, root).orderBy("id").collect()
+    assert(after.length == 3 &&
+      after(2).getLong(1) == Long.MaxValue - 1 &&
+      after(2).getDecimal(3) ==
+        new java.math.BigDecimal("9876543210.12"))
+    // a stale NARROW-schema writer refuses loudly (the write-funnel
+    // cast check): widening is per-writer opt-in, never a silent cast
+    val stale = intercept[IllegalArgumentException] {
+      ManifestTable.merge(mappingFor(s0).project(
+        Seq((Seq("4", "1", "1.0", "1.00"), 0L)).toDF("_raw", "_line")),
+        2L, mappingFor(s0), root, s0)
+    }
+    assert(stale.getMessage.contains("re-types"))
+    // refusals: narrowing, scale change, key column, bloom-covered
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.widenColumn(spark, root, "n", IntegerType)
+    }.getMessage.contains("not a safe widening"))
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.widenColumn(spark, root, "d", DecimalType(14, 4))
+    }.getMessage.contains("not a safe widening"))
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.widenColumn(spark, root, "id", LongType) // no-op ok
+      ManifestTable.widenColumn(spark, root, "id", DecimalType(20, 0))
+    }.getMessage.contains("not a safe widening"))
+    val rootB = freshRoot("widen_bloom")
+    val sB = StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType)))
+    ManifestTable.create(
+      Seq((1L, 5), (2L, 6)).toDF("id", "n"), "id", rootB,
+      numBuckets = 2)
+    graft.store.BloomSkip.buildBlooms(spark, rootB, sB, Seq("n"))
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.widenColumn(spark, rootB, "n", LongType)
+    }.getMessage.contains("bloom"),
+      "bloom filters hash the native type — widening under them must " +
+        "refuse")
+    // zones are domain-stable (ints render through long, floats
+    // through double): widening under a ZONE sidecar keeps the pruned
+    // lookup exact — pre-widen zone rows answer post-widen probes
+    val rootZ = freshRoot("widen_zone")
+    ManifestTable.create(
+      Seq((1L, 5), (2L, 600)).toDF("id", "n"), "id", rootZ,
+      numBuckets = 2)
+    graft.store.ZoneSkip.buildZones(spark, rootZ, sB, Seq("n"))
+    ManifestTable.widenColumn(spark, rootZ, "n", LongType)
+    GraftExtensions.register(spark)
+    val zoneRead = spark.sql(s"SELECT * FROM graft_zone_lookup(" +
+      s"'$rootZ', 'id BIGINT, n BIGINT', 'n', 500, 700)").collect()
+    assert(zoneRead.length == 1 && zoneRead.head.getLong(0) == 2L &&
+      zoneRead.head.getLong(1) == 600L,
+      s"pre-widen zone rows must answer post-widen probes: " +
+        zoneRead.mkString(","))
+  }
+
+  test("widening the KEY column refuses: bucket addressing hashes the " +
+      "native type") {
+    val root = freshRoot("widen_key")
+    ManifestTable.create(
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), "k", root, numBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.widenColumn(spark, root, "k", LongType)
+    }
+    assert(e.getMessage.contains("key column"))
+  }
 }

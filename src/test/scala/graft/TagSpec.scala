@@ -138,6 +138,43 @@ class TagSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("commit times are MONOTONIC in version order: a later version " +
+      "with a skewed-early mtime never resolves ahead of its elder, " +
+      "and age retention never drops it while keeping the elder") {
+    val root = freshRoot("tag_mono")
+    ManifestTable.create(
+      Seq((1L, 10L)).toDF("id", "v"), "id", root, numBuckets = 2)
+    val m = new graft.mapping.Mapping()
+    m.auto("id"); m.auto("v")
+    m.complete(schema)
+    ManifestTable.merge(m.project(
+      Seq((Seq("2", "20"), 0L)).toDF("_raw", "_line")),
+      1L, m, root, schema, streamId = "mono")
+    // multi-writer clock skew: v1's file stamps EARLIER than v0's
+    val f0 = new java.io.File(s"$root/manifest/m0")
+    val f1 = new java.io.File(s"$root/manifest/m1")
+    f0.setLastModified(1000000L)
+    f1.setLastModified(500000L) // skewed 500 s early
+    // raw mtimes would resolve t=700000 to v1 — a version "later" than
+    // one not yet visible at t; the monotonic carry refuses instead
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.versionAtTime(spark, root, 700000L)
+    }
+    assert(e.getMessage.contains("oldest retained"), e.getMessage)
+    // at v0's (carried) instant both are visible; version order wins
+    assert(ManifestTable.versionAtTime(spark, root, 1000000L) == 1L)
+    // retainMillis reads the same carried clock: a window covering the
+    // elder covers the skewed-early junior too (raw mtimes would GC
+    // m1's history while retaining m0's)
+    val winMillis = System.currentTimeMillis() - 1000000L + 60000L
+    ManifestTable.vacuum(spark, root, keepLast = 1,
+      retainMillis = winMillis)
+    assert(new java.io.File(s"$root/manifest/m0").exists() &&
+      new java.io.File(s"$root/manifest/m1").exists(),
+      "both versions sit inside the carried retention window")
+    assert(ManifestTable.readAt(spark, root, 0L).count() == 1L)
+  }
+
   test("age-based retention: retainMillis keeps every young version " +
       "whatever keepLast says — the reader-race guard") {
     val root = freshRoot("tag_retain")
