@@ -2504,6 +2504,39 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), col("text"))),
+    "warc_source" -> ((s, dir) => {
+      // WARC ingestion end-to-end (WarcParse -> HtmlExtract): each
+      // document is planted as a two-record WARC file (warcinfo +
+      // response whose body wraps the sanitized text in HTML), parsed
+      // back to records, and the response body flows through the HTML
+      // kernel — the Common-Crawl-shaped front door of the corpus
+      // pipeline, closed-form enough for DuckDB to recompute without
+      // parsing anything. Malformed-input vectors live in
+      // WarcParseSpec; gzip/pure-parse legs too.
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val safe = regexp_replace(col("text"), "[<>&]", " ")
+      val html = concat(lit("<html><body><h1>Doc "), id,
+        lit("</h1><p>"), safe, lit("</p></body></html>"))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: " +
+          "<urn:uuid:info>\r\nContent-Type: application/warc-fields" +
+          "\r\nContent-Length: 9\r\n\r\nversion 1\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "http://example.com/doc/"), id,
+        lit("\r\nWARC-Record-ID: <urn:uuid:"), id,
+        lit(">\r\nContent-Type: text/html\r\nContent-Length: "),
+        octet_length(html).cast("string"),
+        lit("\r\n\r\n"), html, lit("\r\n\r\n")).cast("binary")
+      val recs = WarcParse.records(warc)
+      val resp = element_at(filter(recs,
+        r => r.getField("warc_type") === "response"), 1)
+      d.select(col("doc_id"),
+        size(recs).cast("long").as("n_records"),
+        resp.getField("target_uri").as("uri"),
+        HtmlExtract.text(WarcParse.body(warc, resp).cast("string"))
+          .as("page_text"))
+    }),
     "text_html" -> ((s, dir) => {
       // HTML → text extraction (HtmlExtract — the web-corpus ingestion
       // staple): markup is PLANTED around each document's body in
@@ -4076,6 +4109,18 @@ object SparkEntry {
                   WHEN de = greatest(en, fr, de, es) THEN 'de'
                   ELSE 'es' END AS lang_pred
            FROM cnt""",
+      "warc_source" ->
+        s"""WITH s AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS body
+             FROM documents)
+           SELECT doc_id,
+             CAST(2 AS BIGINT) AS n_records,
+             'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+             'Doc ' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN body = '' THEN '' ELSE chr(10) || body END
+               AS page_text
+           FROM s""",
       "text_html" ->
         s"""WITH s AS (SELECT doc_id,
              trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),

@@ -231,6 +231,13 @@ private[graft] object GraftDml {
       condition: Expression): Unit = {
     require(g.versionAsOf.isEmpty,
       "cannot DELETE from a time-travelled table snapshot")
+    // `spark.graft.deleteWhere.delta = true` routes SQL row-level
+    // DELETEs through the tombstone cost class (write ∝ matched rows —
+    // the GDPR-erasure shape) instead of the touched-bucket rewrite.
+    // Session-scoped opt-in: tombstones trade read-side reconcile work
+    // until the next compaction, so the operator chooses per workload.
+    val delta = spark.conf.getOption("spark.graft.deleteWhere.delta")
+      .exists(_.equalsIgnoreCase("true"))
     ManifestTable.deleteWhere(spark, g.root, g.tableSchema,
       df => {
         val byName = df.queryExecution.analyzed.output
@@ -253,7 +260,8 @@ private[graft] object GraftDml {
       // named keys' buckets (SecondaryIndex.hintBuckets)
       indexProbes = bloomHints(condition).filter { case (c, _) =>
         g.tableSchema.fieldNames.contains(c)
-      })
+      },
+      delta = delta)
   }
 
   /** (column, values) membership facts the DELETE's conjuncts imply —

@@ -515,6 +515,40 @@ class DeleteWhereSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == want)
   }
 
+  test("SQL DELETE opts into tombstone mode via " +
+      "spark.graft.deleteWhere.delta") {
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graftdd", "graft.store.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdd.warehouse",
+      "target/test-tmp/delwd_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdd.d")
+    spark.sql("DROP TABLE IF EXISTS graftdd.d.t")
+    spark.sql("""CREATE TABLE graftdd.d.t (id BIGINT, seg STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='8')""")
+    (1L to 200L).map(i => (i, if (i % 4 == 0) "HOT" else "COLD", i * 2))
+      .toDF("id", "seg", "v").createOrReplaceTempView("delwd_src")
+    spark.sql("INSERT INTO graftdd.d.t SELECT * FROM delwd_src")
+    val root = "target/test-tmp/delwd_wh/d/t"
+    spark.conf.set("spark.graft.deleteWhere.delta", "true")
+    try {
+      val before = ManifestTable.currentManifest(spark, root).get
+      spark.sql("DELETE FROM graftdd.d.t WHERE seg = 'HOT' AND v <= 100")
+      val after = ManifestTable.currentManifest(spark, root).get
+      val tombs = after.entries.filterNot(before.entries.contains)
+      assert(tombs.nonEmpty && tombs.forall(_.tomb),
+        s"conf'd SQL DELETE must write tombstones: $tombs")
+      before.entries.foreach(e => assert(after.entries.contains(e)))
+      assert(spark.table("graftdd.d.t").count() == 188)
+    } finally spark.conf.unset("spark.graft.deleteWhere.delta")
+    // conf off: back to the rewrite class
+    val b2 = ManifestTable.currentManifest(spark, root).get
+    spark.sql("DELETE FROM graftdd.d.t WHERE seg = 'COLD' AND v <= 20")
+    val a2 = ManifestTable.currentManifest(spark, root).get
+    assert(a2.entries.filterNot(b2.entries.contains).forall(!_.tomb))
+    // COLD ids <= 10 (v = 2*id <= 20, id % 4 != 0): 8 rows
+    assert(spark.table("graftdd.d.t").count() == 180)
+  }
+
   test("tombstone mode refuses udfKey layouts loudly") {
     val root = freshRoot("delw_tomb_udf")
     val s = StructType(Seq(
