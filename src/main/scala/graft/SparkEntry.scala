@@ -2566,6 +2566,73 @@ object SparkEntry {
         last.getField("link_chars").as("nav_link_chars"),
         last.getField("chars").as("nav_chars"))
     }),
+    "quality_classifier" -> ((s, dir) => {
+      // Supervised quality gate (QualityClassifier — the labeled
+      // complement to text_quality/lm_score/dsir_score): every third
+      // document is planted as "spam" and the rest as "educational" by
+      // appending marker text whose mass grows with document length
+      // (so marker evidence always dominates background-token noise),
+      // the model trains on the 80% split (doc_id % 5 < 4), and EVERY
+      // document — including the 20% holdout — must classify back to
+      // its planted label. The planted-recovery oracle is closed-form;
+      // exact-arithmetic and path-equality legs live in
+      // QualityClassifierSpec.
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          expr("repeat(CASE WHEN doc_id % 3 = 0 " +
+            "THEN ' qz casino jackpot pills winnings' " +
+            "ELSE ' qv theorem lemma corollary proof' END, " +
+            "CAST(1 + n_chars / 64 AS INT))")).as("ptext"),
+        (col("doc_id") % 3 =!= 0).as("keep"))
+      val model = QualityClassifier.train(
+        planted.filter(col("doc_id") % 5 < 4),
+        text = col("ptext"), label = col("keep"))
+      QualityClassifier.score(planted, model, "doc_id", col("ptext"))
+        .select(col("doc_id"), col("pred").as("pred_keep"))
+    }),
+    "url_normalize" -> ((s, dir) => {
+      // URL canonicalization + registered domain (UrlOps — the other
+      // web-corpus ingestion staple next to text_html): each document
+      // plants TWO messy variants of the same logical URL (uppercase
+      // scheme/host + default port + dot segments + utm tracking +
+      // fragment vs userinfo + different param order + gclid), and the
+      // kernel must collapse them to ONE canonical form —
+      // n_canonical = 1 is the dedup-by-URL guarantee, and the
+      // canonical string + PSL-lite domain are closed-form for DuckDB.
+      // Malformed-input vectors live in UrlOpsSpec.
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val site = (col("doc_id") % 7).cast("string")
+      val page = (col("doc_id") % 3).cast("string")
+      val v1 = concat(lit("HTTPS://WWW.Site"), site,
+        lit(".Co.UK:443/a/./b/../art"), id,
+        lit("?utm_source=feed&b="), page, lit("&a=1#frag"))
+      val v2 = concat(lit("https://u:pw@www.site"), site,
+        lit(".co.uk/a/art"), id, lit("/../art"), id,
+        lit("?a=1&gclid=XYZ&b="), page)
+      d.select(col("doc_id"), explode(array(v1, v2)).as("raw"))
+        .select(col("doc_id"),
+          UrlOps.normalize(col("raw")).as("u"),
+          UrlOps.registeredDomain(col("raw")).as("dom"))
+        .groupBy(col("doc_id")).agg(
+          countDistinct(col("u")).as("n_canonical"),
+          min(col("u")).as("url_norm"),
+          min(col("dom")).as("domain"))
+    }),
+    "bm25_search" -> ((s, dir) => {
+      // Lexical retrieval (Bm25 — the keyword complement to the ANN
+      // family): fit the bounded per-bucket DF model over the whole
+      // corpus (one distinct-aggregate + two exact scalars), then score
+      // a four-term query against every document. Scores are per-term
+      // integer milli-units summed as longs (the lm_score discipline),
+      // so DuckDB recomputes every score bit-for-bit from the same
+      // tokenization + md5 bucketing + ln/round construction. Docs
+      // hitting no query bucket are absent by definition.
+      val d = t(s, dir, "documents")
+      val model = Bm25.fit(d)
+      Bm25.score(d, model, "vector join spark window")
+    }),
     "text_redact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // plant synthetic PII deterministically so redaction has work to do
@@ -4139,6 +4206,47 @@ object SparkEntry {
              CAST(17 + len(CAST(doc_id AS VARCHAR)) AS BIGINT)
                AS nav_chars
            FROM s""",
+      "quality_classifier" ->
+        s"""SELECT doc_id, (doc_id % 3 <> 0) AS pred_keep
+           FROM documents""",
+      "url_normalize" ->
+        s"""SELECT doc_id,
+             CAST(1 AS BIGINT) AS n_canonical,
+             'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.co.uk/a/art' || CAST(doc_id AS VARCHAR) ||
+               '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
+             'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS domain
+           FROM documents""",
+      "bm25_search" ->
+        s"""WITH tok AS (SELECT doc_id,
+             ${tokSqlOf("coalesce(text, '')")} AS tk FROM documents),
+           n AS (SELECT count(*) AS nd, sum(len(tk)) AS nt FROM tok),
+           wb AS (SELECT doc_id, substring(md5(w), 1, 4) AS b
+             FROM (SELECT doc_id, unnest(tk) AS w FROM tok)),
+           dfs AS (SELECT b, count(DISTINCT doc_id) AS df
+             FROM wb GROUP BY b),
+           qb AS (SELECT DISTINCT substring(md5(term), 1, 4) AS qb
+             FROM (VALUES ('vector'), ('join'), ('spark'), ('window'))
+               AS t(term)),
+           qi AS (SELECT qb.qb,
+               ln(1.0 + (CAST(n.nd - coalesce(dfs.df, 0) AS DOUBLE)
+                 + 0.5) / (CAST(coalesce(dfs.df, 0) AS DOUBLE) + 0.5))
+                 AS idf
+             FROM qb LEFT JOIN dfs ON qb.qb = dfs.b, n),
+           dl AS (SELECT doc_id, len(tk) AS dl FROM tok),
+           tf AS (SELECT wb.doc_id, qi.qb, qi.idf, count(*) AS tf
+             FROM wb JOIN qi ON wb.b = qi.qb GROUP BY 1, 2, 3),
+           s AS (SELECT tf.doc_id, CAST(round(
+               tf.idf * (CAST(tf.tf AS DOUBLE) * (1200/1000.0 + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + (1200/1000.0) *
+                 ((1.0 - 750/1000.0) + (750/1000.0)
+                   * CAST(dl.dl AS DOUBLE)
+                   / (CAST(n.nt AS DOUBLE) / greatest(n.nd, 1))))
+               * 1000.0) AS BIGINT) AS s
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id, n)
+           SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_milli,
+             count(*) AS n_terms_hit
+           FROM s GROUP BY doc_id""",
       "text_quality" ->
         s"""WITH base AS (SELECT doc_id, text,
              CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,

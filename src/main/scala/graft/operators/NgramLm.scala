@@ -65,7 +65,7 @@ object NgramLm {
     * oracle (a bare split(NULL) would route NULL text through the
     * bigram OOV branch in [[score]] only, breaking all three
     * contracts). */
-  private def toks(text: Column): Column =
+  private[operators] def toks(text: Column): Column =
     split(trim(regexp_replace(lower(coalesce(text, lit(""))),
       "[^a-z0-9]+", " ")), " ")
 
@@ -73,10 +73,19 @@ object NgramLm {
     substring(md5(g), 1, hexChars)
 
   /** Adjacent-pair bigram strings ("prev w") of a token array; callers
-    * filter to `size ≥ 2` first (sequence(1, 0) would run BACKWARD). */
-  private def pairGrams(tk: Column): Column =
-    transform(sequence(lit(1), size(tk) - 1),
-      i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))
+    * filter to `size ≥ 2` first (a negative slice length would throw).
+    * Shape matters: the earlier `transform(sequence(1, n-1), i =>
+    * element_at(tk, i) …)` re-evaluated the OUTER `tk` expression per
+    * element (interpreted HOF lambdas don't CSE captured trees), which
+    * turns O(tokens²) — 20 s over 5k tiny docs — whenever a caller
+    * passes the raw tokenization instead of a materialized column.
+    * `zip_with` over two slices evaluates `tk` a constant number of
+    * times and its lambda touches only BOUND variables, so the cost is
+    * O(tokens) regardless of what `tk` is. */
+  private[operators] def pairGrams(tk: Column): Column =
+    zip_with(
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat(a, lit(" "), b))
 
   /** Trains the bounded bigram model on the reference corpus: two hash
     * aggregates, each MATERIALIZED driver-side (≤ `16^hexChars` rows —

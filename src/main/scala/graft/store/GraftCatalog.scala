@@ -216,8 +216,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * ([[ManifestTable.renameColumn]]: the physical on-file name never
     * changes, readers translate). `SET/UNSET TBLPROPERTIES
     * ('constraint.<name>'[='<sql>'])` declares/drops CHECK
-    * constraints. Dropping or re-typing columns refuses — the
-    * manifest is the single schema authority. */
+    * constraints. `DROP COLUMN` serves [[ManifestTable.dropColumn]]
+    * (metadata-only logical drop; the physical name stays claimed via
+    * the `#drop:` sentinel so a re-add can never leak old bytes) and
+    * `ALTER COLUMN ... TYPE` serves [[ManifestTable.widenColumn]]
+    * (safe widenings only — integral up-casts, float→double, decimal
+    * precision-up; narrowing and key/bloom columns refuse there).
+    * Each statement carries ONE change kind; mixes refuse. */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
@@ -242,8 +247,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           if p.property.startsWith("constraint.") =>
         (p.property.stripPrefix("constraint."), None)
     }
+    // `ALTER TABLE ... DROP COLUMN c` — the DDL face of the logical
+    // drop (reads stop projecting; later rewrites shed physically;
+    // the `#drop:` sentinel keeps the physical name claimed)
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft ALTER TABLE drops top-level columns only, got " +
+            d.fieldNames.mkString("."))
+        d.fieldNames.head
+    }
+    // `ALTER TABLE ... ALTER COLUMN c TYPE t` — the DDL face of safe
+    // type widening (widenColumn refuses narrowing, key, bloom)
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "graft ALTER TABLE re-types top-level columns only, got " +
+            u.fieldNames.mkString("."))
+        u.fieldNames.head -> u.newDataType
+    }
     val adds = changes.filterNot(c =>
       c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         (c match {
           case p: TableChange.SetProperty =>
             p.property.startsWith("constraint.")
@@ -251,10 +277,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             p.property.startsWith("constraint.")
           case _ => false
         }))
-    require(Seq(renames.nonEmpty, consSet.nonEmpty, adds.nonEmpty)
-      .count(identity) <= 1,
-      "mix of RENAME COLUMN / constraint properties / other changes " +
-        "in one ALTER is not supported — issue separate statements")
+    require(Seq(renames.nonEmpty, consSet.nonEmpty, drops.nonEmpty,
+        widens.nonEmpty, adds.nonEmpty).count(identity) <= 1,
+      "mix of RENAME/DROP/re-TYPE COLUMN / constraint properties / " +
+        "other changes in one ALTER is not supported — issue separate " +
+        "statements")
+    if (drops.nonEmpty) {
+      drops.foreach(ManifestTable.dropColumn(spark, root, _))
+      return loadTable(ident)
+    }
+    if (widens.nonEmpty) {
+      widens.foreach { case (name, to) =>
+        ManifestTable.widenColumn(spark, root, name, to)
+      }
+      return loadTable(ident)
+    }
     if (consSet.nonEmpty) {
       consSet.foreach {
         case (name, Some(sql)) =>
@@ -287,8 +324,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"graft tables evolve add-only: ALTER TABLE ... ADD COLUMNS " +
-          s"and RENAME COLUMN are the supported changes, got $other")
+        s"unsupported ALTER TABLE change for graft tables (supported: " +
+          s"ADD COLUMNS, RENAME COLUMN, DROP COLUMN, ALTER COLUMN ... " +
+          s"TYPE <safe widening>, constraint TBLPROPERTIES), got $other")
     }
     added.foreach(f => require(!current.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))

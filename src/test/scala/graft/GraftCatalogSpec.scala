@@ -164,9 +164,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT tag FROM graftcat.db.dml WHERE id = 100")
       .head.getString(0) == "x")
-    // dropping/re-typing refuses
+    // DROP COLUMN: the DDL face of the r14 logical drop — the KEY
+    // column refuses (table addressing); a non-key column drops as one
+    // metadata-only commit and re-adding the same name refuses (the
+    // `#drop:` claim — old bytes can never leak into a fresh column)
+    val eKey = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.dml DROP COLUMN id")
+    }
+    assert(eKey.getMessage.contains("key column"), eKey.getMessage)
+    val vDrop = ManifestTable.currentVersion(spark, s"$wh/db/dml").get
+    spark.sql("ALTER TABLE graftcat.db.dml DROP COLUMN tag")
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/dml")
+      .contains(vDrop + 1), "DROP COLUMN must be one metadata commit")
+    assert(!spark.table("graftcat.db.dml")
+      .schema.fieldNames.contains("tag"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE graftcat.db.dml DROP COLUMN v")
+      spark.sql("ALTER TABLE graftcat.db.dml ADD COLUMNS (tag STRING)")
     }
     // properties surface the manifest's facts plus the registries:
     // tags, constraints, the declared maintenance policy (the memo is
@@ -246,6 +259,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(amount) FROM graftcat.db.ren " +
       s"VERSION AS OF $vPre").head.getLong(0) ==
       (0L until 40L).map(_ * 10).sum)
+  }
+
+  test("ALTER COLUMN TYPE: safe widening via SQL is metadata-only and " +
+      "reads old files exact; narrowing and the key column refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.wid")
+    spark.sql("""CREATE TABLE graftcat.db.wid (id INT, n INT, f FLOAT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='4')""")
+    spark.sql("INSERT INTO graftcat.db.wid " +
+      "SELECT CAST(id AS INT), CAST(id AS INT), CAST(id AS FLOAT) / 4 " +
+      "FROM range(0, 20)")
+    val root = s"$wh/db/wid"
+    val vPre = ManifestTable.currentVersion(spark, root).get
+    spark.sql("ALTER TABLE graftcat.db.wid ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graftcat.db.wid ALTER COLUMN f TYPE DOUBLE")
+    assert(ManifestTable.currentVersion(spark, root).contains(vPre + 2),
+      "each widen must be one metadata-only commit")
+    val sch = spark.table("graftcat.db.wid").schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("f").dataType == org.apache.spark.sql.types.DoubleType)
+    // old narrow files read back exact under the wide type, and a
+    // post-widen write can exceed the narrow range
+    spark.sql("INSERT INTO graftcat.db.wid VALUES " +
+      "(100, 9000000000, 1.0000000116860974e-7)")
+    assert(spark.sql("SELECT sum(n) FROM graftcat.db.wid")
+      .head.getLong(0) == (0L until 20L).sum + 9000000000L)
+    assert(spark.sql(
+      "SELECT f FROM graftcat.db.wid WHERE id = 4").head.getDouble(0)
+      == 1.0d, "float 1.0 must read back as exactly double 1.0")
+    // narrowing refuses (Spark's analyzer catches the down-cast before
+    // the catalog; widenColumn's own check covers the non-SQL API)
+    val eNarrow = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.wid ALTER COLUMN n TYPE INT")
+    }
+    assert(eNarrow.getMessage.contains("not a safe widening") ||
+      eNarrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eNarrow.getMessage)
+    // widening the KEY refuses in the catalog (analyzer up-cast lets
+    // int→bigint through; bucket addressing hashes the native type)
+    val eKey = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.wid ALTER COLUMN id TYPE BIGINT")
+    }
+    assert(eKey.getMessage.contains("key column"), eKey.getMessage)
   }
 
   test("streaming by NAME: writeStream.toTable upserts through the " +
