@@ -230,6 +230,43 @@ object SparkEntry {
     root
   }
 
+  /** The declared-ROW-TTL fixture's schema: the upsert target's shape
+    * with a `ts` epoch-millis column the TTL policy judges. */
+  private val ttlSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("acctbal", DoubleType),
+    StructField("ts", LongType)))
+
+  /** Deletes and rebuilds the manifest_ttl fixture: customers with a
+    * planted `ts` — far-past (2000-01-01) on custkey%3==1 rows,
+    * far-future (2090-01-01) on the rest — so a 30-day TTL cutoff
+    * lands between them for any conceivable run date and the expiry
+    * set is closed-form for DuckDB. */
+  private def resetTtlFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = "target/qtmp/manifest_ttl"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+      graft.store.ManifestTable.create(
+        c.select(
+          col("c_custkey").as("id"),
+          col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"),
+          when(col("c_custkey") % 3 === 1, lit(946684800000L))
+            .otherwise(lit(3786825600000L)).as("ts")),
+        "id", root, numBuckets = 8)
+      fixtureReady += s"manifest_ttl@$dir"
+      root
+    }
+
+  private def ttlFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      if (fixtureReady(s"manifest_ttl@$dir")) "target/qtmp/manifest_ttl"
+      else resetTtlFixture(s, dir)
+    }
+
   /** Deletes and returns a derived-table root (view/index side tables):
     * ONE definition shared by each query closure and its benchSetups
     * entry, so the reset and the query can never target different
@@ -473,6 +510,7 @@ object SparkEntry {
     "manifest_delete_where" -> ((s, dir) =>
       resetManifestFixture(s, dir, "manifest_delete_where",
         withMerge = true)),
+    "manifest_ttl" -> ((s, dir) => resetTtlFixture(s, dir)),
     "manifest_minmax" -> ((s, dir) => {
       // fixture + zone build OUTSIDE the timed region: the rep times
       // the metadata-only count/min/max answer itself.
@@ -2089,6 +2127,22 @@ object SparkEntry {
         "count(*) must take the aggregate-pushdown scan")
       cnt
     }),
+    "manifest_ttl" -> ((s, dir) => {
+      // Declared ROW TTL (autoMaintain ttlColumn/ttlMs — r14): the
+      // fixture plants far-past (2000) timestamps on id%3==1 rows and
+      // far-future (2090) on the rest; declaring the policy expires
+      // the over-age rows THROUGH THE COMMIT HOOK as key tombstones
+      // (write ∝ expired rows) and the declared compaction folds them
+      // in the same pass. The timed region prices the declaration
+      // (expiry + fold + sidecar builds) plus the reconciled read;
+      // DuckDB recomputes the surviving state closed-form. No-churn,
+      // time-travel, CDC and refusal legs live in AutoTtlSpec.
+      val root = ttlFixture(s, dir)
+      graft.store.ManifestTable.autoMaintain(s, root,
+        zones = Seq("ts"), compactFiles = 2,
+        ttlColumn = "ts", ttlMs = 30L * 24 * 3600 * 1000)
+      graft.store.ManifestTable.read(s, root, ttlSchema)
+    }),
     "manifest_delete_where" -> ((s, dir) => {
       // Row-level DELETE by ARBITRARY predicate (deleteWhere — the SQL
       // `DELETE FROM t WHERE <non-key>` path), in the TOMBSTONE cost
@@ -3351,6 +3405,11 @@ object SparkEntry {
       "manifest_count" ->
         s"""SELECT count(*) AS n_rows FROM customer
            WHERE ($inTgt) OR ($inSrc)""",
+      "manifest_ttl" ->
+        s"""SELECT c_custkey AS id, c_name AS name,
+             c_acctbal AS acctbal,
+             CAST(3786825600000 AS BIGINT) AS ts
+           FROM customer WHERE c_custkey % 3 <> 1""",
       "manifest_delete_where" ->
         s"""SELECT * FROM (
            SELECT c_custkey AS id, c_name AS name,

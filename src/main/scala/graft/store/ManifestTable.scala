@@ -1685,7 +1685,18 @@ object ManifestTable {
     // change rate and the optimizer-facing stats (columnStats) never
     // go stale. Older rows read null = none.
     org.apache.spark.sql.types.StructField("stats_cols",
-      org.apache.spark.sql.types.StringType)))
+      org.apache.spark.sql.types.StringType),
+    // r14: declared ROW TTL — every commit expires rows whose
+    // `ttl_column` value is older than now − `ttl_ms`, through the
+    // TOMBSTONE predicate delete (write cost ∝ expired rows). The
+    // policy requires a zone declaration on the same column, so the
+    // hook's candidate probe is a sidecar read: a commit with nothing
+    // expirable pays zero data scan and zero commits. Older rows read
+    // null = off.
+    org.apache.spark.sql.types.StructField("ttl_column",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ttl_ms",
+      org.apache.spark.sql.types.LongType)))
 
   /** A table's declared maintenance policy — see [[autoMaintain]]. */
   final case class MaintainPolicy(
@@ -1696,7 +1707,9 @@ object ManifestTable {
       splitBytes: Long = 0L,
       compactFiles: Int = 0,
       vacuumKeep: Int = 0,
-      statsCols: Seq[String] = Nil)
+      statsCols: Seq[String] = Nil,
+      ttlColumn: String = "",
+      ttlMs: Long = 0L)
 
   /** Declares ZONE/BLOOM sidecar maintenance for the table: from this
     * commit on, EVERY data commit (merge, delta, compact, DML,
@@ -1757,6 +1770,20 @@ object ManifestTable {
     * columns (covered files no-op — the zones discipline), so the
     * incremental ANALYZE and the optimizer-facing `columnStats` stay
     * fresh with no explicit `graft_analyze` calls. */
+  /** `ttlColumn`/`ttlMs` additionally declare ROW TTL: every commit
+    * expires rows whose `ttlColumn` value is older than now − `ttlMs`,
+    * through the TOMBSTONE predicate delete ([[deleteWhere]]'s `delta`
+    * mode) — write cost ∝ expired rows, never the candidate files. The
+    * column must be a timestamp / timestamp_ntz / date / long (epoch
+    * millis) and MUST appear in `zones` of the SAME declaration: the
+    * hook's candidate probe is then a zone-sidecar read, so a commit
+    * with nothing expirable pays ZERO data scan and ZERO extra commits
+    * (a miss never commits — the hook retries naturally on the next
+    * commit). Declare `compactFiles` alongside: until a compaction
+    * folds an expired region, its data files' zone minima keep it a
+    * candidate and the hook re-reconciles those files per commit;
+    * after the fold, the fresh files' minima clear the cutoff and the
+    * steady state is sidecar-read-only. */
   def autoMaintain(
       spark: SparkSession,
       root: String,
@@ -1767,7 +1794,9 @@ object ManifestTable {
       splitBytes: Long = 0L,
       compactFiles: Int = 0,
       vacuumKeep: Int = 0,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      ttlColumn: String = "",
+      ttlMs: Long = 0L): Unit = {
     require(reclusterDrift >= 0, "reclusterDrift must be >= 0 (0 = off)")
     require(splitBytes >= 0, "splitBytes must be >= 0 (0 = off)")
     require(compactFiles == 0 || compactFiles >= 2,
@@ -1785,6 +1814,28 @@ object ManifestTable {
     if (compactFiles > 0) require(m.keyColumn.nonEmpty,
       s"table at $root records no key column — compaction folds " +
         "delta chains by key")
+    require(ttlMs >= 0, "ttlMs must be >= 0 (0 = off)")
+    require(ttlColumn.isEmpty == (ttlMs == 0L),
+      "declare ttlColumn and ttlMs together (both, or neither)")
+    if (ttlMs > 0) {
+      require(m.keyColumn.nonEmpty && !m.udfKey,
+        s"table at $root needs a recordable key column — TTL expiry " +
+          "writes key tombstones")
+      require(m.schemaJson.nonEmpty, s"table at $root records no schema")
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(schema.fieldNames.contains(ttlColumn),
+        s"TTL column '$ttlColumn' is not in the table schema")
+      require(ttlBound(schema(ttlColumn).dataType, 0L).nonEmpty,
+        s"TTL column '$ttlColumn' must be timestamp / timestamp_ntz / " +
+          s"date / long (epoch millis), got " +
+          schema(ttlColumn).dataType.sql)
+      require(zones.contains(ttlColumn),
+        s"declare a zone on '$ttlColumn' in the same policy — the TTL " +
+          "candidate probe reads the zone sidecar; without it every " +
+          "commit would scan the table for expirable rows")
+    }
     val row = org.apache.spark.sql.Row(
       zones.mkString(","), blooms.mkString(","),
       Integer.valueOf(reclusterDrift),
@@ -1792,7 +1843,9 @@ object ManifestTable {
       java.lang.Long.valueOf(splitBytes),
       Integer.valueOf(compactFiles),
       Integer.valueOf(vacuumKeep),
-      statsCols.mkString(","))
+      statsCols.mkString(","),
+      ttlColumn,
+      java.lang.Long.valueOf(ttlMs))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), MaintainSchema)
     writeAdditiveSidecar(spark, root, m, df, "maintain")
@@ -1825,7 +1878,9 @@ object ManifestTable {
             if (r.isNullAt(4)) 0L else r.getLong(4),
             if (r.isNullAt(5)) 0 else r.getInt(5),
             if (r.isNullAt(6)) 0 else r.getInt(6),
-            if (r.isNullAt(7)) Nil else cols(r.getString(7))))
+            if (r.isNullAt(7)) Nil else cols(r.getString(7)),
+            if (r.isNullAt(8)) "" else r.getString(8),
+            if (r.isNullAt(9)) 0L else r.getLong(9)))
         }
     }
     last
@@ -1840,6 +1895,29 @@ object ManifestTable {
     * Commits are driver-side, so a ThreadLocal is the whole story. */
   private val maintainDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
+  }
+
+  /** The TTL cutoff as a TYPED literal value for the declared column:
+    * the same value feeds the expiry predicate (`col < lit(bound)`)
+    * and the zone-range hint (inclusive ≤ bound — weaker than the
+    * strict predicate, so the hint contract holds). `None` = the type
+    * cannot carry a wall-clock cutoff (declaration refuses it). NTZ
+    * and DATE pin through UTC — the repo-wide session zone. */
+  private def ttlBound(
+      dt: org.apache.spark.sql.types.DataType,
+      cutoffMs: Long): Option[Any] = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      Some(java.time.Instant.ofEpochMilli(cutoffMs))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      Some(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(cutoffMs),
+        java.time.ZoneOffset.UTC))
+    case org.apache.spark.sql.types.DateType =>
+      Some(java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochMilli(cutoffMs),
+        java.time.ZoneOffset.UTC))
+    case org.apache.spark.sql.types.LongType => Some(cutoffMs)
+    case _ => None
   }
 
   /** Post-commit upkeep for declared tables (see [[autoMaintain]]).
@@ -1871,6 +1949,36 @@ object ManifestTable {
             maxBytes = splitBytes, commitOnNoSplit = false,
             tokenStream = Some("graft-maintain-split"))
           finally maintainDepth.set(0)
+        }
+        // ROW TTL before the layout rewrites: expired rows tombstone
+        // first, so this pass's compaction can fold them immediately.
+        // The candidate probe is a ZONE-SIDECAR read (the declaration
+        // requires a zone on the TTL column): when every live data
+        // file's recorded minimum clears the cutoff, the hook pays no
+        // data scan and no commit. A miss inside deleteWhere commits
+        // nothing either (`commitOnMiss = false`), so a quiet table
+        // never churns versions.
+        if (pol.ttlMs > 0L && pol.ttlColumn.nonEmpty &&
+            maintainDepth.get() == 0 && m.keyColumn.nonEmpty &&
+            schema.fieldNames.contains(pol.ttlColumn)) {
+          val cutoffMs = System.currentTimeMillis() - pol.ttlMs
+          ttlBound(schema(pol.ttlColumn).dataType, cutoffMs)
+            .foreach { bound =>
+              val hint = Seq((pol.ttlColumn, null: Any, bound))
+              val candidates = ZoneSkip
+                .prunedEntries(spark, root, schema, m, hint)
+                .exists(e => !e.tomb)
+              if (candidates) {
+                maintainDepth.set(1)
+                try deleteWhere(spark, root, schema,
+                  df => df(pol.ttlColumn) < lit(bound),
+                  token = m.version,
+                  tokenStream = Some("graft-maintain-ttl"),
+                  zoneRanges = hint,
+                  delta = true, commitOnMiss = false)
+                finally maintainDepth.set(0)
+              }
+            }
         }
         val reclustered =
           if (drift > 0 && maintainDepth.get() == 0 &&
@@ -2677,11 +2785,12 @@ object ManifestTable {
       zoneRanges: Seq[(String, Any, Any)] = Nil,
       bloomProbes: Seq[(String, Seq[Any])] = Nil,
       indexProbes: Seq[(String, Seq[Any])] = Nil,
-      delta: Boolean = false): Seq[FileEntry] =
+      delta: Boolean = false,
+      commitOnMiss: Boolean = true): Seq[FileEntry] =
     rewriteWhere(spark, root, schema, condition, token, keyComparator,
       tokenStream, zoneRanges, bloomProbes, indexProbes, "deleteWhere",
       (df, _) => df.filter(!coalesce(condition(df), lit(false))),
-      tombstone = delta)
+      tombstone = delta, commitOnMiss = commitOnMiss)
 
   /** Row-level UPDATE by ARBITRARY predicate — [[deleteWhere]]'s
     * projection twin, and the PATH-table face of SQL `UPDATE`
@@ -2748,7 +2857,8 @@ object ManifestTable {
       indexProbes: Seq[(String, Seq[Any])],
       label: String,
       fragmentOf: (DataFrame, String) => DataFrame,
-      tombstone: Boolean = false): Seq[FileEntry] = {
+      tombstone: Boolean = false,
+      commitOnMiss: Boolean = true): Seq[FileEntry] = {
     while (true) {
       val prior = currentManifest(spark, root).getOrElse(return Nil)
       val replayed = tokenStream match {
@@ -2819,7 +2929,11 @@ object ManifestTable {
         prior.entries.partition(e => touched(e.bucket))
       if (touchedEntries.isEmpty) {
         // nothing matched: commit the token so replays no-op, like the
-        // keyed delete's miss path
+        // keyed delete's miss path — unless the caller opted out
+        // (the declared-TTL hook: a per-commit probe must not CHURN a
+        // version per miss; it has no replay problem because a lost
+        // race simply retries on the next commit)
+        if (!commitOnMiss) return Nil
         if (tryCommitManifest(spark, root, Manifest(version, n,
             prior.entries, batches, deleteToken, attempt,
             prior.keyColumn, prior.keyExpr, prior.lastCompact,
