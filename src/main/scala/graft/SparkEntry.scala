@@ -2620,6 +2620,35 @@ object SparkEntry {
         last.getField("link_chars").as("nav_link_chars"),
         last.getField("chars").as("nav_chars"))
     }),
+    "html_noindex" -> ((s, dir) => {
+      // Robots-meta gate (HtmlExtract.metaRobots/noindex — the
+      // crawl-politeness fact applied BEFORE content processing):
+      // doc_id%7==0 pages plant a noindex directive, alternating the
+      // attribute order and case by doc_id%2 so both parse paths carry
+      // weight; %7==1 pages plant an index,follow directive (present
+      // but allowed — must NOT gate); the rest carry no robots meta.
+      // The planted-recovery oracle is closed-form; directive parsing
+      // vectors (token boundaries, quoting, junk) live in
+      // HtmlExtractSpec.
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val metaTag = when(col("doc_id") % 7 === 0,
+        when(col("doc_id") % 2 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(
+            lit("<META content='none' NAME='ROBOTS'>")))
+        .when(col("doc_id") % 7 === 1,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head>"), metaTag, lit("<title>Doc "), id,
+        lit("</title></head><body><p>"),
+        regexp_replace(coalesce(col("text"), lit("")), "[<>&]", " "),
+        lit("</p></body></html>"))
+      d.select(col("doc_id"),
+        HtmlExtract.metaRobots(html).as("robots"),
+        HtmlExtract.noindex(html).as("noindex"))
+    }),
     "quality_classifier" -> ((s, dir) => {
       // Supervised quality gate (QualityClassifier — the labeled
       // complement to text_quality/lm_score/dsir_score): every third
@@ -4275,6 +4304,15 @@ object SparkEntry {
                '.co.uk/a/art' || CAST(doc_id AS VARCHAR) ||
                '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
              'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS domain
+           FROM documents""",
+      "html_noindex" ->
+        s"""SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 0
+                    THEN 'noindex, nofollow'
+                  WHEN doc_id % 7 = 0 THEN 'none'
+                  WHEN doc_id % 7 = 1 THEN 'index, follow'
+                  ELSE '' END AS robots,
+             (doc_id % 7 = 0) AS noindex
            FROM documents""",
       "bm25_search" ->
         s"""WITH tok AS (SELECT doc_id,

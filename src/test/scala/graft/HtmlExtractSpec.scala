@@ -116,4 +116,38 @@ class HtmlExtractSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("metaRobots/noindex: both attribute orders, case and quoting " +
+      "variants parse; token boundaries hold; absence and junk are " +
+      "safe") {
+    def rob(html: String): (String, Boolean) = {
+      val r = Seq(Tuple1(html)).toDF("h")
+        .select(HtmlExtract.metaRobots(col("h")).as("d"),
+          HtmlExtract.noindex(col("h")).as("n"))
+        .head()
+      (r.getString(0), r.getBoolean(1))
+    }
+    // canonical, reversed order, unquoted name, uppercase
+    assert(rob("<meta name=\"robots\" content=\"noindex,nofollow\">") ==
+      ("noindex,nofollow", true))
+    assert(rob("<META content='none' NAME='ROBOTS'>") == ("none", true))
+    assert(rob("<meta name=robots content=\"NOINDEX\">") ==
+      ("noindex", true))
+    // allowed directives do not gate; token boundary: noindexing is
+    // not noindex
+    assert(rob("<meta name=\"robots\" content=\"index, follow\">") ==
+      ("index, follow", false))
+    assert(rob("<meta name=\"robots\" content=\"noindexing\">") ==
+      ("noindexing", false))
+    // a googlebot-scoped meta is NOT the generic robots directive
+    assert(rob("<meta name=\"googlebot\" content=\"noindex\">") ==
+      ("", false))
+    // absence, NULL-ish, junk
+    assert(rob("<html><body>no meta at all</body></html>") ==
+      ("", false))
+    assert(rob("<meta name=\"robots\"") == ("", false))
+    val nullRow = Seq(Tuple1(null: String)).toDF("h")
+      .select(HtmlExtract.noindex(col("h"))).head()
+    assert(!nullRow.getBoolean(0))
+  }
 }
