@@ -281,7 +281,6 @@ object Bench {
       // re-run (bounded at 3 attempts — a machine that never settles
       // keeps the last attempt rather than spinning), so no committed
       // rep family carries a multi-× internal spread again.
-      var bracket = BenchSentinel.sample()
       val runs = (1 to reps).map { _ =>
         var attempts = 0
         var out: (Double, Double, Boolean) = null
@@ -293,7 +292,12 @@ object Bench {
             System.err.println(
               s"[bench] $name setup failed: ${String.valueOf(e.getMessage).take(300)}")
           }
-          val b0 = bracket
+          // the opening probe samples AFTER setup, immediately before
+          // the timed region: a carried-over pre-setup probe spans the
+          // (often seconds-long) fixture rebuild, so a transient
+          // confined to setup discarded quiet reps and a stale b0 was
+          // unrepresentative of machine speed at t0
+          val b0 = BenchSentinel.sample()
           val c0 = cpuTime
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -304,7 +308,6 @@ object Bench {
           }
           val wall = r3((System.nanoTime() - t0) / 1e9)
           val b1 = BenchSentinel.sample()
-          bracket = b1
           out = (wall, r3(math.max(0L, cpuTime - c0) / 1e9), ok)
           accepted = !ok || attempts >= 3 ||
             !BenchSentinel.bracketsDisagree(b0, b1)

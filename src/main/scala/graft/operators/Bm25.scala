@@ -74,6 +74,8 @@ object Bm25 {
       .select(count(lit(1)), sum(size(col("_tk"))))
       .collect().head.toSeq
       .map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    require(nDocs > 0,
+      "cannot fit BM25 on an empty corpus (avgdl is undefined)")
     val dfLocal = base
       .select(col(idCol), explode(col("_tk")).as("_w"))
       .select(col(idCol), bucket(col("_w"), hexChars).as("_b"))

@@ -85,7 +85,14 @@ object QualityClassifier {
         s"beyond broadcast-comfortable), got $hexChars")
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     val spark = seed.sparkSession
-    val counts = seed
+    // NULL labels are DROPPED, not coerced: `when(_y, 1).otherwise(0)`
+    // would route a null-label doc into NEITHER class count while
+    // still materializing its buckets as (0, 0) rows — which score
+    // ln((Tn+aB)/(Tp+aB)) ≠ 0 whenever the classes are unbalanced, a
+    // silent class-prior-dependent bias that a truly-unseen bucket
+    // (weight 0) never carries. Unlabeled rows contribute nothing.
+    val labeled = seed.filter(label.isNotNull)
+    val counts = labeled
       .select(label.cast("boolean").as("_y"),
         NgramLm.toks(text).as("_tk"))
       .select(col("_y"), explode(gramsOf(col("_tk"))).as("_g"))
@@ -104,7 +111,7 @@ object QualityClassifier {
     }.toSeq
     import spark.implicits._
     val weights = rows.toDF("b", "w")
-    val Array(np, nn) = seed.select(
+    val Array(np, nn) = labeled.select(
       sum(when(label.cast("boolean"), 1L).otherwise(0L)),
       sum(when(!label.cast("boolean"), 1L).otherwise(0L)))
       .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))

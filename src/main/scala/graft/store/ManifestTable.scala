@@ -3514,6 +3514,15 @@ object ManifestTable {
         s"cannot drop '$name': CHECK constraint(s) " +
           s"${referencing.mkString(", ")} reference it and would be " +
           "silently disabled — dropConstraint first")
+      // the declared ROW-TTL column is a RETENTION CONTRACT, not an
+      // advisory sidecar: dropping it would make the commit hook skip
+      // expiry silently, forever (the GDPR failure mode the feature
+      // exists to prevent) — same discipline as the constraint refusal
+      maintenanceOf(spark, root).foreach { pol =>
+        require(pol.ttlMs == 0L || pol.ttlColumn != name,
+          s"cannot drop '$name': the declared ROW TTL judges it — " +
+            "re-declare autoMaintain without the TTL first")
+      }
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name))
       val phys = physicalOf(prior, name)
@@ -3612,6 +3621,20 @@ object ManifestTable {
           "widened type would prove present values absent. Rebuild the " +
           "bloom sidecar after widening (drop the table's bloom/ dir " +
           "while no reader runs, then buildBlooms)")
+      // a REGISTERED secondary index stores the column at its native
+      // type: after a widen, every refresh would fail the index
+      // table's exact-type schema check forever (warn-only under
+      // declared maintenance) while direct lookupBy callers silently
+      // read a frozen pre-widen snapshot — refuse loudly instead
+      val indexed = SecondaryIndex
+        .registered(spark, root, schema)
+        .filter(_.valueCols.contains(name))
+        .map(_.indexRoot)
+      require(indexed.isEmpty,
+        s"cannot widen '$name': registered secondary index(es) " +
+          s"${indexed.mkString(", ")} store it at the native type and " +
+          "would be permanently stranded — delete the index table " +
+          "(its registration lapses), widen, then re-create it")
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f))
@@ -4689,7 +4712,25 @@ object ManifestTable {
       try tryCommitManifest(spark, dstRoot, cloneM)
       catch { case e: Throwable => unpin(); throw e }
     if (!committed) {
-      unpin()
+      // Same-version race: when ANOTHER clone of this very (source,
+      // version) won the dst create, the tag we wrote IS the winner's
+      // pin (same name, same version — tag() re-tags idempotently);
+      // deleting it would let a later source vacuum reclaim the
+      // winner's ext files. The winner records its origin sidecar
+      // right after its commit — poll it briefly and KEEP the pin
+      // when it matches (a leaked tag retains a snapshot, recoverable
+      // by deleteTag; a deleted needed pin loses the clone's data).
+      val winnerOwnsPin = pin && {
+        var owns = false
+        var i = 0
+        while (!owns && i < 5) {
+          owns = scala.util.Try(originOf(spark, dstRoot))
+            .toOption.flatten.contains((qSrc, v))
+          if (!owns) { Thread.sleep(50L * (i + 1)); i += 1 }
+        }
+        owns
+      }
+      if (!winnerOwnsPin) unpin()
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $dstRoot")
     }
@@ -4909,20 +4950,30 @@ object ManifestTable {
         if (!deleteDone) {
           // the persisted adjudicated set wins over re-derivation: it
           // is exactly the set the landed upsert leg was paired with
+          val pendingExists = pendingFs.exists(pendingDir)
           val deletes =
-            if (pendingFs.exists(pendingDir))
+            if (pendingExists)
               spark.read.schema(
                 org.apache.spark.sql.types.StructType(
                   schema.fields.filter(_.name == key)))
                 .parquet(pendingDir.toString)
             else last.filter(col("__t") === "delete").select(col(key))
-          if (deletes.limit(1).collect().nonEmpty)
+          val ranDeletes = deletes.limit(1).collect().nonEmpty
+          if (ranDeletes)
             DerivedTable.deleteChunked(spark, srcRoot, schema, key,
               deletes, baseVersion = token,
               tokenStream = delStream,
               maxDriverKeys = maxDriverKeys)
-        }
-        if (pendingFs.exists(pendingDir)) pendingFs.delete(pendingDir, true)
+          // an EMPTY persisted set can never record its delete token
+          // (deleteChunked no-ops), so the pending dir must OUTLIVE
+          // this replay too: deleting it would make the next replay
+          // fall back to the RAW branch feed, resurrecting deletes the
+          // "source" adjudication dropped (data loss). Keep it; every
+          // future replay reads the same empty set — always correct.
+          if (ranDeletes && pendingFs.exists(pendingDir))
+            pendingFs.delete(pendingDir, true)
+        } else if (pendingFs.exists(pendingDir))
+          pendingFs.delete(pendingDir, true)
         return (0L, 0L, 0L)
       }
       // conflicts: keys the SOURCE also changed since the bind
@@ -4973,7 +5024,17 @@ object ManifestTable {
           deletes, baseVersion = token,
           tokenStream = delStream,
           maxDriverKeys = maxDriverKeys)
-      if (pendingFs.exists(pendingDir)) pendingFs.delete(pendingDir, true)
+      // keep the pending dir when adjudication emptied the delete set:
+      // nDel == 0 skips deleteChunked, so the delete-leg token is never
+      // recorded and a replay of this token would otherwise re-derive
+      // deletes from the RAW feed without the conflict anti-join —
+      // deleting keys the "source" mode decided to keep. The persisted
+      // EMPTY set is the durable record of that decision (one small
+      // dir per all-deletes-conflicted merge; self-describing path).
+      val keepPending =
+        onConflict == "source" && conflicts > 0 && nDel == 0
+      if (!keepPending && pendingFs.exists(pendingDir))
+        pendingFs.delete(pendingDir, true)
       (nUp, nDel, conflicts)
     } finally last.unpersist()
   }

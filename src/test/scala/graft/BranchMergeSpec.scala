@@ -304,4 +304,35 @@ class BranchMergeSpec extends SparkSpec {
     assert(!new java.io.File(s"$src2/mergepending").exists() ||
       new java.io.File(s"$src2/mergepending").list().isEmpty)
   }
+
+  test("source-mode with an ALL-CONFLICTED delete set: the empty " +
+      "adjudicated set outlives the merge, so replays can never " +
+      "resurrect the dropped deletes from the raw feed") {
+    val src = freshRoot("bm_empty_src")
+    val dst = freshRoot("bm_empty_dst")
+    ManifestTable.create(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      "id", src, numBuckets = 2)
+    ManifestTable.cloneAt(spark, src, dst, pin = false)
+    // the branch's ONLY delete is conflicted (source edits 5 after
+    // the bind) and it also updates 7 (clean) — the adjudicated
+    // delete set is EMPTY, so the delete leg never records its token
+    ManifestTable.delete(spark, dst, schema, "id", Seq(5L), token = 1L)
+    mergeRows(dst, 2L, (7L, 77L))
+    mergeRows(src, 9L, (5L, 500L))
+    val (up, del, conf) = ManifestTable.mergeBranch(spark, src, dst,
+      token = 90L, onConflict = "source")
+    assert(up == 1L && del == 0L && conf == 1L)
+    assert(state(src)(5L) == 500L, "adjudication keeps the source's 5")
+    // REPLAY the same token (crash-retry / at-least-once caller): the
+    // raw branch feed still says "delete 5" — the persisted empty set
+    // must win, every time
+    ManifestTable.mergeBranch(spark, src, dst, token = 90L,
+      onConflict = "source")
+    assert(state(src)(5L) == 500L,
+      "a replay must not re-derive the conflict-dropped delete")
+    ManifestTable.mergeBranch(spark, src, dst, token = 90L,
+      onConflict = "source")
+    assert(state(src)(5L) == 500L, "…nor any later replay")
+  }
 }

@@ -142,6 +142,11 @@ class HtmlExtractSpec extends SparkSpec {
     // a googlebot-scoped meta is NOT the generic robots directive
     assert(rob("<meta name=\"googlebot\" content=\"noindex\">") ==
       ("", false))
+    // UNQUOTED content values are legal HTML and must gate too
+    assert(rob("<meta name=robots content=noindex>") ==
+      ("noindex", true))
+    assert(rob("<meta content=none name=robots>") == ("none", true))
+    assert(rob("<meta name=robots content=all>") == ("all", false))
     // absence, NULL-ish, junk
     assert(rob("<html><body>no meta at all</body></html>") ==
       ("", false))
@@ -149,5 +154,27 @@ class HtmlExtractSpec extends SparkSpec {
     val nullRow = Seq(Tuple1(null: String)).toDF("h")
       .select(HtmlExtract.noindex(col("h"))).head()
     assert(!nullRow.getBoolean(0))
+  }
+
+  test("script/style prefix boundary: custom elements like " +
+      "<style-guide> are ordinary tags, never raw-text swallowers; " +
+      "</script-card> does not close a real <script>; \\x0B is not " +
+      "whitespace (the RE2 \\s set)") {
+    def txt(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(HtmlExtract.text(col("h"))).head().getString(0)
+    // custom element with a style- prefix: content survives
+    assert(txt("<body><style-guide>Design notes</style-guide>" +
+      "<p>Real body</p></body>") == "Design notes\nReal body")
+    // ...even when no literal </style ever follows (would have
+    // swallowed the rest of the document)
+    assert(txt("<body><script-card>Widget</script-card>" +
+      "<p>after</p></body>") == "Widget\nafter")
+    // a </script-card> inside a REAL script does not close it
+    assert(txt("<script>var x = '</script-card>';</script>" +
+      "<p>visible</p>") == "visible")
+    // vertical tab passes through as TEXT (RE2 \s excludes it, so the
+    // DuckDB oracle would keep it too — the kernel must agree)
+    assert(txt("<p>a\u000Bb</p>") == "a\u000Bb")
   }
 }

@@ -81,6 +81,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window in a scoring plan")
   }
 
+  test("NULL-labeled seed rows contribute NOTHING: the model equals " +
+      "one trained without them (no (0,0)-bucket prior bias)") {
+    // unbalanced classes, so a coerced null would have produced
+    // non-zero (0,0)-bucket weights
+    val unb = seed.filter($"label" || $"id" < 10)
+    val withNulls = unb.union(
+      Seq((900L, "zq unlabeled junk features zq", null.asInstanceOf[Any]))
+        .map(t => (t._1, t._2.toString,
+          Option.empty[Boolean])).toDF("id", "text", "label"))
+    val a = QualityClassifier.collectModel(
+      QualityClassifier.train(unb, $"text", $"label"))
+    val b = QualityClassifier.collectModel(
+      QualityClassifier.train(withNulls, $"text", $"label"))
+    assert(a == b,
+      "a null-label doc must not materialize biased (0,0) buckets")
+  }
+
   test("training is deterministic: retrain yields identical weights " +
       "and bias") {
     val a = QualityClassifier.collectModel(
