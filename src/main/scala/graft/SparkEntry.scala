@@ -435,6 +435,21 @@ object SparkEntry {
       root
     }
 
+  private def orcFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = "target/qtmp/orc_source"
+      if (!fixtureReady(s"orc_source@$dir")) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            struct(col("lang"), col("source")).as("meta"), col("n_chars"))
+          .write.orc(root)
+        fixtureReady += s"orc_source@$dir"
+      }
+      root
+    }
+
   /** The write-face fixture: bootstrap via `df.write.format("graft")`,
     * then one typed append batch (plain last-wins upsert under the
     * writer's auto mapping — no column policies). Built once per
@@ -983,6 +998,34 @@ object SparkEntry {
       o.select(col("o_orderkey").as("id"),
         Sources.toCsvLine(Seq(col("o_orderkey").cast(StringType),
           amount, note)).as("line"))
+    }),
+    "orc_source" -> ((s, dir) => {
+      // ORC round-trip (Sources.orc — the other columnar lake format,
+      // served by Spark's built-in reader): documents → ORC files
+      // (nested meta struct) → dotted-path Field mapping + a selective
+      // filter back to typed rows. The filter and the column set reach
+      // the ORC stripe reader (pushdown spec-asserted in SourcesSpec);
+      // the oracle reads the same attributes straight off parquet.
+      val root = orcFixture(s, dir)
+      val oschema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType)))),
+        StructField("n_chars", LongType)))
+      val m = new Mapping()
+      m.field("id", path = "doc_id")
+      m.field("lang", path = "meta.lang")
+      m.field("src", path = "meta.source")
+      m.field("n_chars", path = "n_chars")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("lang", StringType),
+        StructField("src", StringType),
+        StructField("n_chars", LongType)))
+      m.complete(schema).project(Sources.orc(s, root, oschema))
+        .drop(Mapping.LineCol)
+        .filter(col("n_chars") >= 200L)
     }),
     "jsonl_source" -> ((s, dir) => {
       // JSONL round-trip: documents → json-lines files (nested meta
@@ -3210,6 +3253,9 @@ object SparkEntry {
       "jsonl_source" ->
         s"""SELECT doc_id AS id, lang, source AS src, n_chars
            FROM documents""",
+      "orc_source" ->
+        s"""SELECT doc_id AS id, lang, source AS src, n_chars
+           FROM documents WHERE n_chars >= 200""",
       "upsert_basic" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,

@@ -304,6 +304,21 @@ object Sources {
       .withColumn(Mapping.LineCol, idx)
   }
 
+  /** ORC source: the other columnar lake format (Spark ships the
+    * reader natively — the orc-core jars, zero extra deps). Reads with
+    * the SAME scan-side economics as parquet: column pruning and
+    * predicate pushdown reach the stripe reader (SourcesSpec asserts
+    * PushedFilters / ReadSchema on the scan), so an ORC-resident
+    * corpus never reads dropped columns or filtered-out stripes.
+    * `_line` is best-effort iteration order (the [[table]] face): ORC
+    * carries no stable physical line identity the way the CSV
+    * byte-offset index does. */
+  def orc(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    table(spark.read.schema(schema).orc(path))
+
   /** Turns any DataFrame into a CSV-shaped raw source by casting the given
     * columns to string positionally (used to exercise the CSV mapping path
     * on parquet-born data without materializing files). */

@@ -219,4 +219,32 @@ class SourcesSpec extends SparkSpec {
       assert(got == want, s"row $i: want=$want got=$got")
     }
   }
+
+  test("ORC source: round-trips typed rows, and filters + column " +
+      "pruning reach the ORC stripe reader (PushedFilters/ReadSchema)") {
+    import spark.implicits._
+    val root = "target/test-tmp/sources_orc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val rows = (1L to 500L).map(i => (i, s"name$i", i * 3))
+    rows.toDF("id", "name", "v").write.orc(root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val q = Sources.orc(spark, root, schema)
+      .filter(org.apache.spark.sql.functions.col("v") >= 1200L)
+      .select("id", "v")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == rows.filter(_._3 >= 1200L).map(t => (t._1, t._3)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), " +
+      "GreaterThanOrEqual(v,1200)]") ||
+      plan.contains("GreaterThanOrEqual(v,1200)"),
+      s"the filter must reach the ORC scan:\n$plan")
+    assert(!plan.contains("name"),
+      "the dropped column must be pruned from the ORC read")
+  }
 }
