@@ -191,6 +191,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"key column '$key' not in the schema — declare it, or set " +
         "TBLPROPERTIES ('key'='<column>')")
     val numBuckets = prop("numBuckets").map(_.toInt).getOrElse(16)
+    // PRE-validate constraint properties before anything commits: a
+    // bad constraint SQL that only surfaced in addConstraint left a
+    // half-created table behind a failed CREATE (the retry then hit
+    // TableAlreadyExists and needed a manual DROP)
+    props.toSeq.sortBy(_._1).foreach { case (k, sql) =>
+      if (k.startsWith("constraint.")) {
+        val expr =
+          try spark.sessionState.sqlParser.parseExpression(sql)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"TBLPROPERTIES '$k' is not a parseable boolean SQL " +
+                s"expression: ${e.getMessage}")
+          }
+        val missing = expr.references.map(_.name)
+          .filterNot(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        require(missing.isEmpty,
+          s"TBLPROPERTIES '$k' references column(s) " +
+            s"${missing.mkString(", ")} not in the declared schema")
+      }
+    }
     // bootstrap an EMPTY version-0 manifest: schema + key + layout
     // recorded, zero data files — INSERT INTO then merges normally
     ManifestTable.create(
@@ -363,6 +383,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTable(dst.toString))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException((to.namespace :+ to.name).toSeq)
+    // a typo'd destination namespace must raise, not be mkdir'd into
+    // existence — the silent path relocated the table under a phantom
+    // directory no SELECT could resolve
+    if (to.namespace.nonEmpty && !namespaceExists(to.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(to.namespace)
     val f = fs(src)
     f.mkdirs(dst.getParent)
     if (!f.rename(src, dst)) throw new java.io.IOException(
@@ -393,8 +419,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .map(s => namespace :+ s.getPath.getName).toArray
     }
 
+  // a TABLE root is never a namespace: without the isTable check,
+  // namespaceExists vouched for table directories and DROP NAMESPACE
+  // ... CASCADE would recursively delete a table's data + manifests
+  // off one wrong statement
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs(nsPath(namespace)).exists(nsPath(namespace))
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      fs(p).exists(p) && !isTable(p.toString)
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {
@@ -422,7 +455,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String], cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
     val f = fs(p)
-    if (!f.exists(p)) false
+    // a table dir is NOT a namespace (see namespaceExists) — report
+    // "no such namespace" instead of cascading into the table's data
+    if (!f.exists(p) || isTable(p.toString)) false
     else {
       if (!cascade && f.listStatus(p).nonEmpty)
         throw new IllegalStateException(

@@ -353,8 +353,27 @@ private[graft] object GraftDml {
       case c: Cast => stripCast(c.child)
       case other => other
     }
-    (cmd.matchedActions ++ cmd.notMatchedBySourceActions).foreach {
+    cmd.matchedActions.foreach {
       case UpdateAction(_, assigns, _) => assigns.foreach { a =>
+        // `UPDATE SET *` star-expands to assignments for EVERY column
+        // including `key = <ON source key>` — on matched rows that is
+        // an identity (the ON equality holds), so it is allowed; any
+        // OTHER key assignment re-keys and refuses. Without the
+        // identity exemption the most common MERGE form failed on
+        // valid SQL.
+        require(assignedColumn(a) != key ||
+          stripCast(a.value).canonicalized ==
+            stripCast(sourceKey).canonicalized,
+          s"MERGE must not update the key column '$key' — matched rows " +
+            "already share the ON key; re-keying is DELETE + INSERT " +
+            "(assigning it to the ON key expression, as UPDATE SET * " +
+            "does, is the allowed identity)")
+      }
+      case _ => ()
+    }
+    cmd.notMatchedBySourceActions.foreach {
+      case UpdateAction(_, assigns, _) => assigns.foreach { a =>
+        // no source row exists here, so no identity exemption applies
         require(assignedColumn(a) != key,
           s"MERGE must not update the key column '$key' — matched rows " +
             "already share the ON key; re-keying is DELETE + INSERT")

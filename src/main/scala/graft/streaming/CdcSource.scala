@@ -290,27 +290,34 @@ private[graft] final class CdcMicroBatchStream(
           feed.select(outSchema.fieldNames.map(col).toSeq: _*)
         else {
           // Delete-guard, gated on the MANIFEST diff first: a delete
-          // REQUIRES a removed entry (delete/truncate/restore rewrite
-          // or drop files), so ranges whose commits only ADDED files —
-          // the delta-append steady state — skip the guard entirely
-          // (driver-side metadata, no data pass). Only removal-carrying
-          // ranges pay the change-rate-bounded existence check.
-          val hasRemovals = {
+          // requires a REMOVED entry (delete/truncate/restore rewrite
+          // or drop files) OR an ADDED TOMBSTONE entry (the
+          // delta-delete path adds key-tombstone files and removes
+          // nothing — without this arm, tombstone deletes slipped past
+          // the guard and the upserts-only filter silently DROPPED
+          // their delete rows instead of refusing). Ranges whose
+          // commits only added plain data files — the delta-append
+          // steady state — still skip entirely (driver-side metadata,
+          // no data pass); only delete-shaped ranges pay the
+          // change-rate-bounded existence check.
+          val mayDelete = {
             var prev: Option[Set[String]] = None
             ((math.max(from, -1L) + 1L) to to).exists { v =>
-              val cur = ManifestTable.readManifest(spark, root, v)
-                .entries.map(_.relPath).toSet
-              val removed = prev match {
-                case Some(pe) => (pe -- cur).nonEmpty
-                case None =>
-                  v > 0 && (ManifestTable.readManifest(spark, root, v - 1)
-                    .entries.map(_.relPath).toSet -- cur).nonEmpty
-              }
+              val m = ManifestTable.readManifest(spark, root, v)
+              val cur = m.entries.map(_.relPath).toSet
+              val prevSet = prev.getOrElse(
+                if (v > 0)
+                  ManifestTable.readManifest(spark, root, v - 1)
+                    .entries.map(_.relPath).toSet
+                else Set.empty[String])
+              val removed = (prevSet -- cur).nonEmpty
+              val addedTomb =
+                m.entries.exists(e => e.tomb && !prevSet(e.relPath))
               prev = Some(cur)
-              removed
+              removed || addedTomb
             }
           }
-          if (hasRemovals) {
+          if (mayDelete) {
             val deletes = feed
               .filter(col(CdcSource.ChangeTypeCol) === "delete").limit(1)
               .count()

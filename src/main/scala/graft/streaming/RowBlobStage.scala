@@ -46,30 +46,49 @@ private[streaming] object RowBlobStage {
       s".tmp-${dirPath.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
     val tmpStr = tmp.toString
     val confW = confOf(spark)
-    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val p = new Path(s"$tmpStr/part-$pid")
-        val pfs = p.getFileSystem(confW.value)
-        val out = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(pfs.create(p, true), 1 << 16))
-        try {
-          it.foreach { r =>
-            val b = r.asInstanceOf[UnsafeRow].getBytes
-            out.writeInt(b.length)
-            out.write(b)
-          }
-          out.writeInt(-1)
-        } finally out.close()
-        Iterator.single(1)
-      }
-    }.collect() // partition markers only — never row data
+    // ATTEMPT-UNIQUE blob names: a speculative or zombie task attempt
+    // writing the same `part-$pid` path as the winner could interleave
+    // bytes and commit a corrupt blob (the TableSink writer learned
+    // this first — part-$partitionId-$taskId there). Each attempt owns
+    // its file; collect() returns exactly ONE winner name per
+    // partition, and only winner files survive into the committed dir.
+    val written = df.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val name = s"part-$pid-a$attempt"
+          val p = new Path(s"$tmpStr/$name")
+          val pfs = p.getFileSystem(confW.value)
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(pfs.create(p, true), 1 << 16))
+          try {
+            it.foreach { r =>
+              val b = r.asInstanceOf[UnsafeRow].getBytes
+              out.writeInt(b.length)
+              out.write(b)
+            }
+            out.writeInt(-1)
+          } finally out.close()
+          Iterator.single(name)
+        }
+      }.collect() // winner file names only — never row data
     if (fs.exists(dirPath)) fs.delete(dirPath, true) // torn predecessor
     fs.mkdirs(dirPath.getParent)
     if (!fs.exists(tmp)) fs.mkdirs(tmp) // all-empty-partition stage
+    else {
+      // shed loser-attempt files so the committed dir carries exactly
+      // the winners (stagedFiles lists every part-*)
+      val keep = written.toSet
+      fs.listStatus(tmp).foreach { s =>
+        if (!keep(s.getPath.getName)) fs.delete(s.getPath, false)
+      }
+    }
     if (!fs.rename(tmp, dirPath) && !fs.exists(new Path(dirPath, Success)))
       throw new java.io.IOException(s"failed to commit stage $dir")
     fs.create(new Path(dirPath, Success), true).close()
+    fs.delete(tmp, true) // a zombie may have recreated it post-shed
   }
 
   def stagedFiles(spark: SparkSession, dir: String): Seq[String] = {
@@ -125,6 +144,13 @@ private[streaming] object RowBlobStage {
   def readRows(
       path: String, schema: StructType, conf: Configuration): Iterator[Row] = {
     val conv = CatalystTypeConverters.createToScalaConverter(schema)
-    readUnsafe(path, schema.size, conf).map(u => conv(u).asInstanceOf[Row])
+    val rows = readUnsafe(path, schema.size, conf)
+    // a killed task / early-terminated consumer abandons the iterator
+    // before its EOF self-close — hook the task completion so the
+    // handle can never outlive the task (the CDC reader path gets the
+    // same guarantee from PartitionReader.close)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => rows.close()))
+    rows.map(u => conv(u).asInstanceOf[Row])
   }
 }

@@ -239,6 +239,40 @@ object StreamingDedup {
     }
   }
 
+  /** Binds an index root to ONE checkpoint incarnation. applyBatch's
+    * replay detection keys on the run name `d<batchId>` — sound within
+    * one checkpoint's monotone batch ids, but a WIPED/recreated
+    * checkpoint (or a different query pointed at the same indexRoot)
+    * restarts batch ids at 0, and the colliding names made brand-new
+    * documents silently skip indexing and pair emission. First use
+    * records the owner; a mismatch refuses LOUDLY instead. */
+  private[graft] def ensureOwner(
+      spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String,
+      identity: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/_owner")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(identity.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val in = fs.open(p)
+      val owner =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      require(owner == identity,
+        s"near-dup index at $indexRoot belongs to checkpoint " +
+          s"incarnation '$owner', not '$identity' — its batch-id " +
+          "replay ledger would silently skip this query's batches. " +
+          "Point the new query at a FRESH indexRoot (or delete the " +
+          "stale index, including _owner, if it is abandoned)")
+    }
+  }
+
   /** Starts the continuous near-dup monitor: `docStream` is a streaming
     * (doc_id, text) frame; candidate pairs per batch land under
     * `pairsRoot/p<batchId>`. */
@@ -256,6 +290,9 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureOwner(batch.sparkSession, indexRoot,
+          StreamingImport.checkpointIdentity(
+            batch.sparkSession, checkpoint))
         applyBatch(batch, batchId, indexRoot, pairsRoot, bands,
           rowsPerBand, compactEvery, maxBucketSize, maxBroadcastRows)
       }

@@ -159,7 +159,16 @@ object StreamingOps {
       }
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.lastMs + gapMs)
+        // floor at the watermark: a timeout timestamp at or before
+        // the current watermark makes GroupStateImpl THROW, killing
+        // the whole query. THIS Spark's FlatMapGroupsWithStateExec
+        // filters late input rows pre-delivery (spec-pinned in
+        // StreamingSpec), so the natural timeout always clears the
+        // watermark today — the floor is defense in depth for
+        // engines/versions that deliver late rows to the state
+        // function (the documented arbitrary-stateful-ops caveat).
+        state.setTimeoutTimestamp(math.max(
+          s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1L))
       }
       closed.result().iterator
     }

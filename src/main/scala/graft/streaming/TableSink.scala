@@ -143,14 +143,19 @@ object TableSink {
       require(streamSchema.fieldNames.contains(vc),
         s"versionColumn '$vc' is not in the stream schema"))
     // Net to each key's LAST action before anything applies — one
-    // max_by aggregate over the batch, no Window.
+    // max_by aggregate over the batch, no Window. PERSISTED: the
+    // lineage bottoms out in blob-file reads off the checkpoint
+    // (parallelize(paths).flatMap(readRows)), and the merge leg, the
+    // deleteWhen leg, and the merge's own internal actions each
+    // re-ran the full remote read + netting without it.
     val netted = o.versionColumn.fold(data) { vc =>
       val cols = streamSchema.fieldNames.toSeq
       data.groupBy(col(o.key).as("__graft_net_k"))
         .agg(max_by(struct(cols.map(col): _*), col(vc))
           .as("__graft_net_s"))
         .select(cols.map(c => col(s"__graft_net_s.`$c`").as(c)): _*)
-    }
+    }.persist()
+    try {
     val del = o.deleteWhen.map(expr)
     val tableSchema = org.apache.spark.sql.types.StructType(
       streamSchema.fields.filterNot(f => o.dropColumns.contains(f.name)))
@@ -189,6 +194,7 @@ object TableSink {
       val token = (streamId.hashCode.toLong << 32) | (batchId & 0xffffffffL)
       ManifestTable.compact(spark, o.root, tableSchema, o.key, token)
     }
+    } finally netted.unpersist()
   }
 }
 

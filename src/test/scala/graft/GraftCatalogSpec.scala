@@ -399,4 +399,89 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP NAMESPACE graftcat.tmpns")
     assert(!new java.io.File(s"$wh/tmpns").exists())
   }
+
+  test("a table root is NEVER a namespace: DROP NAMESPACE on a table " +
+      "raises instead of cascading into its data, and a rename into a " +
+      "nonexistent namespace raises instead of relocating the table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.nsdb")
+    spark.sql("DROP TABLE IF EXISTS graftcat.nsdb.guard_t")
+    spark.sql("""CREATE TABLE graftcat.nsdb.guard_t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id')""")
+    spark.sql("INSERT INTO graftcat.nsdb.guard_t VALUES (1, 10)")
+    // DROP NAMESPACE aimed at the TABLE path must not vouch for it
+    val e1 = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graftcat.nsdb.guard_t CASCADE")
+    }
+    assert(e1.getMessage.toLowerCase.matches("(?s).*(namespace|schema).*"),
+      e1.getMessage)
+    assert(spark.sql("SELECT v FROM graftcat.nsdb.guard_t")
+      .head.getLong(0) == 10L, "the table's data must survive")
+    // rename into a namespace that does not exist must raise, not
+    // mkdir a phantom directory the catalog cannot resolve
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graftcat.nsdb.guard_t RENAME TO graftcat.nope.t2")
+    }
+    assert(e2.getMessage.toLowerCase.matches("(?s).*(namespace|schema).*"),
+      e2.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graftcat.nsdb.guard_t")
+      .head.getLong(0) == 1L, "a failed rename must leave the table")
+    spark.sql("DROP TABLE graftcat.nsdb.guard_t")
+  }
+
+  test("CREATE TABLE with an invalid constraint property fails BEFORE " +
+      "anything commits — no half-created table blocks the retry") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.nsdb")
+    spark.sql("DROP TABLE IF EXISTS graftcat.nsdb.badc_t")
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE graftcat.nsdb.badc_t (id BIGINT, v BIGINT)
+        USING graft
+        TBLPROPERTIES ('key'='id', 'constraint.c'='no_such_col > 0')""")
+    }
+    assert(e.getMessage.contains("no_such_col"), e.getMessage)
+    // the corrected CREATE must succeed — nothing was left behind
+    spark.sql("""CREATE TABLE graftcat.nsdb.badc_t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'constraint.c'='v > 0')""")
+    spark.sql("INSERT INTO graftcat.nsdb.badc_t VALUES (1, 5)")
+    assert(spark.sql("SELECT v FROM graftcat.nsdb.badc_t")
+      .head.getLong(0) == 5L)
+    spark.sql("DROP TABLE graftcat.nsdb.badc_t")
+  }
+
+  test("a TOMBSTONE delete refuses the upserts-only streaming table " +
+      "read (delta deletes add entries, remove none — they must not " +
+      "slip past the delete guard)") {
+    import org.apache.spark.sql.types._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.nsdb")
+    spark.sql("DROP TABLE IF EXISTS graftcat.nsdb.tomb_t")
+    spark.sql("""CREATE TABLE graftcat.nsdb.tomb_t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('key'='id', 'numBuckets'='2')""")
+    spark.sql(
+      "INSERT INTO graftcat.nsdb.tomb_t VALUES (1, 10), (2, 20), (3, 30)")
+    def fresh(n: String): String = {
+      val d = s"target/test-tmp/$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      d
+    }
+    val rq = spark.readStream
+      .option("startingVersion", "earliest")
+      .table("graftcat.nsdb.tomb_t")
+      .writeStream.format("memory").queryName("tomb_stream_out")
+      .option("checkpointLocation", fresh("tomb_src_ckpt"))
+      .start()
+    try {
+      rq.processAllAvailable()
+      // TOMBSTONE delete: adds key-only files, removes nothing
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType)))
+      ManifestTable.delete(spark, s"$wh/nsdb/tomb_t", schema, "id",
+        Seq(2L), token = 99L, delta = true)
+      val e = intercept[Exception] { rq.processAllAvailable() }
+      def rootMsg(t: Throwable): String =
+        Option(t.getCause).map(rootMsg)
+          .getOrElse(String.valueOf(t.getMessage))
+      assert((e.getMessage + rootMsg(e)).contains("upserts only"),
+        s"a tombstone delete must refuse loudly: ${e.getMessage}")
+    } finally rq.stop()
+  }
 }

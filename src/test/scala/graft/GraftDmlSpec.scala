@@ -260,4 +260,32 @@ class GraftDmlSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $t WHERE id = 1")
     assert(state(t) == Seq("2|b|20.0", "3|c|0.0"))
   }
+
+  test("MERGE INTO: UPDATE SET * / INSERT * — the star forms expand to " +
+      "a key assignment equal to the ON key, which is the allowed " +
+      "identity; a REAL re-key still refuses") {
+    val t = freshTable("(1,'a',1.0),(2,'b',2.0)")
+    spark.sql(s"""MERGE INTO $t t USING (
+        SELECT * FROM VALUES (1L, 'A', 10.0), (9L, 'z', 90.0)
+        AS s(id, name, v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(state(t) == Seq("1|A|10.0", "2|b|2.0", "9|z|90.0"),
+      "UPDATE SET * is the most common MERGE form and must work")
+    // explicit identity key assignment is equally fine
+    spark.sql(s"""MERGE INTO $t t USING (
+        SELECT * FROM VALUES (2L, 'B', 20.0) AS s(id, name, v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v""")
+    assert(state(t) == Seq("1|A|10.0", "2|b|20.0", "9|z|90.0"))
+    // a real re-key (key := something other than the ON key) refuses
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t t USING (
+          SELECT * FROM VALUES (2L, 'B', 20.0) AS s(id, name, v)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET id = s.id + 1""")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
 }

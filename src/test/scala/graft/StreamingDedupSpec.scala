@@ -201,4 +201,20 @@ class StreamingDedupSpec extends SparkSpec {
     StreamingDedup.start(stream, idx, prs, ckpt).awaitTermination()
     assert(pairsOf(prs, 1L) == Set((3L, 1L)))
   }
+
+  test("an index root is bound to ONE checkpoint incarnation: a " +
+      "different incarnation refuses loudly instead of silently " +
+      "skipping batches whose ids collide with the old ledger") {
+    val idx = "target/test-tmp/sd_owner_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    StreamingDedup.ensureOwner(spark, idx, "incarnation-A")
+    // same incarnation re-binds freely (every micro-batch re-checks)
+    StreamingDedup.ensureOwner(spark, idx, "incarnation-A")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.ensureOwner(spark, idx, "incarnation-B")
+    }
+    assert(e.getMessage.contains("incarnation"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("fresh indexroot"),
+      e.getMessage)
+  }
 }

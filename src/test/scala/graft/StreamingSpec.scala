@@ -104,6 +104,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize is safe against events behind the watermark: this " +
+      "Spark's operator DROPS them pre-delivery (pinned), and the " +
+      "timeout floor guards the delivered-late case regardless") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 10-minute watermark delay, 5-minute gap: an event ~20 min behind
+    // the max seen time is still DELIVERED (flatMapGroupsWithState does
+    // not drop late input), but lastMs + gap sits BEFORE the watermark —
+    // the unfloored setTimeoutTimestamp threw and killed the query
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 5,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark is now ~09:50; this event's timeout would be 09:45
+      mem.addData(Event(2, ts("2024-01-01 09:40:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // the query is ALIVE (no timeout-behind-watermark throw), and
+      // this Spark's FlatMapGroupsWithStateExec filtered the late row
+      // before delivery — no session for user 7 ever exists. The
+      // setTimeoutTimestamp floor in sessionize stays as defense in
+      // depth for engines/versions that DO deliver late rows.
+      mem.addData(Event(3, ts("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val late = spark.table("sessions_late")
+        .as[graft.streaming.SessionOut].collect()
+      assert(!late.exists(_.user_id == 7),
+        s"this Spark drops late rows pre-delivery; a session for the " +
+          s"late user means the semantics changed — re-examine the " +
+          s"timeout floor: ${late.mkString(", ")}")
+      assert(late.exists(s => s.user_id == 1 && s.n_events == 1 &&
+        s.session_start == ts("2024-01-01 10:00:00")),
+        "on-time sessions must keep closing normally")
+    } finally q.stop()
+  }
+
   test("file-source event stream: parquet feed through windowed counts") {
     val dir = "target/test-tmp/event_feed"
     val ckpt = "target/test-tmp/event_ckpt"
