@@ -435,6 +435,21 @@ object SparkEntry {
       root
     }
 
+  private def avroFixture(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = "target/qtmp/avro_source"
+      if (!fixtureReady(s"avro_source@$dir")) {
+        graft.sources.Avro.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              struct(col("lang"), col("source")).as("meta"),
+              col("n_chars")),
+          root)
+        fixtureReady += s"avro_source@$dir"
+      }
+      root
+    }
+
   private def orcFixture(s: SparkSession, dir: String): String =
     synchronized {
       val root = "target/qtmp/orc_source"
@@ -789,7 +804,11 @@ object SparkEntry {
       graft.store.ManifestTable.delete(s, root, upsertSchema, "id",
         (1 to 10).map(_ * 13L), token = 1L)
     }),
-    "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)))
+    "jsonl_source" -> ((s, dir) => jsonlFixture(s, dir)),
+    // the ORC/Avro dumps happen OUTSIDE the timed region too — without
+    // this the first rep times the fixture write, not the read
+    "orc_source" -> ((s, dir) => orcFixture(s, dir)),
+    "avro_source" -> ((s, dir) => avroFixture(s, dir)))
 
   /** Planted-neighbor recovery harness for the approximate ANN paths: the
     * corpus gains a positively-scaled copy of every query vector (cosine
@@ -1026,6 +1045,36 @@ object SparkEntry {
       m.complete(schema).project(Sources.orc(s, root, oschema))
         .drop(Mapping.LineCol)
         .filter(col("n_chars") >= 200L)
+    }),
+    "avro_source" -> ((s, dir) => {
+      // Avro round-trip (Sources.avro — the row-major lake format,
+      // served by graft's own sync-split container reader over the
+      // avro core library): documents → Avro container files (nested
+      // meta struct, graft's own staged writer) → dotted-path Field
+      // mapping + a selective filter back to typed rows. The pinned
+      // schema is the Avro READER schema (decode-level pruning;
+      // split-exactness and projection legs live in AvroSpec); the
+      // oracle reads the same attributes straight off parquet.
+      val root = avroFixture(s, dir)
+      val aschema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType)))),
+        StructField("n_chars", LongType)))
+      val m = new Mapping()
+      m.field("id", path = "doc_id")
+      m.field("lang", path = "meta.lang")
+      m.field("src", path = "meta.source")
+      m.field("n_chars", path = "n_chars")
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("lang", StringType),
+        StructField("src", StringType),
+        StructField("n_chars", LongType)))
+      m.complete(schema).project(Sources.avro(s, root, aschema))
+        .drop(Mapping.LineCol)
+        .filter(col("n_chars") < 400L)
     }),
     "jsonl_source" -> ((s, dir) => {
       // JSONL round-trip: documents → json-lines files (nested meta
@@ -2602,37 +2651,56 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), col("text"))),
     "warc_source" -> ((s, dir) => {
-      // WARC ingestion end-to-end (WarcParse -> HtmlExtract): each
-      // document is planted as a two-record WARC file (warcinfo +
-      // response whose body wraps the sanitized text in HTML), parsed
-      // back to records, and the response body flows through the HTML
-      // kernel — the Common-Crawl-shaped front door of the corpus
-      // pipeline, closed-form enough for DuckDB to recompute without
-      // parsing anything. Malformed-input vectors live in
-      // WarcParseSpec; gzip/pure-parse legs too.
+      // WARC ingestion end-to-end in the COMMON CRAWL layout (r15:
+      // record-gzipped members — WarcParse.gzip/members/member →
+      // records → HtmlExtract): each document is planted as a
+      // two-member warc.gz (a gzipped warcinfo record + a gzipped
+      // response whose body wraps the sanitized text in HTML); the
+      // member INDEX delimits the compressed ranges, each member
+      // inflates independently (the per-record bound replacing the
+      // whole-file cap), and the response member's record flows
+      // through the HTML kernel. Everything the oracle sees is
+      // closed-form from the document text — DuckDB recomputes it
+      // without parsing anything. Malformed-input, bomb-cap and
+      // member-boundary vectors live in WarcParseSpec.
       val d = t(s, dir, "documents")
       val id = col("doc_id").cast("string")
       val safe = regexp_replace(col("text"), "[<>&]", " ")
       val html = concat(lit("<html><body><h1>Doc "), id,
         lit("</h1><p>"), safe, lit("</p></body></html>"))
-      val warc = concat(
-        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: " +
-          "<urn:uuid:info>\r\nContent-Type: application/warc-fields" +
-          "\r\nContent-Length: 9\r\n\r\nversion 1\r\n\r\n"),
+      val info = lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: " +
+        "<urn:uuid:info>\r\nContent-Type: application/warc-fields" +
+        "\r\nContent-Length: 9\r\n\r\nversion 1\r\n\r\n").cast("binary")
+      val resp = concat(
         lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
           "http://example.com/doc/"), id,
         lit("\r\nWARC-Record-ID: <urn:uuid:"), id,
         lit(">\r\nContent-Type: text/html\r\nContent-Length: "),
         octet_length(html).cast("string"),
         lit("\r\n\r\n"), html, lit("\r\n\r\n")).cast("binary")
-      val recs = WarcParse.records(warc)
-      val resp = element_at(filter(recs,
-        r => r.getField("warc_type") === "response"), 1)
-      d.select(col("doc_id"),
-        size(recs).cast("long").as("n_records"),
-        resp.getField("target_uri").as("uri"),
-        HtmlExtract.text(WarcParse.body(warc, resp).cast("string"))
-          .as("page_text"))
+      // the record-gzip plant: two members, one record each. The warc
+      // bytes, the member index, the inflated response member and its
+      // parsed record each materialize as their OWN projection, so
+      // every downstream face references a bound attribute instead of
+      // re-running the interpreted kernel per reference (the HOF
+      // re-evaluation discipline).
+      val staged = d
+        .select(col("doc_id"),
+          concat(WarcParse.gzip(info), WarcParse.gzip(resp)).as("_warc"))
+        .select(col("doc_id"), col("_warc"),
+          WarcParse.members(col("_warc")).as("_members"))
+        .select(col("doc_id"), col("_members"),
+          WarcParse.member(col("_warc"), element_at(col("_members"), 2))
+            .as("_respm"))
+        .select(col("doc_id"), col("_members"), col("_respm"),
+          element_at(WarcParse.records(col("_respm")), 1).as("_rec"))
+      staged.select(col("doc_id"),
+        size(col("_members")).cast("long").as("n_members"),
+        col("_rec").getField("target_uri").as("uri"),
+        HtmlExtract.text(col("_respm")
+            .substr(col("_rec").getField("offset").cast("int") + lit(1),
+              col("_rec").getField("length").cast("int"))
+            .cast("string")).as("page_text"))
     }),
     "text_html" -> ((s, dir) => {
       // HTML → text extraction (HtmlExtract — the web-corpus ingestion
@@ -3256,6 +3324,9 @@ object SparkEntry {
       "orc_source" ->
         s"""SELECT doc_id AS id, lang, source AS src, n_chars
            FROM documents WHERE n_chars >= 200""",
+      "avro_source" ->
+        s"""SELECT doc_id AS id, lang, source AS src, n_chars
+           FROM documents WHERE n_chars < 400""",
       "upsert_basic" ->
         s"""SELECT c_custkey AS id, c_name AS name,
            CASE WHEN $inSrc THEN c_acctbal ELSE $drifted END AS acctbal,
@@ -4316,7 +4387,7 @@ object SparkEntry {
                '\\s+', ' ', 'g')) AS body
              FROM documents)
            SELECT doc_id,
-             CAST(2 AS BIGINT) AS n_records,
+             CAST(2 AS BIGINT) AS n_members,
              'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
              'Doc ' || CAST(doc_id AS VARCHAR) ||
                CASE WHEN body = '' THEN '' ELSE chr(10) || body END

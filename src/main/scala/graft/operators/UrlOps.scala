@@ -45,13 +45,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `fragment` field); percent-escapes pass through UNDECODED
   *    (decoding can change routing semantics — `%2F` is not `/`).
   *
-  * `registered_domain` is the PSL-lite rule: IPs map to themselves; a
-  * host whose last two labels form a known multi-label public suffix
-  * (a compact built-in approximation of the Public Suffix List's most
-  * common 2-label entries — co.uk, com.au, co.jp, …) keeps three
-  * labels, everything else keeps two. Not the full PSL (that list is
-  * 10k entries and churns); the approximation is documented and the
-  * set is one bounded literal.
+  * `registered_domain` runs the FULL Public Suffix List algorithm
+  * ([[UrlOps.Psl]]): exact, wildcard (`*.ck`) and exception (`!www.ck`)
+  * rules over an embedded snapshot of publicsuffix.org's list
+  * (ICANN + private sections — github.io tenants are distinct sites
+  * for per-domain caps), with the implicit `*` default rule for
+  * unlisted TLDs; IPs and bracketed IPv6 hosts map to themselves, and
+  * a host that IS a public suffix passes through unchanged. The
+  * snapshot is a classpath resource in the official file format —
+  * replace it with a fresh download to update; the r14 PSL-lite
+  * 2-label set remains as the zero-resource fallback.
   *
   * At 100 TB: narrow per-row scan-side work, zero shuffle, zero
   * allocation beyond the output struct; `groupBy(registeredDomain)`
@@ -94,7 +97,9 @@ object UrlOps {
     "gclid", "dclid", "fbclid", "msclkid", "yclid", "wbraid", "gbraid",
     "igshid", "mc_cid", "mc_eid", "_ga", "ref_src")
 
-  /** Known 2-label public suffixes (PSL-lite; see the class doc). */
+  /** Known 2-label public suffixes — the zero-resource FALLBACK rule
+    * table when the PSL snapshot resource is absent from the jar
+    * ([[Psl.rules]]); the full engine supersedes it otherwise. */
   private val MultiSuffix: Set[String] = Set(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
     "plc.uk", "sch.uk", "nhs.uk",
@@ -178,22 +183,137 @@ object UrlOps {
     if (abs) "/" + joined else joined
   }
 
+  /** ASCII-only: Char.isDigit accepts Unicode digit classes (and
+    * Integer.parseInt parses them), which would let e.g. `:٨٠` slip
+    * through as port 80 — diverging from the documented all-digits
+    * ASCII rule and from closed-form oracle replication. */
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
   private def isIpv4(host: String): Boolean = {
     val parts = host.split("\\.", -1)
     parts.length == 4 && parts.forall(p =>
-      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255)
+      p.nonEmpty && p.length <= 3 && p.forall(isAsciiDigit) && p.toInt <= 255)
   }
 
-  private[operators] def registeredDomainOf(host: String): String = {
+  // ------------------------------------------------------------------ PSL
+
+  /** Full Public Suffix List semantics (publicsuffix.org/list — the
+    * algorithm every browser and crawler uses), over an embedded
+    * snapshot of the list shipped as a classpath resource in the PSL
+    * file format (replace the resource with a fresh download to
+    * update; the parser is drop-in). Three rule classes:
+    *
+    *  - exact rules (`co.uk`, `github.io`) — the suffix itself is
+    *    public;
+    *  - wildcard rules (`*.ck`) — any single label under the base is
+    *    public;
+    *  - exception rules (`!www.ck`) — carve-outs that BEAT every
+    *    matching rule: the public suffix is the rule minus its
+    *    leftmost label.
+    *
+    * Unlisted TLDs fall to the implicit default rule `*` (every bare
+    * TLD is a public suffix) — which is why single-label TLDs never
+    * appear in the list. The private section (github.io, blogspot.com,
+    * …) is INCLUDED: for crawl economics (per-domain caps, dedup keys)
+    * two tenants of a shared platform suffix are different sites,
+    * which is exactly what the private section encodes.
+    *
+    * Loaded once per JVM into three hash sets (the snapshot is a few
+    * hundred rules; the full list is ~10k — either is a bounded
+    * literal-class model riding the executor classpath, never a
+    * shuffle). Falls back to the r14 PSL-lite 2-label set if the
+    * resource is missing from the deployment jar. */
+  private[graft] object Psl {
+    final case class Rules(
+        exact: Set[String], wildcard: Set[String], exception: Set[String])
+
+    private def parseRules(lines: Iterator[String]): Rules = {
+      val exact = Set.newBuilder[String]
+      val wild = Set.newBuilder[String]
+      val exc = Set.newBuilder[String]
+      lines.foreach { raw =>
+        // PSL format: rule = first whitespace-separated token; `//`
+        // lines are comments; the official file is already
+        // lowercase/punycode — lowercased here defensively
+        val line = raw.trim
+        if (line.nonEmpty && !line.startsWith("//")) {
+          val rule = lowerAscii(line.split("\\s+")(0))
+          if (rule.startsWith("!")) exc += rule.substring(1)
+          else if (rule.startsWith("*.")) wild += rule.substring(2)
+          else if (rule != "*") exact += rule
+        }
+      }
+      Rules(exact.result(), wild.result(), exc.result())
+    }
+
+    /** Spec face: build a rule table from PSL-format text. */
+    private[graft] def fromString(text: String): Rules =
+      parseRules(text.linesIterator)
+
+    val rules: Rules = {
+      val res = getClass.getResourceAsStream(
+        "/graft/public_suffix_snapshot.dat")
+      if (res == null) Rules(MultiSuffix, Set.empty, Set.empty)
+      else try parseRules(scala.io.Source.fromInputStream(res, "UTF-8")
+        .getLines())
+      finally res.close()
+    }
+
+    /** Number of labels in the host's public suffix (host = `labels`
+      * joined on '.'). The PSL algorithm: a matching exception rule
+      * prevails over everything and its public suffix is the rule
+      * minus the leftmost label; otherwise the LONGEST matching rule
+      * wins; otherwise the implicit `*` rule (1). */
+    def publicSuffixLabels(labels: Array[String]): Int =
+      publicSuffixLabels(labels, rules)
+
+    private[graft] def publicSuffixLabels(
+        labels: Array[String], r: Rules): Int = {
+      val n = labels.length
+      var i = 0
+      while (i < n) {
+        // longest-first: the first matching exception is the longest
+        if (r.exception.contains(join(labels, i))) return n - i - 1
+        i += 1
+      }
+      var best = 1 // implicit default rule `*`
+      i = 0
+      while (i < n) {
+        val len = n - i
+        if (len > best && r.exact.contains(join(labels, i))) best = len
+        // `*.base` matches a suffix one label longer than the base
+        if (i + 1 < n && len > best &&
+            r.wildcard.contains(join(labels, i + 1))) best = len
+        i += 1
+      }
+      best
+    }
+
+    private def join(labels: Array[String], from: Int): String = {
+      val b = new java.lang.StringBuilder()
+      var i = from
+      while (i < labels.length) {
+        if (i > from) b.append('.')
+        b.append(labels(i))
+        i += 1
+      }
+      b.toString
+    }
+  }
+
+  private[operators] def registeredDomainOf(host: String): String =
+    registeredDomainOf(host, Psl.rules)
+
+  private[operators] def registeredDomainOf(
+      host: String, r: Psl.Rules): String = {
     if (host.isEmpty) return host
     if (host.charAt(0) == '[') return host // ipv6
     if (isIpv4(host)) return host
     val labels = host.split("\\.", -1)
     if (labels.length <= 1) return host
-    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
-    if (labels.length >= 3 && MultiSuffix.contains(last2))
-      labels(labels.length - 3) + "." + last2
-    else last2
+    val ps = Psl.publicSuffixLabels(labels, r)
+    if (ps >= labels.length) host // the host IS a public suffix
+    else labels.drop(labels.length - ps - 1).mkString(".")
   }
 
   /** The parse + canonicalization kernel. Package-visible for the
@@ -232,7 +352,7 @@ object UrlOps {
         host = lowerAscii(hp.substring(0, close + 1))
         val tail = hp.substring(close + 1)
         if (tail.length >= 2 && tail.charAt(0) == ':' &&
-            tail.substring(1).forall(_.isDigit) && tail.length <= 6) {
+            tail.substring(1).forall(isAsciiDigit) && tail.length <= 6) {
           val p = tail.substring(1).toInt
           if (p <= 65535) port = p else host = lowerAscii(hp)
         } else if (tail.nonEmpty) host = lowerAscii(hp)
@@ -240,7 +360,8 @@ object UrlOps {
     } else {
       val colon = hp.lastIndexOf(':')
       if (colon >= 0 && colon < hp.length - 1 && hp.length - colon <= 6 &&
-          (colon + 1 until hp.length).forall(i => hp.charAt(i).isDigit)) {
+          (colon + 1 until hp.length).forall(i =>
+            isAsciiDigit(hp.charAt(i)))) {
         val p = hp.substring(colon + 1).toInt
         if (p <= 65535) { host = lowerAscii(hp.substring(0, colon)); port = p }
         else host = lowerAscii(hp)
@@ -304,7 +425,7 @@ object UrlOps {
   /** Lowercased host, userinfo stripped, trailing dot dropped. */
   def host(url: Column): Column = parts(url).getField("host")
 
-  /** PSL-lite registered domain — the per-domain cap / grouping key. */
+  /** Full-PSL registered domain — the per-domain cap / grouping key. */
   def registeredDomain(url: Column): Column =
     parts(url).getField("registered_domain")
 }

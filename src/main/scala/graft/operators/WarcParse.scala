@@ -24,9 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    streams handle the concatenated-member layout warc.gz uses;
   *    plain input passes through; inflation is BOUNDED at
   *    [[WarcParse.MaxInflate]] so a gzip bomb degrades to a truncated
-  *    parse, not an OOM). Per-record gzip members with per-record
-  *    offsets into the COMPRESSED file are out of scope (the same
-  *    documented boundary class as inter-frame video codecs).
+  *    parse, not an OOM).
+  *  - [[WarcParse.members]] (r15): the per-record gzip member index —
+  *    (offset, clen, ulen) byte ranges in the COMPRESSED file, the
+  *    Common Crawl layout where every record is its own gzip member.
+  *    [[WarcParse.member]] inflates ONE member bounded at
+  *    [[WarcParse.MaxInflate]] each, so the whole-file cap becomes a
+  *    per-record cap and records are randomly accessible without
+  *    inflating their neighbors (what the crawl's cdx indexes point
+  *    at). [[WarcParse.gzip]] is the deterministic write face.
   *  - [[WarcParse.records]]: `array<struct<warc_type, target_uri,
   *    record_id, content_type, offset, length>>` over the inflated
   *    stream — offset/length are the BODY's byte range, so the body
@@ -86,6 +92,58 @@ case class WarcInflate(child: Expression)
       : WarcInflate = copy(child = newChild)
 }
 
+/** Gzip member index over record-gzipped WARC bytes (the Common Crawl
+  * layout: every WARC record is its own gzip member, concatenated) —
+  * `array<struct<offset, clen, ulen>>` of byte ranges in the
+  * COMPRESSED input. Each member then inflates INDEPENDENTLY via
+  * [[WarcParse.member]], so the 256 MB whole-file bound becomes a
+  * PER-RECORD bound and any single record is randomly accessible
+  * without touching its neighbors — the property the crawl's cdx
+  * indexes exist to exploit. */
+case class WarcMembers(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = WarcParse.MembersSchema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    WarcParse.scanMembers(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WarcMembers = copy(child = newChild)
+}
+
+/** Deterministic gzip of a binary column (one member; the JDK header is
+  * byte-stable — zero MTIME/XFL/OS — so gzipped plants hash
+  * reproducibly). The write-side face of the record-gzip layout:
+  * `concat(gzip(rec1), gzip(rec2), …)` IS a valid warc.gz. */
+case class WarcGzip(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes
+    with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WarcGzip = copy(child = newChild)
+}
+
 object WarcParse {
 
   val RecordSchema: StructType = StructType(Seq(
@@ -97,6 +155,14 @@ object WarcParse {
     StructField("length", LongType, nullable = false)))
 
   val Schema: DataType = ArrayType(RecordSchema, containsNull = false)
+
+  val MemberSchema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("clen", LongType, nullable = false),
+    StructField("ulen", LongType, nullable = false)))
+
+  val MembersSchema: DataType =
+    ArrayType(MemberSchema, containsNull = false)
 
   /** Inflation bound: a hostile gzip ratio degrades to a truncated
     * parse of the first 256 MB, never an executor OOM. Real WARC
@@ -125,6 +191,99 @@ object WarcParse {
       }
     } catch { case _: java.io.IOException => /* keep what inflated */ }
     out.toByteArray
+  }
+
+  /** End offset (exclusive) of the gzip HEADER starting at `i`, or -1
+    * when malformed/truncated: fixed 10 bytes, then FEXTRA / FNAME /
+    * FCOMMENT / FHCRC per FLG. Reserved FLG bits must be zero — the
+    * cheap filter that rejects magic-shaped bytes inside compressed
+    * payloads during re-anchor scans. */
+  private def gzipHeaderEnd(b: Array[Byte], i: Int): Int = {
+    if (i + 10 > b.length) return -1
+    val flg = b(i + 3) & 0xFF
+    if ((flg & 0xE0) != 0) return -1 // reserved bits
+    var p = i + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > b.length) return -1
+      val xlen = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      p += 2 + xlen
+      if (p > b.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME (zero-terminated)
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT (zero-terminated)
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC
+      p += 2
+      if (p > b.length) return -1
+    }
+    p
+  }
+
+  /** One pass over record-gzipped bytes → the member index
+    * ([[MembersSchema]]). Each candidate member (gzip magic + CM=8 +
+    * valid header) is DELIMITED by inflating its deflate stream into a
+    * scratch buffer (output discarded — memory stays at the 64 KB
+    * scratch regardless of member size); `capPerMember` bounds the
+    * inflated size, so a gzip bomb abandons THAT member and the scan
+    * re-anchors on the next magic (members before and after the damage
+    * survive — the same degradation contract as [[parse]]). A
+    * truncated final member is dropped; a complete deflate stream with
+    * a clipped 8-byte trailer is kept (its data is intact). */
+  private[graft] def scanMembers(
+      b: Array[Byte],
+      capPerMember: Long = MaxInflate.toLong): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val scratch = new Array[Byte](64 << 10)
+    var i = 0
+    while (i + 3 <= b.length) {
+      if ((b(i) & 0xFF) == 0x1F && (b(i + 1) & 0xFF) == 0x8B &&
+          (b(i + 2) & 0xFF) == 8) {
+        val hdrEnd = gzipHeaderEnd(b, i)
+        var advanced = false
+        if (hdrEnd >= 0 && hdrEnd < b.length) {
+          val inf = new java.util.zip.Inflater(true)
+          var total = 0L
+          var finished = false
+          var broken = false
+          var consumed = 0L
+          try {
+            inf.setInput(b, hdrEnd, b.length - hdrEnd)
+            while (!finished && !broken) {
+              val n =
+                try inf.inflate(scratch)
+                catch {
+                  case _: java.util.zip.DataFormatException =>
+                    broken = true; 0
+                }
+              total += n
+              if (inf.finished()) finished = true
+              else if (!broken && n == 0 &&
+                  (inf.needsInput() || inf.needsDictionary()))
+                broken = true // truncated stream
+              if (total > capPerMember) broken = true // bomb: abandon
+            }
+            consumed = inf.getBytesRead
+          } finally inf.end()
+          if (finished && !broken) {
+            // 8-byte CRC32+ISIZE trailer; clamp if the tail is clipped
+            val end = math.min(b.length.toLong, hdrEnd + consumed + 8L)
+            out += new GenericInternalRow(Array[Any](
+              i.toLong, end - i, total))
+            i = end.toInt
+            advanced = true
+          }
+        }
+        if (!advanced) i += 1 // malformed candidate: re-anchor scan
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   private val Magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -220,4 +379,22 @@ object WarcParse {
     inflate(warc).substr(
       rec.getField("offset").cast("int") + lit(1),
       rec.getField("length").cast("int"))
+
+  /** The gzip member index ([[WarcMembers]]) over record-gzipped bytes
+    * — (offset, clen, ulen) per member in the COMPRESSED input. */
+  def members(warc: Column): Column =
+    B.column(WarcMembers(B.expression(warc)))
+
+  /** One member's inflated bytes: a bounded per-record gunzip over the
+    * compressed byte range — `substr` + [[WarcInflate]], no new
+    * machinery. `m` is an element of [[members]]. */
+  def member(warc: Column, m: Column): Column =
+    inflate(warc.substr(
+      m.getField("offset").cast("int") + lit(1),
+      m.getField("clen").cast("int")))
+
+  /** Deterministic per-record gzip ([[WarcGzip]]) — the write face of
+    * the record-gzip layout. */
+  def gzip(rec: Column): Column =
+    B.column(WarcGzip(B.expression(rec)))
 }

@@ -319,6 +319,18 @@ object Sources {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     table(spark.read.schema(schema).orc(path))
 
+  /** Avro source: the row-major lake format ([[Avro.read]] — sync-split
+    * container reads with the pinned schema as the Avro READER schema,
+    * so decode skips non-requested fields; predicate pushdown does not
+    * exist for Avro anywhere — filters apply post-decode). `_line` is
+    * best-effort iteration order, the [[table]] face, same documented
+    * boundary as ORC. */
+  def avro(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    table(Avro.read(spark, path, schema))
+
   /** Turns any DataFrame into a CSV-shaped raw source by casting the given
     * columns to string positionally (used to exercise the CSV mapping path
     * on parquet-born data without materializing files). */

@@ -4720,17 +4720,26 @@ object ManifestTable {
       // right after its commit — poll it briefly and KEEP the pin
       // when it matches (a leaked tag retains a snapshot, recoverable
       // by deleteTag; a deleted needed pin loses the clone's data).
-      val winnerOwnsPin = pin && {
-        var owns = false
+      // Poll outcome decides three ways: the winner's origin MATCHES
+      // (it owns the pin — keep), it reads a DIFFERENT origin (the pin
+      // is provably ours alone — unpin), or it stays unreadable past
+      // the window (a slow winner's sidecar still in flight). On
+      // timeout KEEP the pin: a leaked tag retains a snapshot and is
+      // recoverable via deleteTag, while unpinning a pin the winner
+      // needs lets a later source vacuum reclaim its ext files — the
+      // unrecoverable direction.
+      val safeToUnpin = pin && {
+        var verdict: Option[Boolean] = None // Some(true)=unpin is safe
         var i = 0
-        while (!owns && i < 5) {
-          owns = scala.util.Try(originOf(spark, dstRoot))
-            .toOption.flatten.contains((qSrc, v))
-          if (!owns) { Thread.sleep(50L * (i + 1)); i += 1 }
+        while (verdict.isEmpty && i < 5) {
+          scala.util.Try(originOf(spark, dstRoot)).toOption.flatten match {
+            case Some(origin) => verdict = Some(origin != ((qSrc, v)))
+            case None => Thread.sleep(50L * (i + 1)); i += 1
+          }
         }
-        owns
+        verdict.getOrElse(false) // timeout: keep (leak beats data loss)
       }
-      if (!winnerOwnsPin) unpin()
+      if (!pin || safeToUnpin) unpin()
       throw new java.util.ConcurrentModificationException(
         s"table concurrently created at $dstRoot")
     }

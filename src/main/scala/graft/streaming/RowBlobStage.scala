@@ -25,6 +25,15 @@ private[streaming] object RowBlobStage {
 
   val Success = "_SUCCESS"
 
+  /** Winner-file manifest written into the staged dir BEFORE the
+    * commit rename. [[stagedFiles]] serves only the names listed here:
+    * a zombie task attempt can recreate its loser blob AFTER the
+    * loser-shed pass but BEFORE the rename (the post-rename delete
+    * only covers recreation after it), and a part-* listing would then
+    * serve that partition's rows twice. The manifest pins the winner
+    * set the driver actually collected. */
+  val FilesManifest = "_files"
+
   /** The session's Hadoop conf, shippable to executor closures. */
   def confOf(spark: SparkSession): SerializableWritable[Configuration] =
     new SerializableWritable(spark.sparkContext.hadoopConfiguration)
@@ -82,9 +91,17 @@ private[streaming] object RowBlobStage {
       // the winners (stagedFiles lists every part-*)
       val keep = written.toSet
       fs.listStatus(tmp).foreach { s =>
-        if (!keep(s.getPath.getName)) fs.delete(s.getPath, false)
+        if (!keep(s.getPath.getName) &&
+            s.getPath.getName.startsWith("part-"))
+          fs.delete(s.getPath, false)
       }
     }
+    // the winner manifest rides INSIDE the renamed dir, so its content
+    // and the commit are one atomic unit
+    val mf = fs.create(new Path(tmp, FilesManifest), true)
+    try mf.write(written.sorted.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally mf.close()
     if (!fs.rename(tmp, dirPath) && !fs.exists(new Path(dirPath, Success)))
       throw new java.io.IOException(s"failed to commit stage $dir")
     fs.create(new Path(dirPath, Success), true).close()
@@ -95,9 +112,23 @@ private[streaming] object RowBlobStage {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    else {
+      // serve exactly the winner set the committing driver collected —
+      // a part-* listing could include a zombie attempt's blob
+      // recreated between the loser-shed pass and the rename
+      val mfPath = new Path(p, FilesManifest)
+      if (fs.exists(mfPath)) {
+        val in = fs.open(mfPath)
+        val names =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        names.split("\n").toSeq.filter(_.nonEmpty)
+          .map(n => new Path(p, n).toString)
+      } else fs.listStatus(p).toSeq // pre-manifest stage (older layout)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    }
   }
 
   def drop(spark: SparkSession, dir: String): Unit = {

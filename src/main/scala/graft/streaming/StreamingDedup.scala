@@ -252,18 +252,35 @@ object StreamingDedup {
       identity: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexRoot/_owner")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // First use claims ownership with overwrite=FALSE so exactly one
+    // incarnation wins atomically: check-then-create with overwrite
+    // let two queries binding the same fresh indexRoot both pass the
+    // exists() check, and the later create silently stole ownership —
+    // the colliding-incarnation case this guard exists to refuse.
+    val claimed = !fs.exists(p) && {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
-      try out.write(identity.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } else {
-      val in = fs.open(p)
-      val owner =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
+      try {
+        val out = fs.create(p, false)
+        try out.write(identity.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false } // lost the race
+    }
+    if (!claimed) {
+      // losers re-open and compare; the winner's write may still be in
+      // flight on a non-atomic local FS, so an EMPTY read retries
+      // briefly before refusing (refusal is the safe direction)
+      var owner = ""
+      var tries = 0
+      while (owner.isEmpty && tries < 5) {
+        val in = fs.open(p)
+        owner =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        if (owner.isEmpty) { Thread.sleep(20L * (tries + 1)); tries += 1 }
+      }
       require(owner == identity,
         s"near-dup index at $indexRoot belongs to checkpoint " +
           s"incarnation '$owner', not '$identity' — its batch-id " +

@@ -7,9 +7,10 @@ import graft.operators.UrlOps
 
 /** Pins the URL parse + canonicalization kernel: the documented
   * normalization rules (case, ports, userinfo, dot segments, tracking
-  * params, param sort, fragment drop), the PSL-lite registered-domain
-  * rule, and the crawl-reality contract that NO malformed input ever
-  * throws. The driver-facing oracle lives in `url_normalize` (DuckDB
+  * params, param sort, fragment drop), the full-PSL registered-domain
+  * algorithm (exact/wildcard/exception rules over the embedded
+  * snapshot, plus direct engine vectors via Psl.fromString), and the
+  * crawl-reality contract that NO malformed input ever throws. The driver-facing oracle lives in `url_normalize` (DuckDB
   * recomputes planted variants closed-form); these are the direct
   * vectors. */
 class UrlOpsSpec extends SparkSpec {
@@ -68,8 +69,73 @@ class UrlOpsSpec extends SparkSpec {
       .select(UrlOps.normalize($"u")).collect().head.isNullAt(0))
   }
 
-  test("registered domain: PSL-lite (multi-label suffixes keep 3 " +
-      "labels, default 2), IPs map to themselves") {
+  test("registered domain: full PSL — private-section suffixes " +
+      "(github.io class), wildcard *.ck, exception !www.ck") {
+    val cases = Seq(
+      // private section: platform tenants are distinct sites
+      "https://alice.github.io/p" -> "alice.github.io",
+      "https://a.b.alice.github.io/" -> "alice.github.io",
+      "https://github.io/" -> "github.io", // the suffix itself
+      "https://myblog.blogspot.com/" -> "myblog.blogspot.com",
+      "https://bucket.s3.amazonaws.com/" -> "bucket.s3.amazonaws.com",
+      "https://app.herokuapp.com/" -> "app.herokuapp.com",
+      // wildcard rule *.ck: anything.ck is itself a public suffix
+      "http://www.city.ck/" -> "www.city.ck",
+      "http://city.ck/" -> "city.ck", // IS a public suffix: pass-through
+      // exception rule !www.ck beats the wildcard: suffix = ck
+      "http://www.ck/" -> "www.ck",
+      "http://a.www.ck/" -> "www.ck",
+      // wildcard *.np (no exception)
+      "http://example.com.np/x" -> "example.com.np",
+      // 3-label ICANN rules resolve deeper than the lite 2-label set
+      "http://a.b.example.police.uk/" -> "example.police.uk",
+      // unlisted TLD falls to the implicit * default rule
+      "http://deep.sub.example.zz/" -> "example.zz")
+    for ((u, want) <- cases)
+      assert(partsOf(u).getString(6) == want, s"input: $u")
+  }
+
+  test("PSL engine: fromString parses the official format and applies " +
+      "exception > longest > default precedence") {
+    import graft.operators.UrlOps.Psl
+    val rules = Psl.fromString(
+      """// comment line
+        |com
+        |co.uk
+        |*.ck
+        |!www.ck
+        |github.io
+        |""".stripMargin)
+    def ps(host: String): Int =
+      Psl.publicSuffixLabels(host.split("\\.", -1), rules)
+    assert(ps("a.b.com") == 1)
+    assert(ps("a.b.co.uk") == 2)
+    assert(ps("x.github.io") == 2)
+    assert(ps("a.city.ck") == 2) // wildcard: city.ck is public
+    assert(ps("a.www.ck") == 1) // exception: ck is the suffix
+    assert(ps("example.zz") == 1) // default * rule
+    // the embedded snapshot actually loaded (not the lite fallback):
+    // wildcard and exception sets are non-empty only in the snapshot
+    assert(Psl.rules.wildcard.contains("ck"))
+    assert(Psl.rules.exception.contains("www.ck"))
+    assert(Psl.rules.exact.contains("github.io"))
+    assert(Psl.rules.exact.contains("co.uk"))
+  }
+
+  test("ports reject non-ASCII Unicode digits (the parseInt trap)") {
+    // Arabic-Indic digits: Char.isDigit accepts them and parseInt
+    // parses them — the documented rule is ASCII-only, so this is NOT
+    // a port and the text stays in the host verbatim
+    val r = partsOf("http://h:\u0668\u0660/x")
+    assert(r.isNullAt(2), "no port must parse")
+    assert(r.getString(1) == "h:\u0668\u0660")
+    // and the IPv4 check rejects them too (falls to domain rules)
+    assert(partsOf("http://1\u0660.2.3.4/").getString(1) ==
+      "1\u0660.2.3.4")
+  }
+
+  test("registered domain: core rules (multi-label ICANN suffixes, " +
+      "default-rule TLDs), IPs map to themselves") {
     val cases = Seq(
       "http://www.foo.co.uk/" -> "foo.co.uk",
       "http://a.b.foo.co.uk/" -> "foo.co.uk",
