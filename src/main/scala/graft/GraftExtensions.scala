@@ -525,13 +525,14 @@ object GraftExtensions {
           (pol.zones.mkString(","), pol.blooms.mkString(","), drift,
             driftFiles, driftBuckets, pol.derived, pol.splitBytes,
             oversize, pol.compactFiles, overCompact, pol.vacuumKeep,
-            pol.statsCols.mkString(","))
+            pol.statsCols.mkString(","), pol.ttlColumn, pol.ttlMs)
         }
       import spark.implicits._
       rows.toDF("zone_cols", "bloom_cols", "recluster_drift",
         "drift_files", "buckets_over_threshold", "maintain_derived",
         "split_bytes", "buckets_over_split", "compact_files",
-        "buckets_over_compact", "vacuum_keep", "stats_cols")
+        "buckets_over_compact", "vacuum_keep", "stats_cols",
+        "ttl_column", "ttl_ms")
         .queryExecution.analyzed
     }),
     "graft_auto_maintain" -> (es => {
@@ -554,10 +555,15 @@ object GraftExtensions {
       // (tag-pinned snapshots and lagging derived tables' CDC windows
       // are respected). Re-declaring REPLACES (empty strings / zeros
       // stop).
-      require(es.size >= 3 && es.size <= 9,
+      // the optional 9th/10th declare ROW TTL — every commit expires
+      // rows whose ttlColumn is older than now − ttlMs via zone-probed
+      // key tombstones (the Scala autoMaintain face's contract; a zone
+      // on the TTL column must be declared in the same call)
+      require(es.size >= 3 && es.size <= 11,
         "usage: graft_auto_maintain(root, zoneColsCsv, bloomColsCsv" +
           "[, reclusterDrift[, maintainDerived[, splitBytes" +
-          "[, compactFiles[, vacuumKeep[, statsColsCsv]]]]]])")
+          "[, compactFiles[, vacuumKeep[, statsColsCsv" +
+          "[, ttlColumn, ttlMs]]]]]]])")
       val spark = SparkSession.active
       val root = strArg(es(0), "root")
       def cols(i: Int, what: String) = strArg(es(i), what)
@@ -575,14 +581,21 @@ object GraftExtensions {
         if (es.size >= 8) longArg(es(7), "vacuumKeep").toInt else 0
       val statsCols =
         if (es.size >= 9) cols(8, "stats columns") else Nil
+      require(es.size != 10,
+        "declare ttlColumn and ttlMs together (both, or neither)")
+      val ttlColumn =
+        if (es.size >= 11) strArg(es(9), "ttl column").trim else ""
+      val ttlMs = if (es.size >= 11) longArg(es(10), "ttlMs") else 0L
       graft.store.ManifestTable.autoMaintain(spark, root, z, b, drift,
-        derived, splitBytes, compactFiles, vacuumKeep, statsCols)
+        derived, splitBytes, compactFiles, vacuumKeep, statsCols,
+        ttlColumn, ttlMs)
       import spark.implicits._
       Seq((z.mkString(","), b.mkString(","), drift, derived, splitBytes,
-          compactFiles, vacuumKeep, statsCols.mkString(",")))
+          compactFiles, vacuumKeep, statsCols.mkString(","), ttlColumn,
+          ttlMs))
         .toDF("zone_cols", "bloom_cols", "recluster_drift",
           "maintain_derived", "split_bytes", "compact_files",
-          "vacuum_keep", "stats_cols")
+          "vacuum_keep", "stats_cols", "ttl_column", "ttl_ms")
         .queryExecution.analyzed
     }),
     "graft_vacuum" -> (es => {

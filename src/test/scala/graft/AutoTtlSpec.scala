@@ -159,4 +159,28 @@ class AutoTtlSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == (1L to 60L).filter(_ % 2 != 0).toSet)
   }
+
+  test("SQL face: graft_auto_maintain declares TTL (args 10/11), " +
+      "graft_maintenance reports it, expiry runs immediately") {
+    GraftExtensions.register(spark)
+    val root = freshRoot("ttl_sql")
+    mkTable(root)
+    // ttlColumn without ttlMs refuses (the both-or-neither contract)
+    val half = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_auto_maintain('$root', 'ts', '', 0, 0, " +
+        s"0, 0, 0, '', 'ts')").head)
+    assert(half.getMessage.contains("together"))
+    val r = spark.sql(
+      s"SELECT * FROM graft_auto_maintain('$root', 'ts', '', 0, 0, " +
+        s"0, 0, 0, '', 'ts', $ThirtyDays)").head
+    assert(r.getString(8) == "ts" && r.getLong(9) == ThirtyDays)
+    // the declaration expired the planted over-age rows on the spot
+    val got = ManifestTable.read(spark, root, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 300L).filterNot(_ % 3 == 0).toSet)
+    // the observe half reports the declared TTL
+    val obs = spark.sql(s"SELECT ttl_column, ttl_ms " +
+      s"FROM graft_maintenance('$root')").head
+    assert(obs.getString(0) == "ts" && obs.getLong(1) == ThirtyDays)
+  }
 }
