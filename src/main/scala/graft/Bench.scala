@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: ONE JSON line. `queries` keeps the original name→seconds
   * contract (now the median), rounded to 1 ms. The full per-rep detail
-  * (name→{med,orig_med,min,runs[],cpu[],mf}) is written to
+  * (name→{med,orig_med,min,runs[],cpu[],gc[],mf}) is written to
   * BENCH_STATS.json in the working directory instead of the line — the r5 stdout artifact was
   * front-truncated past ~2.5 KB, so the line carries only what must
   * survive capture and points at the file (`stats_file`).
+  *
+  * `gc` is the JVM's cumulative stop-the-world collection-time delta
+  * (seconds) over the same rep: a rep whose wall blows out while its
+  * gc delta covers the excess was a GC pause, mechanically — no more
+  * blanket cold-start stories for non-rep-1 outliers.
   *
   * `cpu` is the PROCESS CPU-time delta (seconds) over the same rep:
   * ambient machine load is adjudicable from the artifact instead of
@@ -269,9 +274,25 @@ object Bench {
     def cpuTime: Long =
       osBean.map(_.getProcessCpuTime).filter(_ >= 0).getOrElse(0L)
 
+    // Cumulative stop-the-world GC time (ms) across all collectors —
+    // zero-cost counters. Recorded as a per-rep DELTA so a >3× outlier
+    // rep adjudicates MECHANICALLY from the artifact: gc ≈ the wall
+    // excess → a GC pause, not the plan (the r14 capture had two
+    // non-rep-1 outliers the cold-start story could not cover).
+    def gcTime: Long = {
+      var t = 0L
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) {
+        val v = it.next().getCollectionTime
+        if (v > 0) t += v
+      }
+      t
+    }
+
     def runQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Seq[(Double, Double, Boolean)], Double, Boolean) = {
+        : (Seq[(Double, Double, Double, Boolean)], Double, Boolean) = {
       val setup = SparkEntry.benchSetups.get(name)
       // Every rep is BRACKETED by one cheap probe burst (the closing
       // burst opens the next rep, so a k-rep family costs k+1 bursts
@@ -283,7 +304,7 @@ object Bench {
       // rep family carries a multi-× internal spread again.
       val runs = (1 to reps).map { _ =>
         var attempts = 0
-        var out: (Double, Double, Boolean) = null
+        var out: (Double, Double, Double, Boolean) = null
         var accepted = false
         while (!accepted) {
           attempts += 1
@@ -298,6 +319,7 @@ object Bench {
           // confined to setup discarded quiet reps and a stale b0 was
           // unrepresentative of machine speed at t0
           val b0 = BenchSentinel.sample()
+          val g0 = gcTime
           val c0 = cpuTime
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -308,7 +330,8 @@ object Bench {
           }
           val wall = r3((System.nanoTime() - t0) / 1e9)
           val b1 = BenchSentinel.sample()
-          out = (wall, r3(math.max(0L, cpuTime - c0) / 1e9), ok)
+          out = (wall, r3(math.max(0L, cpuTime - c0) / 1e9),
+            r3(math.max(0L, gcTime - g0) / 1e3), ok)
           accepted = !ok || attempts >= 3 ||
             !BenchSentinel.bracketsDisagree(b0, b1)
           if (!accepted) System.err.println(
@@ -317,7 +340,7 @@ object Bench {
         }
         out
       }
-      val failed = runs.exists(!_._3)
+      val failed = runs.exists(!_._4)
       val sorted = runs.map(_._1).sorted
       val med =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
@@ -396,7 +419,8 @@ object Bench {
         s""""min":${runs.map(_._1).min},""" +
         s""""err":$failed,"mf":$mf,""" +
         s""""runs":[${runs.map(_._1).mkString(",")}],""" +
-        s""""cpu":[${runs.map(_._2).mkString(",")}]"""
+        s""""cpu":[${runs.map(_._2).mkString(",")}],""" +
+        s""""gc":[${runs.map(_._3).mkString(",")}]"""
       re match {
         case Some((runs2, _)) =>
           base + s""","recheck_runs":[${runs2.map(_._1).mkString(",")}]}"""
