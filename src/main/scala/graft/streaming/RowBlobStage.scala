@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
   * Hadoop configuration (via [[SerializableWritable]]) — a bare
   * `new Configuration()` would drop every `spark.hadoop.*` setting
   * (credentials, endpoints) on object-store deployments. */
-private[streaming] object RowBlobStage {
+private[graft] object RowBlobStage {
 
   val Success = "_SUCCESS"
 

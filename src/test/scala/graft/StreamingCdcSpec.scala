@@ -388,4 +388,30 @@ class StreamingCdcSpec extends SparkSpec {
     val want = ManifestTable.read(spark, root, schema).collect().toSeq
     assert(sortedRows(got) == sortedRows(want))
   }
+
+  test("blob stage serves only the winner manifest's files — a zombie " +
+      "attempt's blob landing in the committed dir is never read") {
+    import graft.streaming.RowBlobStage
+    val dir = "target/test-tmp/cdc_blobstage/d0"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/test-tmp/cdc_blobstage"))
+    val df = (1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
+    RowBlobStage.stage(spark, df, dir)
+    val files = RowBlobStage.stagedFiles(spark, dir)
+    assert(files.nonEmpty)
+    // a zombie task attempt recreates its loser blob AFTER the shed
+    // pass but BEFORE/AFTER the rename: simulate by dropping a stray
+    // part-* file into the committed dir — the manifest must gate it
+    val stray = new org.apache.hadoop.fs.Path(dir, "part-0-a999")
+    val fs = stray.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(stray, true)
+    out.writeInt(-1); out.close()
+    assert(RowBlobStage.stagedFiles(spark, dir).toSet == files.toSet,
+      "stagedFiles must serve exactly the manifest's winner set")
+    // rows still read back complete and exactly-once
+    val conf = RowBlobStage.confOf(spark).value
+    val n = files.map(f =>
+      RowBlobStage.readRows(f, df.schema, conf).size).sum
+    assert(n == 40)
+  }
 }
