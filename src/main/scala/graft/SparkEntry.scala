@@ -2731,6 +2731,72 @@ object SparkEntry {
         last.getField("link_chars").as("nav_link_chars"),
         last.getField("chars").as("nav_chars"))
     }),
+    "content_sniff" -> ((s, dir) => {
+      // Content sniffing (ContentSniff — the byte-honest front of the
+      // WARC path): each document plants leading bytes for a different
+      // MIME family by doc_id%6 (magic table, tag prescan, plain-text
+      // fallthrough) plus a windows-1252 body whose declared charset
+      // must recover é (0xE9) and € (0x80 — absent from latin1, real
+      // in cp1252). The documents text is pure printable ASCII (its
+      // UTF-8 bytes are their own cp1252 decode), so DuckDB recomputes
+      // both columns closed-form. Byte vectors live in
+      // ContentSniffSpec.
+      val d = t(s, dir, "documents")
+      val txt = encode(col("text"), "UTF-8")
+      def b(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+      val planted = when(col("doc_id") % 6 === 0,
+          concat(b(0xFF, 0xD8, 0xFF, 0xE0), txt))
+        .when(col("doc_id") % 6 === 1,
+          concat(b(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, 0x0A), txt))
+        .when(col("doc_id") % 6 === 2,
+          concat(encode(lit("%PDF-1.4 "), "UTF-8"), txt))
+        .when(col("doc_id") % 6 === 3,
+          encode(concat(lit("<html><body>"), col("text")), "UTF-8"))
+        .when(col("doc_id") % 6 === 4,
+          encode(concat(lit("T: "), col("text")), "UTF-8"))
+        .otherwise(concat(b(0x1F, 0x8B, 0x08, 0x00), txt))
+      val cpBody = concat(
+        encode(concat(lit("<meta charset=windows-1252><p>"), col("text")),
+          "UTF-8"),
+        b(0xE9, 0x80))
+      d.select(col("doc_id"),
+        ContentSniff.mime(planted).as("mime"),
+        ContentSniff.decodeText(cpBody).as("decoded"))
+    }),
+    "robots_gate" -> ((s, dir) => {
+      // robots.txt gate (RobotsTxt — RFC 9309, the pre-fetch politeness
+      // complement to html_noindex): each document plants a robots.txt
+      // exercising group selection (specific agent over *), rule
+      // precedence (longest wins, $ anchor) and crawl-delay, plus a
+      // doc-derived path hitting a different branch by doc_id%4 — all
+      // closed-form for DuckDB. Pattern/bound vectors live in
+      // RobotsTxtSpec.
+      val d = t(s, dir, "documents")
+      val dig = (col("doc_id") % 10).cast("string")
+      val robots = concat(
+        lit("User-agent: graftbot\nDisallow: /private/\nAllow: " +
+          "/private/doc"), dig, lit("$\nCrawl-delay: "),
+        (col("doc_id") % 3 + 1).cast("string"),
+        lit("\nSitemap: https://x.test/s.xml\n" +
+          "User-agent: *\nDisallow: /\n"))
+      val path = when(col("doc_id") % 4 === 0,
+          concat(lit("/private/doc"), dig))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("/private/doc"), ((col("doc_id") + 1) % 10)
+            .cast("string")))
+        .when(col("doc_id") % 4 === 2, lit("/public/x"))
+        .otherwise(lit("/private/sub/q"))
+      // parse ONCE into its own projection (the per-domain discipline:
+      // the matcher references the bound struct, not a re-parse)
+      d.select(col("doc_id"),
+          RobotsTxt.rules(robots, lit("graftbot-1.0")).as("_r"),
+          path.as("_p"))
+        .select(col("doc_id"),
+          RobotsTxt.allowed(col("_r"), col("_p")).as("allowed"),
+          col("_r").getField("crawl_delay_ms").as("crawl_ms"),
+          size(col("_r").getField("sitemaps")).cast("long")
+            .as("n_sitemaps"))
+    }),
     "html_noindex" -> ((s, dir) => {
       // Robots-meta gate (HtmlExtract.metaRobots/noindex — the
       // crawl-politeness fact applied BEFORE content processing):
@@ -4421,6 +4487,22 @@ object SparkEntry {
                '.co.uk/a/art' || CAST(doc_id AS VARCHAR) ||
                '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
              'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS domain
+           FROM documents""",
+      "content_sniff" ->
+        s"""SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'text/html'
+               WHEN 4 THEN 'text/plain' ELSE 'application/gzip'
+             END AS mime,
+             '<meta charset=windows-1252><p>' || text || 'é€' AS decoded
+           FROM documents""",
+      "robots_gate" ->
+        s"""SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN true WHEN 2 THEN true
+               ELSE false END AS allowed,
+             (doc_id % 3 + 1) * 1000 AS crawl_ms,
+             CAST(1 AS BIGINT) AS n_sitemaps
            FROM documents""",
       "html_noindex" ->
         s"""SELECT doc_id,
