@@ -2731,6 +2731,50 @@ object SparkEntry {
         last.getField("link_chars").as("nav_link_chars"),
         last.getField("chars").as("nav_chars"))
     }),
+    "sitemap_source" -> ((s, dir) => {
+      // Sitemap parse (Sitemap — the crawl-frontier complement to
+      // robots_gate, whose Sitemap: lines point here): docs plant a
+      // sitemapindex (doc_id%7==0: two child-sitemap entries, the
+      // recurse signal) or a urlset with doc_id%3+1 url entries
+      // carrying lastmod/priority — every field closed-form for
+      // DuckDB. Entity/CDATA/malformed vectors live in SitemapSpec.
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      def urlEntry(k: Int): Column =
+        when(col("doc_id") % 3 >= lit(k),
+          concat(lit("<url><loc>https://x.test/d"), id,
+            lit(s"/p$k</loc><lastmod>2025-01-0${k + 1}</lastmod>" +
+              s"<priority>0.$k</priority></url>")))
+          .otherwise(lit(""))
+      val xml = when(col("doc_id") % 7 === 0,
+        concat(lit("<sitemapindex><sitemap><loc>https://x.test/sm"), id,
+          lit("-a.xml</loc><lastmod>2025-02-01</lastmod></sitemap>" +
+            "<sitemap><loc>https://x.test/sm"), id,
+          lit("-b.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(lit("<urlset>"),
+          urlEntry(0), urlEntry(1), urlEntry(2), lit("</urlset>")))
+      val staged = d.select(col("doc_id"),
+        Sitemap.entries(xml).as("_e"))
+      staged.select(col("doc_id"),
+        size(col("_e")).cast("long").as("n_entries"),
+        element_at(col("_e"), 1).getField("kind").as("kind"),
+        element_at(col("_e"), 1).getField("loc").as("first_loc"),
+        element_at(col("_e"), 1).getField("priority").as("first_prio"))
+    }),
+    "text_clean" -> ((s, dir) => {
+      // Unicode normalization (UnicodeClean — the hash-honest pre-step
+      // before exact/near dedup): every doc gains a planted suffix of
+      // byte-distinct-but-equivalent spellings (NFD e+combining-acute,
+      // curly quotes, em dash, ellipsis, NBSP, zero-width) whose
+      // cleaned form is one closed-form ASCII+é literal for DuckDB.
+      // The document text itself is printable ASCII (NFC fast path) so
+      // it passes through byte-identical.
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        lit(" cafe\u0301 \u201Cq\u201D\u2026 \u2014 a\u200B\u00A0b"))
+      d.select(col("doc_id"),
+        UnicodeClean.clean(planted).as("cleaned"))
+    }),
     "content_sniff" -> ((s, dir) => {
       // Content sniffing (ContentSniff — the byte-honest front of the
       // WARC path): each document plants leading bytes for a different
@@ -4487,6 +4531,23 @@ object SparkEntry {
                '.co.uk/a/art' || CAST(doc_id AS VARCHAR) ||
                '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
              'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS domain
+           FROM documents""",
+      "sitemap_source" ->
+        s"""SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN CAST(2 AS BIGINT)
+               ELSE doc_id % 3 + 1 END AS n_entries,
+             CASE WHEN doc_id % 7 = 0 THEN 'sitemap' ELSE 'url' END
+               AS kind,
+             CASE WHEN doc_id % 7 = 0
+               THEN 'https://x.test/sm' || CAST(doc_id AS VARCHAR)
+                 || '-a.xml'
+               ELSE 'https://x.test/d' || CAST(doc_id AS VARCHAR)
+                 || '/p0' END AS first_loc,
+             CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE 0.0 END AS first_prio
+           FROM documents""",
+      "text_clean" ->
+        s"""SELECT doc_id, text || ' café "q"... - a b' AS cleaned
            FROM documents""",
       "content_sniff" ->
         s"""SELECT doc_id,
