@@ -2534,6 +2534,24 @@ object SparkEntry {
           lit(1.0).as("jaccard"))
       Dedup.canonicalizeFixpoint(all, pairs)
     }),
+    "dup_components" -> ((s, dir) => {
+      // TRUE connected components over an adversarial pair plant: each
+      // 10-doc block is a path visited in scrambled residue order
+      // (0→5→2→7→4→9→1→6→3→8), so the edge list is full of V-shapes
+      // where a node's every partner is larger than itself — the shape
+      // banding emits and the min-partner pointer chase canonicalize()
+      // cannot close. DuckDB recomputes reachability from the SAME edge
+      // rule with a recursive CTE; expected label = the block minimum.
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val r = col("doc_id") % 10
+      val nxt = when(r === 0, 5).when(r === 5, 2).when(r === 2, 7)
+        .when(r === 7, 4).when(r === 4, 9).when(r === 9, 1)
+        .when(r === 1, 6).when(r === 6, 3).when(r === 3, 8)
+      val edges = d.filter(r =!= 8).select(
+        col("doc_id").as("id_a"),
+        (col("doc_id") - r + nxt).cast("long").as("id_b"))
+      ConnectedComponents.components(edges)
+    }),
 
     // --- similarity ---
     "ann_brute" -> ((s, dir) => {
@@ -2760,6 +2778,51 @@ object SparkEntry {
         element_at(col("_e"), 1).getField("kind").as("kind"),
         element_at(col("_e"), 1).getField("loc").as("first_loc"),
         element_at(col("_e"), 1).getField("priority").as("first_prio"))
+    }),
+    "html_links" -> ((s, dir) => {
+      // Outlink extraction (LinkExtract — the crawl-edge emitter): each
+      // doc plants a page at a doc_id-derived base URL whose markup
+      // exercises every resolution class (absolute with &amp; entity,
+      // scheme-relative, root-relative, ../ climb, sibling+query,
+      // rel=nofollow) plus three NON-edges (javascript:, fragment-only,
+      // bare <a name>) that must not emit. Six links per doc, every
+      // field closed-form for DuckDB. Malformed-markup vectors live in
+      // LinkExtractSpec.
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/dir/page"), id, lit(".html?s=1"))
+      val html = concat(
+        lit("<p>Pre <a href=\"https://abs.test/x?b=2&amp;a=1\">Abs " +
+          "<b>Link</b></a> <a href='//cdn.test/lib'>proto</a> " +
+          "<a href=\"/root/doc"), id,
+        lit(".html\">root</a> <a href=\"../up/"), id,
+        lit("\">up</a> <a href=\"sib"), id,
+        lit("?x=2\">sib</a> <a rel=\"nofollow ugc\" href=\"spon"), id,
+        lit("\">spon</a> <a href=\"javascript:void(0)\">js</a> " +
+          "<a href=\"#frag\">frag</a> <a name=\"x\">bare</a></p>"))
+      d.select(col("doc_id"),
+          posexplode(LinkExtract.links(html, base)).as(Seq("pos", "l")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_no"),
+          col("l.url").as("url"), col("l.anchor").as("anchor"),
+          col("l.nofollow").as("nofollow"))
+    }),
+    "pagerank_hosts" -> ((s, dir) => {
+      // Exact fixed-point PageRank (LinkGraph) over a deterministic
+      // planted host graph: hosts = doc_id%40, two affine edge families
+      // (7d+3, 13d+11 mod 40), hosts ≡7 (mod 10) stripped of out-edges
+      // so the dangling-mass teleport is exercised. Integer micro-unit
+      // arithmetic end to end — DuckDB replays the identical update
+      // chain unrolled 4 iterations and the hashes must match BITWISE
+      // (the reason this operator refuses floating point).
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e = d.select((col("doc_id") % 40).as("src"),
+          ((col("doc_id") * 7 + 3) % 40).as("dst"))
+        .union(d.select((col("doc_id") % 40).as("src"),
+          ((col("doc_id") * 13 + 11) % 40).as("dst")))
+        .filter(col("src") % 10 =!= 7)
+      LinkGraph.pagerank(e, iters = 4)
+        .select(col("node").as("host"), col("rank"))
     }),
     "text_clean" -> ((s, dir) => {
       // Unicode normalization (UnicodeClean — the hash-honest pre-step
@@ -3305,6 +3368,27 @@ object SparkEntry {
     val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString(", ")
     val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString(", ")
     val toksSql = "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) END"
+
+    // pagerank_hosts: the LinkGraph integer update chain, unrolled.
+    // scale 1e9, damping 85/100 → base = 150,000,000; DuckDB's `//` and
+    // Spark's `div` agree on non-negative BIGINTs. Sums cast back to
+    // BIGINT (DuckDB widens sum(BIGINT) to HUGEINT).
+    val prIters = (1 to 4).map { k =>
+      val prev = s"r${k - 1}"
+      s"""s$k AS (SELECT e.dst AS h,
+             CAST(sum($prev.r // deg.od) AS BIGINT) AS inflow
+           FROM e JOIN deg ON e.src = deg.src
+           JOIN $prev ON $prev.h = e.src
+           GROUP BY e.dst),
+         d$k AS (SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT) AS dang
+           FROM $prev p LEFT JOIN deg ON p.h = deg.src
+           WHERE deg.src IS NULL),
+         r$k AS (SELECT n0.h,
+             150000000 + (85 * (COALESCE(s$k.inflow, 0)
+               + (SELECT dang FROM d$k) // (SELECT n FROM nn))) // 100
+             AS r
+           FROM nodes n0 LEFT JOIN s$k ON n0.h = s$k.h)"""
+    }.mkString(",\n")
 
     // DuckDB replication of TextNorm.tokenize + word-3-gram shingles (the
     // dedup family's normalization): lowercase, collapse non-alnum runs to
@@ -4468,6 +4552,21 @@ object SparkEntry {
            SELECT doc_id,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
            FROM all_docs""",
+      "dup_components" ->
+        s"""WITH RECURSIVE e0 AS (
+             SELECT doc_id AS u,
+               doc_id - (doc_id % 10) + CASE doc_id % 10
+                 WHEN 0 THEN 5 WHEN 5 THEN 2 WHEN 2 THEN 7 WHEN 7 THEN 4
+                 WHEN 4 THEN 9 WHEN 9 THEN 1 WHEN 1 THEN 6 WHEN 6 THEN 3
+                 WHEN 3 THEN 8 END AS v
+             FROM documents WHERE doc_id % 10 <> 8),
+           edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+           r(node, lab) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             UNION
+             SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.node)
+           SELECT node AS node_id, min(lab) AS component_id
+           FROM r GROUP BY node""",
       "dedup_exact" ->
         s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups FROM documents GROUP BY 1""",
@@ -4546,6 +4645,44 @@ object SparkEntry {
              CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
                ELSE 0.0 END AS first_prio
            FROM documents""",
+      "pagerank_hosts" ->
+        s"""WITH e0 AS (
+             SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+             FROM documents WHERE (doc_id % 40) % 10 <> 7
+             UNION
+             SELECT doc_id % 40, (doc_id * 13 + 11) % 40
+             FROM documents WHERE (doc_id % 40) % 10 <> 7),
+           e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+           nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+           deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+             FROM e GROUP BY src),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           r0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+           $prIters
+           SELECT h AS host, CAST(r AS BIGINT) AS rank FROM r4""",
+      "html_links" ->
+        s"""SELECT d.doc_id, t.ln AS link_no,
+             CASE t.ln
+               WHEN 1 THEN 'https://abs.test/x?b=2&a=1'
+               WHEN 2 THEN 'https://cdn.test/lib'
+               WHEN 3 THEN 'https://h' || CAST(d.doc_id % 5 AS VARCHAR)
+                 || '.example.com/root/doc' || CAST(d.doc_id AS VARCHAR)
+                 || '.html'
+               WHEN 4 THEN 'https://h' || CAST(d.doc_id % 5 AS VARCHAR)
+                 || '.example.com/up/' || CAST(d.doc_id AS VARCHAR)
+               WHEN 5 THEN 'https://h' || CAST(d.doc_id % 5 AS VARCHAR)
+                 || '.example.com/dir/sib' || CAST(d.doc_id AS VARCHAR)
+                 || '?x=2'
+               ELSE 'https://h' || CAST(d.doc_id % 5 AS VARCHAR)
+                 || '.example.com/dir/spon' || CAST(d.doc_id AS VARCHAR)
+             END AS url,
+             CASE t.ln WHEN 1 THEN 'Abs Link' WHEN 2 THEN 'proto'
+               WHEN 3 THEN 'root' WHEN 4 THEN 'up' WHEN 5 THEN 'sib'
+               ELSE 'spon' END AS anchor,
+             t.ln = 6 AS nofollow
+           FROM documents d
+           CROSS JOIN (VALUES (CAST(1 AS BIGINT)),(2),(3),(4),(5),(6))
+             t(ln)""",
       "text_clean" ->
         s"""SELECT doc_id, text || ' café "q"... - a b' AS cleaned
            FROM documents""",

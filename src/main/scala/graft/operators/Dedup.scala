@@ -259,45 +259,23 @@ object Dedup {
             .cast(DoubleType)).as("exact_jaccard"))
   }
 
-  /** Transitive canonicalization: iterate pointer-jumping
-    * (canonical := canonical(canonical)) until fixpoint, so chains like
-    * a~b~c~d all map to the smallest member. Each round is one self-join
-    * plus one count action; rounds needed = O(log(longest chain)) after
-    * the first hop, bounded by maxIter.
-    */
+  /** Transitive canonicalization: every doc maps to the minimum id of its
+    * connected duplicate component (docs with no pairs map to themselves).
+    * Delegates to [[ConnectedComponents.assign]] — TRUE graph components,
+    * not the min-partner pointer chase this method shipped as originally.
+    * The original initialized each node to min(self, min partner) and
+    * pointer-jumped that chain, which is only transitive when every
+    * node's smallest partner is already closer to the component minimum;
+    * banding-generated V-shapes (1~3 in one band, 2~3 in another, no
+    * (1,2) pair) left node 2 mapping to itself and silently split the
+    * cluster. See ConnectedComponents' Scaladoc for the algorithm and
+    * the 100 TB shape. maxIter bounds propagation rounds (pointer
+    * jumping makes effective distance 2^maxIter). */
   def canonicalizeFixpoint(
       docs: DataFrame,
       pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
-    // Iterative algorithm: persist each generation so a round's join +
-    // convergence check don't re-derive the whole upstream lineage
-    // (pairs generation is itself a multi-join plan).
-    var canon = canonicalize(docs, pairs)
-      .select(col("doc_id"), col("canonical_id"))
-      .persist()
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
-      // One join per round: the jump computes its own change flag —
-      // least(old, jumped) differs from old exactly when jumped < old —
-      // so convergence needs no second join against the prior generation.
-      val jumped = canon.alias("c1")
-        .join(
-          canon.select(col("doc_id").as("j_id"),
-            col("canonical_id").as("j_canon")).alias("c2"),
-          col("c1.canonical_id") === col("j_id"))
-        .select(col("c1.doc_id").as("doc_id"),
-          least(col("c1.canonical_id"), col("j_canon")).as("canonical_id"),
-          (col("j_canon") < col("c1.canonical_id")).as("_moved"))
-        .persist()
-      val moved = jumped.filter(col("_moved")).limit(1).count()
-      canon.unpersist() // canon IS the persisted frame (never a projection)
-      canon = jumped
-      converged = moved == 0
-      i += 1
-    }
-    canon.drop("_moved") // child stays persisted for the caller's reads
-  }
+      maxIter: Int = 50): DataFrame =
+    ConnectedComponents.assign(docs, pairs, maxIter = maxIter)
 
   /** Canonical assignment from verified duplicate pairs: every doc maps to
     * min(own id, smallest duplicate partner). One-step union-find

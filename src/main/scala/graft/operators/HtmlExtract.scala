@@ -79,16 +79,44 @@ object HtmlExtract {
 
   /** Block-level elements whose open OR close tag ends the current
     * text block. Lowercase; lookups lowercase the parsed name. */
-  private val BlockTags: Set[String] = Set(
+  private[operators] val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "table", "thead", "tbody", "tr", "td", "th", "br", "hr", "title",
     "blockquote", "pre", "section", "article", "header", "footer",
     "nav", "aside", "form", "figure", "figcaption", "main", "dl",
     "dt", "dd", "body", "html", "head")
 
-  private val Named = Map(
+  private[operators] val Named = Map(
     "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
     "apos" -> '\'', "nbsp" -> ' ')
+
+  /** Bounded entity scan shared with the link kernel: when `s(i)=='&'`
+    * starts a well-formed entity (name or number, `;` within 12 chars),
+    * returns the code point in the low 32 bits and the index AFTER the
+    * `;` in the high 32; −1 when the `&` is literal text. */
+  private[operators] def entityAt(s: String, i: Int): Long = {
+    val n = s.length
+    var p = i + 1
+    val limit = math.min(n, i + 12)
+    while (p < limit && s.charAt(p) != ';' && s.charAt(p) != '&' &&
+        !isWs(s.charAt(p)) && s.charAt(p) != '<') p += 1
+    if (p < limit && p > i + 1 && s.charAt(p) == ';') {
+      val body = s.substring(i + 1, p)
+      val decoded: Int =
+        if (body.charAt(0) == '#') {
+          val num = body.substring(1)
+          try {
+            if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+              Integer.parseInt(num.substring(1), 16)
+            else Integer.parseInt(num)
+          } catch { case _: NumberFormatException => -1 }
+        } else Named.get(body.toLowerCase).map(_.toInt).getOrElse(-1)
+      if (decoded >= 0 && decoded <= Character.MAX_CODE_POINT &&
+          Character.isValidCodePoint(decoded))
+        ((p + 1).toLong << 32) | decoded.toLong
+      else -1L
+    } else -1L
+  }
 
   // deliberately NOT vertical tab (\u000B): RE2's \s (the DuckDB
   // oracle side) excludes it while Java's \s includes it -- the
@@ -221,28 +249,11 @@ object HtmlExtract {
           i += 1
         }
       } else if (c == '&') {
-        // bounded entity scan: name/number then ';' within 12 chars
-        var p = i + 1
-        val limit = math.min(n, i + 12)
-        while (p < limit && s.charAt(p) != ';' && s.charAt(p) != '&' &&
-            !isWs(s.charAt(p)) && s.charAt(p) != '<') p += 1
-        if (p < limit && p > i + 1 && s.charAt(p) == ';') {
-          val body = s.substring(i + 1, p)
-          val decoded: Int =
-            if (body.charAt(0) == '#') {
-              val num = body.substring(1)
-              try {
-                if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
-                  Integer.parseInt(num.substring(1), 16)
-                else Integer.parseInt(num)
-              } catch { case _: NumberFormatException => -1 }
-            } else Named.get(body.toLowerCase).map(_.toInt).getOrElse(-1)
-          if (decoded >= 0 && decoded <= Character.MAX_CODE_POINT &&
-              Character.isValidCodePoint(decoded)) {
-            Character.toChars(decoded).foreach(appendChar)
-            i = p + 1
-          } else { appendChar('&'); i += 1 } // unknown entity: literal
-        } else { appendChar('&'); i += 1 } // unterminated: literal
+        val e = entityAt(s, i) // bounded entity scan (shared helper)
+        if (e >= 0) {
+          Character.toChars((e & 0xFFFFFFFFL).toInt).foreach(appendChar)
+          i = (e >>> 32).toInt
+        } else { appendChar('&'); i += 1 } // unknown/unterminated: literal
       } else {
         appendChar(c)
         i += 1

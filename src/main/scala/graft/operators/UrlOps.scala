@@ -413,6 +413,116 @@ object UrlOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
   }
 
+  // --------------------------------------------------- reference resolution
+
+  /** RFC 3986 §5.2 reference resolution for crawl-edge extraction:
+    * resolves `ref` (an href as it appears in markup) against `base`
+    * (the page's own URL) into an ABSOLUTE hierarchical URL, or null
+    * when the reference is not a crawl edge. Deterministic, documented,
+    * never throws — the DuckDB oracle recomputes it closed-form:
+    *
+    *  - the fragment cuts first (crawl edges ignore it; a
+    *    fragment-only or empty ref is a self-reference → null);
+    *  - a scheme-qualified ref (RFC scheme token then `:`) resolves on
+    *    its own; non-hierarchical schemes — `mailto:`, `javascript:`,
+    *    `data:`, `tel:`, anything without `//` after the colon — are
+    *    not crawl edges → null. The scheme-token test is what keeps
+    *    `javascript:alert('http://x')` from leaking through as a
+    *    relative path;
+    *  - `//host/p` takes the base scheme; `/p` the base authority;
+    *    `?q` the base path; anything else merges with the base path's
+    *    directory (§5.2.3) — all through remove_dot_segments, so
+    *    `../up` climbs and an empty outcome renders `/`;
+    *  - the SCHEME lowercases; authority and path pass through
+    *    VERBATIM otherwise — resolution is not canonicalization, feed
+    *    the result to [[normalize]] downstream (one kernel each, both
+    *    scan-side).
+    */
+  private[graft] def resolveRef(base: String, ref: String): String = {
+    if (ref == null) return null
+    val s0 = ref.trim
+    val hash = s0.indexOf('#')
+    val s = if (hash >= 0) s0.substring(0, hash) else s0
+    if (s.isEmpty) return null
+    // scheme-qualified?
+    var colon = -1
+    val c0 = s.charAt(0)
+    if ((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')) {
+      var i = 1
+      var broke = false
+      while (i < s.length && colon < 0 && !broke) {
+        val c = s.charAt(i)
+        if (c == ':') colon = i
+        else if (!isSchemeChar(c)) broke = true
+        i += 1
+      }
+    }
+    if (colon > 0) {
+      val scheme = lowerAscii(s.substring(0, colon))
+      val rest = s.substring(colon + 1)
+      if (!rest.startsWith("//")) return null // mailto:, javascript:, data:
+      return assembleResolved(scheme, rest.substring(2))
+    }
+    // schemeless: needs a hierarchical base
+    if (base == null) return null
+    val b = base.trim
+    val sep = b.indexOf("://")
+    if (sep <= 0) return null
+    val bScheme = lowerAscii(b.substring(0, sep))
+    val bRest = b.substring(sep + 3)
+    var aEnd = 0
+    while (aEnd < bRest.length && {
+        val c = bRest.charAt(aEnd); c != '/' && c != '?' && c != '#'
+      }) aEnd += 1
+    val bAuth = bRest.substring(0, aEnd)
+    if (bAuth.isEmpty) return null
+    val bAfter = bRest.substring(aEnd)
+    val bq = bAfter.indexOf('?')
+    val bf = bAfter.indexOf('#')
+    val bPathEnd =
+      if (bq >= 0 && (bf < 0 || bq < bf)) bq
+      else if (bf >= 0) bf else bAfter.length
+    val bPath = bAfter.substring(0, bPathEnd)
+    if (s.startsWith("//")) return assembleResolved(bScheme, s.substring(2))
+    if (s.charAt(0) == '?') {
+      val p0 = removeDotSegments(bPath)
+      val p = if (p0.isEmpty) "/" else p0
+      return bScheme + "://" + bAuth + p + s
+    }
+    val rq = s.indexOf('?')
+    val rPath = if (rq >= 0) s.substring(0, rq) else s
+    val rQuery = if (rq >= 0) s.substring(rq) else ""
+    val merged =
+      if (rPath.startsWith("/")) rPath
+      else {
+        val dir = bPath.lastIndexOf('/')
+        (if (dir >= 0) bPath.substring(0, dir + 1) else "/") + rPath
+      }
+    val cleaned0 = removeDotSegments(
+      if (merged.startsWith("/")) merged else "/" + merged)
+    val cleaned = if (cleaned0.isEmpty) "/" else cleaned0
+    bScheme + "://" + bAuth + cleaned + rQuery
+  }
+
+  /** scheme + "://" + (authority [path [?query]]) with dot segments
+    * removed and the empty path rendered `/`; fragment already cut. */
+  private def assembleResolved(scheme: String, afterSlashes: String)
+      : String = {
+    var aEnd = 0
+    while (aEnd < afterSlashes.length && {
+        val c = afterSlashes.charAt(aEnd); c != '/' && c != '?'
+      }) aEnd += 1
+    val auth = afterSlashes.substring(0, aEnd)
+    if (auth.isEmpty) return null
+    val after = afterSlashes.substring(aEnd)
+    val q = after.indexOf('?')
+    val path0 = if (q >= 0) after.substring(0, q) else after
+    val query = if (q >= 0) after.substring(q) else ""
+    val p0 = removeDotSegments(path0)
+    val path = if (p0.isEmpty) "/" else p0
+    scheme + "://" + auth + path + query
+  }
+
   private val B = org.apache.spark.sql.graft.Bridge
 
   /** The parsed struct: scheme, host, port, path, query, fragment,
