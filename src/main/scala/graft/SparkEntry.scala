@@ -2807,6 +2807,24 @@ object SparkEntry {
           col("l.url").as("url"), col("l.anchor").as("anchor"),
           col("l.nofollow").as("nofollow"))
     }),
+    "blocklist_gate" -> ((s, dir) => {
+      // Aho–Corasick blocklist gate (MultiMatch): ONE scan for the whole
+      // phrase list instead of one contains() pass per pattern. Planted
+      // suffixes exercise multi-hit counting and the phrase (space)
+      // pattern; patterns are borderless (no proper prefix = suffix), so
+      // occurrences cannot self-overlap and DuckDB's non-overlapping
+      // replace-count equals the automaton's all-occurrences count.
+      // Overlap/failure-link vectors live in MultiMatchSpec.
+      val pats = Seq("casino", "lottery", "free money")
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" casino free money casino"))
+          .when(col("doc_id") % 3 === 1, lit(" lottery"))
+          .otherwise(lit("")))
+      d.select(col("doc_id"),
+        MultiMatch.count(planted, pats).as("n_hits"),
+        MultiMatch.any(planted, pats).as("blocked"))
+    }),
     "pagerank_hosts" -> ((s, dir) => {
       // Exact fixed-point PageRank (LinkGraph) over a deterministic
       // planted host graph: hosts = doc_id%40, two affine edge families
@@ -4645,6 +4663,21 @@ object SparkEntry {
              CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
                ELSE 0.0 END AS first_prio
            FROM documents""",
+      "blocklist_gate" ->
+        s"""WITH p AS (
+             SELECT doc_id, text || CASE
+               WHEN doc_id % 3 = 0 THEN ' casino free money casino'
+               WHEN doc_id % 3 = 1 THEN ' lottery'
+               ELSE '' END AS t
+             FROM documents)
+           SELECT doc_id,
+             CAST((len(t) - len(replace(t, 'casino', ''))) // 6
+               + (len(t) - len(replace(t, 'lottery', ''))) // 7
+               + (len(t) - len(replace(t, 'free money', ''))) // 10
+               AS BIGINT) AS n_hits,
+             (contains(t, 'casino') OR contains(t, 'lottery')
+               OR contains(t, 'free money')) AS blocked
+           FROM p""",
       "pagerank_hosts" ->
         s"""WITH e0 AS (
              SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
