@@ -60,8 +60,12 @@ object ConnectedComponents {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 50): DataFrame = {
+    // Node ids stay their INPUT type — the algorithm needs only an
+    // ordering (least/min), which longs and strings both have; a cast
+    // to long would silently null out string keys (URL-dedup graphs)
+    // and return an empty labelling.
     val e0 = pairs
-      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
     // Bidirectional + distinct (banding emits a pair once per colliding

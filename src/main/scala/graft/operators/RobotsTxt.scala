@@ -125,13 +125,22 @@ object RobotsTxt {
     def closeGroup(): Unit = {
       if (curAgents.nonEmpty) {
         val rules = curRules.reverse
-        if (curAgents.contains("*") && !starSeen) {
-          starRules = rules; starDelay = curDelay; starSeen = true
+        // RFC 9309 §2.2.1: groups matching the SAME user-agent MERGE —
+        // two `User-agent: *` groups (common in concatenated files)
+        // combine their rules, as do two groups tied at the winning
+        // token length. Delay keeps the first declared value.
+        if (curAgents.contains("*")) {
+          starRules = starRules ++ rules
+          if (starDelay < 0) starDelay = curDelay
+          starSeen = true
         }
         // longest product token that is a substring of the agent wins
         val best = curAgents.filter(t => t != "*" && agentLc.contains(t))
           .map(_.length).maxOption.getOrElse(-1)
-        if (best > bestLen) {
+        if (best >= 0 && best == bestLen) {
+          bestRules = bestRules ++ rules
+          if (bestDelay < 0) bestDelay = curDelay
+        } else if (best > bestLen) {
           bestLen = best; bestRules = rules; bestDelay = curDelay
         }
       }
@@ -195,32 +204,38 @@ object RobotsTxt {
   }
 
   /** RFC 9309 path match: literal bytes, `*` matches any run, a
-    * trailing `$` anchors the end. Case-sensitive. */
+    * trailing `$` anchors the end. Case-sensitive.
+    *
+    * Segment placement: the first segment anchors at position 0, MIDDLE
+    * segments take their earliest occurrence in order (first-fit is
+    * optimal — it maximizes the room left for what follows), and when
+    * `$` anchors the rule the LAST segment matches at the path's END
+    * specifically: a first-fit last segment would false-negative
+    * `/a*b$` against `/axbyb` (the early `b` leaves a tail, the final
+    * `b` is the match the wildcard semantics require). */
   private[graft] def pathMatches(rule: String, path: String): Boolean = {
     val anchored = rule.nonEmpty && rule.charAt(rule.length - 1) == '$'
     val pat = if (anchored) rule.substring(0, rule.length - 1) else rule
-    // greedy segment match: split on '*', require segments in order;
-    // first segment anchors at 0, last anchors at end when `$`
     val segs = pat.split("\\*", -1)
-    var pos = 0
-    var i = 0
-    while (i < segs.length) {
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    if (segs.length == 1)
+      return !anchored || pos == path.length
+    var i = 1
+    val lastIdx = segs.length - 1
+    while (i < lastIdx) {
       val s = segs(i)
-      if (i == 0) {
-        if (!path.startsWith(s)) return false
-        pos = s.length
-      } else {
-        val at = path.indexOf(s, pos)
-        if (at < 0) return false
-        pos = at + s.length
-      }
+      val at = path.indexOf(s, pos)
+      if (at < 0) return false
+      pos = at + s.length
       i += 1
     }
+    val last = segs(lastIdx)
     if (anchored)
-      // the final segment must reach the path's end; with a trailing
-      // '*' before '$' (segs ends "") any tail satisfies it
-      segs.last.isEmpty || pos == path.length
-    else true
+      // empty last segment = trailing '*' before '$': any tail matches
+      last.isEmpty ||
+        (path.endsWith(last) && path.length - last.length >= pos)
+    else last.isEmpty || path.indexOf(last, pos) >= 0
   }
 
   /** First matching rule of the most-octets-first list decides;

@@ -304,9 +304,13 @@ object Avro {
           // block lands in exactly one split
           reader.sync(start)
           new Iterator[Row] {
+            // memoized exhaustion: hasNext after false must stay false
+            // (and must not probe the now-closed reader again)
+            private var done = false
             override def hasNext: Boolean = {
+              if (done) return false
               val h = reader.hasNext && !reader.pastSync(end)
-              if (!h) scala.util.Try(reader.close())
+              if (!h) { scala.util.Try(reader.close()); done = true }
               h
             }
             override def next(): Row =

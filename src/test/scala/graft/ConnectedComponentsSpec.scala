@@ -108,6 +108,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(best.head.getAs[Long]("cluster_size") == 3L)
   }
 
+  test("string node ids work (URL/host dedup graphs)") {
+    val pairs = Seq(("b.com/x", "c.com/y"), ("a.com/z", "c.com/y"))
+      .toDF("id_a", "id_b")
+    val comp = ConnectedComponents.components(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("a.com/z" -> "a.com/z", "b.com/x" -> "a.com/z",
+      "c.com/y" -> "a.com/z"))
+  }
+
   test("non-convergence within maxIter refuses loudly") {
     val pairs = (1L to 64L).sliding(2).toSeq
       .map(s => (s.head, s.last)).toDF("id_a", "id_b")

@@ -71,6 +71,41 @@ class RobotsTxtSpec extends SparkSpec {
     assert(allowedOf(r3, "/anything"))
   }
 
+  test("anchored multi-star rules match the LAST occurrence, not the first") {
+    import graft.operators.RobotsTxt.pathMatches
+    // first-fit on the final segment would take the early 'b' (pos 3),
+    // leave a tail, and wrongly reject — '*' must absorb 'xby'
+    assert(pathMatches("/a*b$", "/axbyb"))
+    assert(!pathMatches("/a*b$", "/axbyc"))
+    // the anchored last segment must still lie AFTER the prior ones
+    assert(pathMatches("/ab*ab$", "/abab")) // '*' matches empty
+    assert(pathMatches("/ab*ab$", "/abxab"))
+    assert(!pathMatches("/abc*bc$", "/abc")) // segments cannot overlap
+    // unanchored multi-star: presence in order suffices
+    assert(pathMatches("/a*b*c", "/a1b2c3"))
+    assert(!pathMatches("/a*b*c", "/a1c2b3"))
+  }
+
+  test("RFC 9309 group merge: same-agent groups combine their rules") {
+    import graft.operators.RobotsTxt.{allowedOf, parse}
+    // two * groups (concatenated files are common): both rule sets apply
+    val two = parse(
+      "User-agent: *\nDisallow: /one/\n\n" +
+        "User-agent: *\nDisallow: /two/\nCrawl-delay: 3\n", "anybot")
+    assert(!allowedOf(two, "/one/x") && !allowedOf(two, "/two/x"))
+    assert(allowedOf(two, "/three/x"))
+    // tied specific groups merge too; delay keeps the first declared
+    val tied = parse(
+      "User-agent: megabot\nDisallow: /a/\nCrawl-delay: 1\n\n" +
+        "User-agent: megabot\nDisallow: /b/\nCrawl-delay: 9\n", "megabot")
+    assert(!allowedOf(tied, "/a/x") && !allowedOf(tied, "/b/x"))
+    // a longer-token group still REPLACES (selection, not merge)
+    val sel = parse(
+      "User-agent: mega\nDisallow: /short/\n\n" +
+        "User-agent: megabot\nDisallow: /long/\n", "megabot/1.0")
+    assert(allowedOf(sel, "/short/x") && !allowedOf(sel, "/long/x"))
+  }
+
   test("crawl-delay (per group, ms) and sitemaps (global) report; " +
       "junk lines and comments never throw") {
     val row = Seq((sample, "superbot")).toDF("c", "a")
