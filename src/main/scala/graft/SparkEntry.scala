@@ -2825,6 +2825,52 @@ object SparkEntry {
         MultiMatch.count(planted, pats).as("n_hits"),
         MultiMatch.any(planted, pats).as("blocked"))
     }),
+    "crawl_frontier" -> ((s, dir) => {
+      // THE FRONT-DOOR RECIPE, pinned as a driver gate: outlink
+      // extraction (LinkExtract) → per-HOST robots.txt gate (parse once
+      // per host, broadcast to URLs — the RobotsTxt engine shape) →
+      // URL canonicalization (UrlOps.normalize) → global URL dedup →
+      // per-registered-domain cap (Curate.capPerKey, md5-priority so
+      // both engines rank identically). Same page plant as html_links;
+      // hosts h0/h2/h4 disallow /up/ so the robots leg provably drops
+      // rows; every surviving URL is closed-form for DuckDB.
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/dir/page"), id, lit(".html?s=1"))
+      val html = concat(
+        lit("<p><a href=\"https://abs.test/x?b=2&amp;a=1\">Abs</a> " +
+          "<a href='//cdn.test/lib'>proto</a> " +
+          "<a href=\"/root/doc"), id,
+        lit(".html\">root</a> <a href=\"../up/"), id,
+        lit("\">up</a> <a href=\"sib"), id,
+        lit("?x=2\">sib</a> <a rel=\"nofollow\" href=\"spon"), id,
+        lit("\">spon</a></p>"))
+      val links = d
+        .select(explode(LinkExtract.links(html, base)).as("l"))
+        .filter(!col("l.nofollow"))
+        .select(col("l.url").as("raw_url"))
+      val robots = links
+        .select(UrlOps.host(col("raw_url")).as("thost")).distinct()
+        .withColumn("robots_txt",
+          when(col("thost").rlike("^h[024]\\.example\\.com$"),
+            lit("User-agent: *\nDisallow: /up/\n")).otherwise(lit("")))
+        .select(col("thost"),
+          RobotsTxt.rules(col("robots_txt"), lit("graftbot")).as("r"))
+      val gated = links
+        .select(col("raw_url"), UrlOps.host(col("raw_url")).as("thost"),
+          UrlOps.parts(col("raw_url")).getField("path").as("tpath"))
+        .join(broadcast(robots), "thost")
+        .filter(RobotsTxt.allowed(col("r"), col("tpath")))
+      val normed = gated.select(
+          UrlOps.normalize(col("raw_url")).as("url"),
+          UrlOps.registeredDomain(col("raw_url")).as("domain"))
+        .dropDuplicates("url")
+        .withColumn("pri", md5(col("url")))
+      Curate.capPerKey(normed, n = 100, keyCol = "domain",
+          orderCol = "pri", idCol = "url")
+        .select(col("url"), col("domain"), col("rank"))
+    }),
     "pagerank_hosts" -> ((s, dir) => {
       // Exact fixed-point PageRank (LinkGraph) over a deterministic
       // planted host graph: hosts = doc_id%40, two affine edge families
@@ -4678,6 +4724,33 @@ object SparkEntry {
              (contains(t, 'casino') OR contains(t, 'lottery')
                OR contains(t, 'free money')) AS blocked
            FROM p""",
+      "crawl_frontier" ->
+        s"""WITH all_urls AS (
+             SELECT DISTINCT 'https://abs.test/x?a=1&b=2' AS url,
+               'abs.test' AS domain FROM documents
+             UNION ALL
+             SELECT DISTINCT 'https://cdn.test/lib', 'cdn.test'
+             FROM documents
+             UNION ALL
+             SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/root/doc' || CAST(doc_id AS VARCHAR)
+                 || '.html',
+               'example.com' FROM documents
+             UNION ALL
+             SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/up/' || CAST(doc_id AS VARCHAR),
+               'example.com' FROM documents WHERE doc_id % 5 IN (1, 3)
+             UNION ALL
+             SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/dir/sib' || CAST(doc_id AS VARCHAR)
+                 || '?x=2',
+               'example.com' FROM documents),
+           ranked AS (
+             SELECT url, domain,
+               CAST(row_number() OVER (PARTITION BY domain
+                 ORDER BY md5(url) DESC, url) AS BIGINT) AS rank
+             FROM all_urls)
+           SELECT url, domain, rank FROM ranked WHERE rank <= 100""",
       "pagerank_hosts" ->
         s"""WITH e0 AS (
              SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
