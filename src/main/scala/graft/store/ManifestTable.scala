@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.mapping.Mapping
 import graft.operators.{CreateAndUpdate, ImportMode, Upsert}
+import org.apache.spark.sql.graft.{Bridge => B}
 
 /** Hand-rolled parquet-manifest table format: the incremental MERGE sink
   * for continuous and batch imports.
@@ -1108,7 +1109,6 @@ object ManifestTable {
       if (colMap.isEmpty) sorted
       else sorted.select((df.schema.fieldNames.toSeq.map(n =>
         col(n).as(toPhys(n))) :+ col(BucketCol)): _*)
-    val physKey = toPhys(keyColumn)
     // DECLARED CHECK CONSTRAINTS ([[addConstraint]]) guard this one
     // funnel every row-producing writer shares: each check evaluates
     // inline per row (a codegen'd predicate — no extra pass, no extra
@@ -1134,6 +1134,32 @@ object ManifestTable {
               to_json(struct(d.columns.map(col): _*))))))
       }
     }
+    // Stats in NORMALIZED key space — the space lookup() renders its
+    // probe keys in; raw-key stats would wrongly prune a file when the
+    // comparator changes rendering (e.g. lower("Foo") vs "foo").
+    // Numeric-family keys additionally record ORDER-TRUE zone stats
+    // (minZ/maxZ — the lexical strings can't serve ranges: "10" < "9")
+    // so GraftFileIndex can prune numeric BETWEEN/>/< at plan time.
+    // Computed INSIDE the write job via observe ([[WriteStatsAgg]]):
+    // no post-commit readback job, no re-read of the bytes just written.
+    val kc = col(keyColumn)
+    val norm = keyComparator(kc)
+    // normalized key TYPE: identity comparators (`f(c) eq c` — the
+    // common case) read it straight off the schema; only a real
+    // normalizer pays the analyzer pass, which would otherwise tax
+    // EVERY commit ~tens of ms
+    val normDt =
+      if (norm eq kc) df.schema(keyColumn).dataType
+      else df.limit(0).select(norm).schema.head.dataType
+    val zoneCol = ZoneSkip.keyRendered(norm, normDt)
+    val obs = org.apache.spark.sql.Observation()
+    val statsCol = B.column(WriteStatsAgg(
+        B.expression(col(BucketCol).cast("long")),
+        B.expression(norm.cast("string")),
+        B.expression(zoneCol.getOrElse(lit(null))),
+        B.expression(when(kc.isNull || norm.isNull, lit(1))
+          .otherwise(lit(0))))
+      .toAggregateExpression()).as("stats")
     // Key-sorted within each bucket file: parquet row-group min/max stats
     // then stratify the key space, so the pruned point lookups (which
     // always carry the key predicate into the scan) skip row groups
@@ -1143,7 +1169,8 @@ object ManifestTable {
     physicalize(guarded.withColumn(BucketCol, bucket)
       .repartition(math.max(1, numTasks), col(BucketCol))
       .sortWithinPartitions(col(BucketCol),
-        keyComparator(col(keyColumn))))
+        keyComparator(col(keyColumn)))
+      .observe(obs, statsCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(dataDir)
     // Stamp each bucket's (single) part file with Spark's bucket-id name
     // suffix (`_<bucket>%05d` before the first extension dot — the exact
@@ -1205,59 +1232,58 @@ object ManifestTable {
           } finally pool.shutdown()
         }
       }
-    // Explicit schema (+ the partition column) so an all-rows-rejected
-    // empty write doesn't fail schema inference. Physical names: the
-    // readback scans the files just written.
-    val writtenSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields.zip(physNames).map { case (f, p) =>
-        f.copy(name = p) } :+ org.apache.spark.sql.types.StructField(
-        BucketCol, org.apache.spark.sql.types.IntegerType))
-    // Stats in NORMALIZED key space — the space lookup() renders its
-    // probe keys in; raw-key stats would wrongly prune a file when the
-    // comparator changes rendering (e.g. lower("Foo") vs "foo").
-    // Numeric-family keys additionally record ORDER-TRUE zone stats
-    // (minZ/maxZ — the lexical strings can't serve ranges: "10" < "9")
-    // so GraftFileIndex can prune numeric BETWEEN/>/< at plan time.
-    // The stats frame goes back to LOGICAL names (a recorded keyExpr
-    // comparator resolves by the logical name) — same rename the scan
-    // applies.
-    val rbRaw = spark.read.schema(writtenSchema)
-      .option("basePath", dataDir).parquet(dataDir)
-    val rb =
-      if (colMap.isEmpty) rbRaw
-      else rbRaw.select((df.schema.fieldNames.toSeq.zip(physNames).map {
-        case (n, p) => col(p).as(n) } :+ col(BucketCol)): _*)
-    val kc = col(keyColumn)
-    val norm = keyComparator(kc)
-    // normalized key TYPE: identity comparators (`f(c) eq c` — the
-    // common case) read it straight off the schema; only a real
-    // normalizer pays the analyzer pass, which would otherwise tax
-    // EVERY commit ~tens of ms
-    val normDt =
-      if (norm eq kc) writtenSchema(physKey).dataType
-      else rb.limit(0).select(norm).schema.head.dataType
-    val zoneAggs = ZoneSkip.keyRendered(norm, normDt).toSeq.flatMap(zr =>
-      Seq(min(zr).cast("string").as("minZ"),
-        max(zr).cast("string").as("maxZ")))
-    val nullAgg = max(when(kc.isNull || norm.isNull, lit(1))
-      .otherwise(lit(0))).as("nullK")
-    rb.groupBy(col(BucketCol))
-      .agg(count(lit(1)).as("rows"),
-        (Seq(min(norm.cast("string")).as("minKey"),
-          max(norm.cast("string")).as("maxKey")) ++ zoneAggs :+ nullAgg): _*)
-      .collect()
-      .map { r =>
-        val k = r.getInt(0)
+    // The write's observed metrics arrive via QueryExecutionListener a
+    // beat after the action returns; the bounded poll below covers that
+    // gap. The fs-stamping loop above already absorbed most of it.
+    WriteStats.awaitGroups(obs).map { groups =>
+      groups.toSeq.map { case (k64, g) =>
+        val k = k64.toInt
         val (relPath, bytes, named) = perBucket.getOrElse(k,
           (s"data/$dataDirName/$BucketCol=$k", 0L, false))
-        FileEntry(k, r.getLong(1),
-          Option(r.getString(2)).getOrElse(""),
-          Option(r.getString(3)).getOrElse(""),
-          relPath, seq, bytes, named,
-          if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
-          if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""),
-          nullKeys = r.getInt(if (zoneAggs.isEmpty) 4 else 6) == 1)
-      }.toSeq
+        FileEntry(k, g.rows, g.minKey, g.maxKey, relPath, seq, bytes,
+          named, g.minZ, g.maxZ, nullKeys = g.nullK)
+      }
+    }.getOrElse {
+      // Fallback (metrics never delivered — never seen in practice):
+      // the pre-fusion readback of the committed files, kept verbatim
+      // so a missed observation degrades to the old cost, not to a
+      // wrong manifest. Explicit schema (+ the partition column) so an
+      // all-rows-rejected empty write doesn't fail schema inference;
+      // physical names on disk, back to LOGICAL names for the stats
+      // frame (a recorded keyExpr comparator resolves logically).
+      val writtenSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields.zip(physNames).map { case (f, p) =>
+          f.copy(name = p) } :+ org.apache.spark.sql.types.StructField(
+          BucketCol, org.apache.spark.sql.types.IntegerType))
+      val rbRaw = spark.read.schema(writtenSchema)
+        .option("basePath", dataDir).parquet(dataDir)
+      val rb =
+        if (colMap.isEmpty) rbRaw
+        else rbRaw.select((df.schema.fieldNames.toSeq.zip(physNames).map {
+          case (n, p) => col(p).as(n) } :+ col(BucketCol)): _*)
+      val zoneAggs = zoneCol.toSeq.flatMap(zr =>
+        Seq(min(zr).cast("string").as("minZ"),
+          max(zr).cast("string").as("maxZ")))
+      val nullAgg = max(when(kc.isNull || norm.isNull, lit(1))
+        .otherwise(lit(0))).as("nullK")
+      rb.groupBy(col(BucketCol))
+        .agg(count(lit(1)).as("rows"),
+          (Seq(min(norm.cast("string")).as("minKey"),
+            max(norm.cast("string")).as("maxKey")) ++ zoneAggs :+ nullAgg): _*)
+        .collect()
+        .map { r =>
+          val k = r.getInt(0)
+          val (relPath, bytes, named) = perBucket.getOrElse(k,
+            (s"data/$dataDirName/$BucketCol=$k", 0L, false))
+          FileEntry(k, r.getLong(1),
+            Option(r.getString(2)).getOrElse(""),
+            Option(r.getString(3)).getOrElse(""),
+            relPath, seq, bytes, named,
+            if (zoneAggs.isEmpty) "" else Option(r.getString(4)).getOrElse(""),
+            if (zoneAggs.isEmpty) "" else Option(r.getString(5)).getOrElse(""),
+            nullKeys = r.getInt(if (zoneAggs.isEmpty) 4 else 6) == 1)
+        }.toSeq
+    }
   }
 
   /** Bootstraps a table from existing data: buckets `df` on the key and

@@ -18,6 +18,13 @@ object Bridge {
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Non-blocking poll of an [[org.apache.spark.sql.Observation]]'s
+    * metrics row (`getRowOrEmpty` is `private[sql]`; the public `get`
+    * blocks with no timeout). None until the listener delivers. */
+  def observedRow(obs: org.apache.spark.sql.Observation)
+      : Option[org.apache.spark.sql.Row] =
+    obs.getRowOrEmpty
+
   /** Catalyst predicate → v1 `sources.Filter` (`protected[sql]` in
     * DataSourceStrategy): lets the DML strategy ask the same question
     * Spark's DeleteFromTableExec will — does the keyed metadata path
